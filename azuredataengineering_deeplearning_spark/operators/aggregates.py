@@ -1,0 +1,164 @@
+"""Aggregation operators (SURVEY §2.4, §2.6 O5).
+
+Everything is a single declarative ``groupBy().agg`` (map-side partial
+aggregation for free) or a two-level agg composition — no UDAFs. The two
+reference custom aggregates (entropy A7, zero-fraction A8) decompose into
+built-in expressions, so they stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.functions.exact import dec
+
+
+def grouped_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """Group-by with arbitrary aggregate expressions (A1;
+    ``count_target_onehot_encoder_spark.py:14-28``)."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def global_agg(df: DataFrame, aggs: Sequence[Column]) -> DataFrame:
+    """Ungrouped aggregate (A2; ``…:78`` ``df.groupBy().mean(y)``)."""
+    return df.agg(*aggs)
+
+
+def count_distinct_all(
+    df: DataFrame, columns: Sequence[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Distinct cardinality of every column in one pass (A3;
+    ``discover_schema.py:76``). ``approx=True`` switches to HLL sketches —
+    the 100 TB path (single scan, no per-column shuffle)."""
+    cols = columns or df.columns
+    fn = F.approx_count_distinct if approx else F.countDistinct
+    return df.agg(*[fn(c).alias(c) for c in cols])
+
+
+def nunique(df: DataFrame, keys: Sequence[str], column: str, alias: str) -> DataFrame:
+    """Per-group count distinct (A4; ``stats_forecast_predict.py:233``)."""
+    return df.groupBy(*keys).agg(F.countDistinct(column).alias(alias))
+
+
+def group_having(
+    df: DataFrame, keys: Sequence[str], predicate_on_count
+) -> DataFrame:
+    """Filter whole groups by group size (A5; ``generate_data.py:57-60``).
+
+    ``predicate_on_count`` maps the count Column to a boolean Column,
+    e.g. ``lambda n: n > 5``. Returns surviving rows (not group keys):
+    implemented as a windowed count so rows keep flowing without a
+    join-back."""
+    n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    return (
+        df.withColumn("__gs", n)
+        .filter(predicate_on_count(F.col("__gs")))
+        .drop("__gs")
+    )
+
+
+def group_size_broadcast(
+    df: DataFrame, keys: Sequence[str], alias: str = "group_size"
+) -> DataFrame:
+    """Attach per-group size to every row (A6 transform('count');
+    ``stats_forecast_predict.py:217``)."""
+    return df.withColumn(
+        alias, F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+
+
+def entropy(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    alias: str = "entropy",
+) -> DataFrame:
+    """Shannon entropy of the value distribution per group (A7;
+    ``generate_data.py:44-50``). Two chained aggregations — counts per
+    (keys, value), then ``-Σ p·ln p`` per keys — both with map-side
+    partials; no UDAF, no collect."""
+    counts = df.groupBy(*keys, value).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        counts.withColumn(
+            "__p", F.col("__n") / F.sum("__n").over(Window.partitionBy(*keys))
+        )
+        .groupBy(*keys)
+        .agg((-F.sum(F.col("__p") * F.log("__p"))).alias(alias))
+    )
+
+
+def zero_fraction(
+    df: DataFrame, keys: Sequence[str], value: str, alias: str = "zero_frac"
+) -> DataFrame:
+    """Share of zero values per group (A8;
+    ``stats_forecast_predict.py:281-294``)."""
+    return df.groupBy(*keys).agg(
+        (
+            F.sum(F.when(F.col(value) == 0, 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias(alias)
+    )
+
+
+def argmax_rows(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: str,
+    descending: bool = True,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """One whole row per group at the max (min) of ``order`` — KQL
+    ``arg_max(Rev, *)`` (A9; ``daily_eval.py:158``). Window row_number over
+    one shuffle; ``tiebreak`` columns (same direction) make the winner
+    deterministic."""
+    cols = [F.col(order)] + [F.col(t) for t in tiebreak]
+    ordering = [c.desc() if descending else c.asc() for c in cols]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def max_string_lengths(df: DataFrame, columns: Sequence[str], headroom: int = 5) -> DataFrame:
+    """Max length per string column + headroom, one scan (A13;
+    ``databricks_synapse_sql_writer.py:170-175``) — feeds varchar DDL."""
+    return df.agg(
+        *[(F.max(F.length(F.col(c))) + headroom).alias(c) for c in columns]
+    )
+
+
+def percentiles(
+    df: DataFrame,
+    column: str,
+    probs: Sequence[float] = (0.5, 0.99, 0.999),
+    approx: bool = False,
+) -> DataFrame:
+    """Quantiles of a column (O5; ``prepare_dataset.py:59-63``). Exact
+    ``percentile`` for oracle parity; ``approx=True`` uses the
+    KLL/GK-sketch ``percentile_approx`` — the 100 TB path."""
+    fn = "percentile_approx" if approx else "percentile"
+    return df.agg(
+        *[
+            F.expr(f"{fn}({column}, {p})").alias(f"p{str(p).replace('0.', '')}")
+            for p in probs
+        ]
+    )
+
+
+def weighted_mean(
+    df: DataFrame, keys: Sequence[str], value: str, weight: str, alias: str
+) -> DataFrame:
+    """Σ(w·x)/Σw per group in exact decimal arithmetic."""
+    return df.groupBy(*keys).agg(
+        (
+            F.sum(dec(F.col(value)) * dec(F.col(weight))).cast("double")
+            / F.sum(dec(F.col(weight))).cast("double")
+        ).alias(alias)
+    )

@@ -1,0 +1,95 @@
+"""Batch readers (SURVEY §2.1 S1/S2/S11/S14).
+
+All readers return lazy DataFrames; column pruning and row predicates are
+passed through so Catalyst pushes them into the parquet scan
+(``PushedFilters`` / ``ReadSchema`` visible in ``.explain``), matching the
+reference's manual ``columns=[...]`` / pyarrow-filter reads
+(``MachineLearning/Ray/azureml_ray_basic_functions.py:33-40``,
+``MachineLearning/Ray/recsys/generate_data.py:85-93``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str] | None = None,
+    predicate: Column | str | None = None,
+) -> DataFrame:
+    """Parquet scan with column prune + row filter pushed to the scan.
+
+    Reference: ``AIO_delta_table_generator.py:29`` (S1),
+    ``azureml_ray_basic_functions.py:33-40`` (S11). Spark reads a whole
+    directory of parquet files natively (S14 — the reference's pandas
+    concat loop collapses to one call).
+    """
+    df = spark.read.parquet(path)
+    if predicate is not None:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_json(spark: SparkSession, path: str, multiline: bool = False) -> DataFrame:
+    """JSON scan with schema inference (S2, ``AIO_delta_table_generator.py:25``)."""
+    return spark.read.option("multiLine", str(multiline).lower()).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV batch scan; explicit schema preferred at scale (no inference pass)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def _events_with_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events table's nanosecond timestamps.
+
+    The driver testdata stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark cannot read as a timestamp; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as exact
+    int64 nanoseconds. Keep that as ``ts_ns`` (exact arithmetic — used by
+    sessionization and the DuckDB oracle via ``epoch_ns``) and derive a
+    microsecond ``ts`` timestamp for human-facing/time-window ops.
+    """
+    if "ts" in df.columns and dict(df.dtypes)["ts"] == "bigint":
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Sequence[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver testdata star schema as a dict of DataFrames."""
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        if name == "events":
+            # runtime-settable SQL conf; the driver's own session may not
+            # carry the engine profile, so set it defensively here
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = _events_with_ts(df)
+        out[name] = df
+    return out

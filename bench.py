@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is executed to completion
+(count-collected) so the timing covers the full scan→shuffle→agg path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "j1_broadcast_dim_join",
+    "a9_argmax_latest_order",
+    "o5_percentiles_doc_length",
+    # appended as milestones land:
+    "w2_salted_cumsum_events",
+    "w5_sessionize_events",
+    "scd2_orders_batch",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import __spark_entry__ as E
+    from azuredataengineering_deeplearning_spark import get_spark
+
+    qs = E.queries()
+    spark = get_spark(app_name="ades-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        df.count()  # warm: plan + scan caches JIT'd code paths
+        t0 = time.time()
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Runs every catalog query on Spark AND its oracle SQL on DuckDB over the
+same parquet tables, then compares row count, sorted column names, and an
+order-insensitive canonical value hash (doubles rounded to 6 decimals,
+timestamps ISO-8601, NULL as a token). Queries with no oracle get a
+rows-only check.
+
+Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon_cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{round(v, 6):.6f}"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_hash(df) -> tuple[int, list[str], str]:
+    """(row_count, sorted col names, order-insensitive value hash) of a pandas frame."""
+    cols = sorted(df.columns)
+    rows = [
+        ",".join(canon_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    h = hashlib.md5("\n".join(rows).encode()).hexdigest()
+    return len(df), cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+
+    qs, oracles = E.queries(), E.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    from azuredataengineering_deeplearning_spark import get_spark
+
+    spark = get_spark(app_name="ades-check", shuffle_partitions=16)
+
+    failed, passed, rows_only = [], 0, 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failed.append((name, f"spark error: {str(e)[:400]}"))
+            print(f"FAIL {name}: spark error {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            rows_only += 1
+            print(f"rows-only {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failed.append((name, f"duckdb error: {str(e)[:400]}"))
+            print(f"FAIL {name}: duckdb error {str(e)[:200]}")
+            continue
+        sn, sc, sh = frame_hash(sdf)
+        on_, oc, oh = frame_hash(odf)
+        if sn != on_:
+            failed.append((name, f"rowcount {sn} != {on_}"))
+            print(f"FAIL {name}: rowcount spark={sn} oracle={on_}")
+        elif sc != oc:
+            failed.append((name, f"cols {sc} != {oc}"))
+            print(f"FAIL {name}: columns spark={sc} oracle={oc}")
+        elif sh != oh:
+            failed.append((name, "value hash mismatch"))
+            # show a small diff aid
+            print(f"FAIL {name}: value hash mismatch ({sn} rows)")
+        else:
+            passed += 1
+            print(f"ok   {name}  ({sn} rows, {time.time()-t0:.1f}s)")
+
+    print(
+        f"\n{passed} ok, {rows_only} rows-only, {len(failed)} failed"
+        + (f": {[n for n, _ in failed]}" if failed else "")
+    )
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
