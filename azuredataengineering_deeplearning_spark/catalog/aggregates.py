@@ -1,0 +1,170 @@
+"""Catalog: aggregation operators A2-A13 over the driver testdata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.catalog import query
+from azuredataengineering_deeplearning_spark.functions.exact import exact_avg, sql_avg
+from azuredataengineering_deeplearning_spark.operators import aggregates as A
+from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+
+@query(
+    "a2_global_mean",
+    f"SELECT {sql_avg('c_acctbal', 'mean_acctbal')}, COUNT(*) AS n FROM customer",
+)
+def a2_global_mean(spark, sf_dir):
+    """A2: ungrouped aggregate."""
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    return A.global_agg(
+        c, [exact_avg("c_acctbal", "mean_acctbal"), F.count(F.lit(1)).alias("n")]
+    )
+
+
+@query(
+    "a4_nunique_per_group",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def a4_nunique_per_group(spark, sf_dir):
+    """A4: per-group count distinct."""
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return A.nunique(ev, ["event_type"], "user_id", "n_users")
+
+
+@query(
+    "a5_group_having",
+    """
+    SELECT c_custkey, c_nationkey FROM customer
+    QUALIFY COUNT(*) OVER (PARTITION BY c_nationkey) > 6
+    """,
+)
+def a5_group_having(spark, sf_dir):
+    """A5: keep rows of groups larger than a threshold (windowed count,
+    no join-back)."""
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    return A.group_having(c, ["c_nationkey"], lambda n: n > 6)
+
+
+@query(
+    "a6_group_size_broadcast",
+    """
+    SELECT event_id, user_id, COUNT(*) OVER (PARTITION BY user_id) AS group_size
+    FROM events
+    """,
+)
+def a6_group_size_broadcast(spark, sf_dir):
+    """A6: transform('count') — group size attached to every row."""
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    return A.group_size_broadcast(ev, ["user_id"], "group_size")
+
+
+@query(
+    "a7_entropy",
+    """
+    WITH counts AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+    ), probs AS (
+      SELECT lang, n / SUM(n) OVER (PARTITION BY lang) AS p FROM counts
+    )
+    SELECT lang, -SUM(p * LN(p)) AS entropy FROM probs GROUP BY lang
+    """,
+)
+def a7_entropy(spark, sf_dir):
+    """A7: Shannon entropy of the source mix per language — two chained
+    aggregations, no UDAF (``generate_data.py:44-50`` parity)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    return A.entropy(d, ["lang"], "source", "entropy")
+
+
+@query(
+    "a8_zero_fraction",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) / COUNT(*) AS zero_frac
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a8_zero_fraction(spark, sf_dir):
+    """A8: conditional count ratio per group
+    (``stats_forecast_predict.py:281-294``)."""
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_tax"])
+    return A.zero_fraction(li, ["l_returnflag"], "l_tax", "zero_frac")
+
+
+@query(
+    "a11_profile_aggregates",
+    f"""
+    WITH ent AS (
+      WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type
+      ), probs AS (
+        SELECT user_id, n / SUM(n) OVER (PARTITION BY user_id) AS p FROM counts
+      )
+      SELECT user_id, -SUM(p * LN(p)) AS type_entropy FROM probs GROUP BY user_id
+    ),
+    base AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             COUNT(DISTINCT event_type) AS n_types,
+             {sql_avg('value', 'mean_value')},
+             quantile_cont(value, 0.5) AS median_value
+      FROM events GROUP BY user_id
+    )
+    SELECT base.user_id, n_events, n_types, mean_value, median_value, type_entropy
+    FROM base JOIN ent ON base.user_id = ent.user_id
+    """,
+)
+def a11_profile_aggregates(spark, sf_dir):
+    """A11: per-entity profile — count, nunique, mean, median, entropy
+    (``generate_data.py:733-774``). Entropy joins back on the group key;
+    both sides share the same shuffle partitioning."""
+    ev = read_parquet(
+        spark, f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        exact_avg("value", "mean_value"),
+        F.expr("percentile(value, 0.5)").alias("median_value"),
+    )
+    ent = A.entropy(ev, ["user_id"], "event_type", "type_entropy")
+    return base.join(ent, ["user_id"], "inner").select(
+        "user_id", "n_events", "n_types", "mean_value", "median_value", "type_entropy"
+    )
+
+
+@query(
+    "a12_weighted_mean",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a12_weighted_mean(spark, sf_dir):
+    """A12-adjacent: weighted mean in exact decimal arithmetic."""
+    li = read_parquet(
+        spark, f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    return A.weighted_mean(li, ["l_returnflag"], "l_extendedprice", "l_quantity", "wavg_price")
+
+
+@query(
+    "a13_max_string_lengths",
+    """
+    SELECT MAX(LENGTH(p_name)) + 5 AS p_name,
+           MAX(LENGTH(p_brand)) + 5 AS p_brand,
+           MAX(LENGTH(p_type)) + 5 AS p_type
+    FROM part
+    """,
+)
+def a13_max_string_lengths(spark, sf_dir):
+    """A13: varchar-DDL length profiling in one scan
+    (``databricks_synapse_sql_writer.py:170-175``)."""
+    p = read_parquet(spark, f"{sf_dir}/part.parquet")
+    return A.max_string_lengths(p, ["p_name", "p_brand", "p_type"])

@@ -155,10 +155,11 @@ def percentiles(
 def weighted_mean(
     df: DataFrame, keys: Sequence[str], value: str, weight: str, alias: str
 ) -> DataFrame:
-    """Σ(w·x)/Σw per group in exact decimal arithmetic."""
+    """Σ(w·x)/Σw per group, order-independent: the per-row double product
+    is IEEE-identical everywhere; accumulation is exact decimal."""
     return df.groupBy(*keys).agg(
         (
-            F.sum(dec(F.col(value)) * dec(F.col(weight))).cast("double")
+            F.sum((F.col(value) * F.col(weight)).cast("decimal(28,6)")).cast("double")
             / F.sum(dec(F.col(weight))).cast("double")
         ).alias(alias)
     )

@@ -33,6 +33,9 @@ def read_parquet(
     directory of parquet files natively (S14 — the reference's pandas
     concat loop collapses to one call).
     """
+    # engine contract: wall-clock semantics are UTC (oracle compares naive
+    # UTC); the hosting session may not carry the engine profile
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     if predicate is not None:
         df = df.filter(predicate)
@@ -82,6 +85,7 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: Sequence[str] | None = None
 ) -> dict[str, DataFrame]:
     """Load the driver testdata star schema as a dict of DataFrames."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for name in names or TABLE_NAMES:
         if name == "events":
