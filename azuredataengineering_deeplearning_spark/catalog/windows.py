@@ -1,0 +1,268 @@
+"""Catalog: window operators W1-W12, A10, SCD2 dating.
+
+Events timestamps are compared as exact int64 nanoseconds (``ts_ns`` on
+the Spark side, ``epoch_ns(ts)`` in DuckDB) — see sources.readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.catalog import query
+from azuredataengineering_deeplearning_spark.operators import scd as SCD
+from azuredataengineering_deeplearning_spark.operators import windows as W
+from azuredataengineering_deeplearning_spark.sources.readers import load_tables, read_parquet
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["events"])["events"]
+
+
+@query(
+    "w1_flag_partition_max",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderdate = MAX(o_orderdate) OVER (PARTITION BY o_custkey)
+                THEN 1 ELSE 0 END AS is_max
+    FROM orders
+    """,
+)
+def w1_flag_partition_max(spark, sf_dir):
+    """W1: current-version-style partitioned max flag."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return W.flag_partition_max(o, ["o_custkey"], "o_orderdate").select(
+        "o_orderkey", "is_max"
+    )
+
+
+_CUMSUM_SQL = """
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                PARTITION BY user_id ORDER BY epoch_ns(ts)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumsum
+    FROM events
+"""
+
+
+@query("w2_cumsum_events", _CUMSUM_SQL)
+def w2_cumsum_events(spark, sf_dir):
+    """W2 baseline: running sum per user in exact decimal."""
+    ev = _events(spark, sf_dir)
+    return W.cumsum(ev, ["user_id"], "ts_ns", "value").select("event_id", "cumsum")
+
+
+@query("w2_salted_cumsum_events", _CUMSUM_SQL)
+def w2_salted_cumsum_events(spark, sf_dir):
+    """W2 salted: identical semantics, skew-proof two-level plan
+    (same oracle as the unsalted variant — that IS the invariant)."""
+    ev = _events(spark, sf_dir)
+    return W.salted_cumsum(
+        ev, ["user_id"], "ts_ns", "value", salt_size=86_400_000_000_000
+    ).select("event_id", "cumsum")
+
+
+@query(
+    "w3_lag_lead_dating",
+    """
+    SELECT event_id,
+           lag(value, 1, 0.0) OVER w AS prev_value,
+           lead(value) OVER w AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))
+    """,
+)
+def w3_lag_lead_dating(spark, sf_dir):
+    """W3/W4: lag with default + lead per key."""
+    ev = _events(spark, sf_dir)
+    ev = W.lag_over(ev, ["user_id"], "ts_ns", "value", 1, 0.0, out="prev_value")
+    ev = W.lag_over(ev, ["user_id"], "ts_ns", "value", -1, out="next_value")
+    return ev.select("event_id", "prev_value", "next_value")
+
+
+@query(
+    "w5_sessionize_events",
+    """
+    WITH gaps AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS tns,
+             CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_ns(ts)) > 3600000000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT event_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tns
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_id
+    FROM gaps
+    """,
+)
+def w5_sessionize_events(spark, sf_dir):
+    """W5: gap-based sessionization (1 h threshold, exact ns arithmetic)."""
+    ev = _events(spark, sf_dir)
+    out = W.sessionize(ev, ["user_id"], "ts_ns", gap=3_600_000_000_000)
+    return out.select("event_id", "session_id")
+
+
+@query(
+    "w6_cumcount",
+    """
+    SELECT event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) - 1 AS cumcount
+    FROM events
+    """,
+)
+def w6_cumcount(spark, sf_dir):
+    """W6: 0-based running count per key."""
+    ev = _events(spark, sf_dir)
+    return W.cumcount(ev, ["user_id"], ["ts_ns"]).select("event_id", "cumcount")
+
+
+@query(
+    "w7_expanding_mean",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w AS expanding_mean
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+)
+def w7_expanding_mean(spark, sf_dir):
+    """W7: leakage-free expanding mean (strictly-previous frame)."""
+    ev = _events(spark, sf_dir)
+    return W.expanding_mean_excluding_current(
+        ev, ["user_id"], "ts_ns", "value"
+    ).select("event_id", "expanding_mean")
+
+
+@query(
+    "w9_sliding_windows",
+    """
+    SELECT event_id, win FROM (
+      SELECT event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                  ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS win
+      FROM events
+    ) WHERE len(win) = 3
+    """,
+)
+def w9_sliding_windows(spark, sf_dir):
+    """W9: fixed-size sliding windows with partial windows dropped."""
+    ev = _events(spark, sf_dir)
+    return W.sliding_windows(ev, ["user_id"], "ts_ns", "value", 3, out="win").select(
+        "event_id", "win"
+    )
+
+
+@query(
+    "w10_ffill",
+    """
+    WITH masked AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS tns,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tns
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM masked
+    """,
+)
+def w10_ffill(spark, sf_dir):
+    """W10: per-group forward fill over a nullable measure."""
+    ev = _events(spark, sf_dir).withColumn(
+        "v", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    return W.ffill(ev, ["user_id"], "ts_ns", "v", out="filled").select(
+        "event_id", "filled"
+    )
+
+
+@query(
+    "w11_diff",
+    """
+    SELECT event_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS diff
+    FROM events
+    """,
+)
+def w11_diff(spark, sf_dir):
+    """W11: difference to previous row per key."""
+    ev = _events(spark, sf_dir)
+    return W.diff(ev, ["user_id"], "ts_ns", "value").select("event_id", "diff")
+
+
+@query(
+    "w12_tail_split",
+    """
+    SELECT event_id,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC) <= 5
+                THEN 1 ELSE 0 END AS in_tail
+    FROM events
+    """,
+)
+def w12_tail_split(spark, sf_dir):
+    """W12: last-n-per-series holdout marker."""
+    ev = _events(spark, sf_dir)
+    return W.tail_per_group(ev, ["user_id"], "ts_ns", 5, flag="in_tail").select(
+        "event_id", "in_tail"
+    )
+
+
+@query(
+    "a10_cumulative_mode",
+    """
+    WITH occ AS (
+      SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns,
+             COUNT(*) OVER (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_occ,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS rn
+      FROM events
+    )
+    SELECT event_id,
+           arg_max(event_type, n_occ * 2147483648 + rn) OVER (
+                PARTITION BY user_id ORDER BY tns
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_mode
+    FROM occ
+    """,
+)
+def a10_cumulative_mode(spark, sf_dir):
+    """A10: most-common-value-so-far per key (ties → most recent)."""
+    ev = _events(spark, sf_dir)
+    return W.cumulative_mode(ev, ["user_id"], "ts_ns", "event_type").select(
+        "event_id", "prev_mode"
+    )
+
+
+@query(
+    "scd2_dating_orders",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS next_change,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS effectiveDate,
+           COALESCE(CAST(strftime(next_change - INTERVAL 1 DAY, '%Y%m%d') AS INT), 20991231) AS expirationDate,
+           CASE WHEN rn = 1 THEN 1 ELSE 0 END AS currentVersion
+    FROM w
+    """,
+)
+def scd2_dating_orders(spark, sf_dir):
+    """SCD2 dating (``apply_scd2.py`` semantics): each order is a version
+    of its customer; int yyyyMMdd effective/expiration, 20991231 open end,
+    exactly one current row per key (deterministic tiebreak)."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    out = SCD.apply_scd2(o, ["o_custkey"], "o_orderdate", tiebreak=["o_orderkey"])
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        "effectiveDate",
+        "expirationDate",
+        F.col("currentVersion").cast("int").alias("currentVersion"),
+    )

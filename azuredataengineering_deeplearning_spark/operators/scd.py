@@ -1,0 +1,83 @@
+"""SCD2 dimension maintenance (SURVEY §2.3 J5/J6, §2.5 W1/W3).
+
+``apply_scd2`` reproduces the reference's windowed SCD2 dating
+(``DataEngineering/DataBricks/apply_scd2.py:14-47``): int yyyyMMdd
+effective/expiration dates, ``20991231`` open-end sentinel, and a
+``currentVersion`` flag. One deliberate deviation: the reference flags
+``currentVersion=1`` wherever ``effectiveDate`` equals the per-key max,
+so ties yield *two* current rows; we use a deterministic latest-row
+row_number so exactly one row per key is current (ties broken by the
+optional ``tiebreak`` columns, descending).
+
+The changeset-merge engine (J5) lives in ``operators/merge.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.functions.dates import (
+    DATE_KEY_OPEN_END,
+    date_key,
+)
+
+
+def apply_scd2(
+    df: DataFrame,
+    natural_key: Sequence[str],
+    change_ts: str,
+    tiebreak: Sequence[str] = (),
+    effective_col: str = "effectiveDate",
+    expiration_col: str = "expirationDate",
+    current_col: str = "currentVersion",
+    open_end: int = DATE_KEY_OPEN_END,
+) -> DataFrame:
+    """Add SCD2 housekeeping columns to a change history.
+
+    Each row becomes a version: effective from its own change date,
+    expiring the day before the next version's change date (int yyyyMMdd
+    keys), with the latest version carrying ``open_end`` and
+    ``currentVersion=1`` (``apply_scd2.py:30-44`` semantics).
+    """
+    order = [F.col(change_ts)] + [F.col(t) for t in tiebreak]
+    w = Window.partitionBy(*natural_key).orderBy(*order)
+    w_desc = Window.partitionBy(*natural_key).orderBy(*[c.desc() for c in order])
+
+    next_change = F.lead(change_ts).over(w)
+    return (
+        df.withColumn(effective_col, date_key(change_ts))
+        .withColumn(
+            expiration_col,
+            F.coalesce(date_key(F.date_sub(next_change, 1)), F.lit(open_end)),
+        )
+        .withColumn(
+            current_col,
+            F.when(F.row_number().over(w_desc) == 1, 1).otherwise(0).cast("tinyint"),
+        )
+    )
+
+
+def validate_scd2(
+    df: DataFrame,
+    natural_key: Sequence[str],
+    current_col: str = "currentVersion",
+    expiration_col: str = "expirationDate",
+    open_end: int = DATE_KEY_OPEN_END,
+) -> None:
+    """Engine-level invariant checks (SURVEY §5.2): exactly one current
+    row per key, and only current rows carry the open-end sentinel.
+    Raises AssertionError; O(keys) result collected, never row data."""
+    bad_current = (
+        df.groupBy(*natural_key)
+        .agg(F.sum(current_col).alias("n_current"))
+        .filter(F.col("n_current") != 1)
+        .count()
+    )
+    assert bad_current == 0, f"{bad_current} keys without exactly one current row"
+    mismatched = df.filter(
+        (F.col(current_col) == 1) != (F.col(expiration_col) == open_end)
+    ).count()
+    assert mismatched == 0, f"{mismatched} rows where open-end and current flag disagree"

@@ -1,0 +1,360 @@
+"""Window / ordered-feature operators (SURVEY §2.5 W1-W12, §2.4 A10).
+
+Scale notes: every operator here is one shuffle on its partition keys.
+The skew killer is the *salted* cumulative sum — an ordered window over a
+hot key serializes onto one task; salting splits the key's timeline into
+buckets, computes within-bucket running sums in parallel, then adds the
+(tiny) per-bucket totals via a second two-level window. AQE fixes skewed
+*joins* but not skewed *windows*, so this stays a first-class operator
+(reference: ``DataEngineering/DataBricks/salt_cumsum.py:1-27``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.functions.exact import dec
+
+
+def _cols(xs: Sequence[str]) -> list[Column]:
+    return [F.col(x) for x in xs]
+
+
+# ---------------------------------------------------------------------------
+# W1 — partitioned max flag
+# ---------------------------------------------------------------------------
+
+
+def flag_partition_max(
+    df: DataFrame, keys: Sequence[str], value: str, flag: str = "is_max"
+) -> DataFrame:
+    """Flag rows holding their group's max (W1; ``apply_scd2.py:17-27``
+    current-version pattern). Unordered frame → single pass, no sort."""
+    m = F.max(value).over(Window.partitionBy(*keys))
+    return df.withColumn(flag, F.when(F.col(value) == m, 1).otherwise(0).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# W2 — cumulative sum, plain and salted
+# ---------------------------------------------------------------------------
+
+
+def cumsum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    value: str,
+    out: str = "cumsum",
+    exact: bool = True,
+) -> DataFrame:
+    """Running sum per key (W2 baseline). ``exact`` accumulates in decimal
+    so results are order-independent and salting-invariant."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = dec(value) if exact else F.col(value)
+    expr = F.sum(v).over(w)
+    return df.withColumn(out, expr.cast("double") if exact else expr)
+
+
+def salted_cumsum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    value: str,
+    out: str = "cumsum",
+    salt_size: int = 86_400_000_000_000,  # 1 day of nanoseconds
+    exact: bool = True,
+) -> DataFrame:
+    """Skew-proof running sum (W2; ``salt_cumsum.py:1-27`` two-level
+    pattern, clean-room).
+
+    1. bucket the ordering column: ``salt = floor(order/salt_size)``;
+    2. running sum *within* (keys, salt) — parallel across buckets;
+    3. per-bucket totals, then the running total of all *previous*
+       buckets per key (lag over a tiny per-bucket frame);
+    4. final = within-bucket running sum + previous-buckets offset.
+
+    Identical to :func:`cumsum` for any salt size (property-tested);
+    the per-key sequential dependency shrinks from O(rows) to O(buckets).
+    """
+    salt = F.floor(F.col(order_by) / F.lit(salt_size)).alias("__salt")
+    df = df.withColumn("__salt", salt)
+
+    v = dec(value) if exact else F.col(value)
+    w_in = (
+        Window.partitionBy(*keys, "__salt")
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = df.withColumn("__in_bucket", F.sum(v).over(w_in))
+
+    # previous-buckets offset: one row per (keys, salt) — O(buckets), tiny —
+    # running total of strictly-earlier bucket sums, joined back on the
+    # same (keys, salt) partitioning the window just established (no extra
+    # shuffle of the fact side)
+    totals = df.groupBy(*keys, "__salt").agg(F.sum(v).alias("__bt"))
+    w_prev = (
+        Window.partitionBy(*keys).orderBy("__salt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *keys,
+        "__salt",
+        F.coalesce(F.sum("__bt").over(w_prev), F.lit(0).cast("decimal(18,6)" if exact else "double")).alias("__offset"),
+    )
+    joined = df.join(offsets, [*keys, "__salt"], "left")
+
+    result = F.col("__in_bucket") + F.col("__offset")
+    return joined.withColumn(
+        out, result.cast("double") if exact else result
+    ).drop("__salt", "__in_bucket", "__offset")
+
+
+# ---------------------------------------------------------------------------
+# W3/W4/W11 — lag/lead/diff
+# ---------------------------------------------------------------------------
+
+
+def lag_over(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    value: str,
+    offset: int = 1,
+    default=None,
+    out: str | None = None,
+) -> DataFrame:
+    """``lag``/``lead`` with default (W3/W4; ``apply_scd2.py:30-33``,
+    ``salt_cumsum.py:16``). Negative offset = lead."""
+    w = Window.partitionBy(*keys).orderBy(order_by)
+    fn = F.lag(value, offset, default) if offset >= 0 else F.lead(value, -offset, default)
+    return df.withColumn(out or f"lag_{value}", fn.over(w))
+
+
+def diff(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    value: str,
+    out: str = "diff",
+    forward: bool = False,
+) -> DataFrame:
+    """Difference to previous (or next) row (W11; ``generate_data.py:123-124``)."""
+    w = Window.partitionBy(*keys).orderBy(order_by)
+    expr = (
+        F.lead(value).over(w) - F.col(value)
+        if forward
+        else F.col(value) - F.lag(value).over(w)
+    )
+    return df.withColumn(out, expr)
+
+
+# ---------------------------------------------------------------------------
+# W5 — sessionization
+# ---------------------------------------------------------------------------
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    gap: int,
+    out: str = "session_id",
+) -> DataFrame:
+    """Gap-based session ids (W5; ``generate_data.py:120-144``): a new
+    session starts where the gap to the previous row exceeds ``gap``
+    (same units as ``order_by``; use int64 nanoseconds for exactness).
+    ``session_id`` is 1-based per key. Streaming analog:
+    ``F.session_window`` (streaming module)."""
+    w = Window.partitionBy(*keys).orderBy(order_by)
+    new_session = F.when(
+        F.col(order_by) - F.lag(order_by).over(w) > gap, 1
+    ).otherwise(0)
+    run = (
+        Window.partitionBy(*keys)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, F.sum(new_session).over(run) + 1)
+
+
+# ---------------------------------------------------------------------------
+# W6 — cumulative count
+# ---------------------------------------------------------------------------
+
+
+def cumcount(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    out: str = "cumcount",
+    offset: int = 0,
+    descending: bool = False,
+) -> DataFrame:
+    """0-based running count per group (W6; ``generate_data.py:572`` et
+    al); ``descending=True`` gives the inversion-resort variant (`:1231`)."""
+    ordering = [F.col(c).desc() if descending else F.col(c) for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return df.withColumn(out, F.row_number().over(w) - 1 + offset)
+
+
+# ---------------------------------------------------------------------------
+# W7 — expanding mean excluding current row
+# ---------------------------------------------------------------------------
+
+
+def expanding_mean_excluding_current(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    value: str,
+    out: str = "expanding_mean",
+) -> DataFrame:
+    """Leakage-free expanding mean (W7; ``generate_data.py:596-610``):
+    mean of all *strictly previous* values per key — the target-encoding
+    primitive. First row per key is NULL (no history)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn(
+        out, F.sum(dec(value)).over(w).cast("double") / F.count(value).over(w)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W9 — sliding fixed-size windows
+# ---------------------------------------------------------------------------
+
+
+def sliding_windows(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    value: str,
+    size: int,
+    out: str = "window",
+) -> DataFrame:
+    """Fixed-size forward-looking windows per key (W9;
+    ``generate_data.py:52-80`` stride tricks): each row yields the array
+    of the next ``size`` values; rows too close to the group end (partial
+    windows) are dropped, replicating the group-boundary mask."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_by)
+        .rowsBetween(Window.currentRow, size - 1)
+    )
+    return (
+        df.withColumn(out, F.collect_list(value).over(w))
+        .filter(F.size(out) == size)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W10 — forward / backward fill
+# ---------------------------------------------------------------------------
+
+
+def ffill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    value: str,
+    out: str | None = None,
+) -> DataFrame:
+    """Per-group forward fill (W10; ``generate_data.py:601``):
+    last non-null over the unbounded-preceding frame."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out or value, F.last(value, ignorenulls=True).over(w))
+
+
+def bfill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    value: str,
+    out: str | None = None,
+) -> DataFrame:
+    """Per-group backward fill: first non-null over the following frame."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_by)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return df.withColumn(out or value, F.first(value, ignorenulls=True).over(w))
+
+
+# ---------------------------------------------------------------------------
+# W12 — per-series tail split
+# ---------------------------------------------------------------------------
+
+
+def tail_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    n: int,
+    flag: str | None = None,
+) -> DataFrame:
+    """Last ``n`` rows per key (W12; ``stats_forecast_predict.py:422-424``
+    train/val split). With ``flag`` set, returns all rows with a 0/1
+    in-tail marker instead of filtering."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
+    marked = df.withColumn("__rn", F.row_number().over(w))
+    if flag:
+        return marked.withColumn(flag, (F.col("__rn") <= n).cast("int")).drop("__rn")
+    return marked.filter(F.col("__rn") <= n).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# A10 — most-common-value-so-far (cumulative mode)
+# ---------------------------------------------------------------------------
+
+
+def cumulative_mode(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    value: str,
+    out: str = "prev_mode",
+) -> DataFrame:
+    """Mode of all *strictly previous* values per key (A10;
+    ``generate_data.py:514-548`` shift+cumcount+transform chain → two
+    windows). Row i's answer is the value whose running occurrence count
+    among rows ≤ j (j < i) is highest; ties go to the most recently seen
+    value (deterministic; the pandas reference's tie order is
+    insertion-dependent — documented deviation). First row per key: NULL.
+
+    The (count, recency) tiebreak is packed into one BIGINT
+    (``occ * 2^31 + row_number``) because ``max_by`` over a struct is not
+    portable across engines; valid for groups under 2^31 rows."""
+    w_seq = Window.partitionBy(*keys).orderBy(order_by)
+    w_val = (
+        Window.partitionBy(*keys, value)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rank = (
+        F.count(F.lit(1)).over(w_val) * F.lit(2_147_483_648).cast("long")
+        + F.row_number().over(w_seq)
+    )
+    return (
+        df.withColumn("__rank", rank)
+        .withColumn(out, F.max_by(F.col(value), F.col("__rank")).over(w_prev))
+        .drop("__rank")
+    )

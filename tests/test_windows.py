@@ -1,0 +1,107 @@
+"""Property tests for window operators (SURVEY §5.3)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from azuredataengineering_deeplearning_spark.operators import scd as SCD
+from azuredataengineering_deeplearning_spark.operators import windows as W
+from azuredataengineering_deeplearning_spark.sources.readers import load_tables
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["events"])["events"].cache()
+
+
+@pytest.mark.parametrize(
+    "salt_size",
+    [3_600_000_000_000, 86_400_000_000_000, 10**18],  # 1h, 1d, one-bucket
+)
+def test_salted_cumsum_equals_unsalted(spark, events, salt_size):
+    plain = W.cumsum(events, ["user_id"], "ts_ns", "value").select("event_id", "cumsum")
+    salted = W.salted_cumsum(
+        events, ["user_id"], "ts_ns", "value", salt_size=salt_size
+    ).select("event_id", F.col("cumsum").alias("salted"))
+    diffs = (
+        plain.join(salted, "event_id")
+        .filter(F.col("cumsum") != F.col("salted"))
+        .count()
+    )
+    assert diffs == 0
+
+
+def test_sessionize_input_order_invariance(spark, events):
+    a = W.sessionize(events, ["user_id"], "ts_ns", gap=3_600_000_000_000)
+    shuffled = events.orderBy(F.rand(7))
+    b = W.sessionize(shuffled, ["user_id"], "ts_ns", gap=3_600_000_000_000)
+    joined = a.select("event_id", "session_id").join(
+        b.select("event_id", F.col("session_id").alias("s2")), "event_id"
+    )
+    assert joined.filter(F.col("session_id") != F.col("s2")).count() == 0
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [(1, 0), (1, 50), (1, 200), (1, 220), (2, 0)]
+    df = spark.createDataFrame(rows, "k int, t long")
+    out = {
+        (r.k, r.t): r.session_id
+        for r in W.sessionize(df, ["k"], "t", gap=100).collect()
+    }
+    assert out[(1, 0)] == 1 and out[(1, 50)] == 1
+    assert out[(1, 200)] == 2 and out[(1, 220)] == 2
+    assert out[(2, 0)] == 1
+
+
+def test_expanding_mean_excludes_current(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0)], "k int, t int, v double"
+    )
+    got = [
+        r.expanding_mean
+        for r in W.expanding_mean_excluding_current(df, ["k"], "t", "v")
+        .orderBy("t")
+        .collect()
+    ]
+    assert got[0] is None
+    assert got[1] == 10.0
+    assert got[2] == 15.0
+
+
+def test_cumulative_mode(spark):
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "a"), (1, 5, "a")]
+    df = spark.createDataFrame(rows, "k int, t int, v string")
+    got = [
+        r.prev_mode
+        for r in W.cumulative_mode(df, ["k"], "t", "v").orderBy("t").collect()
+    ]
+    # t=1: no history; t=2: {a}→a; t=3: tie a/b → most recent = b;
+    # t=4: b twice → b; t=5: tie a2/b2 → most recent occurrence is a (t=4)
+    assert got == [None, "a", "b", "b", "a"]
+
+
+def test_scd2_invariants(spark, sf_dir):
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    out = SCD.apply_scd2(o, ["o_custkey"], "o_orderdate", tiebreak=["o_orderkey"])
+    SCD.validate_scd2(out, ["o_custkey"])
+    # contiguity: expiration of version i = day before effective of i+1
+    nxt = W.lag_over(
+        out, ["o_custkey"], "effectiveDate", "effectiveDate", -1, out="next_eff"
+    )
+    bad = nxt.filter(
+        F.col("next_eff").isNotNull()
+        & (
+            F.to_date(F.col("expirationDate").cast("string"), "yyyyMMdd")
+            != F.date_sub(F.to_date(F.col("next_eff").cast("string"), "yyyyMMdd"), 1)
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_sliding_windows_drop_partials(spark):
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(5)], "k int, t int, v double"
+    )
+    out = W.sliding_windows(df, ["k"], "t", "v", 3).orderBy("t").collect()
+    assert len(out) == 3  # rows 0,1,2 start full windows; 3,4 are partial
+    assert out[0].window == [0.0, 1.0, 2.0]
+    assert out[2].window == [2.0, 3.0, 4.0]
