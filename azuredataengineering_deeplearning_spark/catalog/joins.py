@@ -1,0 +1,87 @@
+"""Catalog: remaining join shapes J2/J8/J9 (J1/J3/J7 are in core)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.catalog import query
+from azuredataengineering_deeplearning_spark.operators import joins as J
+from azuredataengineering_deeplearning_spark.sources.readers import load_tables, read_parquet
+
+
+@query(
+    "j2_multikey_join",
+    """
+    WITH pc AS (
+      SELECT l_orderkey AS k1, l_suppkey AS k2, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT l_orderkey, l_linenumber, n_lines
+    FROM lineitem JOIN pc ON l_orderkey = pc.k1 AND l_suppkey = pc.k2
+    """,
+)
+def j2_multikey_join(spark, sf_dir):
+    """J2: multi-key equi join (agg joined back on its grouping keys —
+    both sides share the shuffle partitioning, no second exchange)."""
+    li = read_parquet(
+        spark, f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_linenumber"],
+    )
+    counts = li.groupBy(
+        F.col("l_orderkey").alias("k1"), F.col("l_suppkey").alias("k2")
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
+    return J.equi_join(
+        li,
+        counts,
+        (F.col("l_orderkey") == F.col("k1")) & (F.col("l_suppkey") == F.col("k2")),
+    ).select("l_orderkey", "l_linenumber", "n_lines")
+
+
+@query(
+    "j8_asof_previous",
+    """
+    SELECT o_orderkey,
+           lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS prev_orderdate
+    FROM orders
+    """,
+)
+def j8_asof_previous(spark, sf_dir):
+    """J8: as-of/nearest-prior value per key — a window lag, not a
+    self-join (``generate_data.py:551-555`` groupby-shift)."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    out = J.asof_previous(
+        o.withColumn("__ord", F.struct("o_orderdate", "o_orderkey")),
+        ["o_custkey"],
+        "__ord",
+        "o_orderdate",
+        out="prev_orderdate",
+    )
+    return out.select("o_orderkey", "prev_orderdate")
+
+
+@query(
+    "j9_range_clamp",
+    """
+    WITH bounds AS (
+      SELECT user_id, min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT event_id, e.user_id
+    FROM events e JOIN bounds USING (user_id)
+    WHERE epoch_ns(ts) BETWEEN lo AND hi
+    """,
+)
+def j9_range_clamp(spark, sf_dir):
+    """J9: keep rows inside a per-key [start, end] interval
+    (``stats_forecast_predict.py:181-202``). Bounds are one row per key."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    bounds = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi"))
+    )
+    return J.range_clamp(ev, bounds, ["user_id"], "ts_ns", "lo", "hi").select(
+        "event_id", "user_id"
+    )

@@ -1,0 +1,138 @@
+"""Set operations, sampling, dedup, splits (SURVEY §2.7 U1-U10).
+
+Seeded randomness follows the reference's convention (explicit seeds,
+``spark_data_generating.py:28-32``). Sampled/shuffled DataFrames are
+recomputed nondeterministically under task retries — persist or
+checkpoint before reusing a sample in two places (SURVEY §7 risk
+register).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def union_all(dfs: Sequence[DataFrame], by_name: bool = True) -> DataFrame:
+    """Fold many frames into one (U1; ``spark_data_generating.py:36-43``
+    144M-row union). ``unionByName`` is position-safe; Spark unions are
+    metadata-only — no shuffle."""
+    fn = (lambda a, b: a.unionByName(b)) if by_name else DataFrame.unionAll
+    return reduce(fn, dfs)
+
+
+def union_by_name_missing(dfs: Sequence[DataFrame]) -> DataFrame:
+    """U2: schema-reconciling union — missing columns become NULL
+    (``scale_features.py:29-31``)."""
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def sample_fraction(
+    df: DataFrame, fraction: float, seed: int = 42, with_replacement: bool = False
+) -> DataFrame:
+    """U4: seeded Bernoulli/Poisson sampling (``spark_data_generating.py:28-32``)."""
+    return df.sample(with_replacement, fraction, seed)
+
+
+def mixture_sample(
+    sources: Mapping[str, DataFrame],
+    proportions: Mapping[str, float],
+    target_rows: int,
+    seed: int = 42,
+) -> DataFrame:
+    """U5: proportional mixture to a target size
+    (``spark_data_generating.py:46-67``): per-source fraction =
+    wanted/available, with replacement when a source is too small.
+    Counts the sources once (cheap aggregate) — the only driver-side data.
+    """
+    parts = []
+    for name, df in sources.items():
+        want = proportions.get(name, 0.0) * target_rows
+        if want <= 0:
+            continue
+        have = df.count()
+        frac = want / max(have, 1)
+        parts.append(df.sample(frac > 1.0, frac, seed))
+    return union_all(parts)
+
+
+def shuffle_rows(df: DataFrame, seed: int = 42) -> DataFrame:
+    """U6: full deterministic shuffle (``template_dataset.py:127``
+    ``sample(frac=1)``) — a seeded-random global sort."""
+    return df.orderBy(F.rand(seed))
+
+
+def rand_fold(df: DataFrame, n_folds: int = 10, seed: int = 42, out: str = "fold") -> DataFrame:
+    """U7: random fold assignment 0..n (``…encoder_spark.py:110``)."""
+    return df.withColumn(out, F.round(F.rand(seed) * n_folds).cast("int"))
+
+
+def dedup_exact(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """U8: exact dedup. With ``keys``, keeps key-distinct rows of only the
+    key columns (deterministic); whole-row dedup otherwise. For
+    latest-wins semantics use :func:`operators.aggregates.argmax_rows`
+    (the reference's sort + ``keep='last'``, ``generate_data.py:174``)."""
+    return df.select(*keys).distinct() if keys else df.distinct()
+
+
+def group_split(
+    df: DataFrame,
+    key: str,
+    fractions: Sequence[float],
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """U9: group-aware split (``generate_data.py:433-477``
+    GroupShuffleSplit): every row of a key lands in the same split —
+    no leakage. Keys get a seeded uniform draw; cumulative fraction
+    boundaries assign the split id. Distinct keys are a narrow aggregate;
+    the assignment joins back on the key (broadcast when small)."""
+    assert abs(sum(fractions) - 1.0) < 1e-9, "fractions must sum to 1"
+    keys = df.select(key).distinct().withColumn("__u", F.rand(seed))
+    boundary, case = 0.0, None
+    for i, frac in enumerate(fractions[:-1]):
+        boundary += frac
+        cond = F.col("__u") < boundary
+        case = F.when(cond, i) if case is None else case.when(cond, i)
+    expr = (
+        case.otherwise(len(fractions) - 1)
+        if case is not None
+        else F.lit(len(fractions) - 1)
+    )
+    assignment = keys.withColumn(out, expr.cast("int")).drop("__u")
+    return df.join(assignment, [key], "left")
+
+
+def validate_disjoint_splits(df: DataFrame, key: str, split: str = "split") -> None:
+    """U9 leakage assert (``generate_data.py:471-473``): no key appears in
+    two splits. O(keys) aggregate."""
+    leaked = (
+        df.groupBy(key)
+        .agg(F.countDistinct(split).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert leaked == 0, f"{leaked} keys leak across splits"
+
+
+def reverse_groups(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    value: str,
+    pos: str = "pos",
+    out: str = "value",
+) -> DataFrame:
+    """U10: per-group sequence inversion (``generate_data.py:24-42``
+    augmentation): collect each group's ordered values, reverse, re-emit
+    with a 0-based position. One shuffle; groups must fit in memory
+    (bounded-session assumption, same as the reference)."""
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col(order_by).alias("o"), F.col(value).alias("v")))),
+        lambda s: s.v,
+    )
+    g = df.groupBy(*keys).agg(F.reverse(ordered).alias("__rev"))
+    return g.select(*keys, F.posexplode("__rev").alias(pos, out))

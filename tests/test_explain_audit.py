@@ -1,0 +1,62 @@
+"""Plan audits (SURVEY §4): the physical plans the engine promises.
+
+These assert structural properties of executed plans — broadcast for
+dims, pushdown at scans, single shuffle for co-partitioned agg+join —
+the properties that decide whether a query survives a 100x scale-up.
+"""
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as E
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_dims(spark, sf_dir):
+    plan = _plan(E.queries()["q5_revenue_by_nation"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation, region never shuffle the fact side
+
+
+def test_broadcast_dim_join_no_shuffle_of_dim(spark, sf_dir):
+    plan = _plan(E.queries()["j1_broadcast_dim_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_join_is_semi(spark, sf_dir):
+    plan = _plan(E.queries()["j3_semi_join_observed"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(E.queries()["o4_topk_by_value"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no full global sort for top-k
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(E.queries()["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(E.queries()["s1_scan_prune_filter"](spark, sf_dir))
+    # ReadSchema carries only the 3 projected columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity"}
+
+
+def test_j2_agg_join_shares_shuffle(spark, sf_dir):
+    # the groupBy and the join key are identical → Catalyst reuses the
+    # exchange; at most one shuffle of the fact table in the whole plan
+    plan = _plan(E.queries()["j2_multikey_join"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_window_ops_single_shuffle(spark, sf_dir):
+    plan = _plan(E.queries()["w7_expanding_mean"](spark, sf_dir))
+    assert plan.count("Exchange") <= 1  # one shuffle on user_id, nothing else

@@ -1,0 +1,53 @@
+import pyspark.sql.functions as F
+
+from azuredataengineering_deeplearning_spark.operators import setops as U
+from azuredataengineering_deeplearning_spark.sources.readers import load_tables
+
+
+def test_sample_fraction_bounds(spark, sf_dir):
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    n, total = U.sample_fraction(o, 0.25, seed=42).count(), o.count()
+    assert 0.15 * total < n < 0.35 * total
+
+
+def test_sample_deterministic_with_seed(spark, sf_dir):
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    a = {r.o_orderkey for r in U.sample_fraction(o, 0.2, seed=7).select("o_orderkey").collect()}
+    b = {r.o_orderkey for r in U.sample_fraction(o, 0.2, seed=7).select("o_orderkey").collect()}
+    assert a == b
+
+
+def test_rand_fold_range(spark, sf_dir):
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    folds = U.rand_fold(o, 10, seed=42).agg(
+        F.min("fold").alias("lo"), F.max("fold").alias("hi")
+    ).collect()[0]
+    assert folds.lo >= 0 and folds.hi <= 10
+
+
+def test_group_split_disjoint_and_complete(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = U.group_split(ev, "user_id", [0.8, 0.1, 0.1], seed=42)
+    U.validate_disjoint_splits(out, "user_id")
+    assert out.filter(F.col("split").isNull()).count() == 0
+    assert out.count() == ev.count()
+
+
+def test_mixture_sample_proportions(spark, sf_dir):
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    srcs = {
+        "open": o.filter(F.col("o_orderstatus") == "O"),
+        "done": o.filter(F.col("o_orderstatus") == "F"),
+    }
+    out = U.mixture_sample(srcs, {"open": 0.7, "done": 0.3}, 300, seed=42)
+    by = {r.o_orderstatus: r.n for r in out.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    assert 0.5 < by.get("O", 0) / 210 < 1.5
+    assert 0.5 < by.get("F", 0) / 90 < 1.5
+
+
+def test_reverse_groups_is_inverse(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c")], "k int, t int, v string"
+    )
+    out = U.reverse_groups(df, ["k"], "t", "v").orderBy("pos").collect()
+    assert [r.value for r in out] == ["c", "b", "a"]
