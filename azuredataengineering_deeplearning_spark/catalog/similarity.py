@@ -1,0 +1,81 @@
+"""Catalog: similarity search over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.catalog import query
+from azuredataengineering_deeplearning_spark.operators import similarity as SIM
+from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+_DIM = 64
+
+
+def _sq_sum_sql(a: str, b: str) -> str:
+    """Σ a[i]·b[i] with decimal accumulation — DuckDB twin of
+    ``operators.similarity._exact_dot``."""
+    return (
+        f"list_sum([CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" AS DECIMAL(30,15)) for i in generate_series(1, {_DIM})])"
+    )
+
+
+_COS_SQL = (
+    f"CAST({_sq_sum_sql('qv', 'nv')} AS DOUBLE)"
+    f" / (sqrt(CAST({_sq_sum_sql('qv', 'qv')} AS DOUBLE))"
+    f" * sqrt(CAST({_sq_sum_sql('nv', 'nv')} AS DOUBLE)))"
+)
+
+
+@query(
+    "sim_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, v.embedding AS nv, q.qv
+      FROM embeddings v, q WHERE v.vec_id <> q.query_id
+    ), cos AS (
+      SELECT query_id, neighbor_id, {_COS_SQL} AS cos FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      FROM cos
+    ) WHERE rank <= 10
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 for 5 query vectors — the ANN
+    baseline. Queries broadcast; corpus streams in one pass."""
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk(e, q, k=10)
+
+
+@query("sim_ann_lsh_topk")  # approximate → rows-only; recall pytest-checked
+def sim_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-10 via random-hyperplane LSH buckets — the scale
+    path (pairwise cosine only inside buckets)."""
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.lsh_ann_topk(e, q, k=10, n_planes=4, dim=_DIM)
+
+
+@query(
+    "sim_embedding_near_dups",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS qv, b.embedding AS nv
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM (
+      SELECT id_a, id_b, {_COS_SQL} AS cos FROM pairs
+    ) WHERE cos >= 0.45
+    """,
+)
+def sim_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact, ≥ 0.45)."""
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return SIM.embedding_near_duplicates(e, threshold=0.45)

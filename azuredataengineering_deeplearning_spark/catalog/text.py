@@ -1,0 +1,234 @@
+"""Catalog: text analysis + dedup suite over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.catalog import query
+from azuredataengineering_deeplearning_spark.operators import dedup as DD
+from azuredataengineering_deeplearning_spark.operators import text as T
+from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+# marker vocabularies for the lang-ID heuristic — drawn from the corpus
+# vocabulary; deterministic, lexicographic tiebreak
+LANG_MARKERS = {
+    "de": ["table", "row"],
+    "en": ["the", "a"],
+    "es": ["data", "column"],
+    "fr": ["filter", "sort"],
+    "zh": ["spark", "query"],
+}
+
+_SW = "string_split(text, ' ')"
+
+
+@query(
+    "t_token_count",
+    f"SELECT doc_id, len({_SW}) AS n_tokens FROM documents",
+)
+def t_token_count(spark, sf_dir):
+    """Token counting (whitespace), D12/O5 input."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", T.token_count("text").alias("n_tokens"))
+
+
+@query("t_bpe_token_count")  # lookaround regex not in RE2 → rows-only
+def t_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting (splits word pieces / digits / punct)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", T.bpe_ish_token_count("text").alias("n_tokens"))
+
+
+@query(
+    "t_quality_score",
+    f"""
+    WITH w AS (SELECT doc_id, {_SW} AS w, text FROM documents),
+    feats AS (
+      SELECT doc_id,
+             len(w) AS n,
+             len(list_filter(w, t -> t = 'the' OR t = 'a')) * 1.0 / len(w) AS sw,
+             list_sum(list_transform(w, t -> length(t))) * 1.0 / len(w) AS mtl
+      FROM w
+    )
+    SELECT doc_id,
+           (CASE WHEN n BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN sw > 0.01 AND sw < 0.5 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN mtl > 2.0 AND mtl < 12.0 THEN 0.3 ELSE 0.0 END) AS quality
+    FROM feats
+    """,
+)
+def t_quality_score(spark, sf_dir):
+    """Heuristic document quality scoring (length window + stopword
+    ratio + token-length sanity)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+_LANG_SCORE_SQL = ",\n".join(
+    "{'lang': '%s', 's': len(list_filter(w, t -> %s)) * 1.0 / len(w)}"
+    % (lang, " OR ".join(f"t = '{m}'" for m in markers))
+    for lang, markers in sorted(LANG_MARKERS.items())
+)
+
+
+@query(
+    "t_lang_id",
+    f"""
+    WITH w AS (SELECT doc_id, {_SW} AS w FROM documents),
+    sc AS (SELECT doc_id, unnest([{_LANG_SCORE_SQL}]) AS u FROM w)
+    SELECT doc_id, pred_lang FROM (
+      SELECT doc_id, u.lang AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.s DESC, u.lang ASC) AS rn
+      FROM sc
+    ) WHERE rn = 1
+    """,
+)
+def t_lang_id(spark, sf_dir):
+    """n-gram-heuristic language ID: argmax marker-token ratio,
+    lexicographic tiebreak."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", T.lang_id("text", LANG_MARKERS).alias("pred_lang"))
+
+
+@query(
+    "t_fingerprint",
+    r"SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents",
+)
+def t_fingerprint(spark, sf_dir):
+    """Document content fingerprint (md5 of normalized text)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# dedup suite
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    r"""
+    WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS h
+                FROM documents)
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY h) AS canonical_id,
+           CASE WHEN doc_id != MIN(doc_id) OVER (PARTITION BY h) THEN 1 ELSE 0 END AS is_duplicate
+    FROM fp
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy with deterministic survivor."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return DD.exact_duplicates(d, "doc_id", "text")
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in generate_series(1, len(w) - 2)]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 3
+"""
+
+_EXACT_JACCARD_SQL = f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) * 1.0
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= {{thr}}
+"""
+
+
+@query("dedup_minhash_lsh", _EXACT_JACCARD_SQL.format(thr=0.8))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-verified at jaccard ≥ 0.8.
+    The oracle is brute-force exact jaccard: with 8 bands × 2 rows the
+    LSH miss probability at s ≥ 0.9 is ~2e-6, so sketch output ==
+    ground truth on this corpus (planted dups are s ≥ 0.9)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return DD.minhash_near_duplicates(d, "doc_id", "text", threshold=0.8)
+
+
+@query("dedup_ngram_jaccard", _EXACT_JACCARD_SQL.format(thr=0.05))
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram (3-shingle) jaccard pairs ≥ 0.05 — the quadratic
+    ground-truth path (block by lang/length at scale)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return DD.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.05)
+
+
+_H60 = "CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)"
+_SIMHASH_BITS = 32
+_SIMHASH_SUMS = ",\n".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(_SIMHASH_BITS)
+)
+
+_SIMHASH_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, {_H60} AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, {_SIMHASH_ASSEMBLE} AS simhash FROM bits
+"""
+
+
+@query("dedup_simhash_sketch", _SIMHASH_SQL)
+def dedup_simhash_sketch(spark, sf_dir):
+    """SimHash sketches (32-bit, frequency-weighted sign aggregation) —
+    bit-identical to the DuckDB reconstruction of the same arithmetic."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return DD.simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
+
+
+@query(
+    "dedup_simhash_pairs",
+    f"""
+    WITH sk AS ({_SIMHASH_SQL})
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 6
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming ≤ 6 (unblocked here; prefix
+    rotate-and-block at scale)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return DD.simhash_near_duplicates(d, "doc_id", "text", max_hamming=6)
+
+
+_MINSIG_SQL = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(s.unnest), 1, 15)) AS BIGINT) % 2147483647 AS h
+      FROM (SELECT doc_id, unnest(s) AS unnest FROM sh) s
+    )
+    SELECT doc_id, [{{mins}}] AS signature FROM h GROUP BY doc_id
+"""
+
+
+@query(
+    "dedup_minhash_signatures",
+    _MINSIG_SQL.format(
+        mins=", ".join(
+            f"MIN(({a} * h + {b}) % 2147483647)" for a, b in DD.MINHASH_FAMILY
+        )
+    ),
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """Raw MinHash signatures — every stage of the sketch pipeline is
+    independently oracle-checked."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return DD.minhash_signatures(d, "doc_id", "text")

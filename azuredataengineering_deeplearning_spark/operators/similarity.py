@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (north-star; D10 analog).
+
+The reference builds a FAISS IVF-PQ index on collected vectors
+(``MachineLearning/ML/performant_faiss.py:1-23``) — a single-node
+pattern. Here similarity is relational: cosine is a pure column
+expression over ``array<float>``, top-k is a window, and the
+approximate path prunes candidates with random-hyperplane LSH buckets
+*before* the pairwise product, so the heavy join never goes all-pairs.
+
+Exactness: dot products and norms accumulate in DECIMAL so results are
+order-independent and oracle-reproducible; the final cosine is a double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(30,15)"
+
+
+def _exact_dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with decimal accumulation (order-independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)),
+        F.lit(0).cast(_DEC),
+        lambda acc, x: (acc + x).cast(_DEC),  # re-narrow: decimal + widens
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, double result."""
+    dot = _exact_dot(a, b).cast("double")
+    na = F.sqrt(_exact_dot(a, a).cast("double"))
+    nb = F.sqrt(_exact_dot(b, b).cast("double"))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force top-k: every query against every vector →
+    (query_id, neighbor_id, cos, rank). The query side is broadcast
+    (queries ≪ corpus); the corpus streams through one pass — at 100 TB
+    this is the correct *baseline*, and the LSH variant prunes it.
+    Self-matches are excluded; ties break on neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__nv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure-python LCG; frozen
+    across runs and engines — no RNG library dependence)."""
+    state = 88172645463325252
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            # xorshift64
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append((state % 2_000_001) / 1_000_000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """Random-hyperplane LSH bucket id (int): bit i = sign(vec·plane_i).
+    Cosine-similar vectors land in the same bucket with probability
+    (1 - θ/π)^n_planes."""
+    planes = _hyperplanes(n_planes, dim)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def _probe_offsets(n_planes: int, max_hamming: int) -> list[int]:
+    """XOR masks for all buckets within ``max_hamming`` bit flips."""
+    masks = [0]
+    if max_hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if max_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return masks
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: bucket both sides on hyperplane signs, join on
+    the bucket, rank within the probed candidates. **Multi-probe**: each
+    query also searches buckets within ``probe_hamming`` sign flips of
+    its own — the standard recall fix when neighbors sit at wide angles
+    (near-isotropic embeddings), at (planes choose h) extra bucket reads
+    instead of more tables. Pairwise cosine runs only inside probed
+    buckets (~n²·probes/2^planes work). The 100 TB scale path; the exact
+    twin is :func:`cosine_topk`."""
+    probes = F.array(*[F.lit(m) for m in _probe_offsets(n_planes, probe_hamming)])
+    bq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("__b0"),
+    ).select(
+        "query_id",
+        "__qv",
+        F.explode(F.transform(probes, lambda m: F.col("__b0").bitwiseXOR(m))).alias(
+            "__bucket"
+        ),
+    )
+    bv = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nv"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("__bucket"),
+    )
+    scored = (
+        bv.join(F.broadcast(bq), "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__nv")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs → (id_a, id_b, cos ≥ threshold).
+    All-pairs here (exact, small-input/oracle path); at scale compose
+    with :func:`lsh_bucket` blocking exactly like the text dedup LSH."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

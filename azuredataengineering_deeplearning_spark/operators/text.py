@@ -1,0 +1,148 @@
+"""Text-analysis operators (north-star additions; SURVEY §7 step 7).
+
+Grounded in the reference's text handling (regex cleaning
+``daily_eval.py:52-65``, token-length profiling
+``prepare_dataset.py:59-71``) and extended to the LLM-data-pipeline
+surface: tokenization, language-ID scoring, quality scoring, document
+fingerprinting. Everything is a JVM-side expression over one scan — the
+only fanout is the shingle explode used by the dedup layer.
+
+Cross-engine determinism: token hashes are the first 15 hex chars of
+md5 (a 60-bit integer both Spark and DuckDB can derive bit-identically);
+xxhash64 is offered as the cheaper Spark-only scale path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = " "  # driver corpus is single-space tokenized
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str, sep: str = TOKEN_SPLIT) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(_c(col), sep)
+
+
+def token_count(col: Column | str, sep: str = TOKEN_SPLIT) -> Column:
+    """D12/O5 input: token count per document."""
+    return F.size(tokens(col, sep))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token counting with a BPE-ish regex (word pieces + digits +
+    punctuation as separate tokens) — the tokenizer-free estimate used
+    for length profiling (``prepare_dataset.py:59-63`` analog)."""
+    return F.size(
+        F.filter(
+            F.split(_c(col), r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def token_hash60(col: Column | str) -> Column:
+    """Deterministic 60-bit token hash: first 15 hex chars of md5.
+    Portable across engines (DuckDB: ``CAST('0x'||substr(md5(t),1,15) AS
+    BIGINT)``); use :func:`token_hash_fast` in Spark-only paths."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
+
+
+def token_hash_fast(col: Column | str, seed: int = 42) -> Column:
+    """xxhash64 — the cheap Spark-side hash for 100 TB scale paths."""
+    return F.xxhash64(_c(col), F.lit(seed))
+
+
+def word_shingles(col: Column | str, k: int = 3, sep: str = TOKEN_SPLIT) -> Column:
+    """Distinct k-word shingles of a document → array<string>. The
+    discriminative unit for near-dup detection (word *sets* saturate on
+    shared-vocabulary corpora)."""
+    w = tokens(col, sep)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(-1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
+        )
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: Sequence[str]) -> Column:
+    """Share of tokens that are stopwords (quality/lang-ID feature)."""
+    w = tokens(col)
+    hits = F.size(F.filter(w, lambda t: t.isin(*[F.lit(s) for s in stopwords])))
+    return hits / F.size(w)
+
+
+def mean_token_length(col: Column | str) -> Column:
+    """Average token length in characters."""
+    w = tokens(col)
+    return F.aggregate(
+        F.transform(w, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    ) / F.size(w)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Share of non-alphanumeric, non-space characters."""
+    c = _c(col)
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.length(c)
+
+
+def quality_score(
+    col: Column | str,
+    stopwords: Sequence[str] = ("the", "a"),
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+) -> Column:
+    """Composite document quality in [0, 1] — length window, stopword
+    presence, token-length sanity. The heuristic pre-filter an LLM data
+    pipeline runs before expensive scoring."""
+    n = token_count(col)
+    len_ok = (n >= min_tokens) & (n <= max_tokens)
+    sw = stopword_ratio(col, stopwords)
+    mtl = mean_token_length(col)
+    return (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((sw > 0.01) & (sw < 0.5), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((mtl > 2.0) & (mtl < 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+
+
+def lang_scores(
+    col: Column | str, lang_markers: dict[str, Sequence[str]]
+) -> dict[str, Column]:
+    """Per-language marker-token hit ratios (n-gram-heuristic lang-ID)."""
+    return {lang: stopword_ratio(col, words) for lang, words in lang_markers.items()}
+
+
+def lang_id(col: Column | str, lang_markers: dict[str, Sequence[str]]) -> Column:
+    """Predicted language = argmax marker ratio, lexicographic tiebreak
+    (deterministic). Pure expressions — one scan, no UDF."""
+    scores = lang_scores(col, lang_markers)
+    best = None
+    for lang in sorted(lang_markers):  # later langs win only on strict >
+        s = scores[lang]
+        if best is None:
+            best = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        else:
+            best = F.when(s > best["score"], F.struct(s.alias("score"), F.lit(lang).alias("lang"))).otherwise(best)
+    return best["lang"]
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized text
+    (cross-engine); exact-dedup key."""
+    return F.md5(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
+
+
+def fingerprint_fast(col: Column | str) -> Column:
+    """64-bit xxhash fingerprint — the scale path (8 bytes/doc of shuffle
+    instead of 32)."""
+    return F.xxhash64(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))

@@ -1,0 +1,83 @@
+import pyspark.sql.functions as F
+import pytest
+
+from azuredataengineering_deeplearning_spark.operators import dedup as DD
+from azuredataengineering_deeplearning_spark.operators import similarity as SIM
+from azuredataengineering_deeplearning_spark.operators import text as T
+from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_parquet(spark, f"{SF01}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return read_parquet(spark, f"{SF01}/embeddings.parquet").cache()
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    pairs = DD.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.8)
+    exact = DD.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    want = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert want, "corpus should contain planted near-dups"
+    assert got == want  # no false negatives at s>=0.9 with 8x2 bands, no false positives by construction
+
+
+def test_exact_duplicates_on_synthetic(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a  b c"), (3, "different text")], "id long, text string"
+    )
+    out = {r.id: (r.canonical_id, r.is_duplicate) for r in
+           DD.exact_duplicates(df, "id", "text").collect()}
+    # whitespace-normalized: 1 and 2 identical, min-id survivor
+    assert out[1] == (1, 0) and out[2] == (1, 1) and out[3] == (3, 0)
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine fast join merge table scan"),
+            (2, "spark query engine fast join merge table row"),  # 1 token differs
+            (3, "completely unrelated words about gardening and tulips"),
+        ],
+        "id long, text string",
+    )
+    sk = {r.id: r.simhash for r in DD.simhash(df, "id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sk[1], sk[2]) < ham(sk[1], sk[3])
+
+
+def test_ann_recall_vs_bruteforce(spark, embs):
+    q = embs.filter(F.col("vec_id") < 20)
+    exact = SIM.cosine_topk(embs, q, k=10)
+    approx = SIM.lsh_ann_topk(embs, q, k=10, n_planes=4, dim=64, probe_hamming=1)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, f"recall {recall}"  # multi-probe hamming<=1, 4 planes
+
+
+def test_cosine_range_and_self_similarity(spark, embs):
+    one = embs.limit(1)
+    r = one.select(SIM.cosine(F.col("embedding"), F.col("embedding")).alias("c")).collect()[0]
+    assert abs(r.c - 1.0) < 1e-12
+
+
+def test_quality_score_bounds(spark, docs):
+    stats = docs.select(T.quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_lang_id_deterministic(spark, docs):
+    from azuredataengineering_deeplearning_spark.catalog.text import LANG_MARKERS
+
+    a = {r.doc_id: r.l for r in docs.select("doc_id", T.lang_id("text", LANG_MARKERS).alias("l")).collect()}
+    b = {r.doc_id: r.l for r in docs.orderBy(F.rand(3)).select("doc_id", T.lang_id("text", LANG_MARKERS).alias("l")).collect()}
+    assert a == b
