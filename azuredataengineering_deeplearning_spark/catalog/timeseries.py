@@ -1,0 +1,135 @@
+"""Catalog: time-series spine/gap-fill/regrain + dim_date."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.catalog import query
+from azuredataengineering_deeplearning_spark.functions.exact import sql_sum
+from azuredataengineering_deeplearning_spark.operators import timeseries as TS
+from azuredataengineering_deeplearning_spark.sources.readers import load_tables
+
+_DAILY_SQL = """
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY user_id, d
+"""
+
+
+def _daily(spark, sf_dir):
+    """Daily per-user value sums — the panel the spine queries build on."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+
+
+@query(
+    "ts_spine_gap_fill",
+    f"""
+    WITH daily AS ({_DAILY_SQL}),
+    bounds AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+    )
+    SELECT spine.user_id, spine.d AS ds, COALESCE(daily.y, 0.0) AS y
+    FROM spine LEFT JOIN daily ON spine.user_id = daily.user_id AND spine.d = daily.d
+    """,
+)
+def ts_spine_gap_fill(spark, sf_dir):
+    """Dense daily spine per user clamped to observed [min,max], gaps
+    filled with 0 (``stats_forecast_predict.py:94-208`` pipeline)."""
+    daily = _daily(spark, sf_dir)
+    filled = TS.gap_fill(daily, "user_id", "d", "y", 0.0)
+    return filled.select("user_id", F.col("d").alias("ds"), "y")
+
+
+@query(
+    "ts_regrain_weekly",
+    f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT user_id, date_trunc('week', d) AS ds, {sql_sum('y', 'y')}
+    FROM daily GROUP BY user_id, date_trunc('week', d)
+    """,
+)
+def ts_regrain_weekly(spark, sf_dir):
+    """Day → ISO-week regrain with exact sums."""
+    daily = _daily(spark, sf_dir)
+    return TS.regrain(daily, "user_id", "d", "y", grain="week")
+
+
+@query(
+    "ts_min_history",
+    f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT user_id, d, y FROM daily
+    QUALIFY COUNT(*) OVER (PARTITION BY user_id) >= 25
+    """,
+)
+def ts_min_history(spark, sf_dir):
+    """Min-history filter: only series with >= 25 observed days."""
+    daily = _daily(spark, sf_dir)
+    return TS.min_history_filter(daily, "user_id", 25).select(
+        "user_id", "d", "y"
+    )
+
+
+@query(
+    "ts_zero_frac_prune",
+    f"""
+    WITH daily AS ({_DAILY_SQL}),
+    bounds AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+    ),
+    filled AS (
+      SELECT spine.user_id, spine.d, COALESCE(daily.y, 0.0) AS y
+      FROM spine LEFT JOIN daily ON spine.user_id = daily.user_id AND spine.d = daily.d
+    )
+    SELECT user_id, d AS ds, y FROM filled
+    QUALIFY AVG(CASE WHEN y = 0 THEN 1.0 ELSE 0.0 END) OVER (PARTITION BY user_id) <= 0.35
+    """,
+)
+def ts_zero_frac_prune(spark, sf_dir):
+    """Drop gap-filled series that are mostly zeros (A8 as pruning)."""
+    daily = _daily(spark, sf_dir)
+    filled = TS.gap_fill(daily, "user_id", "d", "y", 0.0)
+    return TS.zero_fraction_prune(filled, "user_id", "y", 0.35).select(
+        "user_id", F.col("d").alias("ds"), "y"
+    )
+
+
+@query(
+    "ts_dim_date",
+    """
+    WITH days AS (
+      SELECT unnest(generate_series(DATE '1995-01-01', DATE '2001-12-31',
+                                    INTERVAL 1 DAY)) AS ts
+    ), d AS (SELECT CAST(ts AS DATE) AS dt FROM days)
+    SELECT CAST(dt AS TIMESTAMP) AS date,
+           CAST(strftime(dt, '%Y%m%d') AS INT) AS dateKey,
+           year(dt) AS yr, quarter(dt) AS qtr, month(dt) AS mo,
+           dayofmonth(dt) AS dom, dayofyear(dt) AS doy,
+           weekofyear(dt) AS iso_week, isodow(dt) AS iso_dow,
+           dayname(dt) AS day_name,
+           CAST(last_day(dt) AS TIMESTAMP) AS month_end,
+           year(dt) + CASE WHEN month(dt) >= 7 THEN 1 ELSE 0 END AS fy,
+           CAST(FLOOR(((month(dt) - 7 + 12) % 12) / 3) AS INT) + 1 AS fq,
+           printf('Q%dFY%02d',
+                  CAST(FLOOR(((month(dt) - 7 + 12) % 12) / 3) AS INT) + 1,
+                  (year(dt) + CASE WHEN month(dt) >= 7 THEN 1 ELSE 0 END) % 100) AS fq_label,
+           printf('%02dww%d.%d', year(dt) % 100, weekofyear(dt), isodow(dt)) AS ww_label,
+           CAST(FLOOR(datediff('day',
+                 date_trunc('year', dt) - INTERVAL (isodow(date_trunc('year', dt)) - 1) DAY,
+                 dt) / 7) AS INT) + 1 AS outlook_week,
+           CASE WHEN isodow(dt) >= 6 THEN 1 ELSE 0 END AS is_weekend
+    FROM d
+    """,
+)
+def ts_dim_date(spark, sf_dir):
+    """Generated date dimension 1995-2001 (holiday columns checked in
+    pytest — the rule engine is driver-side Python, not SQL)."""
+    cal = TS.dim_date(spark, "1995-01-01", "2001-12-31", with_holidays=False)
+    return cal.withColumn("date", F.col("date").cast("timestamp")).withColumn(
+        "month_end", F.col("month_end").cast("timestamp")
+    )

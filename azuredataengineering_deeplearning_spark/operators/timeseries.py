@@ -1,0 +1,201 @@
+"""Time-series operators (SURVEY §7 step 6; ``stats_forecast_predict.py``
+parity).
+
+The long-format panel model: ``(unique_id, ds, y)`` with a dense daily
+spine per id. The reference builds spines with numpy repeats
+(``stats_forecast_predict.py:94-118``); here the spine is
+``sequence(lo, hi, interval 1 day)`` exploded per id — generated
+distributed, never materialized on the driver. Per-id bounds come from
+one aggregate; everything joins on the id partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.functions.exact import dec
+
+
+def daily_spine(
+    df: DataFrame,
+    id_col: str,
+    date_col: str,
+    out_date: str = "ds",
+) -> DataFrame:
+    """Dense daily spine per id, clamped to each id's observed
+    [min, max] (J9 + ``stats_forecast_predict.py:181-202``): ids get no
+    phantom history before their first observation."""
+    bounds = df.groupBy(id_col).agg(
+        F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
+    )
+    return bounds.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr("interval 1 day"))
+        ).alias(out_date),
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    id_col: str,
+    date_col: str,
+    value_col: str,
+    fill_value: float = 0.0,
+) -> DataFrame:
+    """Left-join actuals onto the dense spine; missing days get
+    ``fill_value`` (``stats_forecast_predict.py:208`` fillna). One
+    shuffle on (id, ds) shared by spine and actuals."""
+    spine = daily_spine(df, id_col, date_col, out_date=date_col)
+    return spine.join(df, [id_col, date_col], "left").fillna(
+        fill_value, subset=[value_col]
+    )
+
+
+def regrain(
+    df: DataFrame,
+    id_col: str,
+    date_col: str,
+    value_col: str,
+    grain: str = "week",
+    out_date: str = "ds",
+    out_value: str = "y",
+) -> DataFrame:
+    """Re-aggregate a daily panel to week/month/quarter grain
+    (``stats_forecast_predict.py:212`` MonthEnd resample analog).
+    Exact-decimal sums; grain bucket = ``date_trunc`` (ISO Monday
+    weeks)."""
+    return (
+        df.groupBy(id_col, F.date_trunc(grain, F.col(date_col)).alias(out_date))
+        .agg(F.sum(dec(value_col)).cast("double").alias(out_value))
+    )
+
+
+def min_history_filter(
+    df: DataFrame, id_col: str, min_rows: int
+) -> DataFrame:
+    """Keep ids with at least ``min_rows`` observations
+    (``stats_forecast_predict.py:217-222`` tsSize transform) — windowed
+    count, no join-back."""
+    n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    return df.withColumn("__n", n).filter(F.col("__n") >= min_rows).drop("__n")
+
+
+def zero_fraction_prune(
+    df: DataFrame, id_col: str, value_col: str, max_zero_frac: float = 0.5
+) -> DataFrame:
+    """Drop series that are mostly zeros (A8 applied as a pruning filter,
+    ``stats_forecast_predict.py:281-294``)."""
+    zf = F.avg(F.when(F.col(value_col) == 0, 1.0).otherwise(0.0)).over(
+        Window.partitionBy(id_col)
+    )
+    return df.withColumn("__zf", zf).filter(F.col("__zf") <= max_zero_frac).drop("__zf")
+
+
+def validate_panel(df: DataFrame, id_col: str, date_col: str) -> None:
+    """Well-formedness assert: one row per (id, ds)
+    (``stats_forecast_predict.py:276``). O(ids) result."""
+    dups = (
+        df.groupBy(id_col, date_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0, f"{dups} duplicate (id, ds) pairs"
+
+
+# ---------------------------------------------------------------------------
+# dim_date generator (F8-F17; ``dim_date_generator.py`` parity)
+# ---------------------------------------------------------------------------
+
+
+def us_holidays(years: range) -> list[tuple[str, str]]:
+    """Rule-based US holiday calendar with nearest-workday observance
+    (F16; ``dim_date_generator.py:10-47``): fixed-date holidays falling
+    on Saturday observe Friday, Sunday observe Monday. Pure driver-side
+    Python — O(years), broadcast-joined to the calendar."""
+    import datetime as dt
+
+    def observed(d: dt.date) -> dt.date:
+        if d.weekday() == 5:
+            return d - dt.timedelta(days=1)
+        if d.weekday() == 6:
+            return d + dt.timedelta(days=1)
+        return d
+
+    def nth_weekday(year: int, month: int, weekday: int, n: int) -> dt.date:
+        d = dt.date(year, month, 1)
+        offset = (weekday - d.weekday()) % 7
+        return d + dt.timedelta(days=offset + 7 * (n - 1))
+
+    def last_weekday(year: int, month: int, weekday: int) -> dt.date:
+        nxt = dt.date(year + (month == 12), month % 12 + 1, 1)
+        d = nxt - dt.timedelta(days=1)
+        return d - dt.timedelta(days=(d.weekday() - weekday) % 7)
+
+    out: list[tuple[str, str]] = []
+    for y in years:
+        out += [
+            (observed(dt.date(y, 1, 1)).isoformat(), "New Year's Day"),
+            (nth_weekday(y, 1, 0, 3).isoformat(), "MLK Day"),
+            (last_weekday(y, 5, 0).isoformat(), "Memorial Day"),
+            (observed(dt.date(y, 7, 4)).isoformat(), "Independence Day"),
+            (nth_weekday(y, 9, 0, 1).isoformat(), "Labor Day"),
+            (nth_weekday(y, 11, 3, 4).isoformat(), "Thanksgiving"),
+            (observed(dt.date(y, 12, 25)).isoformat(), "Christmas Day"),
+        ]
+    return out
+
+
+def dim_date(
+    spark: SparkSession,
+    start: str,
+    end: str,
+    fiscal_start_month: int = 7,
+    with_holidays: bool = True,
+) -> DataFrame:
+    """Generated date dimension (F8-F17; ``dim_date_generator.py:70-136``):
+    one row per day with int dateKey, calendar/fiscal/ISO/work-week
+    attributes, weekend + holiday flags. Built distributed from a
+    ``sequence`` explode; holidays broadcast-joined."""
+    from azuredataengineering_deeplearning_spark.functions import dates as D
+
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"), F.lit(end).cast("date"), F.expr("interval 1 day")
+            )
+        ).alias("date")
+    )
+    cal = days.select(
+        "date",
+        D.date_key("date").alias("dateKey"),
+        F.year("date").alias("yr"),
+        F.quarter("date").alias("qtr"),
+        F.month("date").alias("mo"),
+        F.dayofmonth("date").alias("dom"),
+        F.dayofyear("date").alias("doy"),
+        F.weekofyear("date").alias("iso_week"),
+        D.iso_weekday("date").alias("iso_dow"),
+        F.date_format("date", "EEEE").alias("day_name"),
+        F.last_day("date").alias("month_end"),
+        D.fiscal_year("date", fiscal_start_month).alias("fy"),
+        D.fiscal_quarter("date", fiscal_start_month).alias("fq"),
+        D.fiscal_quarter_label("date", fiscal_start_month).alias("fq_label"),
+        D.work_week_label("date").alias("ww_label"),
+        D.outlook_week("date").alias("outlook_week"),
+        D.is_weekend("date").alias("is_weekend"),
+    )
+    if not with_holidays:
+        return cal
+    import datetime as dt
+
+    y0, y1 = int(start[:4]), int(end[:4])
+    hol = spark.createDataFrame(
+        [(dt.date.fromisoformat(d), n) for d, n in us_holidays(range(y0, y1 + 1))],
+        "date date, holiday_name string",
+    )
+    return cal.join(F.broadcast(hol), ["date"], "left").withColumn(
+        "is_holiday", F.col("holiday_name").isNotNull().cast("int")
+    )

@@ -1,0 +1,61 @@
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from azuredataengineering_deeplearning_spark.operators import timeseries as TS
+
+
+def test_spine_dense_and_clamped(spark):
+    df = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 1), 1.0), ("a", dt.date(2024, 1, 5), 2.0),
+         ("b", dt.date(2024, 2, 1), 3.0)],
+        "id string, d date, y double",
+    )
+    spine = TS.daily_spine(df, "id", "d").collect()
+    a_days = sorted(r.ds for r in spine if r.id == "a")
+    assert len(a_days) == 5 and a_days[0] == dt.date(2024, 1, 1)
+    assert len([r for r in spine if r.id == "b"]) == 1  # clamped, no phantom history
+
+
+def test_gap_fill_zeros(spark):
+    df = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 1), 1.0), ("a", dt.date(2024, 1, 3), 2.0)],
+        "id string, d date, y double",
+    )
+    out = {r.d: r.y for r in TS.gap_fill(df, "id", "d", "y").collect()}
+    assert out[dt.date(2024, 1, 2)] == 0.0
+    TS.validate_panel(TS.gap_fill(df, "id", "d", "y"), "id", "d")
+
+
+def test_dim_date_holidays(spark):
+    cal = TS.dim_date(spark, "2024-01-01", "2024-12-31")
+    hol = {r.date.isoformat(): r.holiday_name for r in
+           cal.filter(F.col("is_holiday") == 1).collect()}
+    assert hol["2024-01-01"] == "New Year's Day"  # Monday, no shift
+    assert hol["2024-07-04"] == "Independence Day"  # Thursday
+    assert hol["2024-11-28"] == "Thanksgiving"  # 4th Thursday
+    assert hol["2024-12-25"] == "Christmas Day"
+    assert "2024-05-27" in hol  # Memorial Day = last Monday of May
+    # 2022 observance shift: Christmas 2022 is a Sunday → observed Mon 26th
+    cal22 = TS.dim_date(spark, "2022-12-01", "2022-12-31")
+    hol22 = {r.date.isoformat() for r in cal22.filter(F.col("is_holiday") == 1).collect()}
+    assert "2022-12-26" in hol22 and "2022-12-25" not in hol22
+
+
+def test_regrain_preserves_total(spark):
+    df = spark.createDataFrame(
+        [("a", dt.date(2024, 1, i), float(i)) for i in range(1, 15)],
+        "id string, d date, y double",
+    )
+    weekly = TS.regrain(df, "id", "d", "y", "week")
+    total = weekly.agg(F.sum("y")).collect()[0][0]
+    assert total == sum(range(1, 15))
+
+
+def test_zero_frac_prune(spark):
+    rows = [("z", dt.date(2024, 1, i), 0.0) for i in range(1, 11)] + [
+        ("k", dt.date(2024, 1, i), 1.0) for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "id string, d date, y double")
+    kept = {r.id for r in TS.zero_fraction_prune(df, "id", "y", 0.5).collect()}
+    assert kept == {"k"}
