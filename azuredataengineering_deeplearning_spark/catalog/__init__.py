@@ -51,6 +51,8 @@ def load_all() -> None:
         "scd",
         "profile",
         "graph",
+        "stream_batch",
+        "multimodal",
     ):
         try:
             __import__(f"azuredataengineering_deeplearning_spark.catalog.{mod}")

@@ -1,0 +1,172 @@
+"""Catalog: profilers (P7/P10) and encoders (W8, D7-D9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.catalog import query
+from azuredataengineering_deeplearning_spark.operators import encoders as E
+from azuredataengineering_deeplearning_spark.operators import profile as P
+from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+
+@query(
+    "p7_shrink_types",
+    """
+    SELECT l_orderkey, CAST(l_suppkey AS TINYINT) AS l_suppkey_small,
+           CAST(l_linenumber AS TINYINT) AS l_linenumber_small
+    FROM lineitem
+    """,
+)
+def p7_shrink_types(spark, sf_dir):
+    """P7: profile-driven downcast — at sf0.01 suppkey/linenumber fit in
+    a byte; the profiler must discover that (oracle pins the expected
+    result of the decision)."""
+    li = read_parquet(
+        spark, f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_linenumber"],
+    )
+    small = P.shrink_types(li, ["l_suppkey", "l_linenumber"])
+    return small.select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("l_suppkey_small"),
+        F.col("l_linenumber").alias("l_linenumber_small"),
+    )
+
+
+@query(
+    "p10_classify_columns",
+    """
+    SELECT 'o_orderkey' AS column, COUNT(DISTINCT o_orderkey) AS n_distinct,
+           COUNT(*) AS n_rows, 'continuous' AS class FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus), COUNT(*), 'categorical' FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority), COUNT(*), 'categorical' FROM orders
+    UNION ALL
+    SELECT 'is_late', COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END),
+           COUNT(*), 'binary' FROM orders
+    """,
+)
+def p10_classify_columns(spark, sf_dir):
+    """P10: cardinality-based binary/categorical/continuous profiling
+    (oracle pins the expected classification)."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").withColumn(
+        "is_late", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    return P.classify_columns(
+        o, ["o_orderkey", "o_orderstatus", "o_orderpriority", "is_late"]
+    )
+
+
+@query(
+    "enc_count",
+    """
+    SELECT o_orderkey, COUNT(*) OVER (PARTITION BY o_orderpriority) AS o_orderpriority_count
+    FROM orders
+    """,
+)
+def enc_count(spark, sf_dir):
+    """Count encoder."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return E.count_encode(o, "o_orderpriority").select(
+        "o_orderkey", "o_orderpriority_count"
+    )
+
+
+@query(
+    "enc_target_oof",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice, o_custkey % 5 AS fold FROM orders
+    ), g AS (
+      SELECT o_orderpriority, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS gs,
+             COUNT(o_totalprice) AS gc
+      FROM base GROUP BY o_orderpriority
+    ), f AS (
+      SELECT o_orderpriority, fold, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS fs,
+             COUNT(o_totalprice) AS fc
+      FROM base GROUP BY o_orderpriority, fold
+    ), prior AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice) AS p
+      FROM base
+    )
+    SELECT b.o_orderkey,
+           (CAST(g.gs - f.fs AS DOUBLE) + prior.p * 20.0)
+             / (CAST(g.gc - f.fc AS DOUBLE) + 20.0) AS o_orderpriority_te
+    FROM base b
+    JOIN g ON b.o_orderpriority = g.o_orderpriority
+    JOIN f ON b.o_orderpriority = f.o_orderpriority AND b.fold = f.fold
+    CROSS JOIN prior
+    """,
+)
+def enc_target_oof(spark, sf_dir):
+    """W8: out-of-fold smoothed target encoding with deterministic folds
+    (key % 5) so both engines compute identical leakage-free encodings."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").withColumn(
+        "fold", F.col("o_custkey") % 5
+    )
+    return E.target_encode_oof(
+        o, "o_orderpriority", "o_totalprice", "fold", smoothing=20.0
+    ).select("o_orderkey", "o_orderpriority_te")
+
+
+@query(
+    "enc_onehot",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderstatus = 'F' AS TINYINT) AS o_orderstatus_F,
+           CAST(o_orderstatus = 'O' AS TINYINT) AS o_orderstatus_O,
+           CAST(o_orderstatus = 'P' AS TINYINT) AS o_orderstatus_P
+    FROM orders
+    """,
+)
+def enc_onehot(spark, sf_dir):
+    """D7: one-hot to tinyint columns with pinned category order."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return E.onehot_encode(o, "o_orderstatus", ["F", "O", "P"]).select(
+        "o_orderkey", "o_orderstatus_F", "o_orderstatus_O", "o_orderstatus_P"
+    )
+
+
+@query(
+    "enc_ordinal",
+    """
+    WITH m AS (
+      SELECT o_orderpriority, DENSE_RANK() OVER (ORDER BY o_orderpriority) AS code
+      FROM (SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL)
+    )
+    SELECT o.o_orderkey, CAST(COALESCE(m.code, 6) AS INT) AS o_orderpriority_ord
+    FROM orders o LEFT JOIN m ON o.o_orderpriority = m.o_orderpriority
+    """,
+)
+def enc_ordinal(spark, sf_dir):
+    """D8: ordinal encoder, codes 1..N by sorted value, 0 = padding,
+    unseen → N+1."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    mapping = E.fit_ordinal(o, "o_orderpriority")
+    return E.apply_ordinal(o, mapping, "o_orderpriority").select(
+        "o_orderkey", "o_orderpriority_ord"
+    )
+
+
+@query(
+    "enc_standard_scaler",
+    """
+    WITH stats AS (
+      SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd
+      FROM orders WHERE o_custkey % 5 != 0
+    )
+    SELECT o_orderkey, (o_totalprice - mu) / sd AS o_totalprice_scaled
+    FROM orders CROSS JOIN stats
+    """,
+)
+def enc_standard_scaler(spark, sf_dir):
+    """D9: standard scaler, fit on the train folds (key%5 != 0), applied
+    to all rows — the reference's fit-on-train/apply-to-all discipline."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    train = o.filter(F.col("o_custkey") % 5 != 0)
+    model = E.fit_scaler(train, ["o_totalprice"], "standard")
+    return E.apply_scaler(o, model, "standard").select(
+        "o_orderkey", F.col("o_totalprice_scaled")
+    )

@@ -1,0 +1,147 @@
+"""Feature encoders and scalers (SURVEY §2.5 W8, §2.10 D7-D9).
+
+Fit/transform split: ``fit_*`` returns a small mapping DataFrame (the
+"model" — category stats, fold aggregates, scaler moments); ``apply``
+is a broadcast join or a pure projection. Nothing ever collects row
+data; the model frames are O(categories).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.functions.exact import dec
+
+
+def count_encode(
+    df: DataFrame, column: str, out: str | None = None
+) -> DataFrame:
+    """Count encoder (``count_target_onehot_encoder_spark.py:14-28``):
+    category → occurrence count, broadcast-joined back."""
+    counts = df.groupBy(column).agg(F.count(F.lit(1)).alias(out or f"{column}_count"))
+    return df.join(F.broadcast(counts), [column], "left")
+
+
+def target_encode_oof(
+    df: DataFrame,
+    column: str,
+    target: str,
+    fold: str,
+    smoothing: float = 20.0,
+    out: str | None = None,
+) -> DataFrame:
+    """Out-of-fold smoothed target encoding (W8;
+    ``count_target_onehot_encoder_spark.py:52-86``): each row's encoding
+    uses every fold but its own — global per-category (sum, count) minus
+    the row's fold contribution, smoothed toward the global prior:
+    ``(sum_other + prior·m) / (count_other + m)``. Two aggregates + two
+    broadcast joins; no window, no leakage."""
+    out = out or f"{column}_te"
+    g = df.groupBy(column).agg(
+        F.sum(dec(target)).alias("__gs"), F.count(target).alias("__gc")
+    )
+    f_ = df.groupBy(column, fold).agg(
+        F.sum(dec(target)).alias("__fs"), F.count(target).alias("__fc")
+    )
+    prior = df.agg(
+        (F.sum(dec(target)).cast("double") / F.count(target)).alias("p")
+    ).collect()[0].p
+    joined = df.join(F.broadcast(g), [column], "left").join(
+        F.broadcast(f_), [column, fold], "left"
+    )
+    enc = (
+        ((F.col("__gs") - F.col("__fs")).cast("double") + F.lit(prior) * smoothing)
+        / ((F.col("__gc") - F.col("__fc")).cast("double") + F.lit(smoothing))
+    )
+    return joined.withColumn(out, enc).drop("__gs", "__gc", "__fs", "__fc")
+
+
+def onehot_encode(
+    df: DataFrame, column: str, categories: Sequence[str] | None = None
+) -> DataFrame:
+    """One-hot to tinyint columns
+    (``count_target_onehot_encoder_spark.py:182-193`` vector→column
+    explode, without the Spark-ML detour). ``categories`` pins the
+    output schema; inferred (sorted) otherwise."""
+    if categories is None:
+        categories = sorted(
+            r[0] for r in df.select(column).distinct().collect() if r[0] is not None
+        )
+    return df.withColumns(
+        {
+            f"{column}_{c}": (F.col(column) == c).cast("tinyint")
+            for c in categories
+        }
+    )
+
+
+def fit_ordinal(df: DataFrame, column: str) -> DataFrame:
+    """D8 fit: value → code 1..N by sorted value (0 reserved for
+    padding, deterministic unlike first-appearance order;
+    ``generate_data.py:1104-1151``)."""
+    w = Window.orderBy(F.col(column))
+    return (
+        df.select(column)
+        .distinct()
+        .filter(F.col(column).isNotNull())
+        .withColumn("__code", F.dense_rank().over(w))
+    )
+
+
+def apply_ordinal(
+    df: DataFrame, mapping: DataFrame, column: str, out: str | None = None
+) -> DataFrame:
+    """D8 transform: unseen categories → N+1, NULL → 0 (padding)."""
+    n = mapping.count()
+    joined = df.join(F.broadcast(mapping), [column], "left")
+    code = (
+        F.when(F.col(column).isNull(), 0)
+        .when(F.col("__code").isNull(), n + 1)
+        .otherwise(F.col("__code"))
+    )
+    return joined.withColumn(out or f"{column}_ord", code.cast("int")).drop("__code")
+
+
+def fit_scaler(
+    df: DataFrame, columns: Sequence[str], strategy: str = "standard"
+) -> dict[str, tuple[float, float]]:
+    """D9 fit: per-column (center, scale) — mean/std for ``standard``,
+    min/range for ``minmax``, median/1 for ``median_impute``. One
+    aggregate, scalar result."""
+    aggs = []
+    for c in columns:
+        if strategy == "standard":
+            aggs += [F.avg(c).alias(f"a_{c}"), F.stddev_samp(c).alias(f"b_{c}")]
+        elif strategy == "minmax":
+            aggs += [F.min(c).alias(f"a_{c}"), F.max(c).alias(f"b_{c}")]
+        elif strategy == "median":
+            aggs += [
+                F.expr(f"percentile({c}, 0.5)").alias(f"a_{c}"),
+                F.lit(1.0).alias(f"b_{c}"),
+            ]
+        else:
+            raise ValueError(strategy)
+    row = df.agg(*aggs).collect()[0]
+    return {c: (row[f"a_{c}"], row[f"b_{c}"]) for c in columns}
+
+
+def apply_scaler(
+    df: DataFrame,
+    model: dict[str, tuple[float, float]],
+    strategy: str = "standard",
+    suffix: str = "_scaled",
+) -> DataFrame:
+    """D9 transform in one projection; fit-on-train / apply-to-all
+    (``generate_data.py:1192-1220``)."""
+    exprs = {}
+    for c, (a, b) in model.items():
+        if strategy == "standard":
+            exprs[f"{c}{suffix}"] = (F.col(c) - F.lit(a)) / F.lit(b)
+        elif strategy == "minmax":
+            exprs[f"{c}{suffix}"] = (F.col(c) - F.lit(a)) / (F.lit(b) - F.lit(a))
+        elif strategy == "median":
+            exprs[f"{c}{suffix}"] = F.coalesce(F.col(c), F.lit(a))
+    return df.withColumns(exprs)

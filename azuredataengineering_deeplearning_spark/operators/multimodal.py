@@ -1,0 +1,155 @@
+"""Multimodal (image/audio/video) column plumbing (north-star).
+
+Design: media are opaque ``binary`` columns + typed metadata columns.
+The Spark-side machinery — schemas, Arrow-batched ``mapInPandas``
+signatures, partition sizing — is real and tested; the *decoders* are
+pluggable callables because the media libraries (PIL, torchaudio, ...)
+are not in this container. ``deterministic_fake_decoder`` stands in for
+tests; production swaps in a real decoder without touching the plumbing
+(the reference's Ray ``map_batches`` actor pattern,
+``ray_batch_embeddings_generator.py:97-112``, maps to exactly this
+``mapInPandas`` shape).
+
+Zip-member extraction (S13; ``async_scan_blob_zip_contents.py:12-45``)
+is fully real — stdlib ``zipfile`` over the ``binaryFile`` source.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# magic-byte prefixes → format tag (hex, uppercase)
+_MAGIC = [
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),  # wav/avi container
+    ("494433", "mp3"),
+    ("664C6143", "flac"),
+    ("1A45DFA3", "mkv/webm"),
+    ("00000018", "mp4"),
+    ("504B0304", "zip"),
+]
+
+
+def binary_metadata(df: DataFrame, bin_col: str) -> DataFrame:
+    """Attach typed metadata to an opaque binary column: byte size,
+    64-bit content fingerprint, magic-byte format sniff — pure
+    expressions, one scan, no decode."""
+    head = F.upper(F.hex(F.substring(F.col(bin_col), 1, 4)))
+    fmt = F.lit("unknown")
+    for prefix, tag in reversed(_MAGIC):
+        fmt = F.when(head.startswith(prefix), tag).otherwise(fmt)
+    return df.withColumns(
+        {
+            f"{bin_col}_size": F.length(F.col(bin_col)),
+            f"{bin_col}_fingerprint": F.xxhash64(F.col(bin_col)),
+            f"{bin_col}_format": fmt,
+        }
+    )
+
+
+def read_binary_files(spark: SparkSession, glob: str) -> DataFrame:
+    """S13 source: (path, modificationTime, length, content) per file."""
+    return spark.read.format("binaryFile").load(glob)
+
+
+def unzip_members(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """S13: explode zip archives into one row per member
+    (``async_scan_blob_zip_contents.py:12-45`` made distributed):
+    Arrow-batched ``mapInPandas``, stdlib zipfile, no driver involvement.
+    Output: (path, member_name, member_size, member_bytes)."""
+    import pandas as pd
+
+    schema = (
+        "path string, member_name string, member_size long, member_bytes binary"
+    )
+
+    def explode_zip(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import zipfile
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf[content_col]):
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(content))
+                except zipfile.BadZipFile:
+                    continue
+                for info in zf.infolist():
+                    if info.is_dir():
+                        continue
+                    rows.append(
+                        (path, info.filename, info.file_size, zf.read(info))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["path", "member_name", "member_size", "member_bytes"]
+            )
+
+    return df.select("path", content_col).mapInPandas(explode_zip, schema)
+
+
+# ---------------------------------------------------------------------------
+# decode / feature-extract plumbing (decoder pluggable; fake for tests)
+# ---------------------------------------------------------------------------
+
+DecodeFn = Callable[[bytes], list[float]]
+
+
+def deterministic_fake_decoder(n_features: int = 8) -> DecodeFn:
+    """Deterministic stand-in decoder: features derived from a rolling
+    byte hash — stable across runs/engines, media libs not required."""
+
+    def decode(blob: bytes) -> list[float]:
+        acc, out = 2166136261, []
+        for i, byte in enumerate(blob or b"\x00"):
+            acc = (acc ^ byte) * 16777619 % (1 << 32)
+            if i % max(1, len(blob) // n_features) == 0 and len(out) < n_features:
+                out.append((acc % 10_000) / 10_000.0)
+        while len(out) < n_features:
+            out.append(0.0)
+        return out
+
+    return decode
+
+
+def decode_features(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    decoder: DecodeFn | None = None,
+    n_features: int = 8,
+) -> DataFrame:
+    """Decode/feature-extract over binary media → (id, features
+    array<float>). Arrow-batched ``mapInPandas``; one decoder instance
+    per partition (the actor-pool pattern); batch shape = Spark's Arrow
+    batch. Pass a real decoder in production:
+
+        decode_features(df, "content", "path", decoder=pil_resize_224)
+
+    Raises NotImplementedError at *plan build* when no decoder is given
+    — the stub contract for this container (no media libs)."""
+    if decoder is None:
+        raise NotImplementedError(
+            "no media decoder available in this environment; pass decoder= "
+            "(e.g. a PIL/torchaudio-backed callable) or use "
+            "deterministic_fake_decoder() for plumbing tests"
+        )
+    import pandas as pd
+
+    schema = f"{id_col} string, features array<float>"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        fn = decoder  # per-partition closure (decoder state cached per task)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype(str),
+                    "features": [fn(b) for b in pdf[bin_col]],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("string"), bin_col).mapInPandas(run, schema)

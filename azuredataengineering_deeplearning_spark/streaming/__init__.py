@@ -1,0 +1,19 @@
+"""Structured Streaming: incremental ingest + windowed/session aggs."""
+
+from azuredataengineering_deeplearning_spark.streaming.ingest import (
+    stream_file_ingest,
+    run_until_drained,
+)
+from azuredataengineering_deeplearning_spark.streaming.windows import (
+    tumbling_agg,
+    sliding_agg,
+    session_agg,
+)
+
+__all__ = [
+    "stream_file_ingest",
+    "run_until_drained",
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+]

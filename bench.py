@@ -23,7 +23,7 @@ HEADLINE = [
     # appended as milestones land:
     "w2_salted_cumsum_events",
     "w5_sessionize_events",
-    "scd2_orders_batch",
+    "scd2_merge_changeset",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
 ]

@@ -1,0 +1,82 @@
+import io
+import zipfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from azuredataengineering_deeplearning_spark.operators import graph as G
+from azuredataengineering_deeplearning_spark.operators import multimodal as MM
+
+
+def test_bom_closure_multiplicity(spark):
+    # a appears under two parents with different quantities; the closure
+    # keeps one row per *path* (generate_data.py:298-307 semantics)
+    edges = spark.createDataFrame(
+        [("r1", "a", 2), ("r2", "a", 5), ("a", "leaf", 3)],
+        "parent string, child string, qty int",
+    )
+    closure = G.expand_hierarchy(edges, quantity_col="qty").collect()
+    rows = {(r.root, r.node, r.level): r.quantity for r in closure}
+    assert rows[("r1", "a", 1)] == 2.0
+    assert rows[("r2", "a", 1)] == 5.0
+    assert rows[("r1", "leaf", 2)] == 6.0   # 2 * 3 along the path
+    assert rows[("r2", "leaf", 2)] == 15.0  # 5 * 3
+    roll = {r.root: (r.NumBOMParts, r.MaxBOMDepth) for r in
+            G.hierarchy_rollups(G.expand_hierarchy(edges)).collect()}
+    assert roll["r1"] == (2, 2)
+
+
+def test_bom_closure_depth_cap(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "parent long, child long"
+    )
+    capped = G.expand_hierarchy(edges, max_depth=3)
+    assert capped.agg(F.max("level")).collect()[0][0] == 3
+
+
+def test_binary_metadata_sniff(spark):
+    df = spark.createDataFrame(
+        [(1, bytes.fromhex("89504E47") + b"rest"), (2, b"plain"),
+         (3, bytes.fromhex("FFD8FFE0") + b"jfif")],
+        "id long, blob binary",
+    )
+    out = {r.id: r.blob_format for r in MM.binary_metadata(df, "blob").collect()}
+    assert out == {1: "png", 2: "unknown", 3: "jpeg"}
+
+
+def test_unzip_members(spark, tmp_path):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.txt", b"hello")
+        z.writestr("dir/b.bin", b"\x00\x01\x02")
+    (tmp_path / "x.zip").write_bytes(buf.getvalue())
+    (tmp_path / "notzip.bin").write_bytes(b"junk")
+
+    files = MM.read_binary_files(spark, str(tmp_path / "*"))
+    members = MM.unzip_members(files).collect()
+    by = {r.member_name: r for r in members}
+    assert by["a.txt"].member_bytes == bytearray(b"hello")
+    assert by["dir/b.bin"].member_size == 3
+    assert len(members) == 2  # bad zip skipped, dirs skipped
+
+
+def test_decode_features_plumbing(spark):
+    df = spark.createDataFrame(
+        [("p1", b"aaaa"), ("p2", b"bbbb")], "path string, content binary"
+    )
+    feats = MM.decode_features(
+        df, "content", "path", decoder=MM.deterministic_fake_decoder(4)
+    ).collect()
+    assert {r.path for r in feats} == {"p1", "p2"}
+    assert all(len(r.features) == 4 for r in feats)
+    # deterministic: same input → same features
+    again = MM.decode_features(
+        df, "content", "path", decoder=MM.deterministic_fake_decoder(4)
+    ).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_decode_features_stub_contract(spark):
+    df = spark.createDataFrame([("p", b"x")], "path string, content binary")
+    with pytest.raises(NotImplementedError):
+        MM.decode_features(df, "content", "path")

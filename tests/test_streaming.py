@@ -1,0 +1,110 @@
+"""Streaming ingest: exactly-once across restart (SURVEY §5.4)."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from azuredataengineering_deeplearning_spark.streaming import (
+    run_until_drained,
+    stream_file_ingest,
+)
+
+SCHEMA = "event_id long, ts timestamp, payload string"
+
+
+def _write_csv(path, rows, header="event_id,ts,payload"):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(header + "\n")
+        for r in rows:
+            f.write(",".join(map(str, r)) + "\n")
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "landing": str(tmp_path / "landing"),
+        "checkpoint": str(tmp_path / "ckpt"),
+        "out": str(tmp_path / "bronze"),
+    }
+
+
+def test_ingest_exactly_once_across_restart(spark, dirs):
+    _write_csv(
+        f"{dirs['landing']}/drop1_a.csv",
+        [(1, "2024-01-01 00:00:00", "x"), (2, "2024-01-01 00:01:00", "y")],
+    )
+    q = stream_file_ingest(
+        spark, dirs["landing"], SCHEMA, dirs["checkpoint"], dirs["out"]
+    )
+    run_until_drained(q)
+    assert spark.read.parquet(dirs["out"]).count() == 2
+
+    # new file arrives; a NEW query with the SAME checkpoint must ingest
+    # only the new file (exactly-once over restart)
+    _write_csv(f"{dirs['landing']}/drop2_b.csv", [(3, "2024-01-01 00:05:00", "z")])
+    q2 = stream_file_ingest(
+        spark, dirs["landing"], SCHEMA, dirs["checkpoint"], dirs["out"]
+    )
+    run_until_drained(q2)
+    out = spark.read.parquet(dirs["out"])
+    assert out.count() == 3
+    assert out.select("event_id").distinct().count() == 3
+
+
+def test_lineage_columns(spark, dirs):
+    _write_csv(
+        f"{dirs['landing']}/part1_x.csv", [(10, "2024-01-01 00:00:00", "p")]
+    )
+    # path position of the file name varies with tmpdir depth — compute it
+    depth = len(f"{dirs['landing']}/f.csv".split("/")) - 1
+    q = stream_file_ingest(
+        spark,
+        dirs["landing"],
+        SCHEMA,
+        dirs["checkpoint"],
+        dirs["out"],
+        path_partition_index=depth,
+    )
+    run_until_drained(q)
+    row = spark.read.parquet(dirs["out"]).collect()[0]
+    assert row.sourceFile.endswith("part1_x.csv")
+    assert row.partitionName == "part1"  # token before '_'
+
+
+def test_watermarked_session_stream(spark, dirs):
+    """Session aggregation actually running in a streaming query."""
+    from azuredataengineering_deeplearning_spark.streaming import session_agg
+
+    _write_csv(
+        f"{dirs['landing']}/s.csv",
+        [
+            (1, "2024-01-01 00:00:00", "a"),
+            (2, "2024-01-01 00:10:00", "a"),
+            (3, "2024-01-01 05:00:00", "a"),
+        ],
+        header="event_id,ts,user",
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("event_id long, ts timestamp, user string")
+        .option("header", "true")
+        .load(dirs["landing"])
+    )
+    sessions = session_agg(
+        stream, "ts", "1 hour", ["user"], [F.count(F.lit(1)).alias("n")],
+        watermark="2 hours",
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", dirs["checkpoint"])
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    q.stop()
+    ns = sorted(r.n for r in rows)
+    assert ns == [1, 2]  # two sessions: events 1+2 (10 min apart), event 3
