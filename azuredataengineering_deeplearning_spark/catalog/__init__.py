@@ -53,6 +53,7 @@ def load_all() -> None:
         "graph",
         "stream_batch",
         "multimodal",
+        "coverage",
     ):
         try:
             __import__(f"azuredataengineering_deeplearning_spark.catalog.{mod}")

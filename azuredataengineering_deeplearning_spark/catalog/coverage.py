@@ -1,0 +1,175 @@
+"""Catalog: remaining SURVEY §2 inventory rows — S2, P4/P6, J4, F16,
+D1, D2, D12."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.catalog import query
+from azuredataengineering_deeplearning_spark.functions.exact import exact_avg, sql_avg
+from azuredataengineering_deeplearning_spark.operators import embedding as EMB
+from azuredataengineering_deeplearning_spark.operators import text as T
+from azuredataengineering_deeplearning_spark.operators import timeseries as TS
+from azuredataengineering_deeplearning_spark.operators.joins import date_dim_lookup
+from azuredataengineering_deeplearning_spark.operators.relational import (
+    fill_null,
+    normalize_null_sentinel,
+)
+from azuredataengineering_deeplearning_spark.sources.readers import (
+    read_json,
+    read_parquet,
+)
+from azuredataengineering_deeplearning_spark.sources.writers import write_jsonl
+
+
+@query(
+    "s2_json_scan",
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+def s2_json_scan(spark, sf_dir):
+    """S2+S18: JSONL export → JSON scan round trip (the write side is
+    ``df.write.json`` — the distributed replacement for the reference's
+    RDD json.dumps loop)."""
+    d = read_parquet(
+        spark, f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    cache = os.path.join(
+        tempfile.gettempdir(), f"ades_json_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_jsonl(d, cache, target_files=2)
+    return read_json(spark, cache).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "p4_null_sentinel_roundtrip",
+    """
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN NULL ELSE lang END AS lang_nulled,
+           COALESCE(CASE WHEN lang = 'en' THEN NULL ELSE lang END, 'xx') AS lang_filled
+    FROM documents
+    """,
+)
+def p4_null_sentinel_roundtrip(spark, sf_dir):
+    """P4+P6: sentinel→NULL normalization then fillna. The sentinel here
+    is 'en' (turned into NULL), refilled with 'xx'."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    nulled = normalize_null_sentinel(
+        d.withColumn("lang_nulled", F.col("lang")), ["lang_nulled"], sentinel="en"
+    )
+    filled = fill_null(
+        nulled.withColumn("lang_filled", F.col("lang_nulled")), "xx", ["lang_filled"]
+    )
+    return filled.select("doc_id", "lang_nulled", "lang_filled")
+
+
+@query(
+    "j4_date_dim_lookup",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_datekey_yr,
+           CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END AS order_datekey_is_weekend
+    FROM orders
+    """,
+)
+def j4_date_dim_lookup(spark, sf_dir):
+    """J4: star-schema date-dim lookup per dateKey column — broadcast
+    calendar join with the ``dateKey > 0`` sentinel guard; the oracle
+    computes the attributes directly, so the join must be lossless."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").withColumn(
+        "order_datekey",
+        F.date_format("o_orderdate", "yyyyMMdd").cast("int"),
+    )
+    dim = TS.dim_date(spark, "1995-01-01", "2001-12-31", with_holidays=False).select(
+        "dateKey", "yr", "is_weekend"
+    )
+    out = date_dim_lookup(o, dim, ["order_datekey"], date_key="dateKey")
+    return out.select("o_orderkey", "order_datekey_yr", "order_datekey_is_weekend")
+
+
+_HOLIDAY_LITERALS = ", ".join(
+    f"DATE '{d}'" for d, _ in TS.us_holidays(range(1995, 2002))
+)
+
+
+@query(
+    "f16_holiday_flag",
+    f"""
+    SELECT o_orderkey,
+           CASE WHEN CAST(o_orderdate AS DATE) IN ({_HOLIDAY_LITERALS})
+                THEN 1 ELSE 0 END AS is_holiday
+    FROM orders
+    """,
+)
+def f16_holiday_flag(spark, sf_dir):
+    """F16: holiday flag via broadcast join against the rule-generated
+    holiday table (oracle: the same rule output inlined as literals)."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    dim = TS.dim_date(spark, "1995-01-01", "2001-12-31").select(
+        F.col("date"), F.col("is_holiday")
+    )
+    out = o.join(
+        F.broadcast(dim), F.to_date("o_orderdate") == F.col("date"), "left"
+    )
+    return out.select(
+        "o_orderkey", F.coalesce("is_holiday", F.lit(0)).alias("is_holiday")
+    )
+
+
+@query(
+    "d1_json_array_flatten",
+    """
+    WITH j AS (
+      SELECT event_id, '[' || props || ',' || props || ']' AS payload FROM events
+    )
+    SELECT event_id,
+           'k: ' || json_extract_string(payload, '$[0].k')
+             || ' | k: ' || json_extract_string(payload, '$[1].k') AS flat
+    FROM j
+    """,
+)
+def d1_json_array_flatten(spark, sf_dir):
+    """D1: JSON-array-of-objects → joined string, the reference's row
+    UDF expressed natively (from_json + transform + array_join; the UDF
+    twin is pytest-asserted equal)."""
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    payload = F.concat(F.lit("["), F.col("props"), F.lit(","), F.col("props"), F.lit("]"))
+    return ev.select(
+        "event_id",
+        EMB.flatten_json_array_native(payload, "k int", ["k"]).alias("flat"),
+    )
+
+
+@query("d2_embed_pandas_udf")  # model output is engine-side only → rows-only
+def d2_embed_pandas_udf(spark, sf_dir):
+    """D2: broadcast-model pandas_udf embedding column (deterministic
+    hash-projection stand-in model; plumbing identical to a real
+    encoder)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return EMB.embed_column(d, "text").select("doc_id", "embedding")
+
+
+@query(
+    "d12_token_profile",
+    f"""
+    WITH n AS (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents)
+    SELECT COUNT(*) AS n_docs,
+           {sql_avg('n_tokens', 'avg_tokens')},
+           quantile_cont(n_tokens, 0.5) AS p5,
+           quantile_cont(n_tokens, 0.99) AS p99
+    FROM n
+    """,
+)
+def d12_token_profile(spark, sf_dir):
+    """D12/O5: corpus token-length profile (tokenize + distribution
+    stats in one aggregate)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    n = d.select(T.token_count("text").alias("n_tokens"))
+    return n.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        exact_avg("n_tokens", "avg_tokens"),
+        F.expr("percentile(n_tokens, 0.5)").alias("p5"),
+        F.expr("percentile(n_tokens, 0.99)").alias("p99"),
+    )

@@ -1,0 +1,79 @@
+import pyspark.sql.functions as F
+
+from azuredataengineering_deeplearning_spark.operators import embedding as EMB
+from azuredataengineering_deeplearning_spark.sources import connectors as C
+from azuredataengineering_deeplearning_spark.sources.writers import write_parquet
+
+
+def test_rest_paginated_source(spark):
+    pages = {None: ([(1, "a"), (2, "b")], "p2"), "p2": ([(3, "c")], None)}
+    src = C.RestPaginatedSource(lambda cur: pages[cur], "id long, v string")
+    df = src.read(spark)
+    assert df.count() == 3
+    assert {r.id for r in df.collect()} == {1, 2, 3}
+
+
+def test_rest_source_empty(spark):
+    src = C.RestPaginatedSource(lambda cur: ([], None), "id long, v string")
+    assert src.read(spark).count() == 0
+
+
+def test_parquet_standin_with_query(spark, tmp_path, sf_dir):
+    src = C.ParquetStandIn(f"{sf_dir}/nation.parquet")
+    df = src.read(spark, "SELECT n_name FROM {table} WHERE n_regionkey = 0")
+    assert df.count() > 0
+    assert df.columns == ["n_name"]
+
+
+def test_list_files(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("x")
+    (tmp_path / "b.txt").write_text("y")
+    out = C.list_files(spark, str(tmp_path / "*"), suffix=".csv")
+    assert [r.path.endswith("a.csv") for r in out.collect()] == [True]
+    assert "content" not in out.columns  # metadata-only scan
+
+
+def test_kusto_standin_contract(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        C.KustoSource("https://cluster", "db").read(spark, "T | take 5")
+    src = C.KustoSource(
+        "https://cluster", "db",
+        executor=lambda q: spark.createDataFrame([(q,)], "q string"),
+    )
+    assert src.read(spark, "T | take 5").collect()[0].q == "T | take 5"
+
+
+def test_embed_column_deterministic_and_null_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, "spark query engine"), (2, None), (3, "spark query engine")],
+        "id long, text string",
+    )
+    out = {r.id: r.embedding for r in EMB.embed_column(df, "text").collect()}
+    assert out[2] is None
+    assert out[1] == out[3]
+    assert len(out[1]) == 16
+    norm = sum(x * x for x in out[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+
+
+def test_udf_flatten_equals_native(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "props")
+    payload = F.concat(F.lit("["), F.col("props"), F.lit(","), F.col("props"), F.lit("]"))
+    both = ev.select(
+        "event_id",
+        EMB.flatten_json_array_udf(payload).alias("via_udf"),
+        EMB.flatten_json_array_native(payload, "k int", ["k"]).alias("via_native"),
+    )
+    assert both.filter(F.col("via_udf") != F.col("via_native")).count() == 0
+
+
+def test_writers_roundtrip(spark, tmp_path, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    write_parquet(df, str(tmp_path / "p"), target_files=1, max_records_per_file=1000)
+    back = spark.read.parquet(str(tmp_path / "p"))
+    assert back.count() == df.count()
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "p" / "*.parquet"))) == 1
