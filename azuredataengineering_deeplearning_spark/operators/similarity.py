@@ -47,12 +47,19 @@ def cosine_topk(
     (query_id, neighbor_id, cos, rank). The query side is broadcast
     (queries ≪ corpus); the corpus streams through one pass — at 100 TB
     this is the correct *baseline*, and the LSH variant prunes it.
-    Self-matches are excluded; ties break on neighbor id."""
+    Self-matches are excluded; ties break on neighbor id.
+
+    Norms are precomputed once per side before the pairwise join — the
+    join computes only the dot product (3x less per-pair work)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.sqrt(_exact_dot(F.col(vec_col), F.col(vec_col)).cast("double")).alias("__qn"),
     )
     v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nv"),
+        F.sqrt(_exact_dot(F.col(vec_col), F.col(vec_col)).cast("double")).alias("__nn"),
     )
     scored = (
         v.crossJoin(F.broadcast(q))
@@ -60,7 +67,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__nv")).alias("cos"),
+            (
+                _exact_dot(F.col("__qv"), F.col("__nv")).cast("double")
+                / (F.col("__qn") * F.col("__nn"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -145,10 +155,12 @@ def lsh_ann_topk(
     bq = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        F.sqrt(_exact_dot(F.col(vec_col), F.col(vec_col)).cast("double")).alias("__qn"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("__b0"),
     ).select(
         "query_id",
         "__qv",
+        "__qn",
         F.explode(F.transform(probes, lambda m: F.col("__b0").bitwiseXOR(m))).alias(
             "__bucket"
         ),
@@ -156,13 +168,19 @@ def lsh_ann_topk(
     bv = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__nv"),
+        F.sqrt(_exact_dot(F.col(vec_col), F.col(vec_col)).cast("double")).alias("__nn"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("__bucket"),
     )
     scored = (
         bv.join(F.broadcast(bq), "__bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__nv")).alias("cos")
+            "query_id",
+            "neighbor_id",
+            (
+                _exact_dot(F.col("__qv"), F.col("__nv")).cast("double")
+                / (F.col("__qn") * F.col("__nn"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -180,10 +198,22 @@ def embedding_near_duplicates(
     """Embedding-cosine near-dup pairs → (id_a, id_b, cos ≥ threshold).
     All-pairs here (exact, small-input/oracle path); at scale compose
     with :func:`lsh_bucket` blocking exactly like the text dedup LSH."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    norm = F.sqrt(_exact_dot(F.col(vec_col), F.col(vec_col)).cast("double"))
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), norm.alias("__na")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), norm.alias("__nb")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _exact_dot(F.col("__va"), F.col("__vb")).cast("double")
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )

@@ -1,0 +1,49 @@
+"""Physical-plan audit helpers — the engine's scale promises, checkable.
+
+Used by ``tests/test_explain_audit.py`` and available to users:
+``assert_broadcast_joins(df, 2)`` fails fast if a dim join regressed to
+a shuffle, before the job burns cluster hours.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The final (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_broadcast_joins(df: DataFrame, at_least: int) -> None:
+    plan = executed_plan(df)
+    n = plan.count("BroadcastHashJoin")
+    assert n >= at_least, f"expected >= {at_least} broadcast joins, saw {n}\n{plan}"
+
+
+def assert_max_exchanges(df: DataFrame, at_most: int) -> None:
+    plan = executed_plan(df)
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= at_most, f"expected <= {at_most} exchanges, saw {n}\n{plan}"
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, f"cartesian product in plan\n{plan}"
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    plan = executed_plan(df)
+    assert f"PushedFilters: " in plan and fragment in plan, (
+        f"filter '{fragment}' not pushed to scan\n{plan}"
+    )
+
+
+def read_schema_columns(df: DataFrame) -> set[str]:
+    """Columns actually read from the scan (ReadSchema)."""
+    m = re.search(r"ReadSchema: struct<([^>]*)>", executed_plan(df))
+    if not m:
+        return set()
+    return {c.split(":")[0] for c in m.group(1).split(",") if c}

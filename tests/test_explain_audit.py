@@ -60,3 +60,27 @@ def test_j2_agg_join_shares_shuffle(spark, sf_dir):
 def test_window_ops_single_shuffle(spark, sf_dir):
     plan = _plan(E.queries()["w7_expanding_mean"](spark, sf_dir))
     assert plan.count("Exchange") <= 1  # one shuffle on user_id, nothing else
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    """LSH candidates must come from an equi bucket-join, never n²."""
+    from azuredataengineering_deeplearning_spark.operators import dedup as DD
+    from azuredataengineering_deeplearning_spark.plans import assert_no_cartesian
+    from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sigs = DD.minhash_signatures(docs, "doc_id", "text")
+    assert_no_cartesian(DD.lsh_candidate_pairs(sigs, "doc_id"))
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    """The corpus streams once; the query side is broadcast."""
+    plan = _plan(E.queries()["sim_cosine_topk"](spark, sf_dir))
+    assert "Broadcast" in plan
+
+
+def test_salted_cumsum_partitionings(spark, sf_dir):
+    """Salted cumsum: window exchanges on (key, salt) + tiny offset join;
+    the big side must not re-shuffle for the final join."""
+    plan = _plan(E.queries()["w2_salted_cumsum_events"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 3
