@@ -54,6 +54,7 @@ def load_all() -> None:
         "stream_batch",
         "multimodal",
         "coverage",
+        "tpch_shapes",
     ):
         try:
             __import__(f"azuredataengineering_deeplearning_spark.catalog.{mod}")

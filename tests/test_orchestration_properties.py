@@ -1,0 +1,145 @@
+"""Orchestration tests + hypothesis property tests (SURVEY §5.3)."""
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from azuredataengineering_deeplearning_spark.operators import profile as P
+from azuredataengineering_deeplearning_spark.operators import windows as W
+from azuredataengineering_deeplearning_spark.orchestration import (
+    RetryPolicy,
+    TaskResult,
+    run_parallel,
+    with_retry,
+)
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+
+def test_retry_recovers():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ValueError("transient")
+        return "done"
+
+    policy = RetryPolicy(attempts=3, base_delay=0.01)
+    assert with_retry(flaky, policy)() == "done"
+    assert calls["n"] == 3
+
+
+def test_retry_exhausts():
+    policy = RetryPolicy(attempts=2, base_delay=0.01)
+    with pytest.raises(ValueError):
+        with_retry(lambda: (_ for _ in ()).throw(ValueError("nope")), policy)()
+
+
+def test_run_parallel_mixed_outcomes():
+    out = run_parallel(
+        {
+            "ok": lambda: 42,
+            "bad": lambda: 1 / 0,
+        },
+        max_workers=2,
+        policy=RetryPolicy(attempts=2, base_delay=0.01),
+    )
+    assert out["ok"].ok and out["ok"].result == 42
+    assert not out["bad"].ok and isinstance(out["bad"].error, ZeroDivisionError)
+    assert out["bad"].attempts_used == 2
+
+
+def test_run_parallel_fail_fast():
+    with pytest.raises(RuntimeError):
+        run_parallel(
+            {"bad": lambda: 1 / 0},
+            policy=RetryPolicy(attempts=1),
+            fail_fast=True,
+        )
+
+
+def test_run_parallel_actually_parallel():
+    t0 = time.time()
+    run_parallel({f"t{i}": lambda: time.sleep(0.3) for i in range(4)}, max_workers=4)
+    assert time.time() - t0 < 1.0  # 4 x 0.3s sequential would be 1.2s
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties (small row counts — each example runs Spark jobs)
+# ---------------------------------------------------------------------------
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # key
+            st.integers(0, 10_000),     # order/time
+            st.integers(-1000, 1000),   # value
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    salt=st.sampled_from([1, 7, 100, 10_000]),
+)
+@_slow
+def test_salted_cumsum_invariant(spark, rows, salt):
+    df = spark.createDataFrame(rows, "k int, t int, v int")
+    plain = W.cumsum(df, ["k"], "t", "v").select("k", "t", "cumsum")
+    salted = W.salted_cumsum(df, ["k"], "t", "v", salt_size=salt).select(
+        "k", "t", F.col("cumsum").alias("s")
+    )
+    assert (
+        plain.join(salted, ["k", "t"]).filter(F.col("cumsum") != F.col("s")).count()
+        == 0
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    gap=st.sampled_from([1, 10, 100]),
+)
+@_slow
+def test_sessionize_matches_python_model(spark, rows, gap):
+    df = spark.createDataFrame(rows, "k int, t long")
+    got = {
+        (r.k, r.t): r.session_id
+        for r in W.sessionize(df, ["k"], "t", gap=gap).collect()
+    }
+    for k in {r[0] for r in rows}:
+        ts = sorted(t for kk, t in rows if kk == k)
+        sid = 1
+        for prev, cur in zip(ts, ts[1:]):
+            expected_bump = 1 if cur - prev > gap else 0
+            sid += expected_bump
+            assert got[(k, cur)] == sid
+        assert got[(k, ts[0])] == 1
+
+
+@given(
+    vals=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=30)
+)
+@_slow
+def test_shrink_types_preserves_values(spark, vals):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v long")
+    shrunk = P.shrink_types(df, ["v"])
+    before = {r.i: r.v for r in df.collect()}
+    after = {r.i: r.v for r in shrunk.collect()}
+    assert before == after  # downcast never loses observed values
