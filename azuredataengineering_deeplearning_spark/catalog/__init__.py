@@ -55,6 +55,7 @@ def load_all() -> None:
         "multimodal",
         "coverage",
         "tpch_shapes",
+        "pipelines",
     ):
         try:
             __import__(f"azuredataengineering_deeplearning_spark.catalog.{mod}")

@@ -15,17 +15,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # scan + filter + agg (TPC-H Q1 shape)
     "q1_pricing_summary",
+    # multi-table joins (Q5/Q3 shapes)
     "q5_revenue_by_nation",
+    "q3_shipping_priority",
     "j1_broadcast_dim_join",
-    "a9_argmax_latest_order",
-    "o5_percentiles_doc_length",
-    # appended as milestones land:
+    # windows over events
     "w2_salted_cumsum_events",
     "w5_sessionize_events",
+    "a9_argmax_latest_order",
+    # SCD2 merge batch
     "scd2_merge_changeset",
+    # LLM-pipeline layer
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "pipeline_corpus_prep",
+    # time series + recursion
+    "ts_spine_gap_fill",
+    "graph_bom_closure",
+    "o5_percentiles_doc_length",
 ]
 
 
