@@ -56,6 +56,7 @@ def load_all() -> None:
         "coverage",
         "tpch_shapes",
         "pipelines",
+        "grouping",
     ):
         try:
             __import__(f"azuredataengineering_deeplearning_spark.catalog.{mod}")

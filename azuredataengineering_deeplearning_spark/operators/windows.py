@@ -294,6 +294,26 @@ def bfill(
     return df.withColumn(out or value, F.first(value, ignorenulls=True).over(w))
 
 
+def rolling_time_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    value: str,
+    preceding: int,
+    out: str = "rolling",
+) -> DataFrame:
+    """Rolling range-frame aggregate: sum of the last ``preceding``+1
+    units of ``order_by`` (a numeric time key, e.g. epoch days) per key —
+    the 7-day-rolling-sum shape. RANGE frame, not ROWS: gaps in the
+    series shrink the window, exactly like a time-based rolling join."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_by))
+        .rangeBetween(-preceding, 0)
+    )
+    return df.withColumn(out, F.sum(dec(value)).over(w).cast("double"))
+
+
 # ---------------------------------------------------------------------------
 # W12 — per-series tail split
 # ---------------------------------------------------------------------------
