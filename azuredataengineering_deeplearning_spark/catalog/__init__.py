@@ -57,6 +57,7 @@ def load_all() -> None:
         "tpch_shapes",
         "pipelines",
         "grouping",
+        "kql",
     ):
         try:
             __import__(f"azuredataengineering_deeplearning_spark.catalog.{mod}")

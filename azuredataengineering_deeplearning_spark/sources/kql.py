@@ -1,0 +1,152 @@
+"""KQL (Kusto Query Language) subset → DataFrame translator (S8/S9).
+
+The reference pushes KQL strings to Kusto (``spark_read_kusto.py:21-34``,
+``kusto_query.py:21-32``, ``daily_eval.py:118-158``). This module gives
+the same query surface a local/distributed execution: a small, safe KQL
+pipe subset is translated into DataFrame operations, so Kusto-shaped
+pipelines run against lake tables unchanged (and the ``KustoSource``
+adapter uses it as its offline executor).
+
+Supported pipe operators:
+``where`` ``project`` ``project-rename`` ``extend`` ``take``/``limit``
+``sort by`` ``top N by`` ``distinct`` ``summarize ... by ...``
+``count`` ``arg_max(col, *)`` (inside summarize).
+
+Expression translation is textual (KQL ``==``/``!=``/``and``/``or``/
+``contains``/``startswith``/``endswith``/``in`` → Spark SQL) and routed
+through ``F.expr`` — Catalyst parses/optimizes; the translator never
+builds Python-side predicates.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_AGG_FNS = {
+    "count": lambda arg: F.count(F.lit(1)),
+    "sum": lambda arg: F.sum(arg),
+    "avg": lambda arg: F.avg(arg),
+    "min": lambda arg: F.min(arg),
+    "max": lambda arg: F.max(arg),
+    "dcount": lambda arg: F.countDistinct(arg),
+}
+
+
+def _expr(kql: str) -> str:
+    """KQL scalar/boolean expression → Spark SQL text."""
+    s = kql
+    s = re.sub(r"\bcontains\s+('[^']*')", r" LIKE concat('%', \1, '%')", s)
+    s = re.sub(r"\bstartswith\s+('[^']*')", r" LIKE concat(\1, '%')", s)
+    s = re.sub(r"\bendswith\s+('[^']*')", r" LIKE concat('%', \1)", s)
+    s = re.sub(r"==", "=", s)
+    s = re.sub(r"\bdatetime\(([^)]+)\)", r"timestamp'\1'", s)
+    return s
+
+
+def kql_to_df(tables: dict[str, DataFrame], query: str) -> DataFrame:
+    """Execute a KQL pipe over named DataFrames."""
+    stages = [p.strip() for p in query.strip().split("|")]
+    if not stages or stages[0] not in tables:
+        raise ValueError(f"unknown table {stages[0]!r}; have {sorted(tables)}")
+    df = tables[stages[0]]
+
+    for stage in stages[1:]:
+        op, _, rest = stage.partition(" ")
+        rest = rest.strip()
+        if op == "where":
+            df = df.filter(F.expr(_expr(rest)))
+        elif op == "project":
+            cols = []
+            for part in _split_csv(rest):
+                m = re.match(r"^(\w+)\s*=\s*(.+)$", part)
+                if m:
+                    cols.append(F.expr(_expr(m.group(2))).alias(m.group(1)))
+                else:
+                    cols.append(F.col(part))
+            df = df.select(*cols)
+        elif op == "project-rename":
+            for part in _split_csv(rest):
+                new, _, old = [x.strip() for x in part.partition("=")]
+                df = df.withColumnRenamed(old, new)
+        elif op == "extend":
+            for part in _split_csv(rest):
+                m = re.match(r"^(\w+)\s*=\s*(.+)$", part)
+                if not m:
+                    raise ValueError(f"extend needs name=expr: {part!r}")
+                df = df.withColumn(m.group(1), F.expr(_expr(m.group(2))))
+        elif op in ("take", "limit"):
+            df = df.limit(int(rest))
+        elif op == "sort" or op == "order":
+            rest = re.sub(r"^by\s+", "", rest)
+            df = df.orderBy(*_order_cols(rest))
+        elif op == "top":
+            m = re.match(r"^(\d+)\s+by\s+(.+)$", rest)
+            if not m:
+                raise ValueError(f"top needs 'N by col': {rest!r}")
+            df = df.orderBy(*_order_cols(m.group(2))).limit(int(m.group(1)))
+        elif op == "distinct":
+            df = df.select(*[c.strip() for c in _split_csv(rest)]).distinct()
+        elif op == "count":
+            df = df.agg(F.count(F.lit(1)).alias("Count"))
+        elif op == "summarize":
+            df = _summarize(df, rest)
+        else:
+            raise ValueError(f"unsupported KQL operator: {op!r}")
+    return df
+
+
+def _split_csv(s: str) -> list[str]:
+    """Split on commas not inside parentheses/quotes."""
+    out, depth, cur, quote = [], 0, "", False
+    for ch in s:
+        if ch == "'":
+            quote = not quote
+        depth += (ch == "(") - (ch == ")") if not quote else 0
+        if ch == "," and depth == 0 and not quote:
+            out.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        out.append(cur.strip())
+    return out
+
+
+def _order_cols(spec: str):
+    cols = []
+    for part in _split_csv(spec):
+        toks = part.split()
+        c = F.col(toks[0])
+        cols.append(c.desc() if len(toks) > 1 and toks[1].lower() == "desc" else c.asc())
+    return cols
+
+
+def _summarize(df: DataFrame, rest: str) -> DataFrame:
+    agg_part, _, by_part = rest.partition(" by ")
+    keys = [c.strip() for c in _split_csv(by_part)] if by_part else []
+
+    # arg_max(rev, *): latest-row-per-group — the daily_eval.py:158 shape
+    m = re.match(r"^(?:(\w+)\s*=\s*)?arg_max\((\w+),\s*\*\)$", agg_part.strip())
+    if m:
+        order = m.group(2)
+        w = Window.partitionBy(*keys).orderBy(F.col(order).desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    aggs = []
+    for part in _split_csv(agg_part):
+        m = re.match(r"^(?:(\w+)\s*=\s*)?(\w+)\((\s*[\w.]*\s*)\)$", part.strip())
+        if not m:
+            raise ValueError(f"unsupported aggregate: {part!r}")
+        alias, fn, arg = m.group(1), m.group(2), m.group(3).strip()
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unsupported aggregate fn: {fn!r}")
+        col = _AGG_FNS[fn](F.col(arg) if arg else None)
+        aggs.append(col.alias(alias or f"{fn}_{arg or 'all'}"))
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)

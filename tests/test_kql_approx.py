@@ -1,0 +1,78 @@
+import pyspark.sql.functions as F
+import pytest
+
+from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+from azuredataengineering_deeplearning_spark.sources.readers import load_tables
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_tables(spark, "/root/testdata/sf0.01", ["events"])["events"].cache()
+
+
+def test_kql_where_contains(spark, events):
+    out = kql_to_df({"events": events}, "events | where event_type contains 'urch'")
+    assert out.count() > 0
+    assert out.filter(F.col("event_type") != "purchase").count() == 0
+
+
+def test_kql_extend_and_rename(spark, events):
+    out = kql_to_df(
+        {"events": events},
+        "events | extend v2 = value * 2 | project-rename uid = user_id | project uid, v2 | take 5",
+    )
+    assert out.columns == ["uid", "v2"]
+    assert out.count() == 5
+
+
+def test_kql_distinct_and_count(spark, events):
+    n = kql_to_df({"events": events}, "events | distinct event_type | count").collect()[0].Count
+    assert n == 5
+
+
+def test_kql_top(spark, events):
+    rows = kql_to_df({"events": events}, "events | top 3 by value desc").collect()
+    vals = [r.value for r in rows]
+    assert vals == sorted(vals, reverse=True) and len(vals) == 3
+
+
+def test_kql_unknown_table_and_op(spark, events):
+    with pytest.raises(ValueError):
+        kql_to_df({"events": events}, "nope | take 5")
+    with pytest.raises(ValueError):
+        kql_to_df({"events": events}, "events | mv-expand foo")
+
+
+def test_kusto_source_with_kql_executor(spark, events):
+    from azuredataengineering_deeplearning_spark.sources.connectors import KustoSource
+
+    src = KustoSource(
+        "https://cluster", "db",
+        executor=lambda q: kql_to_df({"events": events}, q),
+    )
+    out = src.read(spark, "events | summarize n=count() by event_type")
+    assert out.count() == 5
+
+
+# ---------------------------------------------------------------------------
+# approx sketch paths (the 100 TB profiling switches) stay near exact
+# ---------------------------------------------------------------------------
+
+
+def test_approx_count_distinct_tolerance(spark, events):
+    from azuredataengineering_deeplearning_spark.operators.aggregates import (
+        count_distinct_all,
+    )
+
+    exact = count_distinct_all(events, ["user_id", "event_type"]).collect()[0]
+    approx = count_distinct_all(events, ["user_id", "event_type"], approx=True).collect()[0]
+    assert abs(approx["user_id"] - exact["user_id"]) / exact["user_id"] < 0.05
+    assert abs(approx["event_type"] - exact["event_type"]) <= 1
+
+
+def test_percentile_approx_tolerance(spark, events):
+    from azuredataengineering_deeplearning_spark.operators.aggregates import percentiles
+
+    exact = percentiles(events, "value", (0.5,)).collect()[0][0]
+    approx = percentiles(events, "value", (0.5,), approx=True).collect()[0][0]
+    assert abs(approx - exact) / max(abs(exact), 1e-9) < 0.05
