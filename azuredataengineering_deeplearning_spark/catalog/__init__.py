@@ -58,6 +58,7 @@ def load_all() -> None:
         "pipelines",
         "grouping",
         "kql",
+        "extras",
     ):
         try:
             __import__(f"azuredataengineering_deeplearning_spark.catalog.{mod}")

@@ -60,6 +60,36 @@ def apply_scd2(
     )
 
 
+def with_surrogate_key(
+    df: DataFrame,
+    order_by: Sequence[str],
+    out: str = "surrogateKey",
+    start: int = 1,
+) -> DataFrame:
+    """Deterministic dense surrogate keys 1..N by a total order — the
+    Silver identity column (``AIO_delta_table_generator.py:79``) without
+    Delta's GENERATED ALWAYS AS IDENTITY.
+
+    Scale-safe: a naive global ``row_number`` would serialize every row
+    through one task. Instead: range-partition on the order, number
+    within partitions, then add per-partition row-count offsets (a tiny
+    broadcast) — the zipWithIndex pattern in pure DataFrame form."""
+    parted = df.repartitionByRange(*[F.col(c) for c in order_by])
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    w_in = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_by])
+    numbered = with_pid.withColumn("__rn", F.row_number().over(w_in))
+    counts = numbered.groupBy("__pid").count()
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        numbered.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, (F.col("__rn") + F.col("__off") + F.lit(start - 1)).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
 def validate_scd2(
     df: DataFrame,
     natural_key: Sequence[str],

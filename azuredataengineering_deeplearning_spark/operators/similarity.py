@@ -189,6 +189,62 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def numpy_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k via the broadcast-index ``mapInPandas`` pattern (D10;
+    the reference broadcasts a FAISS index — here the "index" is the
+    dense query matrix and the scorer is a numpy matmul per Arrow batch).
+
+    Per partition: one `(batch × dim) @ (dim × n_queries)` GEMM — the
+    vectorized-pandas-UDF scale path when built-in expressions get too
+    slow for wide vectors. Partial top-k per batch, global top-k via one
+    tiny window over candidates (≤ k·partitions rows)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()  # queries are small
+    qids = [r[0] for r in qrows]
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    schema = "query_id long, neighbor_id long, cos double"
+
+    def score(batches):
+        ids, qm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = vm @ qm.T  # (batch, n_queries)
+            out = []
+            nids = pdf[id_col].to_numpy()
+            for j, qid in enumerate(ids):
+                col = sims[:, j]
+                take = min(k + 1, len(col))  # +1 to survive self-match drop
+                idx = np.argpartition(-col, take - 1)[:take]
+                for i in idx:
+                    if nids[i] != qid:
+                        out.append((qid, int(nids[i]), float(col[i])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos"])
+
+    candidates = vectors.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     id_col: str = "vec_id",
