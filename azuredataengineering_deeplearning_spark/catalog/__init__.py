@@ -59,6 +59,7 @@ def load_all() -> None:
         "grouping",
         "kql",
         "extras",
+        "extras2",
     ):
         try:
             __import__(f"azuredataengineering_deeplearning_spark.catalog.{mod}")
