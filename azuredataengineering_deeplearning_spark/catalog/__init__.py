@@ -55,6 +55,7 @@ def load_all() -> None:
         "multimodal",
         "coverage",
         "tpch_shapes",
+        "tpch_more",
         "pipelines",
         "grouping",
         "kql",
