@@ -84,3 +84,36 @@ def test_salted_cumsum_partitionings(spark, sf_dir):
     the big side must not re-shuffle for the final join."""
     plan = _plan(E.queries()["w2_salted_cumsum_events"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_q7_both_nation_aliases_broadcast(spark, sf_dir):
+    # supplier + 2 nation aliases broadcast; only fact-fact edges shuffle
+    plan = _plan(E.queries()["q7_volume_shipping"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q8_star_join_broadcasts_all_dims(spark, sf_dir):
+    # part, supplier, both nation aliases, region: 5 of the 7 joins stay
+    # broadcast — the 100-TB plan shuffles only lineitem⋈orders⋈customer
+    plan = _plan(E.queries()["q8_market_share"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = _plan(E.queries()["q6_forecast_revenue"](spark, sf_dir))
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({frag})" in plan, plan
+
+
+def test_q18_having_subquery_is_semi_join(spark, sf_dir):
+    plan = _plan(E.queries()["q18_large_volume_customers"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_anti_join_no_shuffled_cartesian(spark, sf_dir):
+    # scalar subquery = broadcast nested-loop of a 1-row relation (fine);
+    # a shuffled CartesianProduct would not be
+    plan = _plan(E.queries()["q22_inactive_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
