@@ -9,6 +9,10 @@ from azuredataengineering_deeplearning_spark.streaming.windows import (
     sliding_agg,
     session_agg,
 )
+from azuredataengineering_deeplearning_spark.streaming.stateful import (
+    sessionize_stream,
+)
+from azuredataengineering_deeplearning_spark.streaming.upsert import stream_upsert
 
 __all__ = [
     "stream_file_ingest",
@@ -16,4 +20,6 @@ __all__ = [
     "tumbling_agg",
     "sliding_agg",
     "session_agg",
+    "sessionize_stream",
+    "stream_upsert",
 ]

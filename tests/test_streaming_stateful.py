@@ -1,0 +1,168 @@
+"""Stateful streaming: applyInPandasWithState sessionization continues
+numbering across micro-batches and matches batch sessionize; foreachBatch
+streaming upsert reproduces batch SCD2 merges (SURVEY §2.9 gap-fill +
+§3.1/3.2 fused lifecycle)."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from azuredataengineering_deeplearning_spark.operators import merge as M
+from azuredataengineering_deeplearning_spark.operators import scd as S
+from azuredataengineering_deeplearning_spark.operators import windows as W
+from azuredataengineering_deeplearning_spark.streaming.stateful import (
+    sessionize_stream,
+)
+from azuredataengineering_deeplearning_spark.streaming.upsert import stream_upsert
+
+GAP = 3_600  # seconds
+
+
+def _write_csv(path, rows, header):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(header + "\n")
+        for r in rows:
+            f.write(",".join(map(str, r)) + "\n")
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "landing": str(tmp_path / "landing"),
+        "checkpoint": str(tmp_path / "ckpt"),
+        "target": str(tmp_path / "silver"),
+    }
+
+
+def test_stateful_sessionize_continues_across_microbatches(spark, dirs):
+    # batch 1: u1 gets two sessions; u2 one open session
+    _write_csv(
+        f"{dirs['landing']}/b1.csv",
+        [("u1", 0), ("u1", 100), ("u1", 8000), ("u2", 50)],
+        header="user_id,ts_s",
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user_id string, ts_s long")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(dirs["landing"])
+    )
+    sess = sessionize_stream(stream, ["user_id"], "ts_s", GAP)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("state_sess")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["checkpoint"])
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: u1 continues session 2 (small gap) then opens session 3;
+    # u2 opens session 2 after a big gap
+    _write_csv(
+        f"{dirs['landing']}/b2.csv",
+        [("u1", 8100), ("u1", 20000), ("u2", 99999)],
+        header="user_id,ts_s",
+    )
+    q.processAllAvailable()
+    got = {
+        (r.user_id, r.ts_s): r.session_id
+        for r in spark.sql("SELECT * FROM state_sess").collect()
+    }
+    q.stop()
+
+    expect = {
+        ("u1", 0): 1,
+        ("u1", 100): 1,
+        ("u1", 8000): 2,
+        ("u1", 8100): 2,  # continuation across the batch boundary
+        ("u1", 20000): 3,
+        ("u2", 50): 1,
+        ("u2", 99999): 2,
+    }
+    assert got == expect
+
+    # batch-twin equivalence: same data through operators.windows.sessionize
+    batch = spark.createDataFrame(
+        [(u, t) for (u, t) in expect.keys()], "user_id string, ts_s long"
+    )
+    twin = {
+        (r.user_id, r.ts_s): r.session_id
+        for r in W.sessionize(batch, ["user_id"], "ts_s", GAP).collect()
+    }
+    assert twin == expect
+
+
+def test_stream_upsert_matches_batch_scd2(spark, dirs):
+    hdr = "ResourceId,PreciseTimeStamp,Status"
+    _write_csv(
+        f"{dirs['landing']}/c1.csv",
+        [("r1", "2024-01-01 00:00:00", "ok"), ("r2", "2024-01-01 00:00:00", "warn")],
+        header=hdr,
+    )
+    schema = "ResourceId string, PreciseTimeStamp timestamp, Status string"
+    changes = (
+        spark.readStream.format("csv")
+        .schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(dirs["landing"])
+    )
+    q = stream_upsert(
+        changes,
+        dirs["target"],
+        ["ResourceId"],
+        "PreciseTimeStamp",
+        dirs["checkpoint"],
+    )
+    q.processAllAvailable()
+    # second drop: r1 changes, r3 appears, r2 unchanged
+    _write_csv(
+        f"{dirs['landing']}/c2.csv",
+        [
+            ("r1", "2024-02-01 00:00:00", "down"),
+            ("r2", "2024-02-01 00:00:00", "warn"),
+            ("r3", "2024-02-01 00:00:00", "ok"),
+        ],
+        header=hdr,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(dirs["target"])
+    S.validate_scd2(got, ["ResourceId"])
+    cur = {
+        r.ResourceId: r.Status for r in got.filter(F.col("currentVersion") == 1).collect()
+    }
+    assert cur == {"r1": "down", "r2": "warn", "r3": "ok"}
+    # r1's first version is expired history; r2 kept its original row
+    hist = got.filter(F.col("currentVersion") == 0).collect()
+    assert len(hist) == 1 and hist[0].ResourceId == "r1"
+
+    # batch twin: the same two changesets through operators.merge
+    str_schema = "ResourceId string, PreciseTimeStamp string, Status string"
+    b1 = spark.createDataFrame(
+        [("r1", "2024-01-01 00:00:00", "ok"), ("r2", "2024-01-01 00:00:00", "warn")],
+        str_schema,
+    ).withColumn("PreciseTimeStamp", F.to_timestamp("PreciseTimeStamp"))
+    b2 = spark.createDataFrame(
+        [
+            ("r1", "2024-02-01 00:00:00", "down"),
+            ("r2", "2024-02-01 00:00:00", "warn"),
+            ("r3", "2024-02-01 00:00:00", "ok"),
+        ],
+        str_schema,
+    ).withColumn("PreciseTimeStamp", F.to_timestamp("PreciseTimeStamp"))
+    twin = M.apply_changeset(
+        M.initial_load(b1, ["ResourceId"], "PreciseTimeStamp"),
+        b2,
+        ["ResourceId"],
+        "PreciseTimeStamp",
+    )
+    cols = sorted(got.columns)
+    assert sorted(twin.columns) == cols
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, twin.select(*cols).collect())
+    )
