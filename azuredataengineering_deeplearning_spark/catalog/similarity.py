@@ -79,3 +79,14 @@ def sim_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact, ≥ 0.45)."""
     e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return SIM.embedding_near_duplicates(e, threshold=0.45)
+
+
+@query("sim_ann_ivf_topk")  # approximate + fitted model → rows-only; recall pytest-checked
+def sim_ann_ivf_topk(spark, sf_dir):
+    """Approximate top-10 via IVF inverted lists (seeded k-means coarse
+    quantizer, nprobe=4 of 8 lists) — the FAISS-IVF scale path as
+    relational ops."""
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    cents = SIM.fit_ivf_centroids(e, n_lists=8, seed=42, max_iter=10)
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.ivf_ann_topk(e, q, cents, k=10, nprobe=4)

@@ -273,3 +273,130 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — the coarse-quantizer scale path (FAISS IVF analog, distributed)
+# ---------------------------------------------------------------------------
+
+
+def fit_ivf_centroids(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+):
+    """Train the IVF coarse quantizer: seeded k-means over (a sample of)
+    the corpus → a ``(n_lists, dim)`` numpy centroid matrix.
+
+    This is the distributed twin of the reference's single-node
+    ``faiss.index_factory(d, 'IVF65536,PQ8x8')`` train step
+    (``MachineLearning/ML/performant_faiss.py:5-16``): Spark ML KMeans
+    fits on executors; only the tiny centroid matrix (n_lists × dim
+    doubles) comes back to the driver — at 100 TB, train on
+    ``sample_fraction`` ≈ 1-10M rows, never the full corpus."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = vectors.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    if sample_fraction is not None:
+        df = df.sample(False, sample_fraction, seed=seed)
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(df)
+    return np.array(model.clusterCenters(), dtype=np.float64)
+
+
+def assign_ivf_lists(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    out: str = "ivf_lists",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Nearest-``nprobe`` centroid ids per row as an int array column.
+
+    One numpy GEMM per Arrow batch against the broadcast centroid
+    matrix: argmin ‖v−c‖² ≡ argmax (v·c − ½‖c‖²), so only the dot
+    products are computed. Corpus side uses nprobe=1 (each vector lives
+    in exactly one inverted list); the query side probes several."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cents)
+    from pyspark.sql.types import ArrayType, IntegerType, StructType
+
+    schema_out = StructType(list(df.schema.fields)).add(
+        out, ArrayType(IntegerType())
+    )
+    nprobe_eff = min(nprobe, len(cents))
+
+    def assign(batches):
+        C = bc.value
+        half_norms = 0.5 * (C * C).sum(axis=1)  # (n_lists,)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, dim)
+            scores = V @ C.T - half_norms  # argmax == nearest centroid
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe_eff]
+            pdf = pdf.copy()
+            pdf[out] = [row.astype("int32").tolist() for row in top]
+            yield pdf
+
+    return df.mapInPandas(assign, schema_out)
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via inverted lists: corpus rows land in their
+    nearest-centroid list, each query probes its ``nprobe`` nearest
+    lists, and the exact-cosine scoring join runs only on list-mates —
+    candidate volume ≈ nprobe/n_lists of the brute-force pairs.
+
+    Scale shape: the corpus side is ONE pass (assignment is map-side
+    against broadcast centroids, no shuffle); the exploded query side is
+    tiny and broadcast into the candidate join, so the whole query plan
+    shuffles nothing but the final per-query top-k window over
+    candidates. Exact twin: :func:`cosine_topk`; recall rises with
+    ``nprobe`` → n_lists (== brute force at nprobe = n_lists)."""
+    corpus = assign_ivf_lists(vectors, centroids, vec_col, out="__lists", nprobe=1)
+    corpus = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nv"),
+        F.sqrt(_exact_dot(F.col(vec_col), F.col(vec_col)).cast("double")).alias("__nn"),
+        F.col("__lists").getItem(0).alias("__list"),
+    )
+    probes = assign_ivf_lists(queries, centroids, vec_col, out="__lists", nprobe=nprobe)
+    probes = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.sqrt(_exact_dot(F.col(vec_col), F.col(vec_col)).cast("double")).alias("__qn"),
+        F.explode("__lists").alias("__list"),
+    )
+    cand = corpus.join(F.broadcast(probes), "__list").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _exact_dot(F.col("__qv"), F.col("__nv")).cast("double")
+            / (F.col("__qn") * F.col("__nn"))
+        ).alias("cos"),
+    )  # no dedup needed: each corpus vector lives in exactly one list,
+    # so a (query, neighbor) pair meets at most once — no extra shuffle
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

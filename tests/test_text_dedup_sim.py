@@ -81,3 +81,29 @@ def test_lang_id_deterministic(spark, docs):
     a = {r.doc_id: r.l for r in docs.select("doc_id", T.lang_id("text", LANG_MARKERS).alias("l")).collect()}
     b = {r.doc_id: r.l for r in docs.orderBy(F.rand(3)).select("doc_id", T.lang_id("text", LANG_MARKERS).alias("l")).collect()}
     assert a == b
+
+
+def test_ivf_recall_vs_bruteforce(spark, embs):
+    q = embs.filter(F.col("vec_id") < 20)
+    exact = SIM.cosine_topk(embs, q, k=10)
+    cents = SIM.fit_ivf_centroids(embs, n_lists=8, seed=42, max_iter=10)
+    approx = SIM.ivf_ann_topk(embs, q, cents, k=10, nprobe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, f"recall {recall}"  # nprobe=4 of 8 lists
+    # full probe == brute force (approximation is ONLY the list pruning)
+    full = SIM.ivf_ann_topk(embs, q, cents, k=10, nprobe=8)
+    f = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert f == e
+
+
+def test_ivf_assignment_partitions_corpus(spark, embs):
+    cents = SIM.fit_ivf_centroids(embs, n_lists=8, seed=42, max_iter=10)
+    assigned = SIM.assign_ivf_lists(embs, cents, nprobe=1)
+    # every vector in exactly one list; all 8 lists used on 500 vectors
+    import pyspark.sql.functions as F2
+    sizes = assigned.groupBy(F2.col("ivf_lists").getItem(0).alias("l")).count()
+    rows = sizes.collect()
+    assert sum(r["count"] for r in rows) == embs.count()
+    assert len(rows) == 8
