@@ -20,6 +20,8 @@ HEADLINE = [
     # multi-table joins (Q5/Q3 shapes)
     "q5_revenue_by_nation",
     "q3_shipping_priority",
+    "q8_market_share",
+    "q18_large_volume_customers",
     "j1_broadcast_dim_join",
     # windows over events
     "w2_salted_cumsum_events",
