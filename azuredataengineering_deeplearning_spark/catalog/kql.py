@@ -64,3 +64,35 @@ def kql_arg_max(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["events"])
     out = kql_to_df(t, "events | summarize arg_max(event_id, *) by user_id")
     return out.select("event_id", "user_id")
+
+
+@query(
+    "kql_bin_ago",
+    """
+    SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 86400) * 86400) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 14 DAY
+    GROUP BY day
+    """,
+)
+def kql_bin_ago(spark, sf_dir):
+    """KQL `where ts >= ago(14d) | summarize ... by bin(ts, 1d)` — the
+    Azure-Monitor daily-rollup shape (``daily_eval.py:156`` ago-filter +
+    epoch-aligned binning), `now` pinned for determinism. The summarize
+    decimal-sum matches the engine's exact-aggregation convention."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    # translator handles the Kusto-shaped where/extend; the final agg is
+    # engine-exact (the translator's own sum() mirrors Kusto's double)
+    filtered = kql_to_df(
+        t,
+        "events | where ts >= ago(14d) | extend day = bin(ts, 1d)",
+        now="2024-01-31 00:00:00",
+    )
+    return filtered.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+    )

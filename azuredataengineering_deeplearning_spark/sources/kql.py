@@ -10,7 +10,10 @@ adapter uses it as its offline executor).
 Supported pipe operators:
 ``where`` ``project`` ``project-rename`` ``extend`` ``take``/``limit``
 ``sort by`` ``top N by`` ``distinct`` ``summarize ... by ...``
-``count`` ``arg_max(col, *)`` (inside summarize).
+``count`` ``arg_max(col, *)`` (inside summarize). Scalars: ``ago(14d)``
+(``synapse_sql_pool_dynamic_scaler.py:21``, ``daily_eval.py:156``) and
+``bin(ts, 1h)`` epoch-aligned bucketing; pass ``now=`` for a
+deterministic clock in tests/backfills.
 
 Expression translation is textual (KQL ``==``/``!=``/``and``/``or``/
 ``contains``/``startswith``/``endswith``/``in`` → Spark SQL) and routed
@@ -35,9 +38,32 @@ _AGG_FNS = {
 }
 
 
-def _expr(kql: str) -> str:
+_TIMESPAN_SECONDS = {"d": 86400, "h": 3600, "m": 60, "s": 1}
+
+
+def _timespan_s(n: str, unit: str) -> int:
+    return int(n) * _TIMESPAN_SECONDS[unit]
+
+
+def _expr(kql: str, now: str | None = None) -> str:
     """KQL scalar/boolean expression → Spark SQL text."""
     s = kql
+    now_sql = f"timestamp'{now}'" if now else "current_timestamp()"
+    s = re.sub(
+        r"\bago\((\d+)([dhms])\)",
+        lambda m: f"({now_sql} - make_interval(0,0,0,0,0,0,{_timespan_s(m.group(1), m.group(2))}))",
+        s,
+    )
+    # KQL bin(ts, 1h): floor to an epoch-aligned multiple of the bin size
+    s = re.sub(
+        r"\bbin\(([^,]+),\s*(\d+)([dhms])\)",
+        lambda m: (
+            f"timestamp_seconds(floor(unix_timestamp({m.group(1).strip()})"
+            f" / {_timespan_s(m.group(2), m.group(3))})"
+            f" * {_timespan_s(m.group(2), m.group(3))})"
+        ),
+        s,
+    )
     s = re.sub(r"\bcontains\s+('[^']*')", r" LIKE concat('%', \1, '%')", s)
     s = re.sub(r"\bstartswith\s+('[^']*')", r" LIKE concat(\1, '%')", s)
     s = re.sub(r"\bendswith\s+('[^']*')", r" LIKE concat('%', \1)", s)
@@ -46,8 +72,11 @@ def _expr(kql: str) -> str:
     return s
 
 
-def kql_to_df(tables: dict[str, DataFrame], query: str) -> DataFrame:
-    """Execute a KQL pipe over named DataFrames."""
+def kql_to_df(
+    tables: dict[str, DataFrame], query: str, now: str | None = None
+) -> DataFrame:
+    """Execute a KQL pipe over named DataFrames. ``now`` (ISO timestamp
+    string) pins ``ago()`` for deterministic replays; default wall clock."""
     stages = [p.strip() for p in query.strip().split("|")]
     if not stages or stages[0] not in tables:
         raise ValueError(f"unknown table {stages[0]!r}; have {sorted(tables)}")
@@ -57,13 +86,13 @@ def kql_to_df(tables: dict[str, DataFrame], query: str) -> DataFrame:
         op, _, rest = stage.partition(" ")
         rest = rest.strip()
         if op == "where":
-            df = df.filter(F.expr(_expr(rest)))
+            df = df.filter(F.expr(_expr(rest, now)))
         elif op == "project":
             cols = []
             for part in _split_csv(rest):
                 m = re.match(r"^(\w+)\s*=\s*(.+)$", part)
                 if m:
-                    cols.append(F.expr(_expr(m.group(2))).alias(m.group(1)))
+                    cols.append(F.expr(_expr(m.group(2), now)).alias(m.group(1)))
                 else:
                     cols.append(F.col(part))
             df = df.select(*cols)
@@ -76,7 +105,7 @@ def kql_to_df(tables: dict[str, DataFrame], query: str) -> DataFrame:
                 m = re.match(r"^(\w+)\s*=\s*(.+)$", part)
                 if not m:
                     raise ValueError(f"extend needs name=expr: {part!r}")
-                df = df.withColumn(m.group(1), F.expr(_expr(m.group(2))))
+                df = df.withColumn(m.group(1), F.expr(_expr(m.group(2), now)))
         elif op in ("take", "limit"):
             df = df.limit(int(rest))
         elif op == "sort" or op == "order":
@@ -92,7 +121,7 @@ def kql_to_df(tables: dict[str, DataFrame], query: str) -> DataFrame:
         elif op == "count":
             df = df.agg(F.count(F.lit(1)).alias("Count"))
         elif op == "summarize":
-            df = _summarize(df, rest)
+            df = _summarize(df, rest, now)
         else:
             raise ValueError(f"unsupported KQL operator: {op!r}")
     return df
@@ -124,9 +153,19 @@ def _order_cols(spec: str):
     return cols
 
 
-def _summarize(df: DataFrame, rest: str) -> DataFrame:
+def _summarize(df: DataFrame, rest: str, now: str | None = None) -> DataFrame:
     agg_part, _, by_part = rest.partition(" by ")
-    keys = [c.strip() for c in _split_csv(by_part)] if by_part else []
+    keys = []
+    if by_part:
+        for part in _split_csv(by_part):
+            part = part.strip()
+            m = re.match(r"^(\w+)\s*=\s*(.+)$", part)
+            if m:  # named key expression, e.g. hour = bin(ts, 1h)
+                keys.append(F.expr(_expr(m.group(2), now)).alias(m.group(1)))
+            elif re.match(r"^\w+$", part):
+                keys.append(part)
+            else:  # bare expression key, e.g. bin(ts, 1h)
+                keys.append(F.expr(_expr(part, now)).alias(part.split("(")[0]))
 
     # arg_max(rev, *): latest-row-per-group — the daily_eval.py:158 shape
     m = re.match(r"^(?:(\w+)\s*=\s*)?arg_max\((\w+),\s*\*\)$", agg_part.strip())

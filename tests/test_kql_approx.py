@@ -76,3 +76,24 @@ def test_percentile_approx_tolerance(spark, events):
     exact = percentiles(events, "value", (0.5,)).collect()[0][0]
     approx = percentiles(events, "value", (0.5,), approx=True).collect()[0][0]
     assert abs(approx - exact) / max(abs(exact), 1e-9) < 0.05
+
+
+def test_kql_ago_pinned_and_wallclock(spark, events):
+    pinned = kql_to_df(
+        {"events": events}, "events | where ts >= ago(1d)", now="2024-01-02 00:00:00"
+    )
+    # only events within [now-1d, ...] survive
+    assert pinned.count() == events.filter("ts >= timestamp'2024-01-01 00:00:00'").count()
+    # wall-clock form parses and runs (2024 data is all in the past → empty)
+    assert kql_to_df({"events": events}, "events | where ts >= ago(1h)").count() == 0
+
+
+def test_kql_bin_buckets_align_to_epoch(spark, events):
+    out = kql_to_df(
+        {"events": events},
+        "events | summarize n=count() by h = bin(ts, 6h)",
+    )
+    rows = out.collect()
+    assert sum(r.n for r in rows) == events.count()
+    for r in rows:  # every bucket boundary is a multiple of 6h since epoch
+        assert r.h.timestamp() % (6 * 3600) == 0
