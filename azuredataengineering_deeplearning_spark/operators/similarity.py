@@ -33,7 +33,10 @@ def cosine(a: Column, b: Column) -> Column:
     dot = _exact_dot(a, b).cast("double")
     na = F.sqrt(_exact_dot(a, a).cast("double"))
     nb = F.sqrt(_exact_dot(b, b).cast("double"))
-    return dot / (na * nb)
+    # try_divide: a zero-norm vector (empty doc, padding row) yields NULL
+    # cosine instead of failing the whole job under ANSI mode; NULLs sort
+    # last in desc rankings so they never enter a top-k.
+    return F.try_divide(dot, na * nb)
 
 
 def cosine_topk(
@@ -68,8 +71,10 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             (
-                _exact_dot(F.col("__qv"), F.col("__nv")).cast("double")
-                / (F.col("__qn") * F.col("__nn"))
+                F.try_divide(
+                    _exact_dot(F.col("__qv"), F.col("__nv")).cast("double"),
+                    F.col("__qn") * F.col("__nn"),
+                )
             ).alias("cos"),
         )
     )
@@ -178,8 +183,10 @@ def lsh_ann_topk(
             "query_id",
             "neighbor_id",
             (
-                _exact_dot(F.col("__qv"), F.col("__nv")).cast("double")
-                / (F.col("__qn") * F.col("__nn"))
+                F.try_divide(
+                    _exact_dot(F.col("__qv"), F.col("__nv")).cast("double"),
+                    F.col("__qn") * F.col("__nn"),
+                )
             ).alias("cos"),
         )
     )
@@ -267,8 +274,10 @@ def embedding_near_duplicates(
             "id_a",
             "id_b",
             (
-                _exact_dot(F.col("__va"), F.col("__vb")).cast("double")
-                / (F.col("__na") * F.col("__nb"))
+                F.try_divide(
+                    _exact_dot(F.col("__va"), F.col("__vb")).cast("double"),
+                    F.col("__na") * F.col("__nb"),
+                )
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
@@ -390,9 +399,9 @@ def ivf_ann_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (
-            _exact_dot(F.col("__qv"), F.col("__nv")).cast("double")
-            / (F.col("__qn") * F.col("__nn"))
+        F.try_divide(
+            _exact_dot(F.col("__qv"), F.col("__nv")).cast("double"),
+            F.col("__qn") * F.col("__nn"),
         ).alias("cos"),
     )  # no dedup needed: each corpus vector lives in exactly one list,
     # so a (query, neighbor) pair meets at most once — no extra shuffle
