@@ -1,0 +1,94 @@
+"""Edge semantics across operator families: nulls, empties, singleton
+groups — the inputs a 100-TB corpus *will* contain somewhere."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from azuredataengineering_deeplearning_spark.operators import aggregates as A
+from azuredataengineering_deeplearning_spark.operators import dedup as DD
+from azuredataengineering_deeplearning_spark.operators import merge as M
+from azuredataengineering_deeplearning_spark.operators import profile as P
+from azuredataengineering_deeplearning_spark.operators import similarity as SIM
+from azuredataengineering_deeplearning_spark.operators import windows as W
+
+
+def test_cumsum_null_values_pass_through(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 5.0)],
+        "k string, t int, v double",
+    )
+    rows = {r.t: r.c for r in W.cumsum(df, ["k"], "t", "v", out="c").collect()}
+    # SQL SUM ignores NULL: running sum holds at the null row
+    assert rows[1] == 10.0 and rows[2] == 10.0 and rows[3] == 15.0
+
+
+def test_cumsum_null_key_forms_its_own_group(spark):
+    df = spark.createDataFrame(
+        [(None, 1, 1.0), (None, 2, 2.0), ("a", 1, 5.0)],
+        "k string, t int, v double",
+    )
+    out = W.cumsum(df, ["k"], "t", "v", out="c")
+    null_rows = sorted(
+        (r.t, r.c) for r in out.filter(F.col("k").isNull()).collect()
+    )
+    assert null_rows == [(1, 1.0), (2, 3.0)]  # window partitioning groups NULLs
+
+
+def test_sessionize_singleton_and_empty(spark):
+    one = spark.createDataFrame([("u", 100)], "k string, ts long")
+    assert W.sessionize(one, ["k"], "ts", 10).collect()[0].session_id == 1
+    empty = one.filter("ts < 0")
+    assert W.sessionize(empty, ["k"], "ts", 10).count() == 0
+
+
+def test_entropy_single_value_group_is_zero(spark):
+    df = spark.createDataFrame([("g", "x")] * 4, "g string, v string")
+    ent = A.entropy(df, ["g"], "v").collect()[0].entropy
+    assert ent == pytest.approx(0.0)
+
+
+def test_shrink_types_all_null_column_survives(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "a long, b long")
+    out = P.shrink_types(df)
+    # all-NULL column downcast to the smallest type, values stay NULL
+    assert dict(out.dtypes)["b"] == "tinyint"
+    assert out.filter(F.col("b").isNull()).count() == 2
+
+
+def test_exact_dedup_null_text_not_grouped_with_empty(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "")],
+        "doc_id long, text string",
+    )
+    # null and '' are distinct dedup classes
+    groups = DD.exact_duplicates(df, "doc_id", "text")
+    ids = {r.doc_id for r in groups.collect()}
+    # one survivor per class → 2 duplicates flagged total, never mixing classes
+    assert ids.issubset({1, 2, 3, 4})
+    pairs = groups.collect()
+    assert len(pairs) == 2
+
+
+def test_merge_empty_changeset_is_identity(spark):
+    b1 = spark.createDataFrame(
+        [("r1", "2024-01-01 00:00:00", "ok")],
+        "ResourceId string, PreciseTimeStamp string, Status string",
+    ).withColumn("PreciseTimeStamp", F.to_timestamp("PreciseTimeStamp"))
+    t = M.initial_load(b1, ["ResourceId"], "PreciseTimeStamp")
+    empty = b1.filter("Status = 'nope'")
+    t2 = M.apply_changeset(t, empty, ["ResourceId"], "PreciseTimeStamp")
+    assert sorted(map(tuple, t2.collect())) == sorted(map(tuple, t.collect()))
+
+
+def test_cosine_zero_vector_yields_null_not_error(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = SIM.cosine_topk(df, df.filter("vec_id = 1"), k=2).collect()
+    # zero-norm query: every cosine NULL; rows still rank (nulls last), no crash
+    assert all(r.cos is None for r in out)
+    ok = SIM.cosine_topk(df, df.filter("vec_id = 2"), k=2).collect()
+    by_n = {r.neighbor_id: r.cos for r in ok}
+    assert by_n[3] == pytest.approx(0.0)
+    assert by_n[1] is None  # zero-norm corpus vector → NULL cosine, ranked last
