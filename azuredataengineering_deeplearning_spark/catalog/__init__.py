@@ -56,6 +56,7 @@ def load_all() -> None:
         "coverage",
         "tpch_shapes",
         "tpch_more",
+        "tpch_complete",
         "pipelines",
         "grouping",
         "kql",
