@@ -20,6 +20,7 @@ double casts only at output — so the DuckDB hash-compare is stable.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from azuredataengineering_deeplearning_spark.catalog import query
@@ -72,8 +73,8 @@ def q2_min_cost_supplier(spark, sf_dir):
     Supply cost = MIN(l_extendedprice/l_quantity) per (part, supplier):
     MIN over IEEE doubles is order-independent, so the min-equality
     filter is exact on both engines. supplier/nation/region and the
-    filtered part dim broadcast; the two aggregations share the
-    l_partkey shuffle key so AQE reuses the exchange."""
+    filtered part dim broadcast; the per-part best rides a window over
+    the (pk, sk) aggregate so lineitem is scanned exactly once."""
     t = load_tables(
         spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"]
     )
@@ -101,12 +102,15 @@ def q2_min_cost_supplier(spark, sf_dir):
         )
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
-    best = cost.groupBy("pk").agg(F.min("unit_cost").alias("best_cost"))
+    # per-part best as an unordered window over the (pk, sk) aggregate:
+    # one lineitem scan and the pk shuffle is shared, instead of a second
+    # scan + groupBy + join-back branch
+    best = F.min("unit_cost").over(Window.partitionBy("pk"))
     part = t["part"].filter(
         F.col("p_size").isin(5, 10, 15, 20) & (F.col("p_type") == "LARGE")
     )
     return (
-        cost.join(best, "pk")
+        cost.withColumn("best_cost", best)
         .filter(F.col("unit_cost") == F.col("best_cost"))
         .join(F.broadcast(part), F.col("p_partkey") == F.col("pk"))
         .join(F.broadcast(euro), F.col("s_suppkey") == F.col("sk"))
@@ -332,24 +336,30 @@ def q15_top_supplier(spark, sf_dir):
 def q20_part_promotion_suppliers(spark, sf_dir):
     """TPC-H Q20 shape: suppliers holding a dominant share of a part
     family — the aggregated correlated subquery (availqty > 0.5 * sum
-    shipped, here >30% of the part's 1997 shipped total) becomes two
-    grouped aggs on the same l_partkey shuffle key, then DISTINCT
-    supplier keys drive a left-semi join against the supplier dim."""
+    shipped, here >30% of the part's 1997 shipped total) becomes one
+    grouped agg plus an unordered window on the same l_partkey shuffle,
+    then DISTINCT supplier keys drive a left-semi join against the
+    supplier dim."""
     t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation"])
+    bolt = t["part"].filter(F.col("p_name").like("%bolt%")).select("p_partkey")
+    # semi-filter to the part family BEFORE aggregating — the per-part
+    # total is unchanged (window partitions by pk) and the shuffle only
+    # carries qualifying parts
     shipped = (
         t["lineitem"]
         .filter(
             (F.col("l_shipdate") >= "1997-01-01")
             & (F.col("l_shipdate") < "1998-01-01")
         )
+        .join(F.broadcast(bolt), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
         .agg(F.sum(dec("l_quantity")).alias("qty"))
     )
-    tot = shipped.groupBy("pk").agg(F.sum("qty").alias("tot_qty"))
-    bolt = t["part"].filter(F.col("p_name").like("%bolt%")).select("p_partkey")
+    # per-part total as an unordered window over the (pk, sk) aggregate:
+    # one scan, the pk shuffle shared, no second groupBy + join-back
+    tot_qty = F.sum("qty").over(Window.partitionBy("pk"))
     qualifying = (
-        shipped.join(tot, "pk")
-        .join(F.broadcast(bolt), F.col("p_partkey") == F.col("pk"), "left_semi")
+        shipped.withColumn("tot_qty", tot_qty)
         .filter(
             F.col("qty").cast("double")
             > F.lit(0.3) * F.col("tot_qty").cast("double")
@@ -392,30 +402,35 @@ def q21_waiting_suppliers(spark, sf_dir):
     NOT EXISTS (anyone shipping later) double correlation, expressed as
     per-(order, supplier) MAX shipdate → per-order MAX + supplier count
     → keep sole latest shippers on multi-supplier orders. Timestamp
-    MAX is exact, so the equality join is deterministic. Three aggs
-    ride the same l_orderkey shuffle key; supplier dim broadcasts."""
+    MAX is exact, so the equality filter is deterministic. All
+    per-order stats ride one window over the l_orderkey shuffle;
+    supplier dim broadcasts."""
     t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
     per = (
         t["lineitem"]
         .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
         .agg(F.max("l_shipdate").alias("s_max"))
     )
-    agg = per.groupBy("ok").agg(
-        F.max("s_max").alias("o_max"), F.count(F.lit(1)).alias("n_supp")
-    )
-    latest = (
-        per.join(agg, "ok")
-        .filter((F.col("s_max") == F.col("o_max")) & (F.col("n_supp") > 1))
-        .select("ok", "sk")
-    )
-    uniq = (
-        latest.groupBy("ok")
-        .agg(F.count(F.lit(1)).alias("n_latest"))
-        .filter(F.col("n_latest") == 1)
-        .select("ok")
+    # per-order max / supplier count / latest-shipper count all ride ONE
+    # unordered window over the (ok, sk) aggregate — a single lineitem
+    # scan and a single ok shuffle instead of three agg+join branches
+    w = Window.partitionBy("ok")
+    enriched = (
+        per.withColumn("o_max", F.max("s_max").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_latest",
+            F.sum(
+                F.when(F.col("s_max") == F.col("o_max"), 1).otherwise(0)
+            ).over(w),
+        )
     )
     return (
-        latest.join(uniq, "ok", "left_semi")
+        enriched.filter(
+            (F.col("s_max") == F.col("o_max"))
+            & (F.col("n_supp") > 1)
+            & (F.col("n_latest") == 1)
+        )
         .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("sk"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

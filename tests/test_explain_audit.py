@@ -117,3 +117,30 @@ def test_q22_anti_join_no_shuffled_cartesian(spark, sf_dir):
     plan = _plan(E.queries()["q22_inactive_customers"](spark, sf_dir))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q2_single_lineitem_scan(spark, sf_dir):
+    # per-part best cost rides a window over the (pk, sk) aggregate —
+    # a second groupBy+join branch would scan lineitem twice
+    plan = _plan(E.queries()["q2_min_cost_supplier"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan
+
+
+def test_q20_single_lineitem_scan_and_semi_before_agg(spark, sf_dir):
+    plan = _plan(E.queries()["q20_part_promotion_suppliers"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "LeftSemi" in plan
+
+
+def test_q21_one_window_pass_single_scan(spark, sf_dir):
+    # the exists/not-exists double correlation folds into one l_orderkey
+    # window pass; the naive three-branch plan had 8 exchanges + 3 scans
+    plan = _plan(E.queries()["q21_waiting_suppliers"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_q12_shipdate_range_pushed(spark, sf_dir):
+    plan = _plan(E.queries()["q12_late_shipment_priority"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
