@@ -232,3 +232,92 @@ def dedup_minhash_signatures(spark, sf_dir):
     independently oracle-checked."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return DD.minhash_signatures(d, "doc_id", "text")
+
+
+_REPETITION_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest([ts[i] || ' ' || ts[i+1]
+                     for i in generate_series(1, len(ts) - 1)]) AS gram
+      FROM toks WHERE len(ts) >= 2
+    ), cnts AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_ngram_frac,
+           CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(cnt) AS DOUBLE) AS dup_ngram_frac
+    FROM cnts GROUP BY doc_id
+"""
+
+
+@query("t_repetition_metrics", _REPETITION_SQL)
+def t_repetition_metrics(spark, sf_dir):
+    """Gopher/C4-style repetition filters: top-bigram share and
+    duplicated-bigram share per document (boilerplate / spun-text
+    detectors for corpus curation)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return T.repetition_metrics(d, "doc_id", "text", n=2)
+
+
+_CLUSTER_SQL = f"""
+    WITH RECURSIVE pairs AS ({{jaccard}}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    )
+    SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node
+"""
+
+
+@query("dedup_clusters", _CLUSTER_SQL.format(jaccard=_EXACT_JACCARD_SQL.format(thr=0.8)))
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs resolved to connected components: (node,
+    cluster_id = min reachable doc_id). The oracle walks the same pair
+    set with a recursive CTE; the engine uses distributed min-label
+    propagation (O(diameter) shuffles — see dedup.resolve_clusters)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = DD.minhash_near_duplicates(d, "doc_id", "text", threshold=0.8)
+    return DD.resolve_clusters(pairs)
+
+
+_CANONICAL_SQL = f"""
+    WITH RECURSIVE pairs AS ({_EXACT_JACCARD_SQL.format(thr=0.8)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    cc AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node)
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+"""
+
+
+@query("dedup_canonical_docs", _CANONICAL_SQL)
+def dedup_canonical_docs(spark, sf_dir):
+    """The dedup end-game: drop every near-dup cluster member except the
+    canonical (smallest doc_id) survivor — the corpus a training run
+    would actually consume. Anti-join of documents against non-canonical
+    cluster members; the cluster frame is tiny relative to the corpus,
+    so it broadcasts."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = DD.minhash_near_duplicates(d, "doc_id", "text", threshold=0.8)
+    clusters = DD.resolve_clusters(pairs)
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select("node")
+    return d.join(
+        F.broadcast(losers), d["doc_id"] == F.col("node"), "left_anti"
+    ).select("doc_id", "n_chars")

@@ -146,3 +146,43 @@ def fingerprint_fast(col: Column | str) -> Column:
     """64-bit xxhash fingerprint — the scale path (8 bytes/doc of shuffle
     instead of 32)."""
     return F.xxhash64(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
+
+
+def word_ngrams(col: Column | str, n: int = 2, sep: str = TOKEN_SPLIT) -> Column:
+    """All (non-distinct) n-word grams of a document → array<string>.
+    Unlike :func:`word_shingles` this keeps multiplicity — the input to
+    repetition metrics, where how *often* a gram repeats is the signal."""
+    w = tokens(col, sep)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher/C4-style repetition quality filters per document:
+
+    - ``top_ngram_frac``: share of n-grams taken by the single most
+      frequent n-gram (boilerplate / chant detector);
+    - ``dup_ngram_frac``: share of n-grams that occur more than once
+      (templated/spun-text detector).
+
+    Two grouped aggregations, both partial-aggregated map-side; the
+    (id, gram) shuffle is the only wide stage and carries one row per
+    *distinct* gram per doc — at 100 TB this is the same shape as the
+    MinHash shingle stage and scales identically."""
+    grams = df.select(id_col, F.explode(word_ngrams(text_col, n)).alias("__g"))
+    cnts = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+    total = F.sum("__c")
+    return cnts.groupBy(id_col).agg(
+        (F.max("__c").cast("double") / total).alias("top_ngram_frac"),
+        (
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).cast("double")
+            / total
+        ).alias("dup_ngram_frac"),
+    )

@@ -107,3 +107,40 @@ def test_ivf_assignment_partitions_corpus(spark, embs):
     rows = sizes.collect()
     assert sum(r["count"] for r in rows) == embs.count()
     assert len(rows) == 8
+
+
+def test_resolve_clusters_components(spark):
+    from azuredataengineering_deeplearning_spark.operators import dedup as DD2
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 9)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.node, r.cluster_id)
+        for r in DD2.resolve_clusters(pairs).collect()
+    }
+    # chain 1-2-3 collapses to root 1 (transitively, not just direct
+    # neighbors); 7-8 is its own component; self-loop 9 stays alone
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)}
+
+
+def test_repetition_metrics_known_values(spark):
+    from azuredataengineering_deeplearning_spark.operators import text as T2
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x x x"),          # bigrams: 3 x 'x x' -> top=1.0 dup=1.0
+            (2, "a b c d"),          # all distinct -> top=1/3, dup=0
+            (3, "a b a b a"),        # 'a b' x2, 'b a' x2 -> top=0.5 dup=1.0
+            (4, "solo"),             # < n tokens -> no output row
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in T2.repetition_metrics(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert abs(rows[1].top_ngram_frac - 1.0) < 1e-9
+    assert abs(rows[1].dup_ngram_frac - 1.0) < 1e-9
+    assert abs(rows[2].top_ngram_frac - 1 / 3) < 1e-9
+    assert rows[2].dup_ngram_frac == 0.0
+    assert abs(rows[3].top_ngram_frac - 0.5) < 1e-9
+    assert abs(rows[3].dup_ngram_frac - 1.0) < 1e-9
