@@ -141,3 +141,13 @@ def u10_reverse_groups(spark, sf_dir):
     return U.reverse_groups(
         ev, ["user_id"], "ts_ns", "event_id", pos="pos", out="event_id"
     )
+
+@query("u_stratified_sample")  # seeded RNG differs across engines → rows-only
+def u_stratified_sample(spark, sf_dir):
+    """Per-stratum seeded sampling (sampleBy): language-balanced corpus
+    draw — downsample dominant 'en', keep the rest (rates tested in
+    pytest within binomial bounds)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return U.stratified_sample(
+        d, "lang", {"en": 0.2, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    ).select("doc_id", "lang")

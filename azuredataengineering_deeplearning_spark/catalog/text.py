@@ -321,3 +321,33 @@ def dedup_canonical_docs(spark, sf_dir):
     return d.join(
         F.broadcast(losers), d["doc_id"] == F.col("node"), "left_anti"
     ).select("doc_id", "n_chars")
+
+
+_CONTAMINATION_SQL = """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                            || ' ' || ts[i+3] || ' ' || ts[i+4]
+                            for i in generate_series(1, len(ts) - 4)]) AS gs
+      FROM toks WHERE len(ts) >= 5
+    ), bg AS (
+      SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE source = 'src0'
+    ), cg AS (
+      SELECT doc_id, unnest(gs) AS gram FROM grams WHERE source <> 'src0'
+    )
+    SELECT doc_id, COUNT(*) AS overlap_grams
+    FROM cg JOIN bg USING (gram) GROUP BY doc_id
+"""
+
+
+@query("dedup_contamination", _CONTAMINATION_SQL)
+def dedup_contamination(spark, sf_dir):
+    """Benchmark-contamination sweep: training-corpus docs (source <>
+    'src0') sharing any distinct 5-gram with the held-out benchmark
+    slice (source = 'src0'), with the count of overlapping grams."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    return DD.contamination_flags(corpus, bench, "doc_id", "text", n=5)

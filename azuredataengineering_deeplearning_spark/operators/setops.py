@@ -136,3 +136,18 @@ def reverse_groups(
     )
     g = df.groupBy(*keys).agg(F.reverse(ordered).alias("__rev"))
     return g.select(*keys, F.posexplode("__rev").alias(pos, out))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum seeded sampling (``df.sampleBy``): each stratum value
+    keeps its own fraction — the dataset-mixing primitive when rates are
+    specified per language/source rather than per input table (compare
+    ``mixture_sample``, which targets an output size). Strata absent
+    from ``fractions`` are dropped, matching sampleBy semantics. A
+    map-only plan: no shuffle at any scale."""
+    return df.sampleBy(strata_col, dict(fractions), seed=seed)

@@ -22,6 +22,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q8_market_share",
     "q18_large_volume_customers",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
     "j1_broadcast_dim_join",
     # windows over events
     "w2_salted_cumsum_events",
@@ -31,6 +33,7 @@ HEADLINE = [
     "scd2_merge_changeset",
     # LLM-pipeline layer
     "dedup_minhash_lsh",
+    "dedup_contamination",
     "sim_cosine_topk",
     "pipeline_corpus_prep",
     # time series + recursion

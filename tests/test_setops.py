@@ -51,3 +51,21 @@ def test_reverse_groups_is_inverse(spark):
     )
     out = U.reverse_groups(df, ["k"], "t", "v").orderBy("pos").collect()
     assert [r.value for r in out] == ["c", "b", "a"]
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from azuredataengineering_deeplearning_spark.operators import setops as U2
+    from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    fr = {"en": 0.2, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    s1 = U2.stratified_sample(d, "lang", fr, seed=7)
+    got = {r["lang"]: r["count"] for r in s1.groupBy("lang").count().collect()}
+    base = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    # full-rate strata keep every row; sampled stratum lands in loose
+    # binomial bounds; determinism: same seed → same rows
+    for lang in ("de", "es", "fr", "zh"):
+        assert got[lang] == base[lang]
+    assert 0.05 * base["en"] <= got.get("en", 0) <= 0.45 * base["en"]
+    s2 = U2.stratified_sample(d, "lang", fr, seed=7)
+    assert s1.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0
