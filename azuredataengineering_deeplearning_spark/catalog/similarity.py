@@ -90,3 +90,23 @@ def sim_ann_ivf_topk(spark, sf_dir):
     cents = SIM.fit_ivf_centroids(e, n_lists=8, seed=42, max_iter=10)
     q = e.filter(F.col("vec_id") < 5)
     return SIM.ivf_ann_topk(e, q, cents, k=10, nprobe=4)
+
+
+@query(
+    "sim_quantize_embeddings",
+    """
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(LEAST(GREATEST(FLOOR((CAST(x AS DOUBLE) + 0.5) / 1.0 * 256),
+                                      0), 255) AS INT)) AS codes
+    FROM embeddings
+    """,
+)
+def sim_quantize_embeddings(spark, sf_dir):
+    """8-bit scalar quantization of the embedding column over a fixed
+    [-0.5, 0.5] range — integer codes hash-compare bit-exactly; the
+    reconstruction-error bound is pytest-checked."""
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return SIM.quantize_embeddings(e, "embedding", lo=-0.5, hi=0.5).select(
+        "vec_id", "codes"
+    )

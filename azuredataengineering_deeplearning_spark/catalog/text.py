@@ -351,3 +351,23 @@ def dedup_contamination(spark, sf_dir):
     corpus = d.filter(F.col("source") != "src0")
     bench = d.filter(F.col("source") == "src0")
     return DD.contamination_flags(corpus, bench, "doc_id", "text", n=5)
+
+
+@query(
+    "t_token_budget_rates",
+    """
+    WITH per AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, tokens,
+           LEAST(1.0, 50000.0 / CAST(tokens AS DOUBLE)) AS rate
+    FROM per
+    """,
+)
+def t_token_budget_rates(spark, sf_dir):
+    """Token-budget mixture planning: per-language token totals and the
+    sampling rate hitting a 50k-token budget per language (input to
+    stratified_sample for token-balanced dataset mixing)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return T.token_budget_rates(d, "lang", "text", budget_per_stratum=50_000)

@@ -409,3 +409,62 @@ def ivf_ann_topk(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    lo: float = -0.5,
+    hi: float = 0.5,
+    bits: int = 8,
+    out_col: str = "codes",
+) -> DataFrame:
+    """Scalar quantization of a float-array column to integer codes —
+    the storage/IO lever for 100-TB vector corpora (8-bit codes cut the
+    scan bytes of a float32 embedding column 4x before any index work).
+
+    ``code = clamp(floor((x - lo) / (hi - lo) * 2^bits), 0, 2^bits - 1)``
+
+    — a uniform grid of 2^bits buckets of width (hi - lo) / 2^bits.
+    Pure column expression (no UDF, no shuffle); double arithmetic and
+    FLOOR make codes bit-identical across engines. Codes stay ints in
+    an array<int> column; see :func:`dequantize_embeddings` for the
+    bucket-midpoint reconstruction whose error is bounded by
+    (hi - lo) / 2^(bits+1)."""
+    span = hi - lo
+    buckets = 1 << bits
+    max_code = buckets - 1
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x: F.least(
+            F.greatest(
+                F.floor((x.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(buckets)),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(max_code).cast("bigint"),
+        ).cast("int"),
+    )
+    return df.withColumn(out_col, codes)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    codes_col: str = "codes",
+    lo: float = -0.5,
+    hi: float = 0.5,
+    bits: int = 8,
+    out_col: str = "embedding_deq",
+) -> DataFrame:
+    """Midpoint reconstruction of :func:`quantize_embeddings` codes:
+    ``x̂ = lo + (code + 0.5) * (hi - lo) / 2^bits`` — max abs error =
+    (hi - lo) / 2^(bits+1)."""
+    span = hi - lo
+    buckets = 1 << bits
+    deq = F.transform(
+        F.col(codes_col),
+        lambda c: (
+            F.lit(lo)
+            + (c.cast("double") + F.lit(0.5)) * F.lit(span) / F.lit(buckets)
+        ).cast("float"),
+    )
+    return df.withColumn(out_col, deq)

@@ -186,3 +186,28 @@ def repetition_metrics(
             / total
         ).alias("dup_ngram_frac"),
     )
+
+
+def token_budget_rates(
+    df: DataFrame,
+    strata_col: str,
+    text_col: str = "text",
+    budget_per_stratum: int = 50_000,
+) -> DataFrame:
+    """Token-budget mixture planning: per-stratum token totals and the
+    sampling rate that hits a per-stratum token budget → (stratum,
+    tokens, rate). rate = min(1, budget / tokens) — under-budget strata
+    keep everything; oversized strata downsample proportionally. Feed
+    the rates to :func:`operators.setops.stratified_sample`. One grouped
+    agg with map-side partials; no driver collect."""
+    per = df.groupBy(strata_col).agg(
+        F.sum(token_count(text_col)).alias("tokens")
+    )
+    return per.select(
+        strata_col,
+        "tokens",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_per_stratum)) / F.col("tokens").cast("double"),
+        ).alias("rate"),
+    )

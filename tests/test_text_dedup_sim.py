@@ -144,3 +144,43 @@ def test_repetition_metrics_known_values(spark):
     assert rows[2].dup_ngram_frac == 0.0
     assert abs(rows[3].top_ngram_frac - 0.5) < 1e-9
     assert abs(rows[3].dup_ngram_frac - 1.0) < 1e-9
+
+
+def test_quantize_dequantize_error_bound(spark, embs):
+    from azuredataengineering_deeplearning_spark.operators import similarity as SIM2
+
+    # range must cover the data for the midpoint bound to hold
+    # (sf0.01 embeddings reach ±0.53; out-of-range values clamp)
+    q = SIM2.quantize_embeddings(embs, "embedding", lo=-0.6, hi=0.6)
+    dq = SIM2.dequantize_embeddings(q, "codes", lo=-0.6, hi=0.6)
+    err = dq.select(
+        F.aggregate(
+            F.zip_with(
+                "embedding", "embedding_deq", lambda a, b: F.abs(a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err")
+    ).agg(F.max("max_err").alias("worst")).collect()[0]["worst"]
+    # midpoint reconstruction: |x - x̂| ≤ (hi-lo)/2^(bits+1) = 1.2/512
+    assert err <= 1.2 / 512 + 1e-7, err
+    # codes are in range and integer-typed
+    row = q.select("codes").first()
+    assert all(0 <= c <= 255 for c in row["codes"])
+
+
+def test_token_budget_rates_semantics(spark, sf_dir):
+    from azuredataengineering_deeplearning_spark.operators import text as T3
+    from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    rates = {
+        r["lang"]: r
+        for r in T3.token_budget_rates(d, "lang", budget_per_stratum=10).collect()
+    }
+    # tiny budget → every stratum downsamples, rate = budget/tokens
+    for lang, r in rates.items():
+        assert 0 < r["rate"] < 1
+        assert abs(r["rate"] - 10.0 / r["tokens"]) < 1e-12
+    huge = T3.token_budget_rates(d, "lang", budget_per_stratum=10**12).collect()
+    assert all(r["rate"] == 1.0 for r in huge)  # under budget keeps all
