@@ -184,3 +184,24 @@ def test_token_budget_rates_semantics(spark, sf_dir):
         assert abs(r["rate"] - 10.0 / r["tokens"]) < 1e-12
     huge = T3.token_budget_rates(d, "lang", budget_per_stratum=10**12).collect()
     assert all(r["rate"] == 1.0 for r in huge)  # under budget keeps all
+
+
+def test_quantized_search_recall(spark, embs):
+    """Compression-aware search: top-k over int8-reconstructed vectors
+    recovers most of the exact float top-k (the 100-TB pattern: scan
+    codes, not floats; re-rank survivors with full precision)."""
+    from azuredataengineering_deeplearning_spark.operators import similarity as SIM2
+
+    queries = embs.filter(F.col("vec_id") < 5)
+    exact = SIM2.cosine_topk(embs, queries, k=10)
+    corpus_q = SIM2.dequantize_embeddings(
+        SIM2.quantize_embeddings(embs, "embedding", lo=-0.6, hi=0.6),
+        "codes",
+        lo=-0.6,
+        hi=0.6,
+    ).select("vec_id", F.col("embedding_deq").alias("embedding"))
+    approx = SIM2.cosine_topk(corpus_q, queries, k=10)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, recall
