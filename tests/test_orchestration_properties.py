@@ -143,3 +143,52 @@ def test_shrink_types_preserves_values(spark, vals):
     before = {r.i: r.v for r in df.collect()}
     after = {r.i: r.v for r in shrunk.collect()}
     assert before == after  # downcast never loses observed values
+
+
+# ---------------------------------------------------------------------------
+# connected components vs union-find reference
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_resolve_clusters_matches_union_find(spark, edges):
+    from azuredataengineering_deeplearning_spark.operators import dedup as DD
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r.node: r.cluster_id for r in DD.resolve_clusters(pairs).collect()
+    }
+    # min-label propagation finds the same components as union-find,
+    # with min-id canonical labels (the property the canonical-survivor
+    # dedup depends on)
+    want = _union_find_components(edges)
+    # union-find roots ARE min ids: path compression keeps min(ra, rb)
+    assert got == want
