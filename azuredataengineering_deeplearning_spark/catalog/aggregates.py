@@ -7,7 +7,10 @@ from pyspark.sql import functions as F
 from azuredataengineering_deeplearning_spark.catalog import query
 from azuredataengineering_deeplearning_spark.functions.exact import exact_avg, sql_avg
 from azuredataengineering_deeplearning_spark.operators import aggregates as A
-from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+from azuredataengineering_deeplearning_spark.sources.readers import (
+    load_tables,
+    read_parquet,
+)
 
 
 @query(
@@ -168,3 +171,27 @@ def a13_max_string_lengths(spark, sf_dir):
     (``databricks_synapse_sql_writer.py:170-175``)."""
     p = read_parquet(spark, f"{sf_dir}/part.parquet")
     return A.max_string_lengths(p, ["p_name", "p_brand", "p_type"])
+
+
+@query(
+    "o_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def o_topk_per_group(spark, sf_dir):
+    """Top-3 orders by value per priority class — grouped top-k via one
+    window pass (argmax_rows generalized to k rows + rank)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return A.topk_per_group(
+        t["orders"],
+        ["o_orderpriority"],
+        "o_totalprice",
+        k=3,
+        tiebreak=["o_orderkey"],
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")

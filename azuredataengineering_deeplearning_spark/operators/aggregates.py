@@ -163,3 +163,25 @@ def weighted_mean(
             / F.sum(dec(F.col(weight))).cast("double")
         ).alias(alias)
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Top-k whole rows per group by ``order`` (+ ``rank``) — the
+    grouped generalization of :func:`argmax_rows` (k=1) and the
+    per-partition analog of the global TakeOrderedAndProject top-k (O4).
+    One shuffle on the group keys; rank assignment and the k-filter run
+    inside the window pass, so only k rows per group survive the stage
+    — no per-group sort materializes beyond the window sorter."""
+    cols = [F.col(order)] + [F.col(t) for t in tiebreak]
+    ordering = [c.desc() if descending else c.asc() for c in cols]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return df.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

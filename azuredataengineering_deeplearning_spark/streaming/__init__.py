@@ -13,8 +13,10 @@ from azuredataengineering_deeplearning_spark.streaming.stateful import (
     sessionize_stream,
 )
 from azuredataengineering_deeplearning_spark.streaming.upsert import stream_upsert
+from azuredataengineering_deeplearning_spark.streaming.dedup import stream_dedup
 
 __all__ = [
+    "stream_dedup",
     "stream_file_ingest",
     "run_until_drained",
     "tumbling_agg",

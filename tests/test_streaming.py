@@ -108,3 +108,63 @@ def test_watermarked_session_stream(spark, dirs):
     q.stop()
     ns = sorted(r.n for r in rows)
     assert ns == [1, 2]  # two sessions: events 1+2 (10 min apart), event 3
+
+
+def test_stream_dedup_within_watermark(spark, dirs):
+    from azuredataengineering_deeplearning_spark.streaming.dedup import stream_dedup
+
+    # drop 1: event 1 twice (same microbatch) + event 2
+    _write_csv(
+        f"{dirs['landing']}/d1_a.csv",
+        [
+            (1, "2024-01-01 00:00:00", "x"),
+            (1, "2024-01-01 00:00:30", "x-re"),
+            (2, "2024-01-01 00:01:00", "y"),
+        ],
+    )
+    src = (
+        spark.readStream.format("csv")
+        .schema(SCHEMA)
+        .option("header", "true")
+        .load(dirs["landing"])
+    )
+    deduped = stream_dedup(src, ["event_id"], ts_col="ts", within="10 minutes")
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["checkpoint"])
+        .start(dirs["out"])
+    )
+    run_until_drained(q)
+    # drop 2 (new query, same checkpoint): event 2 re-delivered within
+    # the horizon → dropped; event 3 is new → kept
+    _write_csv(
+        f"{dirs['landing']}/d2_b.csv",
+        [(2, "2024-01-01 00:02:00", "y-re"), (3, "2024-01-01 00:03:00", "z")],
+    )
+    src2 = (
+        spark.readStream.format("csv")
+        .schema(SCHEMA)
+        .option("header", "true")
+        .load(dirs["landing"])
+    )
+    q2 = (
+        stream_dedup(src2, ["event_id"], ts_col="ts", within="10 minutes")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["checkpoint"])
+        .start(dirs["out"])
+    )
+    run_until_drained(q2)
+    out = spark.read.parquet(dirs["out"])
+    got = sorted(r.event_id for r in out.select("event_id").collect())
+    assert got == [1, 2, 3]
+
+
+def test_stream_dedup_batch_path(spark):
+    from azuredataengineering_deeplearning_spark.streaming.dedup import stream_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], ["k", "v"]
+    )
+    assert stream_dedup(df, ["k"]).count() == 2
