@@ -96,3 +96,49 @@ def kql_bin_ago(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
     )
+
+
+@query(
+    "kql_join_summarize",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n, MAX(o_totalprice) AS top_order
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def kql_join_summarize(spark, sf_dir):
+    """KQL cross-table join → summarize (the daily_eval.py:118-140 shape:
+    enrich a fact with a dim, aggregate per segment)."""
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    return kql_to_df(
+        t,
+        """
+        orders
+        | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
+        | summarize n=count(), top_order=max(o_totalprice) by c_mktsegment
+        """,
+    )
+
+
+@query(
+    "kql_mv_expand_wordcount",
+    """
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok HAVING COUNT(*) > 5000
+    """,
+)
+def kql_mv_expand_wordcount(spark, sf_dir):
+    """KQL extend-split → mv-expand → summarize: the classic token
+    frequency pipe (dynamic-array expansion)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t,
+        """
+        documents
+        | extend tok = split(text, ' ')
+        | mv-expand tok
+        | summarize n=count() by tok
+        | where n > 5000
+        """,
+    )

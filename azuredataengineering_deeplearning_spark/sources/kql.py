@@ -122,9 +122,64 @@ def kql_to_df(
             df = df.agg(F.count(F.lit(1)).alias("Count"))
         elif op == "summarize":
             df = _summarize(df, rest, now)
+        elif op == "join":
+            df = _join(df, tables, rest)
+        elif op == "mv-expand":
+            col = rest.strip()
+            df = df.withColumn(col, F.explode(F.col(col)))
+        elif op == "union":
+            name = rest.strip().strip("()")
+            if name not in tables:
+                raise ValueError(f"union: unknown table {name!r}")
+            df = df.unionByName(tables[name], allowMissingColumns=True)
         else:
             raise ValueError(f"unsupported KQL operator: {op!r}")
     return df
+
+
+_JOIN_KINDS = {
+    "inner": "inner",
+    # KQL's default innerunique dedups left keys before joining; we map
+    # it to plain inner (documented deviation — dedup explicitly with
+    # `distinct` if the left side carries duplicate keys)
+    "innerunique": "inner",
+    "leftouter": "left",
+    "rightouter": "right",
+    "fullouter": "full",
+    "leftanti": "left_anti",
+    "anti": "left_anti",
+    "leftsemi": "left_semi",
+}
+
+
+def _join(df: DataFrame, tables: dict[str, DataFrame], rest: str) -> DataFrame:
+    """``join kind=<kind> (<table>) on <key>`` / ``on $left.a == $right.b``."""
+    m = re.match(r"^(?:kind\s*=\s*(\w+)\s+)?\((\w+)\)\s+on\s+(.+)$", rest, re.S)
+    if not m:
+        raise ValueError(f"join needs 'kind=k (table) on keys': {rest!r}")
+    kind = (m.group(1) or "innerunique").lower()
+    if kind not in _JOIN_KINDS:
+        raise ValueError(f"unsupported join kind {kind!r}")
+    name = m.group(2)
+    if name not in tables:
+        raise ValueError(f"join: unknown table {name!r}")
+    right = tables[name]
+    on_cols: list[str] = []
+    conds = []
+    for part in _split_csv(m.group(3)):
+        mm = re.match(r"^\$left\.(\w+)\s*==\s*\$right\.(\w+)$", part.strip())
+        if mm:
+            conds.append(df[mm.group(1)] == right[mm.group(2)])
+        else:
+            on_cols.append(part.strip())
+    if conds and on_cols:
+        raise ValueError("mixing bare keys and $left/$right terms is unsupported")
+    if on_cols:
+        return df.join(right, on_cols, _JOIN_KINDS[kind])
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return df.join(right, cond, _JOIN_KINDS[kind])
 
 
 def _split_csv(s: str) -> list[str]:

@@ -40,7 +40,7 @@ def test_kql_unknown_table_and_op(spark, events):
     with pytest.raises(ValueError):
         kql_to_df({"events": events}, "nope | take 5")
     with pytest.raises(ValueError):
-        kql_to_df({"events": events}, "events | mv-expand foo")
+        kql_to_df({"events": events}, "events | facet by foo")
 
 
 def test_kusto_source_with_kql_executor(spark, events):
@@ -97,3 +97,32 @@ def test_kql_bin_buckets_align_to_epoch(spark, events):
     assert sum(r.n for r in rows) == events.count()
     for r in rows:  # every bucket boundary is a multiple of 6h since epoch
         assert r.h.timestamp() % (6 * 3600) == 0
+
+
+def test_kql_join_kinds(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x"), (3, "y")], ["k", "w"])
+    t = {"L": left, "R": right}
+    inner = kql_to_df(t, "L | join kind=inner (R) on k")
+    assert {r.k for r in inner.collect()} == {1, 3}
+    anti = kql_to_df(t, "L | join kind=leftanti (R) on k")
+    assert {r.k for r in anti.collect()} == {2}
+    # $left/$right form with differing key names
+    right2 = spark.createDataFrame([(1, "x")], ["rk", "w"])
+    dollar = kql_to_df(
+        {"L": left, "R2": right2},
+        "L | join kind=inner (R2) on $left.k == $right.rk",
+    )
+    assert {r.k for r in dollar.collect()} == {1}
+
+
+def test_kql_union_and_mv_expand(spark):
+    a = spark.createDataFrame([(1, "p q")], ["id", "text"])
+    b = spark.createDataFrame([(2, "r s")], ["id", "text"])
+    u = kql_to_df({"A": a, "B": b}, "A | union (B)")
+    assert u.count() == 2
+    ex = kql_to_df(
+        {"A": a},
+        "A | extend tok = split(text, ' ') | mv-expand tok",
+    )
+    assert sorted(r.tok for r in ex.collect()) == ["p", "q"]
