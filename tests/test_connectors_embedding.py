@@ -77,3 +77,47 @@ def test_writers_roundtrip(spark, tmp_path, sf_dir):
     import glob
 
     assert len(glob.glob(str(tmp_path / "p" / "*.parquet"))) == 1
+
+
+def test_write_clustered_disjoint_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import os
+
+    from azuredataengineering_deeplearning_spark.sources.writers import write_clustered
+
+    df = spark.range(0, 100_000).withColumn("k", F.col("id") % 1000)
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, cluster_by=["id"], target_files=8)
+    files = [
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) == 8
+    # per-file id ranges must be disjoint — that's what makes parquet
+    # min/max stats selective (file skipping for range predicates)
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = md.row_group(0).column(0)
+        lo = col.statistics.min
+        hi = pq.ParquetFile(f).metadata.row_group(md.num_row_groups - 1).column(0).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo
+    # content intact
+    assert spark.read.parquet(out).count() == 100_000
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import os
+
+    from azuredataengineering_deeplearning_spark.sources.writers import compact_parquet
+
+    out = str(tmp_path / "many")
+    spark.range(0, 10_000).repartition(40).write.parquet(out)
+    before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert before >= 40
+    n = compact_parquet(spark, out, target_file_mb=256)
+    after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert after == n == 1
+    assert spark.read.parquet(out).count() == 10_000
