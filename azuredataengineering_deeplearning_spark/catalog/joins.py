@@ -85,3 +85,55 @@ def j9_range_clamp(spark, sf_dir):
     return J.range_clamp(ev, bounds, ["user_id"], "ts_ns", "lo", "hi").select(
         "event_id", "user_id"
     )
+
+
+@query(
+    "j_asof_join_events",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, ts_us, MAX(event_id) AS view_id
+      FROM ev WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           v.ts_us AS ts_us_right, v.view_id
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+    """,
+)
+def j_asof_join_events(spark, sf_dir):
+    """True two-table as-of join: each purchase picks up the user's most
+    recent view at-or-before it (merge_asof semantics via cogrouped
+    applyInPandas; DuckDB ASOF LEFT JOIN is the oracle). Right side is
+    deduped per (user, ts) with a max-id tiebreak so the nearest match
+    is deterministic on both engines. Times compare at microsecond
+    resolution (``ts_ns div 1000`` ≡ DuckDB ``epoch_us``): DuckDB's
+    parquet reader truncates NANOS timestamps to micros, so micro is
+    the finest grain both engines agree on."""
+    from azuredataengineering_deeplearning_spark.operators.aggregates import (
+        argmax_rows,
+    )
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = (
+        argmax_rows(
+            ev.filter(F.col("event_type") == "view").select(
+                "user_id", "ts_us", "event_id"
+            ),
+            keys=["user_id", "ts_us"],
+            order="event_id",
+        )
+        .select("user_id", "ts_us", F.col("event_id").alias("view_id"))
+    )
+    return J.asof_join(purchases, views, on="ts_us", by=["user_id"])

@@ -116,3 +116,81 @@ def range_clamp(
     return df.join(bounds, list(key), "inner").filter(
         F.col(ts).between(F.col(lo), F.col(hi))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """True two-table as-of join (pandas ``merge_asof`` semantics):
+    for every left row, the nearest right row per ``by`` key at or
+    before (``backward``), at or after (``forward``), or closest to
+    (``nearest``) the left ``on`` value; unmatched rows keep nulls
+    (left-join semantics).
+
+    Spark has no native as-of join; a window `lag` only works against a
+    table's own history (:func:`asof_previous`). This is the classic
+    feature-to-label attachment op for training pipelines ("state of X
+    when Y happened"). Implementation: cogrouped ``applyInPandas`` — one
+    shuffle per side on ``by``, then an in-memory per-key merge_asof;
+    right columns colliding with left names get ``suffix``. A key's
+    whole history must fit one task (time-bucket the key to split
+    pathological hot keys, as in salted_cumsum)."""
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    by = list(by)
+    left_names = set(left.columns)
+    rename = {
+        c: c + suffix
+        for c in right.columns
+        if c not in by and c != on and c in left_names
+    }
+    right_renamed = right
+    for old, new in rename.items():
+        right_renamed = right_renamed.withColumnRenamed(old, new)
+    r_on = on + suffix  # right's own timestamp survives, suffixed
+    right_renamed = right_renamed.withColumnRenamed(on, r_on)
+
+    r_fields = [
+        f for f in right_renamed.schema.fields if f.name not in by
+    ]
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(f.name, f.dataType, True) for f in r_fields]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    r_names = [f.name for f in r_fields]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        lpdf = lpdf.sort_values(on, kind="mergesort")
+        if rpdf.empty:
+            res = lpdf.reindex(columns=out_cols)
+        else:
+            rpdf = rpdf.drop(columns=by).sort_values(r_on, kind="mergesort")
+            res = pd.merge_asof(
+                lpdf,
+                rpdf,
+                left_on=on,
+                right_on=r_on,
+                direction=direction,
+            )
+        # integer right columns become float64 when unmatched rows
+        # introduce NaN — convert to nullable Int64 so Arrow hands Spark
+        # proper bigint-with-nulls
+        for f in r_fields:
+            if f.dataType.typeName() in ("long", "integer") and f.name in res:
+                res[f.name] = res[f.name].astype("Int64")
+        return res.reindex(columns=out_cols)
+
+    return (
+        left.groupBy(*by)
+        .cogroup(right_renamed.groupBy(*by))
+        .applyInPandas(merge, out_schema)
+    )

@@ -105,3 +105,38 @@ def test_sliding_windows_drop_partials(spark):
     assert len(out) == 3  # rows 0,1,2 start full windows; 3,4 are partial
     assert out[0].window == [0.0, 1.0, 2.0]
     assert out[2].window == [2.0, 3.0, 4.0]
+
+
+def test_asof_join_directions(spark):
+    from azuredataengineering_deeplearning_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 25, "p2"), (2, 5, "p3")], ["k", "t", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 20, 200.0), (3, 1, 300.0)], ["k", "t", "w"]
+    )
+    back = {
+        r.tag: (r.t_right, r.w)
+        for r in asof_join(left, right, on="t", by=["k"]).collect()
+    }
+    # p1@10 -> 8; p2@25 -> 20; p3 (key 2, no right rows) -> nulls
+    assert back == {"p1": (8, 100.0), "p2": (20, 200.0), "p3": (None, None)}
+    fwd = {
+        r.tag: r.t_right
+        for r in asof_join(
+            left, right, on="t", by=["k"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {"p1": 20, "p2": None, "p3": None}
+
+
+def test_asof_join_name_collision_suffix(spark):
+    from azuredataengineering_deeplearning_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, 1.0)], ["k", "t", "v"])
+    right = spark.createDataFrame([(1, 9, 2.0)], ["k", "t", "v"])
+    out = asof_join(left, right, on="t", by=["k"])
+    assert set(out.columns) == {"k", "t", "v", "t_right", "v_right"}
+    row = out.collect()[0]
+    assert (row.v, row.v_right) == (1.0, 2.0)

@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=20_000_000)
     ap.add_argument("--vectors", type=int, default=200_000)
     ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--edges", type=int, default=2_000_000)
+    ap.add_argument("--docs", type=int, default=1_000_000)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -123,6 +125,100 @@ def main() -> None:
         )
         results["ann_ivf_nprobe8_of_64"] = t
         print(json.dumps({"probe": "ann_ivf_nprobe8_of_64", "vectors": args.vectors, "sec": t}))
+
+        # ---- int8 quantization: scan-bytes + search-time ratio --------
+        codes_path = f"{tmp}/codes"
+        t, _ = timed(
+            lambda: SIM.quantize_embeddings(vecs, "embedding", lo=-1.0, hi=1.0)
+            .select("vec_id", "codes")
+            .write.mode("overwrite")
+            .parquet(codes_path)
+        )
+        results["quantize_write"] = t
+
+        def _dir_mb(p):
+            return round(
+                sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(p)
+                    for f in fs
+                )
+                / 1e6,
+                1,
+            )
+
+        float_mb, code_mb = _dir_mb(vec_path), _dir_mb(codes_path)
+        results["float_mb"], results["codes_mb"] = float_mb, code_mb
+        codes = SIM.dequantize_embeddings(
+            spark.read.parquet(codes_path), "codes", lo=-1.0, hi=1.0
+        ).select("vec_id", F.col("embedding_deq").alias("embedding"))
+        t, _ = timed(lambda: SIM.numpy_topk(codes, queries, k=10).count())
+        results["ann_bruteforce_int8_scan"] = t
+        print(
+            json.dumps(
+                {
+                    "probe": "quantized_scan",
+                    "float_mb": float_mb,
+                    "codes_mb": code_mb,
+                    "topk_sec": t,
+                }
+            )
+        )
+
+        # ---- near-dup cluster resolution over a pair graph ------------
+        from azuredataengineering_deeplearning_spark.operators import dedup as DD
+
+        n_edges = args.edges
+        # cliques of 4 (the realistic near-dup shape) + one 1000-node
+        # chain (the diameter worst case for plain propagation)
+        pairs = (
+            spark.range(n_edges)
+            .select(
+                F.col("id").alias("id_a"),
+                (F.col("id") - F.col("id") % 4).alias("id_b"),
+            )
+            .union(
+                spark.range(n_edges, n_edges + 1000).select(
+                    F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+                )
+            )
+        )
+        t, out = timed(lambda: DD.resolve_clusters(pairs, max_iter=15).count())
+        results["cluster_resolution"] = t
+        print(
+            json.dumps(
+                {"probe": "cluster_resolution", "edges": n_edges + 1000, "nodes": out, "sec": t}
+            )
+        )
+
+        # ---- contamination sweep over synthetic corpus ----------------
+        docs_path = f"{tmp}/docs"
+        (
+            spark.range(args.docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(50)),
+                        lambda j: F.concat(
+                            F.lit("w"),
+                            F.pmod(F.hash(F.col("id") * 53 + j), F.lit(5000)),
+                        ),
+                    ),
+                ).alias("text"),
+            )
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+        docs = spark.read.parquet(docs_path)
+        bench = docs.filter(F.col("doc_id") < 1000)
+        corpus = docs.filter(F.col("doc_id") >= 1000)
+        t, _ = timed(
+            lambda: DD.contamination_flags(corpus, bench, "doc_id", "text", n=5).count()
+        )
+        results["contamination_sweep"] = t
+        print(json.dumps({"probe": "contamination_sweep", "docs": args.docs, "sec": t}))
 
     print(
         json.dumps(
