@@ -137,3 +137,43 @@ def j_asof_join_events(spark, sf_dir):
         .select("user_id", "ts_us", F.col("event_id").alias("view_id"))
     )
     return J.asof_join(purchases, views, on="ts_us", by=["user_id"])
+
+
+@query(
+    "j_interval_join",
+    """
+    WITH campaigns AS (
+      SELECT o_custkey AS cust, o_orderkey AS campaign_id,
+             CAST(epoch(o_orderdate) AS BIGINT) AS lo,
+             CAST(epoch(o_orderdate + INTERVAL 60 DAY) AS BIGINT) AS hi
+      FROM orders WHERE o_orderkey % 37 = 0
+    ), pts AS (
+      SELECT o_custkey AS cust, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS t
+      FROM orders
+    )
+    SELECT p.cust, p.o_orderkey, c.campaign_id, p.t, c.lo, c.hi
+    FROM pts p JOIN campaigns c
+      ON p.cust = c.cust AND p.t BETWEEN c.lo AND c.hi
+    """,
+)
+def j_interval_join(spark, sf_dir):
+    """Interval membership at scale: every order landing inside any
+    'campaign' window of the same customer (1/37th of orders open a
+    60-day window). Bucketized equi-join + residual BETWEEN — the plan
+    is a hash join on (cust, bucket), not a nested-loop product."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    epoch = lambda c: F.unix_timestamp(F.col(c)).cast("bigint")  # noqa: E731
+    campaigns = o.filter(F.col("o_orderkey") % 37 == 0).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("campaign_id"),
+        epoch("o_orderdate").alias("lo"),
+        (epoch("o_orderdate") + F.lit(60 * 86400)).alias("hi"),
+    )
+    pts = o.select(
+        F.col("o_custkey").alias("cust"),
+        "o_orderkey",
+        epoch("o_orderdate").alias("t"),
+    )
+    return J.interval_join(
+        pts, campaigns, "t", "lo", "hi", by=["cust"], bucket_size=60 * 86400
+    ).select("cust", "o_orderkey", "campaign_id", "t", "lo", "hi")

@@ -194,3 +194,49 @@ def asof_join(
         .cogroup(right_renamed.groupBy(*by))
         .applyInPandas(merge, out_schema)
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    by: Sequence[str] = (),
+    bucket_size: int | None = None,
+) -> DataFrame:
+    """Point-in-interval join without a cartesian product.
+
+    Spark plans a bare ``p.t BETWEEN i.lo AND i.hi`` join as
+    broadcast-nested-loop (or worse, cartesian) — quadratic row visits.
+    This bucketizes: each interval is exploded to the coarse buckets it
+    covers, each point maps to exactly one bucket, and the match becomes
+    an equi-join on (``by``…, bucket) plus a residual BETWEEN filter.
+    Every (point, interval) pair meets in exactly one bucket (the
+    point's), so no dedup is needed. Cost: |intervals| × avg-buckets-
+    per-interval extra rows on the build side — pick ``bucket_size``
+    near the median interval width so that factor stays ~2.
+
+    ``point_col``/``lo_col``/``hi_col`` must be numeric (cast timestamps
+    to epoch first). Defaults ``bucket_size`` to the average interval
+    width (one tiny agg) when not given."""
+    if bucket_size is None:
+        row = intervals.agg(
+            F.ceil(F.avg(F.col(hi_col) - F.col(lo_col))).alias("w")
+        ).first()
+        bucket_size = int(max(row["w"] or 1, 1))
+    b = F.lit(bucket_size)
+    pts = points.withColumn("__bkt", F.floor(F.col(point_col) / b))
+    ivs = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / b), F.floor(F.col(hi_col) / b)
+            )
+        ),
+    )
+    return (
+        pts.join(ivs, [*by, "__bkt"])
+        .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("__bkt")
+    )

@@ -144,3 +144,12 @@ def test_q21_one_window_pass_single_scan(spark, sf_dir):
 def test_q12_shipdate_range_pushed(spark, sf_dir):
     plan = _plan(E.queries()["q12_late_shipment_priority"](spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_interval_join_is_hash_join(spark, sf_dir):
+    # bucketized interval join must plan as an equi hash join, never a
+    # BroadcastNestedLoopJoin / CartesianProduct (the naive BETWEEN plan)
+    plan = _plan(E.queries()["j_interval_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

@@ -140,3 +140,26 @@ def test_asof_join_name_collision_suffix(spark):
     assert set(out.columns) == {"k", "t", "v", "t_right", "v_right"}
     row = out.collect()[0]
     assert (row.v, row.v_right) == (1.0, 2.0)
+
+
+def test_interval_join_matches_naive(spark):
+    from azuredataengineering_deeplearning_spark.operators.joins import interval_join
+
+    pts = spark.range(0, 500).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 13 % 997).alias("t")
+    )
+    ivs = spark.range(0, 60).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 31 % 900).alias("lo"),
+        (F.col("id") * 31 % 900 + F.col("id") % 50).alias("hi"),
+        F.col("id").alias("iv_id"),
+    )
+    got = interval_join(pts, ivs, "t", "lo", "hi", by=["k"], bucket_size=17)
+    naive = pts.join(ivs, "k").filter(F.col("t").between(F.col("lo"), F.col("hi")))
+    assert got.count() == naive.count()
+    g = {tuple(r) for r in got.select("k", "t", "iv_id").collect()}
+    n = {tuple(r) for r in naive.select("k", "t", "iv_id").collect()}
+    assert g == n
+    # auto bucket size path
+    auto = interval_join(pts, ivs, "t", "lo", "hi", by=["k"])
+    assert auto.count() == naive.count()
