@@ -40,6 +40,12 @@ LOCAL_PROFILE: dict[str, str] = {
     # broadcast threshold: keep Spark default 10 MB; dims are broadcast
     # explicitly where the reference hints them (J1)
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # runtime row-level filtering: build a bloom filter from the small
+    # side of a selective join and push it into the big side's scan —
+    # at 100 TB this prunes fact-table row groups that can't match.
+    # (runtimeFilter.semiJoinReduction is deliberately NOT enabled: on
+    # this Spark build it loops the optimizer on trivial plans.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 
@@ -65,6 +71,8 @@ def get_spark(
     )
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     conf.setdefault("spark.ui.enabled", "false")
+    # bucketed tables (write_bucketed) land here, not in the repo cwd
+    conf.setdefault("spark.sql.warehouse.dir", "/tmp/ades-warehouse")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -164,3 +164,24 @@ def compact_parquet(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed managed table (``bucketBy`` + ``saveAsTable``) —
+    the pre-shuffle lever for 100-TB fact tables: two tables bucketed on
+    the same key with the same bucket count join WITHOUT any exchange
+    (each bucket pair joins locally), and repeated aggregations on the
+    bucket key skip their shuffle too. Pay the shuffle once at write
+    time, never at read time. ``sort_by`` additionally orders rows
+    inside each bucket file (sort-merge join without the sort)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.format("parquet").saveAsTable(table_name)

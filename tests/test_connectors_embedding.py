@@ -121,3 +121,25 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
     assert after == n == 1
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    from azuredataengineering_deeplearning_spark.sources.writers import write_bucketed
+
+    a = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    try:
+        write_bucketed(a, "t_bucket_a", ["k"], 8, sort_by=["k"])
+        write_bucketed(b, "t_bucket_b", ["k"], 8, sort_by=["k"])
+        joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed join: no shuffle on either side
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 50_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
