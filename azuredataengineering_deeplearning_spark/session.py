@@ -40,12 +40,15 @@ LOCAL_PROFILE: dict[str, str] = {
     # broadcast threshold: keep Spark default 10 MB; dims are broadcast
     # explicitly where the reference hints them (J1)
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
-    # runtime row-level filtering: build a bloom filter from the small
-    # side of a selective join and push it into the big side's scan —
-    # at 100 TB this prunes fact-table row groups that can't match.
-    # (runtimeFilter.semiJoinReduction is deliberately NOT enabled: on
-    # this Spark build it loops the optimizer on trivial plans.)
-    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Runtime row-level filtering (spark.sql.optimizer.runtime.
+    # bloomFilter.enabled) is a DEPLOYMENT knob, not a default: at
+    # 100 TB a bloom filter built from a selective dim side prunes
+    # fact row groups before the join, but the filter-build subqueries
+    # it injects cost more than the whole query at small scale
+    # (measured: TPC-H Q5 0.5s → 16s at sf0.001). Enable via
+    # extra_conf on clusters with selective star joins.
+    # (runtimeFilter.semiJoinReduction must stay off: on this Spark
+    # build it loops the optimizer on trivial plans.)
 }
 
 

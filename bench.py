@@ -25,6 +25,8 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q21_waiting_suppliers",
     "j1_broadcast_dim_join",
+    "j_asof_join_events",
+    "j_interval_join",
     # windows over events
     "w2_salted_cumsum_events",
     "w5_sessionize_events",
