@@ -109,8 +109,9 @@ def j9_range_clamp(spark, sf_dir):
 )
 def j_asof_join_events(spark, sf_dir):
     """True two-table as-of join: each purchase picks up the user's most
-    recent view at-or-before it (merge_asof semantics via cogrouped
-    applyInPandas; DuckDB ASOF LEFT JOIN is the oracle). Right side is
+    recent view at-or-before it (merge_asof semantics, computed fully
+    JVM-side by the union+window strategy; DuckDB ASOF LEFT JOIN is the
+    oracle; the cogrouped-pandas path is equivalence-tested). Right side is
     deduped per (user, ts) with a max-id tiebreak so the nearest match
     is deterministic on both engines. Times compare at microsecond
     resolution (``ts_ns div 1000`` ≡ DuckDB ``epoch_us``): DuckDB's
@@ -136,7 +137,7 @@ def j_asof_join_events(spark, sf_dir):
         )
         .select("user_id", "ts_us", F.col("event_id").alias("view_id"))
     )
-    return J.asof_join(purchases, views, on="ts_us", by=["user_id"])
+    return J.asof_join_native(purchases, views, on="ts_us", by=["user_id"])
 
 
 @query(

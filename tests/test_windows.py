@@ -163,3 +163,44 @@ def test_interval_join_matches_naive(spark):
     # auto bucket size path
     auto = interval_join(pts, ivs, "t", "lo", "hi", by=["k"])
     assert auto.count() == naive.count()
+
+
+def test_asof_native_equals_pandas_path(spark):
+    import random
+
+    from azuredataengineering_deeplearning_spark.operators.joins import (
+        asof_join,
+        asof_join_native,
+    )
+
+    random.seed(11)
+    L = [(random.randint(0, 15), random.randint(0, 500), i) for i in range(800)]
+    R = list(
+        {
+            (k, t): (k, t, float(i))
+            for i, (k, t) in enumerate(
+                (random.randint(0, 15), random.randint(0, 500)) for _ in range(300)
+            )
+        }.values()
+    )
+    ldf = spark.createDataFrame(L, ["k", "t", "lid"])
+    rdf = spark.createDataFrame(R, ["k", "t", "rv"])
+    for d in ("backward", "forward"):
+        pa = {
+            r.lid: (r.t_right, r.rv)
+            for r in asof_join(ldf, rdf, on="t", by=["k"], direction=d).collect()
+        }
+        na = {
+            r.lid: (r.t_right, r.rv)
+            for r in asof_join_native(
+                ldf, rdf, on="t", by=["k"], direction=d
+            ).collect()
+        }
+        assert pa == na
+    # matched-row null fields stay null (struct semantics, not ffill)
+    l2 = spark.createDataFrame([(1, 10)], ["k", "t"])
+    r2 = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 8, None)], "k long, t long, v double"
+    )
+    row = asof_join_native(l2, r2, on="t", by=["k"]).collect()[0]
+    assert row.t_right == 8 and row.v is None
