@@ -185,3 +185,30 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.format("parquet").saveAsTable(table_name)
+
+
+def expire_partitions(
+    path: str,
+    keep: int,
+    partition_col: str | None = None,
+) -> list[str]:
+    """Retention sweep for date/key-partitioned parquet directories: keep
+    the ``keep`` lexicographically-largest partition directories (works
+    for ``col=yyyy-MM-dd`` layouts, where lexicographic = chronological)
+    and delete the rest. Returns the deleted partition names. The
+    plain-parquet analog of Delta VACUUM-by-retention — bounded work:
+    one directory listing + per-partition deletes, no data scan."""
+    import os
+    import shutil
+
+    parts = sorted(
+        d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d))
+        and "=" in d
+        and (partition_col is None or d.split("=", 1)[0] == partition_col)
+    )
+    doomed = parts[:-keep] if keep > 0 else parts
+    for d in doomed:
+        shutil.rmtree(os.path.join(path, d))
+    return doomed

@@ -143,3 +143,22 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_expire_partitions(spark, tmp_path):
+    from azuredataengineering_deeplearning_spark.sources.writers import (
+        expire_partitions,
+        write_parquet,
+    )
+
+    out = str(tmp_path / "bydate")
+    df = spark.createDataFrame(
+        [(d, i) for i, d in enumerate(["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"])],
+        ["ds", "v"],
+    )
+    write_parquet(df, out, partition_by=["ds"])
+    deleted = expire_partitions(out, keep=2, partition_col="ds")
+    assert deleted == ["ds=2024-01-01", "ds=2024-01-02"]
+    # partition values come back type-inferred (DateType)
+    left = {str(r.ds) for r in spark.read.parquet(out).select("ds").collect()}
+    assert left == {"2024-01-03", "2024-01-04"}
