@@ -65,12 +65,15 @@ def word_shingles(col: Column | str, k: int = 3, sep: str = TOKEN_SPLIT) -> Colu
     discriminative unit for near-dup detection (word *sets* saturate on
     shared-vocabulary corpora)."""
     w = tokens(col, sep)
-    return F.array_distinct(
+    # slice + array_join: one catalyst call per shingle (see word_ngrams);
+    # docs shorter than k shingle to empty (the oracle drops them too)
+    sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(-1))),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
+            F.sequence(F.lit(1), F.size(w) - k + 1),
+            lambda i: F.array_join(F.slice(w, i, k), " "),
         )
     )
+    return F.when(F.size(w) >= k, sh).otherwise(F.array().cast("array<string>"))
 
 
 def stopword_ratio(col: Column | str, stopwords: Sequence[str]) -> Column:
