@@ -137,3 +137,150 @@ def pipeline_corpus_prep(spark, sf_dir):
         )
     )
     return out.select("doc_id", "lang", "n_tokens")
+
+
+_CURATE_SQL = r"""
+    WITH RECURSIVE
+    corpus AS (
+      SELECT doc_id, text, lang FROM documents WHERE source <> 'src0'
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    feats AS (
+      SELECT doc_id, len(w) AS n,
+             len(list_filter(w, t -> t = 'the' OR t = 'a')) * 1.0 / len(w) AS sw,
+             list_sum(list_transform(w, t -> length(t))) * 1.0 / len(w) AS mtl
+      FROM w
+    ),
+    qual AS (
+      SELECT doc_id,
+             (CASE WHEN n BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN sw > 0.01 AND sw < 0.5 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN mtl > 2.0 AND mtl < 12.0 THEN 0.3 ELSE 0.0 END) AS quality
+      FROM feats
+    ),
+    qpass AS (SELECT doc_id, quality FROM qual WHERE quality >= 0.3),
+    fp AS (
+      SELECT c.doc_id, md5(trim(regexp_replace(c.text, '\s+', ' ', 'g'))) AS h
+      FROM corpus c JOIN qpass USING (doc_id)
+    ),
+    exact_keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS m FROM fp
+      ) WHERE doc_id = m
+    ),
+    sh AS (
+      SELECT c.doc_id,
+             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            for i in generate_series(1, len(ws) - 2)]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus) c
+      JOIN exact_keep USING (doc_id)
+      WHERE len(ws) >= 3
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s)) * 1.0
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ) WHERE jac >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT wk.node, e.dst FROM walk wk JOIN edges e ON e.src = wk.reach
+    ),
+    cc AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node),
+    nd_keep AS (
+      SELECT doc_id FROM exact_keep
+      WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+    ),
+    grams5 AS (
+      SELECT doc_id,
+             list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                            || ' ' || ts[i+3] || ' ' || ts[i+4]
+                            for i in generate_series(1, len(ts) - 4)]) AS gs
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      WHERE len(ts) >= 5
+    ),
+    bg AS (
+      SELECT DISTINCT unnest(g.gs) AS gram
+      FROM grams5 g JOIN documents d USING (doc_id) WHERE d.source = 'src0'
+    ),
+    cg AS (
+      SELECT g.doc_id, unnest(g.gs) AS gram
+      FROM grams5 g JOIN nd_keep USING (doc_id)
+    ),
+    contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
+    decon AS (
+      SELECT doc_id FROM nd_keep
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    g2 AS (
+      SELECT c.doc_id,
+             unnest([ts[i] || ' ' || ts[i+1]
+                     for i in generate_series(1, len(ts) - 1)]) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus) c
+      JOIN decon USING (doc_id)
+      WHERE len(ts) >= 2
+    ),
+    cnt2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(c) AS DOUBLE) AS dup_ngram_frac
+      FROM cnt2 GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.lang, q.quality
+    FROM corpus c
+    JOIN decon USING (doc_id)
+    JOIN qpass q USING (doc_id)
+    JOIN rep r USING (doc_id)
+    WHERE r.dup_ngram_frac < 0.12
+"""
+
+
+@query("pipeline_curate_corpus", _CURATE_SQL)
+def pipeline_curate_corpus(spark, sf_dir):
+    """The full LLM training-corpus curation pipeline as ONE lazy plan:
+    quality gate (>= 0.3) → exact dedup (min-id survivor) → MinHash
+    near-dup clusters → canonical survivors → benchmark decontamination
+    (shared 5-gram vs the held-out src0 slice) → repetition filter
+    (duplicated-bigram share < 0.12). Returns the surviving corpus with
+    language and quality score. Every stage is an engine operator; the
+    oracle reconstructs the identical chain in SQL, recursive-CTE
+    cluster closure included."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+
+    qual = corpus.withColumn("quality", T.quality_score("text")).filter(
+        F.col("quality") >= 0.3
+    )
+    exact = DD.exact_duplicates(qual, "doc_id", "text").filter(
+        F.col("is_duplicate") == 0
+    ).select("doc_id")
+    sub = qual.join(exact, "doc_id", "left_semi")
+
+    pairs = DD.minhash_near_duplicates(sub, "doc_id", "text", threshold=0.8)
+    losers = (
+        DD.resolve_clusters(pairs)
+        .filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    sub2 = sub.join(F.broadcast(losers), "doc_id", "left_anti")
+
+    contaminated = DD.contamination_flags(sub2, bench, "doc_id", "text", n=5)
+    sub3 = sub2.join(
+        F.broadcast(contaminated.select("doc_id")), "doc_id", "left_anti"
+    )
+
+    rep = T.repetition_metrics(sub3, "doc_id", "text", n=2)
+    return (
+        sub3.join(rep, "doc_id")
+        .filter(F.col("dup_ngram_frac") < 0.12)
+        .select("doc_id", "lang", "quality")
+    )

@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_contamination",
     "sim_cosine_topk",
     "pipeline_corpus_prep",
+    "pipeline_curate_corpus",
     # time series + recursion
     "ts_spine_gap_fill",
     "graph_bom_closure",
