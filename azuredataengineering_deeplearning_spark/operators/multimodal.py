@@ -153,3 +153,75 @@ def decode_features(
             )
 
     return df.select(F.col(id_col).cast("string"), bin_col).mapInPandas(run, schema)
+
+
+FrameFn = Callable[[bytes, int], bytes]
+
+
+def deterministic_fake_frame_extractor() -> FrameFn:
+    """Stand-in frame extractor: 16 pseudo-random bytes derived from
+    (blob, frame index) — stable across runs/engines, codecs not
+    required."""
+    import hashlib
+
+    def extract(blob: bytes, idx: int) -> bytes:
+        return hashlib.md5((blob or b"\x00") + idx.to_bytes(4, "big")).digest()
+
+    return extract
+
+
+def frame_sample(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    n_frames_col: str,
+    every_k: int = 10,
+    extractor: FrameFn | None = None,
+) -> DataFrame:
+    """Frame sampling over opaque video blobs → (id, frame_index,
+    frame) rows, one per every_k-th frame.
+
+    The fan-out (which frames exist) is JVM-side — a ``sequence`` +
+    ``explode`` over the typed ``n_frames`` metadata column, so the
+    blob is NOT duplicated per frame at the logical level and partition
+    sizing follows row counts, not frame counts. Extraction itself runs
+    Arrow-batched in ``mapInPandas`` (same actor-pattern as
+    :func:`decode_features`). No video codecs ship in this container:
+    pass a real ``extractor`` in production or
+    ``deterministic_fake_frame_extractor()`` for plumbing tests."""
+    if extractor is None:
+        raise NotImplementedError(
+            "no video codec available in this environment; pass extractor= "
+            "(e.g. an ffmpeg/PyAV-backed callable) or use "
+            "deterministic_fake_frame_extractor() for plumbing tests"
+        )
+    import pandas as pd
+
+    fan = df.select(
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(bin_col).alias("__blob"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col(n_frames_col) - 1, F.lit(0)),
+                F.lit(every_k),
+            )
+        ).alias("frame_index"),
+    )
+    schema = f"{id_col} string, frame_index int, frame binary"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        fn = extractor
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "frame_index": pdf["frame_index"].astype("int32"),
+                    "frame": [
+                        fn(b, int(i))
+                        for b, i in zip(pdf["__blob"], pdf["frame_index"])
+                    ],
+                }
+            )
+
+    return fan.mapInPandas(run, schema)

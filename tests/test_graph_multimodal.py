@@ -80,3 +80,36 @@ def test_decode_features_stub_contract(spark):
     df = spark.createDataFrame([("p", b"x")], "path string, content binary")
     with pytest.raises(NotImplementedError):
         MM.decode_features(df, "content", "path")
+
+
+def test_frame_sample_plumbing(spark):
+    from azuredataengineering_deeplearning_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [("v1", b"\x01\x02\x03", 25), ("v2", b"\x04", 3), ("v3", b"", 0)],
+        "vid string, content binary, n_frames int",
+    )
+    out = MM.frame_sample(
+        df,
+        "content",
+        "vid",
+        "n_frames",
+        every_k=10,
+        extractor=MM.deterministic_fake_frame_extractor(),
+    )
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.vid, []).append(r.frame_index)
+        assert isinstance(r.frame, (bytes, bytearray)) and len(r.frame) == 16
+    # 25 frames @ every 10 -> indices 0,10,20; 3 frames -> 0; 0 frames -> 0
+    assert sorted(per["v1"]) == [0, 10, 20]
+    assert per["v2"] == [0] and per["v3"] == [0]
+    # deterministic across runs
+    again = {(r.vid, r.frame_index): bytes(r.frame) for r in out.collect()}
+    assert {(r.vid, r.frame_index): bytes(r.frame) for r in rows} == again
+    # stub contract: no extractor -> NotImplementedError at plan build
+    import pytest as pt
+
+    with pt.raises(NotImplementedError):
+        MM.frame_sample(df, "content", "vid", "n_frames")
