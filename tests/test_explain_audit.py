@@ -153,3 +153,21 @@ def test_interval_join_is_hash_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_q9_dims_broadcast(spark, sf_dir):
+    plan = _plan(E.queries()["q9_product_type_profit"](spark, sf_dir))
+    # part, supplier, nation broadcast; lineitem never shuffles for them
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_engine_profile_has_aqe(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    # the optimizer-looping conf must never be set (defaults to false)
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "false"
+        )
+        == "false"
+    )
