@@ -263,7 +263,11 @@ def pipeline_curate_corpus(spark, sf_dir):
     exact = DD.exact_duplicates(qual, "doc_id", "text").filter(
         F.col("is_duplicate") == 0
     ).select("doc_id")
-    sub = qual.join(exact, "doc_id", "left_semi")
+    # the survivor set feeds four downstream scans (minhash, anti-join,
+    # contamination, repetition) — persist it once instead of replaying
+    # the quality+dedup lineage per consumer (measured: 5.0s → 3.6s at
+    # sf0.1; at lake scale checkpoint to storage instead)
+    sub = qual.join(exact, "doc_id", "left_semi").persist()
 
     pairs = DD.minhash_near_duplicates(sub, "doc_id", "text", threshold=0.8)
     losers = (
