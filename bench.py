@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_contamination",
     "sim_cosine_topk",
+    "sim_numpy_topk",
     "pipeline_corpus_prep",
     "pipeline_curate_corpus",
     # time series + recursion
@@ -66,6 +67,9 @@ def main() -> None:
         t0 = time.time()
         df.count()
         timings[name] = round(time.time() - t0, 3)
+        # drop this query's persisted intermediates so later queries are
+        # measured without accumulated executor-memory pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
