@@ -107,3 +107,19 @@ def cast_columns(df: DataFrame, casts: Mapping[str, str]) -> DataFrame:
     """Explicit casts in one projection (P7 companion; single-pass idiom of
     ``discover_schema.py:59-67``)."""
     return df.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+
+
+def widen_narrow_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a DataFrame whose scan produced fewer
+    partitions than the cluster has slots, so downstream CPU-heavy
+    per-row work (n-gram construction, UDF batches, regex pipelines)
+    parallelizes. A few small single-row-group parquet files otherwise
+    pin an entire stage to one task regardless of
+    ``spark.sql.files.maxPartitionBytes`` (row groups are the minimum
+    split unit). No-op on well-split inputs — at lake scale a 100 TB
+    scan already has thousands of splits, so the shuffle only triggers
+    on the narrow-input degenerate case it defends against."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -181,7 +181,13 @@ def repetition_metrics(
     (id, gram) shuffle is the only wide stage and carries one row per
     *distinct* gram per doc — at 100 TB this is the same shape as the
     MinHash shingle stage and scales identically."""
-    grams = df.select(id_col, F.explode(word_ngrams(text_col, n)).alias("__g"))
+    from azuredataengineering_deeplearning_spark.operators.relational import (
+        widen_narrow_input,
+    )
+
+    grams = widen_narrow_input(df).select(
+        id_col, F.explode(word_ngrams(text_col, n)).alias("__g")
+    )
     cnts = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
     total = F.sum("__c")
     return cnts.groupBy(id_col).agg(
