@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from azuredataengineering_deeplearning_spark.catalog import query
 from azuredataengineering_deeplearning_spark.functions.strings import collapse_whitespace
 from azuredataengineering_deeplearning_spark.operators import dedup as DD
+from azuredataengineering_deeplearning_spark.operators import relational as R
 from azuredataengineering_deeplearning_spark.operators import text as T
 from azuredataengineering_deeplearning_spark.operators import windows as W
 from azuredataengineering_deeplearning_spark.operators.aggregates import argmax_rows
@@ -254,7 +255,10 @@ def pipeline_curate_corpus(spark, sf_dir):
     oracle reconstructs the identical chain in SQL, recursive-CTE
     cluster closure included."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    corpus = d.filter(F.col("source") != "src0")
+    # widen once at the head: every downstream stage (quality regexes,
+    # fingerprints, shingles, n-grams) parallelizes, and the persisted
+    # survivor set inherits the layout — no per-stage repartitions
+    corpus = R.widen_narrow_input(d.filter(F.col("source") != "src0"))
     bench = d.filter(F.col("source") == "src0")
 
     qual = corpus.withColumn("quality", T.quality_score("text")).filter(
