@@ -142,6 +142,50 @@ def u10_reverse_groups(spark, sf_dir):
         ev, ["user_id"], "ts_ns", "event_id", pos="pos", out="event_id"
     )
 
+_HB = "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % {n}"
+
+
+@query(
+    "u_hash_sample",
+    f"SELECT o_orderkey FROM orders WHERE {_HB.format(k='o_orderkey', n=10000)} < 2500",
+)
+def u_hash_sample(spark, sf_dir):
+    """Deterministic 25% sample by key hash — the reproducible,
+    engine-portable sibling of U4 (full oracle check, unlike seeded RNG)."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return U.hash_sample(o, "o_orderkey", 0.25).select("o_orderkey")
+
+
+@query(
+    "u_hash_fold",
+    f"SELECT o_orderkey, CAST({_HB.format(k='o_orderkey', n=10)} AS INT) AS fold FROM orders",
+)
+def u_hash_fold(spark, sf_dir):
+    """Deterministic fold assignment (hash % n) — group-safe, stable
+    across engines/retries (full oracle check)."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return U.hash_fold(o, "o_orderkey", 10).select("o_orderkey", "fold")
+
+
+@query(
+    "u_hash_group_split",
+    f"""
+    SELECT event_id, user_id,
+           CAST(CASE WHEN {_HB.format(k='user_id', n=10000)} < 8000 THEN 0
+                     WHEN {_HB.format(k='user_id', n=10000)} < 9000 THEN 1
+                     ELSE 2 END AS INT) AS split
+    FROM events
+    """,
+)
+def u_hash_group_split(spark, sf_dir):
+    """Leakage-free deterministic 80/10/10 split by user-key hash —
+    map-only (no distinct+join like U9), fully oracle-checked."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return U.hash_group_split(ev, "user_id", [0.8, 0.1, 0.1]).select(
+        "event_id", "user_id", "split"
+    )
+
+
 @query("u_stratified_sample")  # seeded RNG differs across engines → rows-only
 def u_stratified_sample(spark, sf_dir):
     """Per-stratum seeded sampling (sampleBy): language-balanced corpus

@@ -32,7 +32,16 @@ def t_token_count(spark, sf_dir):
     return d.select("doc_id", T.token_count("text").alias("n_tokens"))
 
 
-@query("t_bpe_token_count")  # lookaround regex not in RE2 → rows-only
+@query(
+    "t_bpe_token_count",
+    # the lookaround split isn't RE2, but its token count is: every
+    # maximal alnum run is one token, every non-alnum non-space char is
+    # one token — two plain regexp_extract_all counts.
+    r"""SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+         + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_tokens
+       FROM documents""",
+)
 def t_bpe_token_count(spark, sf_dir):
     """BPE-ish token counting (splits word pieces / digits / punct)."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")

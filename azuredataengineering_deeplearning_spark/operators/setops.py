@@ -138,6 +138,57 @@ def reverse_groups(
     return g.select(*keys, F.posexplode("__rev").alias(pos, out))
 
 
+def _hash_bucket(key, buckets: int):
+    """Portable deterministic bucket in [0, buckets): 60-bit md5 prefix
+    mod buckets. Engine-agnostic (DuckDB: ``CAST('0x'||substr(md5(k),1,15)
+    AS BIGINT) % buckets``) so samples reproduce across engines and
+    re-runs — unlike seeded RNG, which is engine-private. Spark-only
+    pipelines can swap in ``xxhash64`` for ~5× cheaper hashing."""
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast("long")
+    return h % buckets
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float, buckets: int = 10_000) -> DataFrame:
+    """Deterministic content-keyed sampling: keep rows whose key hashes
+    into the first ``fraction`` of ``buckets``. The reproducible
+    alternative to :func:`sample_fraction` — same rows on every run, on
+    every engine, under task retries (seeded ``df.sample`` re-draws when
+    a task is recomputed). Map-only: no shuffle, survives any scale; the
+    filter sits directly on the scan. Sampling is exact per-key, so a key
+    appearing twice is kept or dropped atomically (dedup-friendly)."""
+    return df.filter(_hash_bucket(key, buckets) < int(fraction * buckets))
+
+
+def hash_fold(df: DataFrame, key: str, n_folds: int = 10, out: str = "fold") -> DataFrame:
+    """Deterministic fold assignment: ``hash(key) % n_folds``. Unlike
+    :func:`rand_fold`, rows with equal keys share a fold (group-safe CV)
+    and the assignment is stable across runs/engines. Map-only."""
+    return df.withColumn(out, _hash_bucket(key, n_folds).cast("int"))
+
+
+def hash_group_split(
+    df: DataFrame,
+    key: str,
+    fractions: Sequence[float],
+    buckets: int = 10_000,
+    out: str = "split",
+) -> DataFrame:
+    """Leakage-free deterministic split: every row of a key lands in the
+    same split, chosen by the key's hash bucket against cumulative
+    fraction boundaries. The reproducible sibling of :func:`group_split`
+    — no distinct-keys aggregate, no join, no RNG: one map-side
+    expression on the scan, so it costs the same at 100 TB as at 1 GB."""
+    assert abs(sum(fractions) - 1.0) < 1e-9, "fractions must sum to 1"
+    b = _hash_bucket(key, buckets)
+    boundary, case = 0.0, None
+    for i, frac in enumerate(fractions[:-1]):
+        boundary += frac
+        cond = b < int(boundary * buckets)
+        case = F.when(cond, i) if case is None else case.when(cond, i)
+    expr = case.otherwise(len(fractions) - 1) if case is not None else F.lit(0)
+    return df.withColumn(out, expr.cast("int"))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

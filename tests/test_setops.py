@@ -69,3 +69,42 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
     assert 0.05 * base["en"] <= got.get("en", 0) <= 0.45 * base["en"]
     s2 = U2.stratified_sample(d, "lang", fr, seed=7)
     assert s1.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0
+
+
+def test_hash_sample_deterministic_and_map_only(spark, sf_dir):
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    s1 = U.hash_sample(o, "o_orderkey", 0.25)
+    n, total = s1.count(), o.count()
+    assert 0.15 * total < n < 0.35 * total
+    # deterministic: re-evaluation yields the identical row set
+    assert s1.select("o_orderkey").exceptAll(
+        U.hash_sample(o, "o_orderkey", 0.25).select("o_orderkey")
+    ).count() == 0
+    # nested fractions: a 10% hash sample is a subset of the 25% one
+    s_small = U.hash_sample(o, "o_orderkey", 0.10).select("o_orderkey")
+    assert s_small.exceptAll(s1.select("o_orderkey")).count() == 0
+    # map-only plan: no exchange anywhere
+    assert "Exchange" not in s1._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hash_fold_range_and_group_safety(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = U.hash_fold(ev, "user_id", 7)
+    mm = out.agg(F.min("fold"), F.max("fold")).first()
+    assert mm[0] >= 0 and mm[1] <= 6
+    # group-safe: each user_id maps to exactly one fold
+    leaked = out.groupBy("user_id").agg(F.countDistinct("fold").alias("n")).filter("n > 1").count()
+    assert leaked == 0
+
+
+def test_hash_group_split_disjoint_and_sized(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = U.hash_group_split(ev, "user_id", [0.8, 0.1, 0.1])
+    U.validate_disjoint_splits(out, "user_id")
+    by_user = out.select("user_id", "split").distinct()
+    n_users = by_user.count()
+    frac0 = by_user.filter("split = 0").count() / n_users
+    # binomial bounds: p=0.8 within 4 sigma (sf0.001 has only ~15 users)
+    sigma = (0.8 * 0.2 / n_users) ** 0.5
+    assert abs(frac0 - 0.8) < 4 * sigma + 1 / n_users
+    assert out.count() == ev.count()
