@@ -380,3 +380,78 @@ def t_token_budget_rates(spark, sf_dir):
     stratified_sample for token-balanced dataset mixing)."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return T.token_budget_rates(d, "lang", "text", budget_per_stratum=50_000)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + corpus-level span dedup
+# ---------------------------------------------------------------------------
+
+# synthetic-PII injection (the corpus has none): deterministic per-doc
+# email/ip/ssn/phone appended identically in Spark and the oracle, so
+# the redaction is exercised on real matches.
+_PII_INJECT_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789 tel 555-123-4567'"
+)
+
+
+def _pii_oracle_sql() -> str:
+    from azuredataengineering_deeplearning_spark.operators.text import PII_PATTERNS
+
+    clean, staged, counts = "t", "t", []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({staged}, '{pat}')) AS INT) AS n_{name}"
+        )
+        staged = f"regexp_replace({staged}, '{pat}', '{repl}', 'g')"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH inj AS (SELECT doc_id, {_PII_INJECT_SQL} AS t FROM documents)
+    SELECT doc_id, {clean} AS clean_text, {", ".join(counts)} FROM inj
+    """
+
+
+@query("t_pii_scrub", _pii_oracle_sql())
+def t_pii_scrub(spark, sf_dir):
+    """PII redaction pass with per-class audit counts (email/IPv4/SSN/
+    phone) — chained JVM regexp_replace, no shuffle at any scale."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 tel 555-123-4567"),
+    )
+    return d.select(
+        "doc_id",
+        T.pii_scrub(injected).alias("clean_text"),
+        *T.pii_counts(injected),
+    )
+
+
+_SPAN_DEDUP_SQL = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ch AS (SELECT doc_id, [array_to_string(w[i:i+4], ' ')
+                           for i in generate_series(1, len(w), 5)] AS chunks
+           FROM w),
+    sp AS (SELECT doc_id, unnest(list_distinct(chunks)) AS span FROM ch),
+    common AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) >= 3),
+    ca AS (SELECT coalesce(list(span), []) AS cl FROM common)
+    SELECT doc_id,
+           array_to_string(list_filter(chunks,
+             s -> NOT list_contains(cl, s)), ' ') AS clean_text
+    FROM ch, ca
+"""
+
+
+@query("t_span_dedup", _SPAN_DEDUP_SQL)
+def t_span_dedup(spark, sf_dir):
+    """C4-style corpus-level boilerplate removal generalized to k-token
+    spans: any 5-token span occurring in ≥3 distinct documents is
+    dropped from every document. One aggregate shuffle; the common-span
+    set broadcasts back (docs never shuffle)."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return T.remove_common_spans(d, "doc_id", "text", k=5, min_docs=3)

@@ -222,3 +222,99 @@ def token_budget_rates(
             F.lit(float(budget_per_stratum)) / F.col("tokens").cast("double"),
         ).alias("rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (pretraining-curation redaction pass)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (no lookarounds/backrefs) so the same patterns run in
+# Spark's Java regex and the DuckDB oracle. Order matters: email before
+# phone (an email's digits must not be half-eaten by the phone pattern).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b(?:\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Redact emails / IPv4s / SSNs / US phone numbers with typed
+    placeholder tokens. A chain of JVM-side ``regexp_replace`` — one
+    narrow projection, no shuffle, scales linearly with corpus bytes."""
+    out = _c(col)
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Per-class PII hit counts (redaction audit metrics): one
+    ``regexp_count`` per class, applied in the same scrub order on the
+    progressively-redacted text so classes never double-count the same
+    span (an email's digits are not also a phone)."""
+    cols, cur = [], _c(col)
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return cols
+
+
+# ---------------------------------------------------------------------------
+# corpus-level span dedup (C4/Gopher line-dedup generalized)
+# ---------------------------------------------------------------------------
+
+
+def chunk_tokens(col: Column | str, k: int = 10, sep: str = TOKEN_SPLIT) -> Column:
+    """Re-chunk a document into consecutive k-token spans
+    (array<string>, last span may be short). The "line" unit for
+    corpora without newline structure."""
+    toks = F.split(_c(col), sep)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.when(n > 0, (n - 1) / k).otherwise(0).cast("int"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i * k + 1, k), sep))
+
+
+def remove_common_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_docs: int = 3,
+    sep: str = TOKEN_SPLIT,
+    out: str = "clean_text",
+) -> DataFrame:
+    """C4-style corpus-level boilerplate removal, span-generalized:
+    drop every k-token span that appears in ≥ ``min_docs`` distinct
+    documents, reassemble each document from its surviving spans.
+
+    Plan shape: one explode → one (span-hash) aggregate shuffle to find
+    common spans; the common set is tiny by construction (only spans
+    shared by many docs), so it broadcasts back as an array-filter via
+    a left-semi-free map join — documents are never shuffled. At 100 TB
+    the aggregate is the only wide stage and it combines map-side."""
+    # distinct spans per doc before the explode: the aggregate counts
+    # documents, not occurrences (a span repeated inside one doc is 1)
+    spans = F.explode(F.array_distinct(chunk_tokens(F.col(text_col), k, sep))).alias("span")
+    common = (
+        df.select(spans)
+        .groupBy("span")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_docs)
+        .select("span")
+    )
+    common_arr = F.broadcast(common.agg(F.collect_list("span").alias("__common")))
+    return (
+        df.crossJoin(common_arr)
+        .select(
+            id_col,
+            F.array_join(
+                F.filter(
+                    chunk_tokens(F.col(text_col), k, sep),
+                    lambda s: ~F.array_contains(F.col("__common"), s),
+                ),
+                sep,
+            ).alias(out),
+        )
+    )

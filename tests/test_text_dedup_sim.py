@@ -205,3 +205,44 @@ def test_quantized_search_recall(spark, embs):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, recall
+
+
+def test_pii_scrub_known_strings(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.smith+x@corp.io now"),
+            (2, "server 192.168.0.1 up, ssn 123-45-6789"),
+            (3, "call (425) 555-1234 or +1 206-555-0000"),
+            (4, "clean text with no pii at all"),
+        ],
+        "id int, t string",
+    )
+    out = {r.id: r for r in df.select("id", T.pii_scrub("t").alias("c"), *T.pii_counts("t")).collect()}
+    assert out[1].c == "mail <EMAIL> now" and out[1].n_email == 1
+    assert out[2].c == "server <IP> up, ssn <SSN>" and out[2].n_ipv4 == 1 and out[2].n_ssn == 1
+    assert out[3].n_phone == 2 and "<PHONE>" in out[3].c
+    assert out[4].c == "clean text with no pii at all"
+    assert out[4].n_email == out[4].n_phone == 0
+
+
+def test_pii_counts_no_double_counting(spark):
+    # an email's host looks nothing like a phone, but digits inside a
+    # redacted span must not be re-counted by later classes
+    df = spark.createDataFrame([(1, "x 123-45-6789 y")], "id int, t string")
+    r = df.select(*T.pii_counts("t")).first()
+    assert r.n_ssn == 1 and r.n_phone == 0
+
+
+def test_chunk_and_remove_common_spans(spark):
+    boiler = "all rights reserved by corp"
+    rows = [(i, f"unique words {i} here plus " + boiler) for i in range(4)]
+    rows.append((9, "totally different text entirely"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r.clean_text for r in
+           T.remove_common_spans(df, "doc_id", "text", k=5, min_docs=3).collect()}
+    # the shared 5-token boilerplate span is removed from every doc…
+    for i in range(4):
+        assert boiler not in out[i]
+        assert f"unique words {i} here plus" == out[i]
+    # …and the unique doc is untouched
+    assert out[9] == "totally different text entirely"
