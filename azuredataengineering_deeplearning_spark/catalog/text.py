@@ -455,3 +455,79 @@ def t_span_dedup(spark, sf_dir):
     set broadcasts back (docs never shuffle)."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return T.remove_common_spans(d, "doc_id", "text", k=5, min_docs=3)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing + vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_pack_sequences",
+    """
+    WITH tc AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+                FROM documents),
+    c AS (SELECT lang, doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM tc)
+    SELECT lang, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(FLOOR(before / 2048) AS INT) AS pack_id,
+           CAST(before % 2048 AS INT) AS pack_offset
+    FROM c
+    """,
+)
+def t_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: in doc_id order per language, assign
+    each document the 2048-token bin where it starts, with its offset.
+    Window is partitioned by the pack group — no global sort."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return T.pack_sequences(
+        d, "doc_id", T.token_count("text"), budget=2048, pack_by="lang"
+    )
+
+
+@query(
+    "t_vocab_stats",
+    """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS term_freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def t_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary statistics (term frequency + doc frequency) —
+    the vocab-building pass; shuffle bounded by vocabulary size."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return T.vocab_stats(d, "doc_id", "text")
+
+
+@query(
+    "t_tfidf_topk",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT token, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * ln((1.0 + n.n) / (1.0 + dfq.df)) AS tfidf
+      FROM tf JOIN dfq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rn AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, token ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def t_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic tokens per document by smoothed TF-IDF —
+    per-doc windows over broadcast corpus stats."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return T.tfidf_topk(d, "doc_id", "text", k=3).select(
+        "doc_id", "token", "tfidf", "rank"
+    )

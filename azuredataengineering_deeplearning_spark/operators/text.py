@@ -318,3 +318,103 @@ def remove_common_spans(
             ).alias(out),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (pretraining batch assembly)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column | str,
+    budget: int,
+    pack_by: str | None = None,
+    order_by: str | None = None,
+) -> DataFrame:
+    """Greedy in-order sequence packing: walk documents in a
+    deterministic order, accumulate token counts, and assign each doc
+    the bin where it *starts* (``floor(tokens_before / budget)``) — the
+    GPT-style "concat then chunk, document-aligned" batch assembly.
+
+    Emits ``(id, n_tokens, pack_id, pack_offset)``. With ``pack_by``
+    (e.g. lang or shard), packing is independent per group and the
+    window is partitioned — the scalable form. Without it the window is
+    global (single-partition): correct for bounded inputs, but at 100 TB
+    pack within shards instead — bins are shard-local by design, so
+    parallel packing loses nothing."""
+    tc = _c(token_count_col)
+    order = F.col(order_by if order_by is not None else id_col)
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(pack_by) if pack_by else Window.partitionBy()).orderBy(order)
+    before = F.coalesce(
+        F.sum(tc).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    cols = [F.col(id_col), tc.alias("n_tokens")]
+    if pack_by:
+        cols.insert(0, F.col(pack_by))
+    return df.select(
+        *cols,
+        F.floor(before / budget).cast("int").alias("pack_id"),
+        (before % budget).cast("int").alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary / TF-IDF statistics
+# ---------------------------------------------------------------------------
+
+
+def vocab_stats(
+    df: DataFrame, id_col: str, text_col: str, sep: str = TOKEN_SPLIT
+) -> DataFrame:
+    """Corpus vocabulary statistics: per-token total term frequency and
+    document frequency. One explode → one aggregate (map-side combines);
+    vocabulary cardinality, not corpus size, bounds the shuffle."""
+    tok = F.explode(tokens(F.col(text_col), sep)).alias("token")
+    return (
+        df.select(F.col(id_col).alias("__d"), tok)
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.countDistinct("__d").alias("doc_freq"),
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    sep: str = TOKEN_SPLIT,
+) -> DataFrame:
+    """Top-k characteristic tokens per document by smoothed TF-IDF
+    (``tf * ln((1+N)/(1+df))``, token-lexicographic tiebreak). The doc
+    count and doc-frequency table are corpus-level aggregates that
+    broadcast back onto the per-doc term counts; ranking is one window
+    over (doc, token) — partitioned by doc, never global."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col), sep)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    n = F.broadcast(df.agg(F.countDistinct(id_col).alias("__n")))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(n)
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((1 + F.col("__n")) / (1 + F.col("df"))),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "token", "tfidf", F.col("rn").alias("rank"))
+    )

@@ -246,3 +246,30 @@ def test_chunk_and_remove_common_spans(spark):
         assert f"unique words {i} here plus" == out[i]
     # …and the unique doc is untouched
     assert out[9] == "totally different text entirely"
+
+
+def test_pack_sequences_known_bins(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e"), (3, "a b c"), (4, "a b c d e f")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in
+           T.pack_sequences(df, "doc_id", T.token_count("text"), budget=10).collect()}
+    # cum-before: 0, 4, 9, 12 → bins 0,0,0,1; offsets 0,4,9,2
+    assert [(out[i].pack_id, out[i].pack_offset) for i in (1, 2, 3, 4)] == [
+        (0, 0), (0, 4), (0, 9), (1, 2)
+    ]
+
+
+def test_vocab_and_tfidf(spark):
+    df = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird"), (3, "fish")],
+        "doc_id int, text string",
+    )
+    v = {r.token: (r.term_freq, r.doc_freq) for r in
+         T.vocab_stats(df, "doc_id", "text").collect()}
+    assert v == {"cat": (2, 1), "dog": (2, 2), "bird": (1, 1), "fish": (1, 1)}
+    top = {r.doc_id: r.token for r in
+           T.tfidf_topk(df, "doc_id", "text", k=1).collect()}
+    # doc 1: cat tf=2 rare (df=1) wins; doc 2: bird (df=1) beats dog (df=2)
+    assert top[1] == "cat" and top[2] == "bird" and top[3] == "fish"
