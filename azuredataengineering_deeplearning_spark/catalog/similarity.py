@@ -110,3 +110,12 @@ def sim_quantize_embeddings(spark, sf_dir):
     return SIM.quantize_embeddings(e, "embedding", lo=-0.5, hi=0.5).select(
         "vec_id", "codes"
     )
+
+
+@query("sim_semantic_dedup")  # fitted k-means blocks → rows-only; pytest vs exact pairs
+def sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup: embedding-space near-dup removal — k-means cluster
+    blocking turns all-pairs cosine into within-cluster joins, then
+    connected components pick a canonical survivor per semantic group."""
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return SIM.semantic_dedup(e, threshold=0.45, n_lists=8)

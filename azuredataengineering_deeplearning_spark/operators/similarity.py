@@ -468,3 +468,71 @@ def dequantize_embeddings(
         ).cast("float"),
     )
     return df.withColumn(out_col, deq)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-blocked embedding near-dups
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop documents whose *embeddings*
+    are near-identical, catching paraphrases lexical dedup misses.
+
+    Pipeline: k-means coarse clusters (the IVF fit) → cosine pairs
+    computed ONLY within a cluster → connected components → canonical
+    survivor (min id). The cluster equi-join turns the O(n²) all-pairs
+    problem into Σ O(|cluster|²), the same blocking argument as LSH
+    banding; clusters are balanced by k-means so no single join key is
+    quadratic-hot. Returns (id, cluster_rep, is_semantic_dup).
+
+    Approximate by design — pairs straddling a cluster boundary are
+    missed (SemDeDup accepts this; raise n_lists for tighter blocks or
+    probe 2 lists for recall). No cross-engine oracle exists (k-means
+    init is engine-side): invariants are pytest-asserted against the
+    unblocked exact pair set."""
+    from azuredataengineering_deeplearning_spark.operators.dedup import resolve_clusters
+
+    cents = fit_ivf_centroids(vectors, n_lists=n_lists, vec_col=vec_col, seed=seed)
+    assigned = assign_ivf_lists(vectors, cents, vec_col=vec_col, nprobe=1)
+    blocked = assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("ivf_lists")[0].alias("__list")
+    )
+    norm = F.sqrt(_exact_dot(F.col(vec_col), F.col(vec_col)).cast("double"))
+    a = blocked.select(
+        "__list", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), norm.alias("__na")
+    )
+    b = blocked.select(
+        "__list", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), norm.alias("__nb")
+    )
+    pairs = (
+        a.join(b, ["__list"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.try_divide(
+                _exact_dot(F.col("__va"), F.col("__vb")).cast("double"),
+                F.col("__na") * F.col("__nb"),
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comps = resolve_clusters(pairs)  # (node, cluster_id)
+    return vectors.select(id_col).join(
+        F.broadcast(comps), F.col(id_col) == F.col("node"), "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_rep"),
+        F.when(
+            F.col("cluster_id").isNotNull() & (F.col("cluster_id") != F.col(id_col)), 1
+        ).otherwise(0).alias("is_semantic_dup"),
+    )

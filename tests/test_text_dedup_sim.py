@@ -273,3 +273,29 @@ def test_vocab_and_tfidf(spark):
            T.tfidf_topk(df, "doc_id", "text", k=1).collect()}
     # doc 1: cat tf=2 rare (df=1) wins; doc 2: bird (df=1) beats dog (df=2)
     assert top[1] == "cat" and top[2] == "bird" and top[3] == "fish"
+
+
+def test_semantic_dedup_vs_exact_pairs(spark, embs):
+    out = SIM.semantic_dedup(embs, threshold=0.45, n_lists=8).cache()
+    # every id appears exactly once, reps are members of their own group
+    assert out.count() == embs.count()
+    assert out.filter("cluster_rep IS NULL").count() == 0
+    dups = out.filter("is_semantic_dup = 1")
+    # flagged dups must be real near-dups: each flagged id shares a
+    # >= threshold cosine pair with something (soundness vs exact set)
+    exact = SIM.embedding_near_duplicates(embs, threshold=0.45)
+    exact_ids = {r.id_a for r in exact.collect()} | {r.id_b for r in exact.collect()}
+    got_ids = {r.vec_id for r in dups.collect()}
+    assert got_ids <= exact_ids
+    # cluster blocking keeps most of the exact signal on this corpus
+    if exact_ids:
+        assert len(got_ids) >= 1
+
+
+def test_semantic_dedup_identical_vectors_collapse(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r.vec_id: r for r in SIM.semantic_dedup(df, threshold=0.99, n_lists=2).collect()}
+    assert out[1].is_semantic_dup == 0 and out[1].cluster_rep == 1
+    assert out[2].is_semantic_dup == 1 and out[2].cluster_rep == 1
+    assert out[3].is_semantic_dup == 0
