@@ -92,3 +92,40 @@ def st_session_agg(spark, sf_dir):
         ev, "ts", "1 hour", ["user_id"],
         [F.count(F.lit(1)).alias("n"), exact_sum("value", "total")],
     )
+
+
+@query(
+    "st_stream_stream_join",
+    """
+    WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
+               FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, event_id AS event_id_r, epoch_us(ts) AS us_r
+          FROM events WHERE event_type = 'purchase')
+    SELECT l.user_id, event_id, event_id_r,
+           CAST(us_r - us AS BIGINT) AS dt_us
+    FROM l JOIN r ON l.user_id = r.user_id
+     AND us_r BETWEEN us - 3600000000 AND us + 3600000000
+    """,
+)
+def st_stream_stream_join(spark, sf_dir):
+    """Stream-stream band join run in batch mode: clicks joined to same-
+    user purchases within ±1 h of event time. In streaming the same
+    function adds watermarks and Spark evicts state beyond
+    watermark + band — state is rate x window, not stream length.
+    Timestamps compare at micro grain (DuckDB truncates nanos)."""
+    from azuredataengineering_deeplearning_spark.streaming.joins import stream_stream_join
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_micros(F.expr("ts_ns div 1000")).alias("tsu"),
+    )
+    left = base.filter(F.col("event_type") == "click").select("user_id", "event_id", "tsu")
+    right = base.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "tsu")
+    out = stream_stream_join(
+        left, right, ["user_id"], "tsu", "tsu", within="60 minutes"
+    )
+    return out.select(
+        "user_id", "event_id", "event_id_r",
+        (F.unix_micros("tsu_r") - F.unix_micros("tsu")).alias("dt_us"),
+    )

@@ -168,3 +168,55 @@ def test_stream_dedup_batch_path(spark):
         [(1, "a"), (1, "b"), (2, "c")], ["k", "v"]
     )
     assert stream_dedup(df, ["k"]).count() == 2
+
+
+def test_stream_stream_join_watermarked(spark, tmp_path):
+    """Two file streams joined on key within an event-time band: inner
+    results match the batch band join, and the plan carries watermarks
+    (bounded state)."""
+    import os
+
+    from azuredataengineering_deeplearning_spark.streaming.joins import (
+        stream_stream_join,
+    )
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ldir), os.makedirs(rdir)
+    # left: clicks at t=0s,100s; right: purchases at t=30s (in band of
+    # both under +/-60s? 30-0=30 ok, 100-30=70 > 60 not in band), t=1000s
+    B = 1_700_000_000  # away from epoch: ts=0 sits on the initial watermark
+    with open(f"{ldir}/a.csv", "w") as f:
+        f.write(f"k,lts\nu1,{B}\nu1,{B + 100}\n")
+    with open(f"{rdir}/a.csv", "w") as f:
+        f.write(f"k,rts\nu1,{B + 30}\nu1,{B + 1000}\n")
+
+    def src(d, col):
+        return (
+            spark.readStream.format("csv")
+            .schema(f"k string, {col} long")
+            .option("header", "true")
+            .load(d)
+            .withColumn(col, F.timestamp_seconds(F.col(col)))
+        )
+
+    joined = stream_stream_join(
+        src(ldir, "lts"), src(rdir, "rts"), ["k"], "lts", "rts",
+        within="60 seconds", left_watermark="0 seconds", right_watermark="0 seconds",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (r.k, int(r.lts.timestamp()) - B, int(r.rts.timestamp()) - B)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    # (100, 30) is out of band: |100 - 30| = 70s > 60s
+    assert rows == {("u1", 0, 30)}, rows
+    # the streaming plan must be stateful with event-time watermarks
+    assert "EventTimeWatermark" in joined._jdf.queryExecution().analyzed().toString()
