@@ -142,3 +142,26 @@ def kql_mv_expand_wordcount(spark, sf_dir):
         | where n > 5000
         """,
     )
+
+
+@query(
+    "kql_parse_source",
+    """
+    SELECT regexp_extract(source, '^src(.*)$', 1) AS src_num,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def kql_parse_source(spark, sf_dir):
+    """KQL parse simple-mode extraction → summarize, plus project-away
+    of the consumed raw column."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t,
+        """
+        documents
+        | parse source with 'src' src_num
+        | project-away source
+        | summarize n=count() by src_num
+        """,
+    )

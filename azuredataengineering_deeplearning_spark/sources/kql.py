@@ -8,8 +8,9 @@ pipelines run against lake tables unchanged (and the ``KustoSource``
 adapter uses it as its offline executor).
 
 Supported pipe operators:
-``where`` ``project`` ``project-rename`` ``extend`` ``take``/``limit``
-``sort by`` ``top N by`` ``distinct`` ``summarize ... by ...``
+``where`` ``project`` ``project-rename`` ``project-away`` ``extend``
+``parse ... with`` ``take``/``limit`` ``sort by`` ``top N by``
+``distinct`` ``summarize ... by ...``
 ``count`` ``arg_max(col, *)`` (inside summarize). Scalars: ``ago(14d)``
 (``synapse_sql_pool_dynamic_scaler.py:21``, ``daily_eval.py:156``) and
 ``bin(ts, 1h)`` epoch-aligned bucketing; pass ``now=`` for a
@@ -62,6 +63,12 @@ def _expr(kql: str, now: str | None = None) -> str:
             f" / {_timespan_s(m.group(2), m.group(3))})"
             f" * {_timespan_s(m.group(2), m.group(3))})"
         ),
+        s,
+    )
+    # `has`: case-insensitive whole-term match (KQL's indexed term search)
+    s = re.sub(
+        r"(\w+)\s+has\s+'([^']*)'",
+        lambda m: f"{m.group(1)} RLIKE '(?i)\\\\b{re.escape(m.group(2))}\\\\b'",
         s,
     )
     s = re.sub(r"\bcontains\s+('[^']*')", r" LIKE concat('%', \1, '%')", s)
@@ -124,6 +131,10 @@ def kql_to_df(
             df = _summarize(df, rest, now)
         elif op == "join":
             df = _join(df, tables, rest)
+        elif op == "project-away":
+            df = df.drop(*[c.strip() for c in _split_csv(rest)])
+        elif op == "parse":
+            df = _parse(df, rest)
         elif op == "mv-expand":
             col = rest.strip()
             df = df.withColumn(col, F.explode(F.col(col)))
@@ -180,6 +191,32 @@ def _join(df: DataFrame, tables: dict[str, DataFrame], rest: str) -> DataFrame:
     for c in conds[1:]:
         cond = cond & c
     return df.join(right, cond, _JOIN_KINDS[kind])
+
+
+def _parse(df: DataFrame, rest: str) -> DataFrame:
+    """``parse <col> with 'lit' Name 'lit' Name ...``: KQL's simple-mode
+    pattern extraction. Literals anchor the pattern; each bare Name
+    becomes a capture (non-greedy except the last). Translated to one
+    ``regexp_extract`` per captured column — JVM-side, no UDF."""
+    m = re.match(r"^(\w+)\s+with\s+(.+)$", rest, re.S)
+    if not m:
+        raise ValueError(f"parse needs '<col> with <pattern>': {rest!r}")
+    src = m.group(1)
+    parts = re.findall(r"'([^']*)'|(\w+)", m.group(2))
+    names, segs, last_cap = [], ["^"], -1
+    for lit, name in parts:
+        if name:
+            names.append(name)
+            last_cap = len(segs)
+            segs.append("(.*?)")
+        else:
+            segs.append(re.escape(lit))
+    if last_cap >= 0:  # last capture is greedy (KQL simple-mode semantics)
+        segs[last_cap] = "(.*)"
+    regex = "".join(segs)
+    for i, name in enumerate(names, start=1):
+        df = df.withColumn(name, F.regexp_extract(F.col(src), regex, i))
+    return df
 
 
 def _split_csv(s: str) -> list[str]:

@@ -126,3 +126,26 @@ def test_kql_union_and_mv_expand(spark):
         "A | extend tok = split(text, ' ') | mv-expand tok",
     )
     assert sorted(r.tok for r in ex.collect()) == ["p", "q"]
+
+
+def test_kql_parse_and_project_away(spark):
+    df = spark.createDataFrame(
+        [("user=alice;region=us-west",), ("user=bob;region=eu",)], ["raw"]
+    )
+    out = kql_to_df(
+        {"t": df},
+        "t | parse raw with 'user=' user ';region=' region | project-away raw",
+    )
+    rows = {(r.user, r.region) for r in out.collect()}
+    assert rows == {("alice", "us-west"), ("bob", "eu")}
+    assert out.columns == ["user", "region"]
+
+
+def test_kql_has_whole_term(spark):
+    df = spark.createDataFrame(
+        [("the spark engine",), ("sparkly things",), ("SPARK caps",)], ["msg"]
+    )
+    out = kql_to_df({"t": df}, "t | where msg has 'spark'")
+    got = {r.msg for r in out.collect()}
+    # whole-term, case-insensitive: 'sparkly' must NOT match
+    assert got == {"the spark engine", "SPARK caps"}
