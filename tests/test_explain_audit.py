@@ -171,3 +171,29 @@ def test_engine_profile_has_aqe(spark):
         )
         == "false"
     )
+
+
+def test_pack_sequences_partitioned_window(spark, sf_dir):
+    plan = _plan(E.queries()["t_pack_sequences"](spark, sf_dir))
+    # the pack window partitions by the pack group — one keyed exchange,
+    # never a single-partition global window
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_span_dedup_docs_never_shuffle(spark, sf_dir):
+    plan = _plan(E.queries()["t_span_dedup"](spark, sf_dir))
+    # docs meet the tiny common-span set via broadcast; the only
+    # exchanges belong to the common-set aggregate
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tfidf_corpus_stats_broadcast(spark, sf_dir):
+    plan = _plan(E.queries()["t_tfidf_topk"](spark, sf_dir))
+    # doc-frequency table and corpus count both broadcast onto term counts
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_hash_group_split_map_only(spark, sf_dir):
+    plan = _plan(E.queries()["u_hash_group_split"](spark, sf_dir))
+    assert "Exchange" not in plan

@@ -220,6 +220,29 @@ def main() -> None:
         results["contamination_sweep"] = t
         print(json.dumps({"probe": "contamination_sweep", "docs": args.docs, "sec": t}))
 
+        # ---- corpus-level span dedup over the same corpus -------------
+        from azuredataengineering_deeplearning_spark.operators import text as TX
+
+        t, _ = timed(
+            lambda: TX.remove_common_spans(
+                docs, "doc_id", "text", k=10, min_docs=3
+            ).count()
+        )
+        results["span_dedup"] = t
+        print(json.dumps({"probe": "span_dedup", "docs": args.docs, "sec": t}))
+
+        # ---- deterministic hash split (map-only baseline) -------------
+        from azuredataengineering_deeplearning_spark.operators import setops as SO
+
+        t, _ = timed(
+            lambda: SO.hash_group_split(docs, "doc_id", [0.8, 0.1, 0.1])
+            .groupBy("split")
+            .count()
+            .count()
+        )
+        results["hash_group_split"] = t
+        print(json.dumps({"probe": "hash_group_split", "docs": args.docs, "sec": t}))
+
     print(
         json.dumps(
             {
