@@ -195,3 +195,50 @@ def o_topk_per_group(spark, sf_dir):
         k=3,
         tiebreak=["o_orderkey"],
     ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+
+
+@query(
+    "a_quantile_buckets",
+    """
+    SELECT doc_id, lang, n_chars,
+           CAST(NTILE(4) OVER (PARTITION BY lang
+                ORDER BY n_chars, doc_id) AS INT) AS bucket
+    FROM documents
+    """,
+)
+def a_quantile_buckets(spark, sf_dir):
+    """Per-language length quartiles (curriculum tiers) — ntile with a
+    deterministic tiebreak."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return A.quantile_buckets(
+        t["documents"], "n_chars", 4, keys=["lang"], tiebreak=["doc_id"]
+    ).select("doc_id", "lang", "n_chars", "bucket")
+
+
+@query(
+    "a_bucket_by_bounds",
+    """
+    SELECT doc_id, n_chars,
+           CAST(CASE WHEN n_chars < 150 THEN 0
+                     WHEN n_chars < 300 THEN 1
+                     WHEN n_chars < 450 THEN 2
+                     ELSE 3 END AS INT) AS bucket
+    FROM documents
+    """,
+)
+def a_bucket_by_bounds(spark, sf_dir):
+    """Boundary-cut bucketing — the map-only scale path for quantile
+    tiers (bounds precomputed via approx percentiles)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return A.bucket_by_bounds(t["documents"], "n_chars", [150, 300, 450]).select(
+        "doc_id", "n_chars", "bucket"
+    )
+
+
+@query("a_hll_cardinality")  # DataSketches estimate is engine-side → rows-only
+def a_hll_cardinality(spark, sf_dir):
+    """Mergeable HLL distinct-count per group (Apache DataSketches):
+    the scan-once-roll-up-forever cardinality path; accuracy
+    pytest-pinned against exact countDistinct."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return A.hll_cardinality(t["orders"], ["o_orderpriority"], "o_custkey")

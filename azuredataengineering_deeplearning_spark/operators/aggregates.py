@@ -185,3 +185,72 @@ def topk_per_group(
     return df.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    column: str,
+    n_buckets: int = 10,
+    keys: Sequence[str] | None = None,
+    tiebreak: Sequence[str] = (),
+    out: str = "bucket",
+) -> DataFrame:
+    """Equal-frequency bucketing (``ntile``): assign each row its
+    quantile bucket of ``column``, optionally per group — the curriculum
+    /difficulty-tier primitive (e.g. quality-score deciles feeding a
+    staged training mix). ``tiebreak`` columns make bucket assignment
+    deterministic under ties. One window shuffle on the grouping keys;
+    with no keys the window is global — at 100 TB prefer per-shard
+    buckets or :func:`bucket_by_bounds` (map-only) instead."""
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(
+        column, *tiebreak
+    )
+    return df.withColumn(out, F.ntile(n_buckets).over(w))
+
+
+def bucket_by_bounds(
+    df: DataFrame,
+    column: str,
+    bounds: Sequence[float],
+    out: str = "bucket",
+) -> DataFrame:
+    """The scale path for quantile bucketing: cut at precomputed
+    boundaries (e.g. from ``percentiles(approx=True)``) — a pure
+    map-side CASE chain, no window, no shuffle. ``bounds`` are the
+    right-exclusive upper edges of buckets 0..len(bounds)-1; values
+    ≥ the last bound land in bucket len(bounds)."""
+    expr = F.lit(len(bounds))
+    for i in range(len(bounds) - 1, -1, -1):
+        expr = F.when(F.col(column) < F.lit(bounds[i]), i).otherwise(expr)
+    return df.withColumn(out, expr.cast("int"))
+
+
+def hll_cardinality(
+    df: DataFrame,
+    keys: Sequence[str],
+    column: str,
+    alias: str = "approx_distinct",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    ``hll_sketch_agg``): per-group cardinality whose *sketches* can be
+    unioned across shards/days (``hll_union_agg``) without rescanning —
+    the incremental-rollup pattern exact countDistinct can't do. Returns
+    the estimate; keep :func:`sketch_cardinality` frames for reuse."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col(column), F.lit(lg_k))).alias(alias)
+    )
+
+
+def sketch_cardinality(
+    df: DataFrame,
+    keys: Sequence[str],
+    column: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group HLL sketch binaries (store these per partition/day;
+    union with ``F.hll_union_agg`` then ``F.hll_sketch_estimate`` for
+    any rollup grain later — scan once, roll up forever)."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(column), F.lit(lg_k)).alias("hll_sketch")
+    )

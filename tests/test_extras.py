@@ -29,3 +29,53 @@ def test_numpy_topk_equals_expression_topk(spark):
     b = {(r.query_id, r.rank): r.neighbor_id
          for r in SIM.numpy_topk(e, q, k=5).collect()}
     assert a == b  # two physical strategies, identical ranking
+
+
+def test_quantile_buckets_balanced(spark, sf_dir):
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+    from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = A.quantile_buckets(d, "n_chars", 4, keys=["lang"], tiebreak=["doc_id"])
+    import pyspark.sql.functions as F
+
+    sizes = out.groupBy("lang", "bucket").count().collect()
+    by_lang = {}
+    for r in sizes:
+        by_lang.setdefault(r.lang, []).append(r["count"])
+    for lang, counts in by_lang.items():
+        assert len(counts) == 4
+        assert max(counts) - min(counts) <= 1  # ntile balance property
+
+
+def test_hll_cardinality_accuracy_and_merge(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+    from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    est = {
+        r.o_orderpriority: r.approx_distinct
+        for r in A.hll_cardinality(o, ["o_orderpriority"], "o_custkey").collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+    # mergeability: per-shard sketches unioned == one-pass estimate
+    shards = A.sketch_cardinality(
+        o.withColumn("shard", F.col("o_orderkey") % 4),
+        ["o_orderpriority", "shard"], "o_custkey",
+    )
+    merged = {
+        r.o_orderpriority: r.est
+        for r in shards.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias("est"))
+        .collect()
+    }
+    assert merged == est
