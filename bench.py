@@ -40,6 +40,9 @@ HEADLINE = [
     "sim_numpy_topk",
     "pipeline_corpus_prep",
     "pipeline_curate_corpus",
+    "t_span_dedup",
+    "t_pack_sequences",
+    "t_tfidf_topk",
     # time series + recursion
     "ts_spine_gap_fill",
     "graph_bom_closure",
