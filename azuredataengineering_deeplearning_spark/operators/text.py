@@ -399,13 +399,15 @@ def tfidf_topk(
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col), sep)).alias("token"))
+    # one explode + one (doc, token) aggregate; doc frequency is a count
+    # window over that already-reduced frame (one row per (doc, token)),
+    # so the corpus is exploded and shuffled exactly once
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    dfreq = toks.select(id_col, "token").distinct().groupBy("token").agg(
-        F.count("*").alias("df")
-    )
     n = F.broadcast(df.agg(F.countDistinct(id_col).alias("__n")))
+    from pyspark.sql import Window as _W
+
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.withColumn("df", F.count("*").over(_W.partitionBy("token")))
         .crossJoin(n)
         .withColumn(
             "tfidf",

@@ -188,10 +188,13 @@ def test_span_dedup_docs_never_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_tfidf_corpus_stats_broadcast(spark, sf_dir):
+def test_tfidf_explodes_corpus_once(spark, sf_dir):
     plan = _plan(E.queries()["t_tfidf_topk"](spark, sf_dir))
-    # doc-frequency table and corpus count both broadcast onto term counts
-    assert plan.count("BroadcastExchange") >= 2
+    # doc frequency is a window over the reduced (doc, token) frame —
+    # the corpus explode (Generate) must appear exactly once, and the
+    # corpus doc-count broadcasts
+    assert plan.count("Generate") == 1
+    assert "BroadcastExchange" in plan
 
 
 def test_hash_group_split_map_only(spark, sf_dir):
