@@ -15,6 +15,7 @@ from azuredataengineering_deeplearning_spark.catalog import query
 from azuredataengineering_deeplearning_spark.functions.strings import collapse_whitespace
 from azuredataengineering_deeplearning_spark.operators import dedup as DD
 from azuredataengineering_deeplearning_spark.operators import relational as R
+from azuredataengineering_deeplearning_spark.operators import setops as U
 from azuredataengineering_deeplearning_spark.operators import text as T
 from azuredataengineering_deeplearning_spark.operators import windows as W
 from azuredataengineering_deeplearning_spark.operators.aggregates import argmax_rows
@@ -292,3 +293,56 @@ def pipeline_curate_corpus(spark, sf_dir):
         .filter(F.col("dup_ngram_frac") < 0.12)
         .select("doc_id", "lang", "quality")
     )
+
+
+_PRETRAIN_BATCH_SQL = r"""
+    WITH cleaned AS (
+      SELECT doc_id, lang, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, lang, len(string_split(t, ' ')) AS n_tokens, md5(t) AS fp
+      FROM cleaned
+    ), canon AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM feats
+    ), survivors AS (
+      SELECT doc_id, lang, n_tokens FROM canon
+      WHERE doc_id = canonical_id AND n_tokens BETWEEN 20 AND 1000
+    ), train AS (
+      SELECT * FROM survivors
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 10000 < 9000
+    ), packed AS (
+      SELECT lang, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM train
+    )
+    SELECT lang, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(FLOOR(before / 1024) AS INT) AS pack_id,
+           CAST(before % 1024 AS INT) AS pack_offset
+    FROM packed
+"""
+
+
+@query("pipeline_pretraining_batches", _PRETRAIN_BATCH_SQL)
+def pipeline_pretraining_batches(spark, sf_dir):
+    """The full deterministic batch-assembly pass a pretraining run
+    consumes: clean → exact dedup (canonical survivor) → length window →
+    90% reproducible hash train-split → per-language 1024-token sequence
+    packing. One lazy plan, one oracle; every stage is an engine
+    operator. Scale: dedup is the only corpus-wide shuffle; the split is
+    map-only; packing windows are per-language."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    cleaned = d.select(
+        "doc_id", "lang", collapse_whitespace(F.col("text")).alias("cleaned")
+    )
+    feats = cleaned.withColumn("n_tokens", T.token_count("cleaned"))
+    dups = DD.exact_duplicates(feats, "doc_id", "cleaned")
+    survivors = (
+        feats.join(dups.select("doc_id", "is_duplicate"), "doc_id")
+        .filter((F.col("is_duplicate") == 0) & F.col("n_tokens").between(20, 1000))
+        .select("doc_id", "lang", "n_tokens")
+    )
+    train = U.hash_sample(survivors, "doc_id", 0.9)
+    return T.pack_sequences(train, "doc_id", F.col("n_tokens"), 1024, pack_by="lang")

@@ -40,6 +40,7 @@ HEADLINE = [
     "sim_numpy_topk",
     "pipeline_corpus_prep",
     "pipeline_curate_corpus",
+    "pipeline_pretraining_batches",
     "t_span_dedup",
     "t_pack_sequences",
     "t_tfidf_topk",
