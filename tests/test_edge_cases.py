@@ -92,3 +92,28 @@ def test_cosine_zero_vector_yields_null_not_error(spark):
     by_n = {r.neighbor_id: r.cos for r in ok}
     assert by_n[3] == pytest.approx(0.0)
     assert by_n[1] is None  # zero-norm corpus vector → NULL cosine, ranked last
+
+
+def test_new_text_ops_null_and_empty(spark):
+    from azuredataengineering_deeplearning_spark.operators import setops as U
+    from azuredataengineering_deeplearning_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "plain text")], "doc_id int, text string"
+    )
+    # PII scrub/counts null-propagate; empty string counts 0
+    rows = {r.doc_id: r for r in
+            df.select("doc_id", T.pii_scrub("text").alias("c"), *T.pii_counts("text")).collect()}
+    assert rows[1].c is None and rows[1].n_email is None
+    assert rows[2].c == "" and rows[2].n_email == 0
+    # span dedup: null/empty text yields empty clean_text, never crashes
+    cl = {r.doc_id: r.clean_text for r in
+          T.remove_common_spans(df, "doc_id", "text", k=3, min_docs=2).collect()}
+    assert cl[1] == "" and cl[2] == "" and cl[3] == "plain text"
+    # hash sampling drops null keys on every engine (NULL comparison)
+    assert U.hash_sample(df, "text", 0.5).filter("text IS NULL").count() == 0
+    # packing skips null token counts in the running sum (deterministic)
+    packed = {r.doc_id: r for r in
+              T.pack_sequences(df, "doc_id", T.token_count("text"), 5).collect()}
+    assert packed[1].n_tokens is None and packed[1].pack_offset == 0
+    assert packed[3].pack_offset == 1
