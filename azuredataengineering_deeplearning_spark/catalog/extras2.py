@@ -118,3 +118,33 @@ def j_anti_join(spark, sf_dir):
     return J.anti_join(
         t["supplier"], keys, F.col("s_suppkey") == F.col("l_suppkey")
     ).select("s_suppkey", "s_name")
+
+
+_ZBITS = 8
+
+
+def _zorder_oracle_sql() -> str:
+    # fully parenthesized: DuckDB's bitwise precedence differs from C
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"(((( o_custkey % 256) >> {i}) & 1) << {2 * i})")
+        terms.append(f"((((o_orderkey % 256) >> {i}) & 1) << {2 * i + 1})")
+    return (
+        "SELECT o_orderkey, CAST(" + " + ".join(terms) + " AS BIGINT) AS zkey"
+        " FROM orders"
+    )
+
+
+@query("lake_zorder_key", _zorder_oracle_sql())
+def lake_zorder_key(spark, sf_dir):
+    """Morton (Z-order) interleave key over two scaled dimensions —
+    the multi-column clustering sort key (pure bit arithmetic,
+    bit-identical cross-engine)."""
+    from azuredataengineering_deeplearning_spark.sources.writers import zorder_key
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    return t["orders"].select(
+        "o_orderkey",
+        zorder_key([F.col("o_custkey") % 256, F.col("o_orderkey") % 256], bits=_ZBITS)
+        .alias("zkey"),
+    )

@@ -133,3 +133,23 @@ def ts_dim_date(spark, sf_dir):
     return cal.withColumn("date", F.col("date").cast("timestamp")).withColumn(
         "month_end", F.col("month_end").cast("timestamp")
     )
+
+
+@query(
+    "ts_cohort_retention",
+    """
+    WITH e AS (SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS p
+               FROM events),
+    first AS (SELECT user_id, MIN(p) AS cohort FROM e GROUP BY user_id)
+    SELECT cohort,
+           CAST(date_diff('day', cohort, p) / 7 AS INT) AS period_n,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM e JOIN first ON e.user_id = first.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ts_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over events — first-seen cohort x
+    periods-since, distinct actives."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return TS.cohort_retention(ev, "user_id", "ts", grain="week")

@@ -199,3 +199,33 @@ def dim_date(
     return cal.join(F.broadcast(hol), ["date"], "left").withColumn(
         "is_holiday", F.col("holiday_name").isNotNull().cast("int")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen period
+    (cohort), counted distinct in each subsequent activity period.
+    Returns (cohort, period_n, n_active) where period_n is periods since
+    the cohort's start (0 = the cohort period itself).
+
+    Plan: one (id) aggregate for first-seen, joined back on the id (the
+    join shares the id shuffle), then one (cohort, period) aggregate —
+    the distinct count is the only stage carrying per-user rows. At
+    100 TB swap countDistinct for :func:`aggregates.hll_cardinality`
+    sketches, which also makes the matrix incrementally mergeable."""
+    period = F.date_trunc(grain, F.col(ts_col))
+    first = df.groupBy(id_col).agg(F.min(period).alias("__cohort"))
+    diff_fn = {"week": (7, "day"), "day": (1, "day"), "month": (1, "month")}[grain]
+    joined = df.join(first, id_col)
+    if grain == "month":
+        n = F.months_between(period, F.col("__cohort")).cast("int")
+    else:
+        n = (F.datediff(period, F.col("__cohort")) / diff_fn[0]).cast("int")
+    return (
+        joined.groupBy(F.col("__cohort").alias("cohort"), n.alias("period_n"))
+        .agg(F.countDistinct(id_col).alias("n_active"))
+    )

@@ -212,3 +212,47 @@ def expire_partitions(
     for d in doomed:
         shutil.rmtree(os.path.join(path, d))
     return doomed
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of non-negative integer columns into
+    one long sort key: bit i of column j lands at position
+    ``i * n_cols + j``. Range-clustering on this key keeps files tight
+    on EVERY input dimension simultaneously — the multi-column
+    data-skipping layout Delta's OPTIMIZE ZORDER provides, as a pure
+    column expression (portable bit arithmetic, cross-engine checkable).
+    Inputs must already be scaled to [0, 2^bits); see
+    :func:`operators.aggregates.bucket_by_bounds` or modulo binning."""
+    n = len(cols)
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, i * n + j)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 16,
+    target_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimension clustered layout: range-partition + sort by the
+    Morton key of ``zorder_by`` (columns pre-scaled to [0, 2^bits)).
+    Files become locality blocks in every listed dimension, so
+    predicates on ANY of them skip most files — where single-key range
+    clustering only skips on its leading column."""
+    key = zorder_key(zorder_by, bits).alias("__z")
+    parts = target_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(parts, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

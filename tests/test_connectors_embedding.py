@@ -162,3 +162,33 @@ def test_expire_partitions(spark, tmp_path):
     # partition values come back type-inferred (DateType)
     left = {str(r.ds) for r in spark.read.parquet(out).select("ds").collect()}
     assert left == {"2024-01-03", "2024-01-04"}
+
+
+def test_write_zordered_locality_both_dims(spark, tmp_path):
+    """Z-order layout: per-file min/max spans on BOTH dimensions are far
+    tighter than the full range, so predicates on either column skip
+    most files (single-key range clustering only helps its lead key)."""
+    import pyspark.sql.functions as F
+
+    from azuredataengineering_deeplearning_spark.sources.writers import write_zordered
+
+    n = 1 << 14
+    grid = spark.range(n).select(
+        (F.col("id") % 128).alias("x"), (F.col("id") / 128).cast("long").alias("y")
+    )
+    out = str(tmp_path / "z")
+    write_zordered(grid, out, ["x", "y"], bits=7, target_files=16)
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 8
+    spans_x, spans_y = [], []
+    for f in files:
+        row = spark.read.parquet(f).agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).first()
+        spans_x.append(row[1] - row[0])
+        spans_y.append(row[3] - row[2])
+    # average per-file span well under the full 0..127 range on BOTH dims
+    assert sum(spans_x) / len(spans_x) < 64
+    assert sum(spans_y) / len(spans_y) < 64
