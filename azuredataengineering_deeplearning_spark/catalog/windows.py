@@ -266,3 +266,61 @@ def scd2_dating_orders(spark, sf_dir):
         "expirationDate",
         F.col("currentVersion").cast("int").alias("currentVersion"),
     )
+
+
+@query(
+    "w_rolling_zscore",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+    SELECT event_id,
+           ROUND((value - AVG(value) OVER w)
+                 / NULLIF(STDDEV_SAMP(value) OVER w, 0), 4) AS zscore
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def w_rolling_zscore(spark, sf_dir):
+    """Trailing-window anomaly score per user (current row excluded);
+    rounded to 4dp — sliding-variance accumulation differs across
+    engines below that."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = ev.select(
+        "event_id", "user_id", F.expr("ts_ns div 1000").alias("us"), "value"
+    )
+    out = W.rolling_zscore(base, ["user_id"], "us", "value", lookback=20)
+    return out.select("event_id", F.round("zscore", 4).alias("zscore"))
+
+
+@query(
+    "w_funnel_steps",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    g AS (
+      SELECT user_id,
+             list_sort(list(us) FILTER (event_type = 'view')) AS a0,
+             list_sort(list(us) FILTER (event_type = 'click')) AS a1,
+             list_sort(list(us) FILTER (event_type = 'purchase')) AS a2
+      FROM e GROUP BY user_id
+    ), s AS (
+      SELECT user_id, a0[1] AS t_step0,
+             list_filter(a1, x -> x > a0[1])[1] AS t_step1,
+             list_filter(a2, x -> x > list_filter(a1, y -> y > a0[1])[1])[1] AS t_step2
+      FROM g
+    )
+    SELECT user_id, t_step0, t_step1, t_step2,
+           CAST(CASE WHEN t_step0 IS NULL THEN 0
+                     WHEN t_step1 IS NULL THEN 1
+                     WHEN t_step2 IS NULL THEN 2 ELSE 3 END AS INT) AS steps_completed
+    FROM s
+    """,
+)
+def w_funnel_steps(spark, sf_dir):
+    """Strict-order funnel view → click → purchase per user: earliest
+    completion times and depth, one aggregate, no joins."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = ev.select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("us")
+    )
+    return W.funnel_steps(base, "user_id", "us", "event_type",
+                          ["view", "click", "purchase"])

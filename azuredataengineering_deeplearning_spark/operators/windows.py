@@ -378,3 +378,71 @@ def cumulative_mode(
         .withColumn(out, F.max_by(F.col(value), F.col("__rank")).over(w_prev))
         .drop("__rank")
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    value: str,
+    lookback: int = 20,
+    out: str = "zscore",
+) -> DataFrame:
+    """Per-key anomaly score: how many trailing-window standard
+    deviations the current value sits from the trailing mean. The
+    window excludes the current row (a point can't vouch for itself);
+    ROWS frame over the previous ``lookback`` observations. Emits NULL
+    until ≥2 prior points exist or when the window is constant (σ=0) —
+    downstream filters treat NULL as "no verdict". One shuffle on the
+    keys; the stddev/mean pair shares a single window sorter."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_by))
+        .rowsBetween(-lookback, -1)
+    )
+    mu = F.avg(value).over(w)
+    sd = F.stddev_samp(value).over(w)
+    return df.withColumn(
+        out, F.try_divide(F.col(value) - mu, F.when(sd > 0, sd))
+    )
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: Sequence[str],
+    out_prefix: str = "t_step",
+) -> DataFrame:
+    """Ordered funnel: for each user, the earliest time step i occurred
+    AFTER step i-1's time (strict sequence, earliest-completion
+    semantics). Returns one row per user with ``t_step0..n`` timestamps
+    (NULL once the funnel stalls) and ``steps_completed``.
+
+    One aggregate: per user, collect each step's sorted event times
+    (bounded by session/funnel cardinality, same boundedness the
+    sessionizer assumes), then fold through array lookups — no joins,
+    no per-step passes over the corpus, one shuffle total."""
+    arrays = [
+        F.array_sort(
+            F.collect_list(F.when(F.col(event_col) == s, F.col(ts_col)))
+        ).alias(f"__a{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = df.groupBy(user_col).agg(*arrays)
+    prev = None
+    cols = []
+    for i in range(len(steps)):
+        arr = F.col(f"__a{i}")
+        if prev is None:
+            t = F.try_element_at(arr, F.lit(1))
+        else:
+            # earliest element strictly after the previous step's time
+            t = F.try_element_at(F.filter(arr, lambda x: x > prev), F.lit(1))
+        cols.append(t.alias(f"{out_prefix}{i}"))
+        prev = t
+    done = sum((F.when(F.col(f"{out_prefix}{i}").isNotNull(), 1).otherwise(0))
+               for i in range(len(steps)))
+    g = g.select(user_col, *cols)
+    return g.withColumn("steps_completed", done.cast("int"))

@@ -204,3 +204,41 @@ def test_asof_native_equals_pandas_path(spark):
     )
     row = asof_join_native(l2, r2, on="t", by=["k"]).collect()[0]
     assert row.t_right == 8 and row.v is None
+
+
+def test_rolling_zscore_known_values(spark):
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 10, 10, 10, 100])]
+    df = spark.createDataFrame(rows, "k int, t int, value double")
+    out = {r.t: r.z for r in
+           W.rolling_zscore(df, ["k"], "t", "value", lookback=10, out="z").collect()}
+    # first row: no history -> NULL; rows 2-4: constant window sigma=0 -> NULL
+    assert out[0] is None and out[2] is None
+    # last row: mean=10 sd=0 over [10,10,10,10]... sigma 0 -> NULL too
+    assert out[4] is None
+    rows2 = [(1, i, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    out2 = {r.t: r.z for r in
+            W.rolling_zscore(spark.createDataFrame(rows2, "k int, t int, value double"),
+                             ["k"], "t", "value", lookback=10, out="z").collect()}
+    # t=2: window [10,20] mean 15 sd 7.071 -> (30-15)/7.071 = 2.1213
+    assert abs(out2[2] - 2.1213) < 1e-3
+    # t=1: single prior point -> stddev_samp undefined -> NULL
+    assert out2[1] is None
+
+
+def test_funnel_steps_strict_order(spark):
+    rows = [
+        ("u1", 1, "view"), ("u1", 2, "click"), ("u1", 3, "purchase"),
+        # u2 clicks BEFORE viewing: click can't count; stalls at view
+        ("u2", 5, "click"), ("u2", 6, "view"),
+        # u3 never views
+        ("u3", 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, us long, event_type string")
+    out = {r.user_id: r for r in
+           W.funnel_steps(df, "user_id", "us", "event_type",
+                          ["view", "click", "purchase"]).collect()}
+    assert (out["u1"].t_step0, out["u1"].t_step1, out["u1"].t_step2) == (1, 2, 3)
+    assert out["u1"].steps_completed == 3
+    assert out["u2"].t_step0 == 6 and out["u2"].t_step1 is None
+    assert out["u2"].steps_completed == 1
+    assert out["u3"].steps_completed == 0
