@@ -159,3 +159,25 @@ def w2_hotkey_cumsum_salted(spark, sf_dir):
     return W.salted_cumsum(
         ev, ["__one"], "ts_ns", "value", salt_size=43_200_000_000_000  # 12h buckets
     ).select("event_id", "cumsum")
+
+
+@query(
+    "g_unpivot",
+    """
+    SELECT c_custkey, variable, value FROM (
+      UNPIVOT (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+                      CAST(c_nationkey AS DOUBLE) AS nationkey
+               FROM customer)
+      ON acctbal, nationkey INTO NAME variable VALUE value
+    )
+    """,
+)
+def g_unpivot(spark, sf_dir):
+    """Wide -> long unpivot (melt): map-side stack, no shuffle."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    wide = t["customer"].select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return G.unpivot_long(wide, ["c_custkey"], ["acctbal", "nationkey"])

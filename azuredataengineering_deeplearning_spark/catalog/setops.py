@@ -195,3 +195,17 @@ def u_stratified_sample(spark, sf_dir):
     return U.stratified_sample(
         d, "lang", {"en": 0.2, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
     ).select("doc_id", "lang")
+
+
+@query(
+    "u_hash_topk_sample",
+    """
+    SELECT o_orderkey FROM orders
+    ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 500
+    """,
+)
+def u_hash_topk_sample(spark, sf_dir):
+    """Exact-500-row deterministic sample (smallest key hashes) —
+    reproducible reservoir sampling as a TakeOrdered plan."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return U.hash_topk_sample(o, "o_orderkey", 500).select("o_orderkey")

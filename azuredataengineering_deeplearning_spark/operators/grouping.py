@@ -45,3 +45,16 @@ def intersect_rows(a: DataFrame, b: DataFrame, all_rows: bool = False) -> DataFr
 def except_rows(a: DataFrame, b: DataFrame, all_rows: bool = False) -> DataFrame:
     """Set difference (distinct or bag semantics)."""
     return a.exceptAll(b) if all_rows else a.subtract(b)
+
+
+def unpivot_long(
+    df: DataFrame,
+    ids: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long (pandas ``melt`` / SQL UNPIVOT): one output row per
+    (id row, value column). Native ``unpivot`` — a map-side stack
+    expression, no shuffle, no UDF; the inverse of :func:`pivot_agg`."""
+    return df.unpivot(list(ids), list(value_cols), var_name, value_name)

@@ -202,3 +202,15 @@ def stratified_sample(
     from ``fractions`` are dropped, matching sampleBy semantics. A
     map-only plan: no shuffle at any scale."""
     return df.sampleBy(strata_col, dict(fractions), seed=seed)
+
+
+def hash_topk_sample(df: DataFrame, key: str, k: int) -> DataFrame:
+    """Exact-size deterministic sample: the k rows whose key hashes
+    smallest. Unlike fraction sampling the output size is exactly
+    ``min(k, n)``, and unlike seeded RNG it reproduces across engines
+    and retries. Plans as TakeOrderedAndProject — per-partition top-k
+    then a k-row merge on the driver side of the exchange; no global
+    sort materializes. (This IS distributed reservoir sampling with a
+    deterministic priority function.)"""
+    pri = F.md5(F.col(key).cast("string")).alias("__pri")
+    return df.withColumn("__pri", pri).orderBy("__pri").limit(k).drop("__pri")
