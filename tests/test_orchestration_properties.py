@@ -192,3 +192,52 @@ def test_resolve_clusters_matches_union_find(spark, edges):
     want = _union_find_components(edges)
     # union-find roots ARE min ids: path compression keeps min(ra, rb)
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),           # pack group
+            st.integers(0, 10_000),      # doc id
+            st.integers(0, 500),         # token count
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda r: r[1],
+    ),
+    budget=st.sampled_from([64, 256, 1024]),
+)
+@_slow
+def test_pack_sequences_invariants(spark, rows, budget):
+    from azuredataengineering_deeplearning_spark.operators import text as T
+
+    df = spark.createDataFrame(rows, "g int, doc_id int, n int")
+    out = T.pack_sequences(df, "doc_id", F.col("n"), budget, pack_by="g")
+    got = sorted(
+        ((r.g, r.doc_id, r.n_tokens, r.pack_id, r.pack_offset) for r in out.collect())
+    )
+    # model: exclusive running sum in doc order per group
+    by_g = {}
+    for g, d, n, pid, off in got:
+        before = by_g.get(g, 0)
+        assert pid == before // budget, (g, d)
+        assert off == before % budget
+        by_g[g] = before + n
+    # pack ids are dense-monotone per group and offsets stay under budget
+    for _, _, _, pid, off in got:
+        assert 0 <= off < budget and pid >= 0
+
+
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    fracs=st.sampled_from([[0.5, 0.5], [0.8, 0.1, 0.1], [1.0]]),
+)
+@_slow
+def test_hash_group_split_total_and_stable(spark, keys, fracs):
+    from azuredataengineering_deeplearning_spark.operators import setops as U
+
+    df = spark.createDataFrame([(k,) for k in keys], "k int")
+    a = {r.k: r.split for r in U.hash_group_split(df, "k", fracs).collect()}
+    b = {r.k: r.split for r in U.hash_group_split(df, "k", fracs).collect()}
+    assert a == b  # deterministic
+    assert all(0 <= s < len(fracs) for s in a.values())  # total function
