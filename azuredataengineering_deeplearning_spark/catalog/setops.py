@@ -209,3 +209,23 @@ def u_hash_topk_sample(spark, sf_dir):
     reproducible reservoir sampling as a TakeOrdered plan."""
     o = read_parquet(spark, f"{sf_dir}/orders.parquet")
     return U.hash_topk_sample(o, "o_orderkey", 500).select("o_orderkey")
+
+
+@query(
+    "u_hash_weighted_sample",
+    f"""
+    WITH q AS (
+      SELECT doc_id, n_chars / 600.0 AS w FROM documents
+    )
+    SELECT doc_id FROM q
+    WHERE {_HB.format(k='doc_id', n=10000)} < CAST(w * 10000 AS BIGINT)
+    """,
+)
+def u_hash_weighted_sample(spark, sf_dir):
+    """Per-row-probability deterministic sampling: keep probability
+    proportional to document length (stand-in for a quality weight) —
+    map-only, reproducible, fully oracle-checked."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return U.hash_weighted_sample(
+        d, "doc_id", F.col("n_chars") / 600.0
+    ).select("doc_id")

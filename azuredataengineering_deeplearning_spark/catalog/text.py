@@ -531,3 +531,37 @@ def t_tfidf_topk(spark, sf_dir):
     return T.tfidf_topk(d, "doc_id", "text", k=3).select(
         "doc_id", "token", "tfidf", "rank"
     )
+
+
+@query(
+    "t_select_until_budget",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             n_chars AS quality
+      FROM documents
+    ), walked AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+                      ORDER BY quality DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM scored
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens
+    FROM walked WHERE before < 5000
+    """,
+)
+def t_select_until_budget(spark, sf_dir):
+    """Budget-capped best-first corpus selection: per language, take
+    the longest (stand-in for best-scored) docs until 5000 tokens —
+    the deterministic mixture-building op."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    scored = d.select(
+        "doc_id", "lang", T.token_count("text").alias("n_tokens"),
+        F.col("n_chars").alias("quality"),
+    )
+    return T.select_until_budget(
+        scored, ["lang"], "quality", F.col("n_tokens"), 5000,
+        descending=True, tiebreak=["doc_id"],
+    ).select("doc_id", "lang", "n_tokens")

@@ -214,3 +214,16 @@ def hash_topk_sample(df: DataFrame, key: str, k: int) -> DataFrame:
     deterministic priority function.)"""
     pri = F.md5(F.col(key).cast("string")).alias("__pri")
     return df.withColumn("__pri", pri).orderBy("__pri").limit(k).drop("__pri")
+
+
+def hash_weighted_sample(
+    df: DataFrame, key: str, weight, buckets: int = 10_000
+) -> DataFrame:
+    """Per-row-probability deterministic sampling: keep a row iff its
+    key's hash bucket falls under ``weight`` × buckets, where ``weight``
+    is a per-row [0, 1] column/expression (e.g. a quality score, or a
+    per-language rate joined on). The reproducible form of weighted
+    Bernoulli sampling — same verdict per key on every engine and
+    retry; still map-only."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    return df.filter(_hash_bucket(key, buckets) < (w * buckets).cast("long"))

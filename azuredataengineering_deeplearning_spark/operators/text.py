@@ -420,3 +420,33 @@ def tfidf_topk(
         .filter(F.col("rn") <= k)
         .select(id_col, "token", "tfidf", F.col("rn").alias("rank"))
     )
+
+
+def select_until_budget(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Column | str,
+    token_count_col: Column | str,
+    budget: int,
+    descending: bool = True,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Budget-capped best-first selection: walk each group's documents
+    best-first (``order_by``, e.g. quality score) and keep documents
+    while the group's running token total stays under ``budget`` — the
+    "fill N tokens per language with the best material" mixture op.
+    Greedy-prefix semantics: the first document that crosses the budget
+    is the last one taken. One window shuffle per group; deterministic
+    given a total order (provide ``tiebreak``)."""
+    from pyspark.sql import Window
+
+    oc = F.col(order_by) if isinstance(order_by, str) else order_by
+    ordering = [oc.desc() if descending else oc.asc()] + [F.col(t) for t in tiebreak]
+    tc = _c(token_count_col)
+    w = Window.partitionBy(*keys).orderBy(*ordering).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    before = F.coalesce(F.sum(tc).over(w), F.lit(0))
+    return df.withColumn("__before", before).filter(
+        F.col("__before") < budget
+    ).drop("__before")

@@ -108,3 +108,31 @@ def test_hash_group_split_disjoint_and_sized(spark, sf_dir):
     sigma = (0.8 * 0.2 / n_users) ** 0.5
     assert abs(frac0 - 0.8) < 4 * sigma + 1 / n_users
     assert out.count() == ev.count()
+
+
+def test_hash_weighted_sample_rates(spark):
+    # weight 0 keeps nothing; weight 1 keeps everything; 0.5 ~ half
+    df = spark.createDataFrame([(i,) for i in range(4000)], "k int")
+    zero = U.hash_weighted_sample(df, "k", F.lit(0.0)).count()
+    full = U.hash_weighted_sample(df, "k", F.lit(1.0)).count()
+    half = U.hash_weighted_sample(df, "k", F.lit(0.5)).count()
+    assert zero == 0 and full == 4000
+    assert 1700 < half < 2300
+    # deterministic
+    a = {r.k for r in U.hash_weighted_sample(df, "k", F.lit(0.3)).collect()}
+    b = {r.k for r in U.hash_weighted_sample(df, "k", F.lit(0.3)).collect()}
+    assert a == b
+
+
+def test_select_until_budget_greedy_prefix(spark):
+    from azuredataengineering_deeplearning_spark.operators import text as T
+
+    rows = [("en", 1, 9.0, 40), ("en", 2, 8.0, 40), ("en", 3, 7.0, 40),
+            ("de", 4, 5.0, 100)]
+    df = spark.createDataFrame(rows, "lang string, doc_id int, q double, n int")
+    out = {r.doc_id for r in
+           T.select_until_budget(df, ["lang"], "q", F.col("n"), 80,
+                                 tiebreak=["doc_id"]).collect()}
+    # en: doc1 (before=0) + doc2 (before=40) taken; doc3 (before=80) not;
+    # de: doc4 taken (before=0 even though 100 > budget - greedy prefix)
+    assert out == {1, 2, 4}
