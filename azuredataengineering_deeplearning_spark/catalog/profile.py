@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 from azuredataengineering_deeplearning_spark.catalog import query
 from azuredataengineering_deeplearning_spark.operators import encoders as E
 from azuredataengineering_deeplearning_spark.operators import profile as P
-from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+from azuredataengineering_deeplearning_spark.sources.readers import load_tables, read_parquet
 
 
 @query(
@@ -169,4 +169,35 @@ def enc_standard_scaler(spark, sf_dir):
     model = E.fit_scaler(train, ["o_totalprice"], "standard")
     return E.apply_scaler(o, model, "standard").select(
         "o_orderkey", F.col("o_totalprice_scaled")
+    )
+
+
+_EXPECT_SQL = """
+    SELECT o_orderkey,
+           list_sort([x FOR x IN [
+             CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                  THEN 'positive_price' END,
+             CASE WHEN NOT COALESCE(o_orderdate >= DATE '1992-01-01', FALSE)
+                  THEN 'date_floor' END,
+             CASE WHEN NOT COALESCE(o_orderpriority IS NOT NULL, FALSE)
+                  THEN 'priority_set' END
+           ] IF x IS NOT NULL]) AS violations
+    FROM orders
+"""
+
+
+@query("prof_expectations", _EXPECT_SQL)
+def prof_expectations(spark, sf_dir):
+    """Row-level data-quality expectations: per-row array of failed
+    check names (NULL results count as failures) — map-side audit."""
+    from azuredataengineering_deeplearning_spark.operators.profile import with_expectations
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    checks = {
+        "positive_price": F.col("o_totalprice") > 0,
+        "date_floor": F.col("o_orderdate") >= F.lit("1992-01-01").cast("date"),
+        "priority_set": F.col("o_orderpriority").isNotNull(),
+    }
+    return with_expectations(t["orders"], checks).select(
+        "o_orderkey", F.array_sort("violations").alias("violations")
     )

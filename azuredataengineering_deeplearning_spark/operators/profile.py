@@ -10,9 +10,9 @@ driver.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _INT_BOUNDS = [
@@ -85,4 +85,62 @@ def classify_columns(
         data.append((c, d, n, cls))
     return spark.createDataFrame(
         data, "column string, n_distinct bigint, n_rows bigint, class string"
+    )
+
+
+def with_expectations(
+    df: DataFrame,
+    checks: Mapping[str, Column],
+    out: str = "violations",
+) -> DataFrame:
+    """Row-level data-quality expectations (the DLT-expectations shape):
+    attach an array of failed check names per row. NULL check results
+    count as failures (an expectation you can't evaluate didn't pass).
+    Pure map-side expression — audit without a second scan."""
+    failed = [
+        F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+        for name, cond in sorted(checks.items())
+    ]
+    return df.withColumn(
+        out, F.filter(F.array(*failed), lambda x: x.isNotNull())
+    )
+
+
+def quarantine_split(
+    df: DataFrame,
+    checks: Mapping[str, Column],
+) -> tuple[DataFrame, DataFrame]:
+    """Route rows by expectations: (good, quarantined). Good rows pass
+    every check; quarantined rows keep the ``violations`` array for
+    triage. Both sides derive from one expectations projection — at
+    scale write them in one pass via partitionBy on a pass/fail flag
+    rather than two filtered writes."""
+    flagged = with_expectations(df, checks)
+    good = flagged.filter(F.size("violations") == 0).drop("violations")
+    bad = flagged.filter(F.size("violations") > 0)
+    return good, bad
+
+
+def expectation_metrics(
+    df: DataFrame,
+    checks: Mapping[str, Column],
+) -> DataFrame:
+    """Per-check pass rates in one aggregate scan: (check, n_failed,
+    fail_rate) — the quality dashboard feed."""
+    total = F.count(F.lit(1))
+    aggs = []
+    for name, cond in sorted(checks.items()):
+        failed = F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0))
+        aggs.append(failed.alias(f"__f_{name}"))
+    wide = df.agg(total.alias("__n"), *aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(name).alias("check"),
+            F.col(f"__f_{name}").alias("n_failed"),
+            (F.col(f"__f_{name}") / F.col("__n")).alias("fail_rate"),
+        )
+        for name in sorted(checks)
+    ])
+    return wide.select(F.explode(pairs).alias("e")).select(
+        "e.check", "e.n_failed", "e.fail_rate"
     )

@@ -79,3 +79,28 @@ def test_hll_cardinality_accuracy_and_merge(spark, sf_dir):
         .collect()
     }
     assert merged == est
+
+
+def test_expectations_quarantine_and_metrics(spark):
+    import pyspark.sql.functions as F
+
+    from azuredataengineering_deeplearning_spark.operators.profile import (
+        expectation_metrics,
+        quarantine_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 100.0)], "id int, amt double"
+    )
+    checks = {
+        "amt_positive": F.col("amt") > 0,
+        "amt_set": F.col("amt").isNotNull(),
+    }
+    good, bad = quarantine_split(df, checks)
+    assert {r.id for r in good.collect()} == {1, 4}
+    bad_rows = {r.id: sorted(r.violations) for r in bad.collect()}
+    assert bad_rows == {2: ["amt_positive"], 3: ["amt_positive", "amt_set"]}
+    # NULL check result counted as failure (row 3 fails amt_positive too)
+    m = {r.check: (r.n_failed, round(r.fail_rate, 3)) for r in
+         expectation_metrics(df, checks).collect()}
+    assert m == {"amt_positive": (2, 0.5), "amt_set": (1, 0.25)}
