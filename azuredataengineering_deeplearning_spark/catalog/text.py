@@ -565,3 +565,24 @@ def t_select_until_budget(spark, sf_dir):
         scored, ["lang"], "quality", F.col("n_tokens"), 5000,
         descending=True, tiebreak=["doc_id"],
     ).select("doc_id", "lang", "n_tokens")
+
+
+@query(
+    "t_unigram_xent",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT token, COUNT(*) AS ctf FROM toks GROUP BY token),
+    tot AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT doc_id,
+           -SUM(tf * ln(ctf * 1.0 / total)) / SUM(tf) AS xent
+    FROM tf JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def t_unigram_xent(spark, sf_dir):
+    """Corpus-unigram cross-entropy per document — the LM-based quality
+    filter (KenLM-perplexity stand-in) as two aggregates + broadcasts."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return T.unigram_cross_entropy(d, "doc_id", "text")

@@ -450,3 +450,33 @@ def select_until_budget(
     return df.withColumn("__before", before).filter(
         F.col("__before") < budget
     ).drop("__before")
+
+
+def unigram_cross_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = TOKEN_SPLIT,
+    out: str = "xent",
+) -> DataFrame:
+    """Per-document cross-entropy against the corpus unigram LM:
+    ``-(1/n) Σ ln p(token)`` with p from corpus-wide term frequencies.
+    The cheap stand-in for KenLM-perplexity quality filtering — docs
+    whose token mix diverges from the corpus (gibberish, wrong-language,
+    boilerplate) score high. Two aggregates: the vocab-bounded unigram
+    table broadcasts back onto (doc, token) counts; no model, no UDF."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col), sep)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("ctf"))
+    total = F.broadcast(toks.agg(F.count("*").alias("__total")))
+    return (
+        tf.join(F.broadcast(vocab), "token")
+        .crossJoin(total)
+        .groupBy(id_col)
+        .agg(
+            (
+                -F.sum(F.col("tf") * F.log(F.col("ctf") / F.col("__total")))
+                / F.sum("tf")
+            ).alias(out)
+        )
+    )

@@ -299,3 +299,18 @@ def test_semantic_dedup_identical_vectors_collapse(spark):
     assert out[1].is_semantic_dup == 0 and out[1].cluster_rep == 1
     assert out[2].is_semantic_dup == 1 and out[2].cluster_rep == 1
     assert out[3].is_semantic_dup == 0
+
+
+def test_unigram_cross_entropy_ranks_divergent_docs(spark):
+    # doc 3 uses tokens nothing else uses -> rare unigrams -> high xent;
+    # doc 1 repeats the corpus-dominant token -> low xent
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the cat the dog"), (3, "zyx qwv jkl pqr")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.xent for r in
+           T.unigram_cross_entropy(df, "doc_id", "text").collect()}
+    assert out[1] < out[2] < out[3]
+    # exact value for doc 1: p(the) = 9/12 -> xent = -ln(0.75)
+    import math
+    assert abs(out[1] - (-math.log(9 / 12))) < 1e-9
