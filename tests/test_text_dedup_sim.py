@@ -311,6 +311,6 @@ def test_unigram_cross_entropy_ranks_divergent_docs(spark):
     out = {r.doc_id: r.xent for r in
            T.unigram_cross_entropy(df, "doc_id", "text").collect()}
     assert out[1] < out[2] < out[3]
-    # exact value for doc 1: p(the) = 9/12 -> xent = -ln(0.75)
+    # exact value for doc 1: p(the) = 6/12 -> xent = -ln(0.5)
     import math
-    assert abs(out[1] - (-math.log(9 / 12))) < 1e-9
+    assert abs(out[1] - (-math.log(6 / 12))) < 1e-9
