@@ -242,3 +242,48 @@ def a_hll_cardinality(spark, sf_dir):
     pytest-pinned against exact countDistinct."""
     t = load_tables(spark, sf_dir, ["orders"])
     return A.hll_cardinality(t["orders"], ["o_orderpriority"], "o_custkey")
+
+
+@query(
+    "a_histogram",
+    """
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0) / 30000.0) AS INT), 0), 9) AS bin
+      FROM orders
+    )
+    SELECT bin, bin * 30000.0 AS bin_lo, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bin
+    """,
+)
+def a_histogram(spark, sf_dir):
+    """Fixed-width 10-bin histogram of order totals — O(bins) shuffle
+    rows, edge-clamped."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return A.histogram(t["orders"], "o_totalprice", 10, 0.0, 300000.0)
+
+
+@query(
+    "a_rfm_segments",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), mxd AS (SELECT MAX(last_d) AS mx FROM per)
+    SELECT o_custkey,
+           CAST(date_diff('day', last_d, mx) AS INT) AS recency_days,
+           frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY date_diff('day', last_d, mx) DESC, o_custkey) AS INT) AS r_score,
+           CAST(NTILE(4) OVER (ORDER BY frequency ASC, o_custkey) AS INT) AS f_score,
+           CAST(NTILE(4) OVER (ORDER BY monetary ASC, o_custkey) AS INT) AS m_score
+    FROM per CROSS JOIN mxd
+    """,
+)
+def a_rfm_segments(spark, sf_dir):
+    """RFM quartile segmentation over orders (recency / frequency /
+    monetary, higher = better) — one raw-table aggregate, then windows
+    over the per-entity frame only."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return A.rfm_segments(t["orders"], "o_custkey", "o_orderdate", "o_totalprice")

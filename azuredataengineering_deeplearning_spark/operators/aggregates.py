@@ -254,3 +254,69 @@ def sketch_cardinality(
     return df.groupBy(*keys).agg(
         F.hll_sketch_agg(F.col(column), F.lit(lg_k)).alias("hll_sketch")
     )
+
+
+def histogram(
+    df: DataFrame,
+    column: str,
+    n_bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Fixed-width histogram in one aggregate scan: (bin, bin_lo, n)
+    for ``n_bins`` equal buckets over [lo, hi); values outside clamp to
+    the edge bins. Map-side combine makes this O(bins) shuffle rows —
+    the profiling histogram at any scale."""
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(column) - lo) / w).cast("int")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select("bin", (F.lit(lo) + F.col("bin") * w).alias("bin_lo"), "n")
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 4,
+    asof=None,
+) -> DataFrame:
+    """RFM segmentation: per entity, recency (days since last activity,
+    relative to ``asof`` or the corpus max), frequency (activity count)
+    and monetary (total amount), each quantile-coded 1..n (higher =
+    better: more recent / more frequent / higher spend). One entity
+    aggregate + three ntile windows over the (small) per-entity frame;
+    the raw table is touched once."""
+    per = df.groupBy(id_col).agg(
+        F.max(F.col(ts_col).cast("date")).alias("__last"),
+        F.count("*").alias("frequency"),
+        F.sum(dec(amount_col)).cast("double").alias("monetary"),
+    )
+    per = per.withColumn(
+        "recency_days",
+        F.datediff(
+            F.lit(asof).cast("date")
+            if asof is not None
+            else F.max("__last").over(Window.partitionBy()),
+            F.col("__last"),
+        ),
+    )
+    tile = lambda c, asc: F.ntile(n_tiles).over(
+        Window.orderBy(
+            (F.col(c).asc() if asc else F.col(c).desc()), F.col(id_col)
+        )
+    )
+    return per.select(
+        id_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        tile("recency_days", False).alias("r_score"),  # fewer days -> higher tile
+        tile("frequency", True).alias("f_score"),
+        tile("monetary", True).alias("m_score"),
+    )

@@ -104,3 +104,29 @@ def test_expectations_quarantine_and_metrics(spark):
     m = {r.check: (r.n_failed, round(r.fail_rate, 3)) for r in
          expectation_metrics(df, checks).collect()}
     assert m == {"amt_positive": (2, 0.5), "amt_set": (1, 0.25)}
+
+
+def test_histogram_edges_and_total(spark):
+    import pyspark.sql.functions as F
+
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+
+    df = spark.createDataFrame([(float(v),) for v in [-5, 0, 9.9, 10, 55, 120]], "x double")
+    out = {r.bin: (r.bin_lo, r.n) for r in A.histogram(df, "x", 10, 0.0, 100.0).collect()}
+    # -5 clamps into bin 0; 120 clamps into bin 9; 10 goes to bin 1
+    assert out[0] == (0.0, 3) and out[1] == (10.0, 1)
+    assert out[5] == (50.0, 1) and out[9] == (90.0, 1)
+    assert sum(n for _, n in out.values()) == 6
+
+
+def test_rfm_scores_monotone(spark, sf_dir):
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+    from azuredataengineering_deeplearning_spark.sources.readers import load_tables
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    out = A.rfm_segments(o, "o_custkey", "o_orderdate", "o_totalprice").collect()
+    rows = sorted(out, key=lambda r: r.monetary)
+    # m_score is non-decreasing with monetary; scores within 1..4
+    scores = [r.m_score for r in rows]
+    assert scores == sorted(scores)
+    assert all(1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 for r in out)
