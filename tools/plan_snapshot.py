@@ -1,0 +1,89 @@
+"""Plan-signature snapshots: the physical-plan regression harness.
+
+For every bench headline query, record a structural signature of the
+executed plan at sf0.001 — operator counts that encode the scale
+contract (exchanges, broadcast vs sort-merge joins, explodes, scans).
+`tests/test_plan_snapshots.py` compares live plans against the
+committed snapshot, so an edit that silently turns a broadcast join
+into a shuffled one, or doubles a corpus explode, fails CI even though
+results stay correct.
+
+Usage:
+    python tools/plan_snapshot.py            # refresh plans/SNAPSHOTS.json
+    python tools/plan_snapshot.py --check    # exit 1 on drift
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "azuredataengineering_deeplearning_spark", "plans", "SNAPSHOTS.json",
+)
+
+# the operators whose counts define the scale contract
+MARKERS = [
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "Exchange SinglePartition",
+    "BroadcastExchange",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "Generate",
+    "Scan parquet",
+    "Window",
+    "TakeOrderedAndProject",
+]
+
+
+def signature(plan: str) -> dict[str, int]:
+    return {m: plan.count(m) for m in MARKERS if plan.count(m)}
+
+
+def main() -> None:
+    check = "--check" in sys.argv
+
+    import bench
+    import __spark_entry__ as E
+    from azuredataengineering_deeplearning_spark import get_spark
+
+    spark = get_spark(app_name="plan-snapshot")
+    qs = E.queries()
+    sigs: dict[str, dict[str, int]] = {}
+    for name in bench.HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        sigs[name] = signature(plan)
+
+    if check:
+        with open(OUT) as f:
+            want = json.load(f)
+        drift = {
+            n: {"want": want.get(n), "got": s}
+            for n, s in sigs.items()
+            if want.get(n) != s
+        }
+        if drift:
+            print(json.dumps({"plan_drift": drift}, indent=2))
+            sys.exit(1)
+        print(f"{len(sigs)} plan signatures match")
+        return
+
+    with open(OUT, "w") as f:
+        json.dump(sigs, f, indent=2, sort_keys=True)
+    print(f"wrote {len(sigs)} signatures to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
