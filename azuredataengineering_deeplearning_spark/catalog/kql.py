@@ -165,3 +165,27 @@ def kql_parse_source(spark, sf_dir):
         | summarize n=count() by src_num
         """,
     )
+
+
+@query(
+    "kql_countif_percentile",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (value > 50) AS BIGINT) AS big,
+           CAST(SUM(value) FILTER (value > 50) AS DOUBLE) AS big_sum,
+           quantile_cont(value, 0.5) AS p50_value
+    FROM events GROUP BY event_type
+    """,
+)
+def kql_countif_percentile(spark, sf_dir):
+    """KQL conditional and parameterized aggregates: countif / sumif /
+    percentile inside summarize."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        """
+        events
+        | summarize big=countif(value > 50), big_sum=sumif(value, value > 50),
+                    p50_value=percentile(value, 50) by event_type
+        """,
+    )

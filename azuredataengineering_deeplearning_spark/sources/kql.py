@@ -11,7 +11,7 @@ Supported pipe operators:
 ``where`` ``project`` ``project-rename`` ``project-away`` ``extend``
 ``parse ... with`` ``take``/``limit`` ``sort by`` ``top N by``
 ``distinct`` ``summarize ... by ...``
-``count`` ``arg_max(col, *)`` (inside summarize). Scalars: ``ago(14d)``
+``count`` ``arg_max(col, *)`` ``countif`` ``sumif`` ``percentile`` (inside summarize). Scalars: ``ago(14d)``
 (``synapse_sql_pool_dynamic_scaler.py:21``, ``daily_eval.py:156``) and
 ``bin(ts, 1h)`` epoch-aligned bucketing; pass ``now=`` for a
 deterministic clock in tests/backfills.
@@ -272,10 +272,31 @@ def _summarize(df: DataFrame, rest: str, now: str | None = None) -> DataFrame:
 
     aggs = []
     for part in _split_csv(agg_part):
-        m = re.match(r"^(?:(\w+)\s*=\s*)?(\w+)\((\s*[\w.]*\s*)\)$", part.strip())
+        part = part.strip()
+        named = re.match(r"^(\w+)\s*=\s*(.+)$", part)
+        alias, body = (named.group(1), named.group(2)) if named else (None, part)
+        # conditional / parameterized aggregates first
+        m = re.match(r"^countif\((.+)\)$", body)
+        if m:
+            col = F.sum(
+                F.when(F.expr(_expr(m.group(1), now)), 1).otherwise(0)
+            ).cast("long")
+            aggs.append(col.alias(alias or "countif_"))
+            continue
+        m = re.match(r"^sumif\(([\w.]+)\s*,\s*(.+)\)$", body)
+        if m:
+            col = F.sum(F.when(F.expr(_expr(m.group(2), now)), F.col(m.group(1))))
+            aggs.append(col.alias(alias or f"sumif_{m.group(1)}"))
+            continue
+        m = re.match(r"^percentile\(([\w.]+)\s*,\s*(\d+(?:\.\d+)?)\)$", body)
+        if m:  # KQL percentile takes 0-100
+            col = F.expr(f"percentile({m.group(1)}, {float(m.group(2)) / 100})")
+            aggs.append(col.alias(alias or f"p{m.group(2)}_{m.group(1)}"))
+            continue
+        m = re.match(r"^(\w+)\((\s*[\w.]*\s*)\)$", body)
         if not m:
             raise ValueError(f"unsupported aggregate: {part!r}")
-        alias, fn, arg = m.group(1), m.group(2), m.group(3).strip()
+        fn, arg = m.group(1), m.group(2).strip()
         if fn not in _AGG_FNS:
             raise ValueError(f"unsupported aggregate fn: {fn!r}")
         col = _AGG_FNS[fn](F.col(arg) if arg else None)

@@ -149,3 +149,16 @@ def test_kql_has_whole_term(spark):
     got = {r.msg for r in out.collect()}
     # whole-term, case-insensitive: 'sparkly' must NOT match
     assert got == {"the spark engine", "SPARK caps"}
+
+
+def test_kql_countif_sumif_golden(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 60.0), ("b", 90.0)], ["k", "v"]
+    )
+    out = {r.k: r for r in kql_to_df(
+        {"t": df},
+        "t | summarize n=countif(v > 50), s=sumif(v, v > 50), p=percentile(v, 50) by k",
+    ).collect()}
+    assert out["a"].n == 1 and out["a"].s == 60.0
+    assert out["b"].n == 1 and out["b"].s == 90.0
+    assert out["a"].p == 35.0  # exact interpolated median of [10, 60]
