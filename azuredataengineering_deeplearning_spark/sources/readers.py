@@ -65,19 +65,30 @@ def read_csv(
 
 
 def _events_with_ts(df: DataFrame) -> DataFrame:
-    """Normalize the events table's nanosecond timestamps.
+    """Normalize the events table's timestamps across testdata vintages.
 
-    The driver testdata stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark cannot read as a timestamp; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as exact
-    int64 nanoseconds. Keep that as ``ts_ns`` (exact arithmetic — used by
-    sessionization and the DuckDB oracle via ``epoch_ns``) and derive a
-    microsecond ``ts`` timestamp for human-facing/time-window ops.
+    The engine contract is two columns regardless of the parquet layout:
+    ``ts`` — a session-TZ (UTC) ``timestamp`` for human-facing/time-window
+    ops — and ``ts_ns`` — exact int64 epoch nanoseconds for order/arithmetic
+    (sessionization, cumsum windows) matching the DuckDB oracle's
+    ``epoch_ns``. Handles: TIMESTAMP(NANOS) read as int64 via
+    ``spark.sql.legacy.parquet.nanosAsLong``; TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false inferred as ``timestamp_ntz`` (Spark 4 default);
+    and plain ``timestamp``.
     """
-    if "ts" in df.columns and dict(df.dtypes)["ts"] == "bigint":
+    if "ts" not in df.columns:
+        return df
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":
         return df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    if dt == "timestamp_ntz":
+        # session tz is UTC, so the cast preserves wall-clock values
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        dt = "timestamp"
+    if dt == "timestamp" and "ts_ns" not in df.columns:
+        df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     return df
 
 
