@@ -62,6 +62,7 @@ def load_all() -> None:
         "kql",
         "extras",
         "extras2",
+        "incremental",
     ):
         try:
             __import__(f"azuredataengineering_deeplearning_spark.catalog.{mod}")

@@ -1,0 +1,125 @@
+"""Catalog: incremental aggregate maintenance, snapshot CDC diff, and
+key-skew profiling.
+
+The maintenance query proves the core claim — folding a changeset into
+a pre-aggregated state equals a full recompute (the oracle aggregates
+the whole table in one pass; the Spark side never does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.catalog import query
+from azuredataengineering_deeplearning_spark.operators import incremental as I
+from azuredataengineering_deeplearning_spark.operators.profile import key_skew_profile
+from azuredataengineering_deeplearning_spark.sources.readers import load_tables, read_parquet
+
+_SPEC = {
+    "n_orders": ("count", None),
+    "total_price": ("sum", "o_totalprice"),
+    "last_order": ("max", "o_orderdate"),
+}
+
+
+@query(
+    "inc_agg_maintenance",
+    """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_order
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def inc_agg_maintenance(spark, sf_dir):
+    """Maintain a per-customer rollup across three changeset batches and
+    match a full recompute bit-for-bit (decimal sum accumulation makes
+    the merge order irrelevant). Batches are date slices of orders; the
+    merge shuffles state rows only — O(distinct keys), not O(facts)."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    b1 = o.filter(F.col("o_orderdate") < "1995-01-01")
+    b2 = o.filter((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+    b3 = o.filter(F.col("o_orderdate") >= "1997-01-01")
+    keys = ["o_custkey"]
+    state = I.aggregate_batch(b1, keys, _SPEC)
+    state = I.incremental_update(state, b2, keys, _SPEC)
+    state = I.incremental_update(state, b3, keys, _SPEC)
+    return I.finalize_state(state, _SPEC).withColumn(
+        "last_order", F.col("last_order").cast("timestamp")
+    )
+
+
+@query(
+    "cdc_table_diff",
+    """
+    WITH l AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    r AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+           CASE WHEN r.o_orderkey IS NULL THEN 'removed'
+                WHEN l.o_orderkey IS NULL THEN 'added'
+                WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice
+                  OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+                THEN 'changed'
+                ELSE 'unchanged' END AS diff_status
+    FROM l FULL JOIN r ON l.o_orderkey = r.o_orderkey
+    WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+       OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+       OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+    """,
+)
+def cdc_table_diff(spark, sf_dir):
+    """Snapshot CDC between two synthetic versions of orders (rows
+    dropped, added, and price-bumped by key arithmetic): classify every
+    key as added/removed/changed with a fingerprint join that shuffles
+    ~16 bytes/row regardless of table width."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    left = o.filter(F.col("o_orderkey") % 10 != 0)
+    right = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return I.table_diff(left, right, ["o_orderkey"])
+
+
+@query(
+    "prof_key_skew",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             MAX(cnt) AS max_cnt
+      FROM c
+    ),
+    t AS (
+      SELECT user_id, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT) AS rank
+      FROM c QUALIFY rank <= 15
+    )
+    SELECT t.user_id, t.cnt, t.rank,
+           CAST(t.cnt AS DOUBLE) / s.total AS share,
+           CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.total AS skew_ratio
+    FROM t CROSS JOIN s
+    """,
+)
+def prof_key_skew(spark, sf_dir):
+    """Heavy-hitter / skew diagnosis over events.user_id — the input to
+    every salt-or-broadcast decision the engine makes."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return key_skew_profile(ev, ["user_id"], top_n=15)

@@ -144,3 +144,46 @@ def expectation_metrics(
     return wide.select(F.explode(pairs).alias("e")).select(
         "e.check", "e.n_failed", "e.fail_rate"
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Key-distribution diagnosis for shuffle planning: the heavy
+    hitters of ``keys`` plus global skew statistics.
+
+    Returns ``keys + cnt + rank + share + skew_ratio`` for the top-N
+    keys (deterministic tie-break on the key values). ``skew_ratio`` =
+    max_key_count / mean_key_count — >10 says "salt this window / let
+    AQE split this join" (the ``salt_cumsum.py`` situation); ``share``
+    near 1.0 on one key says "broadcast everything else".
+
+    Shape at scale: one groupBy over the keys (map-side combined), a
+    scalar global aggregate, and TakeOrderedAndProject for the top-N —
+    no global window over the counts table.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+        F.max("cnt").alias("__max_cnt"),
+    )
+    order = [F.col("cnt").desc(), *[F.col(k).asc() for k in keys]]
+    top = counts.orderBy(*order).limit(top_n)
+    # rank over the already-limited (tiny) frame — not over all keys
+    ranked = top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    return ranked.crossJoin(F.broadcast(stats)).select(
+        *keys,
+        "cnt",
+        "rank",
+        (F.col("cnt").cast("double") / F.col("__total")).alias("share"),
+        (
+            F.col("__max_cnt").cast("double")
+            * F.col("__n_keys")
+            / F.col("__total")
+        ).alias("skew_ratio"),
+    )

@@ -1,0 +1,84 @@
+"""Incremental maintenance: state merges ≡ full recompute, CDC diff
+statuses (incl. the NULL-shift trap), skew profiler invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.operators import incremental as I
+from azuredataengineering_deeplearning_spark.operators.profile import key_skew_profile
+
+SPEC = {
+    "n": ("count", None),
+    "s": ("sum", "v"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+}
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_equals_full_recompute_any_split(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 0.125).alias("v")
+    )
+    full = I.finalize_state(I.aggregate_batch(df, ["k"], SPEC), SPEC)
+
+    for mod in (2, 3, 5):
+        batches = [df.filter(F.col("id") % mod == i) for i in range(mod)]
+        state = I.aggregate_batch(batches[0], ["k"], SPEC)
+        for b in batches[1:]:
+            state = I.incremental_update(state, b, ["k"], SPEC)
+        assert _rows(I.finalize_state(state, SPEC)) == _rows(full)
+
+
+def test_finalize_types(spark):
+    df = spark.range(0, 10).select(F.lit("a").alias("k"), F.col("id").cast("double").alias("v"))
+    out = I.finalize_state(I.aggregate_batch(df, ["k"], SPEC), SPEC)
+    dtypes = dict(out.dtypes)
+    assert dtypes["n"] == "bigint"
+    assert dtypes["s"] == "double"
+
+
+def test_unsupported_kind_raises(spark):
+    df = spark.range(1).select(F.lit("a").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        I.aggregate_batch(df, ["k"], {"x": ("median", "v")})
+
+
+def test_table_diff_statuses(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k int, s string, v double"
+    )
+    right = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 9.0), (4, "d", 4.0)], "k int, s string, v double"
+    )
+    got = {r["k"]: r["diff_status"] for r in I.table_diff(left, right, ["k"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+    full = I.table_diff(left, right, ["k"], include_unchanged=True)
+    assert {r["k"]: r["diff_status"] for r in full.collect()}[2] == "unchanged"
+
+
+def test_table_diff_null_shift_is_a_change(spark):
+    # (x, NULL) -> (NULL, x): naive multi-arg hashing that skips NULLs
+    # would call this unchanged; the json fingerprint must not
+    left = spark.createDataFrame([(1, "x", None)], "k int, a string, b string")
+    right = spark.createDataFrame([(1, None, "x")], "k int, a string, b string")
+    out = I.table_diff(left, right, ["k"]).collect()
+    assert [(r["k"], r["diff_status"]) for r in out] == [(1, "changed")]
+
+
+def test_key_skew_profile(spark):
+    # key 0 holds 910 of 1000 rows -> dominant share, big skew ratio
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 910, 0).otherwise(1 + F.col("id") % 9).alias("k")
+    )
+    prof = key_skew_profile(df, ["k"], top_n=3).collect()
+    assert [r["rank"] for r in prof] == [1, 2, 3]
+    top = prof[0]
+    assert top["k"] == 0 and top["cnt"] == 910
+    assert abs(top["share"] - 0.91) < 1e-9
+    # 10 distinct keys, max 910, total 1000 -> ratio 9.1
+    assert abs(top["skew_ratio"] - 9.1) < 1e-9
