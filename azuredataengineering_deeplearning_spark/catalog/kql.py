@@ -189,3 +189,50 @@ def kql_countif_percentile(spark, sf_dir):
                     p50_value=percentile(value, 50) by event_type
         """,
     )
+
+
+@query(
+    "kql_make_series",
+    """
+    WITH f AS (
+      SELECT event_type, value,
+             CAST(FLOOR((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                        / 86400000000) AS BIGINT) AS idx
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    ),
+    a AS (SELECT event_type, idx,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+          FROM f GROUP BY 1, 2),
+    k AS (SELECT DISTINCT event_type FROM f),
+    spine AS (SELECT k.event_type, r.idx FROM k CROSS JOIN range(0, 31) r(idx)),
+    s AS (SELECT spine.event_type, spine.idx, COALESCE(a.v, 0.0) AS v
+          FROM spine LEFT JOIN a
+            ON spine.event_type = a.event_type AND spine.idx = a.idx)
+    SELECT event_type,
+           array_to_string(list(printf('%.6f', v) ORDER BY idx), ',') AS total_csv
+    FROM s GROUP BY event_type
+    """,
+)
+def kql_make_series(spark, sf_dir):
+    """make-series through the KQL translator: daily revenue series per
+    event type with default-0 gap fill (the Kusto anomaly-scoring prep
+    shape from ``daily_eval.py``)."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series total=sum(value) default=0 on ts
+            from datetime(2024-01-01) to datetime(2024-02-01) step 1d
+            by event_type
+        """,
+    )
+    return df.select(
+        "event_type",
+        F.array_join(
+            F.transform(F.col("total"), lambda v: F.format_string("%.6f", v)), ","
+        ).alias("total_csv"),
+    )

@@ -153,3 +153,44 @@ def ts_cohort_retention(spark, sf_dir):
     periods-since, distinct actives."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return TS.cohort_retention(ev, "user_id", "ts", grain="week")
+
+
+@query(
+    "ts_make_series",
+    """
+    WITH f AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                        / 86400000000) AS BIGINT) AS idx
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    ),
+    a AS (SELECT event_type, idx, COUNT(*) AS v FROM f GROUP BY 1, 2),
+    k AS (SELECT DISTINCT event_type FROM f),
+    spine AS (SELECT k.event_type, r.idx FROM k CROSS JOIN range(0, 31) r(idx)),
+    s AS (SELECT spine.event_type, spine.idx,
+                 COALESCE(CAST(a.v AS DOUBLE), 0.0) AS v
+          FROM spine LEFT JOIN a
+            ON spine.event_type = a.event_type AND spine.idx = a.idx)
+    SELECT event_type,
+           array_to_string(list(printf('%.6f', v) ORDER BY idx), ',') AS series_csv,
+           CAST(COUNT(*) AS INT) AS n_bins
+    FROM s GROUP BY event_type
+    """,
+)
+def ts_make_series(spark, sf_dir):
+    """KQL make-series analog: daily event counts per type over January
+    2024, gap-filled to a dense 31-bin array per key. The array is
+    emitted as a fixed-format CSV string so the order-insensitive hash
+    still proves element order."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    s = TS.make_series(
+        ev, ["event_type"], "ts", "2024-01-01", "2024-02-01", 86400, agg="count"
+    )
+    return s.select(
+        "event_type",
+        F.array_join(
+            F.transform(F.col("series"), lambda v: F.format_string("%.6f", v)), ","
+        ).alias("series_csv"),
+        F.size("series").cast("int").alias("n_bins"),
+    )

@@ -229,3 +229,86 @@ def cohort_retention(
         joined.groupBy(F.col("__cohort").alias("cohort"), n.alias("period_n"))
         .agg(F.countDistinct(id_col).alias("n_active"))
     )
+
+
+def make_series(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    start: str,
+    stop: str,
+    step_seconds: int,
+    agg: str = "count",
+    value_col: str | None = None,
+    default: float = 0.0,
+    out: str = "series",
+    out_bins: str = "bins",
+) -> DataFrame:
+    """KQL ``make-series`` analog: per-key gap-filled arrays of an
+    aggregate over start-aligned time bins (``daily_eval.py``-style Kusto
+    pipelines regularize series exactly this way before anomaly scoring).
+
+    Bins are aligned to ``start`` (KQL semantics), rows outside
+    ``[start, stop)`` are dropped, and every key present in the window
+    gets the full array with ``default`` in empty bins. ``agg`` is one of
+    count/sum/avg/min/max (values cast to double).
+
+    Plan shape: one (keys, bin) aggregate over the filtered scan, a
+    spine generated as ``explode(sequence)`` per distinct key (no driver
+    loop), one join on the shared (keys, bin) shuffle, then a bounded
+    ``collect_list`` — per-key state is exactly ``n_bins`` structs, so
+    memory is capped by the requested window, not the data.
+    """
+    import datetime as _dt
+
+    def _us(s: str) -> int:
+        d = _dt.datetime.fromisoformat(s)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        return int(d.timestamp() * 1_000_000)
+
+    start_us, stop_us = _us(start), _us(stop)
+    step_us = step_seconds * 1_000_000
+    n_bins = -(-(stop_us - start_us) // step_us)  # ceil
+
+    aggs = {
+        "count": lambda: F.count(F.lit(1)).cast("double"),
+        "sum": lambda: F.sum(dec(value_col)).cast("double"),
+        "avg": lambda: (F.sum(dec(value_col)).cast("double") / F.count(value_col)),
+        "min": lambda: F.min(value_col).cast("double"),
+        "max": lambda: F.max(value_col).cast("double"),
+    }
+    if agg not in aggs:
+        raise ValueError(f"unsupported make_series aggregate {agg!r}")
+    if agg != "count" and value_col is None:
+        raise ValueError(f"make_series agg {agg!r} needs value_col")
+
+    idx = F.floor((F.unix_micros(F.col(ts_col)) - F.lit(start_us)) / F.lit(step_us))
+    binned = (
+        df.withColumn("__idx", idx)
+        .filter((F.col("__idx") >= 0) & (F.col("__idx") < n_bins))
+        .groupBy(*keys, "__idx")
+        .agg(aggs[agg]().alias("__v"))
+    )
+    all_bins = F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("__idx")
+    if keys:
+        spine = binned.select(*keys).distinct().select(*keys, all_bins)
+    else:
+        spine = df.sparkSession.range(1).select(all_bins)
+    filled = spine.join(binned, [*keys, "__idx"], "left").withColumn(
+        "__v", F.coalesce(F.col("__v"), F.lit(float(default)))
+    )
+    bins_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.timestamp_micros(F.lit(start_us) + i.cast("long") * F.lit(step_us)),
+    )
+    return (
+        filled.groupBy(*keys)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__v"))),
+                lambda x: x["__v"],
+            ).alias(out)
+        )
+        .withColumn(out_bins, bins_expr)
+    )

@@ -10,7 +10,7 @@ adapter uses it as its offline executor).
 Supported pipe operators:
 ``where`` ``project`` ``project-rename`` ``project-away`` ``extend``
 ``parse ... with`` ``take``/``limit`` ``sort by`` ``top N by``
-``distinct`` ``summarize ... by ...``
+``distinct`` ``summarize ... by ...`` ``make-series ... on ... step ...``
 ``count`` ``arg_max(col, *)`` ``countif`` ``sumif`` ``percentile`` (inside summarize). Scalars: ``ago(14d)``
 (``synapse_sql_pool_dynamic_scaler.py:21``, ``daily_eval.py:156``) and
 ``bin(ts, 1h)`` epoch-aligned bucketing; pass ``now=`` for a
@@ -138,6 +138,8 @@ def kql_to_df(
         elif op == "mv-expand":
             col = rest.strip()
             df = df.withColumn(col, F.explode(F.col(col)))
+        elif op == "make-series":
+            df = _make_series(df, rest)
         elif op == "union":
             name = rest.strip().strip("()")
             if name not in tables:
@@ -217,6 +219,41 @@ def _parse(df: DataFrame, rest: str) -> DataFrame:
     for i, name in enumerate(names, start=1):
         df = df.withColumn(name, F.regexp_extract(F.col(src), regex, i))
     return df
+
+
+def _make_series(df: DataFrame, rest: str) -> DataFrame:
+    """``make-series [Name=]agg(col) [default=D] on ts from datetime(a)
+    to datetime(b) step Nu [by keys]`` → gap-filled per-key arrays via
+    :func:`operators.timeseries.make_series`. The binned time axis comes
+    back under the ``on`` column's name (KQL behavior)."""
+    from azuredataengineering_deeplearning_spark.operators.timeseries import make_series
+
+    m = re.match(
+        r"^(?:(\w+)\s*=\s*)?(\w+)\(\s*([\w.]*)\s*\)"
+        r"(?:\s+default\s*=\s*([-\d.]+))?"
+        r"\s+on\s+(\w+)"
+        r"\s+from\s+datetime\(([^)]+)\)\s+to\s+datetime\(([^)]+)\)"
+        r"\s+step\s+(\d+)([dhms])"
+        r"(?:\s+by\s+(.+))?$",
+        rest.strip(),
+        re.S,
+    )
+    if not m:
+        raise ValueError(f"unsupported make-series syntax: {rest!r}")
+    alias, fn, arg, default, ts_col, t0, t1, n, unit, by = m.groups()
+    return make_series(
+        df,
+        keys=[c.strip() for c in _split_csv(by)] if by else [],
+        ts_col=ts_col,
+        start=t0.strip(),
+        stop=t1.strip(),
+        step_seconds=_timespan_s(n, unit),
+        agg=fn,
+        value_col=arg or None,
+        default=float(default) if default else 0.0,
+        out=alias or f"{fn}_{arg or 'all'}",
+        out_bins=ts_col,
+    )
 
 
 def _split_csv(s: str) -> list[str]:

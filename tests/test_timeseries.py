@@ -59,3 +59,55 @@ def test_zero_frac_prune(spark):
     df = spark.createDataFrame(rows, "id string, d date, y double")
     kept = {r.id for r in TS.zero_fraction_prune(df, "id", "y", 0.5).collect()}
     assert kept == {"k"}
+
+
+def test_make_series_gap_fill_and_bounds(spark):
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators.timeseries import make_series
+
+    rows = [
+        ("a", "2024-01-01T00:30:00", 1.0),
+        ("a", "2024-01-03T10:00:00", 2.0),
+        ("a", "2024-01-03T11:00:00", 3.0),
+        ("a", "2023-12-31T23:59:59", 99.0),  # before window -> dropped
+        ("a", "2024-01-05T00:00:00", 99.0),  # at stop -> dropped
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = make_series(
+        df, ["k"], "ts", "2024-01-01", "2024-01-05", 86400, agg="sum", value_col="v"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["series"] == [1.0, 0.0, 5.0, 0.0]
+    assert [b.date() for b in r["bins"]] == [
+        dt.date(2024, 1, 1), dt.date(2024, 1, 2), dt.date(2024, 1, 3), dt.date(2024, 1, 4)
+    ]
+
+
+def test_make_series_global_no_keys(spark):
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators.timeseries import make_series
+
+    df = spark.createDataFrame(
+        [("2024-01-01T01:00:00",), ("2024-01-02T01:00:00",)], "ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = make_series(df, [], "ts", "2024-01-01", "2024-01-04", 86400).collect()
+    assert len(out) == 1
+    assert out[0]["series"] == [1.0, 1.0, 0.0]
+
+
+def test_make_series_rejects_bad_agg(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators.timeseries import make_series
+
+    df = spark.createDataFrame([("2024-01-01T01:00:00",)], "ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    with pytest.raises(ValueError):
+        make_series(df, [], "ts", "2024-01-01", "2024-01-02", 3600, agg="median")
+    with pytest.raises(ValueError):
+        make_series(df, [], "ts", "2024-01-01", "2024-01-02", 3600, agg="sum")
