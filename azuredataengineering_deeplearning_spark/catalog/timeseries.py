@@ -194,3 +194,50 @@ def ts_make_series(spark, sf_dir):
         ).alias("series_csv"),
         F.size("series").cast("int").alias("n_bins"),
     )
+
+
+@query(
+    "ts_series_stats",
+    """
+    WITH f AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                        / 86400000000) AS BIGINT) AS idx
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    ),
+    a AS (SELECT event_type, idx, COUNT(*) AS v FROM f GROUP BY 1, 2),
+    k AS (SELECT DISTINCT event_type FROM f),
+    spine AS (SELECT k.event_type, r.idx FROM k CROSS JOIN range(0, 31) r(idx)),
+    s AS (SELECT spine.event_type,
+                 COALESCE(CAST(a.v AS DOUBLE), 0.0) AS v
+          FROM spine LEFT JOIN a
+            ON spine.event_type = a.event_type AND spine.idx = a.idx),
+    agg AS (
+      SELECT event_type,
+             MIN(v) AS s_min, MAX(v) AS s_max,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6))
+                           AS DECIMAL(28,6))) AS DOUBLE) AS sx2,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM s GROUP BY event_type
+    )
+    SELECT event_type, s_min, s_max,
+           sx / n AS s_avg,
+           GREATEST(sx2 / n - (sx / n) * (sx / n), 0.0) AS s_var,
+           SQRT(GREATEST(sx2 / n - (sx / n) * (sx / n), 0.0)) AS s_stdev
+    FROM agg
+    """,
+)
+def ts_series_stats(spark, sf_dir):
+    """series_stats over the make-series output: per-type min/max/avg/
+    var/stdev of the daily count series — pure array expressions, no
+    extra shuffle past the series build. Decimal accumulation keeps the
+    moments order-independent (exact here: counts are integral)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    s = TS.make_series(
+        ev, ["event_type"], "ts", "2024-01-01", "2024-02-01", 86400, agg="count"
+    )
+    return TS.series_stats(s, "series").select(
+        "event_type", "s_min", "s_max", "s_avg", "s_var", "s_stdev"
+    )

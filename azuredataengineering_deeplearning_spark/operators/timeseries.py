@@ -312,3 +312,43 @@ def make_series(
         )
         .withColumn(out_bins, bins_expr)
     )
+
+
+def series_stats(
+    df: DataFrame,
+    series_col: str,
+    prefix: str = "s_",
+) -> DataFrame:
+    """KQL ``series_stats`` analog: per-row descriptive statistics of a
+    series array — min, max, avg, population variance, stdev.
+
+    Pure higher-order array expressions (``aggregate``/``array_min``):
+    zero extra shuffles, works on ``make_series`` output directly. Sums
+    accumulate in DECIMAL so the result is independent of both element
+    order and the oracle engine's summation order; squared terms are
+    rounded to 6 decimals at accumulation (exact whenever the series
+    values are counts/6-dp quantities — documented caveat for
+    full-precision doubles).
+    """
+    s = series_col
+    n = F.size(F.col(s)).cast("double")
+    sum_x = F.expr(
+        f"CAST(aggregate({s}, CAST(0 AS DECIMAL(28,6)),"
+        f" (acc, x) -> CAST(acc + CAST(x AS DECIMAL(18,6)) AS DECIMAL(28,6))) AS DOUBLE)"
+    )
+    sum_x2 = F.expr(
+        f"CAST(aggregate({s}, CAST(0 AS DECIMAL(28,6)),"
+        f" (acc, x) -> CAST(acc + CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))"
+        f" AS DECIMAL(28,6)) AS DECIMAL(28,6))) AS DOUBLE)"
+    )
+    avg = sum_x / n
+    var = sum_x2 / n - avg * avg
+    return df.withColumns(
+        {
+            f"{prefix}min": F.array_min(F.col(s)),
+            f"{prefix}max": F.array_max(F.col(s)),
+            f"{prefix}avg": avg,
+            f"{prefix}var": F.greatest(var, F.lit(0.0)),
+            f"{prefix}stdev": F.sqrt(F.greatest(var, F.lit(0.0))),
+        }
+    )

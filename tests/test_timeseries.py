@@ -111,3 +111,17 @@ def test_make_series_rejects_bad_agg(spark):
         make_series(df, [], "ts", "2024-01-01", "2024-01-02", 3600, agg="median")
     with pytest.raises(ValueError):
         make_series(df, [], "ts", "2024-01-01", "2024-01-02", 3600, agg="sum")
+
+
+def test_series_stats_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators.timeseries import series_stats
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame([(vals,)], "series array<double>")
+    r = series_stats(df, "series").collect()[0]
+    assert r["s_min"] == 1.0 and r["s_max"] == 9.0
+    assert abs(r["s_avg"] - np.mean(vals)) < 1e-9
+    assert abs(r["s_var"] - np.var(vals)) < 1e-9
+    assert abs(r["s_stdev"] - np.std(vals)) < 1e-9
