@@ -241,3 +241,60 @@ def ts_series_stats(spark, sf_dir):
     return TS.series_stats(s, "series").select(
         "event_type", "s_min", "s_max", "s_avg", "s_var", "s_stdev"
     )
+
+
+@query(
+    "ts_series_outliers",
+    """
+    WITH f AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                        / 86400000000) AS BIGINT) AS idx
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    ),
+    a AS (SELECT event_type, idx, COUNT(*) AS v FROM f GROUP BY 1, 2),
+    k AS (SELECT DISTINCT event_type FROM f),
+    spine AS (SELECT k.event_type, r.idx FROM k CROSS JOIN range(0, 31) r(idx)),
+    s AS (SELECT spine.event_type, spine.idx,
+                 COALESCE(CAST(a.v AS DOUBLE), 0.0) AS v
+          FROM spine LEFT JOIN a
+            ON spine.event_type = a.event_type AND spine.idx = a.idx),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6))
+                           AS DECIMAL(28,6))) AS DOUBLE) AS sx2,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM s GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, sx / n AS avg_v,
+             SQRT(GREATEST(sx2 / n - (sx / n) * (sx / n), 0.0)) AS sd
+      FROM agg
+    )
+    SELECT s.event_type,
+           array_to_string(
+             list(s.idx ORDER BY s.idx)
+               FILTER (WHERE m.sd > 0 AND ABS(s.v - m.avg_v) > 1.5 * m.sd),
+             ',') AS outlier_csv
+    FROM s JOIN m ON s.event_type = m.event_type
+    GROUP BY s.event_type
+    """,
+)
+def ts_series_outliers(spark, sf_dir):
+    """Z-score anomaly bins on the daily count series per event type
+    (k=1.5): series_stats moments + one array filter, no extra
+    shuffle."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    s = TS.make_series(
+        ev, ["event_type"], "ts", "2024-01-01", "2024-02-01", 86400, agg="count"
+    )
+    s = TS.series_stats(s, "series")
+    s = TS.series_outliers(s, "series", k=1.5)
+    return s.select(
+        "event_type",
+        F.array_join(
+            F.transform(F.col("outlier_idx"), lambda i: i.cast("string")), ","
+        ).alias("outlier_csv"),
+    )

@@ -324,3 +324,30 @@ def w_funnel_steps(spark, sf_dir):
     )
     return W.funnel_steps(base, "user_id", "us", "event_type",
                           ["view", "click", "purchase"])
+
+
+@query(
+    "w_cumulative_distinct",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_ns(ts), event_id) = 1 THEN 1 ELSE 0 END AS f
+      FROM events
+    )
+    SELECT event_id,
+           CAST(SUM(f) OVER (
+             PARTITION BY user_id ORDER BY tns, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct
+    FROM t
+    """,
+)
+def w_cumulative_distinct(spark, sf_dir):
+    """Distinct event types seen to date per user — stacked
+    first-occurrence + running-sum windows on one shuffle (no
+    per-row set state)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return W.cumulative_distinct(
+        ev, ["user_id"], ["ts_ns", "event_id"], "event_type"
+    ).select("event_id", "cum_distinct")

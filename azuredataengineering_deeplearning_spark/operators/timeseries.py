@@ -352,3 +352,28 @@ def series_stats(
             f"{prefix}stdev": F.sqrt(F.greatest(var, F.lit(0.0))),
         }
     )
+
+
+def series_outliers(
+    df: DataFrame,
+    series_col: str,
+    k: float = 2.5,
+    avg_col: str = "s_avg",
+    stdev_col: str = "s_stdev",
+    out: str = "outlier_idx",
+) -> DataFrame:
+    """Flag anomalous bins of a series by z-score against the series'
+    own moments (the lightweight ``series_decompose_anomalies`` shape):
+    returns the 0-based bin indices where ``|x - avg| > k * stdev``.
+    Expects :func:`series_stats` columns; pure array expressions, no
+    shuffle. Constant series (stdev 0) flag nothing."""
+    s, n = F.col(series_col), F.size(F.col(series_col))
+    idx = F.sequence(F.lit(0), n - 1)
+    is_out = lambda i: (
+        (F.col(stdev_col) > 0)
+        & (
+            F.abs(F.element_at(s, i + 1) - F.col(avg_col))
+            > F.lit(k) * F.col(stdev_col)
+        )
+    )
+    return df.withColumn(out, F.filter(idx, is_out))

@@ -446,3 +446,29 @@ def funnel_steps(
                for i in range(len(steps)))
     g = g.select(user_col, *cols)
     return g.withColumn("steps_completed", done.cast("int"))
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    value_col: str,
+    out: str = "cum_distinct",
+) -> DataFrame:
+    """Running count of distinct ``value_col`` seen so far per key
+    (distinct-users-to-date style). Two stacked windows, no join-back:
+    flag each value's first occurrence (row_number over key+value), then
+    running-sum the flags over the key's time order. Both windows share
+    the key partitioning, so this is one shuffle; state per group is a
+    single counter — contrast with a naive ``collect_set`` running
+    window whose state is O(distinct values) per row."""
+    first_w = Window.partitionBy(*keys, value_col).orderBy(*order)
+    cum_w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flag = F.when(F.row_number().over(first_w) == 1, 1).otherwise(0)
+    return df.withColumn("__first", flag).withColumn(
+        out, F.sum("__first").over(cum_w).cast("long")
+    ).drop("__first")

@@ -33,6 +33,9 @@ HEADLINE = [
     "a9_argmax_latest_order",
     # SCD2 merge batch
     "scd2_merge_changeset",
+    # incremental maintenance / CDC
+    "inc_agg_maintenance",
+    "cdc_table_diff",
     # LLM-pipeline layer
     "dedup_minhash_lsh",
     "dedup_contamination",
@@ -46,6 +49,7 @@ HEADLINE = [
     "t_tfidf_topk",
     # time series + recursion
     "ts_spine_gap_fill",
+    "ts_make_series",
     "graph_bom_closure",
     "o5_percentiles_doc_length",
 ]

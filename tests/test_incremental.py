@@ -82,3 +82,35 @@ def test_key_skew_profile(spark):
     assert abs(top["share"] - 0.91) < 1e-9
     # 10 distinct keys, max 910, total 1000 -> ratio 9.1
     assert abs(top["skew_ratio"] - 9.1) < 1e-9
+
+
+def test_cumulative_distinct_model(spark):
+    from azuredataengineering_deeplearning_spark.operators.windows import cumulative_distinct
+
+    rows = [
+        ("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "a"),
+        ("u1", 4, "c"), ("u2", 1, "x"), ("u2", 2, "x"),
+    ]
+    df = spark.createDataFrame(rows, "u string, t int, v string")
+    out = cumulative_distinct(df, ["u"], ["t"], "v")
+    got = {(r["u"], r["t"]): r["cum_distinct"] for r in out.collect()}
+    assert got == {
+        ("u1", 1): 1, ("u1", 2): 2, ("u1", 3): 2, ("u1", 4): 3,
+        ("u2", 1): 1, ("u2", 2): 1,
+    }
+
+
+def test_series_outliers_flags_spike(spark):
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        series_outliers, series_stats,
+    )
+
+    flat = [10.0] * 30
+    spiked = flat[:7] + [100.0] + flat[8:]
+    df = spark.createDataFrame(
+        [("const", flat), ("spike", spiked)], "k string, series array<double>"
+    )
+    out = series_outliers(series_stats(df, "series"), "series", k=2.5)
+    got = {r["k"]: r["outlier_idx"] for r in out.collect()}
+    assert got["const"] == []      # stdev 0 -> nothing flagged
+    assert got["spike"] == [7]
