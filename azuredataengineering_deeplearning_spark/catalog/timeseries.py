@@ -298,3 +298,64 @@ def ts_series_outliers(spark, sf_dir):
             F.transform(F.col("outlier_idx"), lambda i: i.cast("string")), ","
         ).alias("outlier_csv"),
     )
+
+
+@query(
+    "ts_linear_forecast",
+    """
+    WITH f AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                        / 86400000000) AS BIGINT) AS idx
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    ),
+    a AS (SELECT event_type, idx AS x, CAST(COUNT(*) AS DOUBLE) AS y
+          FROM f GROUP BY 1, 2),
+    m AS (SELECT event_type,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+          FROM a GROUP BY event_type),
+    t0 AS (SELECT event_type, n, sx, sy,
+                  CASE WHEN n * sxx - sx * sx <> 0
+                       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                       ELSE 0.0 END AS slope
+           FROM m),
+    t AS (SELECT event_type, slope, (sy - slope * sx) / n AS intercept FROM t0)
+    SELECT event_type,
+           CAST(31 + h.idx AS BIGINT) AS x,
+           intercept + slope * (31 + h.idx) AS yhat
+    FROM t CROSS JOIN range(0, 7) h(idx)
+    """,
+)
+def ts_linear_forecast(spark, sf_dir):
+    """Per-series trend fit + 7-day forecast of daily event counts —
+    the ``stats_forecast_predict.py`` per-series fan-out collapsed into
+    one closed-form aggregate (no Python, no actor pool; scales to any
+    number of series)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    binned = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-02-01").cast("timestamp"))
+        )
+        .withColumn(
+            "x",
+            F.floor(
+                (F.unix_micros(F.col("ts")) - F.lit(1704067200000000))
+                / F.lit(86400000000)
+            ),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    trend = TS.linear_trend(binned, ["event_type"], "x", "y")
+    fc = TS.forecast_linear(
+        trend.withColumn("x_next", F.lit(31)), horizon=7
+    )
+    return fc.select(
+        "event_type", F.col("x").cast("long").alias("x"), "yhat"
+    )

@@ -377,3 +377,76 @@ def series_outliers(
         )
     )
     return df.withColumn(out, F.filter(idx, is_out))
+
+
+def linear_trend(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key least-squares line fit — the Spark-native baseline for
+    the reference's per-series forecasting fan-out
+    (``stats_forecast_predict.py:513-525`` runs one Ray actor per
+    series; here every series fits in ONE map-side-combined aggregate,
+    no Python in the loop, any number of series).
+
+    Returns ``keys + n + slope + intercept``. Moment sums accumulate in
+    decimal, so results are partition-order-independent; the closed-form
+    division happens once per key in double. Degenerate series (single
+    point / zero x-variance) yield slope 0 with the mean as intercept.
+    """
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(dec(x)).cast("double").alias("__sx"),
+        F.sum(dec(y)).cast("double").alias("__sy"),
+        F.sum(dec(x * y)).cast("double").alias("__sxy"),
+        F.sum(dec(x * x)).cast("double").alias("__sxx"),
+    )
+    denom = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        denom != 0,
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom,
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        *keys,
+        F.col("__n").cast("long").alias("n"),
+        slope.alias("slope"),
+        ((F.col("__sy") - slope * F.col("__sx")) / F.col("__n")).alias("intercept"),
+    )
+
+
+def forecast_linear(
+    trend: DataFrame,
+    horizon: int,
+    x_start_col: str = "x_next",
+    out_x: str = "x",
+    out_y: str = "yhat",
+) -> DataFrame:
+    """Project fitted trends ``horizon`` steps forward: one exploded
+    sequence per key (distributed, no driver loop). ``trend`` needs the
+    :func:`linear_trend` columns plus ``x_start_col`` — the first x to
+    predict (e.g. max observed + 1)."""
+    steps = F.explode(F.sequence(F.lit(0), F.lit(horizon - 1))).alias("__h")
+    out = trend.select("*", steps).withColumn(
+        out_x, F.col(x_start_col) + F.col("__h")
+    )
+    return out.withColumn(
+        out_y, F.col("intercept") + F.col("slope") * F.col(out_x)
+    ).drop("__h")
+
+
+def fit_per_group(
+    df: DataFrame,
+    keys: list[str],
+    fit_fn,
+    output_schema: str,
+):
+    """Arbitrary per-series model fitting via ``applyInPandas`` — the
+    escape hatch when the model isn't closed-form (StatsForecast/darts
+    style, ``stats_forecast_predict.py``). ``fit_fn(pdf) -> pdf`` runs
+    once per key group as whole Arrow batches; keep model state inside
+    the function (executor-local), return scalar-sized rows. Prefer
+    :func:`linear_trend` where the math reduces to aggregates."""
+    return df.groupBy(*keys).applyInPandas(fit_fn, schema=output_schema)

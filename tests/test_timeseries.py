@@ -125,3 +125,45 @@ def test_series_stats_matches_numpy(spark):
     assert abs(r["s_avg"] - np.mean(vals)) < 1e-9
     assert abs(r["s_var"] - np.var(vals)) < 1e-9
     assert abs(r["s_stdev"] - np.std(vals)) < 1e-9
+
+
+def test_linear_trend_exact_line_and_fit_per_group_parity(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        fit_per_group, forecast_linear, linear_trend,
+    )
+
+    # exact line y = 3x + 7 -> recovered exactly; constant -> slope 0
+    rows = [("a", x, 3.0 * x + 7.0) for x in range(10)] + [
+        ("b", x, 5.0) for x in range(4)
+    ]
+    df = spark.createDataFrame(rows, "k string, x int, y double")
+    t = {r["k"]: r for r in linear_trend(df, ["k"], "x", "y").collect()}
+    assert abs(t["a"]["slope"] - 3.0) < 1e-9 and abs(t["a"]["intercept"] - 7.0) < 1e-9
+    assert t["b"]["slope"] == 0.0 and abs(t["b"]["intercept"] - 5.0) < 1e-9
+
+    # applyInPandas escape hatch agrees with the closed form
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        sl, ic = np.polyfit(pdf["x"], pdf["y"], 1)
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "slope": [sl], "intercept": [ic]})
+
+    p = {
+        r["k"]: r
+        for r in fit_per_group(
+            df.filter("k = 'a'"), ["k"], fit, "k string, slope double, intercept double"
+        ).collect()
+    }
+    assert abs(p["a"]["slope"] - 3.0) < 1e-6
+
+    # forecast continues the line
+    fc = forecast_linear(
+        linear_trend(df.filter("k='a'"), ["k"], "x", "y").withColumn(
+            "x_next", F.lit(10)
+        ),
+        horizon=3,
+    ).collect()
+    assert [(r["x"], round(r["yhat"], 6)) for r in sorted(fc, key=lambda r: r["x"])] == [
+        (10, 37.0), (11, 40.0), (12, 43.0)
+    ]
