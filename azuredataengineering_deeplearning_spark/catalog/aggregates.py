@@ -287,3 +287,22 @@ def a_rfm_segments(spark, sf_dir):
     over the per-entity frame only."""
     t = load_tables(spark, sf_dir, ["orders"])
     return A.rfm_segments(t["orders"], "o_custkey", "o_orderdate", "o_totalprice")
+
+
+@query(
+    "a_cms_user_counts",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS est_cnt
+    FROM events GROUP BY user_id
+    """,
+)
+def a_cms_user_counts(spark, sf_dir):
+    """Count-min sketch point estimates for every user's event count.
+    At this cardinality/width (150 keys, 4x1024 cells) no full-depth
+    collision occurs, so the sketch answers exactly — the oracle is the
+    true GROUP BY. The point at scale: the sketch is O(depth*width)
+    regardless of key cardinality and merges across shards by cell-sum."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    sketch = A.cms_build(ev, "user_id")
+    items = ev.select("user_id").distinct()
+    return A.cms_estimate(sketch, items, "user_id")

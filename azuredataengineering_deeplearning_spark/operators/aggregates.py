@@ -320,3 +320,72 @@ def rfm_segments(
         tile("frequency", True).alias("f_score"),
         tile("monetary", True).alias("m_score"),
     )
+
+
+def cms_build(
+    df: DataFrame,
+    column: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch of a column's value frequencies — the mergeable
+    companion to the HLL cardinality sketches: ``depth × width`` counter
+    cells as a DataFrame (``row_i, cell, cnt``), built in one map-side-
+    combined aggregate over an exploded depth-array. Merge daily/shard
+    sketches with :func:`cms_merge` (sum cells) instead of rescanning
+    100 TB; query point frequencies with :func:`cms_estimate`
+    (min over rows, classic overestimate-only error ≤ e·N/width with
+    prob 1-(1/e)^depth)."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                F.pmod(F.xxhash64(F.col(column), F.lit(i)), F.lit(width)).alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rc"))
+        .groupBy(F.col("rc.row_i").alias("row_i"), F.col("rc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketches: Sequence[DataFrame]) -> DataFrame:
+    """Merge count-min sketches built with identical (depth, width):
+    cell-wise sum. Exactly the property that makes per-partition /
+    per-day sketches composable without touching row data."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, sketches)
+    return u.groupBy("row_i", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    column: str,
+    depth: int = 4,
+    width: int = 1024,
+    alias: str = "est_cnt",
+) -> DataFrame:
+    """Point-frequency estimates for ``items.column``: recompute each
+    item's depth cells, join the sketch (broadcast — it is at most
+    depth×width rows), take the min over rows. Missing cells count 0."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                F.pmod(F.xxhash64(F.col(column), F.lit(i)), F.lit(width)).alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probed = items.select(column, F.explode(rows).alias("rc")).select(
+        column, F.col("rc.row_i").alias("row_i"), F.col("rc.cell").alias("cell")
+    )
+    joined = probed.join(F.broadcast(sketch), ["row_i", "cell"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    return joined.groupBy(column).agg(F.min("cnt").cast("long").alias(alias))

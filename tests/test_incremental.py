@@ -114,3 +114,37 @@ def test_series_outliers_flags_spike(spark):
     got = {r["k"]: r["outlier_idx"] for r in out.collect()}
     assert got["const"] == []      # stdev 0 -> nothing flagged
     assert got["spike"] == [7]
+
+
+def test_cms_overestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators.aggregates import (
+        cms_build, cms_estimate, cms_merge,
+    )
+
+    # zipf-ish: value v appears (20 - v) times, v in 0..19
+    df = spark.range(0, 20).select(
+        F.explode(F.sequence(F.lit(1), 20 - F.col("id"))).alias("r"),
+        F.col("id").cast("string").alias("v"),
+    ).select("v")
+    true = {r["v"]: r["cnt"] for r in df.groupBy("v").agg(F.count("*").alias("cnt")).collect()}
+
+    # tight width forces collisions -> estimates never undercount
+    sk = cms_build(df, "v", depth=3, width=8)
+    est = {
+        r["v"]: r["est_cnt"]
+        for r in cms_estimate(sk, df.select("v").distinct(), "v", depth=3, width=8).collect()
+    }
+    n = sum(true.values())
+    for v, t in true.items():
+        assert est[v] >= t
+        assert est[v] <= t + n  # trivial upper bound; real bound is e*N/w
+
+    # merging two half-sketches == sketching the whole
+    h1 = df.limit(100)
+    h2 = df.exceptAll(h1)
+    merged = cms_merge([cms_build(h1, "v", 3, 8), cms_build(h2, "v", 3, 8)])
+    whole = cms_build(df, "v", 3, 8)
+    m = {(r["row_i"], r["cell"]): r["cnt"] for r in merged.collect()}
+    w = {(r["row_i"], r["cell"]): r["cnt"] for r in whole.collect()}
+    assert m == w
