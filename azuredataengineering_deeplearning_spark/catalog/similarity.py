@@ -119,3 +119,29 @@ def sim_semantic_dedup(spark, sf_dir):
     connected components pick a canonical survivor per semantic group."""
     e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return SIM.semantic_dedup(e, threshold=0.45, n_lists=8)
+
+
+@query(
+    "sim_fuzzy_name_pairs",
+    """
+    WITH c AS (SELECT c_custkey, c_name, substring(c_name, 1, 16) AS b
+               FROM customer)
+    SELECT a.c_custkey AS id_a, r.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, r.c_name) AS INT) AS dist
+    FROM c a JOIN c r ON a.b = r.b AND a.c_custkey < r.c_custkey
+    WHERE levenshtein(a.c_name, r.c_name) <= 1
+    """,
+)
+def sim_fuzzy_name_pairs(spark, sf_dir):
+    """Blocked edit-distance self-join over customer names (record
+    linkage): a 16-char-prefix block bounds the quadratic comparison,
+    then threshold-bounded levenshtein keeps near-identical pairs."""
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    from azuredataengineering_deeplearning_spark.operators.dedup import fuzzy_pairs
+
+    out = fuzzy_pairs(
+        c, "c_custkey", "c_name", F.substring("c_name", 1, 16), max_dist=1
+    )
+    return out.select(
+        F.col("id_a"), F.col("id_b"), F.col("dist").cast("int").alias("dist")
+    )

@@ -314,3 +314,19 @@ def test_unigram_cross_entropy_ranks_divergent_docs(spark):
     # exact value for doc 1: p(the) = 6/12 -> xent = -ln(0.5)
     import math
     assert abs(out[1] - (-math.log(6 / 12))) < 1e-9
+
+
+def test_fuzzy_pairs_blocking_and_threshold(spark):
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators.dedup import fuzzy_pairs
+
+    rows = [
+        (1, "kitten"), (2, "sitten"), (3, "mitten"),   # dist 1 of each other
+        (4, "kitchen"),                                  # dist 2 from kitten
+        (5, "zebra"),                                    # different block
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    # block on last 5 chars so kitten/sitten/mitten share a block
+    out = fuzzy_pairs(df, "id", "t", F.substring("t", -5, 5), max_dist=1)
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
