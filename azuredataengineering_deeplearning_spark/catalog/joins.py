@@ -178,3 +178,28 @@ def j_interval_join(spark, sf_dir):
     return J.interval_join(
         pts, campaigns, "t", "lo", "hi", by=["cust"], bucket_size=60 * 86400
     ).select("cust", "o_orderkey", "campaign_id", "t", "lo", "hi")
+
+
+@query(
+    "j_salted_join",
+    """
+    SELECT l_orderkey, l_extendedprice, o_orderdate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def j_salted_join(spark, sf_dir):
+    """Explicitly salted fact-dim join returns exactly the plain join's
+    multiset (the oracle IS the plain join) while spreading each hot key
+    across 8 sub-partitions — the AQE-less skew weapon."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice")
+    od = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    )
+    out = J.salted_join(li, od, ["l_orderkey"], n_salts=8)
+    return out.select(
+        "l_orderkey", "l_extendedprice", F.col("o_orderdate").cast("timestamp").alias("o_orderdate")
+    )

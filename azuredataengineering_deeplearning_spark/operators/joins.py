@@ -314,3 +314,30 @@ def asof_join_native(
         *left.columns,
         *[F.col("__m").getField(c).alias(c) for c in r_value_cols],
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot fact key over
+    ``n_salts`` sub-partitions and replicate the (small) right side once
+    per salt, so no single reducer owns a hot key's entire payload.
+
+    AQE's skew-join split covers most batch cases; this explicit form is
+    for where AQE cannot re-plan — streaming joins, joins feeding a
+    window that must keep the salt, or fixed-parallelism jobs (the
+    reference pins AQE off for its big RandomForest prep,
+    ``spark_randomforest.py:10-12``). The fact-side salt derives from a
+    whole-row hash (deterministic, uniform); result multiset equals the
+    plain join. Right-side replication costs |dim| × n_salts rows —
+    keep it for dimension-sized rights."""
+    salt = F.pmod(F.xxhash64(F.struct(*facts.columns)), F.lit(n_salts))
+    f = facts.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return f.join(d, [*keys, "__salt"], how).drop("__salt")

@@ -148,3 +148,24 @@ def test_cms_overestimates_and_merges(spark):
     m = {(r["row_i"], r["cell"]): r["cnt"] for r in merged.collect()}
     w = {(r["row_i"], r["cell"]): r["cnt"] for r in whole.collect()}
     assert m == w
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators.joins import salted_join
+
+    # hot key 0 on the fact side
+    facts = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1500, 0).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    plain = facts.join(dim, ["k"]).select("k", "payload", "attr")
+    salted = salted_join(facts, dim, ["k"], n_salts=4).select("k", "payload", "attr")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left rows with no dim match drop in inner, survive in left join
+    lonely = facts.withColumn("k", F.col("k") + 1000)
+    lj = salted_join(lonely, dim, ["k"], n_salts=4, how="left")
+    assert lj.count() == 2000 and lj.filter("attr IS NULL").count() == 2000
