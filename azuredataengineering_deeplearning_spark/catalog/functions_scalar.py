@@ -384,3 +384,22 @@ def f22_null_masks(spark, sf_dir):
     return M.with_null_masks(d, ["maybe_match"]).withColumn(
         "maybe_match_attnmask", F.col("maybe_match_attnmask").cast("int")
     )
+
+
+@query(
+    "f19c_json_infer_parse",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def f19c_json_infer_parse(spark, sf_dir):
+    """Schema-on-read for an embedded JSON column: infer the props
+    schema from a bounded sample, then parse every row JVM-side with
+    from_json (no Python in the row path)."""
+    from azuredataengineering_deeplearning_spark.functions.jsonx import parse_json_column
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    parsed = parse_json_column(ev, "props", out="p")
+    return parsed.select("event_id", F.col("p.k").cast("long").alias("k_val"))

@@ -65,3 +65,35 @@ def array_to_columns(df: DataFrame, col: str, n: int, prefix: str) -> DataFrame:
     return df.withColumns(
         {f"{prefix}{i}": _c(col).getItem(i) for i in range(n)}
     )
+
+
+def infer_json_schema(df: DataFrame, col: str, sample_rows: int = 1000):
+    """Infer a Spark schema for a JSON-string column from a bounded
+    sample (the schema-on-read discipline of the reference's
+    ``spark.read.json`` ingests, applied to an embedded column).
+
+    Reads ``sample_rows`` non-null values through ``spark.read.json``'s
+    inference — the sample is executor-side; only the resulting
+    StructType (scalar-sized) reaches the driver. At 100 TB a fixed
+    sample is the only sane schema probe; pass the result to
+    :func:`parse_json_column` and route rows that fail the inferred
+    schema via ``options={'mode': 'PERMISSIVE'}`` corrupt-record
+    handling.
+    """
+    sample = df.select(_c(col).alias("j")).filter(F.col("j").isNotNull()).limit(
+        sample_rows
+    )
+    return df.sparkSession.read.json(sample.rdd.map(lambda r: r["j"])).schema
+
+
+def parse_json_column(
+    df: DataFrame,
+    col: str,
+    schema=None,
+    out: str | None = None,
+    sample_rows: int = 1000,
+) -> DataFrame:
+    """Parse a JSON-string column into a typed struct, inferring the
+    schema from a sample when none is declared."""
+    sch = schema or infer_json_schema(df, col, sample_rows)
+    return df.withColumn(out or f"{col}_parsed", F.from_json(_c(col), sch))
