@@ -236,3 +236,34 @@ def kql_make_series(spark, sf_dir):
             F.transform(F.col("total"), lambda v: F.format_string("%.6f", v)), ","
         ).alias("total_csv"),
     )
+
+
+@query(
+    "kql_scalar_functions",
+    """
+    SELECT event_id,
+           UPPER(event_type) AS et_u,
+           CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS vlab,
+           event_type || ':' || CAST(user_id AS VARCHAR) AS tag,
+           CAST(LENGTH(event_type) AS INT) AS et_len
+    FROM events
+    """,
+)
+def kql_scalar_functions(spark, sf_dir):
+    """KQL scalar surface through extend: iff, strcat, tostring,
+    toupper, strlen — all translated to JVM expressions."""
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | extend et_u = toupper(event_type),
+                 vlab = iff(value > 50, 'hi', 'lo'),
+                 tag = strcat(event_type, ':', tostring(user_id)),
+                 et_len = strlen(event_type)
+        | project event_id, et_u, vlab, tag, et_len
+        """,
+    )
+    from pyspark.sql import functions as F
+
+    return df.withColumn("et_len", F.col("et_len").cast("int"))

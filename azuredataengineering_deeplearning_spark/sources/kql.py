@@ -19,7 +19,9 @@ deterministic clock in tests/backfills.
 Expression translation is textual (KQL ``==``/``!=``/``and``/``or``/
 ``contains``/``startswith``/``endswith``/``in`` → Spark SQL) and routed
 through ``F.expr`` — Catalyst parses/optimizes; the translator never
-builds Python-side predicates.
+builds Python-side predicates. Scalar functions: ``iff`` ``strcat``
+``tostring`` ``tolower``/``toupper`` ``strlen`` ``extract`` map to their
+Spark SQL equivalents textually.
 """
 
 from __future__ import annotations
@@ -69,6 +71,18 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = re.sub(
         r"(\w+)\s+has\s+'([^']*)'",
         lambda m: f"{m.group(1)} RLIKE '(?i)\\\\b{re.escape(m.group(2))}\\\\b'",
+        s,
+    )
+    # scalar function surface: KQL name → Spark SQL equivalent
+    s = re.sub(r"\biff\(", "if(", s)
+    s = re.sub(r"\bstrcat\(", "concat(", s)
+    s = re.sub(r"\btolower\(", "lower(", s)
+    s = re.sub(r"\btoupper\(", "upper(", s)
+    s = re.sub(r"\bstrlen\(", "length(", s)
+    s = re.sub(r"\btostring\(([^()]*)\)", r"cast(\1 as string)", s)
+    s = re.sub(
+        r"\bextract\(\s*'([^']*)'\s*,\s*(\d+)\s*,\s*(\w+)\s*\)",
+        r"regexp_extract(\3, '\1', \2)",
         s,
     )
     s = re.sub(r"\bcontains\s+('[^']*')", r" LIKE concat('%', \1, '%')", s)

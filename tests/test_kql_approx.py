@@ -162,3 +162,22 @@ def test_kql_countif_sumif_golden(spark):
     assert out["a"].n == 1 and out["a"].s == 60.0
     assert out["b"].n == 1 and out["b"].s == 90.0
     assert out["a"].p == 35.0  # exact interpolated median of [10, 60]
+
+
+def test_kql_scalar_function_translation(spark):
+    from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+    df = spark.createDataFrame([("Widget", 7)], "name string, n int")
+    out = kql_to_df(
+        {"t": df},
+        """
+        t
+        | extend lo = tolower(name), hi = toupper(name),
+                 lab = iff(n > 5, strcat(name, '-big'), 'small'),
+                 ln = strlen(name), s = tostring(n),
+                 w = extract('([A-Z][a-z]+)', 1, name)
+        """,
+    ).collect()[0]
+    assert (out["lo"], out["hi"]) == ("widget", "WIDGET")
+    assert out["lab"] == "Widget-big" and out["ln"] == 6
+    assert out["s"] == "7" and out["w"] == "Widget"
