@@ -256,3 +256,53 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def file_skipping_report(path: str, column: str, lo, hi) -> dict:
+    """Data-skipping audit: how many parquet files a range predicate on
+    ``column`` would skip, from footer min/max statistics alone (the
+    same stats Catalyst/Delta use). Metadata-only — no row data is read;
+    O(files) driver work, the 100 TB-safe shape for a layout check.
+
+    Returns ``{n_files, n_skipped, rows_total, rows_skipped}``. Run it
+    after :func:`write_clustered` / :func:`write_zordered` to verify the
+    layout actually localizes the clustered columns (a well-clustered
+    table skips most files for a narrow range; a random layout skips
+    none). Files lacking stats count as not skippable (scanned)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(
+        _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n_skipped = rows_total = rows_skipped = 0
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        rows = md.num_rows
+        rows_total += rows
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col_idx = None
+            for i in range(md.num_columns):
+                if md.row_group(rg).column(i).path_in_schema == column:
+                    col_idx = i
+                    break
+            if col_idx is None:
+                break
+            st = md.row_group(rg).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        else:
+            if mins and (max(maxs) < lo or min(mins) > hi):
+                n_skipped += 1
+                rows_skipped += rows
+    return {
+        "n_files": len(files),
+        "n_skipped": n_skipped,
+        "rows_total": rows_total,
+        "rows_skipped": rows_skipped,
+    }

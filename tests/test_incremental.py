@@ -169,3 +169,26 @@ def test_salted_join_equals_plain_join(spark):
     lonely = facts.withColumn("k", F.col("k") + 1000)
     lj = salted_join(lonely, dim, ["k"], n_salts=4, how="left")
     assert lj.count() == 2000 and lj.filter("attr IS NULL").count() == 2000
+
+
+def test_file_skipping_report_clustered_vs_random(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.sources.writers import (
+        file_skipping_report, write_clustered, write_parquet,
+    )
+
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), F.rand(7).alias("v")
+    )
+    clustered = str(tmp_path / "clustered")
+    random = str(tmp_path / "random")
+    write_clustered(df, clustered, cluster_by=["k"], target_files=10)
+    write_parquet(df.orderBy(F.rand(11)), random, target_files=10)
+
+    narrow = file_skipping_report(clustered, "k", 10_000, 12_000)
+    assert narrow["n_files"] == 10
+    assert narrow["n_skipped"] >= 8          # locality -> most files skip
+    assert narrow["rows_skipped"] >= 70_000
+
+    shuffled = file_skipping_report(random, "k", 10_000, 12_000)
+    assert shuffled["n_skipped"] == 0        # every file spans the range
