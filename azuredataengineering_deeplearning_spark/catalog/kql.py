@@ -267,3 +267,38 @@ def kql_scalar_functions(spark, sf_dir):
     from pyspark.sql import functions as F
 
     return df.withColumn("et_len", F.col("et_len").cast("int"))
+
+
+@query(
+    "kql_top_nested",
+    """
+    WITH l1 AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+      ORDER BY n_events DESC, event_type LIMIT 2
+    ),
+    l2 AS (
+      SELECT e.event_type, e.user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events e JOIN l1 USING (event_type)
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY total DESC, user_id) AS rn
+      FROM l2
+    )
+    SELECT r.event_type, r.user_id, r.total, l1.n_events
+    FROM r JOIN l1 USING (event_type) WHERE rn <= 3
+    """,
+)
+def kql_top_nested(spark, sf_dir):
+    """Hierarchical top-k: the 2 busiest event types, and within each
+    the 3 users with the highest summed value — deeper levels scan only
+    surviving branches (semi-join between levels)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | top-nested 2 of event_type by n_events=count(), "
+        "top-nested 3 of user_id by total=sum(value)",
+    )

@@ -11,6 +11,7 @@ Supported pipe operators:
 ``where`` ``project`` ``project-rename`` ``project-away`` ``extend``
 ``parse ... with`` ``take``/``limit`` ``sort by`` ``top N by``
 ``distinct`` ``summarize ... by ...`` ``make-series ... on ... step ...``
+``top-nested N of col by agg [, ...]``
 ``count`` ``arg_max(col, *)`` ``countif`` ``sumif`` ``percentile`` (inside summarize). Scalars: ``ago(14d)``
 (``synapse_sql_pool_dynamic_scaler.py:21``, ``daily_eval.py:156``) and
 ``bin(ts, 1h)`` epoch-aligned bucketing; pass ``now=`` for a
@@ -154,6 +155,8 @@ def kql_to_df(
             df = df.withColumn(col, F.explode(F.col(col)))
         elif op == "make-series":
             df = _make_series(df, rest)
+        elif op == "top-nested":
+            df = _top_nested(df, rest)
         elif op == "union":
             name = rest.strip().strip("()")
             if name not in tables:
@@ -268,6 +271,66 @@ def _make_series(df: DataFrame, rest: str) -> DataFrame:
         out=alias or f"{fn}_{arg or 'all'}",
         out_bins=ts_col,
     )
+
+
+def _top_nested(df: DataFrame, rest: str) -> DataFrame:
+    """``top-nested N of col by [Name=]agg(arg) [, top-nested ...]``:
+    hierarchical top-k. Level 1 keeps the global top-N keys; each deeper
+    level keeps the top-N within every surviving key combination
+    (window rank over the parent keys). The fact table is semi-joined to
+    the shrinking key set between levels, so deeper aggregates scan only
+    surviving branches; every level's aggregate column appears in the
+    result (KQL behavior). Sums accumulate in decimal (order-independent
+    vs the oracle). Ties break deterministically on the key value."""
+    segs = re.split(r",\s*top-nested\s+", rest.strip())
+    parsed = []
+    for seg in segs:
+        m = re.match(
+            r"^(\d+)\s+of\s+(\w+)\s+by\s+(?:(\w+)\s*=\s*)?(\w+)\(\s*([\w.]*)\s*\)$",
+            seg.strip(),
+        )
+        if not m:
+            raise ValueError(f"unsupported top-nested segment: {seg!r}")
+        parsed.append(m.groups())
+
+    def agg_col(fn: str, arg: str, alias: str):
+        if fn == "count":
+            return F.count(F.lit(1)).alias(alias)
+        if fn == "sum":
+            return F.sum(F.col(arg).cast("decimal(18,6)")).cast("double").alias(alias)
+        if fn in ("min", "max", "avg"):
+            return getattr(F, fn)(arg).alias(alias)
+        if fn == "dcount":
+            return F.countDistinct(arg).alias(alias)
+        raise ValueError(f"unsupported top-nested aggregate {fn!r}")
+
+    keys: list[str] = []
+    current = df
+    tops: list[DataFrame] = []
+    for n_s, col, alias, fn, arg in parsed:
+        n, out_name = int(n_s), alias or f"agg_{col}"
+        grouped = current.groupBy(*keys, col).agg(agg_col(fn, arg, out_name))
+        order = [F.col(out_name).desc(), F.col(col).asc()]
+        if not keys:
+            top = grouped.orderBy(*order).limit(n)
+        else:
+            w = Window.partitionBy(*keys).orderBy(*order)
+            top = (
+                grouped.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= n)
+                .drop("__rn")
+            )
+        current = current.join(
+            F.broadcast(top.select(*keys, col)), [*keys, col], "left_semi"
+        )
+        keys.append(col)
+        tops.append(top)
+    # join level frames on their shared prefix keys to surface every agg
+    out = tops[-1]
+    for i in range(len(tops) - 2, -1, -1):
+        prefix = [p[1] for p in parsed[: i + 1]]
+        out = out.join(F.broadcast(tops[i]), prefix, "inner")
+    return out
 
 
 def _split_csv(s: str) -> list[str]:

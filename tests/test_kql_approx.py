@@ -181,3 +181,25 @@ def test_kql_scalar_function_translation(spark):
     assert (out["lo"], out["hi"]) == ("widget", "WIDGET")
     assert out["lab"] == "Widget-big" and out["ln"] == 6
     assert out["s"] == "7" and out["w"] == "Widget"
+
+
+def test_kql_top_nested_hierarchy(spark):
+    from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+    rows = []
+    # type A: 6 rows, type B: 4, type C: 1 -> top-2 keeps A, B
+    for u, n in (("u1", 3), ("u2", 2), ("u3", 1)):
+        rows += [("A", u, 10.0)] * n
+    for u, n in (("u4", 3), ("u5", 1)):
+        rows += [("B", u, 5.0)] * n
+    rows += [("C", "u6", 99.0)]
+    df = spark.createDataFrame(rows, "et string, u string, v double")
+    out = kql_to_df(
+        {"t": df},
+        "t | top-nested 2 of et by n=count(), top-nested 2 of u by s=sum(v)",
+    ).collect()
+    got = sorted((r["et"], r["u"], r["s"], r["n"]) for r in out)
+    assert got == [
+        ("A", "u1", 30.0, 6), ("A", "u2", 20.0, 6),
+        ("B", "u4", 15.0, 4), ("B", "u5", 5.0, 4),
+    ]
