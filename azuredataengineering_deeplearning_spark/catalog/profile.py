@@ -201,3 +201,40 @@ def prof_expectations(spark, sf_dir):
     return with_expectations(t["orders"], checks).select(
         "o_orderkey", F.array_sort("violations").alias("violations")
     )
+
+
+@query(
+    "prof_table_profile",
+    """
+    SELECT 'o_orderkey' AS column, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(SUM(CAST(CAST(o_orderkey AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(o_orderkey) AS mean,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+           CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(o_totalprice),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, NULL,
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    """,
+)
+def prof_table_profile(spark, sf_dir):
+    """Landing-report profile of three orders columns in one aggregate
+    pass (count/nulls/distincts/min/max/mean long-format)."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return P.profile_table(o, ["o_orderkey", "o_totalprice", "o_orderstatus"])

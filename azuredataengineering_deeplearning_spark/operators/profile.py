@@ -187,3 +187,62 @@ def key_skew_profile(
             / F.col("__total")
         ).alias("skew_ratio"),
     )
+
+
+_NUMERIC_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "integer", "long", "short", "byte",
+}
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """One-pass table profile (the ETL landing report): per column —
+    row count, nulls, exact distincts, numeric min/max/mean (decimal-
+    accumulated), string min/max. ONE aggregate over all columns
+    (map-side combined), then a map-only explode to long format — never
+    a per-column job, the same single-scan discipline as
+    ``discover_schema.py``'s profilers. Swap ``approx_count_distinct``
+    in for the distinct counts at extreme cardinalities."""
+    from azuredataengineering_deeplearning_spark.functions.exact import dec
+
+    cols = list(columns or df.columns)
+    types = dict(df.dtypes)
+    aggs, structs = [], []
+    for c in cols:
+        is_num = types[c] in _NUMERIC_TYPES
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+        ]
+        if is_num:
+            aggs += [
+                F.min(c).cast("double").alias(f"__lo_{c}"),
+                F.max(c).cast("double").alias(f"__hi_{c}"),
+                (F.sum(dec(F.col(c).cast("double"))).cast("double") / F.count(c)).alias(
+                    f"__mean_{c}"
+                ),
+            ]
+        elif types[c] == "string":
+            aggs += [
+                F.min(c).alias(f"__slo_{c}"),
+                F.max(c).alias(f"__shi_{c}"),
+            ]
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").alias("n"),
+                F.col(f"__nn_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                (F.col(f"__lo_{c}") if is_num else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"__hi_{c}") if is_num else F.lit(None).cast("double")).alias("max_num"),
+                (F.col(f"__mean_{c}") if is_num else F.lit(None).cast("double")).alias("mean"),
+                (F.col(f"__slo_{c}") if types[c] == "string" else F.lit(None).cast("string")).alias("min_str"),
+                (F.col(f"__shi_{c}") if types[c] == "string" else F.lit(None).cast("string")).alias("max_str"),
+            )
+        )
+    wide = df.agg(*aggs)
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -192,3 +192,20 @@ def test_file_skipping_report_clustered_vs_random(spark, tmp_path):
 
     shuffled = file_skipping_report(random, "k", 10_000, 12_000)
     assert shuffled["n_skipped"] == 0        # every file spans the range
+
+
+def test_profile_table_one_pass(spark):
+    from azuredataengineering_deeplearning_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 6.0, None)],
+        "i int, d double, s string",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["i"]["n"] == 3 and prof["i"]["n_null"] == 0
+    assert prof["i"]["min_num"] == 1.0 and prof["i"]["max_num"] == 3.0
+    assert abs(prof["i"]["mean"] - 2.0) < 1e-9
+    assert prof["d"]["n_null"] == 1 and abs(prof["d"]["mean"] - 4.0) < 1e-9
+    assert prof["s"]["n_distinct"] == 2
+    assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
+    assert prof["s"]["min_num"] is None

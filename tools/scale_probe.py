@@ -243,6 +243,51 @@ def main() -> None:
         results["hash_group_split"] = t
         print(json.dumps({"probe": "hash_group_split", "docs": args.docs, "sec": t}))
 
+        # ---- salted vs plain join on the hot-key events ---------------
+        from azuredataengineering_deeplearning_spark.operators import joins as J
+
+        wide_dim = spark.range(1000).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("seg_"), F.col("id") % 7).alias("segment"),
+        )
+        t, _ = timed(
+            lambda: ev.join(wide_dim.hint("shuffle_hash"), "user_id")
+            .groupBy("segment").count().count()
+        )
+        results["hotkey_join_plain_shuffle"] = t
+        print(json.dumps({"probe": "hotkey_join_plain_shuffle", "rows": args.rows, "sec": t}))
+
+        t, _ = timed(
+            lambda: J.salted_join(ev, wide_dim, ["user_id"], n_salts=32)
+            .groupBy("segment").count().count()
+        )
+        results["hotkey_join_salted"] = t
+        print(json.dumps({"probe": "hotkey_join_salted", "rows": args.rows, "sec": t}))
+
+        # ---- incremental rollup vs full recompute ---------------------
+        from azuredataengineering_deeplearning_spark.operators import incremental as INC
+
+        spec = {"n": ("count", None), "s": ("sum", "value"), "hi": ("max", "value")}
+        base = ev.filter(F.col("ts") % 100 != 0)          # ~99% of rows
+        batch = ev.filter(F.col("ts") % 100 == 0)         # ~1% changeset
+        state_path = f"{tmp}/state"
+        INC.aggregate_batch(base, ["user_id"], spec).write.mode("overwrite").parquet(
+            state_path
+        )
+        state = spark.read.parquet(state_path)
+
+        t, _ = timed(
+            lambda: INC.aggregate_batch(ev, ["user_id"], spec).count()
+        )
+        results["rollup_full_recompute"] = t
+        print(json.dumps({"probe": "rollup_full_recompute", "rows": args.rows, "sec": t}))
+
+        t, _ = timed(
+            lambda: INC.incremental_update(state, batch, ["user_id"], spec).count()
+        )
+        results["rollup_incremental_1pct"] = t
+        print(json.dumps({"probe": "rollup_incremental_1pct", "rows": args.rows, "sec": t}))
+
     print(
         json.dumps(
             {
