@@ -586,3 +586,25 @@ def t_unigram_xent(spark, sf_dir):
     filter (KenLM-perplexity stand-in) as two aggregates + broadcasts."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return T.unigram_cross_entropy(d, "doc_id", "text")
+
+
+@query(
+    "t_unicode_fold",
+    """
+    SELECT doc_id,
+           nfc_normalize(text) AS t_nfc,
+           strip_accents(nfc_normalize(text)) AS t_folded
+    FROM documents
+    """,
+)
+def t_unicode_fold(spark, sf_dir):
+    """Unicode canonicalization before fingerprinting: NFC compose then
+    accent-fold, Arrow-batched (one Python call per batch). DuckDB's
+    nfc_normalize/strip_accents are the oracle."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    nfc, fold = T.nfc_normalize_udf(), T.strip_accents_udf()
+    return d.select(
+        "doc_id",
+        nfc(F.col("text")).alias("t_nfc"),
+        fold(nfc(F.col("text"))).alias("t_folded"),
+    )

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under PEP 563
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -480,3 +482,45 @@ def unigram_cross_entropy(
             ).alias(out)
         )
     )
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC normalizer (no Spark built-in exists). Unicode
+    canonical composition is the first step of any dedup/fingerprint
+    pipeline over web text — 'e'+COMBINING-ACUTE and U+00E9 must hash
+    identically. pandas_udf: one Python call per Arrow batch, not per
+    row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc
+
+
+def strip_accents_udf():
+    """Accent folding: NFD-decompose then drop combining marks (matches
+    DuckDB ``strip_accents`` for Latin text). Arrow-batched."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _strip(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def fold(x):
+            if x is None:
+                return None
+            return "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", x)
+                if not unicodedata.combining(ch)
+            )
+
+        return s.map(fold)
+
+    return _strip

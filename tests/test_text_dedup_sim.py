@@ -330,3 +330,23 @@ def test_fuzzy_pairs_blocking_and_threshold(spark):
     out = fuzzy_pairs(df, "id", "t", F.substring("t", -5, 5), max_dist=1)
     got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_unicode_fold_composed_vs_decomposed(spark):
+    from azuredataengineering_deeplearning_spark.operators.text import (
+        nfc_normalize_udf, strip_accents_udf,
+    )
+    from pyspark.sql import functions as F
+
+    composed = "café"                 # é as one codepoint
+    decomposed = "café"              # e + combining acute
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None)], "id int, t string"
+    )
+    nfc, fold = nfc_normalize_udf(), strip_accents_udf()
+    out = {r["id"]: (r["n"], r["f"]) for r in df.select(
+        "id", nfc(F.col("t")).alias("n"), fold(F.col("t")).alias("f")
+    ).collect()}
+    assert out[1][0] == out[2][0] == composed   # NFC unifies both forms
+    assert out[1][1] == out[2][1] == "cafe"     # folding drops the accent
+    assert out[3] == (None, None)
