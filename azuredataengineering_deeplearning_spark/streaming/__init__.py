@@ -12,6 +12,7 @@ from azuredataengineering_deeplearning_spark.streaming.windows import (
 from azuredataengineering_deeplearning_spark.streaming.stateful import (
     sessionize_stream,
 )
+from azuredataengineering_deeplearning_spark.streaming.rollup import stream_rollup
 from azuredataengineering_deeplearning_spark.streaming.upsert import stream_upsert
 from azuredataengineering_deeplearning_spark.streaming.dedup import stream_dedup
 
@@ -23,5 +24,6 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "sessionize_stream",
+    "stream_rollup",
     "stream_upsert",
 ]

@@ -166,3 +166,66 @@ def test_stream_upsert_matches_batch_scd2(spark, dirs):
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, twin.select(*cols).collect())
     )
+
+
+def test_stream_rollup_equals_batch_recompute(spark, tmp_path):
+    import os
+
+    from azuredataengineering_deeplearning_spark.operators.incremental import (
+        aggregate_batch, finalize_state,
+    )
+    from azuredataengineering_deeplearning_spark.streaming import (
+        run_until_drained, stream_rollup,
+    )
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = "k string, v double"
+    spec = {"n": ("count", None), "s": ("sum", "v"), "hi": ("max", "v")}
+
+    def drop(name, rows):
+        with open(f"{landing}/{name}", "w") as f:
+            f.write("k,v\n")
+            for r in rows:
+                f.write(f"{r[0]},{r[1]}\n")
+
+    drop("b1.csv", [("a", 1.0), ("a", 2.0), ("b", 10.0)])
+    q = stream_rollup(
+        spark.readStream.schema(schema).option("header", "true").csv(landing),
+        ["k"], spec, state, ckpt,
+    )
+    run_until_drained(q)
+
+    # second batch via a restarted query on the same checkpoint
+    drop("b2.csv", [("a", 4.0), ("c", 7.0)])
+    q2 = stream_rollup(
+        spark.readStream.schema(schema).option("header", "true").csv(landing),
+        ["k"], spec, state, ckpt,
+    )
+    run_until_drained(q2)
+
+    got = {
+        r["k"]: (r["n"], r["s"], r["hi"])
+        for r in finalize_state(spark.read.parquet(state), spec).collect()
+    }
+    all_rows = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0), ("a", 4.0), ("c", 7.0)], schema
+    )
+    want = {
+        r["k"]: (r["n"], r["s"], r["hi"])
+        for r in finalize_state(aggregate_batch(all_rows, ["k"], spec), spec).collect()
+    }
+    assert got == want
+    # replay protection: restart once more with no new data -> unchanged
+    q3 = stream_rollup(
+        spark.readStream.schema(schema).option("header", "true").csv(landing),
+        ["k"], spec, state, ckpt,
+    )
+    run_until_drained(q3)
+    again = {
+        r["k"]: (r["n"], r["s"], r["hi"])
+        for r in finalize_state(spark.read.parquet(state), spec).collect()
+    }
+    assert again == want
