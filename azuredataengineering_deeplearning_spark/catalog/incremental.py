@@ -123,3 +123,24 @@ def prof_key_skew(spark, sf_dir):
     every salt-or-broadcast decision the engine makes."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return key_skew_profile(ev, ["user_id"], top_n=15)
+
+
+@query(
+    "cdc_table_checksum",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST('0x' || substr(md5(
+                 concat_ws(chr(31),
+                   COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)),
+                   COALESCE(o_orderstatus, chr(0)),
+                   COALESCE(o_orderpriority, chr(0))
+                 )), 1, 15) AS BIGINT) AS HUGEINT)) AS VARCHAR) AS checksum
+    FROM orders
+    """,
+)
+def cdc_table_checksum(spark, sf_dir):
+    """Portable order-independent table checksum: two environments
+    compare a whole table by exchanging (n_rows, checksum) — the
+    md5-60bit row hash sums identically here and in DuckDB."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return I.table_checksum(o, ["o_orderkey", "o_orderstatus", "o_orderpriority"])

@@ -351,3 +351,34 @@ def w_cumulative_distinct(spark, sf_dir):
     return W.cumulative_distinct(
         ev, ["user_id"], ["ts_ns", "event_id"], "event_type"
     ).select("event_id", "cum_distinct")
+
+
+@query(
+    "scd2_as_of",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS effectiveDate,
+             COALESCE(CAST(strftime(
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) - INTERVAL 1 DAY,
+               '%Y%m%d') AS INT), 20991231) AS expirationDate
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, effectiveDate, expirationDate
+    FROM w
+    WHERE effectiveDate <= 19970615 AND expirationDate >= 19970615
+    """,
+)
+def scd2_as_of(spark, sf_dir):
+    """Temporal point-in-time read: the version of each customer in
+    force on 1997-06-15 — the query every SCD2 dimension exists to
+    answer. Pure filter over the dated dimension (file-skippable when
+    clustered on the effective range)."""
+    from azuredataengineering_deeplearning_spark.operators.scd import scd2_as_of as as_of
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    dim = SCD.apply_scd2(o, ["o_custkey"], "o_orderdate", tiebreak=["o_orderkey"])
+    return as_of(dim, 19970615).select(
+        "o_custkey", "o_orderkey", "o_totalprice", "effectiveDate", "expirationDate"
+    )

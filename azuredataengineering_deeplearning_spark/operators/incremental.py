@@ -130,3 +130,32 @@ def table_diff(
     if not include_unchanged:
         out = out.filter(F.col(status_column) != "unchanged")
     return out
+
+
+def table_checksum(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    portable: bool = True,
+) -> DataFrame:
+    """Order-independent table fingerprint for replication/sync checks
+    (the scalar companion to :func:`table_diff`): one row with
+    ``n_rows`` and ``checksum`` — the exact sum of a per-row 60-bit
+    hash, so two environments can compare a 100 TB table by exchanging
+    two numbers. Any row difference shifts the sum.
+
+    ``portable=True`` hashes an explicit string encoding (columns cast
+    to string, NUL for NULL, unit separator between fields) with the
+    md5-60bit scheme DuckDB reproduces bit-for-bit; ``portable=False``
+    uses xxhash64 (cheaper, Spark-to-Spark only). The sum accumulates in
+    DECIMAL(38,0) — overflow-free past 1e12 rows."""
+    cols = list(columns or df.columns)
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    row_str = F.concat_ws("\x1f", *parts)
+    if portable:
+        row_hash = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    else:
+        row_hash = F.xxhash64(row_str)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash.cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )

@@ -111,3 +111,20 @@ def validate_scd2(
         (F.col(current_col) == 1) != (F.col(expiration_col) == open_end)
     ).count()
     assert mismatched == 0, f"{mismatched} rows where open-end and current flag disagree"
+
+
+def scd2_as_of(
+    dim: DataFrame,
+    as_of_date_key: int,
+    effective_col: str = "effectiveDate",
+    expiration_col: str = "expirationDate",
+) -> DataFrame:
+    """Temporal point-in-time read of an SCD2 dimension: the version of
+    every key that was in force on ``as_of_date_key`` (int yyyyMMdd).
+    Bounds are inclusive (``expirationDate`` is the day before the next
+    version). Pure filter — with the dimension partitioned or clustered
+    on the effective range, file skipping prunes history at scan time."""
+    return dim.filter(
+        (F.col(effective_col) <= as_of_date_key)
+        & (F.col(expiration_col) >= as_of_date_key)
+    )

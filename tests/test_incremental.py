@@ -209,3 +209,35 @@ def test_profile_table_one_pass(spark):
     assert prof["s"]["n_distinct"] == 2
     assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
     assert prof["s"]["min_num"] is None
+
+
+def test_table_checksum_detects_any_change(spark):
+    from azuredataengineering_deeplearning_spark.operators.incremental import table_checksum
+
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, None)], "k int, v string")
+    b = spark.createDataFrame([(3, None), (1, "x"), (2, "y")], "k int, v string")
+    c = spark.createDataFrame([(1, "x"), (2, "Y"), (3, None)], "k int, v string")
+    ca, cb, cc = (table_checksum(d).collect()[0] for d in (a, b, c))
+    assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])  # order-free
+    assert ca["checksum"] != cc["checksum"]                                   # 1 cell differs
+    fast = table_checksum(a, portable=False).collect()[0]
+    assert fast["n_rows"] == 3 and fast["checksum"] is not None
+
+
+def test_scd2_as_of_one_version_per_key(spark):
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators.scd import apply_scd2, scd2_as_of
+
+    rows = [
+        ("k1", "2024-01-01", "v1"), ("k1", "2024-03-01", "v2"),
+        ("k2", "2024-02-15", "w1"),
+    ]
+    df = spark.createDataFrame(rows, "k string, d string, v string").withColumn(
+        "d", F.to_date("d")
+    )
+    dim = apply_scd2(df, ["k"], "d")
+    got = {r["k"]: r["v"] for r in scd2_as_of(dim, 20240220).collect()}
+    assert got == {"k1": "v1", "k2": "w1"}          # v2 not yet effective
+    got2 = {r["k"]: r["v"] for r in scd2_as_of(dim, 20240301).collect()}
+    assert got2 == {"k1": "v2", "k2": "w1"}
+    assert scd2_as_of(dim, 20231231).count() == 0   # before any history
