@@ -359,3 +359,50 @@ def ts_linear_forecast(spark, sf_dir):
     return fc.select(
         "event_type", F.col("x").cast("long").alias("x"), "yhat"
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    """
+    WITH g AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS x,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS y
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, x, y,
+             LAST_VALUE(CASE WHEN y IS NOT NULL THEN y END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS py,
+             LAST_VALUE(CASE WHEN y IS NOT NULL THEN x END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+             FIRST_VALUE(CASE WHEN y IS NOT NULL THEN y END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ny,
+             FIRST_VALUE(CASE WHEN y IS NOT NULL THEN x END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+      FROM g
+    )
+    SELECT event_id,
+           CASE WHEN y IS NOT NULL THEN y
+                WHEN py IS NULL THEN ny
+                WHEN ny IS NULL THEN py
+                ELSE py + (ny - py) * (x - px) / (nx - px) END AS y_filled
+    FROM w
+    """,
+)
+def ts_interpolate_linear(spark, sf_dir):
+    """Linear interpolation of synthetic gaps (every 5th event nulled)
+    in each user's value series — two mirrored ignore-nulls windows on
+    one shuffle, identical expression tree to the oracle."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    g = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts_ns").alias("x"),
+        F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")).alias("y"),
+    )
+    out = TS.interpolate_linear(g, ["user_id"], "x", "y", out="y_filled")
+    return out.select("event_id", "y_filled")

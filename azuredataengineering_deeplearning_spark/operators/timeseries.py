@@ -450,3 +450,33 @@ def fit_per_group(
     the function (executor-local), return scalar-sized rows. Prefer
     :func:`linear_trend` where the math reduces to aggregates."""
     return df.groupBy(*keys).applyInPandas(fit_fn, schema=output_schema)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    out: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of missing ``y`` over per-key ``x`` order
+    (the row-level ``series_fill_linear``): each null gets
+    ``prev + (next-prev)·(x-x_prev)/(x_next-x_prev)`` from its nearest
+    non-null neighbors; leading/trailing gaps take the nearest value
+    (no extrapolation). Two mirrored ignore-nulls windows over ONE
+    (keys) shuffle — no self-joins, state O(1) per row."""
+    xc, yc = F.col(x_col), F.col(y_col)
+    base = Window.partitionBy(*keys).orderBy(xc)
+    w_prev = base.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = base.rowsBetween(0, Window.unboundedFollowing)
+    py = F.last(F.when(yc.isNotNull(), yc), ignorenulls=True).over(w_prev)
+    px = F.last(F.when(yc.isNotNull(), xc), ignorenulls=True).over(w_prev)
+    ny = F.first(F.when(yc.isNotNull(), yc), ignorenulls=True).over(w_next)
+    nx = F.first(F.when(yc.isNotNull(), xc), ignorenulls=True).over(w_next)
+    filled = (
+        F.when(yc.isNotNull(), yc)
+        .when(py.isNull(), ny)
+        .when(ny.isNull(), py)
+        .otherwise(py + (ny - py) * (xc - px) / (nx - px))
+    )
+    return df.withColumn(out or y_col, filled)

@@ -167,3 +167,20 @@ def test_linear_trend_exact_line_and_fit_per_group_parity(spark):
     assert [(r["x"], round(r["yhat"], 6)) for r in sorted(fc, key=lambda r: r["x"])] == [
         (10, 37.0), (11, 40.0), (12, 43.0)
     ]
+
+
+def test_interpolate_linear_model(spark):
+    from azuredataengineering_deeplearning_spark.operators.timeseries import interpolate_linear
+
+    rows = [
+        ("k", 0, 0.0), ("k", 10, None), ("k", 20, None), ("k", 30, 30.0),
+        ("k", 40, None),                       # trailing gap -> nearest (30)
+        ("j", 5, None), ("j", 6, 8.0),        # leading gap -> nearest (8)
+    ]
+    df = spark.createDataFrame(rows, "k string, x int, y double")
+    got = {(r["k"], r["x"]): r["y"] for r in
+           interpolate_linear(df, ["k"], "x", "y").collect()}
+    assert got[("k", 10)] == 10.0 and got[("k", 20)] == 20.0
+    assert got[("k", 40)] == 30.0
+    assert got[("j", 5)] == 8.0
+    assert got[("k", 0)] == 0.0 and got[("k", 30)] == 30.0
