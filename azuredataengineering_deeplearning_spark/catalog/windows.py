@@ -382,3 +382,56 @@ def scd2_as_of(spark, sf_dir):
     return as_of(dim, 19970615).select(
         "o_custkey", "o_orderkey", "o_totalprice", "effectiveDate", "expirationDate"
     )
+
+
+@query(
+    "scd2_temporal_join",
+    """
+    WITH dim AS (
+      SELECT o_custkey, o_orderkey AS version_id, o_totalprice,
+             CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS effectiveDate,
+             COALESCE(CAST(strftime(
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) - INTERVAL 1 DAY,
+               '%Y%m%d') AS INT), 20991231) AS expirationDate
+      FROM orders
+    ),
+    facts AS (
+      SELECT o_orderkey AS fact_id, o_custkey,
+             CAST(strftime(o_orderdate + INTERVAL 30 DAY, '%Y%m%d') AS INT) AS dk
+      FROM orders
+    )
+    SELECT f.fact_id, d.version_id, d.o_totalprice AS dim_price
+    FROM facts f LEFT JOIN dim d
+      ON f.o_custkey = d.o_custkey
+     AND f.dk BETWEEN d.effectiveDate AND d.expirationDate
+    """,
+)
+def scd2_temporal_join(spark, sf_dir):
+    """Every order, joined to the customer 'version' in force 30 days
+    after it was placed — the SCD2 fact-dim attachment. Equi-join on
+    the natural key with the date range as a post-join filter (never a
+    range nested-loop)."""
+    from azuredataengineering_deeplearning_spark.operators.scd import (
+        scd2_temporal_join as tjoin,
+    )
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    dim = SCD.apply_scd2(
+        o.select("o_custkey", F.col("o_orderkey").alias("version_id"),
+                 "o_totalprice", "o_orderdate"),
+        ["o_custkey"], "o_orderdate", tiebreak=["version_id"],
+    ).drop("o_orderdate", "currentVersion")
+    facts = o.select(
+        F.col("o_orderkey").alias("fact_id"),
+        "o_custkey",
+        F.date_format(F.date_add("o_orderdate", 30), "yyyyMMdd")
+        .cast("int")
+        .alias("dk"),
+    )
+    out = tjoin(facts, dim, ["o_custkey"], "dk")
+    return out.select(
+        "fact_id",
+        F.col("dim_version_id").alias("version_id"),
+        F.col("dim_o_totalprice").alias("dim_price"),
+    )

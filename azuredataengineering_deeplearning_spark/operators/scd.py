@@ -128,3 +128,43 @@ def scd2_as_of(
         (F.col(effective_col) <= as_of_date_key)
         & (F.col(expiration_col) >= as_of_date_key)
     )
+
+
+def scd2_temporal_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    fact_date_key: str,
+    effective_col: str = "effectiveDate",
+    expiration_col: str = "expirationDate",
+    how: str = "left",
+    prefix: str = "dim_",
+) -> DataFrame:
+    """Attach to every fact row the dimension version in force at the
+    fact's date — THE SCD2 fact-dim join (int yyyyMMdd keys, inclusive
+    bounds). Non-key dim columns arrive ``prefix``ed.
+
+    Plan shape: Catalyst executes the natural-key equality as the join
+    condition and the date-range as a post-join filter, so this stays a
+    hash/sort-merge equi-join — never a range nested-loop. Fan-out
+    before the filter is bounded by versions-per-key (small by SCD2
+    construction); broadcast the dim when it fits."""
+    ren = {k: f"__k_{i}" for i, k in enumerate(keys)}
+    d = dim.select(
+        *[F.col(k).alias(v) for k, v in ren.items()],
+        *[
+            F.col(c).alias(f"{prefix}{c}")
+            for c in dim.columns
+            if c not in keys
+        ],
+    )
+    cond = None
+    for k, v in ren.items():
+        c = facts[k] == d[v]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (F.col(fact_date_key) >= d[f"{prefix}{effective_col}"])
+        & (F.col(fact_date_key) <= d[f"{prefix}{expiration_col}"])
+    )
+    return facts.join(d, cond, how).drop(*ren.values())

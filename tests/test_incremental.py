@@ -241,3 +241,26 @@ def test_scd2_as_of_one_version_per_key(spark):
     got2 = {r["k"]: r["v"] for r in scd2_as_of(dim, 20240301).collect()}
     assert got2 == {"k1": "v2", "k2": "w1"}
     assert scd2_as_of(dim, 20231231).count() == 0   # before any history
+
+
+def test_scd2_temporal_join_picks_version_in_force(spark):
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators.scd import (
+        apply_scd2, scd2_temporal_join,
+    )
+
+    hist = spark.createDataFrame(
+        [("k1", "2024-01-01", "v1"), ("k1", "2024-03-01", "v2")],
+        "k string, d string, attr string",
+    ).withColumn("d", F.to_date("d"))
+    dim = apply_scd2(hist, ["k"], "d").drop("d", "currentVersion")
+    facts = spark.createDataFrame(
+        [(1, "k1", 20240215), (2, "k1", 20240301), (3, "k2", 20240101)],
+        "fid int, k string, dk int",
+    )
+    out = scd2_temporal_join(facts, dim, ["k"], "dk")
+    got = {r["fid"]: r["dim_attr"] for r in out.collect()}
+    assert got == {1: "v1", 2: "v2", 3: None}   # unmatched key -> left join null
+    # plan stays an equi-join: no nested-loop for the range condition
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
