@@ -144,3 +144,47 @@ def cdc_table_checksum(spark, sf_dir):
     md5-60bit row hash sums identically here and in DuckDB."""
     o = read_parquet(spark, f"{sf_dir}/orders.parquet")
     return I.table_checksum(o, ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+
+@query(
+    "cdc_partition_sync_plan",
+    """
+    WITH l AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(CAST('0x' || substr(md5(
+                   COALESCE(CAST(o_orderkey AS VARCHAR), chr(0))
+                 ), 1, 15) AS BIGINT) AS HUGEINT)) AS VARCHAR) AS checksum
+      FROM orders GROUP BY o_orderpriority
+    ),
+    r AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(CAST('0x' || substr(md5(
+                   COALESCE(CAST(o_orderkey AS VARCHAR), chr(0))
+                 ), 1, 15) AS BIGINT) AS HUGEINT)) AS VARCHAR) AS checksum
+      FROM orders WHERE o_orderkey % 11 <> 0 GROUP BY o_orderpriority
+    )
+    SELECT COALESCE(l.o_orderpriority, r.o_orderpriority) AS o_orderpriority,
+           CASE WHEN r.o_orderpriority IS NULL THEN 'removed'
+                WHEN l.o_orderpriority IS NULL THEN 'added'
+                WHEN l.checksum IS DISTINCT FROM r.checksum
+                  OR l.n_rows IS DISTINCT FROM r.n_rows THEN 'changed'
+                ELSE 'unchanged' END AS diff_status
+    FROM l FULL JOIN r ON l.o_orderpriority = r.o_orderpriority
+    WHERE l.o_orderpriority IS NULL OR r.o_orderpriority IS NULL
+       OR l.checksum IS DISTINCT FROM r.checksum
+       OR l.n_rows IS DISTINCT FROM r.n_rows
+    """,
+)
+def cdc_partition_sync_plan(spark, sf_dir):
+    """Incremental sync planning end-to-end: checksum each priority
+    partition of two table versions (one with rows dropped), diff the
+    O(partitions) checksum tables, and emit only partitions needing
+    re-sync — metadata-sized output for a 100 TB comparison."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    left = I.partition_checksums(o, ["o_orderpriority"], ["o_orderkey"])
+    right = I.partition_checksums(
+        o.filter(F.col("o_orderkey") % 11 != 0), ["o_orderpriority"], ["o_orderkey"]
+    )
+    return I.table_diff(left, right, ["o_orderpriority"])
