@@ -36,6 +36,7 @@ HEADLINE = [
     # incremental maintenance / CDC
     "inc_agg_maintenance",
     "cdc_table_diff",
+    "scd2_temporal_join",
     # LLM-pipeline layer
     "dedup_minhash_lsh",
     "dedup_contamination",
