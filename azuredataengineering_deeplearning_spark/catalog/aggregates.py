@@ -306,3 +306,34 @@ def a_cms_user_counts(spark, sf_dir):
     sketch = A.cms_build(ev, "user_id")
     items = ev.select("user_id").distinct()
     return A.cms_estimate(sketch, items, "user_id")
+
+
+@query(
+    "a_histogram_quantiles",
+    """
+    WITH h AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 6000.0) AS INT), 0), 99) AS bin,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, 0.0 + bin * 6000.0 AS bin_lo, n,
+             COALESCE(SUM(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM h
+    ),
+    t AS (SELECT SUM(n) AS total FROM h),
+    qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS v(q))
+    SELECT q, bin_lo + ((q * total - cum_before) / n) * 6000.0 AS estimate
+    FROM c CROSS JOIN t CROSS JOIN qs
+    WHERE cum_before < q * total AND q * total <= cum_before + n
+    """,
+)
+def a_histogram_quantiles(spark, sf_dir):
+    """Mergeable approximate percentiles: p50/p90/p99 of order totals
+    read off a 100-bucket histogram CDF with in-bucket interpolation —
+    shard histograms merge by bin-count sum, so the percentile state
+    composes across days/partitions like the HLL and CMS sketches."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    h = A.histogram(o, "o_totalprice", 100, 0.0, 600000.0)
+    return A.histogram_quantiles(h, [0.5, 0.9, 0.99], 100, 0.0, 600000.0)

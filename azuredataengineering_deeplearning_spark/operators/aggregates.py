@@ -389,3 +389,46 @@ def cms_estimate(
         "cnt", F.coalesce(F.col("cnt"), F.lit(0))
     )
     return joined.groupBy(column).agg(F.min("cnt").cast("long").alias(alias))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles: Sequence[float],
+    n_bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Approximate quantiles from a :func:`histogram` — the mergeable
+    percentile path: histograms from shards/days merge by bin-count sum
+    (same posture as the HLL/CMS sketches), then any quantile reads off
+    the cumulative distribution with linear interpolation inside the
+    bucket. Error ≤ one bucket width; O(bins) work.
+
+    Returns one row per requested quantile: (q, estimate)."""
+    w = (hi - lo) / n_bins
+    win = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = (
+        hist.withColumn("cum_before", F.coalesce(F.sum("n").over(win), F.lit(0)))
+        .crossJoin(
+            F.broadcast(
+                hist.sparkSession.createDataFrame(
+                    [(float(q),) for q in quantiles], "q double"
+                )
+            )
+        )
+        .crossJoin(F.broadcast(hist.agg(F.sum("n").alias("total"))))
+    )
+    need = F.col("q") * F.col("total")
+    inside = (F.col("cum_before") < need) & (
+        need <= F.col("cum_before") + F.col("n")
+    )
+    est = F.col("bin_lo") + ((need - F.col("cum_before")) / F.col("n")) * F.lit(w)
+    picked = cum.filter(inside).select("q", est.alias("estimate"))
+    # q=0 (or empty buckets before the first) has no bucket with
+    # cum_before < need; clamp to the domain floor
+    missing = (
+        cum.select("q").distinct()
+        .join(picked.select("q"), "q", "left_anti")
+        .select("q", F.lit(float(lo)).alias("estimate"))
+    )
+    return picked.unionByName(missing)

@@ -264,3 +264,28 @@ def test_scd2_temporal_join_picks_version_in_force(spark):
     # plan stays an equi-join: no nested-loop for the range condition
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators.aggregates import (
+        histogram, histogram_quantiles,
+    )
+
+    df = spark.range(0, 10_000).select(F.col("id").cast("double").alias("v"))
+    h = histogram(df, "v", 100, 0.0, 10_000.0)
+    est = {r["q"]: r["estimate"] for r in
+           histogram_quantiles(h, [0.0, 0.5, 0.9], 100, 0.0, 10_000.0).collect()}
+    assert est[0.0] == 0.0
+    assert abs(est[0.5] - 5000.0) <= 100.0    # within one bucket width
+    assert abs(est[0.9] - 9000.0) <= 100.0
+
+    # shard histograms merged by bin-sum == whole histogram
+    h1 = histogram(df.filter("v < 4000"), "v", 100, 0.0, 10_000.0)
+    h2 = histogram(df.filter("v >= 4000"), "v", 100, 0.0, 10_000.0)
+    merged = h1.unionByName(h2).groupBy("bin", "bin_lo").agg(
+        F.sum("n").alias("n")
+    )
+    est_m = {r["q"]: r["estimate"] for r in
+             histogram_quantiles(merged, [0.5], 100, 0.0, 10_000.0).collect()}
+    assert est_m[0.5] == est[0.5]
