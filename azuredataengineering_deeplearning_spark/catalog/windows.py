@@ -435,3 +435,21 @@ def scd2_temporal_join(spark, sf_dir):
         F.col("dim_version_id").alias("version_id"),
         F.col("dim_o_totalprice").alias("dim_price"),
     )
+
+
+@query(
+    "w_global_row_number",
+    """
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+def w_global_row_number(spark, sf_dir):
+    """Dense global sequence over all orders by date — range-partitioned
+    two-phase numbering; no row ever passes through a single-reducer
+    global window."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return W.global_row_number(o, ["o_orderdate", "o_orderkey"]).select(
+        "o_orderkey", "rn"
+    )

@@ -472,3 +472,47 @@ def cumulative_distinct(
     return df.withColumn("__first", flag).withColumn(
         out, F.sum("__first").over(cum_w).cast("long")
     ).drop("__first")
+
+
+def global_row_number(
+    df: DataFrame,
+    order: Sequence[str],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based global row numbers in total ``order`` WITHOUT the
+    single-reducer global window (``Window.orderBy`` with no partition
+    key funnels 100 TB through one task). Two-phase: range-partition on
+    the order keys, number rows inside each partition (parallel
+    windows), then shift each partition by the cumulative count of the
+    partitions before it — an O(partitions) scalar collect, the
+    ``zipWithIndex`` pattern expressed in DataFrames.
+
+    ``order`` should be a total order (add a unique tiebreak column);
+    equal keys land in one range partition, so numbering stays
+    deterministic."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # persist BEFORE branching: the size-count job and the numbering job
+    # must see one materialization of __pid — re-evaluating
+    # spark_partition_id() in a second job (or after the window's own
+    # exchange) would renumber rows arbitrarily
+    parts = (
+        df.repartitionByRange(n, *[F.col(c) for c in order])
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order])
+    return (
+        parts.join(F.broadcast(off), "__pid")
+        .withColumn(out, (F.row_number().over(w) + F.col("__off")).cast("long"))
+        .drop("__pid", "__off")
+    )

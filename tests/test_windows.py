@@ -242,3 +242,17 @@ def test_funnel_steps_strict_order(spark):
     assert out["u2"].t_step0 == 6 and out["u2"].t_step1 is None
     assert out["u2"].steps_completed == 1
     assert out["u3"].steps_completed == 0
+
+
+def test_global_row_number_dense_and_ordered(spark):
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators.windows import global_row_number
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 7919 % 5000).alias("k")  # permuted order key
+    )
+    out = global_row_number(df, ["k"], num_partitions=8).collect()
+    rns = sorted(r["rn"] for r in out)
+    assert rns == list(range(1, 5001))                      # dense, 1-based
+    by_rn = sorted(out, key=lambda r: r["rn"])
+    assert [r["k"] for r in by_rn] == sorted(r["k"] for r in out)  # order matches
