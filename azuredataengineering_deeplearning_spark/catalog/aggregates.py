@@ -337,3 +337,37 @@ def a_histogram_quantiles(spark, sf_dir):
     o = read_parquet(spark, f"{sf_dir}/orders.parquet")
     h = A.histogram(o, "o_totalprice", 100, 0.0, 600000.0)
     return A.histogram_quantiles(h, [0.5, 0.9, 0.99], 100, 0.0, 600000.0)
+
+
+@query(
+    "a_grouped_histogram_quantiles",
+    """
+    WITH h AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 1.0) AS INT), 0), 99) AS bin,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bin, 0.0 + bin * 1.0 AS bin_lo, n,
+             COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM h
+    ),
+    t AS (SELECT event_type, SUM(n) AS total FROM h GROUP BY event_type),
+    qs AS (SELECT * FROM (VALUES (0.5), (0.95)) AS v(q))
+    SELECT c.event_type, q,
+           bin_lo + ((q * total - cum_before) / n) * 1.0 AS estimate
+    FROM c JOIN t ON c.event_type = t.event_type CROSS JOIN qs
+    WHERE cum_before < q * total AND q * total <= cum_before + n
+    """,
+)
+def a_grouped_histogram_quantiles(spark, sf_dir):
+    """Per-segment mergeable percentiles: p50/p95 of event value per
+    event type off 100-bucket histograms — O(keys x bins) state, fact
+    rows touched exactly once."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    h = A.histogram(ev, "value", 100, 0.0, 100.0, keys=["event_type"])
+    return A.histogram_quantiles(
+        h, [0.5, 0.95], 100, 0.0, 100.0, keys=["event_type"]
+    )

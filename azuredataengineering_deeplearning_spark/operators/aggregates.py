@@ -262,19 +262,21 @@ def histogram(
     n_bins: int,
     lo: float,
     hi: float,
+    keys: Sequence[str] = (),
 ) -> DataFrame:
-    """Fixed-width histogram in one aggregate scan: (bin, bin_lo, n)
-    for ``n_bins`` equal buckets over [lo, hi); values outside clamp to
-    the edge bins. Map-side combine makes this O(bins) shuffle rows —
-    the profiling histogram at any scale."""
+    """Fixed-width histogram in one aggregate scan: (keys..., bin,
+    bin_lo, n) for ``n_bins`` equal buckets over [lo, hi); values
+    outside clamp to the edge bins. Map-side combine makes this
+    O(keys x bins) shuffle rows — the profiling histogram at any scale,
+    per segment when ``keys`` are given."""
     w = (hi - lo) / n_bins
     raw = F.floor((F.col(column) - lo) / w).cast("int")
     b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
     return (
-        df.select(b.alias("bin"))
-        .groupBy("bin")
+        df.select(*keys, b.alias("bin"))
+        .groupBy(*keys, "bin")
         .agg(F.count("*").alias("n"))
-        .select("bin", (F.lit(lo) + F.col("bin") * w).alias("bin_lo"), "n")
+        .select(*keys, "bin", (F.lit(lo) + F.col("bin") * w).alias("bin_lo"), "n")
     )
 
 
@@ -397,6 +399,7 @@ def histogram_quantiles(
     n_bins: int,
     lo: float,
     hi: float,
+    keys: Sequence[str] = (),
 ) -> DataFrame:
     """Approximate quantiles from a :func:`histogram` — the mergeable
     percentile path: histograms from shards/days merge by bin-count sum
@@ -404,31 +407,37 @@ def histogram_quantiles(
     the cumulative distribution with linear interpolation inside the
     bucket. Error ≤ one bucket width; O(bins) work.
 
-    Returns one row per requested quantile: (q, estimate)."""
+    Returns one row per requested quantile (per key group when ``keys``
+    are given): (keys..., q, estimate). The histogram table is
+    O(keys x bins), so the window/cross-joins here never touch fact
+    rows."""
+    keys = list(keys)
     w = (hi - lo) / n_bins
-    win = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-    cum = (
-        hist.withColumn("cum_before", F.coalesce(F.sum("n").over(win), F.lit(0)))
-        .crossJoin(
-            F.broadcast(
-                hist.sparkSession.createDataFrame(
-                    [(float(q),) for q in quantiles], "q double"
-                )
-            )
-        )
-        .crossJoin(F.broadcast(hist.agg(F.sum("n").alias("total"))))
+    win = (
+        Window.partitionBy(*keys).orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+        if keys
+        else Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
     )
+    qdf = F.broadcast(
+        hist.sparkSession.createDataFrame([(float(q),) for q in quantiles], "q double")
+    )
+    totals = (
+        hist.groupBy(*keys).agg(F.sum("n").alias("total"))
+        if keys
+        else hist.agg(F.sum("n").alias("total"))
+    )
+    cum = hist.withColumn("cum_before", F.coalesce(F.sum("n").over(win), F.lit(0))).crossJoin(qdf)
+    cum = cum.join(F.broadcast(totals), keys) if keys else cum.crossJoin(F.broadcast(totals))
     need = F.col("q") * F.col("total")
     inside = (F.col("cum_before") < need) & (
         need <= F.col("cum_before") + F.col("n")
     )
     est = F.col("bin_lo") + ((need - F.col("cum_before")) / F.col("n")) * F.lit(w)
-    picked = cum.filter(inside).select("q", est.alias("estimate"))
+    picked = cum.filter(inside).select(*keys, "q", est.alias("estimate"))
     # q=0 (or empty buckets before the first) has no bucket with
     # cum_before < need; clamp to the domain floor
-    missing = (
-        cum.select("q").distinct()
-        .join(picked.select("q"), "q", "left_anti")
-        .select("q", F.lit(float(lo)).alias("estimate"))
+    group_qs = cum.select(*keys, "q").distinct()
+    missing = group_qs.join(picked.select(*keys, "q"), [*keys, "q"], "left_anti").select(
+        *keys, "q", F.lit(float(lo)).alias("estimate")
     )
     return picked.unionByName(missing)
