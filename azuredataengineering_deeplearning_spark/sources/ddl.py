@@ -149,3 +149,31 @@ def truncate_for_export(df: DataFrame, plan: Mapping[str, str]) -> DataFrame:
                 F.substring(F.col(c), 1, TRUNCATE_THRESHOLD),
             ).otherwise(F.col(c))
     return df.withColumns(out) if out else df
+
+
+def date_view_ddl(
+    view: str,
+    table: str,
+    columns: Sequence[str],
+    date_key_columns: Sequence[str],
+    dim_table: str = "dim.Date",
+    date_key: str = "dateKey",
+) -> str:
+    """Generated star-view SQL: one LEFT JOIN of the calendar dimension
+    per dateKey column, guarded by ``CASE WHEN {col} > 0`` so sentinel
+    keys (0 = not-yet-occurred, -9999 = missing) never match
+    (``databricks_synapse_sql_writer.py:87-99`` view generator; the
+    runtime DataFrame analog is ``joins.date_dim_lookup``)."""
+    selects = [f"  t.{quote_if_needed(c)}" for c in columns]
+    joins = []
+    for i, c in enumerate(date_key_columns):
+        alias = f"d{i}"
+        selects.append(f"  {alias}.* ")
+        joins.append(
+            f"LEFT JOIN {dim_table} {alias}\n"
+            f"  ON CASE WHEN t.{quote_if_needed(c)} > 0"
+            f" THEN t.{quote_if_needed(c)} END = {alias}.{date_key}"
+        )
+    body = ",\n".join(s.rstrip() for s in selects)
+    join_sql = "\n".join(joins)
+    return f"CREATE VIEW {view} AS\nSELECT\n{body}\nFROM {table} t\n{join_sql}"

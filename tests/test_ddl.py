@@ -45,3 +45,17 @@ def test_truncate_for_export(spark):
     df = spark.createDataFrame([("y" * 400_100,)], "b string")
     out = D.truncate_for_export(df, {"b": "varchar(max)"})
     assert len(out.collect()[0].b) == 400_000
+
+
+def test_date_view_ddl_sentinel_guard():
+    from azuredataengineering_deeplearning_spark.sources.ddl import date_view_ddl
+
+    sql = date_view_ddl(
+        "gold.v_orders", "gold.orders",
+        ["orderId", "amount"], ["orderDateKey", "shipDateKey"],
+    )
+    assert sql.startswith("CREATE VIEW gold.v_orders AS")
+    assert sql.count("LEFT JOIN dim.Date") == 2
+    # sentinel keys (0 / -9999) must never match the calendar
+    assert "CASE WHEN t.orderDateKey > 0 THEN t.orderDateKey END = d0.dateKey" in sql
+    assert "CASE WHEN t.shipDateKey > 0 THEN t.shipDateKey END = d1.dateKey" in sql
