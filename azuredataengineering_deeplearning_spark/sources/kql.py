@@ -11,7 +11,7 @@ Supported pipe operators:
 ``where`` ``project`` ``project-rename`` ``project-away`` ``extend``
 ``parse ... with`` ``take``/``limit`` ``sort by`` ``top N by``
 ``distinct`` ``summarize ... by ...`` ``make-series ... on ... step ...``
-``top-nested N of col by agg [, ...]``
+``top-nested N of col by agg [, ...]`` ``range x from a to b step s`` (source)
 ``count`` ``arg_max(col, *)`` ``countif`` ``sumif`` ``percentile`` (inside summarize). Scalars: ``ago(14d)``
 (``synapse_sql_pool_dynamic_scaler.py:21``, ``daily_eval.py:156``) and
 ``bin(ts, 1h)`` epoch-aligned bucketing; pass ``now=`` for a
@@ -100,9 +100,22 @@ def kql_to_df(
     """Execute a KQL pipe over named DataFrames. ``now`` (ISO timestamp
     string) pins ``ago()`` for deterministic replays; default wall clock."""
     stages = [p.strip() for p in query.strip().split("|")]
-    if not stages or stages[0] not in tables:
+    if not stages:
+        raise ValueError("empty KQL query")
+    src = re.match(
+        r"^range\s+(\w+)\s+from\s+(-?\d+)\s+to\s+(-?\d+)\s+step\s+(\d+)$",
+        stages[0],
+    )
+    if src:
+        if not tables:
+            raise ValueError("range source needs at least one table for a session")
+        spark = next(iter(tables.values())).sparkSession
+        name, lo, hi, step = src.group(1), int(src.group(2)), int(src.group(3)), int(src.group(4))
+        df = spark.range(lo, hi + 1, step).select(F.col("id").alias(name))
+    elif stages[0] in tables:
+        df = tables[stages[0]]
+    else:
         raise ValueError(f"unknown table {stages[0]!r}; have {sorted(tables)}")
-    df = tables[stages[0]]
 
     for stage in stages[1:]:
         op, _, rest = stage.partition(" ")

@@ -203,3 +203,14 @@ def test_kql_top_nested_hierarchy(spark):
         ("A", "u1", 30.0, 6), ("A", "u2", 20.0, 6),
         ("B", "u4", 15.0, 4), ("B", "u5", 5.0, 4),
     ]
+
+
+def test_kql_range_source(spark):
+    from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+    anchor = spark.range(1)  # any session-bearing table
+    out = kql_to_df(
+        {"t": anchor},
+        "range x from 1 to 10 step 3 | extend y = x * 2 | where y > 4",
+    ).collect()
+    assert sorted((r["x"], r["y"]) for r in out) == [(4, 8), (7, 14), (10, 20)]
