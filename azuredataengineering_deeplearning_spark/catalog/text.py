@@ -441,8 +441,9 @@ _SPAN_DEDUP_SQL = """
     common AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) >= 3),
     ca AS (SELECT coalesce(list(span), []) AS cl FROM common)
     SELECT doc_id,
-           array_to_string(list_filter(chunks,
-             s -> NOT list_contains(cl, s)), ' ') AS clean_text
+           -- DuckDB array_to_string([]) is NULL; a fully-deduped doc is ''
+           COALESCE(array_to_string(list_filter(chunks,
+             s -> NOT list_contains(cl, s)), ' '), '') AS clean_text
     FROM ch, ca
 """
 
