@@ -453,3 +453,61 @@ def w_global_row_number(spark, sf_dir):
     return W.global_row_number(o, ["o_orderdate", "o_orderkey"]).select(
         "o_orderkey", "rn"
     )
+
+
+@query(
+    "scd2_compact",
+    """
+    WITH dated AS (
+      SELECT o_custkey, o_orderpriority,
+             CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS effectiveDate,
+             COALESCE(CAST(strftime(
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) - INTERVAL 1 DAY,
+               '%Y%m%d') AS INT), 20991231) AS expirationDate,
+             CASE WHEN row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+                  THEN 1 ELSE 0 END AS currentVersion
+      FROM orders
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+                  THEN 1 ELSE 0 END
+             + CASE WHEN row_number() OVER w = 1 THEN 1 ELSE 0 END AS flag
+      FROM dated
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY effectiveDate)
+    ),
+    spans AS (
+      SELECT *, SUM(CASE WHEN flag > 0 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY o_custkey ORDER BY effectiveDate
+               ROWS UNBOUNDED PRECEDING) AS span
+      FROM flagged
+    )
+    SELECT o_custkey,
+           CAST(MIN(effectiveDate) AS INT) AS effectiveDate,
+           CAST(MAX(expirationDate) AS INT) AS expirationDate,
+           CAST(MAX(currentVersion) AS INT) AS currentVersion,
+           MIN(o_orderpriority) AS o_orderpriority
+    FROM spans GROUP BY o_custkey, span
+    """,
+)
+def scd2_compact(spark, sf_dir):
+    """Collapse adjacent same-priority 'versions' of each customer into
+    single spans — the dimension-hygiene pass after reprocessing. One
+    window pass; spans keep SCD2 contiguity (adjacent-only merging)."""
+    from azuredataengineering_deeplearning_spark.operators.scd import compact_scd2
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    dim = SCD.apply_scd2(
+        o.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+        ["o_custkey"], "o_orderdate", tiebreak=["o_orderkey"],
+    ).drop("o_orderdate", "o_orderkey")
+    out = compact_scd2(dim, ["o_custkey"], ["o_orderpriority"])
+    return out.select(
+        "o_custkey",
+        F.col("effectiveDate").cast("int").alias("effectiveDate"),
+        F.col("expirationDate").cast("int").alias("expirationDate"),
+        F.col("currentVersion").cast("int").alias("currentVersion"),
+        "o_orderpriority",
+    )

@@ -168,3 +168,41 @@ def scd2_temporal_join(
         & (F.col(fact_date_key) <= d[f"{prefix}{expiration_col}"])
     )
     return facts.join(d, cond, how).drop(*ren.values())
+
+
+def compact_scd2(
+    dim: DataFrame,
+    natural_key: Sequence[str],
+    compare_cols: Sequence[str],
+    effective_col: str = "effectiveDate",
+    expiration_col: str = "expirationDate",
+    current_col: str = "currentVersion",
+) -> DataFrame:
+    """History hygiene: collapse ADJACENT versions whose compared
+    attributes are identical into one effective span (reprocessing and
+    no-op updates leave such stutter versions behind; they bloat the
+    dimension and slow every temporal join).
+
+    One key-partitioned window pass: flag rows whose attributes differ
+    (null-safely) from the previous version, running-sum the flags into
+    span ids, then aggregate each span to [min effective, max
+    expiration]. Non-adjacent repeats of the same attributes stay
+    separate versions — SCD2 semantics require it."""
+    order = [F.col(effective_col)]
+    w = Window.partitionBy(*natural_key).orderBy(*order)
+    prev = [F.lag(c).over(w) for c in compare_cols]
+    changed = F.lit(False)
+    for c, p in zip(compare_cols, prev):
+        changed = changed | ~F.col(c).eqNullSafe(p)
+    first = F.row_number().over(w) == 1
+    span = F.sum(
+        F.when(first | changed, 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    flagged = dim.withColumn("__span", span)
+    aggs = [
+        F.min(effective_col).alias(effective_col),
+        F.max(expiration_col).alias(expiration_col),
+        F.max(current_col).alias(current_col),
+        *[F.first(c).alias(c) for c in compare_cols],
+    ]
+    return flagged.groupBy(*natural_key, "__span").agg(*aggs).drop("__span")

@@ -289,3 +289,30 @@ def test_histogram_quantiles_accuracy_and_merge(spark):
     est_m = {r["q"]: r["estimate"] for r in
              histogram_quantiles(merged, [0.5], 100, 0.0, 10_000.0).collect()}
     assert est_m[0.5] == est[0.5]
+
+
+def test_compact_scd2_adjacent_only(spark):
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators.scd import (
+        apply_scd2, compact_scd2,
+    )
+
+    # attr sequence A, A, B, A: the two leading As merge; the last A is
+    # non-adjacent and must stay its own version
+    rows = [
+        ("k", "2024-01-01", "A"), ("k", "2024-02-01", "A"),
+        ("k", "2024-03-01", "B"), ("k", "2024-04-01", "A"),
+    ]
+    df = spark.createDataFrame(rows, "k string, d string, attr string").withColumn(
+        "d", F.to_date("d")
+    )
+    dim = apply_scd2(df, ["k"], "d").drop("d")
+    out = sorted(
+        (r["effectiveDate"], r["expirationDate"], r["attr"], r["currentVersion"])
+        for r in compact_scd2(dim, ["k"], ["attr"]).collect()
+    )
+    assert out == [
+        (20240101, 20240229, "A", 0),
+        (20240301, 20240331, "B", 0),
+        (20240401, 20991231, "A", 1),
+    ]
