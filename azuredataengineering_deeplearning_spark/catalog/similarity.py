@@ -145,3 +145,40 @@ def sim_fuzzy_name_pairs(spark, sf_dir):
     return out.select(
         F.col("id_a"), F.col("id_b"), F.col("dist").cast("int").alias("dist")
     )
+
+
+@query(
+    "sim_hamming_topk",
+    """
+    WITH b AS (
+      SELECT vec_id,
+             [list_sum([CASE WHEN embedding[32*w + j + 1] > 0
+                        THEN (1::BIGINT << j) ELSE 0 END
+                        for j in generate_series(0, 31)])
+              for w in generate_series(0, 1)] AS bits
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, bits AS qb FROM b WHERE vec_id < 8),
+    d AS (
+      SELECT q.query_id, b.vec_id,
+             CAST(bit_count(xor(b.bits[1], q.qb[1]))
+                + bit_count(xor(b.bits[2], q.qb[2])) AS INT) AS hamming
+      FROM b CROSS JOIN q
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming, vec_id) AS rn
+      FROM d
+    )
+    SELECT query_id, vec_id, hamming FROM r WHERE rn <= 5
+    """,
+)
+def sim_hamming_topk(spark, sf_dir):
+    """Binary-quantized retrieval: sign-pack 64-dim embeddings into two
+    32-bit words, Hamming top-5 per query via XOR+popcount — integer
+    ops end to end, 64x less data scanned than float cosine."""
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    b = SIM.binarize_embeddings(e, "embedding", dim=64)
+    q = b.filter(F.col("vec_id") < 8)
+    out = SIM.hamming_topk(b, q, k=5)
+    return out.select("query_id", "vec_id", F.col("hamming").cast("int").alias("hamming"))

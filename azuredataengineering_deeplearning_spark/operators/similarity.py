@@ -536,3 +536,59 @@ def semantic_dedup(
             F.col("cluster_id").isNotNull() & (F.col("cluster_id") != F.col(id_col)), 1
         ).otherwise(0).alias("is_semantic_dup"),
     )
+
+
+def binarize_embeddings(
+    df: DataFrame,
+    col: str = "embedding",
+    dim: int = 64,
+    out: str = "bits",
+) -> DataFrame:
+    """Sign (1-bit) quantization: pack each embedding into
+    ``ceil(dim/32)`` positive 32-bit words (32 dims/word keeps every
+    word positive — portable across engines' signed shifts). 64× smaller
+    than float32; Hamming distance then approximates angular distance —
+    the coarse pre-rank stage of modern retrieval stacks (re-rank the
+    Hamming top-k with exact cosine on the float column)."""
+    n_words = -(-dim // 32)
+    words = [
+        F.expr(
+            f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + "
+            f"IF({32 * w} + j < {dim} AND element_at({col}, {32 * w} + j + 1) > 0,"
+            f" shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+        )
+        for w in range(n_words)
+    ]
+    return df.withColumn(out, F.array(*words))
+
+
+def hamming_topk(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits_col: str = "bits",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k nearest by Hamming distance over binarized embeddings:
+    broadcast the (small) query set, XOR+popcount per word — all
+    whole-stage-codegen integer ops, no floats touched — then rank per
+    query with a deterministic tie-break. Output: (query_id, vec_id,
+    hamming)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(bits_col).alias("__qb")
+    )
+    v = vecs.select(id_col, bits_col)
+    joined = v.crossJoin(F.broadcast(q))
+    dist = F.expr(
+        f"aggregate(zip_with({bits_col}, __qb, (a, b) -> bit_count(a ^ b)),"
+        f" 0, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("hamming", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", id_col, "hamming")
+    )

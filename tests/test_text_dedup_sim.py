@@ -350,3 +350,25 @@ def test_unicode_fold_composed_vs_decomposed(spark):
     assert out[1][0] == out[2][0] == composed   # NFC unifies both forms
     assert out[1][1] == out[2][1] == "cafe"     # folding drops the accent
     assert out[3] == (None, None)
+
+
+def test_binarize_and_hamming(spark):
+    from azuredataengineering_deeplearning_spark.operators.similarity import (
+        binarize_embeddings, hamming_topk,
+    )
+
+    # 64-dim: v0 all-positive, v1 one flipped dim, v2 all-negative
+    v0 = [1.0] * 64
+    v1 = [1.0] * 63 + [-1.0]
+    v2 = [-1.0] * 64
+    df = spark.createDataFrame(
+        [(0, v0), (1, v1), (2, v2)], "vec_id long, embedding array<float>"
+    )
+    b = binarize_embeddings(df, "embedding", dim=64)
+    rows = {r["vec_id"]: r["bits"] for r in b.collect()}
+    assert rows[0] == [2**32 - 1, 2**32 - 1]      # all 32 bits set per word
+    assert rows[2] == [0, 0]
+    out = hamming_topk(b, b.filter("vec_id = 0"), k=3)
+    got = [(r["vec_id"], r["hamming"]) for r in
+           sorted(out.collect(), key=lambda r: r["hamming"])]
+    assert got == [(0, 0), (1, 1), (2, 64)]       # self 0, one bit, all bits
