@@ -182,3 +182,70 @@ def sim_hamming_topk(spark, sf_dir):
     q = b.filter(F.col("vec_id") < 8)
     out = SIM.hamming_topk(b, q, k=5)
     return out.select("query_id", "vec_id", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "sim_rerank_two_stage",
+    f"""
+    WITH b AS (
+      SELECT vec_id,
+             [list_sum([CASE WHEN embedding[32*w + j + 1] > 0
+                        THEN (1::BIGINT << j) ELSE 0 END
+                        for j in generate_series(0, 31)])
+              for w in generate_series(0, 1)] AS bits
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, bits AS qb FROM b WHERE vec_id < 5),
+    d AS (
+      SELECT q.query_id, b.vec_id,
+             bit_count(xor(b.bits[1], q.qb[1]))
+               + bit_count(xor(b.bits[2], q.qb[2])) AS hamming
+      FROM b CROSS JOIN q
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming, vec_id) AS rn FROM d
+    ),
+    cand AS (SELECT query_id, vec_id FROM r WHERE rn <= 21 AND vec_id <> query_id),
+    j AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id,
+             eq.embedding AS qv, ev.embedding AS nv
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.query_id
+      JOIN embeddings ev ON ev.vec_id = c.vec_id
+    ),
+    cos AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cos FROM j)
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      FROM cos
+    ) WHERE rank <= 5
+    """,
+)
+def sim_rerank_two_stage(spark, sf_dir):
+    """Two-stage retrieval: integer Hamming pre-rank over sign-packed
+    bits selects 21 candidates per query (64x less data scanned), then
+    exact decimal cosine re-ranks just those to the final top-5 — the
+    production ANN recipe (coarse quantized recall stage + precise
+    re-rank) as one lazy plan."""
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    b = SIM.binarize_embeddings(e, "embedding", dim=64)
+    ham = SIM.hamming_topk(b, b.filter(F.col("vec_id") < 5), k=21)
+    cand = ham.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    j = cand.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+    from pyspark.sql import Window
+
+    scored = j.withColumn("cos", SIM.cosine(F.col("qv"), F.col("nv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
