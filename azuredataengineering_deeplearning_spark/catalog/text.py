@@ -609,3 +609,25 @@ def t_unicode_fold(spark, sf_dir):
         nfc(F.col("text")).alias("t_nfc"),
         fold(nfc(F.col("text"))).alias("t_folded"),
     )
+
+
+@query(
+    "t_chunk_overlap",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id, CAST(s.i - 1 AS INT) AS chunk_idx,
+           array_to_string(w[(1 + (s.i - 1) * 24):(1 + (s.i - 1) * 24 + 31)], ' ') AS chunk
+    FROM w CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(
+        1, CAST(CEIL(GREATEST(len(w) - 8, 1) / 24.0) AS BIGINT))) AS i
+    ) s
+    """,
+)
+def t_chunk_overlap(spark, sf_dir):
+    """Overlapping 32-token chunks with 8-token overlap (24-token
+    stride) per document — retrieval/RAG corpus prep; one posexplode,
+    fan-out bounded by tokens/stride."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return T.chunk_text_overlap(d, "doc_id", "text", size=32, overlap=8).select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk"
+    )

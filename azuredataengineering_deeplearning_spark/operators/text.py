@@ -524,3 +524,30 @@ def strip_accents_udf():
         return s.map(fold)
 
     return _strip
+
+
+def chunk_text_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 256,
+    overlap: int = 32,
+    sep: str = TOKEN_SPLIT,
+) -> DataFrame:
+    """RAG-style overlapping chunker: split each document into
+    ``size``-token windows stepping ``size - overlap`` tokens, so
+    consecutive chunks share ``overlap`` tokens of context. Returns
+    (id, chunk_idx, chunk). One posexplode — the fan-out is
+    ceil(tokens/stride) rows per doc; documents shorter than ``size``
+    yield themselves as chunk 0."""
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    stride = size - overlap
+    w = tokens(text_col, sep)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(w) - overlap, F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(starts, lambda s: F.array_join(F.slice(w, s, size), " "))
+    return df.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )

@@ -372,3 +372,21 @@ def test_binarize_and_hamming(spark):
     got = [(r["vec_id"], r["hamming"]) for r in
            sorted(out.collect(), key=lambda r: r["hamming"])]
     assert got == [(0, 0), (1, 1), (2, 64)]       # self 0, one bit, all bits
+
+
+def test_chunk_text_overlap_windows(spark):
+    import pytest
+    from azuredataengineering_deeplearning_spark.operators.text import chunk_text_overlap
+
+    toks = " ".join(str(i) for i in range(10))   # 10 tokens
+    df = spark.createDataFrame([(1, toks), (2, "a b")], "id int, text string")
+    out = chunk_text_overlap(df, "id", "text", size=4, overlap=2)
+    got = {(r["id"], r["chunk_idx"]): r["chunk"] for r in out.collect()}
+    # stride 2: windows at 0,2,4,6 cover through token 9; short doc = itself
+    assert got[(1, 0)] == "0 1 2 3"
+    assert got[(1, 1)] == "2 3 4 5"
+    assert got[(1, 3)] == "6 7 8 9"
+    assert max(i for (d, i) in got if d == 1) == 3
+    assert got[(2, 0)] == "a b"
+    with pytest.raises(ValueError):
+        chunk_text_overlap(df, "id", "text", size=4, overlap=4)
