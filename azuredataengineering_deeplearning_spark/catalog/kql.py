@@ -302,3 +302,23 @@ def kql_top_nested(spark, sf_dir):
         "events | top-nested 2 of event_type by n_events=count(), "
         "top-nested 3 of user_id by total=sum(value)",
     )
+
+
+@query(
+    "kql_make_list_set",
+    """
+    SELECT user_id,
+           list_sort(list(event_type)) AS types_all,
+           list_sort(list(DISTINCT event_type)) AS types_set
+    FROM events GROUP BY user_id
+    """,
+)
+def kql_make_list_set(spark, sf_dir):
+    """KQL make_list/make_set per user (emitted sorted — a documented
+    determinism deviation from Kusto's arrival order)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | summarize types_all=make_list(event_type),"
+        " types_set=make_set(event_type) by user_id",
+    )

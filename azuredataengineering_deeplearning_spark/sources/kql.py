@@ -12,7 +12,8 @@ Supported pipe operators:
 ``parse ... with`` ``take``/``limit`` ``sort by`` ``top N by``
 ``distinct`` ``summarize ... by ...`` ``make-series ... on ... step ...``
 ``top-nested N of col by agg [, ...]`` ``range x from a to b step s`` (source)
-``count`` ``arg_max(col, *)`` ``countif`` ``sumif`` ``percentile`` (inside summarize). Scalars: ``ago(14d)``
+``count`` ``getschema`` ``arg_max(col, *)`` ``countif`` ``sumif``
+``percentile`` ``make_list``/``make_set`` (sorted; inside summarize). Scalars: ``ago(14d)``
 (``synapse_sql_pool_dynamic_scaler.py:21``, ``daily_eval.py:156``) and
 ``bin(ts, 1h)`` epoch-aligned bucketing; pass ``now=`` for a
 deterministic clock in tests/backfills.
@@ -39,6 +40,10 @@ _AGG_FNS = {
     "min": lambda arg: F.min(arg),
     "max": lambda arg: F.max(arg),
     "dcount": lambda arg: F.countDistinct(arg),
+    # deviation from KQL: both emit SORTED arrays — Spark's collect_list
+    # order is partition-dependent, so we pin a deterministic order
+    "make_list": lambda arg: F.sort_array(F.collect_list(arg)),
+    "make_set": lambda arg: F.sort_array(F.collect_set(arg)),
 }
 
 
@@ -170,6 +175,12 @@ def kql_to_df(
             df = _make_series(df, rest)
         elif op == "top-nested":
             df = _top_nested(df, rest)
+        elif op == "getschema":
+            spark = df.sparkSession
+            df = spark.createDataFrame(
+                [(c, t) for c, t in df.dtypes],
+                "ColumnName string, ColumnType string",
+            )
         elif op == "union":
             name = rest.strip().strip("()")
             if name not in tables:

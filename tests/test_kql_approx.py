@@ -214,3 +214,12 @@ def test_kql_range_source(spark):
         "range x from 1 to 10 step 3 | extend y = x * 2 | where y > 4",
     ).collect()
     assert sorted((r["x"], r["y"]) for r in out) == [(4, 8), (7, 14), (10, 20)]
+
+
+def test_kql_getschema(spark):
+    from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    rows = {r["ColumnName"]: r["ColumnType"] for r in
+            kql_to_df({"t": df}, "t | getschema").collect()}
+    assert rows == {"a": "int", "b": "string"}
