@@ -292,20 +292,30 @@ def a_rfm_segments(spark, sf_dir):
 @query(
     "a_cms_user_counts",
     """
-    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS est_cnt
+    SELECT user_id, 1 AS is_upper_bound
     FROM events GROUP BY user_id
     """,
 )
 def a_cms_user_counts(spark, sf_dir):
     """Count-min sketch point estimates for every user's event count.
-    At this cardinality/width (150 keys, 4x1024 cells) no full-depth
-    collision occurs, so the sketch answers exactly — the oracle is the
-    true GROUP BY. The point at scale: the sketch is O(depth*width)
-    regardless of key cardinality and merges across shards by cell-sum."""
+    The oracle checks the sketch's DETERMINISTIC guarantee — the
+    estimate never undercounts (est >= true for every key) — rather
+    than exact equality, which would depend on no full-depth collision
+    occurring in this particular dataset (testdata regenerates between
+    rounds; a collision would be a spurious gate failure, not a bug).
+    The tight-bound behavior (est <= true + eps*N w.h.p.) is covered by
+    a fixed-seed pytest invariant. The point at scale: the sketch is
+    O(depth*width) regardless of key cardinality and merges across
+    shards by cell-sum."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     sketch = A.cms_build(ev, "user_id")
     items = ev.select("user_id").distinct()
-    return A.cms_estimate(sketch, items, "user_id")
+    est = A.cms_estimate(sketch, items, "user_id")
+    true = ev.groupBy("user_id").agg(F.count("*").alias("__true"))
+    return est.join(true, "user_id").select(
+        "user_id",
+        (F.col("est_cnt") >= F.col("__true")).cast("int").alias("is_upper_bound"),
+    )
 
 
 @query(

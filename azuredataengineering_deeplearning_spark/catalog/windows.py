@@ -476,11 +476,11 @@ def w_global_row_number(spark, sf_dir):
                   THEN 1 ELSE 0 END
              + CASE WHEN row_number() OVER w = 1 THEN 1 ELSE 0 END AS flag
       FROM dated
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY effectiveDate)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY effectiveDate, expirationDate)
     ),
     spans AS (
       SELECT *, SUM(CASE WHEN flag > 0 THEN 1 ELSE 0 END) OVER (
-               PARTITION BY o_custkey ORDER BY effectiveDate
+               PARTITION BY o_custkey ORDER BY effectiveDate, expirationDate
                ROWS UNBOUNDED PRECEDING) AS span
       FROM flagged
     )

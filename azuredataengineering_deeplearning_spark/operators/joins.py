@@ -333,8 +333,18 @@ def salted_join(
     reference pins AQE off for its big RandomForest prep,
     ``spark_randomforest.py:10-12``). The fact-side salt derives from a
     whole-row hash (deterministic, uniform); result multiset equals the
-    plain join. Right-side replication costs |dim| × n_salts rows —
-    keep it for dimension-sized rights."""
+    plain join — for inner/left/semi/anti ONLY. Right/full outer would
+    emit each unmatched dim row once per salt (it exists under every
+    salt value), so those modes are rejected. Right-side replication
+    costs |dim| × n_salts rows — keep it for dimension-sized rights."""
+    ok = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+          "left_semi", "anti", "leftanti", "left_anti", "cross"}
+    if how.lower() not in ok:
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full outer joins would "
+            f"duplicate unmatched dim rows n_salts times; use a plain "
+            f"join (AQE skew handling) for those modes"
+        )
     salt = F.pmod(F.xxhash64(F.struct(*facts.columns)), F.lit(n_salts))
     f = facts.withColumn("__salt", salt)
     d = dim.withColumn(

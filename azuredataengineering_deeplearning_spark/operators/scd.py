@@ -187,8 +187,12 @@ def compact_scd2(
     (null-safely) from the previous version, running-sum the flags into
     span ids, then aggregate each span to [min effective, max
     expiration]. Non-adjacent repeats of the same attributes stay
-    separate versions — SCD2 semantics require it."""
-    order = [F.col(effective_col)]
+    separate versions — SCD2 semantics require it.
+
+    The window orders by (effective, expiration): versions sharing an
+    effectiveDate within a key (same-day updates) would otherwise make
+    the lag/span assignment nondeterministic across engines."""
+    order = [F.col(effective_col), F.col(expiration_col)]
     w = Window.partitionBy(*natural_key).orderBy(*order)
     prev = [F.lag(c).over(w) for c in compare_cols]
     changed = F.lit(False)

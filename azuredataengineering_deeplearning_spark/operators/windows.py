@@ -511,8 +511,16 @@ def global_row_number(
         acc += sizes[pid]
     off = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order])
-    return (
+    numbered = (
         parts.join(F.broadcast(off), "__pid")
         .withColumn(out, (F.row_number().over(w) + F.col("__off")).cast("long"))
         .drop("__pid", "__off")
     )
+    # run the numbering job NOW (eager localCheckpoint severs the
+    # lineage), then release the cached __pid frame — otherwise every
+    # call leaks a cached copy of the full input for the session's
+    # lifetime. Checkpoint blocks are reference-tracked and cleaned
+    # when the result is garbage collected.
+    result = numbered.localCheckpoint(eager=True)
+    parts.unpersist()
+    return result

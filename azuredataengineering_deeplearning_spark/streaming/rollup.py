@@ -11,11 +11,16 @@ merge order irrelevant — tested).
 
 Exactly-once for an ADDITIVE sink needs more than the checkpoint: a
 replayed micro-batch (crash between state write and checkpoint commit)
-would double-count. Each applied ``batch_id`` therefore leaves a marker
-under ``<state>__applied/``; a replay of a marked batch is a no-op.
-Markers are tied to one checkpoint lineage — wiping the checkpoint
-without wiping markers and state restarts numbering at 0 and must start
-from an empty state dir.
+would double-count. The applied ``batch_id`` marker is therefore part
+of the state itself: an ``_applied_<batch_id>`` file is written inside
+the STAGED state directory before the single ``os.rename`` that
+publishes it, so state and marker become visible in one atomic step —
+there is no window in which the state is swapped but unmarked.
+(Parquet readers ignore ``_``-prefixed files, like ``_SUCCESS``.)
+Structured Streaming replays at most the latest unacknowledged batch,
+so only the newest marker is needed. A crash between "move old state
+aside" and "publish new state" is healed at the next fold: the newest
+``__old_*`` directory is renamed back before anything else.
 
 The parquet swap below is the local/test sink; on object stores back
 the state with Delta (MERGE per batch) and keep the same marker
@@ -24,6 +29,7 @@ discipline inside the transaction.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 from collections.abc import Sequence
@@ -38,6 +44,20 @@ from azuredataengineering_deeplearning_spark.operators.incremental import (
 )
 
 
+def _recover_state(state_path: str) -> None:
+    """If a prior attempt crashed after moving the live state aside but
+    before publishing its replacement, put the old state back."""
+    if os.path.isdir(state_path):
+        return
+    olds = glob.glob(f"{state_path}__old_*")
+    if olds:
+        newest = max(olds, key=lambda p: int(p.rsplit("_", 1)[-1]))
+        os.rename(newest, state_path)
+        for stale in olds:
+            if stale != newest and os.path.isdir(stale):
+                shutil.rmtree(stale)
+
+
 def stream_rollup(
     stream: DataFrame,
     keys: Sequence[str],
@@ -49,11 +69,11 @@ def stream_rollup(
     aggregate state at ``state_path``. Read the state any time with
     ``spark.read.parquet`` + ``incremental.finalize_state``."""
     spark = stream.sparkSession
-    markers = f"{state_path}__applied"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(markers, str(batch_id))
-        if os.path.isdir(marker):
+        _recover_state(state_path)
+        marker = os.path.join(state_path, f"_applied_{batch_id}")
+        if os.path.exists(marker):
             return  # replayed batch after a crash: already applied
         batch_agg = aggregate_batch(batch_df, keys, spec)
         if os.path.isdir(state_path):
@@ -64,13 +84,16 @@ def stream_rollup(
             state = batch_agg
         tmp = f"{state_path}__staging_{batch_id}"
         state.write.mode("overwrite").parquet(tmp)
+        # marker inside the staged dir -> the rename below publishes
+        # state and applied-marker atomically
+        with open(os.path.join(tmp, f"_applied_{batch_id}"), "w"):
+            pass
         old = f"{state_path}__old_{batch_id}"
         if os.path.isdir(state_path):
             os.rename(state_path, old)
         os.rename(tmp, state_path)
         if os.path.isdir(old):
             shutil.rmtree(old)
-        os.makedirs(marker, exist_ok=True)
 
     return (
         stream.writeStream.foreachBatch(fold)

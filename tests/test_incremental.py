@@ -169,6 +169,12 @@ def test_salted_join_equals_plain_join(spark):
     lonely = facts.withColumn("k", F.col("k") + 1000)
     lj = salted_join(lonely, dim, ["k"], n_salts=4, how="left")
     assert lj.count() == 2000 and lj.filter("attr IS NULL").count() == 2000
+    # right/full outer would duplicate unmatched dim rows per salt: rejected
+    import pytest
+
+    for bad in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(facts, dim, ["k"], n_salts=4, how=bad)
 
 
 def test_file_skipping_report_clustered_vs_random(spark, tmp_path):

@@ -229,3 +229,34 @@ def test_stream_rollup_equals_batch_recompute(spark, tmp_path):
         for r in finalize_state(spark.read.parquet(state), spec).collect()
     }
     assert again == want
+    # the applied-batch marker is INSIDE the state dir — published by
+    # the same atomic rename as the state itself (no swap/marker window)
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(state, "_applied_*"))
+
+
+def test_stream_rollup_crash_recovery(tmp_path):
+    """A crash between 'move live state aside' and 'publish new state'
+    leaves only a __old_<id> dir; the next fold must put it back."""
+    import os
+
+    from azuredataengineering_deeplearning_spark.streaming.rollup import _recover_state
+
+    state = str(tmp_path / "st")
+    os.makedirs(state + "__old_3")
+    with open(state + "__old_3/part-0.parquet", "w") as f:
+        f.write("x")
+    os.makedirs(state + "__old_11")  # newer attempt also crashed
+    with open(state + "__old_11/part-0.parquet", "w") as f:
+        f.write("y")
+    _recover_state(state)
+    assert os.path.isdir(state)
+    # newest old-state wins (numeric, not lexicographic: 11 > 3)
+    with open(os.path.join(state, "part-0.parquet")) as f:
+        assert f.read() == "y"
+    assert not os.path.exists(state + "__old_3")
+    assert not os.path.exists(state + "__old_11")
+    # no-op when live state already present
+    _recover_state(state)
+    assert os.path.isdir(state)
