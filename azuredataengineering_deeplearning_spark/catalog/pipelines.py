@@ -280,12 +280,14 @@ def pipeline_curate_corpus(spark, sf_dir):
         .filter(F.col("node") != F.col("cluster_id"))
         .select(F.col("node").alias("doc_id"))
     )
-    sub2 = sub.join(F.broadcast(losers), "doc_id", "left_anti")
+    # plain left_anti, NOT a forced broadcast: the loser/contaminated id
+    # sets grow with the corpus duplication rate — at 100 TB they are
+    # billions of ids and a forced broadcast OOMs. AQE turns these into
+    # broadcast joins at runtime whenever the sets are actually small.
+    sub2 = sub.join(losers, "doc_id", "left_anti")
 
     contaminated = DD.contamination_flags(sub2, bench, "doc_id", "text", n=5)
-    sub3 = sub2.join(
-        F.broadcast(contaminated.select("doc_id")), "doc_id", "left_anti"
-    )
+    sub3 = sub2.join(contaminated.select("doc_id"), "doc_id", "left_anti")
 
     rep = T.repetition_metrics(sub3, "doc_id", "text", n=2)
     return (

@@ -60,16 +60,41 @@ def target_encode_oof(
 
 
 def onehot_encode(
-    df: DataFrame, column: str, categories: Sequence[str] | None = None
+    df: DataFrame,
+    column: str,
+    categories: Sequence[str] | None = None,
+    max_categories: int = 10_000,
 ) -> DataFrame:
     """One-hot to tinyint columns
     (``count_target_onehot_encoder_spark.py:182-193`` vector→column
     explode, without the Spark-ML detour). ``categories`` pins the
-    output schema; inferred (sorted) otherwise."""
+    output schema; inferred (sorted) otherwise.
+
+    Inference collects the distinct values to the driver, so it is
+    guarded: more than ``max_categories`` distinct values raises
+    instead of OOM-ing the driver (one-hot over a high-cardinality
+    column is the wrong encoding anyway — use hashing or ordinal).
+    Pass explicit ``categories`` to skip the inference entirely."""
     if categories is None:
-        categories = sorted(
-            r[0] for r in df.select(column).distinct().collect() if r[0] is not None
-        )
+        # limit(cap+1): the guard never pulls more than cap+1 rows,
+        # whatever the true cardinality
+        distinct = [
+            r[0]
+            for r in df.select(column)
+            .filter(F.col(column).isNotNull())
+            .distinct()
+            .limit(max_categories + 1)
+            .collect()
+        ]
+        if len(distinct) > max_categories:
+            raise ValueError(
+                f"onehot_encode({column!r}): more than {max_categories} "
+                f"distinct values; one-hot would create that many columns "
+                f"and the inference collect would not be driver-safe. "
+                f"Pass explicit `categories`, raise `max_categories`, or "
+                f"use hashing/ordinal encoding for high-cardinality keys."
+            )
+        categories = sorted(distinct)
     return df.withColumns(
         {
             f"{column}_{c}": (F.col(column) == c).cast("tinyint")

@@ -130,3 +130,24 @@ def test_rfm_scores_monotone(spark, sf_dir):
     scores = [r.m_score for r in rows]
     assert scores == sorted(scores)
     assert all(1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 for r in out)
+
+
+def test_onehot_cardinality_guard(spark):
+    import pytest
+
+    from azuredataengineering_deeplearning_spark.operators.encoders import onehot_encode
+
+    df = spark.range(0, 500).select(
+        F.concat(F.lit("cat_"), F.col("id")).alias("c"), F.col("id").alias("v")
+    )
+    # inference over the cap raises with a clear message instead of
+    # collecting an unbounded distinct set to the driver
+    with pytest.raises(ValueError, match="distinct values"):
+        onehot_encode(df, "c", max_categories=100)
+    # explicit categories bypass the inference entirely
+    out = onehot_encode(df, "c", categories=["cat_1", "cat_2"])
+    assert out.filter(F.col("c_cat_1") == 1).count() == 1
+    # bounded inference still works
+    small = spark.range(0, 50).select((F.col("id") % 3).cast("string").alias("c"))
+    enc = onehot_encode(small, "c", max_categories=100)
+    assert {"c_0", "c_1", "c_2"} <= set(enc.columns)
