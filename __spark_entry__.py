@@ -28,8 +28,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return _catalog.QUERIES["q5_revenue_by_nation"](spark, "/root/testdata/sf0.001")
 
 
+def _priority_order(names: list[str]) -> list[str]:
+    """Order queries so the driver's time-boxed oracle sweep verifies as
+    many NEW queries as possible each round: queries with no green
+    CORRECTNESS row from any previous round come first, and within each
+    group cheaper queries (measured sf0.01 seconds in
+    tools/gate_costs.json) run before expensive ones — a 16s recursive
+    closure oracle at the head of the list would eat the whole budget.
+    Self-adjusts as CORRECTNESS_r*.json files accumulate."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    verified: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+            for name, row in rows.items():
+                green = isinstance(row, dict) and (
+                    row.get("hash_match")
+                    or (row.get("err") == "no_oracle" and row.get("spark_rows", 0) >= 0)
+                )
+                if green:
+                    verified.add(name)
+        except (OSError, ValueError):
+            continue
+    costs: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "tools", "gate_costs.json")) as f:
+            costs = json.load(f)
+    except (OSError, ValueError):
+        pass
+    pos = {n: i for i, n in enumerate(names)}
+
+    def key(n: str):
+        return (n in verified, costs.get(n, 1.0), pos[n])
+
+    return sorted(names, key=key)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_catalog.QUERIES)
+    order = _priority_order(list(_catalog.QUERIES))
+    return {n: _catalog.QUERIES[n] for n in order}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -249,3 +249,23 @@ def sim_rerank_two_stage(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+@query("d11_cluster_assign")  # driver-fit model → rows-only (non-SQL)
+def d11_cluster_assign(spark, sf_dir):
+    """D11: driver-fit density clusterer (seeded numpy k-means with
+    per-cluster noise radius), broadcast to executors for distributed
+    approximate-predict — the fit/approximate_predict contract of the
+    reference's UMAP+HDBSCAN pipeline (``generate_data.py:838-895``),
+    noise mapped to its own label ``k`` exactly as the reference maps
+    -1 → max+1. Equivalence with the local predict is pytest-checked."""
+    from azuredataengineering_deeplearning_spark.operators import clustering as CL
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    model = CL.fit_density_clusters(e, "embedding", k=8, seed=42, max_sample=20_000)
+    out = CL.predict_clusters(e, model, "embedding")
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.round(F.col("strength"), 6).alias("strength"),
+    )

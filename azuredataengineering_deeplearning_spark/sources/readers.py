@@ -19,6 +19,26 @@ TABLE_NAMES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Memoized BASE scans, keyed by (applicationId, path). A parquet
+# `spark.read.parquet` pays file listing + footer schema read every
+# call; over a few hundred catalog queries that's pure overhead. The
+# cached object is only the analyzed base plan — per-query
+# filter/select still compose on top, so Catalyst pushdown per final
+# plan is unaffected. Keyed by applicationId so a new session never
+# sees another session's plans.
+_scan_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _base_scan(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    df = _scan_cache.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        if len(_scan_cache) > 256:  # bound: long-lived sessions, many dirs
+            _scan_cache.clear()
+        _scan_cache[key] = df
+    return df
+
 
 def read_parquet(
     spark: SparkSession,
@@ -36,7 +56,11 @@ def read_parquet(
     # engine contract: wall-clock semantics are UTC (oracle compares naive
     # UTC); the hosting session may not carry the engine profile
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(path)
+    if path.rstrip("/").endswith("events.parquet"):
+        # NANOS-vintage events need this set BEFORE the first (memoized)
+        # scan of the file, whichever call path gets there first
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = _base_scan(spark, path)
     if predicate is not None:
         df = df.filter(predicate)
     if columns:
@@ -103,7 +127,7 @@ def load_tables(
             # runtime-settable SQL conf; the driver's own session may not
             # carry the engine profile, so set it defensively here
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _base_scan(spark, f"{sf_dir}/{name}.parquet")
         if name == "events":
             df = _events_with_ts(df)
         out[name] = df

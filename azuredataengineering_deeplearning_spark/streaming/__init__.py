@@ -1,7 +1,9 @@
 """Structured Streaming: incremental ingest + windowed/session aggs."""
 
 from azuredataengineering_deeplearning_spark.streaming.ingest import (
+    files_per_trigger_for_bytes,
     stream_file_ingest,
+    stream_file_ingest_bytes,
     run_until_drained,
 )
 from azuredataengineering_deeplearning_spark.streaming.windows import (
@@ -17,8 +19,10 @@ from azuredataengineering_deeplearning_spark.streaming.upsert import stream_upse
 from azuredataengineering_deeplearning_spark.streaming.dedup import stream_dedup
 
 __all__ = [
+    "files_per_trigger_for_bytes",
     "stream_dedup",
     "stream_file_ingest",
+    "stream_file_ingest_bytes",
     "run_until_drained",
     "tumbling_agg",
     "sliding_agg",

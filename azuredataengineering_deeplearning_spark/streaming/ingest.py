@@ -59,6 +59,75 @@ def stream_file_ingest(
     )
 
 
+def files_per_trigger_for_bytes(
+    spark: SparkSession,
+    source_glob: str,
+    max_bytes_per_trigger: int,
+    sample_files: int = 1000,
+    min_files: int = 1,
+) -> int:
+    """Translate a BYTE budget per micro-batch into a
+    ``maxFilesPerTrigger`` value — the OSS stand-in for Auto Loader's
+    ``cloudFiles.maxBytesPerTrigger`` (reference ``spark_stream.py:16``:
+    5 GB/trigger). The open-source file source only rate-limits by file
+    COUNT, so the byte bound is enforced statistically: estimate the
+    mean file size from a listing sample and size the count so
+    ``count × mean ≤ budget``.
+
+    The listing uses Spark's Hadoop FS API (works on any supported
+    filesystem, not just local paths) and reads at most ``sample_files``
+    statuses — O(sample), not O(landing zone). Skewed landing zones
+    (one giant file among small ones) can still overshoot a single
+    batch by the max/mean ratio; the guarantee is on the average batch,
+    which is what the 5 GB knob in the reference tunes for too."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(source_glob)
+    fs = path.getFileSystem(conf)
+    statuses = fs.globStatus(path)
+    sizes = []
+    if statuses is not None:
+        for st in statuses:
+            if st.isDirectory():
+                it = fs.listFiles(st.getPath(), True)
+                while it.hasNext() and len(sizes) < sample_files:
+                    sizes.append(it.next().getLen())
+            else:
+                sizes.append(st.getLen())
+            if len(sizes) >= sample_files:
+                break
+    if not sizes:
+        return min_files  # empty landing zone: any positive rate works
+    mean = max(1, sum(sizes) // len(sizes))
+    return max(min_files, int(max_bytes_per_trigger // mean))
+
+
+def stream_file_ingest_bytes(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    checkpoint: str,
+    out_path: str,
+    max_bytes_per_trigger: int,
+    **kwargs,
+) -> StreamingQuery:
+    """``stream_file_ingest`` with the rate limit expressed in BYTES per
+    micro-batch (T1 byte-trigger parity). The byte budget is resolved to
+    a file count at query start from the current landing-zone file-size
+    distribution."""
+    n = files_per_trigger_for_bytes(spark, source_glob, max_bytes_per_trigger)
+    return stream_file_ingest(
+        spark,
+        source_glob,
+        schema,
+        checkpoint,
+        out_path,
+        max_files_per_trigger=n,
+        **kwargs,
+    )
+
+
 def run_until_drained(query: StreamingQuery, timeout_sec: float = 60.0) -> None:
     """Process everything currently available, then stop — the batch-ish
     drive used by tests and backfills (T4's restart loop calls this)."""

@@ -192,3 +192,42 @@ def test_write_zordered_locality_both_dims(spark, tmp_path):
     # average per-file span well under the full 0..127 range on BOTH dims
     assert sum(spans_x) / len(spans_x) < 64
     assert sum(spans_y) / len(spans_y) < 64
+
+
+def test_density_cluster_distributed_equals_local(spark):
+    """D11 contract: broadcast-model distributed predict is bit-identical
+    to the local numpy approximate_predict, and noise gets label k."""
+    import numpy as np
+
+    from azuredataengineering_deeplearning_spark.operators import clustering as CL
+    from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+    e = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    model = CL.fit_density_clusters(e, "embedding", k=4, seed=7, max_sample=2000)
+    assert model.centroids.shape[0] == 4 and model.noise_label == 4
+
+    rows = e.select("vec_id", "embedding").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    want_labels, want_strength = CL.approximate_predict(model, X)
+    want = {r.vec_id: (l, s) for r, l, s in zip(rows, want_labels, want_strength)}
+
+    got = {
+        r.vec_id: (r.cluster, r.strength)
+        for r in CL.predict_clusters(e, model, "embedding").collect()
+    }
+    assert set(got) == set(want)
+    for vid, (l, s) in want.items():
+        gl, gs = got[vid]
+        assert gl == l and abs(gs - s) < 1e-12, vid
+
+    # determinism of the fit (same data, same seed)
+    m2 = CL.fit_density_clusters(e, "embedding", k=4, seed=7, max_sample=2000)
+    assert np.array_equal(m2.centroids, model.centroids)
+    assert np.array_equal(m2.radii, model.radii)
+
+    # the noise radius actually fires: a far-away vector is noise
+    far = spark.createDataFrame(
+        [(999999, [1e6] * model.centroids.shape[1])], "vec_id long, embedding array<double>"
+    )
+    noise = CL.predict_clusters(far, model, "embedding").collect()[0]
+    assert noise.cluster == model.noise_label and noise.strength == 0.0

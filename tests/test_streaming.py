@@ -53,6 +53,40 @@ def test_ingest_exactly_once_across_restart(spark, dirs):
     assert out.select("event_id").distinct().count() == 3
 
 
+def test_byte_bounded_trigger(spark, dirs):
+    """T1 byte-trigger parity: a byte budget resolves to a file count
+    and each micro-batch stays within it (on average file size)."""
+    from azuredataengineering_deeplearning_spark.streaming import (
+        files_per_trigger_for_bytes,
+        stream_file_ingest_bytes,
+    )
+
+    rows = [(i, "2024-01-01 00:00:00", "p" * 20) for i in range(10)]
+    for i in range(6):
+        _write_csv(f"{dirs['landing']}/f{i}_a.csv", rows)
+    sizes = [
+        os.path.getsize(f"{dirs['landing']}/f{i}_a.csv") for i in range(6)
+    ]
+    mean = sum(sizes) // len(sizes)
+    # budget for ~2 files per batch
+    n = files_per_trigger_for_bytes(spark, dirs["landing"], mean * 2 + 1)
+    assert n == 2
+    # far-too-small budget still makes progress (1 file per batch)
+    assert files_per_trigger_for_bytes(spark, dirs["landing"], 1) == 1
+
+    q = stream_file_ingest_bytes(
+        spark, dirs["landing"], SCHEMA, dirs["checkpoint"], dirs["out"],
+        max_bytes_per_trigger=mean * 2 + 1,
+    )
+    run_until_drained(q)
+    out = spark.read.parquet(dirs["out"])
+    assert out.count() == 60
+    # 6 files / 2 per trigger -> every batch ingested <= 2 files' rows
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3
+    assert max(p["numInputRows"] for p in batches) <= 20
+
+
 def test_lineage_columns(spark, dirs):
     _write_csv(
         f"{dirs['landing']}/part1_x.csv", [(10, "2024-01-01 00:00:00", "p")]
