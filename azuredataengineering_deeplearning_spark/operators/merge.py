@@ -151,6 +151,56 @@ def apply_changeset(
     )
 
 
+def apply_changeset_path(
+    spark,
+    target_path: str,
+    changeset: DataFrame,
+    natural_key: Sequence[str],
+    change_ts: str,
+    compare_cols: Sequence[str] | None = None,
+    skip_predicate: str | None = None,
+    open_end: int = DATE_KEY_OPEN_END,
+) -> None:
+    """Parquet-backed merge-in-place: the SAME clause logic as the
+    Delta path (``apply_changeset_delta``), executable without
+    delta-spark — read target, reconcile schema drift (the ALTER-ADD
+    analog, ``merge_generator.py:42-65``), scope the merge with the
+    data-skipping predicate (``merge_generator.py:68-78``: rows the
+    predicate excludes provably cannot match and bypass the join
+    entirely), apply the SCD2 changeset, atomically swap the rewritten
+    table into place.
+
+    On Delta the skip predicate prunes files via the transaction log's
+    min/max stats; here it prunes ROWS from the join scope — the same
+    contract (predicate must be satisfied by every row that could
+    match; tested) with parquet's coarser granularity. The rewrite is
+    staged then ``os.rename``-swapped so a crash never leaves a
+    half-written target."""
+    import os
+    import shutil
+
+    target = spark.read.parquet(target_path)
+    target = reconcile_schema(target, changeset, ignore=(change_ts,))
+    if skip_predicate is not None:
+        scope = target.filter(F.expr(skip_predicate))
+        exempt = target.filter(
+            ~F.coalesce(F.expr(skip_predicate), F.lit(False))
+        )
+    else:
+        scope, exempt = target, None
+    merged = apply_changeset(
+        scope, changeset, natural_key, change_ts, compare_cols, open_end
+    )
+    if exempt is not None:
+        merged = merged.unionByName(exempt.select(*merged.columns))
+    staging = f"{target_path}__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    old = f"{target_path}__old"
+    os.rename(target_path, old)
+    os.rename(staging, target_path)
+    shutil.rmtree(old)
+
+
 def apply_changeset_delta(
     spark,
     target_path: str,
@@ -198,10 +248,18 @@ def apply_changeset_delta(
         )
         .execute()
     )
-    # pass 2: insert new current versions (new keys or changed rows)
+    # pass 2: insert new current versions (new keys or changed rows —
+    # the changed row's old version was flipped to 0 in pass 1, so it no
+    # longer matches). Housekeeping columns are set explicitly:
+    # insertAll would leave them NULL (the source has no such columns).
+    values = {c: f"s.{c}" for c in changeset.columns if c != change_ts}
+    values[change_ts] = f"s.{change_ts}"
+    values["effectiveDate"] = "s.__eff"
+    values["expirationDate"] = str(DATE_KEY_OPEN_END)
+    values["currentVersion"] = "cast(1 as tinyint)"
     (
         t.alias("t")
         .merge(cs.alias("s"), f"{on} AND t.currentVersion = 1")
-        .whenNotMatchedInsertAll()
+        .whenNotMatchedInsert(values=values)
         .execute()
     )

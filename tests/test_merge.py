@@ -111,3 +111,76 @@ def test_shrink_types_plan(spark):
     )
     plan = P.plan_shrink_types(df, ["a", "b", "c", "d"])
     assert plan == {"a": "tinyint", "b": "tinyint", "c": "int", "d": "bigint"}
+
+
+def test_parquet_merge_in_place_end_to_end(spark, batches, tmp_path):
+    """The Delta-merge clause logic run end-to-end against a parquet
+    table: initial load → mixed batch → drift batch, with an atomic
+    rewrite per batch (merge_generator.py:123-206 semantics without the
+    transaction log)."""
+    b1, b2 = batches
+    path = str(tmp_path / "dim")
+    M.initial_load(b1, ["ResourceId"], "PreciseTimeStamp").write.parquet(path)
+
+    M.apply_changeset_path(spark, path, b2, ["ResourceId"], "PreciseTimeStamp")
+    t2 = spark.read.parquet(path)
+    validate_scd2(t2, ["ResourceId"])
+    by = {(r.ResourceId, r.currentVersion): r for r in t2.collect()}
+    assert by[("r2", 0)].expirationDate == 20240209
+    assert by[("r2", 1)].Name == "beta2"
+    assert by[("r3", 1)].Status == "fixed"          # NULL→value detected
+    assert by[("r4", 1)].effectiveDate == 20240210
+    assert t2.filter(F.col("ResourceId") == "r1").count() == 1  # no-op
+
+    # drift batch: new column arrives; ALTER-ADD analog fills old rows
+    b3 = spark.createDataFrame(
+        [("r1", "alpha", "ok", _ts("2024-03-05"), "tag-1")],
+        SCHEMA + ", NewAttr string",
+    )
+    M.apply_changeset_path(spark, path, b3, ["ResourceId"], "PreciseTimeStamp")
+    t3 = spark.read.parquet(path)
+    validate_scd2(t3, ["ResourceId"])
+    assert "NewAttr" in t3.columns
+    r1 = {r.currentVersion: r for r in t3.filter(F.col("ResourceId") == "r1").collect()}
+    assert r1[1].NewAttr == "tag-1" and r1[0].NewAttr is None
+    # untouched keys got the drifted column as NULL, kept their state
+    assert t3.filter((F.col("ResourceId") == "r4") & (F.col("currentVersion") == 1)).collect()[0].NewAttr is None
+
+
+def test_parquet_merge_skip_predicate(spark, batches, tmp_path):
+    """A sound data-skipping predicate (covers every possibly-matching
+    row) must not change the result; rows it excludes bypass the merge
+    untouched — including predicate-NULL rows."""
+    b1, b2 = batches
+    plain = str(tmp_path / "plain")
+    skipped = str(tmp_path / "skipped")
+    init = M.initial_load(b1, ["ResourceId"], "PreciseTimeStamp")
+    init.write.parquet(plain)
+    init.write.parquet(skipped)
+
+    M.apply_changeset_path(spark, plain, b2, ["ResourceId"], "PreciseTimeStamp")
+    # every b2 key starts with 'r' -> predicate is sound for this batch
+    M.apply_changeset_path(
+        spark, skipped, b2, ["ResourceId"], "PreciseTimeStamp",
+        skip_predicate="ResourceId >= 'r'",
+    )
+    a = sorted(map(repr, spark.read.parquet(plain).collect()))
+    b = sorted(map(repr, spark.read.parquet(skipped).collect()))
+    assert a == b
+
+    # UNSOUND predicate (excludes a matching row): the emulation
+    # reproduces Delta's real failure mode — the excluded current row is
+    # never expired while the incoming change still inserts, leaving TWO
+    # current rows. Soundness is the caller's contract (the reference
+    # derives the predicate from the changeset's min watermark,
+    # merge_generator.py:68-78); validate_scd2 catches the corruption.
+    excl = str(tmp_path / "excl")
+    init.write.parquet(excl)
+    M.apply_changeset_path(
+        spark, excl, b2, ["ResourceId"], "PreciseTimeStamp",
+        skip_predicate="ResourceId <> 'r2'",
+    )
+    r2 = spark.read.parquet(excl).filter(F.col("ResourceId") == "r2").collect()
+    assert len(r2) == 2 and all(r.currentVersion == 1 for r in r2)
+    with pytest.raises(AssertionError, match="exactly one current"):
+        validate_scd2(spark.read.parquet(excl), ["ResourceId"])
