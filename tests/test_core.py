@@ -76,3 +76,36 @@ def test_read_excel_distributed_plumbing(spark, tmp_path):
     # engine gate fires at plan build without a parser
     with pytest.raises(ImportError, match="Excel engine"):
         read_excel_distributed(spark, str(tmp_path / "*.bin"), "k long")
+
+
+def test_stream_numpy_batches_shuffle_buffer(spark):
+    """S19: buffered-shuffle training feed — complete coverage (every
+    row exactly once), deterministic for a seed, actually shuffled, and
+    batch shapes are numpy columns."""
+    import numpy as np
+
+    from azuredataengineering_deeplearning_spark.sources.feed import (
+        stream_numpy_batches,
+    )
+
+    df = spark.range(0, 1000).selectExpr("id", "id * 2 AS y").repartition(8, "id")
+
+    def run(seed):
+        out = []
+        for b in stream_numpy_batches(df, batch_size=64, shuffle_buffer=100, seed=seed):
+            assert isinstance(b["id"], np.ndarray)
+            assert (b["y"] == b["id"] * 2).all()   # rows stay intact
+            out.extend(b["id"].tolist())
+        return out
+
+    a = run(seed=1)
+    assert sorted(a) == list(range(1000))          # exactly-once coverage
+    assert a == run(seed=1)                        # deterministic per seed
+    assert a != run(seed=2)                        # seed changes order
+    assert a != sorted(a)                          # actually shuffled
+
+    # no shuffle buffer: plan order preserved, full coverage
+    plain = []
+    for b in stream_numpy_batches(df, batch_size=128):
+        plain.extend(b["id"].tolist())
+    assert sorted(plain) == list(range(1000))
