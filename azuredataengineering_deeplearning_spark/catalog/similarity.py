@@ -269,3 +269,32 @@ def d11_cluster_assign(spark, sf_dir):
         F.col("cluster").cast("int").alias("cluster"),
         F.round(F.col("strength"), 6).alias("strength"),
     )
+
+
+@query(
+    "sim_embedding_profile",
+    """
+    WITH ev AS (
+      SELECT CAST(i - 1 AS INT) AS dim, embedding[CAST(i AS INT)] AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    )
+    SELECT dim,
+           CAST(COUNT(v) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(30,15))) AS DOUBLE) / COUNT(v) AS mean_v,
+           CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE) / COUNT(v) AS mean_sq
+    FROM ev GROUP BY dim
+    """,
+)
+def sim_embedding_profile(spark, sf_dir):
+    """Per-dimension embedding health profile (mean / mean-square /
+    count per vector position): collapsed dims, post-model-swap scale
+    shifts and truncated writes surface here before anything downstream
+    trusts the vectors. posexplode → map-side partial agg; shuffle is
+    O(partitions × dims), not O(rows)."""
+    from azuredataengineering_deeplearning_spark.operators.embedding import (
+        embedding_profile,
+    )
+
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return embedding_profile(e, "embedding")

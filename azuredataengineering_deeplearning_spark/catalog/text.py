@@ -631,3 +631,57 @@ def t_chunk_overlap(spark, sf_dir):
     return T.chunk_text_overlap(d, "doc_id", "text", size=32, overlap=8).select(
         "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk"
     )
+
+
+@query(
+    "dedup_incremental",
+    r"""
+    WITH fp AS (SELECT doc_id, source,
+                       md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS h
+                FROM documents),
+    store AS (SELECT DISTINCT h FROM fp WHERE source = 'src0'),
+    batch AS (SELECT doc_id, h FROM fp WHERE source <> 'src0'),
+    intra AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, MIN(doc_id) OVER (PARTITION BY h) AS m FROM batch
+      ) WHERE doc_id = m
+    )
+    SELECT doc_id FROM intra WHERE h NOT IN (SELECT h FROM store)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup: today's batch (sources != src0) against
+    the fingerprint store accumulated from history (src0) — scans only
+    the batch, never re-hashes the historical corpus. Store-side is
+    fp-only (32 bytes/doc); bucket it by fp at lake scale and the daily
+    anti-join never re-shuffles history."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    history = d.filter(F.col("source") == "src0")
+    batch = d.filter(F.col("source") != "src0")
+    store = history.select(T.fingerprint("text").alias("fp")).distinct()
+    survivors, _ = DD.incremental_dedup(batch, store, "doc_id", "text")
+    return survivors.select("doc_id")
+
+
+@query(
+    "u_temperature_mixture",
+    """
+    WITH n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    w AS (SELECT source, cnt, POW(cnt, 0.5) AS pw, SUM(POW(cnt, 0.5)) OVER () AS tot FROM n),
+    r AS (SELECT source, LEAST(1.0, 300 * pw / tot / cnt) AS rate FROM w)
+    SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+          < CAST(FLOOR(r.rate * 10000) AS BIGINT)
+    """,
+)
+def u_temperature_mixture(spark, sf_dir):
+    """Temperature-weighted source mixing (alpha=0.5 up-weights small
+    sources) to ~300 rows in expectation — the LLM data-mixing rule as
+    a deterministic map-only filter (portable hash keep-decision; no
+    seeded RNG, reproducible across engines and task retries)."""
+    from azuredataengineering_deeplearning_spark.operators import setops as U
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return U.temperature_mixture(d, "source", "doc_id", 300, alpha=0.5).select(
+        "doc_id", "source"
+    )

@@ -117,3 +117,39 @@ def flatten_json_array_native(
     return F.when(
         arr.isNull() | (F.size(arr) == 0), F.lit(sentinel)
     ).otherwise(joined)
+
+
+def embedding_profile(df, vec_col: str = "embedding", dim_out: str = "dim"):
+    """Per-dimension statistics of an embedding column: mean and mean
+    square for every vector position, plus the dimension's value count —
+    the drift/health profile you run before trusting 10^9 vectors
+    (collapsed dimensions, scale shifts after a model swap, truncated
+    writes all show up here).
+
+    Shape at scale: ``posexplode`` fans each vector into (dim, value)
+    pairs that partial-aggregate map-side, so the shuffle carries only
+    ``n_partitions × dims`` rows. Sums accumulate in DECIMAL(30,15)
+    (order-independent — bit-identical to the DuckDB oracle; see
+    ``functions.exact``)."""
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias(dim_out, "__v")
+    )
+    # square in DOUBLE per-row (IEEE-identical across engines), cast the
+    # product to decimal for the order-independent SUM — the proven
+    # oracle-lockstep recipe from catalog/similarity._sq_sum_sql
+    return (
+        exploded.groupBy(dim_out)
+        .agg(
+            F.count("__v").alias("n"),
+            F.sum(F.col("__v").cast("decimal(30,15)")).cast("double").alias("sum_v"),
+            F.sum(
+                (F.col("__v") * F.col("__v")).cast("decimal(30,15)")
+            ).cast("double").alias("sum_sq"),
+        )
+        .select(
+            F.col(dim_out).cast("int").alias(dim_out),
+            "n",
+            (F.col("sum_v") / F.col("n")).alias("mean_v"),
+            (F.col("sum_sq") / F.col("n")).alias("mean_sq"),
+        )
+    )

@@ -227,3 +227,41 @@ def hash_weighted_sample(
     retry; still map-only."""
     w = F.col(weight) if isinstance(weight, str) else weight
     return df.filter(_hash_bucket(key, buckets) < (w * buckets).cast("long"))
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    key: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-weighted multi-source sampling — the standard LLM
+    data-mixing rule: source ``s`` with ``n_s`` rows gets sampling
+    weight ``n_s^alpha / Σ n^alpha`` (``alpha < 1`` up-weights small
+    sources, ``alpha = 1`` is proportional, ``alpha = 0`` uniform per
+    source), scaled to ``target_rows`` total in expectation.
+
+    Deterministic: the per-row keep decision is the portable md5 hash
+    bucket (:func:`hash_sample`), so the draw reproduces across engines,
+    runs, and task retries — a seeded ``sample()`` cannot promise any of
+    that. Two jobs: an O(sources) count aggregate (broadcast back), then
+    one map-only filter sitting directly on the scan."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    rows = counts.collect()  # O(distinct sources) — a mixture has few
+    total_w = sum(r["__n"] ** alpha for r in rows)
+    rates = {
+        r[source_col]: min(1.0, target_rows * (r["__n"] ** alpha) / total_w / r["__n"])
+        for r in rows
+    }
+    rate_col = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, F.lit(rate))
+            for s, rate in rates.items()
+        ],
+        F.lit(0.0),
+    )
+    return df.filter(
+        _hash_bucket(key, buckets) < (rate_col * buckets).cast("long")
+    )

@@ -390,3 +390,56 @@ def test_chunk_text_overlap_windows(spark):
     assert got[(2, 0)] == "a b"
     with pytest.raises(ValueError):
         chunk_text_overlap(df, "id", "text", size=4, overlap=4)
+
+
+def test_incremental_dedup_contract(spark):
+    from azuredataengineering_deeplearning_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from azuredataengineering_deeplearning_spark.operators.text import fingerprint
+
+    hist = spark.createDataFrame(
+        [(1, "seen before"), (2, "old content")], "doc_id long, text string"
+    )
+    store = hist.select(fingerprint("text").alias("fp")).distinct()
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),    # in store -> dropped
+            (11, "brand new"),      # survivor
+            (12, "brand new"),      # intra-batch dup of 11 -> dropped
+            (13, "also new"),       # survivor
+        ],
+        "doc_id long, text string",
+    )
+    survivors, store2 = incremental_dedup(batch, store, "doc_id", "text")
+    assert sorted(r.doc_id for r in survivors.collect()) == [11, 13]
+    # updated store covers history + all batch content (incl. dropped)
+    assert store2.count() == 4  # seen-before, old, brand-new, also-new
+    # day 2: replaying the same batch against the updated store -> nothing
+    s3, _ = incremental_dedup(batch, store2, "doc_id", "text")
+    assert s3.count() == 0
+
+
+def test_temperature_mixture_weights(spark):
+    import pyspark.sql.functions as F
+
+    from azuredataengineering_deeplearning_spark.operators.setops import (
+        temperature_mixture,
+    )
+
+    # skewed sources: 9000 vs 1000 rows
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 9000, "big").otherwise("small").alias("src"),
+    )
+    out = temperature_mixture(df, "src", "k", target_rows=1000, alpha=0.0)
+    counts = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # alpha=0: equal EXPECTED draw per source (500 each), binomial noise
+    assert abs(counts["big"] - 500) < 120 and abs(counts["small"] - 500) < 120
+    # determinism: identical second draw (hash-based, not RNG)
+    again = temperature_mixture(df, "src", "k", target_rows=1000, alpha=0.0)
+    assert sorted(r.k for r in out.collect()) == sorted(r.k for r in again.collect())
+    # alpha=1: proportional — big keeps ~9x small
+    prop = temperature_mixture(df, "src", "k", target_rows=1000, alpha=1.0)
+    pc = {r.src: r.n for r in prop.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert pc["big"] > 5 * pc.get("small", 1)
