@@ -39,6 +39,7 @@ HEADLINE = [
     "scd2_temporal_join",
     # LLM-pipeline layer
     "dedup_minhash_lsh",
+    "dedup_incremental",
     "dedup_contamination",
     "sim_cosine_topk",
     "sim_numpy_topk",
