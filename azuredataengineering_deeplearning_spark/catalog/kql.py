@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from azuredataengineering_deeplearning_spark.catalog import query
 from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
 from azuredataengineering_deeplearning_spark.sources.readers import load_tables
@@ -321,4 +323,95 @@ def kql_make_list_set(spark, sf_dir):
         t,
         "events | summarize types_all=make_list(event_type),"
         " types_set=make_set(event_type) by user_id",
+    )
+
+
+@query(
+    "kql_let_dynamic_case",
+    """
+    WITH base AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    SELECT event_id, k,
+           CASE WHEN k < 25 THEN 'low' WHEN k < 75 THEN 'mid' ELSE 'high' END AS band
+    FROM base WHERE k BETWEEN 10 AND 90
+    """,
+)
+def kql_let_dynamic_case(spark, sf_dir):
+    """let-bound threshold + dynamic (JSON) property access + case()
+    banding + between — the everyday Kusto triage-query shape, executed
+    as DataFrame ops (get_json_object stays JVM-side; the filter and
+    CASE fold into one scan pass)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        """
+        let lo = 10;
+        let hi = 90;
+        events
+        | extend k = toint(todynamic(props).k)
+        | where k between (lo .. hi)
+        | extend band = case(k < 25, 'low', k < 75, 'mid', 'high')
+        | project event_id, k, band
+        """,
+    )
+
+
+@query(
+    "kql_serialized_diff",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_ns(ts) AS tsn, value,
+             row_number() OVER (ORDER BY epoch_ns(ts), event_id) AS rn,
+             lag(value) OVER (ORDER BY epoch_ns(ts), event_id) AS pv
+      FROM events WHERE user_id <= 10
+    )
+    SELECT CAST(rn AS INT) AS rn, user_id, value - pv AS dv FROM s
+    """,
+)
+def kql_serialized_diff(spark, sf_dir):
+    """serialize + row_number()/prev(): the sequential-log differencing
+    idiom. The sort is the explicit KQL serialization contract; at lake
+    scale, partition the window (summarize-by) or use
+    ``windows.global_row_number`` instead of a single global order."""
+    t = load_tables(spark, sf_dir, ["events"])
+    t = {"events": t["events"].withColumn("tsn", F.col("ts_ns"))}
+    return kql_to_df(
+        t,
+        "events | where user_id <= 10 | sort by tsn, event_id"
+        " | serialize | extend rn = row_number() | extend dv = value - prev(value)"
+        " | project rn, user_id, dv",
+    )
+
+
+@query(
+    "kql_conditional_aggs",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CASE WHEN value > 50 THEN user_id END) AS BIGINT) AS hot_users,
+           MAX(CASE WHEN value <= 50 THEN value END) AS max_cool,
+           quantile_cont(value, 0.50) AS p50_value,
+           quantile_cont(value, 0.95) AS p95_value
+    FROM events GROUP BY event_type
+    """,
+)
+def kql_conditional_aggs(spark, sf_dir):
+    """dcountif/maxif + multi-percentiles in one summarize — the
+    conditional-aggregate family; all translate to guarded CASE
+    aggregates (one shuffle, map-side combined)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    out = kql_to_df(
+        t,
+        "events | summarize hot_users = dcountif(user_id, value > 50.0),"
+        " max_cool = maxif(value, value <= 50.0),"
+        " percentiles(value, 50, 95) by event_type",
+    )
+    return out.select(
+        "event_type",
+        F.col("hot_users").cast("bigint").alias("hot_users"),
+        "max_cool",
+        F.col("p50_value"),
+        F.col("p95_value"),
     )

@@ -13,7 +13,14 @@ Supported pipe operators:
 ``distinct`` ``summarize ... by ...`` ``make-series ... on ... step ...``
 ``top-nested N of col by agg [, ...]`` ``range x from a to b step s`` (source)
 ``count`` ``getschema`` ``arg_max(col, *)`` ``countif`` ``sumif``
-``percentile`` ``make_list``/``make_set`` (sorted; inside summarize). Scalars: ``ago(14d)``
+``dcountif``/``avgif``/``minif``/``maxif`` ``percentile``/``percentiles``
+``make_list``/``make_set`` (sorted; inside summarize)
+``let`` (scalar substitution AND tabular sub-pipes) ``serialize`` with
+``row_number()``/``prev()``/``next()`` over the pinned sort order.
+Scalars also include ``todynamic``/``parse_json`` dotted access (→
+``get_json_object``), ``case()``, ``between (a .. b)``,
+``todouble/tolong/toint/tobool/todatetime``,
+``startofday/startofweek/startofmonth``, plus ``ago(14d)``
 (``synapse_sql_pool_dynamic_scaler.py:21``, ``daily_eval.py:156``) and
 ``bin(ts, 1h)`` epoch-aligned bucketing; pass ``now=`` for a
 deterministic clock in tests/backfills.
@@ -94,17 +101,99 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = re.sub(r"\bcontains\s+('[^']*')", r" LIKE concat('%', \1, '%')", s)
     s = re.sub(r"\bstartswith\s+('[^']*')", r" LIKE concat(\1, '%')", s)
     s = re.sub(r"\bendswith\s+('[^']*')", r" LIKE concat('%', \1)", s)
+    # dynamic access FIRST (so casts below see its output): todynamic(
+    # col).a.b / parse_json(col).a.b → get_json_object (string-typed
+    # values, the cross-engine-checkable form; DuckDB twin:
+    # json_extract_string)
+    s = re.sub(
+        r"\b(?:todynamic|parse_json)\((\w+)\)\.(\w+(?:\.\w+)*)",
+        lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')",
+        s,
+    )
+    # type coercions — arg may contain one level of nested call parens
+    _arg = r"([^()]*(?:\([^()]*\)[^()]*)*)"
+    s = re.sub(rf"\btodouble\({_arg}\)", r"cast(\1 as double)", s)
+    s = re.sub(rf"\btolong\({_arg}\)", r"cast(\1 as bigint)", s)
+    s = re.sub(rf"\btoint\({_arg}\)", r"cast(\1 as int)", s)
+    s = re.sub(rf"\btobool\({_arg}\)", r"cast(\1 as boolean)", s)
+    s = re.sub(rf"\btodatetime\({_arg}\)", r"cast(\1 as timestamp)", s)
+    # calendar truncation (KQL weeks start Sunday — dayofweek: Sun=1)
+    s = re.sub(r"\bstartofday\(([^()]*)\)", r"date_trunc('DAY', \1)", s)
+    s = re.sub(r"\bstartofmonth\(([^()]*)\)", r"date_trunc('MONTH', \1)", s)
+    s = re.sub(
+        r"\bstartofweek\(([^()]*)\)",
+        r"cast(date_sub(cast(\1 as date), dayofweek(\1) - 1) as timestamp)",
+        s,
+    )
+    # X between (a .. b) → BETWEEN; operands may be let-substituted
+    # parenthesized scalars
+    _operand = r"((?:[^.()]|\([^()]*\))+?)"
+    s = re.sub(
+        rf"(\w+)\s+between\s*\(\s*{_operand}\s*\.\.\s*{_operand}\s*\)",
+        r"\1 BETWEEN \2 AND \3",
+        s,
+    )
+    s = _rewrite_case(s)
     s = re.sub(r"==", "=", s)
     s = re.sub(r"\bdatetime\(([^)]+)\)", r"timestamp'\1'", s)
     return s
+
+
+def _rewrite_case(s: str) -> str:
+    """KQL ``case(p1, v1, p2, v2, ..., default)`` → SQL CASE WHEN.
+    Balanced-paren scan so nested calls survive."""
+    out = []
+    i = 0
+    while True:
+        m = re.search(r"\bcase\s*\(", s[i:])
+        if not m:
+            out.append(s[i:])
+            break
+        start = i + m.start()
+        out.append(s[i:start])
+        j, depth = i + m.end(), 1
+        while j < len(s) and depth:
+            depth += (s[j] == "(") - (s[j] == ")")
+            j += 1
+        args = [_rewrite_case(a) for a in _split_csv(s[i + m.end() : j - 1])]
+        if len(args) < 3 or len(args) % 2 == 0:
+            raise ValueError(f"case() needs pred,val pairs + default: {args}")
+        sql = "CASE"
+        for k in range(0, len(args) - 1, 2):
+            sql += f" WHEN {args[k]} THEN {args[k + 1]}"
+        sql += f" ELSE {args[-1]} END"
+        out.append(sql)
+        i = j
+    return "".join(out)
 
 
 def kql_to_df(
     tables: dict[str, DataFrame], query: str, now: str | None = None
 ) -> DataFrame:
     """Execute a KQL pipe over named DataFrames. ``now`` (ISO timestamp
-    string) pins ``ago()`` for deterministic replays; default wall clock."""
-    stages = [p.strip() for p in query.strip().split("|")]
+    string) pins ``ago()`` for deterministic replays; default wall clock.
+
+    Leading ``let`` statements are supported in both forms: a tabular
+    ``let T = Table | ...;`` runs the sub-pipe and binds it as a source
+    (usable as a pipe head or join/union target), and a scalar
+    ``let x = <expr>;`` substitutes textually into later stages —
+    exactly Kusto's evaluation model for constant lets."""
+    tables = dict(tables)
+    q = query.strip()
+    while True:
+        m = re.match(r"^let\s+(\w+)\s*=\s*([^;]+);\s*", q, re.S)
+        if not m:
+            break
+        name, body = m.group(1), m.group(2).strip()
+        head = body.split("|")[0].strip()
+        if head in tables or re.match(r"^range\s", head):
+            tables[name] = kql_to_df(tables, body, now)
+        else:  # scalar let: parenthesized textual substitution
+            q = q[m.end():]
+            q = re.sub(rf"\b{name}\b", f"({body})", q)
+            continue
+        q = q[m.end():]
+    stages = [p.strip() for p in q.split("|")]
     if not stages:
         raise ValueError("empty KQL query")
     src = re.match(
@@ -122,6 +211,7 @@ def kql_to_df(
     else:
         raise ValueError(f"unknown table {stages[0]!r}; have {sorted(tables)}")
 
+    order_spec: str | None = None  # set by sort/order; used by serialize ops
     for stage in stages[1:]:
         op, _, rest = stage.partition(" ")
         rest = rest.strip()
@@ -140,16 +230,19 @@ def kql_to_df(
             for part in _split_csv(rest):
                 new, _, old = [x.strip() for x in part.partition("=")]
                 df = df.withColumnRenamed(old, new)
-        elif op == "extend":
+        elif op in ("extend", "serialize"):
+            if op == "serialize" and not rest:
+                continue  # bare serialize: order already pinned by sort
             for part in _split_csv(rest):
                 m = re.match(r"^(\w+)\s*=\s*(.+)$", part)
                 if not m:
                     raise ValueError(f"extend needs name=expr: {part!r}")
-                df = df.withColumn(m.group(1), F.expr(_expr(m.group(2), now)))
+                df = _extend_one(df, m.group(1), m.group(2).strip(), now, order_spec)
         elif op in ("take", "limit"):
             df = df.limit(int(rest))
         elif op == "sort" or op == "order":
             rest = re.sub(r"^by\s+", "", rest)
+            order_spec = rest
             df = df.orderBy(*_order_cols(rest))
         elif op == "top":
             m = re.match(r"^(\d+)\s+by\s+(.+)$", rest)
@@ -357,6 +450,30 @@ def _top_nested(df: DataFrame, rest: str) -> DataFrame:
     return out
 
 
+def _extend_one(
+    df: DataFrame, name: str, body: str, now: str | None, order_spec: str | None
+) -> DataFrame:
+    """One ``extend Name = expr`` assignment. Serialized window
+    functions (``row_number()``, ``prev(col[, n])``, ``next(col[, n])``)
+    need a pinned row order — KQL requires ``serialize``/``sort`` before
+    them and so do we (the preceding ``sort by`` keys define the window
+    order). The window is global by construction, matching Kusto's
+    serialized-row semantics — use summarize/partitioned operators when
+    the data is large; for dense global numbering at scale see
+    ``windows.global_row_number``."""
+    if re.search(r"\b(row_number|prev|next)\s*\(", body):
+        if order_spec is None:
+            raise ValueError(
+                f"window function in {body!r} needs a preceding 'sort by' "
+                "(KQL serialize semantics)"
+            )
+        over = f" OVER (ORDER BY {order_spec})"
+        body = re.sub(r"\brow_number\(\)", f"(row_number(){over})", body)
+        body = re.sub(rf"\bprev\(([^()]*)\)", lambda m: f"(lag({m.group(1)}){over})", body)
+        body = re.sub(rf"\bnext\(([^()]*)\)", lambda m: f"(lead({m.group(1)}){over})", body)
+    return df.withColumn(name, F.expr(_expr(body, now)))
+
+
 def _split_csv(s: str) -> list[str]:
     """Split on commas not inside parentheses/quotes."""
     out, depth, cur, quote = [], 0, "", False
@@ -426,10 +543,32 @@ def _summarize(df: DataFrame, rest: str, now: str | None = None) -> DataFrame:
             col = F.sum(F.when(F.expr(_expr(m.group(2), now)), F.col(m.group(1))))
             aggs.append(col.alias(alias or f"sumif_{m.group(1)}"))
             continue
+        m = re.match(r"^(dcountif|avgif|minif|maxif)\(([\w.]+)\s*,\s*(.+)\)$", body)
+        if m:
+            fn, arg, pred = m.groups()
+            guarded = F.when(F.expr(_expr(pred, now)), F.col(arg))
+            col = {
+                "dcountif": lambda: F.countDistinct(guarded),
+                "avgif": lambda: F.avg(guarded),
+                "minif": lambda: F.min(guarded),
+                "maxif": lambda: F.max(guarded),
+            }[fn]()
+            aggs.append(col.alias(alias or f"{fn}_{arg}"))
+            continue
         m = re.match(r"^percentile\(([\w.]+)\s*,\s*(\d+(?:\.\d+)?)\)$", body)
         if m:  # KQL percentile takes 0-100
             col = F.expr(f"percentile({m.group(1)}, {float(m.group(2)) / 100})")
             aggs.append(col.alias(alias or f"p{m.group(2)}_{m.group(1)}"))
+            continue
+        m = re.match(r"^percentiles\(([\w.]+)\s*,\s*([\d.,\s]+)\)$", body)
+        if m:  # percentiles(col, 50, 95, 99) → one column per quantile
+            arg = m.group(1)
+            for q in [x.strip() for x in m.group(2).split(",") if x.strip()]:
+                aggs.append(
+                    F.expr(f"percentile({arg}, {float(q) / 100})").alias(
+                        f"p{q.replace('.', '_')}_{arg}"
+                    )
+                )
             continue
         m = re.match(r"^(\w+)\((\s*[\w.]*\s*)\)$", body)
         if not m:

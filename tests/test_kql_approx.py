@@ -223,3 +223,89 @@ def test_kql_getschema(spark):
     rows = {r["ColumnName"]: r["ColumnType"] for r in
             kql_to_df({"t": df}, "t | getschema").collect()}
     assert rows == {"a": "int", "b": "string"}
+
+
+def test_kql_let_scalar_and_tabular(spark):
+    from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+    df = spark.createDataFrame(
+        [("A", 5.0), ("A", 15.0), ("B", 25.0)], "et string, v double"
+    )
+    out = kql_to_df(
+        {"t": df},
+        """
+        let cutoff = 10.0;
+        let big = t | where v > cutoff;
+        big | summarize n = count() by et
+        """,
+    ).collect()
+    assert sorted((r["et"], r["n"]) for r in out) == [("A", 1), ("B", 1)]
+
+
+def test_kql_dynamic_access_and_case(spark):
+    from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+    df = spark.createDataFrame(
+        [('{"k": 7}',), ('{"k": 42}',)], "props string"
+    )
+    out = kql_to_df(
+        {"t": df},
+        "t | extend k = toint(todynamic(props).k)"
+        " | extend band = case(k < 10, 'small', k < 100, 'mid', 'big')",
+    ).collect()
+    assert sorted((r["k"], r["band"]) for r in out) == [(7, "small"), (42, "mid")]
+
+
+def test_kql_between_and_startofweek(spark):
+    import datetime as dt
+
+    from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 6, 15, 30)),   # a Wednesday
+         (9, dt.datetime(2024, 3, 10, 1, 0))],   # a Sunday
+        "x long, ts timestamp",
+    )
+    out = kql_to_df(
+        {"t": df},
+        "t | where x between (0 .. 5) | extend w = startofweek(ts)",
+    ).collect()
+    assert len(out) == 1
+    # KQL weeks start Sunday: Wed Mar 6 → Sun Mar 3
+    assert out[0]["w"] == dt.datetime(2024, 3, 3, 0, 0)
+
+
+def test_kql_serialized_window_funcs(spark):
+    from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+    df = spark.createDataFrame(
+        [("b", 2.0), ("a", 1.0), ("c", 4.0)], "k string, v double"
+    )
+    out = kql_to_df(
+        {"t": df},
+        "t | sort by v | serialize | extend rn = row_number()"
+        " | extend dv = v - prev(v)",
+    ).collect()
+    rows = sorted((r["rn"], r["k"], r["dv"]) for r in out)
+    assert rows == [(1, "a", None), (2, "b", 1.0), (3, "c", 2.0)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sort"):
+        kql_to_df({"t": df}, "t | extend rn = row_number()")
+
+
+def test_kql_conditional_aggs_and_percentiles(spark):
+    from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 3.0), ("A", 3.0), ("B", 10.0)], "et string, v double"
+    )
+    out = kql_to_df(
+        {"t": df},
+        "t | summarize d = dcountif(v, et = 'A'), m = maxif(v, et = 'A'),"
+        " a = avgif(v, v < 5.0), percentiles(v, 50, 100)",
+    ).collect()[0]
+    assert out["d"] == 2 and out["m"] == 3.0
+    assert abs(out["a"] - 7.0 / 3) < 1e-12
+    assert out["p100_v"] == 10.0
