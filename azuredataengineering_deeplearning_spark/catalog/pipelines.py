@@ -170,7 +170,7 @@ _CURATE_SQL = r"""
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS m FROM fp
       ) WHERE doc_id = m
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT c.doc_id,
              list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                             for i in generate_series(1, len(ws) - 2)]) AS s
@@ -178,13 +178,16 @@ _CURATE_SQL = r"""
       JOIN exact_keep USING (doc_id)
       WHERE len(ws) >= 3
     ),
+    -- gram-join jaccard (same integers as the quadratic list_intersect
+    -- pair join, ~100x faster): count shared distinct shingles per pair
+    ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
     pairs AS (
       SELECT id_a, id_b FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               len(list_intersect(a.s, b.s)) * 1.0
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      ) WHERE jac >= 0.8
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+               COUNT(*) AS i
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+      ) WHERE i * 1.0 / (na + nb - i) >= 0.8
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs

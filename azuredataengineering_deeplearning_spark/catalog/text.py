@@ -139,14 +139,21 @@ _SHINGLE_SQL = """
       WHERE len(w) >= 3
 """
 
+# Gram-join formulation: explode distinct shingles, count per-pair
+# co-occurrences, jaccard = i/(na+nb-i). Equivalent to the quadratic
+# list_intersect pair join for any thr > 0 (pairs with no shared gram
+# can't pass), and ~100x faster — intersection counts and lengths are
+# the same integers, so the divided doubles are bit-identical.
 _EXACT_JACCARD_SQL = f"""
-    WITH sh AS ({_SHINGLE_SQL})
-    SELECT id_a, id_b, jaccard FROM (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.s, b.s)) * 1.0
-               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    ) WHERE jaccard >= {{thr}}
+    WITH sh AS MATERIALIZED ({_SHINGLE_SQL}),
+    ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+    ov AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, i * 1.0 / (na + nb - i) AS jaccard
+    FROM ov WHERE i * 1.0 / (na + nb - i) >= {{thr}}
 """
 
 
