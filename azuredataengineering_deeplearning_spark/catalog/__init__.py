@@ -63,6 +63,7 @@ def load_all() -> None:
         "extras",
         "extras2",
         "incremental",
+        "pysource",
     ):
         try:
             __import__(f"azuredataengineering_deeplearning_spark.catalog.{mod}")
