@@ -309,6 +309,29 @@ def f19_json_extract(spark, sf_dir):
 
 
 @query(
+    "f19d_variant_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS m
+    FROM events
+    """,
+)
+def f19d_variant_extract(spark, sf_dir):
+    """F19 through Spark 4 VariantType: parse once to the binary variant
+    encoding, then typed path gets (missing path → NULL via
+    try_variant_get) — the scale path for payload columns read by many
+    downstream extracts."""
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    v = JX.variant_parse("props")
+    return ev.select(
+        "event_id",
+        JX.variant_extract(v, "$.k", "int").alias("k"),
+        JX.variant_extract(v, "$.missing", "int").alias("m"),
+    )
+
+
+@query(
     "f19b_json_serialize",
     """
     SELECT doc_id, to_json(struct_pack(lang := lang, n_chars := n_chars)) AS payload

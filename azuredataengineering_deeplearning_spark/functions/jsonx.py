@@ -35,6 +35,21 @@ def json_serialize(*cols: str) -> Column:
     return F.to_json(F.struct(*cols))
 
 
+def variant_parse(col: Column | str, safe: bool = True) -> Column:
+    """F19 (Spark 4 path): parse a JSON string into a VariantType value —
+    binary-encoded semi-structured storage, so repeated path extraction
+    skips re-tokenizing the text (the engine's answer to schema-on-read
+    payload columns at scale). ``safe`` maps malformed JSON to NULL
+    instead of failing the job under ANSI mode."""
+    return F.try_parse_json(_c(col)) if safe else F.parse_json(_c(col))
+
+
+def variant_extract(col: Column | str, path: str, dtype: str) -> Column:
+    """F19 (Spark 4 path): typed path extraction from a variant value;
+    missing paths / uncastable values → NULL (``try_variant_get``)."""
+    return F.try_variant_get(_c(col), path, dtype)
+
+
 def combine_json_arrays(
     df: DataFrame,
     keys: Sequence[str],
