@@ -92,6 +92,20 @@ def sim_ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_ann_topk(e, q, cents, k=10, nprobe=4)
 
 
+@query("sim_pq_adc_topk")  # fitted codebooks + ADC approximation → rows-only
+def sim_pq_adc_topk(spark, sf_dir):
+    """FAISS 'PQ8x8' analog end-to-end: driver-fit product-quantizer
+    codebooks (8 subspaces), map-side corpus encoding to 8 small ints
+    per vector, asymmetric-distance top-10 via broadcast lookup tables
+    (``performant_faiss.py:5-16``). ADC ≡ exact-dot-on-reconstruction is
+    pytest-pinned; exactness at n_codes >= corpus is tested too."""
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    books = SIM.fit_pq_codebooks(e, m=8, n_codes=32, seed=42, max_iter=8)
+    codes = SIM.pq_encode(e, books).select("vec_id", "pq_codes")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.pq_adc_topk(codes, q, books, k=10)
+
+
 @query(
     "sim_quantize_embeddings",
     """

@@ -607,3 +607,168 @@ def hamming_topk(
         .filter(F.col("__rn") <= k)
         .select("query_id", id_col, "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the memory-compression half of IVF-PQ
+# ---------------------------------------------------------------------------
+
+
+def fit_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 15,
+    train_rows: int = 100_000,
+):
+    """Train PQ codebooks: split the dim axis into ``m`` subspaces, run
+    seeded k-means in each → ``(m, n_codes, dim/m)`` numpy tensor.
+
+    Completes the reference's ``faiss.index_factory(d, 'IVF65536,PQ8x8')``
+    parity (``MachineLearning/ML/performant_faiss.py:5-16``): PQ8x8 =
+    m=8 subspaces × 256 codes = 8 bytes per vector instead of d floats.
+    Training follows the FAISS contract — fit on a driver-bounded sample
+    (``train_rows``), never the corpus; encoding then distributes."""
+    import numpy as np
+
+    from azuredataengineering_deeplearning_spark.operators.clustering import _kmeans_fit
+
+    sample = vectors.select(F.col(vec_col).cast("array<double>").alias("v")).limit(
+        train_rows
+    )
+    X = np.array([r["v"] for r in sample.collect()], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    k = min(n_codes, len(X))
+    books = np.zeros((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        books[j], _ = _kmeans_fit(X[:, j * dsub : (j + 1) * dsub], k, seed + j, max_iter)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as ``m`` small ints (nearest codeword per
+    subspace). Map-side only: one numpy GEMM per (subspace × Arrow
+    batch) against the broadcast codebooks — no shuffle; the output
+    column is the 100 TB storage/transfer format (m bytes/vector)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    books = np.asarray(codebooks, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(books)
+    from pyspark.sql.types import ArrayType, IntegerType, StructType
+
+    schema_out = StructType(list(df.schema.fields)).add(out, ArrayType(IntegerType()))
+    m, _, dsub = books.shape
+
+    def encode(batches):
+        B = bc.value
+        cnorms = [0.5 * (B[j] * B[j]).sum(axis=1) for j in range(m)]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(V), m), dtype=np.int64)
+            for j in range(m):
+                S = V[:, j * dsub : (j + 1) * dsub]
+                # argmin ||s - c||^2 == argmax s.c - 0.5||c||^2
+                codes[:, j] = (S @ B[j].T - cnorms[j]).argmax(axis=1)
+            pdf = pdf.copy()
+            pdf[out] = [row.astype("int32").tolist() for row in codes]
+            yield pdf
+
+    return df.mapInPandas(encode, schema_out)
+
+
+def pq_reconstruct(codes, codebooks):
+    """Local numpy twin: decode ``(n, m)`` codes back to ``(n, dim)``
+    vectors (centroid concatenation). The test oracle for ADC scoring —
+    ADC(q, codes) ≡ q · reconstruct(codes) by construction."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    C = np.asarray(codes, dtype=np.int64)
+    return np.concatenate([books[j][C[:, j]] for j in range(books.shape[0])], axis=1)
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k: each query precomputes an ``(m,
+    n_codes)`` lookup table of partial inner products against the
+    codebooks; scoring a corpus vector is then ``m`` table gathers —
+    no float vector is ever read from the corpus side.
+
+    Scale shape: queries (small) collect to the driver once, the
+    LUT tensor broadcasts, and the corpus pass is mapInPandas emitting
+    only each partition's local top-k per query (the global top-k of a
+    union is the top-k of per-partition top-ks); the final exact rank is
+    a window over ≤ partitions × k rows per query. Output: (query_id,
+    neighbor_id, adc_score ≈ inner product)."""
+    import numpy as np
+
+    spark = codes_df.sparkSession
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    qids = [r["qid"] for r in q_rows]
+    Q = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    # LUT[q, j, c] = <query_q subspace_j, codeword_c>
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), books)
+    bc = spark.sparkContext.broadcast((qids, lut))
+
+    def score(batches):
+        import pandas as pd
+
+        qids_, lut_ = bc.value
+        nq = len(qids_)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array(list(pdf[codes_col]), dtype=np.int64)  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            # gather: scores[q, i] = sum_j LUT[q, j, C[i, j]]
+            scores = np.zeros((nq, len(C)), dtype=np.float64)
+            for j in range(m):
+                scores += lut_[:, j, C[:, j]]
+            keep = min(k, len(C))
+            top = np.argpartition(-scores, keep - 1, axis=1)[:, :keep]
+            out_q, out_id, out_s = [], [], []
+            for qi in range(nq):
+                out_q.extend([qids_[qi]] * keep)
+                out_id.extend(ids[top[qi]])
+                out_s.extend(scores[qi, top[qi]])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_id, "adc_score": out_s}
+            )
+
+    id_type = dict(codes_df.dtypes)[id_col]
+    local = codes_df.mapInPandas(
+        score, f"query_id {id_type}, neighbor_id {id_type}, adc_score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,72 @@
+"""Product quantization (FAISS PQ analog): ADC identity, exactness at
+full codebook capacity, deterministic encoding."""
+
+import numpy as np
+import pytest
+
+from azuredataengineering_deeplearning_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def _collect_vecs(df):
+    return {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+
+
+def test_adc_equals_dot_on_reconstruction(spark, vec_df):
+    books = SIM.fit_pq_codebooks(vec_df, m=4, n_codes=8, seed=1, max_iter=10)
+    codes_df = SIM.pq_encode(vec_df, books)
+    codes = {r["vec_id"]: r["pq_codes"] for r in codes_df.collect()}
+    q = vec_df.filter("vec_id < 3")
+    out = SIM.pq_adc_topk(codes_df, q, books, k=40).collect()
+    qvecs = _collect_vecs(q)
+    ids = sorted(codes)
+    recon = SIM.pq_reconstruct([codes[i] for i in ids], books)
+    recon_by_id = dict(zip(ids, recon))
+    for r in out:  # ADC score is exactly q . reconstruct(codes)
+        expect = float(qvecs[r["query_id"]] @ recon_by_id[r["neighbor_id"]])
+        assert abs(r["adc_score"] - expect) < 1e-9
+
+
+def test_pq_exact_when_codebook_holds_all_points(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=6).tolist()) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    # n_codes == corpus size: every subvector is its own codeword ->
+    # reconstruction is exact and ADC reduces to brute-force inner product
+    books = SIM.fit_pq_codebooks(df, m=2, n_codes=8, seed=5, max_iter=25)
+    codes_df = SIM.pq_encode(df, books)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["adc_score"]
+        for r in SIM.pq_adc_topk(codes_df, df, books, k=7).collect()
+    }
+    V = _collect_vecs(df)
+    for (qi, ni), s in got.items():
+        assert abs(s - float(V[qi] @ V[ni])) < 1e-9
+    # and the per-query ranking matches the exact ranking
+    for qi in V:
+        exact = sorted(
+            ((float(V[qi] @ V[ni]), -ni) for ni in V if ni != qi), reverse=True
+        )
+        mine = sorted(
+            ((s, -ni) for (q2, ni), s in got.items() if q2 == qi), reverse=True
+        )
+        assert [round(a[0], 9) for a in exact] == [round(b[0], 9) for b in mine]
+
+
+def test_encode_is_deterministic_and_bounded(spark, vec_df):
+    books = SIM.fit_pq_codebooks(vec_df, m=4, n_codes=8, seed=1, max_iter=10)
+    a = {r["vec_id"]: r["pq_codes"] for r in SIM.pq_encode(vec_df, books).collect()}
+    b = {r["vec_id"]: r["pq_codes"] for r in SIM.pq_encode(vec_df, books).collect()}
+    assert a == b
+    assert all(len(c) == 4 and max(c) < 8 and min(c) >= 0 for c in a.values())
+
+
+def test_dim_must_divide_subspaces(spark, vec_df):
+    with pytest.raises(ValueError, match="not divisible"):
+        SIM.fit_pq_codebooks(vec_df, m=3, n_codes=4)
