@@ -106,6 +106,19 @@ def sim_pq_adc_topk(spark, sf_dir):
     return SIM.pq_adc_topk(codes, q, books, k=10)
 
 
+@query("sim_ivfpq_topk")  # fitted models + ADC approximation → rows-only
+def sim_ivfpq_topk(spark, sf_dir):
+    """The complete index_factory('IVF8,PQ8x32') analog: inverted-list
+    pruning (nprobe=4) feeding PQ asymmetric-distance top-10 — both
+    stages map-side against broadcast models; equivalences pytest-pinned
+    in test_pq.py."""
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    cents = SIM.fit_ivf_centroids(e, n_lists=8, seed=42, max_iter=10)
+    books = SIM.fit_pq_codebooks(e, m=8, n_codes=32, seed=42, max_iter=8)
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.ivf_pq_topk(e, q, cents, books, k=10, nprobe=4)
+
+
 @query(
     "sim_quantize_embeddings",
     """

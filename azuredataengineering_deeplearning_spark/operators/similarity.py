@@ -772,3 +772,45 @@ def pq_adc_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """The full ``index_factory(d, 'IVF…,PQ8x8')`` analog
+    (``performant_faiss.py:5-16``): IVF inverted lists prune the corpus
+    to the queries' ``nprobe`` nearest cells, then PQ asymmetric
+    distance scores only those candidates from broadcast lookup tables.
+
+    Scale shape: both stages are map-side against broadcast models —
+    list assignment is one GEMM per Arrow batch, ADC is m table gathers
+    per candidate; the only shuffle is the final top-k window over
+    per-partition winners. Candidate volume ≈ nprobe/n_lists of the
+    corpus × 0 bytes of float vectors read (codes only). At nprobe =
+    n_lists the result equals :func:`pq_adc_topk` exactly (tested).
+
+    Semantics note: the candidate set is the UNION of all queries'
+    probed lists (a semi-join keeps each corpus row once), so a query
+    may also be scored against cells probed only by its batch-mates —
+    per-query recall is ≥ strict single-query IVF, and every returned
+    score is still the true ADC value for that pair (tested)."""
+    probes = assign_ivf_lists(queries, centroids, vec_col, out="__lists", nprobe=nprobe)
+    probe_lists = probes.select(
+        F.col(id_col).alias("__qid"), F.explode("__lists").alias("__list")
+    )
+    corpus = assign_ivf_lists(vectors, centroids, vec_col, out="__lists", nprobe=1)
+    corpus = corpus.withColumn("__list", F.col("__lists").getItem(0)).drop("__lists")
+    codes = pq_encode(corpus, codebooks, vec_col, out="pq_codes")
+    # keep a corpus row once if ANY query probes its list (semi-join keeps
+    # the candidate set small without duplicating rows per query)
+    cand = codes.join(
+        F.broadcast(probe_lists.select("__list").distinct()), "__list", "left_semi"
+    ).select(id_col, "pq_codes")
+    return pq_adc_topk(cand, queries, codebooks, id_col, "pq_codes", vec_col, k)

@@ -70,3 +70,29 @@ def test_encode_is_deterministic_and_bounded(spark, vec_df):
 def test_dim_must_divide_subspaces(spark, vec_df):
     with pytest.raises(ValueError, match="not divisible"):
         SIM.fit_pq_codebooks(vec_df, m=3, n_codes=4)
+
+
+def test_ivf_pq_full_probe_equals_plain_adc(spark, vec_df):
+    books = SIM.fit_pq_codebooks(vec_df, m=4, n_codes=8, seed=1, max_iter=10)
+    cents = SIM.fit_ivf_centroids(vec_df, n_lists=4, seed=9, max_iter=8)
+    q = vec_df.filter("vec_id < 3")
+    full = SIM.ivf_pq_topk(vec_df, q, cents, books, k=5, nprobe=4).collect()
+    codes_df = SIM.pq_encode(vec_df, books).select("vec_id", "pq_codes")
+    plain = SIM.pq_adc_topk(codes_df, q, books, k=5).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"], round(r["adc_score"], 9))
+    assert sorted(map(key, full)) == sorted(map(key, plain))
+
+
+def test_ivf_pq_pruned_scores_are_true_adc_values(spark, vec_df):
+    books = SIM.fit_pq_codebooks(vec_df, m=4, n_codes=8, seed=1, max_iter=10)
+    cents = SIM.fit_ivf_centroids(vec_df, n_lists=4, seed=9, max_iter=8)
+    q = vec_df.filter("vec_id < 3")
+    pruned = SIM.ivf_pq_topk(vec_df, q, cents, books, k=5, nprobe=1).collect()
+    codes_df = SIM.pq_encode(vec_df, books).select("vec_id", "pq_codes")
+    truth = {
+        (r["query_id"], r["neighbor_id"]): r["adc_score"]
+        for r in SIM.pq_adc_topk(codes_df, q, books, k=40).collect()
+    }
+    assert len(pruned) > 0
+    for r in pruned:  # pruning may drop pairs but never distorts a score
+        assert abs(r["adc_score"] - truth[(r["query_id"], r["neighbor_id"])]) < 1e-9
