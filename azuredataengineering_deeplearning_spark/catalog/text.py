@@ -327,15 +327,17 @@ _CANONICAL_SQL = f"""
 def dedup_canonical_docs(spark, sf_dir):
     """The dedup end-game: drop every near-dup cluster member except the
     canonical (smallest doc_id) survivor — the corpus a training run
-    would actually consume. Anti-join of documents against non-canonical
-    cluster members; the cluster frame is tiny relative to the corpus,
-    so it broadcasts."""
+    would actually consume. Plain anti-join of documents against
+    non-canonical cluster members: the loser set scales with the corpus
+    duplication rate, so a forced broadcast would OOM at lake scale —
+    AQE converts the join to broadcast at runtime when the set is
+    actually small."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     pairs = DD.minhash_near_duplicates(d, "doc_id", "text", threshold=0.8)
     clusters = DD.resolve_clusters(pairs)
     losers = clusters.filter(F.col("node") != F.col("cluster_id")).select("node")
     return d.join(
-        F.broadcast(losers), d["doc_id"] == F.col("node"), "left_anti"
+        losers, d["doc_id"] == F.col("node"), "left_anti"
     ).select("doc_id", "n_chars")
 
 
@@ -692,3 +694,94 @@ def u_temperature_mixture(spark, sf_dir):
     return U.temperature_mixture(d, "source", "doc_id", 300, alpha=0.5).select(
         "doc_id", "source"
     )
+
+
+_BUCKET60 = (
+    "CAST(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256 AS BIGINT)"
+)
+
+_DSIR_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, source = 'src0' AS t, {_BUCKET60} AS bucket
+      FROM (SELECT doc_id, source, unnest({_SW}) AS tok FROM documents)
+    ),
+    counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr
+      FROM toks GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts),
+    doc_b AS (
+      SELECT doc_id, bucket, COUNT(*) AS tf
+      FROM toks WHERE NOT t GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           SUM(tf * (ln((ct + 1.0) / (tt + 256.0))
+                   - ln((cr + 1.0) / (tr + 256.0)))) AS log_weight
+    FROM doc_b JOIN counts USING (bucket) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
+@query("t_dsir_scores", _DSIR_SQL)
+def t_dsir_scores(spark, sf_dir):
+    """DSIR importance weights: hashed-unigram likelihood ratio of the
+    src0 'target' distribution vs the rest of the corpus. The portable
+    60-bit md5 bucket hash makes Spark and DuckDB agree bit-for-bit on
+    the bucket tables; the score is an exact double on both engines."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return T.dsir_scores(
+        d, "doc_id", "text", F.col("source") == "src0", buckets=256
+    )
+
+
+@query(
+    "t_dsir_select",
+    f"""
+    WITH scored AS ({_DSIR_SQL})
+    SELECT doc_id, log_weight FROM scored
+    ORDER BY log_weight DESC, doc_id LIMIT 50
+    """,
+)
+def t_dsir_select(spark, sf_dir):
+    """Importance-resampling selection: top-50 raw documents by DSIR
+    weight (deterministic doc_id tiebreak). TakeOrderedAndProject — the
+    top-k never materializes a global sort."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    scores = T.dsir_scores(
+        d, "doc_id", "text", F.col("source") == "src0", buckets=256
+    )
+    return scores.orderBy(
+        F.col("log_weight").desc(), F.col("doc_id")
+    ).limit(50)
+
+
+@query(
+    "t_gopher_rules",
+    f"""
+    WITH w AS (SELECT doc_id, {_SW} AS w FROM documents),
+    feats AS (
+      SELECT doc_id, len(w) AS n,
+             list_sum(list_transform(w, t -> length(t))) * 1.0 / len(w) AS ml,
+             len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) * 1.0
+               / len(w) AS af,
+             len(list_filter(w, t -> t = 'the' OR t = 'a')) AS ns
+      FROM w
+    )
+    SELECT doc_id,
+           n >= 40 AND n <= 100000 AS ok_token_count,
+           ml >= 2.0 AND ml <= 10.0 AS ok_mean_len,
+           af >= 0.8 AS ok_alpha,
+           ns >= 2 AS ok_stopwords,
+           (n >= 40 AND n <= 100000) AND (ml >= 2.0 AND ml <= 10.0)
+             AND af >= 0.8 AND ns >= 2 AS keep
+    FROM feats
+    """,
+)
+def t_gopher_rules(spark, sf_dir):
+    """Gopher-rules first-pass quality gate (token-count bounds, mean
+    token length, alphabetic fraction, stopword hits) as per-rule
+    boolean columns plus the conjunction."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return T.gopher_quality_flags(d, "doc_id", "text")

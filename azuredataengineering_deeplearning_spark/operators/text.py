@@ -551,3 +551,117 @@ def chunk_text_overlap(
     return df.select(
         id_col, F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    buckets: int = 256,
+    smoothing: float = 1.0,
+    sep: str = TOKEN_SPLIT,
+    out: str = "log_weight",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, *Data Selection for
+    Language Models via Importance Resampling*): fit hashed-unigram bag
+    multinomials for the target distribution (rows where ``is_target``)
+    and the raw distribution (the rest), then score every raw document
+
+        ``log w(x) = Σ_tokens [ log p_target(bucket) − log p_raw(bucket) ]``
+
+    with add-``smoothing`` Laplace estimates. High-weight documents look
+    like the target corpus and are what importance resampling keeps.
+
+    Scale shape: one token explode, one O(``buckets``) count table
+    (broadcast-safe *by construction* — its size is the parameter, not
+    the data), one broadcast join onto per-(doc, bucket) counts, one
+    final per-doc aggregate. No UDF, no driver collect.
+
+    The bucket hash is the portable 60-bit md5 (:func:`token_hash60`),
+    so a DuckDB oracle reproduces scores bit-for-bit; swap in
+    :func:`token_hash_fast` for Spark-only 100 TB runs.
+
+    Returns (id_col, ``out``) for raw-side documents only.
+    """
+    toks = df.select(
+        F.col(id_col),
+        is_target.alias("__t"),
+        F.explode(tokens(F.col(text_col), sep)).alias("token"),
+    ).withColumn("bucket", token_hash60("token") % buckets)
+    counts = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("cr"),
+    )
+    doc_b = (
+        toks.filter(~F.col("__t"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    tot = counts.agg(
+        F.sum("ct").alias("__tt"), F.sum("cr").alias("__tr")
+    )
+    sm, b = F.lit(float(smoothing)), F.lit(float(buckets))
+    return (
+        doc_b.join(F.broadcast(counts), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("tf")
+                * (
+                    F.log((F.col("ct") + sm) / (F.col("__tt") + sm * b))
+                    - F.log((F.col("cr") + sm) / (F.col("__tr") + sm * b))
+                )
+            ).alias(out)
+        )
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: Sequence[str] = ("the", "a"),
+    min_tokens: int = 40,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    sep: str = TOKEN_SPLIT,
+) -> DataFrame:
+    """Gopher-rules quality gate (Rae et al. 2021 §A1.1, adapted to a
+    pre-tokenized corpus): per-document boolean columns for each rule —
+    token-count bounds, mean-token-length bounds, fraction of tokens
+    containing an alphabetic character, and minimum stopword hits — plus
+    the conjunction ``keep``. Pure JVM expressions over one scan; the
+    composite is the standard pretraining-corpus first-pass filter.
+    """
+    w = tokens(F.col(text_col), sep)
+    n = F.size(w)
+    mean_len = F.aggregate(
+        w, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / n
+    alpha_frac = (
+        F.size(F.filter(w, lambda t: t.rlike("[A-Za-z]"))) / n
+    )
+    sw = F.array([F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(sw, t)))
+    return df.select(
+        F.col(id_col),
+        ((n >= min_tokens) & (n <= max_tokens)).alias("ok_token_count"),
+        ((mean_len >= min_mean_len) & (mean_len <= max_mean_len)).alias(
+            "ok_mean_len"
+        ),
+        (alpha_frac >= min_alpha_frac).alias("ok_alpha"),
+        (n_stop >= min_stopwords).alias("ok_stopwords"),
+        (
+            (n >= min_tokens)
+            & (n <= max_tokens)
+            & (mean_len >= min_mean_len)
+            & (mean_len <= max_mean_len)
+            & (alpha_frac >= min_alpha_frac)
+            & (n_stop >= min_stopwords)
+        ).alias("keep"),
+    )

@@ -443,3 +443,47 @@ def test_temperature_mixture_weights(spark):
     prop = temperature_mixture(df, "src", "k", target_rows=1000, alpha=1.0)
     pc = {r.src: r.n for r in prop.groupBy("src").agg(F.count("*").alias("n")).collect()}
     assert pc["big"] > 5 * pc.get("small", 1)
+
+
+def test_dsir_scores_rank_target_like_docs(spark):
+    # target distribution = pure "spark query" vocabulary; raw docs that
+    # share it must outscore raw docs that don't
+    rows = [(i, "spark query " * 10, True) for i in range(20)]
+    rows += [(100, "spark query spark query spark", False)]
+    rows += [(101, "apple banana cherry durian elderberry", False)]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t, _ in rows], "doc_id long, text string"
+    )
+    scores = T.dsir_scores(
+        df, "doc_id", "text", F.col("doc_id") < 100, buckets=64
+    )
+    got = {r.doc_id: r.log_weight for r in scores.collect()}
+    assert set(got) == {100, 101}  # raw side only
+    assert got[100] > got[101]
+
+
+def test_dsir_scores_zero_for_uninformative_features(spark):
+    # identical target and raw token mixes → likelihood ratio ~ 0
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = T.dsir_scores(
+        df, "doc_id", "text", F.col("doc_id") == 1, buckets=16
+    ).collect()
+    assert len(got) == 1 and abs(got[0].log_weight) < 1e-9
+
+
+def test_gopher_quality_flags_rules_fire_independently(spark):
+    long_ok = "the " + "word " * 50 + "a"
+    too_short = "the a b"
+    no_stopwords = "alpha beta gamma " * 20
+    numeric_soup = " ".join(["1234"] * 60)
+    df = spark.createDataFrame(
+        [(1, long_ok), (2, too_short), (3, no_stopwords.strip()), (4, numeric_soup)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert out[1].keep
+    assert not out[2].ok_token_count and not out[2].keep
+    assert not out[3].ok_stopwords and not out[3].keep
+    assert not out[4].ok_alpha and not out[4].keep
