@@ -176,3 +176,24 @@ def d12_token_profile(spark, sf_dir):
         F.expr("percentile(n_tokens, 0.5)").alias("p5"),
         F.expr("percentile(n_tokens, 0.99)").alias("p99"),
     )
+
+
+@query(
+    "s_orc_roundtrip",
+    "SELECT doc_id, source, n_chars FROM documents",
+)
+def s_orc_roundtrip(spark, sf_dir):
+    """ORC export → ORC scan round trip (columnar interchange with
+    Hive-era lakes; same pushdown/pruning surface as parquet). Export is
+    cached per input content like the JSONL round trip."""
+    from azuredataengineering_deeplearning_spark.sources.readers import read_orc
+    from azuredataengineering_deeplearning_spark.sources.writers import write_orc
+
+    src = f"{sf_dir}/documents.parquet"
+    d = read_parquet(spark, src, columns=["doc_id", "source", "n_chars"])
+    st = os.stat(src)
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{int(st.st_mtime)}_{st.st_size}"
+    cache = os.path.join(tempfile.gettempdir(), f"ades_orc_{tag}")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        write_orc(d, cache, target_files=2)
+    return read_orc(spark, cache).select("doc_id", "source", "n_chars")

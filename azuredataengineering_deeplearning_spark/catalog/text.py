@@ -785,3 +785,35 @@ def t_gopher_rules(spark, sf_dir):
     boolean columns plus the conjunction."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return T.gopher_quality_flags(d, "doc_id", "text")
+
+
+@query(
+    "t_unigram_drift",
+    f"""
+    WITH toks AS (
+      SELECT source AS g, {_BUCKET60} AS bucket
+      FROM (SELECT source, unnest({_SW}) AS tok FROM documents)
+    ),
+    counts AS (SELECT g, bucket, COUNT(*) AS c FROM toks GROUP BY g, bucket),
+    totals AS (SELECT g, SUM(c) AS t FROM counts GROUP BY g),
+    grid AS (
+      SELECT a.g AS ga, a.t AS ta, b.g AS gb, b.t AS tb, u.bucket
+      FROM totals a JOIN totals b ON a.g <> b.g
+      CROSS JOIN (SELECT DISTINCT bucket FROM counts) u
+    )
+    SELECT ga AS source_a, gb AS source_b,
+           SUM(((COALESCE(ca.c, 0) + 1.0) / (ta + 256.0))
+               * ln(((COALESCE(ca.c, 0) + 1.0) / (ta + 256.0))
+                  / ((COALESCE(cb.c, 0) + 1.0) / (tb + 256.0)))) AS kl
+    FROM grid
+    LEFT JOIN counts ca ON ca.g = grid.ga AND ca.bucket = grid.bucket
+    LEFT JOIN counts cb ON cb.g = grid.gb AND cb.bucket = grid.bucket
+    GROUP BY ga, gb
+    """,
+)
+def t_unigram_drift(spark, sf_dir):
+    """Pairwise corpus drift: smoothed KL divergence between per-source
+    hashed-unigram distributions — the distribution-shift monitor for a
+    multi-source training corpus."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return T.unigram_drift(d, "source", "text", buckets=256)

@@ -665,3 +665,54 @@ def gopher_quality_flags(
             & (n_stop >= min_stopwords)
         ).alias("keep"),
     )
+
+
+def unigram_drift(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    buckets: int = 256,
+    smoothing: float = 1.0,
+    sep: str = TOKEN_SPLIT,
+) -> DataFrame:
+    """Pairwise corpus drift: smoothed KL divergence between the
+    hashed-unigram distributions of every ordered pair of groups
+    (sources, snapshots, shards) —
+
+        ``KL(a‖b) = Σ_buckets p_a · ln(p_a / p_b)``
+
+    with add-``smoothing`` estimates over the union of observed buckets.
+    The monitoring twin of :func:`dsir_scores`: a source whose KL
+    against the rest jumps between snapshots has drifted (new crawl
+    seed, encoding bug, collapsed scraper).
+
+    Scale shape: one explode, one (group × bucket) count aggregate —
+    every later frame is O(groups × buckets), a few thousand rows
+    regardless of corpus size."""
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokens(F.col(text_col), sep)).alias("token"),
+    ).withColumn("bucket", token_hash60("token") % buckets)
+    counts = toks.groupBy("g", "bucket").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("g").agg(F.sum("c").alias("t"))
+    grid = (
+        totals.select(F.col("g").alias("ga"), F.col("t").alias("ta"))
+        .crossJoin(totals.select(F.col("g").alias("gb"), F.col("t").alias("tb")))
+        .filter(F.col("ga") != F.col("gb"))
+        .crossJoin(counts.select("bucket").distinct())
+    )
+    sm, b = F.lit(float(smoothing)), F.lit(float(buckets))
+    ca = counts.select(
+        F.col("g").alias("ga"), F.col("bucket"), F.col("c").alias("c_a")
+    )
+    cb = counts.select(
+        F.col("g").alias("gb"), F.col("bucket"), F.col("c").alias("c_b")
+    )
+    pa = (F.coalesce(F.col("c_a"), F.lit(0)) + sm) / (F.col("ta") + sm * b)
+    pb = (F.coalesce(F.col("c_b"), F.lit(0)) + sm) / (F.col("tb") + sm * b)
+    return (
+        grid.join(ca, ["ga", "bucket"], "left")
+        .join(cb, ["gb", "bucket"], "left")
+        .groupBy(F.col("ga").alias("source_a"), F.col("gb").alias("source_b"))
+        .agg(F.sum(pa * F.log(pa / pb)).alias("kl"))
+    )

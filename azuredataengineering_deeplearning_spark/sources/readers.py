@@ -73,6 +73,13 @@ def read_json(spark: SparkSession, path: str, multiline: bool = False) -> DataFr
     return spark.read.option("multiLine", str(multiline).lower()).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC batch scan. Columnar like parquet: predicate pushdown,
+    column pruning, and stripe-level skipping all apply — interchange
+    format for Hive-era lakes the reference's Synapse tables front."""
+    return spark.read.orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

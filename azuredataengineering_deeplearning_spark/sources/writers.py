@@ -60,6 +60,21 @@ def write_jsonl(df: DataFrame, path: str, target_files: int | None = None) -> No
     _sized(df, target_files).write.mode("overwrite").json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_files: int | None = None,
+) -> None:
+    """ORC sink (zlib default) with the same output-sizing discipline as
+    :func:`write_parquet` — the Hive-ecosystem interchange path."""
+    writer = _sized(df, target_files).write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_delta(
     df: DataFrame,
     path: str,

@@ -109,3 +109,17 @@ def test_stream_numpy_batches_shuffle_buffer(spark):
     for b in stream_numpy_batches(df, batch_size=128):
         plain.extend(b["id"].tolist())
     assert sorted(plain) == list(range(1000))
+
+
+def test_orc_roundtrip_preserves_schema_and_rows(spark, tmp_path):
+    from azuredataengineering_deeplearning_spark.sources.readers import read_orc
+    from azuredataengineering_deeplearning_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None)], "k long, s string, v double"
+    )
+    p = str(tmp_path / "orc")
+    write_orc(df, p, target_files=1)
+    back = read_orc(spark, p)
+    assert back.schema == df.schema
+    assert sorted(r.k for r in back.collect()) == [1, 2]

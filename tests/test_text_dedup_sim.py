@@ -487,3 +487,23 @@ def test_gopher_quality_flags_rules_fire_independently(spark):
     assert not out[2].ok_token_count and not out[2].keep
     assert not out[3].ok_stopwords and not out[3].keep
     assert not out[4].ok_alpha and not out[4].keep
+
+
+def test_unigram_drift_nonnegative_and_symmetric_universe(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x x y z"), (2, "b", "x y y z"), (3, "c", "x y z z")],
+        "doc_id long, src string, text string",
+    )
+    out = {(r.source_a, r.source_b): r.kl
+           for r in T.unigram_drift(df, "src", "text", buckets=32).collect()}
+    assert len(out) == 6  # 3 sources, ordered pairs
+    assert all(v >= -1e-12 for v in out.values())  # KL >= 0
+
+
+def test_unigram_drift_identical_groups_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "p q r"), (2, "b", "p q r")],
+        "doc_id long, src string, text string",
+    )
+    out = T.unigram_drift(df, "src", "text", buckets=16).collect()
+    assert all(abs(r.kl) < 1e-12 for r in out)
