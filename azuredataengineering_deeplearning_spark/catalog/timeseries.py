@@ -406,3 +406,84 @@ def ts_interpolate_linear(spark, sf_dir):
     )
     out = TS.interpolate_linear(g, ["user_id"], "x", "y", out="y_filled")
     return out.select("event_id", "y_filled")
+
+
+@query(
+    "ts_seasonal_naive",
+    f"""
+    WITH daily AS ({_DAILY_SQL}),
+    bounds AS (SELECT user_id, max(d) AS hi FROM daily GROUP BY user_id),
+    fut AS (
+      SELECT user_id, hi, unnest(generate_series(1, 14)) AS h FROM bounds
+    ),
+    lagged AS (
+      SELECT user_id,
+             hi + h * INTERVAL 1 DAY AS ds,
+             hi + h * INTERVAL 1 DAY
+                - CAST(7 * CEIL(h / 7.0) AS INT) * INTERVAL 1 DAY AS lag_ds
+      FROM fut
+    )
+    SELECT lagged.user_id, lagged.ds, daily.y AS yhat
+    FROM lagged LEFT JOIN daily
+      ON daily.user_id = lagged.user_id AND daily.d = lagged.lag_ds
+    """,
+)
+def ts_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive 14-day forecast (season=7) on the daily panel —
+    the StatsForecast baseline as one explode + one join; seasonal lags
+    falling in history gaps stay null (gap-fill first for dense
+    output)."""
+    daily = _daily(spark, sf_dir)
+    return TS.seasonal_naive_forecast(
+        daily, ["user_id"], "d", "y", horizon=14, season=7
+    ).withColumnRenamed("d", "ds")
+
+
+@query(
+    "ts_conformal_intervals",
+    f"""
+    WITH daily AS ({_DAILY_SQL}),
+    bounds AS (SELECT user_id, max(d) AS hi FROM daily GROUP BY user_id),
+    split AS (
+      SELECT daily.*, daily.d > bounds.hi - 7 * INTERVAL 1 DAY AS is_pred
+      FROM daily JOIN bounds USING (user_id)
+    ),
+    mu AS (
+      SELECT user_id,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS yhat
+      FROM split WHERE NOT is_pred GROUP BY user_id
+    ),
+    q AS (
+      SELECT split.user_id, quantile_cont(abs(split.y - mu.yhat), 0.9) AS qq
+      FROM split JOIN mu USING (user_id) WHERE NOT is_pred
+      GROUP BY split.user_id
+    )
+    SELECT split.user_id, split.d AS ds, split.y, mu.yhat,
+           mu.yhat - q.qq AS lo, mu.yhat + q.qq AS hi
+    FROM split JOIN mu USING (user_id) JOIN q USING (user_id)
+    WHERE is_pred
+    """,
+)
+def ts_conformal_intervals(spark, sf_dir):
+    """Split-conformal 90% intervals on the last week of each user's
+    daily series: calibrate |y − ȳ_calib| per user on history, band the
+    held-out week. Exact-decimal mean and exact percentile keep both
+    engines bit-identical."""
+    daily = _daily(spark, sf_dir)
+    bounds = daily.groupBy("user_id").agg(F.max("d").alias("__hi"))
+    split = daily.join(bounds, "user_id").withColumn(
+        "is_pred", F.col("d") > F.col("__hi") - F.expr("INTERVAL 7 DAYS")
+    )
+    calib = split.filter(~F.col("is_pred"))
+    mu = calib.groupBy("user_id").agg(
+        (
+            F.sum(F.col("y").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("yhat")
+    )
+    calib_scored = calib.join(mu, "user_id")
+    pred_scored = split.filter(F.col("is_pred")).join(mu, "user_id")
+    out = TS.conformal_intervals(
+        calib_scored, pred_scored, ["user_id"], "y", "yhat", alpha=0.1
+    )
+    return out.select("user_id", F.col("d").alias("ds"), "y", "yhat", "lo", "hi")

@@ -480,3 +480,75 @@ def interpolate_linear(
         .otherwise(py + (ny - py) * (xc - px) / (nx - px))
     )
     return df.withColumn(out or y_col, filled)
+
+
+def seasonal_naive_forecast(
+    df: DataFrame,
+    keys: list[str],
+    ds_col: str,
+    y_col: str,
+    horizon: int,
+    season: int = 7,
+    out: str = "yhat",
+) -> DataFrame:
+    """Seasonal-naive forecast — the standard StatsForecast baseline
+    (``stats_forecast_predict.py`` fits SeasonalNaive per series; here
+    it is pure relational algebra): for step ``h`` past each series'
+    last date, predict the observation at the most recent same-season
+    date, ``yhat(T+h) = y(T + h − season·⌈h/season⌉)``.
+
+    One bounds aggregate, a map-side horizon explode (``horizon`` rows
+    per key), and ONE equi-join back to history — no per-series loop,
+    any number of series. Returns ``keys + ds + yhat`` with ``ds`` as
+    timestamp; steps whose seasonal lag falls in a history gap yield
+    null (gap-fill first for dense panels)."""
+    ds = F.col(ds_col)
+    bounds = df.groupBy(*keys).agg(F.max(ds).alias("__maxds"))
+    h = F.col("__h")
+    lag_back = (F.lit(season) * F.ceil(h / F.lit(season))).cast("int")
+    fut = bounds.select(
+        *keys,
+        "__maxds",
+        F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("__h"),
+    ).select(
+        *keys,
+        F.date_add(F.col("__maxds"), h).cast("timestamp").alias("__ds_f"),
+        F.date_add(F.date_add(F.col("__maxds"), h), -lag_back)
+        .cast("timestamp")
+        .alias("__lag_ds"),
+    )
+    hist = df.select(
+        *keys, ds.cast("timestamp").alias("__lag_ds"), F.col(y_col).alias(out)
+    )
+    return fut.join(hist, [*keys, "__lag_ds"], "left").select(
+        *keys, F.col("__ds_f").alias(ds_col), out
+    )
+
+
+def conformal_intervals(
+    calib: DataFrame,
+    pred: DataFrame,
+    keys: list[str],
+    y_col: str,
+    yhat_col: str,
+    alpha: float = 0.1,
+    out_lo: str = "lo",
+    out_hi: str = "hi",
+) -> DataFrame:
+    """Split-conformal prediction intervals
+    (``ray_air_data_tune_conformal_demo.py`` contract, distributed):
+    the per-key ``1−alpha`` quantile of absolute calibration residuals
+    becomes the symmetric interval half-width on every prediction row —
+    distribution-free coverage from one exact-percentile aggregate and
+    one join. Keys with no calibration rows are dropped (no residual
+    distribution to calibrate against)."""
+    r = F.abs(F.col(y_col) - F.col(yhat_col))
+    q = calib.withColumn("__r", r).groupBy(*keys).agg(
+        F.expr(f"percentile(__r, {1.0 - alpha})").alias("__q")
+    )
+    return (
+        pred.join(q, keys)
+        .withColumn(out_lo, F.col(yhat_col) - F.col("__q"))
+        .withColumn(out_hi, F.col(yhat_col) + F.col("__q"))
+        .drop("__r", "__q")
+    )

@@ -184,3 +184,51 @@ def test_interpolate_linear_model(spark):
     assert got[("k", 40)] == 30.0
     assert got[("j", 5)] == 8.0
     assert got[("k", 0)] == 0.0 and got[("k", 30)] == 30.0
+
+
+def test_seasonal_naive_repeats_last_season(spark):
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    rows = [("a", base + dt.timedelta(days=i), float(i % 3)) for i in range(9)]
+    df = spark.createDataFrame(rows, "uid string, d date, y double")
+    out = TS.seasonal_naive_forecast(df, ["uid"], "d", "y", horizon=6, season=3)
+    got = {r["d"].date(): r.yhat for r in out.collect()}
+    # history is perfectly period-3: forecasts repeat 0,1,2
+    for h in range(1, 7):
+        d = base + dt.timedelta(days=8 + h)
+        assert got[d] == float((8 + h) % 3)
+
+
+def test_seasonal_naive_gap_yields_null(spark):
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    # day 1 missing: forecast step whose lag hits day 1 must be null
+    rows = [("a", base + dt.timedelta(days=i), 1.0) for i in (0, 2)]
+    df = spark.createDataFrame(rows, "uid string, d date, y double")
+    out = TS.seasonal_naive_forecast(df, ["uid"], "d", "y", horizon=2, season=2)
+    got = {r["d"].date(): r.yhat for r in out.collect()}
+    assert got[base + dt.timedelta(days=3)] is None  # lag → day 1 (gap)
+    assert got[base + dt.timedelta(days=4)] == 1.0  # lag → day 2
+
+
+def test_conformal_intervals_cover_yhat_symmetrically(spark):
+    calib = spark.createDataFrame(
+        [("a", 10.0, 9.0), ("a", 10.0, 11.0), ("a", 10.0, 10.5)],
+        "uid string, y double, yhat double",
+    )
+    pred = spark.createDataFrame([("a", 12.0, 10.0)], "uid string, y double, yhat double")
+    out = TS.conformal_intervals(calib, pred, ["uid"], "y", "yhat", alpha=0.5).collect()
+    (r,) = out
+    assert r.lo < r.yhat < r.hi
+    assert abs((r.yhat - r.lo) - (r.hi - r.yhat)) < 1e-12
+
+
+def test_conformal_intervals_drop_uncalibrated_keys(spark):
+    calib = spark.createDataFrame([("a", 1.0, 1.0)], "uid string, y double, yhat double")
+    pred = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("b", 1.0, 1.0)], "uid string, y double, yhat double"
+    )
+    out = TS.conformal_intervals(calib, pred, ["uid"], "y", "yhat")
+    assert [r.uid for r in out.collect()] == ["a"]
