@@ -562,6 +562,7 @@ def dsir_scores(
     smoothing: float = 1.0,
     sep: str = TOKEN_SPLIT,
     out: str = "log_weight",
+    portable: bool = True,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, *Data Selection for
     Language Models via Importance Resampling*): fit hashed-unigram bag
@@ -578,17 +579,24 @@ def dsir_scores(
     the data), one broadcast join onto per-(doc, bucket) counts, one
     final per-doc aggregate. No UDF, no driver collect.
 
-    The bucket hash is the portable 60-bit md5 (:func:`token_hash60`),
-    so a DuckDB oracle reproduces scores bit-for-bit; swap in
-    :func:`token_hash_fast` for Spark-only 100 TB runs.
+    ``portable=True`` buckets by the 60-bit md5 (:func:`token_hash60`)
+    so a DuckDB oracle reproduces scores bit-for-bit; ``portable=False``
+    switches to xxhash64 (:func:`token_hash_fast`) — the cheaper
+    Spark-only hash for 100 TB runs (hash choice only permutes buckets;
+    score distributions are statistically identical).
 
     Returns (id_col, ``out``) for raw-side documents only.
     """
+    bucket_of = (
+        token_hash60("token") % buckets
+        if portable
+        else F.pmod(token_hash_fast("token"), F.lit(buckets))
+    )
     toks = df.select(
         F.col(id_col),
         is_target.alias("__t"),
         F.explode(tokens(F.col(text_col), sep)).alias("token"),
-    ).withColumn("bucket", token_hash60("token") % buckets)
+    ).withColumn("bucket", bucket_of)
     counts = toks.groupBy("bucket").agg(
         F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("cr"),

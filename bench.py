@@ -49,6 +49,11 @@ HEADLINE = [
     "t_span_dedup",
     "t_pack_sequences",
     "t_tfidf_topk",
+    "t_dsir_scores",
+    "t_unigram_drift",
+    # forecasting baselines
+    "ts_seasonal_naive",
+    "ts_conformal_intervals",
     # time series + recursion
     "ts_spine_gap_fill",
     "ts_make_series",

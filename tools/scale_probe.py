@@ -288,6 +288,23 @@ def main() -> None:
         results["rollup_incremental_1pct"] = t
         print(json.dumps({"probe": "rollup_incremental_1pct", "rows": args.rows, "sec": t}))
 
+        # ---- DSIR importance scoring over the synthetic corpus --------
+        # xxhash64 bucketing (the Spark-only scale path); target = the
+        # first 1% of docs. Cost profile: one explode + two aggregates +
+        # one O(buckets) broadcast join — linear in corpus tokens.
+        t, _ = timed(
+            lambda: TX.dsir_scores(
+                docs,
+                "doc_id",
+                "text",
+                F.col("doc_id") < args.docs // 100,
+                buckets=4096,
+                portable=False,
+            ).count()
+        )
+        results["dsir_scores_xxhash"] = t
+        print(json.dumps({"probe": "dsir_scores_xxhash", "docs": args.docs, "sec": t}))
+
     print(
         json.dumps(
             {
