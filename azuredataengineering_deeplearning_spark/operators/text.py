@@ -466,11 +466,14 @@ def unigram_cross_entropy(
     The cheap stand-in for KenLM-perplexity quality filtering — docs
     whose token mix diverges from the corpus (gibberish, wrong-language,
     boilerplate) score high. Two aggregates: the vocab-bounded unigram
-    table broadcasts back onto (doc, token) counts; no model, no UDF."""
+    table broadcasts back onto (doc, token) counts; no model, no UDF.
+    The vocab table is persisted (vocab-bounded, consumed by both the
+    total and the scoring join) and the total derives from it — one
+    corpus scan for the LM side instead of two."""
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col), sep)).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    vocab = toks.groupBy("token").agg(F.count("*").alias("ctf"))
-    total = F.broadcast(toks.agg(F.count("*").alias("__total")))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("ctf")).persist()
+    total = F.broadcast(vocab.agg(F.sum("ctf").alias("__total")))
     return (
         tf.join(F.broadcast(vocab), "token")
         .crossJoin(total)
@@ -597,10 +600,14 @@ def dsir_scores(
         is_target.alias("__t"),
         F.explode(tokens(F.col(text_col), sep)).alias("token"),
     ).withColumn("bucket", bucket_of)
+    # persisted: O(buckets) rows by construction, consumed by the totals
+    # aggregate AND the scoring join — without the pin each consumer
+    # re-scans the corpus (this build's AQE does not reuse exchanges
+    # under broadcast branches). Bounded by the parameter, never the data.
     counts = toks.groupBy("bucket").agg(
         F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("cr"),
-    )
+    ).persist()
     doc_b = (
         toks.filter(~F.col("__t"))
         .groupBy(id_col, "bucket")
@@ -701,7 +708,10 @@ def unigram_drift(
         F.col(group_col).alias("g"),
         F.explode(tokens(F.col(text_col), sep)).alias("token"),
     ).withColumn("bucket", token_hash60("token") % buckets)
-    counts = toks.groupBy("g", "bucket").agg(F.count("*").alias("c"))
+    # persisted: O(groups × buckets) rows, consumed four times (totals,
+    # bucket universe, both join sides) — without the pin each consumer
+    # re-scans the corpus. Bounded by parameters, never the data.
+    counts = toks.groupBy("g", "bucket").agg(F.count("*").alias("c")).persist()
     totals = counts.groupBy("g").agg(F.sum("c").alias("t"))
     grid = (
         totals.select(F.col("g").alias("ga"), F.col("t").alias("ta"))
