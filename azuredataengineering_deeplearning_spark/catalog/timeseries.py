@@ -468,22 +468,35 @@ def ts_conformal_intervals(spark, sf_dir):
     """Split-conformal 90% intervals on the last week of each user's
     daily series: calibrate |y − ȳ_calib| per user on history, band the
     held-out week. Exact-decimal mean and exact percentile keep both
-    engines bit-identical."""
-    daily = _daily(spark, sf_dir)
-    bounds = daily.groupBy("user_id").agg(F.max("d").alias("__hi"))
-    split = daily.join(bounds, "user_id").withColumn(
-        "is_pred", F.col("d") > F.col("__hi") - F.expr("INTERVAL 7 DAYS")
+    engines bit-identical. The split point and calibration mean are
+    windows over ONE user-partitioned shuffle of the daily panel (not
+    self-joins), so events is scanned twice total — once for the
+    residual-quantile aggregate, once for the prediction rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    scored = (
+        _daily(spark, sf_dir)
+        .withColumn(
+            "is_pred",
+            F.col("d") > F.max("d").over(w) - F.expr("INTERVAL 7 DAYS"),
+        )
+        .withColumn(
+            "yhat",
+            F.sum(
+                F.when(~F.col("is_pred"), F.col("y").cast("decimal(18,6)"))
+            )
+            .over(w)
+            .cast("double")
+            / F.sum(F.when(~F.col("is_pred"), 1)).over(w),
+        )
     )
-    calib = split.filter(~F.col("is_pred"))
-    mu = calib.groupBy("user_id").agg(
-        (
-            F.sum(F.col("y").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("yhat")
-    )
-    calib_scored = calib.join(mu, "user_id")
-    pred_scored = split.filter(F.col("is_pred")).join(mu, "user_id")
     out = TS.conformal_intervals(
-        calib_scored, pred_scored, ["user_id"], "y", "yhat", alpha=0.1
+        scored.filter(~F.col("is_pred")),
+        scored.filter(F.col("is_pred")),
+        ["user_id"],
+        "y",
+        "yhat",
+        alpha=0.1,
     )
     return out.select("user_id", F.col("d").alias("ds"), "y", "yhat", "lo", "hi")

@@ -410,8 +410,12 @@ def histogram_quantiles(
     Returns one row per requested quantile (per key group when ``keys``
     are given): (keys..., q, estimate). The histogram table is
     O(keys x bins), so the window/cross-joins here never touch fact
-    rows."""
+    rows; it is persisted because totals, the cumulative window, and the
+    q=0 backfill each consume it — without the pin every consumer
+    re-aggregates the fact table (this build's AQE does not reuse
+    exchanges under broadcast branches)."""
     keys = list(keys)
+    hist = hist.persist()
     w = (hi - lo) / n_bins
     win = (
         Window.partitionBy(*keys).orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)

@@ -43,6 +43,11 @@ def expand_hierarchy(
             else []
         ),
     )
+    # pinned for the loop's lifetime: every level joins the same edge
+    # projection, and without the pin each level re-scans the source
+    # (this build's AQE does not reuse exchanges across actions). BOM
+    # edge lists are dimension-scale — parent/child pairs, not facts —
+    # so the pin is bounded; MEMORY_AND_DISK spills if it isn't.
     e = edges.select(
         F.col(parent_col).alias("__p"),
         F.col(child_col).alias("__c"),
@@ -51,7 +56,7 @@ def expand_hierarchy(
             if quantity_col
             else []
         ),
-    )
+    ).persist()
     result = base
     frontier = base
     for depth in range(2, max_depth + 1):
