@@ -238,3 +238,86 @@ def prof_table_profile(spark, sf_dir):
     pass (count/nulls/distincts/min/max/mean long-format)."""
     o = read_parquet(spark, f"{sf_dir}/orders.parquet")
     return P.profile_table(o, ["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+
+@query(
+    "dq_orders_suite",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS nn,
+             COUNT(DISTINCT o_orderkey)
+               + MAX(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS dk,
+             SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND o_totalprice BETWEEN 0 AND 1000000
+                      THEN 1 ELSE 0 END) AS rng,
+             SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS st,
+             SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                      THEN 1 ELSE 0 END) AS pri
+      FROM orders
+    )
+    SELECT 0 AS rank, 'custkey_not_null' AS name,
+           nn * 1.0 / total AS metric, nn * 1.0 / total >= 1.0 AS passed FROM m
+    UNION ALL
+    SELECT 1, 'orderkey_unique', dk * 1.0 / total, dk * 1.0 / total >= 1.0 FROM m
+    UNION ALL
+    SELECT 2, 'totalprice_in_range', rng * 1.0 / total, rng * 1.0 / total >= 1.0 FROM m
+    UNION ALL
+    SELECT 3, 'status_in_set', st * 1.0 / total, st * 1.0 / total >= 1.0 FROM m
+    UNION ALL
+    SELECT 4, 'priority_format', pri * 1.0 / total, pri * 1.0 / total >= 1.0 FROM m
+    UNION ALL
+    SELECT 5, 'min_rows', CAST(total AS DOUBLE), total >= 1000 FROM m
+    """,
+)
+def dq_orders_suite(spark, sf_dir):
+    """Deequ-style declarative quality suite over orders — six
+    constraints, ONE aggregation pass, report unpivoted to one row per
+    constraint."""
+    from azuredataengineering_deeplearning_spark.operators import quality as Q
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return Q.run_checks(
+        o,
+        [
+            Q.Check("custkey_not_null", "not_null", "o_custkey"),
+            Q.Check("orderkey_unique", "unique", "o_orderkey"),
+            Q.Check(
+                "totalprice_in_range", "in_range", "o_totalprice", lo=0, hi=1_000_000
+            ),
+            Q.Check(
+                "status_in_set", "in_set", "o_orderstatus", values=("O", "F", "P")
+            ),
+            Q.Check(
+                "priority_format", "matches_regex", "o_orderpriority",
+                pattern="^[1-5]-",
+            ),
+            Q.Check("min_rows", "min_rows", threshold=1000),
+        ],
+    )
+
+
+@query(
+    "dq_ref_integrity",
+    """
+    WITH t AS (SELECT COUNT(*) AS total FROM orders),
+    o AS (
+      SELECT COUNT(*) AS orphans FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+         OR o_custkey IS NULL
+    )
+    SELECT 0 AS rank, 'orders_customer_fk' AS name,
+           (total - orphans) * 1.0 / total AS metric,
+           orphans = 0 AS passed
+    FROM t, o
+    """,
+)
+def dq_ref_integrity(spark, sf_dir):
+    """Referential-integrity check: every orders.o_custkey must exist in
+    customer — one anti-join aggregate."""
+    from azuredataengineering_deeplearning_spark.operators import quality as Q
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    return Q.check_referential_integrity(
+        t["orders"], "o_custkey", t["customer"], "c_custkey", name="orders_customer_fk"
+    )

@@ -1,0 +1,64 @@
+import pytest
+
+from azuredataengineering_deeplearning_spark.operators import quality as Q
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (2, None, -5.0),
+            (4, "zz", 999.0),
+        ],
+        "k long, s string, v double",
+    )
+
+
+def test_run_checks_one_row_per_constraint_in_order(spark, dirty):
+    out = Q.run_checks(
+        dirty,
+        [
+            Q.Check("s_not_null", "not_null", "s", min_frac=1.0),
+            Q.Check("k_unique", "unique", "k"),
+            Q.Check("v_range", "in_range", "v", lo=0, hi=100, min_frac=0.9),
+            Q.Check("enough", "min_rows", threshold=3),
+        ],
+    ).orderBy("rank").collect()
+    assert [r.name for r in out] == ["s_not_null", "k_unique", "v_range", "enough"]
+    byname = {r.name: r for r in out}
+    assert byname["s_not_null"].metric == 0.75 and not byname["s_not_null"].passed
+    assert not byname["k_unique"].passed  # k=2 duplicated
+    assert byname["v_range"].metric == 0.5 and not byname["v_range"].passed
+    assert byname["enough"].metric == 4.0 and byname["enough"].passed
+
+
+def test_run_checks_all_green_on_clean_data(spark):
+    clean = spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
+    out = Q.run_checks(
+        clean,
+        [
+            Q.Check("nn", "not_null", "s"),
+            Q.Check("uq", "unique", "k"),
+            Q.Check("set", "in_set", "s", values=("x", "y")),
+            Q.Check("re", "matches_regex", "s", pattern="^[xy]$"),
+        ],
+    ).collect()
+    assert all(r.passed for r in out)
+    assert all(r.metric == 1.0 for r in out)
+
+
+def test_ref_integrity_counts_nulls_as_orphans(spark):
+    fact = spark.createDataFrame([(1,), (2,), (None,)], "fk int")
+    dim = spark.createDataFrame([(1,), (2,)], "pk int")
+    (r,) = Q.check_referential_integrity(fact, "fk", dim, "pk").collect()
+    assert not r.passed
+    assert abs(r.metric - 2 / 3) < 1e-12
+
+
+def test_ref_integrity_green(spark):
+    fact = spark.createDataFrame([(1,), (2,), (2,)], "fk int")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    (r,) = Q.check_referential_integrity(fact, "fk", dim, "pk").collect()
+    assert r.passed and r.metric == 1.0
