@@ -500,3 +500,36 @@ def ts_conformal_intervals(spark, sf_dir):
         alpha=0.1,
     )
     return out.select("user_id", F.col("d").alias("ds"), "y", "yhat", "lo", "hi")
+
+
+@query(
+    "ts_ewma_bands",
+    f"""
+    WITH daily AS ({_DAILY_SQL}),
+    s AS (
+      SELECT user_id, d, y,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM daily
+    ),
+    agg AS (
+      SELECT t.user_id, t.d, t.y,
+             SUM(i.y * POWER(0.7, t.rn - i.rn))
+               / SUM(POWER(0.7, t.rn - i.rn)) AS ewma,
+             CASE WHEN COUNT(i.y) >= 2 THEN STDDEV_SAMP(i.y) END AS sigma
+      FROM s t LEFT JOIN s i
+        ON i.user_id = t.user_id AND i.rn >= t.rn - 30 AND i.rn < t.rn
+      GROUP BY t.user_id, t.d, t.y
+    )
+    SELECT user_id, d AS ds, y, ewma, sigma,
+           ewma - 3 * sigma AS lo, ewma + 3 * sigma AS hi,
+           sigma IS NOT NULL AND abs(y - ewma) > 3 * sigma AS is_anomaly
+    FROM agg
+    """,
+)
+def ts_ewma_bands(spark, sf_dir):
+    """EWMA control bands over each user's daily series — the metric
+    monitor that flags points outside ewma ± 3σ of their trailing
+    window (band built from prior points only)."""
+    daily = _daily(spark, sf_dir)
+    out = TS.ewma_bands(daily, ["user_id"], "d", "y", alpha=0.3, k=3.0, span=30)
+    return out.withColumnRenamed("d", "ds")

@@ -552,3 +552,82 @@ def conformal_intervals(
         .withColumn(out_hi, F.col(yhat_col) + F.col("__q"))
         .drop("__r", "__q")
     )
+
+
+def ewma_bands(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    k: float = 3.0,
+    span: int = 30,
+) -> DataFrame:
+    """EWMA control bands for metric monitoring (the analytical core of
+    the reference's metric-driven reactions, ``metrics_query.py`` /
+    ``synapse_sql_pool_dynamic_scaler.py``: read a metric series, decide
+    if the latest points are abnormal): per key and point,
+
+    - ``ewma``  — exponentially weighted mean of the trailing ``span``
+      points (weight ``(1−alpha)^distance``, truncated — the standard
+      finite-window EWMA),
+    - ``sigma`` — plain stddev over the same trailing window,
+    - ``lo``/``hi`` = ewma ± k·sigma, and ``is_anomaly`` when the point
+      leaves the band built from points BEFORE it (band lags one step so
+      the anomaly doesn't mask itself).
+
+    Implemented as a bounded self-join on row-number distance (≤
+    ``span``) — exact weights with no overflow for arbitrarily long
+    series, O(n·span) intermediate rows on the metric series (already
+    aggregate-sized, not fact-sized). The stddev is a plain bounded
+    window. Both are DuckDB-reproducible for the oracle."""
+    rn_w = Window.partitionBy(*keys).orderBy(order_col)
+    s = df.select(
+        *keys,
+        F.col(order_col),
+        F.col(value_col).cast("double").alias("__x"),
+    ).withColumn("__rn", F.row_number().over(rn_w))
+    t = s.select(
+        *[F.col(c).alias(f"t_{c}") for c in keys],
+        F.col(order_col).alias("__ord"),
+        F.col("__x").alias("__xt"),
+        F.col("__rn").alias("__rt"),
+    )
+    i = s.select(
+        *[F.col(c).alias(f"i_{c}") for c in keys],
+        F.col("__x").alias("__xi"),
+        F.col("__rn").alias("__ri"),
+    )
+    cond = F.lit(True)
+    for c in keys:
+        cond = cond & (F.col(f"t_{c}") == F.col(f"i_{c}"))
+    # band from PRIOR points only: distance in [1, span]
+    cond = cond & (F.col("__ri") >= F.col("__rt") - span) & (
+        F.col("__ri") < F.col("__rt")
+    )
+    wgt = F.pow(F.lit(1.0 - alpha), F.col("__rt") - F.col("__ri"))
+    agg = (
+        t.join(i, cond, "left")
+        .groupBy(*[f"t_{c}" for c in keys], "__ord", "__xt", "__rt")
+        .agg(
+            (F.sum(F.col("__xi") * wgt) / F.sum(wgt)).alias("ewma"),
+            # guard: Spark's stddev_samp of a single point is NaN while
+            # SQL engines give NULL — pin the <2-sample case to NULL
+            F.when(
+                F.count("__xi") >= 2, F.stddev("__xi")
+            ).alias("sigma"),
+        )
+    )
+    dev = F.abs(F.col("__xt") - F.col("ewma"))
+    return agg.select(
+        *[F.col(f"t_{c}").alias(c) for c in keys],
+        F.col("__ord").alias(order_col),
+        F.col("__xt").alias(value_col),
+        "ewma",
+        "sigma",
+        (F.col("ewma") - k * F.col("sigma")).alias("lo"),
+        (F.col("ewma") + k * F.col("sigma")).alias("hi"),
+        (
+            F.col("sigma").isNotNull() & (dev > k * F.col("sigma"))
+        ).alias("is_anomaly"),
+    )

@@ -232,3 +232,33 @@ def test_conformal_intervals_drop_uncalibrated_keys(spark):
     )
     out = TS.conformal_intervals(calib, pred, ["uid"], "y", "yhat")
     assert [r.uid for r in out.collect()] == ["a"]
+
+
+def test_ewma_bands_flags_spike_only(spark):
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    vals = [10.0, 11.0] * 10 + [10.5] + [100.0]  # mild wiggle then a spike
+    rows = [("a", base + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "uid string, d date, y double")
+    out = {r["d"].day: r for r in
+           TS.ewma_bands(df, ["uid"], "d", "y", alpha=0.3, k=3.0, span=30).collect()}
+    assert out[22].is_anomaly  # the spike
+    assert not any(out[i].is_anomaly for i in range(1, 22))
+    # first point has no priors: no band, never anomalous
+    assert out[1].ewma is None and out[1].sigma is None
+
+
+def test_ewma_bands_band_lags_one_step(spark):
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    rows = [("a", base + dt.timedelta(days=i), float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "uid string, d date, y double")
+    out = sorted(
+        TS.ewma_bands(df, ["uid"], "d", "y", span=3).collect(),
+        key=lambda r: r["d"],
+    )
+    # ewma at t uses only prior values, so it trails the ramp
+    for r in out[1:]:
+        assert r.ewma < r.y
