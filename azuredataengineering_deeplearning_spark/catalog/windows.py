@@ -511,3 +511,80 @@ def scd2_compact(spark, sf_dir):
         F.col("currentVersion").cast("int").alias("currentVersion"),
         "o_orderpriority",
     )
+
+
+_FUNNEL_SQL = """
+    WITH s0 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= s0.t_view
+      GROUP BY e.user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s1.t_click
+      GROUP BY e.user_id
+    ),
+    prog AS (
+      SELECT s0.user_id, s0.t_view, s1.t_click, s2.t_purchase,
+             1 + (CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END)
+               + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END) AS furthest_step
+      FROM s0
+      LEFT JOIN s1 ON s0.user_id = s1.user_id
+      LEFT JOIN s2 ON s0.user_id = s2.user_id
+    )
+"""
+
+
+@query("w_funnel_progress", _FUNNEL_SQL + "SELECT * FROM prog")
+def w_funnel_progress(spark, sf_dir):
+    """Ordered view→click→purchase funnel: per-user first completion
+    time of each step at-or-after the previous step."""
+    ev = _events(spark, sf_dir)
+    return W.funnel_progress(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+
+
+@query(
+    "w_funnel_summary",
+    _FUNNEL_SQL
+    + """
+    SELECT 0 AS rank, 'view' AS step,
+           CAST(COUNT(t_view) AS BIGINT) AS n_reached,
+           COUNT(t_view) * 1.0 / COUNT(t_view) AS frac_of_first FROM prog
+    UNION ALL
+    SELECT 1, 'click', CAST(COUNT(t_click) AS BIGINT),
+           COUNT(t_click) * 1.0 / COUNT(t_view) FROM prog
+    UNION ALL
+    SELECT 2, 'purchase', CAST(COUNT(t_purchase) AS BIGINT),
+           COUNT(t_purchase) * 1.0 / COUNT(t_view) FROM prog
+    """,
+)
+def w_funnel_summary(spark, sf_dir):
+    """Funnel conversion report: users reaching each step and the
+    conversion fraction vs the top of the funnel."""
+    ev = _events(spark, sf_dir)
+    prog = W.funnel_progress(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+    return W.funnel_summary(prog, ["view", "click", "purchase"])

@@ -524,3 +524,78 @@ def global_row_number(
     result = numbered.localCheckpoint(eager=True)
     parts.unpersist()
     return result
+
+
+def funnel_progress(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: Sequence[tuple[str, Column]],
+) -> DataFrame:
+    """Ordered funnel analysis (product-analytics staple; KQL
+    ``funnel_sequence`` analog): per user, the FIRST time each step was
+    reached *at or after* the previous step's first completion —
+    ``t_<step>`` columns (null from the first missed step on, nulls are
+    monotone by construction) plus ``furthest_step`` (count of steps
+    completed).
+
+    Shape: one filtered min-aggregate per step, each conditioned on the
+    previous step's frame via an equi-join on the user key — k-1 joins of
+    user-sized frames for a k-step funnel, never a self-join of raw
+    events. Each intermediate is persisted: it feeds both the next
+    step's condition and the final report (this build's AQE does not
+    reuse exchanges), and the frames are one narrow row per converted
+    user, shrinking monotonically down the funnel."""
+    name0, cond0 = steps[0]
+    cur = (
+        df.filter(cond0)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{name0}"))
+        .persist()
+    )
+    prev = f"t_{name0}"
+    for name, cond in steps[1:]:
+        nxt = (
+            df.filter(cond)
+            .select(user_col, F.col(ts_col).alias("__ts"))
+            .join(cur.select(user_col, F.col(prev).alias("__p")), user_col)
+            .filter(F.col("__ts") >= F.col("__p"))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t_{name}"))
+        )
+        cur = cur.join(nxt, user_col, "left").persist()
+        prev = f"t_{name}"
+    done = sum(
+        (F.col(f"t_{n}").isNotNull().cast("int") for n, _ in steps),
+        F.lit(0),
+    )
+    return cur.withColumn("furthest_step", done)
+
+
+def funnel_summary(progress: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """Conversion report from :func:`funnel_progress` output → one row
+    per step: (rank, step, n_reached, frac_of_first). One aggregate."""
+    agg = progress.agg(
+        *[
+            F.sum(F.col(f"t_{s}").isNotNull().cast("long")).alias(f"__n{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("rank"),
+                        F.lit(s).alias("step"),
+                        F.col(f"__n{i}").alias("n_reached"),
+                        (
+                            F.col(f"__n{i}") / F.col("__n0")
+                        ).alias("frac_of_first"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select("r.*")

@@ -256,3 +256,51 @@ def test_global_row_number_dense_and_ordered(spark):
     assert rns == list(range(1, 5001))                      # dense, 1-based
     by_rn = sorted(out, key=lambda r: r["rn"])
     assert [r["k"] for r in by_rn] == sorted(r["k"] for r in out)  # order matches
+
+
+def test_funnel_progress_enforces_order(spark):
+    import datetime as dt
+    from azuredataengineering_deeplearning_spark.operators import windows as W
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes in order
+        ("u1", t(0), "view"), ("u1", t(1), "click"), ("u1", t(2), "buy"),
+        # u2 clicked BEFORE viewing: click must not count
+        ("u2", t(5), "click"), ("u2", t(6), "view"),
+        # u3 views only
+        ("u3", t(0), "view"),
+        # u4 never views: excluded entirely
+        ("u4", t(0), "click"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, e string")
+    from pyspark.sql import functions as F
+
+    out = {r.u: r for r in W.funnel_progress(
+        df, "u", "ts",
+        [("view", F.col("e") == "view"),
+         ("click", F.col("e") == "click"),
+         ("buy", F.col("e") == "buy")],
+    ).collect()}
+    assert set(out) == {"u1", "u2", "u3"}
+    assert out["u1"].furthest_step == 3 and out["u1"].t_buy == t(2)
+    assert out["u2"].furthest_step == 1 and out["u2"].t_click is None
+    assert out["u3"].furthest_step == 1
+
+
+def test_funnel_summary_fractions(spark):
+    import datetime as dt
+    from azuredataengineering_deeplearning_spark.operators import windows as W
+    from pyspark.sql import functions as F
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [("u%d" % i, t(0), "a") for i in range(4)] + [
+        ("u0", t(1), "b"), ("u1", t(1), "b")
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, e string")
+    prog = W.funnel_progress(
+        df, "u", "ts", [("a", F.col("e") == "a"), ("b", F.col("e") == "b")]
+    )
+    out = {r.step: r for r in W.funnel_summary(prog, ["a", "b"]).collect()}
+    assert out["a"].n_reached == 4 and out["a"].frac_of_first == 1.0
+    assert out["b"].n_reached == 2 and out["b"].frac_of_first == 0.5
