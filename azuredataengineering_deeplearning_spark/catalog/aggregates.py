@@ -402,3 +402,45 @@ def a_grouped_histogram_quantiles(spark, sf_dir):
     return A.histogram_quantiles(
         h, [0.5, 0.95], 100, 0.0, 100.0, keys=["event_type"]
     )
+
+
+@query(
+    "a_ab_welch",
+    """
+    WITH base AS (
+      SELECT CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                           THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS sa,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                           THEN CAST(o_totalprice * o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS ssa,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                           THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS sb,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                           THEN CAST(o_totalprice * o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS ssb
+      FROM orders
+    ),
+    m AS (
+      SELECT *, sa / n_a AS ma, sb / n_b AS mb FROM base
+    ),
+    v AS (
+      SELECT *,
+             (ssa - ma * ma * n_a) / (n_a - 1) / n_a AS qa,
+             (ssb - mb * mb * n_b) / (n_b - 1) / n_b AS qb
+      FROM m
+    )
+    SELECT n_a, n_b, ma AS mean_a, mb AS mean_b,
+           ma - mb AS lift,
+           sqrt(qa + qb) AS se,
+           (ma - mb) / sqrt(qa + qb) AS t_stat,
+           (qa + qb) * (qa + qb)
+             / (qa * qa / (n_a - 1) + qb * qb / (n_b - 1)) AS dof
+    FROM v
+    """,
+)
+def a_ab_welch(spark, sf_dir):
+    """A/B experiment readout: Welch unequal-variance t statistic for
+    o_totalprice between open ('O') and fulfilled ('F') orders — one
+    conditional-aggregation pass, decimal-exact moments."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return A.ab_welch(o, "o_orderstatus", "o_totalprice", "O", "F")

@@ -588,3 +588,30 @@ def w_funnel_summary(spark, sf_dir):
         ],
     )
     return W.funnel_summary(prog, ["view", "click", "purchase"])
+
+
+@query(
+    "w_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_event, nxt AS to_event, COUNT(*) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_event, to_event, CAST(n AS BIGINT) AS n,
+           n * 1.0 / SUM(n) OVER (PARTITION BY from_event) AS prob
+    FROM pairs
+    """,
+)
+def w_event_transitions(spark, sf_dir):
+    """Markov transition matrix over each user's event stream — lag
+    window + pair aggregate, event_id tiebreak for same-timestamp
+    determinism."""
+    ev = _events(spark, sf_dir)
+    return W.event_transitions(ev, "user_id", "ts", "event_type", "event_id")

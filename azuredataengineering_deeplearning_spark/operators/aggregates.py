@@ -445,3 +445,57 @@ def histogram_quantiles(
         *keys, "q", F.lit(float(lo)).alias("estimate")
     )
     return picked.unionByName(missing)
+
+
+def ab_welch(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    arm_a,
+    arm_b,
+) -> DataFrame:
+    """Two-sample A/B comparison with Welch's unequal-variance t
+    statistic — the experiment-readout aggregate: one conditional-
+    aggregation pass over the facts emits n/mean/variance per arm, the
+    lift, its standard error, the t statistic, and the
+    Welch–Satterthwaite degrees of freedom. (The caller maps t and dof
+    to a p-value; neither engine exposes erf in SQL, and the statistic
+    is the distributed part.)
+
+    Moments accumulate in decimal (order-independent), so the emitted
+    doubles are bit-identical across engines and partitionings."""
+    x = F.col(metric_col).cast("double")
+    in_a = F.col(group_col) == arm_a
+    in_b = F.col(group_col) == arm_b
+
+    def _m(cond):
+        n = F.sum(F.when(cond, 1).otherwise(0))
+        s = F.sum(F.when(cond, dec(x)))
+        ss = F.sum(F.when(cond, dec(x * x)))
+        return n, s.cast("double"), ss.cast("double")
+
+    na, sa, ssa = _m(in_a)
+    nb, sb, ssb = _m(in_b)
+    agg = df.agg(
+        na.alias("n_a"), sa.alias("__sa"), ssa.alias("__ssa"),
+        nb.alias("n_b"), sb.alias("__sb"), ssb.alias("__ssb"),
+    )
+    ma = F.col("__sa") / F.col("n_a")
+    mb = F.col("__sb") / F.col("n_b")
+    va = (F.col("__ssa") - ma * ma * F.col("n_a")) / (F.col("n_a") - 1)
+    vb = (F.col("__ssb") - mb * mb * F.col("n_b")) / (F.col("n_b") - 1)
+    qa, qb = va / F.col("n_a"), vb / F.col("n_b")
+    se = F.sqrt(qa + qb)
+    dof = (qa + qb) * (qa + qb) / (
+        qa * qa / (F.col("n_a") - 1) + qb * qb / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        (ma - mb).alias("lift"),
+        se.alias("se"),
+        ((ma - mb) / se).alias("t_stat"),
+        dof.alias("dof"),
+    )

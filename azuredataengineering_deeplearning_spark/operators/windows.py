@@ -599,3 +599,36 @@ def funnel_summary(progress: DataFrame, steps: Sequence[str]) -> DataFrame:
         ).alias("r")
     )
     return stacked.select("r.*")
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order transition matrix over per-key event sequences →
+    (from_event, to_event, n, prob): how users move between states —
+    the Markov-chain view of a clickstream (next-event analysis).
+
+    One lag window over the (key, ts) ordering + one pair aggregate;
+    ``prob`` normalizes per from-state. ``tiebreak_col`` pins the order
+    of same-timestamp events (pass the event id for determinism)."""
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.withColumn("__next", F.lead(event_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(event_col).alias("from_event"),
+            F.col("__next").alias("to_event"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_event")
+    return pairs.withColumn(
+        "prob", F.col("n") / F.sum("n").over(w_from)
+    )

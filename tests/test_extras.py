@@ -151,3 +151,22 @@ def test_onehot_cardinality_guard(spark):
     small = spark.range(0, 50).select((F.col("id") % 3).cast("string").alias("c"))
     enc = onehot_encode(small, "c", max_categories=100)
     assert {"c_0", "c_1", "c_2"} <= set(enc.columns)
+
+
+def test_ab_welch_matches_numpy(spark):
+    import numpy as np
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+
+    a = [10.0, 12.0, 11.0, 13.0, 9.0]
+    b = [20.0, 22.0, 19.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "arm string, x double")
+    (r,) = A.ab_welch(df, "arm", "x", "a", "b").collect()
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    qa, qb = va / len(a), vb / len(b)
+    t = (np.mean(a) - np.mean(b)) / np.sqrt(qa + qb)
+    dof = (qa + qb) ** 2 / (qa**2 / (len(a) - 1) + qb**2 / (len(b) - 1))
+    assert r.n_a == 5 and r.n_b == 3
+    assert abs(r.mean_a - np.mean(a)) < 1e-9
+    assert abs(r.t_stat - t) < 1e-9
+    assert abs(r.dof - dof) < 1e-9

@@ -304,3 +304,22 @@ def test_funnel_summary_fractions(spark):
     out = {r.step: r for r in W.funnel_summary(prog, ["a", "b"]).collect()}
     assert out["a"].n_reached == 4 and out["a"].frac_of_first == 1.0
     assert out["b"].n_reached == 2 and out["b"].frac_of_first == 0.5
+
+
+def test_event_transitions_counts_and_probs(spark):
+    import datetime as dt
+    from azuredataengineering_deeplearning_spark.operators import windows as W
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        ("u1", t(0), 1, "a"), ("u1", t(1), 2, "b"), ("u1", t(2), 3, "a"),
+        ("u2", t(0), 4, "a"), ("u2", t(1), 5, "c"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, eid int, e string")
+    out = {(r.from_event, r.to_event): r for r in
+           W.event_transitions(df, "u", "ts", "e", "eid").collect()}
+    # from 'a': a->b, a->c (one each); b->a once
+    assert out[("a", "b")].n == 1 and out[("a", "c")].n == 1
+    assert abs(out[("a", "b")].prob - 0.5) < 1e-12
+    assert out[("b", "a")].prob == 1.0
+    assert ("a", "a") not in out  # no cross-user pair (u1 end -> u2 start)
