@@ -72,3 +72,88 @@ def sessionize_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ewma_bands_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    value_col: str,
+    alpha: float = 0.3,
+    k: float = 3.0,
+    min_points: int = 5,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.ewma_bands`` — the
+    online metric monitor: per-key state carries the exponentially
+    weighted mean and variance (standard EWMA/EWMV recursions,
+    infinite-history form; the batch op's truncated window is the
+    offline approximation of the same band), and every arriving point
+    is judged against the band BUILT FROM STATE BEFORE IT — an anomaly
+    never widens the band that should catch it... until it is absorbed
+    on the next update, which is the standard EWMA trade-off.
+
+    State per key: (n, ewma, ewmv) — three scalars, O(distinct keys)
+    total. Points before ``min_points`` observations are never flagged
+    (the band is still warming up). Emits every row once (update mode)
+    with ewma/sigma/is_anomaly columns appended."""
+    from pyspark.sql.types import BooleanType, DoubleType
+
+    p = out_prefix
+    out_schema = (
+        StructType(list(df.schema.fields))
+        .add(f"{p}ewma", DoubleType())
+        .add(f"{p}sigma", DoubleType())
+        .add(f"{p}is_anomaly", BooleanType())
+    )
+    state_schema = (
+        StructType()
+        .add("n", LongType())
+        .add("ewma", DoubleType())
+        .add("ewmv", DoubleType())
+    )
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.exists:
+            n, ewma, ewmv = state.get
+        else:
+            n, ewma, ewmv = 0, None, 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_by, kind="mergesort")
+            means, sigmas, flags = [], [], []
+            for x in pdf[value_col].astype(float):
+                sigma = math.sqrt(ewmv) if n >= 2 else None
+                flags.append(
+                    bool(
+                        n >= min_points
+                        and sigma is not None
+                        and sigma > 0
+                        and abs(x - ewma) > k * sigma
+                    )
+                )
+                sigmas.append(sigma)
+                if ewma is None:
+                    ewma = x
+                else:
+                    delta = x - ewma
+                    ewma = ewma + alpha * delta
+                    ewmv = (1.0 - alpha) * (ewmv + alpha * delta * delta)
+                n += 1
+                means.append(ewma)
+            pdf[f"{p}ewma"] = pd.Series(means, index=pdf.index, dtype="float64")
+            pdf[f"{p}sigma"] = pd.Series(sigmas, index=pdf.index, dtype="float64")
+            pdf[f"{p}is_anomaly"] = pd.Series(flags, index=pdf.index, dtype="bool")
+            yield pdf
+        state.update((n, float(ewma) if ewma is not None else 0.0, float(ewmv)))
+
+    return df.groupBy(*list(keys)).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -260,3 +260,47 @@ def test_stream_rollup_crash_recovery(tmp_path):
     # no-op when live state already present
     _recover_state(state)
     assert os.path.isdir(state)
+
+
+def test_streaming_ewma_flags_spike_across_microbatches(spark, dirs):
+    from azuredataengineering_deeplearning_spark.streaming.stateful import (
+        ewma_bands_stream,
+    )
+
+    # batch 1 warms the state; batch 2 contains the spike
+    _write_csv(
+        f"{dirs['landing']}/b1.csv",
+        [("m1", i, v) for i, v in enumerate([10, 11, 10, 11, 10, 11, 10, 11])],
+        header="metric,ts_s,v",
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("metric string, ts_s long, v double")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(dirs["landing"])
+    )
+    out = ewma_bands_stream(stream, ["metric"], "ts_s", "v", alpha=0.3, k=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["checkpoint"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_csv(
+            f"{dirs['landing']}/b2.csv",
+            [("m1", 8, 10.0), ("m1", 9, 100.0), ("m1", 10, 11.0)],
+            header="metric,ts_s,v",
+        )
+        q.processAllAvailable()
+        rows = {r.ts_s: r for r in spark.sql("select * from ewma_stream").collect()}
+    finally:
+        q.stop()
+    assert not any(rows[i].is_anomaly for i in range(9))  # warmup + normal
+    assert rows[9].is_anomaly  # the spike, judged by pre-spike state
+    assert rows[9].sigma < 5  # band came from the calm history
+    # state carried across batches: ewma at ts 8 continues from batch 1
+    assert abs(rows[8].ewma - rows[7].ewma * 0.7 - 10.0 * 0.3) < 1e-9
