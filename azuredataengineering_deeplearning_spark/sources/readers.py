@@ -45,13 +45,17 @@ def read_parquet(
     path: str,
     columns: Sequence[str] | None = None,
     predicate: Column | str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Parquet scan with column prune + row filter pushed to the scan.
 
     Reference: ``AIO_delta_table_generator.py:29`` (S1),
     ``azureml_ray_basic_functions.py:33-40`` (S11). Spark reads a whole
     directory of parquet files natively (S14 — the reference's pandas
-    concat loop collapses to one call).
+    concat loop collapses to one call). ``merge_schema=True`` unions
+    the schemas of evolved files (added columns read as null on old
+    files) — the schema-drift read path; costs a footer scan per file,
+    so keep it off for stable tables.
     """
     # engine contract: wall-clock semantics are UTC (oracle compares naive
     # UTC); the hosting session may not carry the engine profile
@@ -60,7 +64,11 @@ def read_parquet(
         # NANOS-vintage events need this set BEFORE the first (memoized)
         # scan of the file, whichever call path gets there first
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = _base_scan(spark, path)
+    if merge_schema:
+        # not memoized: the merged schema depends on the file set NOW
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+    else:
+        df = _base_scan(spark, path)
     if predicate is not None:
         df = df.filter(predicate)
     if columns:

@@ -43,11 +43,20 @@ def write_parquet(
     partition_by: list[str] | None = None,
     target_files: int | None = None,
     max_records_per_file: int | None = None,
+    dynamic_overwrite: bool = False,
 ) -> None:
-    """Parquet sink with explicit output sizing (S4 analog on OSS)."""
+    """Parquet sink with explicit output sizing (S4 analog on OSS).
+
+    ``dynamic_overwrite=True`` (with ``partition_by`` + mode
+    'overwrite') replaces ONLY the partitions present in ``df`` — the
+    idempotent daily-reload pattern: re-running a day's load rewrites
+    that day's partition and leaves history untouched, instead of
+    truncating the whole table."""
     writer = _sized(df, target_files).write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)

@@ -123,3 +123,33 @@ def test_orc_roundtrip_preserves_schema_and_rows(spark, tmp_path):
     back = read_orc(spark, p)
     assert back.schema == df.schema
     assert sorted(r.k for r in back.collect()) == [1, 2]
+
+
+def test_dynamic_partition_overwrite_preserves_other_partitions(spark, tmp_path):
+    from azuredataengineering_deeplearning_spark.sources.writers import write_parquet
+
+    p = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [(1, "d1"), (2, "d2")], "v int, day string"
+    )
+    write_parquet(full, p, partition_by=["day"])
+    # reload ONLY d2 with a new value; d1 must survive
+    reload_d2 = spark.createDataFrame([(99, "d2")], "v int, day string")
+    write_parquet(reload_d2, p, partition_by=["day"], dynamic_overwrite=True)
+    got = {(r.day, r.v) for r in spark.read.parquet(p).collect()}
+    assert got == {("d1", 1), ("d2", 99)}
+    # static overwrite of the same slice would have dropped d1
+    write_parquet(reload_d2, p, partition_by=["day"])
+    assert {r.day for r in spark.read.parquet(p).collect()} == {"d2"}
+
+
+def test_merge_schema_reads_evolved_files(spark, tmp_path):
+    from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([(1,)], "a int").write.parquet(p + "/f1")
+    spark.createDataFrame([(2, "x")], "a int, b string").write.parquet(p + "/f2")
+    df = read_parquet(spark, p + "/*", merge_schema=True)
+    assert set(df.columns) == {"a", "b"}
+    rows = {r.a: r.b for r in df.collect()}
+    assert rows[1] is None and rows[2] == "x"
