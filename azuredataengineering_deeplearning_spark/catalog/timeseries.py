@@ -533,3 +533,14 @@ def ts_ewma_bands(spark, sf_dir):
     daily = _daily(spark, sf_dir)
     out = TS.ewma_bands(daily, ["user_id"], "d", "y", alpha=0.3, k=3.0, span=30)
     return out.withColumnRenamed("d", "ds")
+
+
+@query("ts_cusum_changepoints")  # recursive reset — not SQL-expressible; rows-only
+def ts_cusum_changepoints(spark, sf_dir):
+    """CUSUM level-shift detection over each user's daily series
+    (rows-only: the alarm-reset recursion has no SQL form; invariants
+    are pytest-verified)."""
+    daily = _daily(spark, sf_dir)
+    return TS.cusum_changepoints(daily, ["user_id"], "d", "y").withColumnRenamed(
+        "d", "ds"
+    )

@@ -631,3 +631,63 @@ def ewma_bands(
             F.col("sigma").isNotNull() & (dev > k * F.col("sigma"))
         ).alias("is_anomaly"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    slack_k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per series (the classic
+    level-shift detector; complements :func:`ewma_bands`, which catches
+    point spikes but absorbs slow drifts). The recursion
+
+        ``s⁺ = max(0, s⁺ + (x−μ)/σ − k)``, ``s⁻ = max(0, s⁻ − (x−μ)/σ − k)``
+
+    flags a change when either side exceeds ``h`` and resets after the
+    alarm; μ/σ are the series' own mean/std (self-calibrating batch
+    form — pass pre-normalized values for a fixed reference).
+
+    The recursive max can't be expressed as a window aggregate, so this
+    is the documented ``applyInPandas`` escape hatch (same posture as
+    :func:`fit_per_group`): one shuffle on the series key, a numpy loop
+    per group on the executor, O(1) state per step. Returns the input
+    keys + order + value + s_hi/s_lo/is_change."""
+    import numpy as np
+    import pandas as pd
+
+    kk = list(keys)
+    schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.select(*kk, order_col, value_col).schema.fields
+        )
+        + ", s_hi double, s_lo double, is_change boolean"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        x = pdf[value_col].astype(float).to_numpy()
+        mu, sd = float(np.mean(x)), float(np.std(x))
+        z = (x - mu) / sd if sd > 0 else np.zeros_like(x)
+        s_hi = np.zeros(len(x))
+        s_lo = np.zeros(len(x))
+        flag = np.zeros(len(x), dtype=bool)
+        hi = lo = 0.0
+        for i, v in enumerate(z):
+            hi = max(0.0, hi + v - slack_k)
+            lo = max(0.0, lo - v - slack_k)
+            s_hi[i], s_lo[i] = hi, lo
+            if hi > h or lo > h:
+                flag[i] = True
+                hi = lo = 0.0
+        out = pdf[[*kk, order_col, value_col]].copy()
+        out["s_hi"], out["s_lo"], out["is_change"] = s_hi, s_lo, flag
+        return out
+
+    return df.select(*kk, order_col, value_col).groupBy(*kk).applyInPandas(
+        fn, schema=schema
+    )

@@ -262,3 +262,41 @@ def test_ewma_bands_band_lags_one_step(spark):
     # ewma at t uses only prior values, so it trails the ramp
     for r in out[1:]:
         assert r.ewma < r.y
+
+
+def test_cusum_flags_level_shift_not_stationary(spark):
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    # stationary noise then a sustained +shift
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8] * 6 + [14.0] * 10
+    rows = [("a", base + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    # a purely stationary control series
+    rows += [("b", base + dt.timedelta(days=i), 10.0 + (i % 2) * 0.5)
+             for i in range(40)]
+    df = spark.createDataFrame(rows, "uid string, d date, y double")
+    out = TS.cusum_changepoints(df, ["uid"], "d", "y").collect()
+    a_flags = [r for r in out if r.uid == "a" and r.is_change]
+    b_flags = [r for r in out if r.uid == "b" and r.is_change]
+    assert a_flags, "sustained shift must trigger the CUSUM alarm"
+    assert min(r["d"] for r in a_flags) >= base + dt.timedelta(days=30)
+    assert not b_flags, "stationary series must not alarm"
+
+
+def test_cusum_statistics_nonnegative_and_reset(spark):
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    vals = [0.0] * 20 + [50.0] * 5 + [0.0] * 10
+    rows = [("a", base + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "uid string, d date, y double")
+    out = sorted(
+        TS.cusum_changepoints(df, ["uid"], "d", "y").collect(),
+        key=lambda r: r["d"],
+    )
+    assert all(r.s_hi >= 0 and r.s_lo >= 0 for r in out)
+    alarm_idx = [i for i, r in enumerate(out) if r.is_change]
+    assert alarm_idx  # the burst alarms
+    i = alarm_idx[0]
+    # statistic resets after the alarm: next point starts from 0 base
+    assert out[i + 1].s_hi <= out[i].s_hi
