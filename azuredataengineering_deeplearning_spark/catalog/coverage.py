@@ -197,3 +197,24 @@ def s_orc_roundtrip(spark, sf_dir):
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         write_orc(d, cache, target_files=2)
     return read_orc(spark, cache).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "s_xml_roundtrip",
+    "SELECT doc_id, lang FROM documents",
+)
+def s_xml_roundtrip(spark, sf_dir):
+    """XML export → XML scan round trip (Spark 4 native XML source —
+    legacy-feed interchange). Cached per input content like the other
+    round trips."""
+    from azuredataengineering_deeplearning_spark.sources.readers import read_xml
+    from azuredataengineering_deeplearning_spark.sources.writers import write_xml
+
+    src = f"{sf_dir}/documents.parquet"
+    d = read_parquet(spark, src, columns=["doc_id", "lang"])
+    st = os.stat(src)
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{int(st.st_mtime)}_{st.st_size}"
+    cache = os.path.join(tempfile.gettempdir(), f"ades_xml_{tag}")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        write_xml(d, cache, target_files=2)
+    return read_xml(spark, cache).select("doc_id", "lang")

@@ -88,6 +88,23 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema=None,
+) -> DataFrame:
+    """XML scan (Spark 4 native source — the spark-xml package folded
+    into core): one DataFrame row per ``row_tag`` element, schema
+    inferred unless pinned. Feeds-and-speeds exports from legacy
+    systems land this way; prefer explicit ``schema`` at scale (skips
+    the inference pass)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -84,6 +84,23 @@ def write_orc(
     writer.orc(path)
 
 
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    target_files: int | None = None,
+) -> None:
+    """XML sink (Spark 4 native) — interchange with XML-consuming legacy
+    feeds; same output-sizing discipline as the other sinks."""
+    (
+        _sized(df, target_files)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", row_tag)
+        .save(path)
+    )
+
+
 def write_delta(
     df: DataFrame,
     path: str,

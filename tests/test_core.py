@@ -153,3 +153,14 @@ def test_merge_schema_reads_evolved_files(spark, tmp_path):
     assert set(df.columns) == {"a", "b"}
     rows = {r.a: r.b for r in df.collect()}
     assert rows[1] is None and rows[2] == "x"
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from azuredataengineering_deeplearning_spark.sources.readers import read_xml
+    from azuredataengineering_deeplearning_spark.sources.writers import write_xml
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    p = str(tmp_path / "xml")
+    write_xml(df, p, target_files=1)
+    back = read_xml(spark, p)
+    assert sorted((r.k, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
