@@ -817,3 +817,38 @@ def t_unigram_drift(spark, sf_dir):
     multi-source training corpus."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return T.unigram_drift(d, "source", "text", buckets=256)
+
+
+@query(
+    "t_bigram_xent",
+    f"""
+    WITH t AS (SELECT doc_id, {_SW} AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest([{{'w1': w[i], 'w2': w[i+1]}}
+                     for i in generate_series(1, len(w) - 1)],
+                    recursive := true)
+      FROM t WHERE len(w) >= 2
+    ),
+    tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+    cnt AS (SELECT w1, w2, SUM(tf) AS c12 FROM tf GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM cnt GROUP BY 1),
+    c2 AS (SELECT w2, SUM(c12) AS c2 FROM cnt GROUP BY 1),
+    n AS (SELECT SUM(c12) AS nn FROM cnt)
+    SELECT tf.doc_id,
+           -SUM(tf.tf * ln(0.7 * (cnt.c12 / c1.c1)
+                          + (1.0 - 0.7) * (c2.c2 / n.nn)))
+             / SUM(tf.tf) AS xent2
+    FROM tf
+    JOIN cnt ON tf.w1 = cnt.w1 AND tf.w2 = cnt.w2
+    JOIN c1 ON tf.w1 = c1.w1
+    JOIN c2 ON tf.w2 = c2.w2
+    CROSS JOIN n
+    GROUP BY tf.doc_id
+    """,
+)
+def t_bigram_xent(spark, sf_dir):
+    """Interpolated bigram-LM cross-entropy per document (λ=0.7) — the
+    KenLM-style quality score, one corpus scan."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return T.bigram_cross_entropy(d, "doc_id", "text", lam=0.7)

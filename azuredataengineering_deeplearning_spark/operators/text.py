@@ -734,3 +734,56 @@ def unigram_drift(
         .groupBy(F.col("ga").alias("source_a"), F.col("gb").alias("source_b"))
         .agg(F.sum(pa * F.log(pa / pb)).alias("kl"))
     )
+
+
+def bigram_cross_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.7,
+    sep: str = TOKEN_SPLIT,
+    out: str = "xent2",
+) -> DataFrame:
+    """Per-document cross-entropy against an interpolated bigram LM —
+    the step up from :func:`unigram_cross_entropy` toward the KenLM
+    quality filters of CCNet-style pipelines:
+
+        ``-(1/(n-1)) Σ ln( λ·p(w_i|w_{i-1}) + (1−λ)·p(w_i) )``
+
+    with corpus-MLE estimates. EVERYTHING derives from one pinned
+    per-(doc, bigram) count frame: the corpus bigram table, the
+    first-token marginal (the conditional's denominator), the
+    second-token marginal (the unigram interpolation term), and the
+    total — so the corpus text is scanned exactly once. The count
+    tables are observed-bigram-bounded aggregates; joins onto the tf
+    frame are plain equi-joins AQE can broadcast when small.
+
+    Documents with fewer than two tokens have no bigrams and are
+    absent from the output (no distribution to score)."""
+    w = tokens(F.col(text_col), sep)
+    pairs = F.arrays_zip(
+        F.slice(w, 1, F.size(w) - 1).alias("w1"),
+        F.slice(w, 2, F.size(w) - 1).alias("w2"),
+    )
+    toks = (
+        df.filter(F.size(w) >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("__p"))
+        .select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+    tf = toks.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("tf")).persist()
+    cnt = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12")).persist()
+    c1 = cnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = cnt.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n_tot = F.broadcast(cnt.agg(F.sum("c12").alias("__n")))
+    lam_c = F.lit(float(lam))
+    p = lam_c * (F.col("c12") / F.col("c1")) + (F.lit(1.0) - lam_c) * (
+        F.col("c2") / F.col("__n")
+    )
+    return (
+        tf.join(cnt, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(n_tot)
+        .groupBy(id_col)
+        .agg((-F.sum(F.col("tf") * F.log(p)) / F.sum("tf")).alias(out))
+    )

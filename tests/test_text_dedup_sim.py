@@ -507,3 +507,25 @@ def test_unigram_drift_identical_groups_zero(spark):
     )
     out = T.unigram_drift(df, "src", "text", buckets=16).collect()
     assert all(abs(r.kl) < 1e-12 for r in out)
+
+
+def test_bigram_xent_scores_fluent_below_scrambled(spark):
+    # repetitive bigram structure vs shuffled tokens of the same corpus
+    fluent = "the cat sat on the mat " * 10
+    scrambled = "mat the on sat cat mat the sat on cat " * 6
+    df = spark.createDataFrame(
+        [(1, fluent.strip()), (2, fluent.strip()), (3, scrambled.strip())],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.xent2 for r in
+           T.bigram_cross_entropy(df, "doc_id", "text").collect()}
+    # docs 1/2 share every bigram -> low xent; scrambled doc diverges
+    assert got[1] < got[3]
+
+
+def test_bigram_xent_skips_single_token_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only"), (2, "two words")], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in T.bigram_cross_entropy(df, "doc_id", "text").collect()}
+    assert got == {2}
