@@ -51,6 +51,9 @@ HEADLINE = [
     "t_tfidf_topk",
     "t_dsir_scores",
     "t_unigram_drift",
+    "t_bigram_xent",
+    "w_funnel_progress",
+    "dq_orders_suite",
     # forecasting baselines
     "ts_seasonal_naive",
     "ts_conformal_intervals",

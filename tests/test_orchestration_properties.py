@@ -276,3 +276,69 @@ def test_star_contraction_logarithmic_on_chain(spark):
     got = {r.node: r.cluster_id for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     assert rounds <= 8  # ~log2(64) + fixed-point confirmation
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2", "u3"]),
+            st.integers(min_value=0, max_value=50),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_funnel_invariants(spark, events):
+    """Funnel invariants on arbitrary event streams: step times are
+    non-decreasing down the funnel, nulls are monotone, and
+    furthest_step counts the non-null times."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from azuredataengineering_deeplearning_spark.operators import windows as W
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base + dt.timedelta(minutes=m), e) for u, m, e in events]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, e string")
+    out = W.funnel_progress(
+        df, "u", "ts",
+        [("a", F.col("e") == "a"), ("b", F.col("e") == "b"), ("c", F.col("e") == "c")],
+    ).collect()
+    for r in out:
+        ts = [r.t_a, r.t_b, r.t_c]
+        non_null = [t for t in ts if t is not None]
+        # monotone nulls: no time after the first missing step
+        first_null = next((i for i, t in enumerate(ts) if t is None), 3)
+        assert all(t is None for t in ts[first_null:])
+        # ordered completion times
+        assert non_null == sorted(non_null)
+        assert r.furthest_step == len(non_null)
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=2,
+        max_size=25,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ewma_band_anomaly_consistency(spark, values):
+    """ewma_bands invariant: a flagged point is outside its band, an
+    unflagged point with a band is inside (<=), and bands are symmetric
+    around the ewma."""
+    import datetime as dt
+    from azuredataengineering_deeplearning_spark.operators import timeseries as TS
+
+    base = dt.date(2024, 1, 1)
+    rows = [("k", base + dt.timedelta(days=i), v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "uid string, d date, y double")
+    out = TS.ewma_bands(df, ["uid"], "d", "y", alpha=0.3, k=2.0, span=10).collect()
+    for r in out:
+        if r.sigma is None:
+            assert not r.is_anomaly
+            continue
+        dev, band = abs(r.y - r.ewma), 2.0 * r.sigma
+        assert r.is_anomaly == (dev > band)
+        assert abs((r.hi - r.ewma) - (r.ewma - r.lo)) < 1e-9
