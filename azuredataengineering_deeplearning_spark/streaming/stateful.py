@@ -157,3 +157,70 @@ def ewma_bands_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_stream(
+    df: DataFrame,
+    user_col: str,
+    order_by: str,
+    steps: Sequence[tuple[str, str]],
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``operators.windows.funnel_progress``: per-user
+    state carries the first-completion time of each step
+    (``t_<step>``, monotone nulls), updated as events arrive. ``steps``
+    maps step name → event value. Emits ONE row per user per
+    micro-batch in which the user's chain advanced (update mode) with
+    the current chain + ``furthest_step``.
+
+    Semantics note: events are applied in event-time order *within*
+    each micro-batch, but an event arriving in a later batch cannot
+    complete a step retroactively before state that already advanced —
+    on in-order streams this matches the batch funnel exactly (tested);
+    under heavy disorder run the batch op on the landed table instead.
+    State: k int64 timestamps per user."""
+    from pyspark.sql.types import LongType as _Long, StructType as _Struct
+
+    names = [n for n, _ in steps]
+    targets = {n: v for n, v in steps}
+    out_schema = _Struct().add(user_col, df.schema[user_col].dataType)
+    state_schema = _Struct()
+    for n in names:
+        out_schema = out_schema.add(f"t_{n}", _Long())
+        state_schema = state_schema.add(f"t_{n}", _Long())
+    out_schema = out_schema.add("furthest_step", _Long())
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        times = list(state.get) if state.exists else [None] * len(names)
+        advanced = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_by, kind="mergesort")
+            for ts, ev in zip(pdf[order_by], pdf[event_col]):
+                ts = int(ts)
+                for i, n in enumerate(names):
+                    if times[i] is not None:
+                        continue
+                    prev_ok = i == 0 or (
+                        times[i - 1] is not None and ts >= times[i - 1]
+                    )
+                    if ev == targets[n] and prev_ok:
+                        times[i] = ts
+                        advanced = True
+                    break  # only the first incomplete step can fire
+        if advanced:
+            state.update(tuple(times))
+            done = sum(1 for t in times if t is not None)
+            yield pd.DataFrame(
+                [[key[0], *times, done]],
+                columns=[user_col, *[f"t_{n}" for n in names], "furthest_step"],
+            )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -304,3 +304,74 @@ def test_streaming_ewma_flags_spike_across_microbatches(spark, dirs):
     assert rows[9].sigma < 5  # band came from the calm history
     # state carried across batches: ewma at ts 8 continues from batch 1
     assert abs(rows[8].ewma - rows[7].ewma * 0.7 - 10.0 * 0.3) < 1e-9
+
+
+def test_streaming_funnel_matches_batch_on_ordered_stream(spark, dirs):
+    import datetime as dt
+
+    from azuredataengineering_deeplearning_spark.streaming.stateful import (
+        funnel_stream,
+    )
+
+    # batch 1: partial progress; batch 2: completes u1, u2 stalls
+    _write_csv(
+        f"{dirs['landing']}/b1.csv",
+        [("u1", 10, "view"), ("u2", 20, "click"), ("u2", 30, "view")],
+        header="user_id,ts_s,event_type",
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user_id string, ts_s long, event_type string")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(dirs["landing"])
+    )
+    steps = [("view", "view"), ("click", "click"), ("purchase", "purchase")]
+    out = funnel_stream(stream, "user_id", "ts_s", steps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["checkpoint"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_csv(
+            f"{dirs['landing']}/b2.csv",
+            [("u1", 40, "click"), ("u1", 50, "purchase"), ("u2", 60, "error")],
+            header="user_id,ts_s,event_type",
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select * from funnel_stream"
+        ).collect()
+    finally:
+        q.stop()
+    # latest state per user
+    latest = {}
+    for r in rows:
+        cur = latest.get(r.user_id)
+        if cur is None or r.furthest_step > cur.furthest_step:
+            latest[r.user_id] = r
+    assert latest["u1"].furthest_step == 3
+    assert (latest["u1"].t_view, latest["u1"].t_click, latest["u1"].t_purchase) == (10, 40, 50)
+    # u2's click at 20 precedes the view at 30: must NOT count
+    assert latest["u2"].furthest_step == 1 and latest["u2"].t_click is None
+
+    # batch-op equivalence on the full landed data
+    import pyspark.sql.functions as Fx
+    from azuredataengineering_deeplearning_spark.operators import windows as W
+
+    landed = (
+        spark.read.format("csv")
+        .schema("user_id string, ts_s long, event_type string")
+        .option("header", "true")
+        .load(dirs["landing"])
+    )
+    batch = {r.user_id: r for r in W.funnel_progress(
+        landed, "user_id", "ts_s",
+        [(n, Fx.col("event_type") == v) for n, v in steps],
+    ).collect()}
+    assert batch["u1"].furthest_step == 3 and batch["u2"].furthest_step == 1
+    assert (batch["u1"].t_view, batch["u1"].t_click, batch["u1"].t_purchase) == (10, 40, 50)
