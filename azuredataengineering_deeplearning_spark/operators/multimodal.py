@@ -225,3 +225,78 @@ def frame_sample(
             )
 
     return fan.mapInPandas(run, schema)
+
+
+def image_dimensions(
+    df: DataFrame,
+    bin_col: str,
+    out_prefix: str = "img_",
+) -> DataFrame:
+    """Codec-free image metadata: parse width/height/bit-depth straight
+    from the container headers — PNG IHDR, JPEG SOFn markers, GIF
+    logical screen descriptor — no imaging library involved, so this
+    path is REAL in this container (unlike pixel decode, which stays a
+    pluggable codec). The pre-decode size/aspect filter every image
+    pipeline runs first: drop icons and monsters before paying for
+    decode.
+
+    Arrow-batched ``mapInPandas``; unknown/corrupt containers yield
+    nulls rather than failing the scan. Appends ``<prefix>format/
+    width/height/bits``."""
+    import pandas as pd
+
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + f", {out_prefix}format string, {out_prefix}width int,"
+        + f" {out_prefix}height int, {out_prefix}bits int"
+    )
+
+    def parse(b) -> tuple:
+        if b is None:
+            return (None, None, None, None)
+        b = bytes(b)
+        try:
+            if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+                w = int.from_bytes(b[16:20], "big")
+                h = int.from_bytes(b[20:24], "big")
+                return ("png", w, h, b[24])
+            if b[:3] == b"\xff\xd8\xff":
+                i, n = 2, len(b)
+                while i + 9 < n:
+                    if b[i] != 0xFF:
+                        i += 1
+                        continue
+                    marker = b[i + 1]
+                    if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                        i += 2
+                        continue
+                    seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                        bits = b[i + 4]
+                        h = int.from_bytes(b[i + 5 : i + 7], "big")
+                        w = int.from_bytes(b[i + 7 : i + 9], "big")
+                        return ("jpeg", w, h, bits)
+                    i += 2 + seg_len
+                return ("jpeg", None, None, None)
+            if b[:6] in (b"GIF87a", b"GIF89a"):
+                w = int.from_bytes(b[6:8], "little")
+                h = int.from_bytes(b[8:10], "little")
+                return ("gif", w, h, (b[10] & 0x07) + 1)
+        except (IndexError, ValueError):
+            pass
+        return (None, None, None, None)
+
+    cols = [f"{out_prefix}format", f"{out_prefix}width", f"{out_prefix}height", f"{out_prefix}bits"]
+
+    def fn(batches):
+        for pdf in batches:
+            parsed = [parse(v) for v in pdf[bin_col]]
+            for j, c in enumerate(cols):
+                vals = [p[j] for p in parsed]
+                pdf[c] = pd.Series(
+                    vals, index=pdf.index,
+                    dtype="object" if j == 0 else "Int32",
+                )
+            yield pdf
+
+    return df.mapInPandas(fn, schema=schema)

@@ -113,3 +113,31 @@ def test_frame_sample_plumbing(spark):
 
     with pt.raises(NotImplementedError):
         MM.frame_sample(df, "content", "vid", "n_frames")
+
+
+def test_image_dimensions_from_headers(spark):
+    import struct
+    import zlib
+    from azuredataengineering_deeplearning_spark.operators import multimodal as MM
+
+    # handcraft a minimal PNG header (signature + IHDR chunk)
+    ihdr = struct.pack(">II", 640, 480) + bytes([8, 2, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    # minimal JPEG: SOI + APP0 stub + SOF0 with 8-bit 320x200
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 200, 320) + bytes([1, 0x11, 0])
+    jpeg = b"\xff\xd8\xff" + b"\xe0" + struct.pack(">H", 4) + b"JF" + sof0
+    gif = b"GIF89a" + struct.pack("<HH", 16, 32) + bytes([0xF7, 0, 0])
+    junk = b"not an image"
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpeg)), (3, bytearray(gif)), (4, bytearray(junk))],
+        "id int, blob binary",
+    )
+    out = {r.id: r for r in MM.image_dimensions(df, "blob").collect()}
+    assert (out[1].img_format, out[1].img_width, out[1].img_height, out[1].img_bits) == ("png", 640, 480, 8)
+    assert (out[2].img_format, out[2].img_width, out[2].img_height) == ("jpeg", 320, 200)
+    assert (out[3].img_format, out[3].img_width, out[3].img_height, out[3].img_bits) == ("gif", 16, 32, 8)
+    assert out[4].img_format is None and out[4].img_width is None
