@@ -300,3 +300,79 @@ def image_dimensions(
             yield pdf
 
     return df.mapInPandas(fn, schema=schema)
+
+
+def audio_metadata(
+    df: DataFrame,
+    bin_col: str,
+    out_prefix: str = "audio_",
+) -> DataFrame:
+    """Codec-free audio metadata: parse sample-rate/channels/bit-depth/
+    duration from WAV (RIFF fmt + data chunks) and FLAC (STREAMINFO)
+    headers — the audio sibling of :func:`image_dimensions`, real in
+    this container because no codec touches the samples. Pre-decode
+    filtering (drop 8 kHz mono phone audio, cap durations) happens
+    here, before any expensive decode stage. Unknown containers yield
+    nulls. Appends ``<prefix>format/sample_rate/channels/bits/
+    duration_s``."""
+    import pandas as pd
+
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + f", {out_prefix}format string, {out_prefix}sample_rate int,"
+        + f" {out_prefix}channels int, {out_prefix}bits int,"
+        + f" {out_prefix}duration_s double"
+    )
+
+    def parse(b):
+        if b is None:
+            return (None,) * 5
+        b = bytes(b)
+        try:
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                i, n = 12, len(b)
+                rate = ch = bits = None
+                data_len = None
+                while i + 8 <= n:
+                    cid = b[i : i + 4]
+                    clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                    if cid == b"fmt ":
+                        ch = int.from_bytes(b[i + 10 : i + 12], "little")
+                        rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                        bits = int.from_bytes(b[i + 22 : i + 24], "little")
+                    elif cid == b"data":
+                        data_len = clen
+                    i += 8 + clen + (clen & 1)
+                dur = (
+                    data_len / (rate * ch * bits / 8)
+                    if data_len and rate and ch and bits
+                    else None
+                )
+                return ("wav", rate, ch, bits, dur)
+            if b[:4] == b"fLaC" and len(b) >= 42 and (b[4] & 0x7F) == 0:
+                # STREAMINFO: bytes 18-20 hold rate(20b)+ch(3b)+bits(5b-1)
+                bits20 = int.from_bytes(b[18:21], "big")
+                rate = bits20 >> 4
+                ch = ((bits20 >> 1) & 0x07) + 1
+                depth = ((bits20 & 0x01) << 4 | (b[21] >> 4)) + 1
+                samples = ((b[21] & 0x0F) << 32) | int.from_bytes(b[22:26], "big")
+                dur = samples / rate if rate and samples else None
+                return ("flac", rate, ch, depth, dur)
+        except (IndexError, ValueError, ZeroDivisionError):
+            pass
+        return (None,) * 5
+
+    cols = [
+        f"{out_prefix}format", f"{out_prefix}sample_rate",
+        f"{out_prefix}channels", f"{out_prefix}bits", f"{out_prefix}duration_s",
+    ]
+
+    def fn(batches):
+        for pdf in batches:
+            parsed = [parse(v) for v in pdf[bin_col]]
+            for j, c in enumerate(cols):
+                dtype = "object" if j == 0 else ("Int32" if j < 4 else "float64")
+                pdf[c] = pd.Series([p[j] for p in parsed], index=pdf.index, dtype=dtype)
+            yield pdf
+
+    return df.mapInPandas(fn, schema=schema)

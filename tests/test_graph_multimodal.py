@@ -141,3 +141,25 @@ def test_image_dimensions_from_headers(spark):
     assert (out[2].img_format, out[2].img_width, out[2].img_height) == ("jpeg", 320, 200)
     assert (out[3].img_format, out[3].img_width, out[3].img_height, out[3].img_bits) == ("gif", 16, 32, 8)
     assert out[4].img_format is None and out[4].img_width is None
+
+
+def test_audio_metadata_wav_header(spark):
+    import struct
+    from azuredataengineering_deeplearning_spark.operators import multimodal as MM
+
+    rate, ch, bits, n_samples = 16000, 1, 16, 16000 * 3  # 3 s mono
+    data_len = n_samples * ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", data_len)  # header only, no samples needed
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"zzzz"))], "id int, blob binary"
+    )
+    out = {r.id: r for r in MM.audio_metadata(df, "blob").collect()}
+    r = out[1]
+    assert (r.audio_format, r.audio_sample_rate, r.audio_channels, r.audio_bits) == ("wav", 16000, 1, 16)
+    assert abs(r.audio_duration_s - 3.0) < 1e-9
+    assert out[2].audio_format is None
