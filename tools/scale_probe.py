@@ -305,6 +305,39 @@ def main() -> None:
         results["dsir_scores_xxhash"] = t
         print(json.dumps({"probe": "dsir_scores_xxhash", "docs": args.docs, "sec": t}))
 
+        # ---- event-sequence ops over the 20M-row skewed events --------
+        from azuredataengineering_deeplearning_spark.operators import windows as WIN
+
+        labeled = ev.withColumn(
+            "etype",
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("buy")),
+                (F.pmod(F.col("ts"), 3) + 1).cast("int"),
+            ),
+        )
+        t, _ = timed(
+            lambda: WIN.event_transitions(
+                labeled, "user_id", "ts", "etype"
+            ).count()
+        )
+        results["event_transitions"] = t
+        print(json.dumps({"probe": "event_transitions", "rows": args.rows, "sec": t}))
+
+        t, _ = timed(
+            lambda: WIN.funnel_progress(
+                labeled,
+                "user_id",
+                "ts",
+                [
+                    ("view", F.col("etype") == "view"),
+                    ("click", F.col("etype") == "click"),
+                    ("buy", F.col("etype") == "buy"),
+                ],
+            ).count()
+        )
+        results["funnel_progress"] = t
+        print(json.dumps({"probe": "funnel_progress", "rows": args.rows, "sec": t}))
+
     print(
         json.dumps(
             {
