@@ -181,3 +181,23 @@ def g_unpivot(spark, sf_dir):
         F.col("c_nationkey").cast("double").alias("nationkey"),
     )
     return G.unpivot_long(wide, ["c_custkey"], ["acctbal", "nationkey"])
+
+
+@query(
+    "g_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def g_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS — exactly the requested grains in ONE
+    Expand + shuffle (no per-grain jobs)."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return G.grouping_sets_agg(
+        o,
+        [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"]],
+        [F.count(F.lit(1)).alias("n")],
+    )

@@ -58,3 +58,23 @@ def unpivot_long(
     (id row, value column). Native ``unpivot`` — a map-side stack
     expression, no shuffle, no UDF; the inverse of :func:`pivot_agg`."""
     return df.unpivot(list(ids), list(value_cols), var_name, value_name)
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form of rollup/cube): one
+    aggregation computing exactly the requested grain combinations —
+    Spark expands to a single Expand + one shuffle, NOT one job per
+    grain. Keys absent from a set come back null (standard SQL
+    semantics)."""
+    all_keys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in all_keys:
+                all_keys.append(k)
+    return df.groupingSets(
+        [list(s) for s in sets], *[F.col(k) for k in all_keys]
+    ).agg(*aggs)
