@@ -323,3 +323,22 @@ def test_event_transitions_counts_and_probs(spark):
     assert abs(out[("a", "b")].prob - 0.5) < 1e-12
     assert out[("b", "a")].prob == 1.0
     assert ("a", "a") not in out  # no cross-user pair (u1 end -> u2 start)
+
+
+def test_event_transitions_skew_safe_equals_window_path(spark):
+    import datetime as dt
+    from azuredataengineering_deeplearning_spark.operators import windows as W
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = []
+    # hot key with a long sequence + several small keys
+    for i in range(40):
+        rows.append(("hot", t(i), 100 + i, ["a", "b", "c"][i % 3]))
+    for u in ("u1", "u2"):
+        rows += [(u, t(0), 1, "a"), (u, t(1), 2, "b")]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, eid int, e string")
+    plain = {(r.from_event, r.to_event): (r.n, round(r.prob, 12)) for r in
+             W.event_transitions(df, "u", "ts", "e", "eid").collect()}
+    safe = {(r.from_event, r.to_event): (r.n, round(r.prob, 12)) for r in
+            W.event_transitions_skew_safe(df, "u", "ts", "e", "eid").collect()}
+    assert plain == safe
