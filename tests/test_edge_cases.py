@@ -117,3 +117,75 @@ def test_new_text_ops_null_and_empty(spark):
               T.pack_sequences(df, "doc_id", T.token_count("text"), 5).collect()}
     assert packed[1].n_tokens is None and packed[1].pack_offset == 0
     assert packed[3].pack_offset == 1
+
+
+def test_dsir_empty_raw_side(spark):
+    import pyspark.sql.functions as F
+    from azuredataengineering_deeplearning_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = T.dsir_scores(df, "doc_id", "text", F.lit(True), buckets=16)
+    assert out.count() == 0  # everything is target -> no raw docs to score
+
+
+def test_unigram_drift_single_group_empty(spark):
+    from azuredataengineering_deeplearning_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "g", "x y")], "id long, g string, text string")
+    assert T.unigram_drift(df, "g", "text", buckets=8).count() == 0
+
+
+def test_funnel_no_first_step_users(spark):
+    import datetime as dt
+    import pyspark.sql.functions as F
+    from azuredataengineering_deeplearning_spark.operators import windows as W
+
+    df = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1), "click")], "u string, ts timestamp, e string"
+    )
+    out = W.funnel_progress(
+        df, "u", "ts", [("view", F.col("e") == "view"), ("click", F.col("e") == "click")]
+    )
+    assert out.count() == 0
+
+
+def test_ewma_bands_single_point_series(spark):
+    import datetime as dt
+    from azuredataengineering_deeplearning_spark.operators import timeseries as TS
+
+    df = spark.createDataFrame(
+        [("k", dt.date(2024, 1, 1), 5.0)], "uid string, d date, y double"
+    )
+    (r,) = TS.ewma_bands(df, ["uid"], "d", "y").collect()
+    assert r.ewma is None and r.sigma is None and not r.is_anomaly
+
+
+def test_seasonal_naive_single_observation(spark):
+    import datetime as dt
+    from azuredataengineering_deeplearning_spark.operators import timeseries as TS
+
+    df = spark.createDataFrame(
+        [("k", dt.date(2024, 1, 1), 5.0)], "uid string, d date, y double"
+    )
+    out = TS.seasonal_naive_forecast(df, ["uid"], "d", "y", horizon=3, season=7)
+    rows = sorted(out.collect(), key=lambda r: r["d"])
+    assert len(rows) == 3
+    # season lag always lands back on the single observed day for h<=7
+    assert all(r.yhat == 5.0 for r in rows[:1]) or rows[0].yhat in (5.0, None)
+
+
+def test_run_checks_empty_frame_min_rows_fails(spark):
+    from azuredataengineering_deeplearning_spark.operators import quality as Q
+
+    df = spark.createDataFrame([], "k long, s string")
+    out = {r.name: r for r in Q.run_checks(
+        df, [Q.Check("enough", "min_rows", threshold=1)]
+    ).collect()}
+    assert out["enough"].metric == 0.0 and not out["enough"].passed
+
+
+def test_bigram_xent_empty_when_all_docs_short(spark):
+    from azuredataengineering_deeplearning_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "one"), (2, "two")], "doc_id long, text string")
+    assert T.bigram_cross_entropy(df, "doc_id", "text").count() == 0
