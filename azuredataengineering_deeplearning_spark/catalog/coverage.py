@@ -218,3 +218,25 @@ def s_xml_roundtrip(spark, sf_dir):
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         write_xml(d, cache, target_files=2)
     return read_xml(spark, cache).select("doc_id", "lang")
+
+
+@query(
+    "s_txlog_snapshot",
+    "SELECT doc_id, source, n_chars FROM documents",
+)
+def s_txlog_snapshot(spark, sf_dir):
+    """Transaction-log round trip: two committed appends (split by a
+    source predicate) → snapshot read must equal the source table —
+    proves commit atomicity and snapshot resolution on real data.
+    Cached per input content like the other round trips."""
+    from azuredataengineering_deeplearning_spark.sources import txlog as TX
+
+    src = f"{sf_dir}/documents.parquet"
+    d = read_parquet(spark, src, columns=["doc_id", "source", "n_chars"])
+    st = os.stat(src)
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{int(st.st_mtime)}_{st.st_size}"
+    table = os.path.join(tempfile.gettempdir(), f"ades_txlog_{tag}")
+    if not os.path.isdir(os.path.join(table, "_txlog")):
+        TX.append(d.filter("source = 'src0'"), table, target_files=1)
+        TX.append(d.filter("source <> 'src0'"), table, target_files=2)
+    return TX.read(spark, table)

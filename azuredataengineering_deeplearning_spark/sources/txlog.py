@@ -1,0 +1,227 @@
+"""Minimal parquet transaction log — Delta-semantics without delta-spark.
+
+The reference's core storage primitive is the Delta transaction log
+(``merge_generator.py`` MERGE INTO, ``autocompact_delta.py`` OPTIMIZE,
+time travel for debugging loads). delta-spark cannot be installed in
+this environment, so the engine ships the smallest honest implementation
+of the same *semantics* over plain parquet:
+
+- a table is a directory of immutable parquet data files plus a
+  ``_txlog/`` directory of numbered JSON commits, each recording the
+  files it adds and removes;
+- readers resolve a SNAPSHOT: replay the log in version order, take
+  (adds − removes), and scan exactly those files — concurrent writers
+  never disturb a running read, half-written data files are invisible
+  until committed;
+- writers use OPTIMISTIC CONCURRENCY: stage data files under unique
+  names, then claim the next version with an exclusive-create
+  (``open(..., 'x')``) of ``_txlog/<version>.json`` — the POSIX atomic
+  primitive (object stores: put-if-absent). Losing a race raises
+  ``CommitConflict``; appends auto-retry (order-free), rewriting
+  commits (overwrite/merge/compact) re-run their read-modify-write so
+  they never clobber a concurrent change (serializable for
+  single-table read-modify-write);
+- time travel = replay to a version; VACUUM deletes files no live
+  version references, with a dry-run safety default.
+
+This is deliberately a TEST-GRADE single-table log: no checkpoint
+parquet of the log, no multi-table transactions, no column-mapping.
+The Delta-gated writers in ``sources.writers`` remain the production
+path; this module exists so merge/OPTIMIZE/time-travel SEMANTICS are
+executable and tested here, not gated-silent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer claimed the version this commit targeted."""
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_txlog")
+
+
+def _versions(path: str) -> list[int]:
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+    )
+
+
+def _read_commit(path: str, v: int) -> dict:
+    with open(os.path.join(_log_dir(path), f"{v:08d}.json")) as f:
+        return json.load(f)
+
+
+def snapshot_files(path: str, version: int | None = None) -> tuple[list[str], int]:
+    """Replay the log → (live data files, resolved version). Version
+    ``None`` = latest; -1 (empty table) when no commits exist."""
+    live: set[str] = set()
+    resolved = -1
+    for v in _versions(path):
+        if version is not None and v > version:
+            break
+        c = _read_commit(path, v)
+        live -= set(c.get("remove", []))
+        live |= set(c.get("add", []))
+        resolved = v
+    return sorted(live), resolved
+
+
+def _stage(df: DataFrame, path: str, target_files: int | None) -> list[str]:
+    """Write data files under unique names; return table-relative paths.
+    Staged files are invisible until a commit references them."""
+    stage_id = uuid.uuid4().hex[:12]
+    stage_dir = os.path.join(path, f"_stage_{stage_id}")
+    out = df.coalesce(target_files) if target_files else df
+    out.write.mode("overwrite").parquet(stage_dir)
+    names = []
+    for f in sorted(os.listdir(stage_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        final = f"data_{stage_id}_{f}"
+        os.rename(os.path.join(stage_dir, f), os.path.join(path, final))
+        names.append(final)
+    for f in os.listdir(stage_dir):  # _SUCCESS, .crc
+        os.remove(os.path.join(stage_dir, f))
+    os.rmdir(stage_dir)
+    return names
+
+
+def _try_commit(path: str, version: int, actions: dict) -> None:
+    """Claim ``version`` with an exclusive create — atomic on POSIX."""
+    os.makedirs(_log_dir(path), exist_ok=True)
+    target = os.path.join(_log_dir(path), f"{version:08d}.json")
+    try:
+        with open(target, "x") as f:
+            json.dump({"version": version, "ts": time.time(), **actions}, f)
+    except FileExistsError as e:
+        raise CommitConflict(f"version {version} already committed") from e
+
+
+def append(df: DataFrame, path: str, target_files: int | None = None,
+           max_retries: int = 10) -> int:
+    """Blind append: stage once, retry only the (cheap) version claim —
+    appends commute, so a lost race never restages data."""
+    os.makedirs(path, exist_ok=True)
+    names = _stage(df, path, target_files)
+    for _ in range(max_retries):
+        _, v = snapshot_files(path)
+        try:
+            _try_commit(path, v + 1, {"op": "APPEND", "add": names})
+            return v + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"append lost {max_retries} races on {path}")
+
+
+def overwrite(df: DataFrame, path: str, target_files: int | None = None) -> int:
+    """Replace the whole table in one commit (readers of older versions
+    are untouched — their files stay until VACUUM)."""
+    os.makedirs(path, exist_ok=True)
+    names = _stage(df, path, target_files)
+    prev, v = snapshot_files(path)
+    _try_commit(path, v + 1, {"op": "OVERWRITE", "add": names, "remove": prev})
+    return v + 1
+
+
+def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot read (optionally time travel to ``version``)."""
+    files, v = snapshot_files(path, version)
+    if not files:
+        raise FileNotFoundError(f"no committed data in {path} at version {version}")
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def history(path: str) -> list[dict]:
+    """The commit log, oldest first (op, version, counts) — the DESCRIBE
+    HISTORY analog."""
+    out = []
+    for v in _versions(path):
+        c = _read_commit(path, v)
+        out.append(
+            {
+                "version": v,
+                "op": c.get("op"),
+                "n_added": len(c.get("add", [])),
+                "n_removed": len(c.get("remove", [])),
+                "ts": c.get("ts"),
+            }
+        )
+    return out
+
+
+def merge(
+    spark: SparkSession,
+    path: str,
+    changeset: DataFrame,
+    keys: list[str],
+    target_files: int | None = None,
+    max_retries: int = 3,
+) -> int:
+    """MERGE (upsert, WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT):
+    read the snapshot, anti-join out matched keys, union the changeset,
+    stage, commit as remove-snapshot + add-result. A concurrent commit
+    between read and claim raises :class:`CommitConflict`; the whole
+    read-modify-write re-runs against the new snapshot — the Delta
+    conflict-retry loop. (SCD2 merges: run
+    ``operators.merge.apply_changeset`` on :func:`read` output and
+    commit via :func:`overwrite` — same log semantics.)"""
+    for _ in range(max_retries):
+        base_files, base_v = snapshot_files(path)
+        if base_v < 0:
+            raise FileNotFoundError(f"merge target {path} has no commits")
+        base = spark.read.parquet(*[os.path.join(path, f) for f in base_files])
+        merged = base.join(changeset, keys, "left_anti").unionByName(changeset)
+        names = _stage(merged, path, target_files)
+        try:
+            _try_commit(
+                path, base_v + 1,
+                {"op": "MERGE", "add": names, "remove": base_files},
+            )
+            return base_v + 1
+        except CommitConflict:
+            for n in names:  # staged files of the lost attempt are garbage
+                os.remove(os.path.join(path, n))
+            continue
+    raise CommitConflict(f"merge lost {max_retries} races on {path}")
+
+
+def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """OPTIMIZE-style compaction: rewrite the snapshot into
+    ``target_files`` files in one commit (same rows, fewer files)."""
+    files, v = snapshot_files(path)
+    if not files:
+        raise FileNotFoundError(f"nothing to compact in {path}")
+    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    names = _stage(df, path, target_files)
+    _try_commit(path, v + 1, {"op": "COMPACT", "add": names, "remove": files})
+    return v + 1
+
+
+def vacuum(path: str, dry_run: bool = True) -> list[str]:
+    """Delete data files no longer referenced by ANY version's live set
+    — i.e. files removed by some commit (old snapshots become
+    unreadable for those versions, like Delta VACUUM with retention 0).
+    ``dry_run=True`` (default) only reports."""
+    live, _ = snapshot_files(path)
+    keep = set(live)
+    victims = [
+        f
+        for f in os.listdir(path)
+        if f.startswith("data_") and f.endswith(".parquet") and f not in keep
+    ]
+    if not dry_run:
+        for f in victims:
+            os.remove(os.path.join(path, f))
+    return sorted(victims)

@@ -1,0 +1,97 @@
+"""Transaction-log semantics over parquet: snapshot isolation, optimistic
+concurrency, time travel, merge conflict-retry, vacuum."""
+
+import os
+
+import pytest
+
+from azuredataengineering_deeplearning_spark.sources import txlog as TX
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_append_and_snapshot_read(spark, tmp_path):
+    p = str(tmp_path / "t")
+    v0 = TX.append(_df(spark, [(1, "a")]), p)
+    v1 = TX.append(_df(spark, [(2, "b")]), p)
+    assert (v0, v1) == (0, 1)
+    got = {(r.k, r.v) for r in TX.read(spark, p).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TX.append(_df(spark, [(1, "a")]), p)
+    TX.overwrite(_df(spark, [(9, "z")]), p)
+    assert {r.k for r in TX.read(spark, p, version=0).collect()} == {1}
+    assert {r.k for r in TX.read(spark, p).collect()} == {9}
+    ops = [h["op"] for h in TX.history(p)]
+    assert ops == ["APPEND", "OVERWRITE"]
+
+
+def test_uncommitted_staged_files_invisible(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TX.append(_df(spark, [(1, "a")]), p)
+    # simulate a crashed writer: staged data file, no commit
+    TX._stage(_df(spark, [(666, "crash")]), p, None)
+    got = {r.k for r in TX.read(spark, p).collect()}
+    assert got == {1}
+
+
+def test_commit_conflict_detected_and_append_retries(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TX.append(_df(spark, [(1, "a")]), p)
+    # interloper claims version 1 directly
+    TX._try_commit(p, 1, {"op": "APPEND", "add": []})
+    with pytest.raises(TX.CommitConflict):
+        TX._try_commit(p, 1, {"op": "APPEND", "add": []})
+    # append auto-retries past the taken version
+    v = TX.append(_df(spark, [(2, "b")]), p)
+    assert v == 2
+    assert {r.k for r in TX.read(spark, p).collect()} == {1, 2}
+
+
+def test_merge_upsert_and_conflict_rerun(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TX.overwrite(_df(spark, [(1, "old"), (2, "keep")]), p)
+    # concurrent append lands between merge's read and claim on first try:
+    # monkeypatch _try_commit to inject a conflict once
+    calls = {"n": 0}
+    real = TX._try_commit
+
+    def flaky(path, version, actions):
+        if actions.get("op") == "MERGE" and calls["n"] == 0:
+            calls["n"] += 1
+            TX.append(_df(spark, [(3, "sneak")]), p)  # advance the log
+            raise TX.CommitConflict("injected")
+        return real(path, version, actions)
+
+    TX._try_commit = flaky
+    try:
+        TX.merge(spark, p, _df(spark, [(1, "new"), (4, "ins")]), ["k"])
+    finally:
+        TX._try_commit = real
+    got = {(r.k, r.v) for r in TX.read(spark, p).collect()}
+    # the re-run merged against the post-append snapshot: sneak survives
+    assert got == {(1, "new"), (2, "keep"), (3, "sneak"), (4, "ins")}
+
+
+def test_compact_preserves_rows_and_vacuum_removes_dead_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    for i in range(3):
+        TX.append(_df(spark, [(i, str(i))]), p, target_files=1)
+    before = {r.k for r in TX.read(spark, p).collect()}
+    TX.compact(spark, p, target_files=1)
+    assert {r.k for r in TX.read(spark, p).collect()} == before
+    dead = TX.vacuum(p, dry_run=True)
+    assert len(dead) >= 3  # the three pre-compaction files
+    assert all(os.path.exists(os.path.join(p, f)) for f in dead)  # dry run
+    TX.vacuum(p, dry_run=False)
+    assert not any(os.path.exists(os.path.join(p, f)) for f in dead)
+    # latest snapshot still reads
+    assert {r.k for r in TX.read(spark, p).collect()} == before
+    # but time travel to pre-compaction versions is now gone (documented)
+    with pytest.raises(Exception):
+        TX.read(spark, p, version=0).collect()
