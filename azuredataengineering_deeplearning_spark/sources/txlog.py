@@ -176,25 +176,86 @@ def merge(
     read-modify-write re-runs against the new snapshot — the Delta
     conflict-retry loop. (SCD2 merges: run
     ``operators.merge.apply_changeset`` on :func:`read` output and
-    commit via :func:`overwrite` — same log semantics.)"""
+    commit via :func:`overwrite` — same log semantics.)
+
+    Schema evolution: changeset columns absent from the table are ADDED
+    (existing rows read null), the Delta ``mergeSchema`` behavior — the
+    drift-ALTER path of ``merge_generator.py``. Every merge commit also
+    writes a CHANGE DATA FEED file (``_change_type`` ∈ insert /
+    update_preimage / update_postimage), readable with
+    :func:`read_changes` for incremental downstream consumption."""
+    from pyspark.sql import functions as F
+
     for _ in range(max_retries):
         base_files, base_v = snapshot_files(path)
         if base_v < 0:
             raise FileNotFoundError(f"merge target {path} has no commits")
         base = spark.read.parquet(*[os.path.join(path, f) for f in base_files])
-        merged = base.join(changeset, keys, "left_anti").unionByName(changeset)
+        merged = base.join(changeset, keys, "left_anti").unionByName(
+            changeset, allowMissingColumns=True
+        )
         names = _stage(merged, path, target_files)
+        # CDF: preimages = matched base rows; post/insert = changeset rows
+        pre = base.join(changeset.select(*keys).distinct(), keys, "left_semi")
+        matched_keys = pre.select(*keys).distinct()
+        post = changeset.join(matched_keys, keys, "left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        ins = changeset.join(matched_keys, keys, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        cdf = (
+            pre.withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(post, allowMissingColumns=True)
+            .unionByName(ins, allowMissingColumns=True)
+        )
+        cdf_names = _stage(cdf, path, None)
         try:
             _try_commit(
                 path, base_v + 1,
-                {"op": "MERGE", "add": names, "remove": base_files},
+                {"op": "MERGE", "add": names, "remove": base_files,
+                 "cdf": cdf_names},
             )
             return base_v + 1
         except CommitConflict:
-            for n in names:  # staged files of the lost attempt are garbage
+            for n in names + cdf_names:  # lost attempt's files are garbage
                 os.remove(os.path.join(path, n))
             continue
     raise CommitConflict(f"merge lost {max_retries} races on {path}")
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int = 0,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change-data-feed read: the per-row changes recorded by MERGE
+    commits in [from_version, to_version], each tagged with
+    ``_change_type`` and ``_commit_version`` — the incremental feed a
+    downstream table consumes instead of re-diffing snapshots."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = []
+    for v in _versions(path):
+        if v < from_version or (to_version is not None and v > to_version):
+            continue
+        c = _read_commit(path, v)
+        if c.get("cdf"):
+            parts.append(
+                spark.read.parquet(
+                    *[os.path.join(path, f) for f in c["cdf"]]
+                ).withColumn("_commit_version", F.lit(v))
+            )
+    if not parts:
+        raise FileNotFoundError(
+            f"no change data in {path} for versions [{from_version}, {to_version}]"
+        )
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
 
 
 def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
@@ -216,6 +277,8 @@ def vacuum(path: str, dry_run: bool = True) -> list[str]:
     ``dry_run=True`` (default) only reports."""
     live, _ = snapshot_files(path)
     keep = set(live)
+    for v in _versions(path):  # CDF files stay readable after vacuum
+        keep |= set(_read_commit(path, v).get("cdf", []))
     victims = [
         f
         for f in os.listdir(path)

@@ -95,3 +95,43 @@ def test_compact_preserves_rows_and_vacuum_removes_dead_files(spark, tmp_path):
     # but time travel to pre-compaction versions is now gone (documented)
     with pytest.raises(Exception):
         TX.read(spark, p, version=0).collect()
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TX.overwrite(_df(spark, [(1, "a"), (2, "b")]), p)
+    evolved = spark.createDataFrame(
+        [(2, "b2", 9.5), (3, "c", 1.5)], "k long, v string, score double"
+    )
+    TX.merge(spark, p, evolved, ["k"])
+    got = {r.k: (r.v, r.score) for r in TX.read(spark, p).collect()}
+    assert got == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.5)}
+
+
+def test_change_data_feed_types_and_versions(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TX.overwrite(_df(spark, [(1, "a"), (2, "b")]), p)          # v0
+    TX.merge(spark, p, _df(spark, [(2, "b2"), (3, "c")]), ["k"])  # v1
+    TX.merge(spark, p, _df(spark, [(4, "d")]), ["k"])             # v2
+    ch = TX.read_changes(spark, p, from_version=1).collect()
+    by = {(r._commit_version, r._change_type, r.k) for r in ch}
+    assert (1, "update_preimage", 2) in by
+    assert (1, "update_postimage", 2) in by
+    assert (1, "insert", 3) in by
+    assert (2, "insert", 4) in by
+    # preimage carries the OLD value
+    pre = [r for r in ch if r._change_type == "update_preimage"][0]
+    assert pre.v == "b"
+    # window filter works
+    only_v2 = TX.read_changes(spark, p, from_version=2).collect()
+    assert {r.k for r in only_v2} == {4}
+
+
+def test_vacuum_keeps_cdf_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TX.overwrite(_df(spark, [(1, "a")]), p)
+    TX.merge(spark, p, _df(spark, [(1, "a2")]), ["k"])
+    TX.vacuum(p, dry_run=False)
+    # CDF still readable after vacuum removed the replaced snapshot files
+    ch = TX.read_changes(spark, p).collect()
+    assert {r._change_type for r in ch} == {"update_preimage", "update_postimage"}
