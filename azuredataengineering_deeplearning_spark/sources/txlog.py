@@ -168,6 +168,7 @@ def merge(
     keys: list[str],
     target_files: int | None = None,
     max_retries: int = 3,
+    meta: dict | None = None,
 ) -> int:
     """MERGE (upsert, WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT):
     read the snapshot, anti-join out matched keys, union the changeset,
@@ -214,7 +215,7 @@ def merge(
             _try_commit(
                 path, base_v + 1,
                 {"op": "MERGE", "add": names, "remove": base_files,
-                 "cdf": cdf_names},
+                 "cdf": cdf_names, **(meta or {})},
             )
             return base_v + 1
         except CommitConflict:

@@ -87,3 +87,45 @@ def _latest_per_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def stream_upsert_txlog(
+    stream,
+    table_path: str,
+    keys: list[str],
+    checkpoint: str,
+):
+    """Streaming upsert into a transaction-logged parquet table —
+    exactly-once WITHOUT a side-channel marker: each micro-batch commits
+    as ONE txlog MERGE carrying its ``batch_id`` in the commit record,
+    and a replayed batch (crash between sink commit and checkpoint
+    acknowledgment) is detected by scanning the log for its id and
+    skipped — the applied-marker discipline of the rollup sink, unified
+    into the table's own log (the Delta ``txnAppId``/``txnVersion``
+    idempotent-writer pattern).
+
+    Returns the started StreamingQuery."""
+    from azuredataengineering_deeplearning_spark.sources import txlog as TX
+
+    def fold(batch_df, batch_id: int) -> None:
+        import os
+
+        applied = {
+            c.get("batch_id")
+            for v in TX._versions(table_path)
+            for c in [TX._read_commit(table_path, v)]
+        }
+        if batch_id in applied:
+            return  # replayed batch: already committed
+        spark = batch_df.sparkSession
+        if not os.path.isdir(os.path.join(table_path, "_txlog")):
+            TX.append(batch_df, table_path)
+            return
+        TX.merge(spark, table_path, batch_df, keys, meta={"batch_id": batch_id})
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
