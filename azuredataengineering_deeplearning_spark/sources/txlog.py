@@ -289,3 +289,95 @@ def vacuum(path: str, dry_run: bool = True) -> list[str]:
         for f in victims:
             os.remove(os.path.join(path, f))
     return sorted(victims)
+
+
+def _collect_stats(
+    spark: SparkSession, path: str, names: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file min/max for ``stats_cols`` — ONE job over the staged
+    files grouped by ``input_file_name`` (no per-file driver loop)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*[os.path.join(path, n) for n in names])
+    agg = (
+        df.withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(
+            *[F.min(c).alias(f"lo_{c}") for c in stats_cols],
+            *[F.max(c).alias(f"hi_{c}") for c in stats_cols],
+        )
+        .collect()
+    )
+    out = {}
+    for r in agg:
+        fname = os.path.basename(r["__f"])
+        out[fname] = {
+            c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in stats_cols
+        }
+    return out
+
+
+def append_with_stats(
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str],
+    target_files: int | None = None,
+) -> int:
+    """Append whose commit records per-file min/max for ``stats_cols``
+    — the Delta file-statistics analog that powers
+    :func:`read_skipping`. Stage once, stat in one job, commit."""
+    os.makedirs(path, exist_ok=True)
+    names = _stage(df, path, target_files)
+    stats = _collect_stats(df.sparkSession, path, names, stats_cols)
+    for _ in range(10):
+        _, v = snapshot_files(path)
+        try:
+            _try_commit(
+                path, v + 1, {"op": "APPEND", "add": names, "stats": stats}
+            )
+            return v + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"append lost 10 races on {path}")
+
+
+def read_skipping(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Stats-pruned snapshot read: scan ONLY files whose recorded
+    [min, max] for ``column`` overlaps [lo, hi] (files without stats
+    are conservatively read). Returns (DataFrame already filtered to
+    the range, {"scanned": n, "skipped": n}) so callers can assert the
+    pruning actually happened. The log replay merges each live file's
+    newest stats entry."""
+    from pyspark.sql import functions as F
+
+    live, _ = snapshot_files(path, version)
+    stats: dict = {}
+    for v in _versions(path):
+        if version is not None and v > version:
+            break
+        stats.update(_read_commit(path, v).get("stats", {}))
+    keep, skipped = [], 0
+    for f in live:
+        s = stats.get(f, {}).get(column)
+        if s is None:
+            keep.append(f)
+            continue
+        f_lo, f_hi = s
+        if f_lo is None or f_hi is None or (f_lo <= hi and f_hi >= lo):
+            keep.append(f)
+        else:
+            skipped += 1
+    if not keep:
+        empty = read(spark, path, version).filter(F.lit(False))
+        return empty, {"scanned": 0, "skipped": skipped}
+    df = spark.read.parquet(*[os.path.join(path, f) for f in keep]).filter(
+        F.col(column).between(lo, hi)
+    )
+    return df, {"scanned": len(keep), "skipped": skipped}

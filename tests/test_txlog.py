@@ -135,3 +135,25 @@ def test_vacuum_keeps_cdf_files(spark, tmp_path):
     # CDF still readable after vacuum removed the replaced snapshot files
     ch = TX.read_changes(spark, p).collect()
     assert {r._change_type for r in ch} == {"update_preimage", "update_postimage"}
+
+
+def test_file_stats_skipping(spark, tmp_path):
+    p = str(tmp_path / "t")
+    # three appends with disjoint key ranges -> three stat'd file sets
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(lo + i, "v") for i in range(10)], "k long, v string"
+        )
+        TX.append_with_stats(df, p, ["k"], target_files=1)
+    out, info = TX.read_skipping(spark, p, "k", 105, 107)
+    assert info["skipped"] == 2 and info["scanned"] == 1
+    assert sorted(r.k for r in out.collect()) == [105, 106, 107]
+    # out-of-range probe scans nothing
+    empty, info2 = TX.read_skipping(spark, p, "k", 900, 999)
+    assert info2["scanned"] == 0 and empty.count() == 0
+    # files written without stats are conservatively scanned
+    TX.append(
+        spark.createDataFrame([(500, "x")], "k long, v string"), p, target_files=1
+    )
+    _, info3 = TX.read_skipping(spark, p, "k", 105, 107)
+    assert info3["scanned"] == 2  # the matching file + the stats-less one
