@@ -240,3 +240,31 @@ def s_txlog_snapshot(spark, sf_dir):
         TX.append(d.filter("source = 'src0'"), table, target_files=1)
         TX.append(d.filter("source <> 'src0'"), table, target_files=2)
     return TX.read(spark, table)
+
+
+@query(
+    "s_txlog_skipping",
+    "SELECT doc_id, source, n_chars FROM documents WHERE n_chars BETWEEN 150 AND 300",
+)
+def s_txlog_skipping(spark, sf_dir):
+    """Stats-pruned transaction-log read: table committed as
+    range-clustered appends with per-file n_chars min/max; the range
+    read must return exactly the predicate rows while skipping
+    non-overlapping files (pruning itself asserted in pytest)."""
+    from azuredataengineering_deeplearning_spark.sources import txlog as TX
+
+    src = f"{sf_dir}/documents.parquet"
+    d = read_parquet(spark, src, columns=["doc_id", "source", "n_chars"])
+    st = os.stat(src)
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{int(st.st_mtime)}_{st.st_size}"
+    table = os.path.join(tempfile.gettempdir(), f"ades_txstats_{tag}")
+    if not os.path.isdir(os.path.join(table, "_txlog")):
+        med = d.approxQuantile("n_chars", [0.5], 0.01)[0]
+        TX.append_with_stats(
+            d.filter(F.col("n_chars") <= med), table, ["n_chars"], target_files=1
+        )
+        TX.append_with_stats(
+            d.filter(F.col("n_chars") > med), table, ["n_chars"], target_files=1
+        )
+    out, _ = TX.read_skipping(spark, table, "n_chars", 150, 300)
+    return out
