@@ -78,20 +78,31 @@ def snapshot_files(path: str, version: int | None = None) -> tuple[list[str], in
     return sorted(live), resolved
 
 
-def _stage(df: DataFrame, path: str, target_files: int | None) -> list[str]:
+def _stage(
+    df: DataFrame,
+    path: str,
+    target_files: int | None,
+    subdir: str | None = None,
+) -> list[str]:
     """Write data files under unique names; return table-relative paths.
-    Staged files are invisible until a commit references them."""
+    Staged files are invisible until a commit references them.
+    ``subdir`` routes the files into a table subdirectory (the CDF files
+    live under ``_cdf/`` so Structured Streaming can tail them as a
+    native file stream)."""
     stage_id = uuid.uuid4().hex[:12]
     stage_dir = os.path.join(path, f"_stage_{stage_id}")
     out = df.coalesce(target_files) if target_files else df
     out.write.mode("overwrite").parquet(stage_dir)
+    dest_dir = os.path.join(path, subdir) if subdir else path
+    os.makedirs(dest_dir, exist_ok=True)
     names = []
     for f in sorted(os.listdir(stage_dir)):
         if not f.endswith(".parquet"):
             continue
         final = f"data_{stage_id}_{f}"
-        os.rename(os.path.join(stage_dir, f), os.path.join(path, final))
-        names.append(final)
+        rel = f"{subdir}/{final}" if subdir else final
+        os.rename(os.path.join(stage_dir, f), os.path.join(path, rel))
+        names.append(rel)
     for f in os.listdir(stage_dir):  # _SUCCESS, .crc
         os.remove(os.path.join(stage_dir, f))
     os.rmdir(stage_dir)
@@ -210,7 +221,7 @@ def merge(
             .unionByName(post, allowMissingColumns=True)
             .unionByName(ins, allowMissingColumns=True)
         )
-        cdf_names = _stage(cdf, path, None)
+        cdf_names = _stage(cdf, path, None, subdir="_cdf")
         try:
             _try_commit(
                 path, base_v + 1,
@@ -284,7 +295,8 @@ def vacuum(path: str, dry_run: bool = True) -> list[str]:
         f
         for f in os.listdir(path)
         if f.startswith("data_") and f.endswith(".parquet") and f not in keep
-    ]
+    ]  # _cdf/ files are commit-referenced via their subdir path and
+    # never candidates here (top-level listing only)
     if not dry_run:
         for f in victims:
             os.remove(os.path.join(path, f))
@@ -381,3 +393,17 @@ def read_skipping(
         F.col(column).between(lo, hi)
     )
     return df, {"scanned": len(keep), "skipped": skipped}
+
+
+def stream_changes(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Native incremental CDF consumption: tail the table's ``_cdf/``
+    directory as a Structured Streaming file source — each MERGE's
+    change file becomes a micro-batch for downstream incremental
+    tables (silver→gold without re-diffing snapshots). Pass the change
+    schema explicitly (base columns + ``_change_type string``).
+
+    Delivery note: a merge that loses its commit race deletes its
+    staged change file, but a tailing reader may have already consumed
+    it — treat this stream as at-least-once and key downstream merges
+    idempotently (the same caveat Delta solves with commit-atomic CDF)."""
+    return spark.readStream.schema(schema).parquet(os.path.join(path, "_cdf"))

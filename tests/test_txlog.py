@@ -157,3 +157,32 @@ def test_file_stats_skipping(spark, tmp_path):
     )
     _, info3 = TX.read_skipping(spark, p, "k", 105, 107)
     assert info3["scanned"] == 2  # the matching file + the stats-less one
+
+
+def test_stream_changes_tails_cdf(spark, tmp_path):
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    TX.overwrite(_df(spark, [(1, "a"), (2, "b")]), table)
+    TX.merge(spark, table, _df(spark, [(2, "b2")]), ["k"])
+    stream = TX.stream_changes(
+        spark, table, "k long, v string, _change_type string"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdf_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("select * from cdf_stream").collect()
+        assert {(r.k, r._change_type) for r in first} == {
+            (2, "update_preimage"), (2, "update_postimage")
+        }
+        TX.merge(spark, table, _df(spark, [(3, "c")]), ["k"])
+        q.processAllAvailable()
+        second = spark.sql("select * from cdf_stream").collect()
+        assert (3, "insert") in {(r.k, r._change_type) for r in second}
+    finally:
+        q.stop()
