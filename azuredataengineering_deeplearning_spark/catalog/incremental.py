@@ -188,3 +188,74 @@ def cdc_partition_sync_plan(spark, sf_dir):
         o.filter(F.col("o_orderkey") % 11 != 0), ["o_orderpriority"], ["o_orderkey"]
     )
     return I.table_diff(left, right, ["o_orderpriority"])
+
+
+@query(
+    "inc_cdf_gold",
+    """
+    WITH changed AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM changed GROUP BY o_custkey
+    """,
+)
+def inc_cdf_gold(spark, sf_dir):
+    """The lakehouse capstone round trip: bronze orders land in a
+    transaction-logged table, a MERGE doubles the price of every 97th
+    order, and the GOLD per-customer revenue is maintained
+    INCREMENTALLY from the merge's change data feed — add postimages,
+    subtract preimages — never re-scanning bronze. The oracle recomputes
+    gold from scratch on the changed data; exact-decimal sums make the
+    incremental path bit-identical to the recompute."""
+    import os as _os
+    import tempfile as _tf
+
+    from azuredataengineering_deeplearning_spark.sources import txlog as TX
+
+    src = f"{sf_dir}/orders.parquet"
+    base = read_parquet(
+        spark, src, columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    st = _os.stat(src)
+    tag = f"{_os.path.basename(sf_dir.rstrip('/'))}_{int(st.st_mtime)}_{st.st_size}"
+    table = _os.path.join(_tf.gettempdir(), f"ades_cdfgold_{tag}")
+    if not _os.path.isdir(_os.path.join(table, "_txlog")):
+        TX.overwrite(base, table, target_files=4)
+        changeset = base.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        TX.merge(spark, table, changeset, ["o_orderkey"])
+    # gold state BEFORE the merge (from the pre-merge snapshot)...
+    gold0 = (
+        TX.read(spark, table, version=0)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("__t")
+        )
+    )
+    # ...maintained forward with ONLY the change feed
+    ch = TX.read_changes(spark, table, from_version=1)
+    signed = ch.withColumn(
+        "__d",
+        F.when(
+            F.col("_change_type") == "update_preimage",
+            -F.col("o_totalprice").cast("decimal(18,6)"),
+        ).otherwise(F.col("o_totalprice").cast("decimal(18,6)")),
+    )
+    delta = signed.groupBy("o_custkey").agg(F.sum("__d").alias("__d"))
+    return (
+        gold0.join(delta, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            (
+                F.col("__t") + F.coalesce(F.col("__d"), F.lit(0).cast("decimal(18,6)"))
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
