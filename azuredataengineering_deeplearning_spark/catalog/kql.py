@@ -415,3 +415,48 @@ def kql_conditional_aggs(spark, sf_dir):
         F.col("p50_value"),
         F.col("p95_value"),
     )
+
+
+@query(
+    "kql_top_hitters",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS approximate_sum_value
+    FROM events GROUP BY user_id
+    ORDER BY approximate_sum_value DESC, user_id LIMIT 10
+    """,
+)
+def kql_top_hitters(spark, sf_dir):
+    """`top-hitters 10 of user_id by value` — the heavy-hitters
+    operator (exact here; KQL column naming preserved)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = kql_to_df({"events": ev}, "events | top-hitters 10 of user_id by value")
+    return out.select(
+        "user_id", F.col("approximate_sum_value").cast("double")
+    )
+
+
+@query(
+    "kql_lookup_dim",
+    """
+    SELECT e.user_id, e.value, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def kql_lookup_dim(spark, sf_dir):
+    """`lookup` — KQL's dimension enrich (left outer against the
+    customer dim)."""
+    t = load_tables(spark, sf_dir, ["events", "customer"])
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = kql_to_df(
+        {"events": t["events"], "dim": dim},
+        "events | where event_type == 'purchase' | lookup dim on user_id"
+        " | project user_id, value, c_mktsegment",
+    )
+    return out

@@ -274,6 +274,28 @@ def kql_to_df(
                 [(c, t) for c, t in df.dtypes],
                 "ColumnName string, ColumnType string",
             )
+        elif op == "top-hitters":
+            # top-hitters N of Col [by SumCol] — heavy hitters; exact
+            # here (the KQL 'approximate_' naming is kept for parity)
+            m = re.match(r"^(\d+)\s+of\s+(\w+)(?:\s+by\s+(\w+))?$", rest)
+            if not m:
+                raise ValueError(f"top-hitters needs 'N of col [by col]': {rest!r}")
+            n, col, by = int(m.group(1)), m.group(2), m.group(3)
+            if by:
+                out = f"approximate_sum_{by}"
+                df = df.groupBy(col).agg(F.sum(by).alias(out))
+            else:
+                out = f"approximate_count_{col}"
+                df = df.groupBy(col).agg(F.count(F.lit(1)).alias(out))
+            df = df.orderBy(F.col(out).desc(), F.col(col)).limit(n)
+        elif op == "lookup":
+            # lookup Dim on key — KQL's dimension join (left outer)
+            m = re.match(r"^\(?\s*(\w+)\s*\)?\s+on\s+(.+)$", rest)
+            if not m:
+                raise ValueError(f"lookup needs 'table on keys': {rest!r}")
+            df = _join(
+                df, tables, f"kind=leftouter ({m.group(1)}) on {m.group(2)}"
+            )
         elif op == "union":
             name = rest.strip().strip("()")
             if name not in tables:
