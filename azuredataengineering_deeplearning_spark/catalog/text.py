@@ -852,3 +852,34 @@ def t_bigram_xent(spark, sf_dir):
     KenLM-style quality score, one corpus scan."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return T.bigram_cross_entropy(d, "doc_id", "text", lam=0.7)
+
+
+@query(
+    "t_pmi_collocations",
+    f"""
+    WITH t AS (SELECT {_SW} AS w FROM documents),
+    p AS (
+      SELECT unnest(flatten([
+               [{{'w1': w[i], 'w2': w[j]}}
+                for j in generate_series(i + 1, least(i + 5, len(w)))]
+               for i in generate_series(1, len(w) - 1)]),
+             recursive := true)
+      FROM t WHERE len(w) >= 2
+    ),
+    c_ab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM p GROUP BY 1, 2),
+    n AS (SELECT SUM(c_ab) AS nn FROM c_ab),
+    c_a AS (SELECT w1, SUM(c_ab) AS c_a FROM c_ab GROUP BY 1),
+    c_b AS (SELECT w2, SUM(c_ab) AS c_b FROM c_ab GROUP BY 1)
+    SELECT c_ab.w1, c_ab.w2, CAST(c_ab.c_ab AS BIGINT) AS c_ab,
+           ln((c_ab.c_ab * n.nn) / (c_a.c_a * c_b.c_b)) AS pmi
+    FROM c_ab JOIN c_a ON c_ab.w1 = c_a.w1
+    JOIN c_b ON c_ab.w2 = c_b.w2 CROSS JOIN n
+    WHERE c_ab.c_ab >= 5
+    ORDER BY pmi DESC, c_ab.w1, c_ab.w2 LIMIT 50
+    """,
+)
+def t_pmi_collocations(spark, sf_dir):
+    """Corpus collocations by windowed PMI (window=5, min count 5) —
+    the association-mining staple, linear pair fanout."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return T.pmi_collocations(d, "text", window=5, min_count=5, top_k=50)

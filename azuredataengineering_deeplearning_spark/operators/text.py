@@ -787,3 +787,65 @@ def bigram_cross_entropy(
         .groupBy(id_col)
         .agg((-F.sum(F.col("tf") * F.log(p)) / F.sum("tf")).alias(out))
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    window: int = 5,
+    min_count: int = 5,
+    top_k: int = 50,
+    sep: str = TOKEN_SPLIT,
+) -> DataFrame:
+    """Collocation mining: corpus-level pointwise mutual information
+    over windowed token co-occurrences —
+
+        ``PMI(a,b) = ln( c(a,b) · N / (c(a) · c(b)) )``
+
+    with c(a,b) counting ordered pairs within ``window`` tokens (the
+    linear-fanout formulation: ``window × n`` pairs per doc, never the
+    quadratic all-pairs), c(·) the token occurrence counts and N the
+    total pair count. High-PMI pairs are phrases; the association
+    signal behind keyphrase extraction and compound detection.
+
+    Returns the ``top_k`` pairs with ``c_ab ≥ min_count`` ordered by
+    PMI (token-pair tiebreak). Count tables are vocab-bounded
+    aggregates; the pair table is pinned because both marginals join
+    onto it."""
+    w = tokens(F.col(text_col), sep)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(0))),
+            lambda i: F.transform(
+                F.sequence(
+                    i + 1, F.least(i + window, F.size(w))
+                ),
+                lambda j: F.struct(
+                    F.element_at(w, i.cast("int")).alias("w1"),
+                    F.element_at(w, j.cast("int")).alias("w2"),
+                ),
+            ),
+        )
+    )
+    p = (
+        df.filter(F.size(w) >= 2)
+        .select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+    c_ab = p.groupBy("w1", "w2").agg(F.count("*").alias("c_ab")).persist()
+    n_tot = F.broadcast(c_ab.agg(F.sum("c_ab").alias("__n")))
+    c_a = c_ab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    c_b = c_ab.groupBy("w2").agg(F.sum("c_ab").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab") * F.col("__n"))
+        / (F.col("c_a") * F.col("c_b"))
+    )
+    return (
+        c_ab.filter(F.col("c_ab") >= min_count)
+        .join(c_a, "w1")
+        .join(c_b, "w2")
+        .crossJoin(n_tot)
+        .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )

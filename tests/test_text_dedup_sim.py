@@ -529,3 +529,16 @@ def test_bigram_xent_skips_single_token_docs(spark):
     )
     got = {r.doc_id for r in T.bigram_cross_entropy(df, "doc_id", "text").collect()}
     assert got == {2}
+
+
+def test_pmi_collocations_rank_exclusive_pair_highest(spark):
+    # "alpha beta" always co-occur exclusively; "x"/"y" appear everywhere
+    rows = [(i, "alpha beta x y x y") for i in range(10)]
+    rows += [(100 + i, "x y x y x y") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.pmi_collocations(df, "text", window=2, min_count=5, top_k=5).collect()
+    assert out, "collocations expected"
+    assert (out[0].w1, out[0].w2) == ("alpha", "beta")
+    # PMI of the exclusive pair strictly above the ubiquitous pair
+    ubi = [r for r in out if {r.w1, r.w2} == {"x", "y"}]
+    assert all(out[0].pmi > r.pmi for r in ubi)
