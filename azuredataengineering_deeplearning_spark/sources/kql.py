@@ -536,11 +536,15 @@ def _summarize(df: DataFrame, rest: str, now: str | None = None) -> DataFrame:
             else:  # bare expression key, e.g. bin(ts, 1h)
                 keys.append(F.expr(_expr(part, now)).alias(part.split("(")[0]))
 
-    # arg_max(rev, *): latest-row-per-group — the daily_eval.py:158 shape
-    m = re.match(r"^(?:(\w+)\s*=\s*)?arg_max\((\w+),\s*\*\)$", agg_part.strip())
+    # arg_max/arg_min(col, *): extreme-row-per-group — daily_eval.py:158
+    m = re.match(
+        r"^(?:(\w+)\s*=\s*)?arg_(max|min)\((\w+),\s*\*\)$", agg_part.strip()
+    )
     if m:
-        order = m.group(2)
-        w = Window.partitionBy(*keys).orderBy(F.col(order).desc())
+        order = F.col(m.group(3))
+        w = Window.partitionBy(*keys).orderBy(
+            order.desc() if m.group(2) == "max" else order.asc()
+        )
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

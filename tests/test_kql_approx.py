@@ -309,3 +309,30 @@ def test_kql_conditional_aggs_and_percentiles(spark):
     assert out["d"] == 2 and out["m"] == 3.0
     assert abs(out["a"] - 7.0 / 3) < 1e-12
     assert out["p100_v"] == 10.0
+
+
+def test_kql_arg_min_picks_earliest(spark, events):
+    out = kql_to_df(
+        {"events": events}, "events | summarize arg_min(event_id, *) by user_id"
+    )
+    # one row per user, and it carries the minimal event_id
+    import pyspark.sql.functions as Fx
+
+    expect = events.groupBy("user_id").agg(Fx.min("event_id").alias("m"))
+    joined = out.join(expect, "user_id")
+    assert joined.filter(Fx.col("event_id") != Fx.col("m")).count() == 0
+    assert out.count() == events.select("user_id").distinct().count()
+
+
+def test_kql_top_hitters_and_lookup_shapes(spark, events):
+    th = kql_to_df({"events": events}, "events | top-hitters 3 of event_type")
+    rows = th.collect()
+    assert len(rows) == 3 and rows[0].approximate_count_event_type >= rows[-1].approximate_count_event_type
+    dim = events.sparkSession.createDataFrame(
+        [("click", "engagement")], "event_type string, family string"
+    )
+    lk = kql_to_df(
+        {"events": events, "dim": dim},
+        "events | lookup dim on event_type | where family == 'engagement' | count",
+    ).collect()[0].Count
+    assert lk == events.filter("event_type = 'click'").count()
