@@ -164,3 +164,18 @@ def test_xml_roundtrip(spark, tmp_path):
     write_xml(df, p, target_files=1)
     back = read_xml(spark, p)
     assert sorted((r.k, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_catalog_registry_integrity():
+    """Safety net: a silent import failure in any catalog module would
+    shrink the registry; pin the floor and the oracle coverage shape."""
+    from azuredataengineering_deeplearning_spark import catalog as C
+
+    C.load_all()
+    assert len(C.QUERIES) >= 254, f"catalog shrank: {len(C.QUERIES)}"
+    assert len(C.ORACLES) >= 240
+    missing = set(C.ORACLES) - set(C.QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
+    # every oracle is non-empty SQL mentioning a registered view
+    for name, sql in C.ORACLES.items():
+        assert sql.strip(), name
