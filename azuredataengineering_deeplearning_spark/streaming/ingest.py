@@ -136,3 +136,79 @@ def run_until_drained(query: StreamingQuery, timeout_sec: float = 60.0) -> None:
     deadline = time.time() + timeout_sec
     while query.isActive and time.time() < deadline:
         time.sleep(0.1)
+
+
+class EvolvingIngest:
+    """Auto Loader ``addNewColumns`` semantics on OSS Spark, as a
+    GENERATION loop (``spark_stream.py`` runs under Databricks' built-in
+    version; the reference restarts the notebook on evolution):
+
+    each :meth:`run_generation` call (1) re-infers the landing dir's
+    merged schema, (2) widens the pinned schema if new columns appeared,
+    then (3) runs the stream with ``trigger(availableNow)`` to
+    completion against the SAME checkpoint. Because inference happens
+    BEFORE the generation starts, a file carrying new columns is never
+    consumed with the narrow schema — the race Auto Loader closes by
+    re-inferring per micro-batch is closed here at generation
+    granularity. Files ingested by earlier generations are not re-read,
+    so pre-evolution rows carry nulls in the new columns (Auto Loader's
+    backfill-free behavior).
+
+    Scale note: inference lists + samples the landing dir; on object
+    stores bound it with a recent-prefix glob, or maintain the schema in
+    a registry table and have the producer bump it explicitly."""
+
+    def __init__(
+        self,
+        spark,
+        landing: str,
+        checkpoint: str,
+        sink_fn,
+        fmt: str = "json",
+    ) -> None:
+        self.spark = spark
+        self.landing = landing
+        self.checkpoint = checkpoint
+        self.sink_fn = sink_fn
+        self.fmt = fmt
+        self.schema = None
+        self.generation = 0
+
+    def _infer(self):
+        return (
+            self.spark.read.format(self.fmt)
+            .option("mergeSchema", "true")
+            .load(self.landing)
+            .schema
+        )
+
+    def run_generation(self) -> bool:
+        """Widen the schema if needed, then ingest everything currently
+        landed. Returns True when this generation widened the schema."""
+        from pyspark.sql.types import StructType
+
+        new = self._infer()
+        widened = False
+        if self.schema is None:
+            self.schema = new
+        else:
+            have = {f.name for f in self.schema.fields}
+            extra = [f for f in new.fields if f.name not in have]
+            if extra:
+                self.schema = StructType(list(self.schema.fields) + extra)
+                widened = True
+        stream = (
+            self.spark.readStream.format(self.fmt)
+            .schema(self.schema)
+            .load(self.landing)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.sink_fn)
+            .option("checkpointLocation", self.checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        self.generation += 1
+        return widened

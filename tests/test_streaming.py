@@ -254,3 +254,38 @@ def test_stream_stream_join_watermarked(spark, tmp_path):
     assert rows == {("u1", 0, 30)}, rows
     # the streaming plan must be stateful with event-time watermarks
     assert "EventTimeWatermark" in joined._jdf.queryExecution().analyzed().toString()
+
+
+def test_evolving_ingest_widens_schema_across_generations(spark, tmp_path):
+    import json as _json
+    import os
+
+    from azuredataengineering_deeplearning_spark.streaming.ingest import (
+        EvolvingIngest,
+    )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(landing)
+    with open(f"{landing}/b1.json", "w") as f:
+        f.write(_json.dumps({"k": 1, "v": "a"}) + "\n")
+
+    def to_parquet(batch_df, batch_id):
+        batch_df.write.mode("append").option("mergeSchema", "true").parquet(sink)
+
+    ing = EvolvingIngest(spark, landing, ckpt, to_parquet)
+    assert ing.run_generation() is False  # first generation sets the schema
+    # a file with a NEW column lands; next generation widens BEFORE reading
+    with open(f"{landing}/b2.json", "w") as f:
+        f.write(_json.dumps({"k": 2, "v": "b", "extra": 9}) + "\n")
+    assert ing.run_generation() is True
+    assert ing.generation == 2
+    out = spark.read.option("mergeSchema", "true").parquet(sink)
+    rows = {r.k: r for r in out.collect()}
+    assert set(out.columns) >= {"k", "v", "extra"}
+    assert rows[1].extra is None  # pre-evolution row: null backfill
+    assert rows[2].extra == 9
+    # idempotence: a third generation with nothing new ingests nothing more
+    assert ing.run_generation() is False
+    assert spark.read.option("mergeSchema", "true").parquet(sink).count() == 2
