@@ -57,7 +57,9 @@ def plan_summary(df: DataFrame) -> dict:
     whether a cartesian product or a row-at-a-time Python eval
     (BatchEvalPython) appears, and which columns each parquet scan
     actually reads. Pure string analysis of the executed plan — free to
-    call, safe in CI asserts."""
+    call, safe in CI asserts. Under AQE the codegen span count is only
+    populated AFTER an action has run (the adaptive plan finalizes
+    codegen per stage) — call after `.count()` when you need it."""
     plan = executed_plan(df)
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     return {

@@ -212,7 +212,9 @@ def test_plan_summary_reports_shape(spark):
         spark, "/root/testdata/sf0.001/lineitem.parquet",
         columns=["l_returnflag", "l_quantity"],
     )
-    s = plan_summary(li.groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    df.count()  # AQE finalizes codegen only after an action
+    s = plan_summary(df)
     assert s["scans"] == 1 and s["shuffles"] == 1
     assert not s["cartesian"] and not s["python_row_eval"]
     assert s["scan_columns"] == [["l_quantity", "l_returnflag"]]  # pruned scan
