@@ -59,8 +59,12 @@ def plan_summary(df: DataFrame) -> dict:
     actually reads. Pure string analysis of the executed plan — free to
     call, safe in CI asserts. Under AQE the codegen span count is only
     populated AFTER an action has run (the adaptive plan finalizes
-    codegen per stage) — call after `.count()` when you need it."""
-    plan = executed_plan(df)
+    codegen per stage) — call after `.collect()` on the SAME DataFrame
+    when you need it (`.count()` builds a different plan and leaves
+    this one unexecuted)."""
+    # after execution AQE's toString appends an "== Initial Plan =="
+    # section — analyze only the final plan
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     return {
         "scans": plan.count("Scan parquet") + plan.count("Scan orc"),

@@ -213,7 +213,7 @@ def test_plan_summary_reports_shape(spark):
         columns=["l_returnflag", "l_quantity"],
     )
     df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
-    df.count()  # AQE finalizes codegen only after an action
+    df.collect()  # AQE finalizes codegen only after THIS plan executes
     s = plan_summary(df)
     assert s["scans"] == 1 and s["shuffles"] == 1
     assert not s["cartesian"] and not s["python_row_eval"]
