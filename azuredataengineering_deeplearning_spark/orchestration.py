@@ -104,3 +104,49 @@ def run_parallel(
                 f"{len(failed)} task(s) failed: {[f.name for f in failed]}"
             ) from failed[0].error
     return out
+
+
+def backfill_partitions(
+    spark,
+    build_fn: Callable,
+    path: str,
+    part_col: str,
+    partitions: list,
+    max_workers: int = 4,
+    policy: RetryPolicy | None = None,
+) -> dict[str, "TaskResult"]:
+    """Idempotent partition backfill: for each partition value, build its
+    DataFrame (``build_fn(spark, value)``) and land it with DYNAMIC
+    partition overwrite — a re-run (or a retry after a mid-flight
+    failure) replaces ONLY that partition, never truncating the table.
+    Partitions run on the bounded pool with per-partition retry — the
+    reference's parallel-notebook pattern applied to the classic
+    "reload these N days" operation.
+
+    Safety: each build's rows are filtered to its own partition value,
+    so a buggy ``build_fn`` can never cross-contaminate a neighboring
+    partition."""
+    from pyspark.sql import functions as F
+
+    from azuredataengineering_deeplearning_spark.sources.writers import (
+        write_parquet,
+    )
+
+    def make(value):
+        def task():
+            df = build_fn(spark, value).filter(F.col(part_col) == value)
+            write_parquet(
+                df,
+                path,
+                partition_by=[part_col],
+                dynamic_overwrite=True,
+            )
+            return value
+
+        return task
+
+    return run_parallel(
+        {str(v): make(v) for v in partitions},
+        max_workers=max_workers,
+        policy=policy,
+    )

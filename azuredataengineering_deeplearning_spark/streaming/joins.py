@@ -91,3 +91,42 @@ def stream_stream_join(
         if c not in keys
     ]
     return out.select(*keep, *lcols, *rcols)
+
+
+def stream_temporal_enrich(
+    stream: DataFrame,
+    dim_path: str,
+    keys,
+    fact_date_key: str,
+    checkpoint: str,
+    sink_fn,
+    prefix: str = "dim_",
+):
+    """Streaming SCD2 enrichment: every micro-batch of facts joins the
+    dimension version IN FORCE AT THE FACT'S DATE — the as-of fact-dim
+    join (`scd2_temporal_join`) run per batch via ``foreachBatch``,
+    with the dimension RE-READ each batch so upserts land mid-stream
+    (the static side of a stream-static join is otherwise planned
+    once). ``sink_fn(enriched_df, batch_id)`` receives the result.
+
+    Scale: the dim scan per batch is the price of freshness; at 100 TB
+    dims, snapshot the current+recent versions to a compact table and
+    point ``dim_path`` there."""
+    from azuredataengineering_deeplearning_spark.operators.scd import (
+        scd2_temporal_join,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        out = scd2_temporal_join(
+            batch_df, dim, list(keys), fact_date_key, prefix=prefix
+        )
+        sink_fn(out, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

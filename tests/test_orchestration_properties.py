@@ -342,3 +342,38 @@ def test_ewma_band_anomaly_consistency(spark, values):
         dev, band = abs(r.y - r.ewma), 2.0 * r.sigma
         assert r.is_anomaly == (dev > band)
         assert abs((r.hi - r.ewma) - (r.ewma - r.lo)) < 1e-9
+
+
+def test_backfill_partitions_idempotent_and_isolated(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from azuredataengineering_deeplearning_spark.orchestration import (
+        backfill_partitions,
+    )
+
+    path = str(tmp_path / "table")
+    # seed: two day-partitions
+    spark.createDataFrame(
+        [(1, "d1"), (2, "d2")], "v int, day string"
+    ).write.partitionBy("day").parquet(path)
+
+    calls = {"n": 0}
+
+    def build(s, day):
+        calls["n"] += 1
+        # buggy builder also emits a foreign partition row — must be filtered
+        return s.createDataFrame(
+            [(100 + calls["n"], day), (999, "d1")], "v int, day string"
+        )
+
+    res = backfill_partitions(spark, build, path, "day", ["d2", "d3"], max_workers=2)
+    assert all(r.ok for r in res.values())
+    got = {(r.day, r.v) for r in spark.read.parquet(path).collect()}
+    # d1 untouched (the 999 contamination row was filtered); d2 replaced; d3 added
+    assert ("d1", 1) in got and ("d1", 999) not in got
+    assert not {v for d, v in got if d == "d2"} & {2}
+    assert any(d == "d3" for d, _ in got)
+    # idempotence: re-running d3 leaves exactly one row set for d3
+    backfill_partitions(spark, build, path, "day", ["d3"])
+    d3 = [r for r in spark.read.parquet(path).collect() if r.day == "d3"]
+    assert len(d3) == 1

@@ -420,3 +420,45 @@ def test_stream_upsert_txlog_exactly_once_and_replay_skip(spark, dirs, tmp_path)
         TX.merge(spark, table, batch1, ["k"], meta={"batch_id": 1})
     assert TX._versions(table) == versions_before
     assert {r.k: r.v for r in TX.read(spark, table).collect()} == got
+
+
+def test_stream_temporal_enrich_picks_version_in_force(spark, dirs, tmp_path):
+    from azuredataengineering_deeplearning_spark.streaming.joins import (
+        stream_temporal_enrich,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    sink_path = str(tmp_path / "enriched")
+    # SCD2 dim: key 7 has two versions split at dateKey 20240110
+    spark.createDataFrame(
+        [
+            (7, 20240101, 20240109, "old_seg"),
+            (7, 20240110, 99991231, "new_seg"),
+        ],
+        "uid int, effectiveDate int, expirationDate int, segment string",
+    ).write.mode("overwrite").parquet(dim_path)
+
+    _write_csv(
+        f"{dirs['landing']}/b1.csv",
+        [(7, 20240105), (7, 20240115)],
+        header="uid,dk",
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("uid int, dk int")
+        .option("header", "true")
+        .load(dirs["landing"])
+    )
+
+    def sink(df, bid):
+        df.write.mode("append").parquet(sink_path)
+
+    q = stream_temporal_enrich(
+        stream, dim_path, ["uid"], "dk", dirs["checkpoint"], sink
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.dk: r.dim_segment for r in spark.read.parquet(sink_path).collect()}
+    assert got == {20240105: "old_seg", 20240115: "new_seg"}
