@@ -219,3 +219,39 @@ def test_plan_summary_reports_shape(spark):
     assert not s["cartesian"] and not s["python_row_eval"]
     assert s["scan_columns"] == [["l_quantity", "l_returnflag"]]  # pruned scan
     assert s["codegen_spans"] >= 1
+
+
+def test_runtime_bloom_filter_knob_injects_pruning(spark):
+    """The deployment knob documented in session.py: with runtime bloom
+    filters ON, a selective dim side injects a row-level filter into the
+    fact scan side of a shuffle join. Asserted here so the knob's
+    availability (and our default-off choice) stays a tested fact, not
+    folklore."""
+    from pyspark.sql import functions as F
+
+    from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+    conf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    old = spark.conf.get(conf, "false")
+    spark.conf.set(conf, "true")
+    # default 10GB application-side floor makes the rule a no-op on test
+    # data; zero it so the injection itself is what we assert
+    spark.conf.set(thr, "0")
+    # force a shuffle join so the bloom rule applies (broadcast joins skip it)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = read_parquet(spark, "/root/testdata/sf0.01/lineitem.parquet")
+        part = read_parquet(spark, "/root/testdata/sf0.01/part.parquet").filter(
+            F.col("p_size") == 1  # selective
+        )
+        df = li.join(part, li.l_partkey == part.p_partkey).groupBy(
+            "p_size"
+        ).count()
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower() or "BloomFilter" in plan, plan[:2000]
+    finally:
+        spark.conf.set(conf, old)
+        spark.conf.unset(thr)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
