@@ -48,7 +48,10 @@ LOCAL_PROFILE: dict[str, str] = {
     # (measured: TPC-H Q5 0.5s → 16s at sf0.001). Enable via
     # extra_conf on clusters with selective star joins.
     # (runtimeFilter.semiJoinReduction must stay off: on this Spark
-    # build it loops the optimizer on trivial plans.)
+    # build it loops the optimizer on trivial plans.) Note the rule
+    # also gates on applicationSideScanSizeThreshold (default 10 GB),
+    # so at bench scale it is inert unless that floor is lowered —
+    # tested in test_runtime_bloom_filter_knob_injects_pruning.
 }
 
 
