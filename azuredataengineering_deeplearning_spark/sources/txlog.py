@@ -136,13 +136,23 @@ def append(df: DataFrame, path: str, target_files: int | None = None,
     raise CommitConflict(f"append lost {max_retries} races on {path}")
 
 
-def overwrite(df: DataFrame, path: str, target_files: int | None = None) -> int:
+def overwrite(
+    df: DataFrame,
+    path: str,
+    target_files: int | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Replace the whole table in one commit (readers of older versions
-    are untouched — their files stay until VACUUM)."""
+    are untouched — their files stay until VACUUM). ``stats_cols``
+    records per-file min/max for :func:`read_skipping`."""
     os.makedirs(path, exist_ok=True)
     names = _stage(df, path, target_files)
+    actions = {"op": "OVERWRITE", "add": names}
+    if stats_cols:
+        actions["stats"] = _collect_stats(df.sparkSession, path, names, stats_cols)
     prev, v = snapshot_files(path)
-    _try_commit(path, v + 1, {"op": "OVERWRITE", "add": names, "remove": prev})
+    actions["remove"] = prev
+    _try_commit(path, v + 1, actions)
     return v + 1
 
 
@@ -270,15 +280,25 @@ def read_changes(
     )
 
 
-def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    stats_cols: list[str] | None = None,
+) -> int:
     """OPTIMIZE-style compaction: rewrite the snapshot into
-    ``target_files`` files in one commit (same rows, fewer files)."""
+    ``target_files`` files in one commit (same rows, fewer files).
+    Pass ``stats_cols`` to re-stat the compacted files — otherwise
+    :func:`read_skipping` reads them conservatively."""
     files, v = snapshot_files(path)
     if not files:
         raise FileNotFoundError(f"nothing to compact in {path}")
     df = spark.read.parquet(*[os.path.join(path, f) for f in files])
     names = _stage(df, path, target_files)
-    _try_commit(path, v + 1, {"op": "COMPACT", "add": names, "remove": files})
+    actions = {"op": "COMPACT", "add": names, "remove": files}
+    if stats_cols:
+        actions["stats"] = _collect_stats(spark, path, names, stats_cols)
+    _try_commit(path, v + 1, actions)
     return v + 1
 
 
@@ -407,3 +427,45 @@ def stream_changes(spark: SparkSession, path: str, schema) -> DataFrame:
     it — treat this stream as at-least-once and key downstream merges
     idempotently (the same caveat Delta solves with commit-atomic CDF)."""
     return spark.readStream.schema(schema).parquet(os.path.join(path, "_cdf"))
+
+
+def read_skipping_multi(
+    spark: SparkSession,
+    path: str,
+    ranges: dict,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Multi-predicate skipping read: keep files whose recorded
+    [min, max] overlaps EVERY ``{column: (lo, hi)}`` range (missing
+    stats on any column → conservatively kept), filter the survivors to
+    all ranges. Same contract as :func:`read_skipping`, conjunctive."""
+    from pyspark.sql import functions as F
+
+    live, _ = snapshot_files(path, version)
+    stats: dict = {}
+    for v in _versions(path):
+        if version is not None and v > version:
+            break
+        stats.update(_read_commit(path, v).get("stats", {}))
+    keep, skipped = [], 0
+    for f in live:
+        fs = stats.get(f, {})
+        drop = False
+        for col, (lo, hi) in ranges.items():
+            s = fs.get(col)
+            if s is None or s[0] is None or s[1] is None:
+                continue  # no stats → cannot exclude on this column
+            if s[0] > hi or s[1] < lo:
+                drop = True
+                break
+        if drop:
+            skipped += 1
+        else:
+            keep.append(f)
+    if not keep:
+        empty = read(spark, path, version).filter(F.lit(False))
+        return empty, {"scanned": 0, "skipped": skipped}
+    df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    for col, (lo, hi) in ranges.items():
+        df = df.filter(F.col(col).between(lo, hi))
+    return df, {"scanned": len(keep), "skipped": skipped}

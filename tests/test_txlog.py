@@ -186,3 +186,23 @@ def test_stream_changes_tails_cdf(spark, tmp_path):
         assert (3, "insert") in {(r.k, r._change_type) for r in second}
     finally:
         q.stop()
+
+
+def test_compact_restat_and_multi_column_skipping(spark, tmp_path):
+    p = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(lo + i, float(lo + i) / 10) for i in range(10)], "k long, x double"
+        )
+        TX.append_with_stats(df, p, ["k", "x"], target_files=1)
+    # multi-range: k in [100,109] AND x in [10.0, 10.5] → only middle file
+    out, info = TX.read_skipping_multi(spark, p, {"k": (100, 109), "x": (10.0, 10.5)})
+    assert info["skipped"] == 2 and info["scanned"] == 1
+    assert sorted(r.k for r in out.collect()) == [100, 101, 102, 103, 104, 105]
+    # compact WITH re-stat keeps skipping effective on the rewritten file
+    TX.compact(spark, p, target_files=1, stats_cols=["k", "x"])
+    out2, info2 = TX.read_skipping_multi(spark, p, {"k": (500, 600)})
+    assert info2["scanned"] == 0 and info2["skipped"] == 1
+    # and in-range reads still return the same rows after compaction
+    out3, _ = TX.read_skipping_multi(spark, p, {"k": (100, 109)})
+    assert out3.count() == 10
