@@ -883,3 +883,31 @@ def t_pmi_collocations(spark, sf_dir):
     the association-mining staple, linear pair fanout."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return T.pmi_collocations(d, "text", window=5, min_count=5, top_k=50)
+
+
+@query(
+    "t_script_profile",
+    """
+    WITH b AS (
+      SELECT doc_id, GREATEST(length(text), 1) AS n,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+             length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS space,
+             length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS other
+      FROM documents
+    )
+    SELECT doc_id,
+           latin * 1.0 / n AS frac_latin,
+           digit * 1.0 / n AS frac_digit,
+           space * 1.0 / n AS frac_space,
+           1.0 - latin * 1.0 / n - digit * 1.0 / n - space * 1.0 / n
+               - other * 1.0 / n AS frac_punct,
+           other * 1.0 / n AS frac_non_ascii
+    FROM b
+    """,
+)
+def t_script_profile(spark, sf_dir):
+    """Character-class (script-mix) profile per document — the routing
+    fingerprint for language pipelines and corruption detection."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", *T.script_profile("text"))

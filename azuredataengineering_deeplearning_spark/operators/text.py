@@ -849,3 +849,34 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(top_k)
     )
+
+
+def script_profile(
+    col: Column | str,
+    prefix: str = "frac_",
+) -> list[Column]:
+    """Per-document character-class profile: fractions of Latin letters,
+    digits, whitespace, punctuation/symbols, and other (non-ASCII —
+    CJK/Cyrillic/emoji land here) — the script-mix fingerprint used to
+    route documents to language-specific pipelines and catch
+    mojibake/binary-in-text corruption. Pure regexp counts over one
+    scan; returns five columns to splat into a select."""
+    c = _c(col)
+    n = F.greatest(F.length(c), F.lit(1))
+
+    def frac(pattern: str) -> Column:
+        return F.length(F.regexp_replace(c, pattern, "")) / n
+
+    # fraction REMOVED by deleting everything except the class
+    latin = (n - F.length(F.regexp_replace(c, "[A-Za-z]", ""))) / n
+    digit = (n - F.length(F.regexp_replace(c, "[0-9]", ""))) / n
+    space = (n - F.length(F.regexp_replace(c, r"\s", ""))) / n
+    other = (n - F.length(F.regexp_replace(c, "[^\\x00-\\x7F]", ""))) / n
+    punct = F.lit(1.0) - latin - digit - space - other
+    return [
+        latin.alias(f"{prefix}latin"),
+        digit.alias(f"{prefix}digit"),
+        space.alias(f"{prefix}space"),
+        punct.alias(f"{prefix}punct"),
+        other.alias(f"{prefix}non_ascii"),
+    ]

@@ -542,3 +542,20 @@ def test_pmi_collocations_rank_exclusive_pair_highest(spark):
     # PMI of the exclusive pair strictly above the ubiquitous pair
     ubi = [r for r in out if {r.w1, r.w2} == {"x", "y"}]
     assert all(out[0].pmi > r.pmi for r in ubi)
+
+
+def test_script_profile_classifies_mixed_content(spark):
+    df = spark.createDataFrame(
+        [(1, "abc 123 !?"), (2, "日本語テキスト"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", *T.script_profile("text")
+    ).collect()}
+    r1 = out[1]
+    assert abs(r1.frac_latin - 0.3) < 1e-9      # 3 of 10 chars
+    assert abs(r1.frac_digit - 0.3) < 1e-9
+    assert abs(r1.frac_space - 0.2) < 1e-9
+    assert abs(r1.frac_punct - 0.2) < 1e-9
+    assert out[2].frac_non_ascii == 1.0
+    assert out[3].frac_latin == 0.0  # empty doc guarded by GREATEST(n,1)
