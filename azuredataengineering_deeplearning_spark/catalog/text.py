@@ -889,7 +889,7 @@ def t_pmi_collocations(spark, sf_dir):
     "t_script_profile",
     """
     WITH b AS (
-      SELECT doc_id, GREATEST(length(text), 1) AS n,
+      SELECT doc_id, GREATEST(length(text), 1) AS n, length(text) AS tl,
              length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin,
              length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
              length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS space,
@@ -900,8 +900,8 @@ def t_pmi_collocations(spark, sf_dir):
            latin * 1.0 / n AS frac_latin,
            digit * 1.0 / n AS frac_digit,
            space * 1.0 / n AS frac_space,
-           1.0 - latin * 1.0 / n - digit * 1.0 / n - space * 1.0 / n
-               - other * 1.0 / n AS frac_punct,
+           tl * 1.0 / n - latin * 1.0 / n - digit * 1.0 / n
+               - space * 1.0 / n - other * 1.0 / n AS frac_punct,
            other * 1.0 / n AS frac_non_ascii
     FROM b
     """,

@@ -862,17 +862,14 @@ def script_profile(
     mojibake/binary-in-text corruption. Pure regexp counts over one
     scan; returns five columns to splat into a select."""
     c = _c(col)
-    n = F.greatest(F.length(c), F.lit(1))
-
-    def frac(pattern: str) -> Column:
-        return F.length(F.regexp_replace(c, pattern, "")) / n
-
-    # fraction REMOVED by deleting everything except the class
-    latin = (n - F.length(F.regexp_replace(c, "[A-Za-z]", ""))) / n
-    digit = (n - F.length(F.regexp_replace(c, "[0-9]", ""))) / n
-    space = (n - F.length(F.regexp_replace(c, r"\s", ""))) / n
-    other = (n - F.length(F.regexp_replace(c, "[^\\x00-\\x7F]", ""))) / n
-    punct = F.lit(1.0) - latin - digit - space - other
+    true_len = F.length(c)
+    n = F.greatest(true_len, F.lit(1))  # denominator only: empty → 0s
+    # count removed-by-class = true length minus post-removal length
+    latin = (true_len - F.length(F.regexp_replace(c, "[A-Za-z]", ""))) / n
+    digit = (true_len - F.length(F.regexp_replace(c, "[0-9]", ""))) / n
+    space = (true_len - F.length(F.regexp_replace(c, r"\s", ""))) / n
+    other = (true_len - F.length(F.regexp_replace(c, "[^\\x00-\\x7F]", ""))) / n
+    punct = (true_len / n) - latin - digit - space - other
     return [
         latin.alias(f"{prefix}latin"),
         digit.alias(f"{prefix}digit"),
