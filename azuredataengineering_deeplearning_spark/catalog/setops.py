@@ -229,3 +229,26 @@ def u_hash_weighted_sample(spark, sf_dir):
     return U.hash_weighted_sample(
         d, "doc_id", F.col("n_chars") / 600.0
     ).select("doc_id")
+
+
+@query(
+    "u_stratified_fixed",
+    """
+    SELECT o_orderkey, o_orderstatus FROM (
+      SELECT o_orderkey, o_orderstatus,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT),
+                        o_orderkey
+             ) AS r
+      FROM orders
+    ) WHERE r <= 20
+    """,
+)
+def u_stratified_fixed(spark, sf_dir):
+    """Deterministic stratified sample: exactly 20 orders per status by
+    portable hash rank — the engine-reproducible eval-set draw."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return U.stratified_fixed_sample(
+        o, "o_orderstatus", "o_orderkey", 20
+    ).select("o_orderkey", "o_orderstatus")

@@ -265,3 +265,32 @@ def temperature_mixture(
     return df.filter(
         _hash_bucket(key, buckets) < (rate_col * buckets).cast("long")
     )
+
+
+def stratified_fixed_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    out_rank: str | None = None,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
+    is smaller), chosen by PORTABLE HASH RANK: rows ordered by the
+    60-bit md5 of their key within each stratum, first n win. Unlike
+    ``sampleBy`` this is (a) exact-count, (b) engine-reproducible —
+    the same rows are drawn by DuckDB, a re-run, or a retried task —
+    and (c) stable under data growth: a row's rank only changes if
+    rows hashing lower join its stratum. One window shuffle on the
+    stratum key. The eval-set construction primitive."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    ranked = df.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= n_per_stratum
+    )
+    if out_rank:
+        return ranked.withColumnRenamed("__r", out_rank)
+    return ranked.drop("__r")

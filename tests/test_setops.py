@@ -136,3 +136,18 @@ def test_select_until_budget_greedy_prefix(spark):
     # en: doc1 (before=0) + doc2 (before=40) taken; doc3 (before=80) not;
     # de: doc4 taken (before=0 even though 100 > budget - greedy prefix)
     assert out == {1, 2, 4}
+
+
+def test_stratified_fixed_sample_exact_counts_and_determinism(spark):
+    from azuredataengineering_deeplearning_spark.operators import setops as U
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(100)] + [(1000, "c")]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = U.stratified_fixed_sample(df, "s", "k", 10)
+    counts = {r.s: r.n for r in out.groupBy("s").agg(__import__(
+        "pyspark.sql.functions", fromlist=["count"]
+    ).count("*").alias("n")).collect()}
+    assert counts == {"a": 10, "b": 10, "c": 1}  # small stratum: all rows
+    # determinism: same draw every run
+    again = {(r.k, r.s) for r in U.stratified_fixed_sample(df, "s", "k", 10).collect()}
+    assert {(r.k, r.s) for r in out.collect()} == again
