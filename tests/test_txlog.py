@@ -206,3 +206,21 @@ def test_compact_restat_and_multi_column_skipping(spark, tmp_path):
     # and in-range reads still return the same rows after compaction
     out3, _ = TX.read_skipping_multi(spark, p, {"k": (100, 109)})
     assert out3.count() == 10
+
+
+def test_concurrent_appends_serialize_without_lost_updates(spark, tmp_path):
+    from concurrent.futures import ThreadPoolExecutor
+
+    p = str(tmp_path / "t")
+    TX.append(_df(spark, [(999, "seed")]), p, target_files=1)
+
+    def worker(i):
+        return TX.append(_df(spark, [(i, "w")]), p, target_files=1)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(ex.map(worker, range(12)))
+    # every append claimed a distinct version; none lost
+    assert sorted(versions) == list(range(1, 13))
+    got = {r.k for r in TX.read(spark, p).collect()}
+    assert got == set(range(12)) | {999}
+    assert [h["version"] for h in TX.history(p)] == list(range(13))
