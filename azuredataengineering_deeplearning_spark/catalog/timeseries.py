@@ -544,3 +544,33 @@ def ts_cusum_changepoints(spark, sf_dir):
     return TS.cusum_changepoints(daily, ["user_id"], "d", "y").withColumnRenamed(
         "d", "ds"
     )
+
+
+@query(
+    "ts_rolling_corr",
+    f"""
+    WITH daily AS ({_DAILY_SQL}),
+    g AS (
+      SELECT d, CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS gy
+      FROM daily GROUP BY d
+    ),
+    j AS (SELECT daily.user_id, daily.d, daily.y, g.gy
+          FROM daily JOIN g ON daily.d = g.d)
+    SELECT user_id, d AS ds, y, gy,
+           CORR(y, gy) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW
+           ) AS corr
+    FROM j
+    """,
+)
+def ts_rolling_corr(spark, sf_dir):
+    """Rolling 14-day correlation of each user's daily series against
+    the corpus-wide daily total — the co-movement ('beta') monitor."""
+    daily = _daily(spark, sf_dir)
+    g = daily.groupBy("d").agg(
+        F.sum(F.col("y").cast("decimal(18,6)")).cast("double").alias("gy")
+    )
+    j = daily.join(g, "d")
+    out = TS.rolling_corr(j, ["user_id"], "d", "y", "gy", window=14)
+    return out.select("user_id", F.col("d").alias("ds"), "y", "gy", "corr")

@@ -691,3 +691,25 @@ def cusum_changepoints(
     return df.select(*kk, order_col, value_col).groupBy(*kk).applyInPandas(
         fn, schema=schema
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window: int = 30,
+    out: str = "corr",
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two columns per key
+    (the rolling-beta/co-movement monitor): ``corr(x, y)`` over the
+    last ``window`` rows ordered by ``order_col``. One window shuffle;
+    windows with < 2 points (or zero variance) yield null, matching
+    SQL ``CORR`` semantics on both engines."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    return df.withColumn(out, F.corr(x_col, y_col).over(w))

@@ -300,3 +300,21 @@ def test_cusum_statistics_nonnegative_and_reset(spark):
     i = alarm_idx[0]
     # statistic resets after the alarm: next point starts from 0 base
     assert out[i + 1].s_hi <= out[i].s_hi
+
+
+def test_rolling_corr_tracks_relationship(spark):
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    # y = 2*gy exactly -> corr 1; anti-phase key -> corr -1
+    rows = []
+    for i in range(10):
+        rows.append(("pos", base + dt.timedelta(days=i), 2.0 * i, float(i)))
+        rows.append(("neg", base + dt.timedelta(days=i), -3.0 * i, float(i)))
+    df = spark.createDataFrame(rows, "uid string, d date, y double, gy double")
+    out = TS.rolling_corr(df, ["uid"], "d", "y", "gy", window=5).collect()
+    last = {r.uid: r.corr for r in out if r["d"] == base + dt.timedelta(days=9)}
+    assert abs(last["pos"] - 1.0) < 1e-9
+    assert abs(last["neg"] + 1.0) < 1e-9
+    first = [r.corr for r in out if r["d"] == base]
+    assert all(c is None for c in first)  # single-point windows: null
