@@ -321,3 +321,45 @@ def dq_ref_integrity(spark, sf_dir):
     return Q.check_referential_integrity(
         t["orders"], "o_custkey", t["customer"], "c_custkey", name="orders_customer_fk"
     )
+
+
+@query(
+    "prof_psi_drift",
+    """
+    WITH base AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01' AND o_totalprice IS NOT NULL
+    ),
+    neww AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_totalprice IS NOT NULL
+    ),
+    e AS (
+      SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges
+      FROM base
+    ),
+    bb AS (SELECT len(list_filter(e.edges, x -> base.v > x)) AS b
+           FROM base CROSS JOIN e),
+    bn AS (SELECT len(list_filter(e.edges, x -> neww.v > x)) AS b
+           FROM neww CROSS JOIN e),
+    grid AS (SELECT unnest(generate_series(0, 9)) AS b),
+    cb AS (SELECT grid.b, COUNT(bb.b) AS c FROM grid
+           LEFT JOIN bb ON bb.b = grid.b GROUP BY grid.b),
+    cn AS (SELECT grid.b, COUNT(bn.b) AS c FROM grid
+           LEFT JOIN bn ON bn.b = grid.b GROUP BY grid.b),
+    tot AS (SELECT (SELECT SUM(c) FROM cb) AS nb, (SELECT SUM(c) FROM cn) AS nn)
+    SELECT SUM(((cn.c + 0.5) / (tot.nn + 0.5 * 10) - (cb.c + 0.5) / (tot.nb + 0.5 * 10))
+               * ln(((cn.c + 0.5) / (tot.nn + 0.5 * 10))
+                  / ((cb.c + 0.5) / (tot.nb + 0.5 * 10)))) AS psi,
+           CAST(MAX(tot.nb) AS BIGINT) AS n_base,
+           CAST(MAX(tot.nn) AS BIGINT) AS n_new
+    FROM cb JOIN cn ON cb.b = cn.b CROSS JOIN tot
+    """,
+)
+def prof_psi_drift(spark, sf_dir):
+    """PSI drift of o_totalprice between pre- and post-1996 orders —
+    base-quantile bins, Laplace-smoothed, one row out."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    base = o.filter(F.col("o_orderdate") < "1996-01-01")
+    new = o.filter(F.col("o_orderdate") >= "1996-01-01")
+    return P.psi(base, new, "o_totalprice", bins=10)

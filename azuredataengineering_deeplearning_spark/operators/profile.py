@@ -246,3 +246,70 @@ def profile_table(
         )
     wide = df.agg(*aggs)
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def psi(
+    base: DataFrame,
+    new: DataFrame,
+    column: str,
+    bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index — THE tabular drift metric between a
+    baseline and a new snapshot of a numeric column:
+
+        ``PSI = Σ_bins (p_new − p_base) · ln(p_new / p_base)``
+
+    with bin edges = the BASE period's exact quantiles (so the baseline
+    distributes ~uniformly across bins and drift shows as mass moving
+    between them) and add-``smoothing`` counts so empty bins never
+    produce log(0). Rule of thumb: <0.1 stable, 0.1–0.25 drifting,
+    >0.25 shifted.
+
+    Shape: one exact-percentile aggregate on base (edges are
+    O(bins) scalars on the driver — the bounded-collect pattern), one
+    map-only bucket assignment + count per side, one O(bins) join.
+    Returns a single row (psi, n_base, n_new)."""
+    probs = [i / bins for i in range(1, bins)]
+    edges = (
+        base.agg(
+            F.expr(
+                f"percentile({column}, array({', '.join(str(p) for p in probs)}))"
+            ).alias("__e")
+        ).collect()[0]["__e"]
+    )
+    earr = F.array(*[F.lit(float(e)) for e in edges])
+
+    def bucketed(df):
+        b = F.size(F.filter(earr, lambda e: F.col(column) > e))
+        return (
+            df.filter(F.col(column).isNotNull())
+            .select(b.alias("__b"))
+            .groupBy("__b")
+            .agg(F.count("*").alias("c"))
+        )
+
+    cb = bucketed(base).select(F.col("__b"), F.col("c").alias("cb"))
+    cn = bucketed(new).select(F.col("__b"), F.col("c").alias("cn"))
+    spark = base.sparkSession
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("__b"))
+    sm = F.lit(float(smoothing))
+    joined = (
+        grid.join(cb, "__b", "left")
+        .join(cn, "__b", "left")
+        .select(
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("cb").alias("nb"), F.sum("cn").alias("nn")
+    ).collect()[0]
+    nb, nn = tot["nb"], tot["nn"]
+    p = (F.col("cb") + sm) / (nb + sm * bins)
+    q = (F.col("cn") + sm) / (nn + sm * bins)
+    return joined.agg(
+        F.sum((q - p) * F.log(q / p)).alias("psi"),
+        F.lit(nb).cast("long").alias("n_base"),
+        F.lit(nn).cast("long").alias("n_new"),
+    )

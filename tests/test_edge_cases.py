@@ -189,3 +189,16 @@ def test_bigram_xent_empty_when_all_docs_short(spark):
 
     df = spark.createDataFrame([(1, "one"), (2, "two")], "doc_id long, text string")
     assert T.bigram_cross_entropy(df, "doc_id", "text").count() == 0
+
+
+def test_psi_zero_on_identical_and_positive_on_shift(spark):
+    from azuredataengineering_deeplearning_spark.operators import profile as P
+
+    base = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    same = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    (r,) = P.psi(base, same, "v", bins=10).collect()
+    assert abs(r.psi) < 1e-9  # identical distribution
+    assert r.n_base == 1000 and r.n_new == 1000
+    shifted = spark.range(1000).selectExpr("CAST(id % 100 + 60 AS DOUBLE) AS v")
+    (r2,) = P.psi(base, shifted, "v", bins=10).collect()
+    assert r2.psi > 0.25  # a 60-point shift is a 'major' PSI
