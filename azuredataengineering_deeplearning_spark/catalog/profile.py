@@ -363,3 +363,38 @@ def prof_psi_drift(spark, sf_dir):
     base = o.filter(F.col("o_orderdate") < "1996-01-01")
     new = o.filter(F.col("o_orderdate") >= "1996-01-01")
     return P.psi(base, new, "o_totalprice", bins=10)
+
+
+@query(
+    "dq_benford",
+    """
+    WITH pos AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    ),
+    d AS (
+      SELECT CAST(FLOOR(v / POWER(10.0, FLOOR(LOG10(v)))) AS INT) AS digit
+      FROM pos
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    e AS (
+      SELECT unnest(generate_series(1, 9)) AS digit
+    ),
+    t AS (SELECT SUM(n) AS tt FROM c)
+    SELECT e.digit,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+           COALESCE(c.n, 0) * 1.0 / t.tt AS frac,
+           log10(1 + 1.0 / e.digit) AS expected_frac,
+           (COALESCE(c.n, 0) - log10(1 + 1.0 / e.digit) * t.tt)
+             * (COALESCE(c.n, 0) - log10(1 + 1.0 / e.digit) * t.tt)
+             / (log10(1 + 1.0 / e.digit) * t.tt) AS chi2_term
+    FROM e LEFT JOIN c ON e.digit = c.digit CROSS JOIN t
+    """,
+)
+def dq_benford(spark, sf_dir):
+    """Benford first-digit screen on order amounts — observed vs
+    expected leading-digit distribution with chi-square terms."""
+    from azuredataengineering_deeplearning_spark.operators import quality as Q
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return Q.benford_profile(o, "o_totalprice")

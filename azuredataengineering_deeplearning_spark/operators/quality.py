@@ -138,3 +138,52 @@ def check_referential_integrity(
         [(0, name, float(metric), orphans == 0)],
         "rank int, name string, metric double, passed boolean",
     )
+
+
+def benford_profile(
+    df: DataFrame,
+    column: str,
+) -> DataFrame:
+    """Benford's-law first-digit screen — the classic anomaly/fraud
+    check for naturally-occurring positive amounts: observed leading-
+    digit frequencies vs the Benford expectation ``log10(1 + 1/d)``,
+    plus each digit's chi-square contribution. A large total chi-square
+    (vs ~15.5 at α=0.05, 8 dof) flags fabricated or truncated data.
+
+    One aggregation pass over positive finite values; the leading digit
+    is pure arithmetic — ``floor(v / 10^floor(log10(v)))`` — identical
+    on any engine. Returns 9 rows: (digit, n, frac, expected_frac,
+    chi2_term)."""
+    import math
+
+    v = F.col(column).cast("double")
+    pos = df.filter(v.isNotNull() & (v > 0))
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    counts = pos.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    spark = df.sparkSession
+    exp = spark.createDataFrame(
+        [(d, math.log10(1 + 1 / d)) for d in range(1, 10)],
+        "digit int, expected_frac double",
+    )
+    tot = F.broadcast(counts.agg(F.sum("n").alias("__t")))
+    joined = (
+        exp.join(counts, "digit", "left")
+        .crossJoin(tot)
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            (F.coalesce("n", F.lit(0)) / F.col("__t")).alias("frac"),
+            "expected_frac",
+            F.col("__t"),
+        )
+    )
+    chi = (
+        (F.col("n") - F.col("expected_frac") * F.col("__t"))
+        * (F.col("n") - F.col("expected_frac") * F.col("__t"))
+        / (F.col("expected_frac") * F.col("__t"))
+    )
+    return joined.select(
+        "digit", "n", "frac", "expected_frac", chi.alias("chi2_term")
+    )

@@ -62,3 +62,19 @@ def test_ref_integrity_green(spark):
     dim = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
     (r,) = Q.check_referential_integrity(fact, "fk", dim, "pk").collect()
     assert r.passed and r.metric == 1.0
+
+
+def test_benford_profile_on_benford_like_vs_uniform(spark):
+    import math
+
+    # powers-law-ish data follows Benford; uniform integers 1..9 x k do not
+    benfordish = spark.range(1, 3000).selectExpr("CAST(POWER(1.01, id) AS DOUBLE) AS v")
+    out = Q.benford_profile(benfordish, "v").collect()
+    assert len(out) == 9
+    total_chi = sum(r.chi2_term for r in out)
+    assert total_chi < 30  # close to Benford
+    for r in out:
+        assert abs(r.expected_frac - math.log10(1 + 1 / r.digit)) < 1e-12
+    uniform = spark.range(9000).selectExpr("CAST(id % 9 + 1 AS DOUBLE) AS v")
+    chi_u = sum(r.chi2_term for r in Q.benford_profile(uniform, "v").collect())
+    assert chi_u > 100  # uniform digits wildly violate Benford
