@@ -444,3 +444,36 @@ def a_ab_welch(spark, sf_dir):
     conditional-aggregation pass, decimal-exact moments."""
     o = read_parquet(spark, f"{sf_dir}/orders.parquet")
     return A.ab_welch(o, "o_orderstatus", "o_totalprice", "O", "F")
+
+
+@query(
+    "a_concentration",
+    """
+    WITH units AS (
+      SELECT o_orderstatus, o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS x
+      FROM orders GROUP BY o_orderstatus, o_custkey
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderstatus ORDER BY x ASC, o_custkey ASC
+      ) AS r FROM units
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(SUM(x) AS DOUBLE) AS total,
+           CASE WHEN COUNT(*) > 1 THEN
+             2 * CAST(SUM(r * x) AS DOUBLE) / (COUNT(*) * CAST(SUM(x) AS DOUBLE))
+               - (COUNT(*) + 1) * 1.0 / COUNT(*)
+           ELSE 0.0 END AS gini,
+           CAST(SUM(x * x) AS DOUBLE)
+             / (CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS hhi,
+           CAST(MAX(x) AS DOUBLE) / CAST(SUM(x) AS DOUBLE) AS top_share
+    FROM ranked GROUP BY o_orderstatus
+    """,
+)
+def a_concentration(spark, sf_dir):
+    """Revenue-concentration panel per order status: Gini, HHI, and the
+    top customer's share."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return A.concentration(o, ["o_orderstatus"], "o_custkey", "o_totalprice")

@@ -499,3 +499,51 @@ def ab_welch(
         ((ma - mb) / se).alias("t_stat"),
         dof.alias("dof"),
     )
+
+
+def concentration(
+    df: DataFrame,
+    keys: Sequence[str],
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Concentration metrics of a measure across units within each
+    group — the BI inequality panel: Gini coefficient (rank-weighted
+    exact form over units sorted ascending), Herfindahl–Hirschman index
+    (Σ share²), and the largest unit's share. One aggregate to unit
+    grain, one window rank per group, one closing aggregate; decimal
+    accumulation keeps the doubles engine-exact.
+
+        ``gini = 2·Σ(rank·xᵢ) / (n·Σx) − (n+1)/n``
+
+    Groups with a single unit report gini 0. Negative measures are the
+    caller's problem (Gini assumes non-negative)."""
+    units = df.groupBy(*keys, unit_col).agg(
+        F.sum(dec(F.col(value_col).cast("double"))).alias("__x")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__x").asc(), F.col(unit_col).asc())
+    ranked = units.withColumn("__r", F.row_number().over(w))
+    return (
+        ranked.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum("__x").cast("double").alias("total"),
+            F.sum(F.col("__r") * F.col("__x")).cast("double").alias("__rx"),
+            F.sum(F.col("__x") * F.col("__x")).cast("double").alias("__xx"),
+            F.max("__x").cast("double").alias("__mx"),
+        )
+        .select(
+            *keys,
+            "n_units",
+            "total",
+            F.when(
+                F.col("n_units") > 1,
+                2 * F.col("__rx") / (F.col("n_units") * F.col("total"))
+                - (F.col("n_units") + 1) / F.col("n_units"),
+            )
+            .otherwise(0.0)
+            .alias("gini"),
+            (F.col("__xx") / (F.col("total") * F.col("total"))).alias("hhi"),
+            (F.col("__mx") / F.col("total")).alias("top_share"),
+        )
+    )

@@ -170,3 +170,17 @@ def test_ab_welch_matches_numpy(spark):
     assert abs(r.mean_a - np.mean(a)) < 1e-9
     assert abs(r.t_stat - t) < 1e-9
     assert abs(r.dof - dof) < 1e-9
+
+
+def test_concentration_gini_hhi_extremes(spark):
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+
+    rows = [("eq", f"u{i}", 10.0) for i in range(10)]          # perfect equality
+    rows += [("mono", "only", 100.0)]                           # single unit
+    rows += [("skew", "big", 99.0)] + [("skew", f"s{i}", 0.5) for i in range(2)]
+    df = spark.createDataFrame(rows, "g string, unit string, v double")
+    out = {r.g: r for r in A.concentration(df, ["g"], "unit", "v").collect()}
+    assert abs(out["eq"].gini) < 1e-9 and abs(out["eq"].hhi - 0.1) < 1e-9
+    assert out["mono"].gini == 0.0 and out["mono"].hhi == 1.0
+    assert out["mono"].top_share == 1.0
+    assert out["skew"].gini > 0.6 and out["skew"].top_share > 0.9
