@@ -477,3 +477,35 @@ def a_concentration(spark, sf_dir):
     top customer's share."""
     o = read_parquet(spark, f"{sf_dir}/orders.parquet")
     return A.concentration(o, ["o_orderstatus"], "o_custkey", "o_totalprice")
+
+
+@query(
+    "a_abc_classification",
+    """
+    WITH units AS (
+      SELECT o_orderstatus, o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS x
+      FROM orders GROUP BY o_orderstatus, o_custkey
+    ),
+    shares AS (
+      SELECT o_orderstatus, o_custkey, CAST(x AS DOUBLE) AS value,
+             CAST(COALESCE(SUM(x) OVER (
+               PARTITION BY o_orderstatus ORDER BY x DESC, o_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS DOUBLE)
+             / CAST(SUM(x) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+               AS share_before
+      FROM units
+    )
+    SELECT o_orderstatus, o_custkey, value, share_before,
+           CASE WHEN share_before < 0.8 THEN 'A'
+                WHEN share_before < 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM shares
+    """,
+)
+def a_abc_classification(spark, sf_dir):
+    """ABC/Pareto split of customers by revenue within each order
+    status — the 80-15-5 classification."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return A.abc_classification(o, ["o_orderstatus"], "o_custkey", "o_totalprice")

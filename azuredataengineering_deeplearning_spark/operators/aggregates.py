@@ -547,3 +547,45 @@ def concentration(
             (F.col("__mx") / F.col("total")).alias("top_share"),
         )
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    keys: Sequence[str],
+    unit_col: str,
+    value_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """ABC / Pareto classification of units within each group: sort
+    units by measure descending, class A while the RUNNING share (of
+    rows strictly before, so the first unit is always A and a class
+    never starts past its cut) is below ``a_cut``, B below ``b_cut``,
+    else C — the inventory/revenue 80-15-5 split. One unit-grain
+    aggregate + one window per group; decimal-exact shares."""
+    units = df.groupBy(*keys, unit_col).agg(
+        F.sum(dec(F.col(value_col).cast("double"))).alias("__x")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__x").desc(), F.col(unit_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot_w = Window.partitionBy(*keys)
+    before = F.coalesce(F.sum("__x").over(w), F.lit(0).cast("decimal(28,6)"))
+    # divide as doubles-of-exact-sums (not decimal division, whose
+    # result scale rounds BEFORE the cast) so shares match any engine
+    # computing double division of the same exact numerators
+    share_before = before.cast("double") / F.sum("__x").over(tot_w).cast("double")
+    cls = (
+        F.when(share_before < a_cut, "A")
+        .when(share_before < b_cut, "B")
+        .otherwise("C")
+    )
+    return units.select(
+        *keys,
+        F.col(unit_col),
+        F.col("__x").cast("double").alias("value"),
+        share_before.alias("share_before"),
+        cls.alias("abc_class"),
+    )

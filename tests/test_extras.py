@@ -184,3 +184,18 @@ def test_concentration_gini_hhi_extremes(spark):
     assert out["mono"].gini == 0.0 and out["mono"].hhi == 1.0
     assert out["mono"].top_share == 1.0
     assert out["skew"].gini > 0.6 and out["skew"].top_share > 0.9
+
+
+def test_abc_classification_tiers(spark):
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+
+    # one dominant unit (A), one mid (B), several tail (C)
+    rows = [("g", "big", 80.0), ("g", "mid", 15.0)] + [
+        ("g", f"t{i}", 1.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, unit string, v double")
+    out = {r.unit: r.abc_class for r in
+           A.abc_classification(df, ["g"], "unit", "v").collect()}
+    assert out["big"] == "A"
+    assert out["mid"] == "B"
+    assert all(out[f"t{i}"] == "C" for i in range(5))
