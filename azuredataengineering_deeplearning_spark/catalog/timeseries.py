@@ -574,3 +574,54 @@ def ts_rolling_corr(spark, sf_dir):
     j = daily.join(g, "d")
     out = TS.rolling_corr(j, ["user_id"], "d", "y", "gy", window=14)
     return out.select("user_id", F.col("d").alias("ds"), "y", "gy", "corr")
+
+
+@query(
+    "ts_new_vs_returning",
+    """
+    WITH up AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS period
+      FROM events
+    ),
+    tagged AS (
+      SELECT period,
+             period = MIN(period) OVER (PARTITION BY user_id) AS is_new
+      FROM up
+    )
+    SELECT period,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+    FROM tagged GROUP BY period
+    """,
+)
+def ts_new_vs_returning(spark, sf_dir):
+    """Weekly growth accounting: actives split into new vs returning."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return TS.new_vs_returning(ev, "user_id", "ts", grain="week")
+
+
+@query(
+    "ts_period_growth",
+    """
+    WITH tot AS (
+      SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS period,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events GROUP BY period
+    )
+    SELECT period, total,
+           total - LAG(total) OVER (ORDER BY period) AS delta,
+           CASE WHEN LAG(total) OVER (ORDER BY period) <> 0 THEN
+             (total - LAG(total) OVER (ORDER BY period))
+               / LAG(total) OVER (ORDER BY period)
+           END AS pct_change
+    FROM tot
+    """,
+)
+def ts_period_growth(spark, sf_dir):
+    """Week-over-week totals with delta and percent change (null-safe
+    on the first/zero periods). The lag window runs on the
+    period-grain summary — a handful of rows, so the single-partition
+    window is the right plan, not a smell."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return TS.period_growth(ev, "ts", "value", grain="week")

@@ -713,3 +713,52 @@ def rolling_corr(
         .rowsBetween(-(window - 1), 0)
     )
     return df.withColumn(out, F.corr(x_col, y_col).over(w))
+
+
+def new_vs_returning(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    grain: str = "week",
+) -> DataFrame:
+    """Per-period split of active users into NEW (first-ever period)
+    vs RETURNING — the growth-accounting companion to
+    :func:`cohort_retention`. One (user, period) dedup aggregate, a
+    min-window for the first period, one count aggregate."""
+    p = F.date_trunc(grain, F.col(ts_col)).alias("period")
+    up = df.select(F.col(id_col), p).distinct()
+    first = Window.partitionBy(id_col)
+    tagged = up.withColumn(
+        "__new", F.col("period") == F.min("period").over(first)
+    )
+    return tagged.groupBy("period").agg(
+        F.sum(F.when(F.col("__new"), 1).otherwise(0)).cast("long").alias("new_users"),
+        F.sum(F.when(~F.col("__new"), 1).otherwise(0)).cast("long").alias(
+            "returning_users"
+        ),
+    )
+
+
+def period_growth(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    grain: str = "week",
+) -> DataFrame:
+    """Period totals with period-over-period delta and percent change —
+    the WoW/MoM growth report: exact-decimal totals, one lag window
+    over the (small) period summary. First period reports null
+    delta/pct; a zero prior period reports null pct (no division by
+    zero surprises)."""
+    p = F.date_trunc(grain, F.col(ts_col)).alias("period")
+    tot = df.groupBy(p).agg(
+        F.sum(dec(F.col(value_col).cast("double"))).cast("double").alias("total")
+    )
+    w = Window.orderBy("period")
+    prev = F.lag("total").over(w)
+    return tot.select(
+        "period",
+        "total",
+        (F.col("total") - prev).alias("delta"),
+        F.when(prev != 0, (F.col("total") - prev) / prev).alias("pct_change"),
+    )

@@ -318,3 +318,28 @@ def test_rolling_corr_tracks_relationship(spark):
     assert abs(last["neg"] + 1.0) < 1e-9
     first = [r.corr for r in out if r["d"] == base]
     assert all(c is None for c in first)  # single-point windows: null
+
+
+def test_new_vs_returning_accounting(spark):
+    import datetime as dt
+
+    t = lambda w: dt.datetime(2024, 1, 1) + dt.timedelta(weeks=w)
+    rows = [("u1", t(0)), ("u1", t(1)), ("u2", t(1)), ("u2", t(1))]
+    df = spark.createDataFrame(rows, "uid string, ts timestamp")
+    out = {r.period: (r.new_users, r.returning_users) for r in
+           TS.new_vs_returning(df, "uid", "ts").collect()}
+    periods = sorted(out)
+    assert out[periods[0]] == (1, 0)   # u1 new
+    assert out[periods[1]] == (1, 1)   # u2 new, u1 returning (dedup'd)
+
+
+def test_period_growth_deltas(spark):
+    import datetime as dt
+
+    t = lambda w: dt.datetime(2024, 1, 1) + dt.timedelta(weeks=w)
+    rows = [(t(0), 10.0), (t(1), 15.0), (t(2), 12.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = sorted(TS.period_growth(df, "ts", "v").collect(), key=lambda r: r.period)
+    assert out[0].delta is None and out[0].pct_change is None
+    assert out[1].delta == 5.0 and abs(out[1].pct_change - 0.5) < 1e-12
+    assert out[2].delta == -3.0 and abs(out[2].pct_change + 0.2) < 1e-12
