@@ -509,3 +509,36 @@ def a_abc_classification(spark, sf_dir):
     status — the 80-15-5 classification."""
     o = read_parquet(spark, f"{sf_dir}/orders.parquet")
     return A.abc_classification(o, ["o_orderstatus"], "o_custkey", "o_totalprice")
+
+
+@query(
+    "a_association_rules",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+    item_n AS (SELECT it, COUNT(*) AS n_item FROM b GROUP BY it),
+    pairs AS (
+      SELECT a.it AS item_a, c.it AS item_b, COUNT(*) AS n_ab
+      FROM b a JOIN b c ON a.bk = c.bk AND a.it <> c.it
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+           n_ab / CAST(nb.n AS DOUBLE) AS support,
+           n_ab * 1.0 / na.n_item AS confidence,
+           n_ab * 1.0 / na.n_item * CAST(nb.n AS DOUBLE) / nbi.n_item AS lift
+    FROM pairs
+    JOIN item_n na ON pairs.item_a = na.it
+    JOIN item_n nbi ON pairs.item_b = nbi.it
+    CROSS JOIN nb
+    WHERE n_ab >= 3
+    ORDER BY lift DESC, item_a, item_b LIMIT 100
+    """,
+)
+def a_association_rules(spark, sf_dir):
+    """Market-basket association rules over order line items:
+    support/confidence/lift for co-purchased part pairs, top-100 by
+    lift."""
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    return A.association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_support=3, top_k=100
+    )

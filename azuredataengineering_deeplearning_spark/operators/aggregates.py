@@ -589,3 +589,56 @@ def abc_classification(
         share_before.alias("share_before"),
         cls.alias("abc_class"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) rows:
+    support, confidence and lift for ordered item pairs —
+
+        ``conf(a→b) = n(ab)/n(a)``, ``lift = conf · N / n(b)``
+
+    with n(·) basket counts and N total baskets. The pair space is the
+    within-basket self-join on DISTINCT items (quadratic in basket
+    size — bounded by the largest basket, not the data; cap or sample
+    pathological baskets upstream). Both marginals join the pinned
+    pair table; output is the ``top_k`` rules with pair support ≥
+    ``min_pair_support``, ordered by lift (pair tiebreak)."""
+    b = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = b.select("__b").distinct().count()  # scalar, bounded
+    item_n = b.groupBy("__i").agg(F.count("*").alias("n_item"))
+    left = b.select("__b", F.col("__i").alias("item_a"))
+    right = b.select("__b", F.col("__i").alias("item_b"))
+    pairs = (
+        left.join(right, "__b")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_ab"))
+        .persist()  # both marginals join it
+    )
+    na = item_n.select(F.col("__i").alias("item_a"), F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("__i").alias("item_b"), F.col("n_item").alias("n_b"))
+    conf = F.col("n_ab") / F.col("n_a")
+    lift = conf * F.lit(float(n_baskets)) / F.col("n_b")
+    return (
+        pairs.filter(F.col("n_ab") >= min_pair_support)
+        .join(na, "item_a")
+        .join(nb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            (F.col("n_ab") / F.lit(float(n_baskets))).alias("support"),
+            conf.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "item_a", "item_b")
+        .limit(top_k)
+    )

@@ -199,3 +199,25 @@ def test_abc_classification_tiers(spark):
     assert out["big"] == "A"
     assert out["mid"] == "B"
     assert all(out[f"t{i}"] == "C" for i in range(5))
+
+
+def test_association_rules_lift_semantics(spark):
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+
+    # beer+diapers co-occur in 4/6 baskets; milk is everywhere (lift ~1)
+    baskets = [
+        (1, "beer"), (1, "diapers"), (1, "milk"),
+        (2, "beer"), (2, "diapers"), (2, "milk"),
+        (3, "beer"), (3, "diapers"), (3, "milk"),
+        (4, "beer"), (4, "diapers"), (4, "milk"),
+        (5, "milk"), (5, "bread"),
+        (6, "milk"), (6, "bread"),
+    ]
+    df = spark.createDataFrame(baskets, "bk int, it string")
+    out = {(r.item_a, r.item_b): r for r in
+           A.association_rules(df, "bk", "it", min_pair_support=2, top_k=50).collect()}
+    bd = out[("beer", "diapers")]
+    assert bd.n_ab == 4 and abs(bd.confidence - 1.0) < 1e-12
+    assert abs(bd.lift - 6 / 4) < 1e-12  # P(d|b)=1 vs P(d)=4/6
+    bm = out[("beer", "milk")]
+    assert abs(bm.lift - 1.0) < 1e-12  # milk is independent of beer
