@@ -625,3 +625,26 @@ def ts_period_growth(spark, sf_dir):
     window is the right plan, not a smell."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return TS.period_growth(ev, "ts", "value", grain="week")
+
+
+@query(
+    "ts_tenure_survival",
+    """
+    WITH spans AS (
+      SELECT user_id,
+             CAST(date_diff('day',
+               MIN(date_trunc('week', CAST(ts AS TIMESTAMP))),
+               MAX(date_trunc('week', CAST(ts AS TIMESTAMP)))) / 7 AS INT) + 1
+               AS span
+      FROM events GROUP BY user_id
+    )
+    SELECT tenure, CAST(COUNT(*) AS BIGINT) AS n_surviving
+    FROM spans, unnest(generate_series(1, span)) AS t(tenure)
+    GROUP BY tenure
+    """,
+)
+def ts_tenure_survival(spark, sf_dir):
+    """Weekly tenure survival curve: users whose activity span reached
+    at least k weeks, per k."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return TS.tenure_survival(ev, "user_id", "ts", grain="week")

@@ -762,3 +762,34 @@ def period_growth(
         (F.col("total") - prev).alias("delta"),
         F.when(prev != 0, (F.col("total") - prev) / prev).alias("pct_change"),
     )
+
+
+def tenure_survival(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    grain: str = "week",
+) -> DataFrame:
+    """Discrete survival curve over user tenure: for each tenure length
+    k (periods from a user's first to last activity, inclusive), the
+    number of users whose span reached AT LEAST k — the retention-curve
+    view of churn (monotone non-increasing by construction). One
+    (user) aggregate for spans, one explode to tenure steps, one
+    count; the explode fan-out is the max span, not the data."""
+    p = F.date_trunc(grain, F.col(ts_col))
+    spans = df.groupBy(id_col).agg(
+        F.min(p).alias("__lo"), F.max(p).alias("__hi")
+    )
+    unit = {"week": 7 * 86400, "day": 86400}.get(grain)
+    if unit is None:
+        raise ValueError(f"unsupported grain: {grain}")
+    span_len = (
+        (F.unix_timestamp("__hi") - F.unix_timestamp("__lo")) / unit
+    ).cast("int") + 1
+    steps = spans.select(
+        F.explode(F.sequence(F.lit(1), span_len)).alias("tenure")
+    )
+    return (
+        steps.groupBy("tenure")
+        .agg(F.count("*").cast("long").alias("n_surviving"))
+    )

@@ -343,3 +343,18 @@ def test_period_growth_deltas(spark):
     assert out[0].delta is None and out[0].pct_change is None
     assert out[1].delta == 5.0 and abs(out[1].pct_change - 0.5) < 1e-12
     assert out[2].delta == -3.0 and abs(out[2].pct_change + 0.2) < 1e-12
+
+
+def test_tenure_survival_monotone_and_exact(spark):
+    import datetime as dt
+
+    t = lambda w: dt.datetime(2024, 1, 1) + dt.timedelta(weeks=w)
+    rows = [("a", t(0)), ("a", t(2)),   # span 3 weeks
+            ("b", t(0)),                 # span 1
+            ("c", t(1)), ("c", t(1))]    # span 1
+    df = spark.createDataFrame(rows, "uid string, ts timestamp")
+    out = {r.tenure: r.n_surviving for r in
+           TS.tenure_survival(df, "uid", "ts").collect()}
+    assert out == {1: 3, 2: 1, 3: 1}
+    vals = [out[k] for k in sorted(out)]
+    assert vals == sorted(vals, reverse=True)  # monotone non-increasing
