@@ -648,3 +648,30 @@ def ts_tenure_survival(spark, sf_dir):
     at least k weeks, per k."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return TS.tenure_survival(ev, "user_id", "ts", grain="week")
+
+
+@query(
+    "ts_interarrival_stats",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch(CAST(ts AS TIMESTAMP))
+               - epoch(LAG(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 )) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(CAST(gap AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_gap_s,
+           quantile_cont(gap, 0.5) AS median_gap_s,
+           quantile_cont(gap, 0.9) AS p90_gap_s,
+           MAX(gap) AS max_gap_s
+    FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    """,
+)
+def ts_interarrival_stats(spark, sf_dir):
+    """Per-user inter-event gap statistics (event_id tiebreak for
+    same-timestamp determinism)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return TS.interarrival_stats(ev, "user_id", "ts", "event_id")

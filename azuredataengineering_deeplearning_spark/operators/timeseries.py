@@ -793,3 +793,32 @@ def tenure_survival(
         steps.groupBy("tenure")
         .agg(F.count("*").cast("long").alias("n_surviving"))
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key inter-arrival (gap) statistics in seconds: count of
+    gaps, mean (exact-decimal), median and p90 (exact percentiles),
+    max — the activity-cadence fingerprint behind engagement scoring
+    and anomaly baselines. One lag window + one aggregate; keys with a
+    single event have no gaps and drop out."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(id_col).orderBy(*order)
+    # cast-to-double keeps fractional seconds (unix_timestamp truncates
+    # to whole seconds and silently zeroes sub-second gaps)
+    gap = (
+        F.col(ts_col).cast("double")
+        - F.lag(ts_col).over(w).cast("double")
+    )
+    gaps = df.withColumn("__g", gap).filter(F.col("__g").isNotNull())
+    return gaps.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        (F.sum(dec("__g")).cast("double") / F.count("*")).alias("mean_gap_s"),
+        F.expr("percentile(__g, 0.5)").alias("median_gap_s"),
+        F.expr("percentile(__g, 0.9)").alias("p90_gap_s"),
+        F.max("__g").alias("max_gap_s"),
+    )

@@ -358,3 +358,18 @@ def test_tenure_survival_monotone_and_exact(spark):
     assert out == {1: 3, 2: 1, 3: 1}
     vals = [out[k] for k in sorted(out)]
     assert vals == sorted(vals, reverse=True)  # monotone non-increasing
+
+
+def test_interarrival_stats_gaps(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0), ("a", t0 + dt.timedelta(seconds=10)),
+            ("a", t0 + dt.timedelta(seconds=40)),
+            ("solo", t0)]
+    df = spark.createDataFrame(rows, "uid string, ts timestamp")
+    out = {r.uid: r for r in TS.interarrival_stats(df, "uid", "ts").collect()}
+    assert "solo" not in out  # one event -> no gaps
+    a = out["a"]
+    assert a.n_gaps == 2 and a.mean_gap_s == 20.0
+    assert a.median_gap_s == 20.0 and a.max_gap_s == 30.0
