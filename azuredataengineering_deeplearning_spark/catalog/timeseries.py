@@ -675,3 +675,27 @@ def ts_interarrival_stats(spark, sf_dir):
     same-timestamp determinism)."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return TS.interarrival_stats(ev, "user_id", "ts", "event_id")
+
+
+@query(
+    "ts_activity_heatmap",
+    """
+    WITH cells AS (
+      SELECT isodow(CAST(ts AS TIMESTAMP)) AS dow,
+             hour(CAST(ts AS TIMESTAMP)) AS hour,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT SUM(n) AS tt FROM cells)
+    SELECT CAST(dow AS INT) AS dow, CAST(hour AS INT) AS hour,
+           CAST(n AS BIGINT) AS n, value_sum,
+           n * 1.0 / t.tt AS share
+    FROM cells CROSS JOIN t
+    """,
+)
+def ts_activity_heatmap(spark, sf_dir):
+    """ISO weekday × hour heatmap of event activity with value sums and
+    cell shares."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return TS.activity_heatmap(ev, "ts", "value")

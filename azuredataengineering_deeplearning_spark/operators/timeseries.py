@@ -822,3 +822,34 @@ def interarrival_stats(
         F.expr("percentile(__g, 0.9)").alias("p90_gap_s"),
         F.max("__g").alias("max_gap_s"),
     )
+
+
+def activity_heatmap(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the ops-dashboard
+    staple: per (ISO dow 1-7, hour 0-23) cell, event count (plus
+    exact-decimal value sum when ``value_col`` given) and the cell's
+    share of total. One aggregation pass; the share join is O(168)."""
+    dow = F.dayofweek(F.col(ts_col))  # Sun=1; convert to ISO Mon=1
+    iso_dow = ((dow + F.lit(5)) % 7 + 1).cast("int")
+    cells = df.groupBy(
+        iso_dow.alias("dow"), F.hour(F.col(ts_col)).alias("hour")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        *(
+            [F.sum(dec(F.col(value_col).cast("double"))).cast("double").alias("value_sum")]
+            if value_col
+            else []
+        ),
+    )
+    tot = F.broadcast(cells.agg(F.sum("n").alias("__t")))
+    return cells.crossJoin(tot).select(
+        "dow",
+        "hour",
+        "n",
+        *(["value_sum"] if value_col else []),
+        (F.col("n") / F.col("__t")).alias("share"),
+    )

@@ -373,3 +373,20 @@ def test_interarrival_stats_gaps(spark):
     a = out["a"]
     assert a.n_gaps == 2 and a.mean_gap_s == 20.0
     assert a.median_gap_s == 20.0 and a.max_gap_s == 30.0
+
+
+def test_activity_heatmap_cells(spark):
+    import datetime as dt
+
+    # Monday 2024-01-01 at hours 9, 9, 17; Sunday 2024-01-07 at 9
+    rows = [
+        (dt.datetime(2024, 1, 1, 9), 1.0),
+        (dt.datetime(2024, 1, 1, 9), 2.0),
+        (dt.datetime(2024, 1, 1, 17), 3.0),
+        (dt.datetime(2024, 1, 7, 9), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {(r.dow, r.hour): r for r in TS.activity_heatmap(df, "ts", "v").collect()}
+    assert out[(1, 9)].n == 2 and out[(1, 9)].value_sum == 3.0   # ISO Monday
+    assert out[(7, 9)].n == 1                                     # ISO Sunday
+    assert abs(out[(1, 17)].share - 0.25) < 1e-12
