@@ -615,3 +615,42 @@ def w_event_transitions(spark, sf_dir):
     determinism."""
     ev = _events(spark, sf_dir)
     return W.event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@query(
+    "w_paths_to_conversion",
+    """
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    pre AS (
+      SELECT e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_id, e.event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.user_id
+               ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC
+             ) AS rn
+      FROM events e JOIN first ON e.user_id = first.user_id
+      WHERE CAST(e.ts AS TIMESTAMP) < first.t1
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM pre WHERE rn <= 3 GROUP BY user_id
+    ),
+    allp AS (
+      SELECT COALESCE(paths.path, '') AS path
+      FROM first LEFT JOIN paths ON first.user_id = paths.user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM allp GROUP BY path
+    """,
+)
+def w_paths_to_conversion(spark, sf_dir):
+    """Last-3-event paths before each user's first purchase, counted —
+    the pre-conversion behavior report."""
+    ev = _events(spark, sf_dir)
+    return W.paths_to_conversion(
+        ev, "user_id", "ts", "event_type", "purchase", k=3,
+        tiebreak_col="event_id",
+    )

@@ -678,3 +678,73 @@ def event_transitions_skew_safe(
     )
     w_from = Window.partitionBy("from_event")
     return pairs.withColumn("prob", F.col("n") / F.sum("n").over(w_from))
+
+
+def paths_to_conversion(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    target_event: str,
+    k: int = 3,
+    tiebreak_col: str | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Most common event paths leading to conversion: for each user who
+    ever fires ``target_event``, the last ``k`` events STRICTLY BEFORE
+    their first conversion, joined into a path string, counted across
+    users — the 'what do people do right before buying' report.
+
+    One min-aggregate for first conversions, one descending-rank window
+    to keep k pre-events per user, one ordered reassembly + count.
+    Users converting with no prior events contribute the empty path."""
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    first = (
+        df.filter(F.col(event_col) == target_event)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t1"))
+    )
+    pre = (
+        df.join(first, user_col)
+        .filter(F.col(ts_col) < F.col("__t1"))
+    )
+    w = Window.partitionBy(user_col).orderBy(*[c.desc() for c in order])
+    lastk = pre.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    assembled = (
+        lastk.groupBy(user_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col).alias("t"),
+                                *(
+                                    [F.col(tiebreak_col).alias("tb")]
+                                    if tiebreak_col
+                                    else []
+                                ),
+                                F.col(event_col).alias("e"),
+                            )
+                        )
+                    ),
+                    lambda s: s["e"],
+                ),
+                sep,
+            ).alias("path")
+        )
+    )
+    # converters with no prior events: empty path
+    empty = first.join(
+        assembled.select(user_col), user_col, "left_anti"
+    ).select(F.col(user_col), F.lit("").alias("path"))
+    return (
+        assembled.select(user_col, "path")
+        .unionByName(empty)
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

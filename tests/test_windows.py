@@ -342,3 +342,31 @@ def test_event_transitions_skew_safe_equals_window_path(spark):
     safe = {(r.from_event, r.to_event): (r.n, round(r.prob, 12)) for r in
             W.event_transitions_skew_safe(df, "u", "ts", "e", "eid").collect()}
     assert plain == safe
+
+
+def test_paths_to_conversion_semantics(spark):
+    import datetime as dt
+    from azuredataengineering_deeplearning_spark.operators import windows as W
+    from pyspark.sql import functions as Fx
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: view > click > purchase (and a post-purchase event ignored)
+        ("u1", t(0), 1, "view"), ("u1", t(1), 2, "click"),
+        ("u1", t(2), 3, "purchase"), ("u1", t(3), 4, "view"),
+        # u2: four pre-events, only last 3 kept
+        ("u2", t(0), 5, "a"), ("u2", t(1), 6, "view"), ("u2", t(2), 7, "click"),
+        ("u2", t(3), 8, "view"), ("u2", t(4), 9, "purchase"),
+        # u3: converts instantly -> empty path
+        ("u3", t(0), 10, "purchase"),
+        # u4: never converts -> excluded
+        ("u4", t(0), 11, "view"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, eid int, e string")
+    out = {r.path: r.n_users for r in W.paths_to_conversion(
+        df, "u", "ts", "e", "purchase", k=3, tiebreak_col="eid"
+    ).collect()}
+    assert out.get("view>click") == 1          # u1
+    assert out.get("view>click>view") == 1     # u2, oldest 'a' dropped
+    assert out.get("") == 1                    # u3
+    assert sum(out.values()) == 3              # u4 absent
