@@ -398,3 +398,38 @@ def dq_benford(spark, sf_dir):
 
     o = read_parquet(spark, f"{sf_dir}/orders.parquet")
     return Q.benford_profile(o, "o_totalprice")
+
+
+@query(
+    "ml_lift_table",
+    """
+    WITH tiers AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS bucket
+      FROM orders
+    ),
+    agg AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS positives
+      FROM tiers GROUP BY bucket
+    ),
+    t AS (SELECT SUM(n) AS nn, SUM(positives) AS pp FROM agg)
+    SELECT bucket, n, positives,
+           positives * 1.0 / n AS rate,
+           SUM(positives) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / t.pp
+             AS cum_capture,
+           (positives * 1.0 / n) / (t.pp * 1.0 / t.nn) AS lift
+    FROM agg CROSS JOIN t
+    """,
+)
+def ml_lift_table(spark, sf_dir):
+    """Decile lift table treating o_totalprice as the model score and
+    fulfilled status as the positive label."""
+    from azuredataengineering_deeplearning_spark.operators.encoders import lift_table
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return lift_table(
+        o, "o_totalprice", F.col("o_orderstatus") == "F",
+        n_buckets=10, tiebreak="o_orderkey",
+    )

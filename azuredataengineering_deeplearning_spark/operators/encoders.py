@@ -170,3 +170,55 @@ def apply_scaler(
         elif strategy == "median":
             exprs[f"{c}{suffix}"] = F.coalesce(F.col(c), F.lit(a))
     return df.withColumns(exprs)
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    n_buckets: int = 10,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Decile lift table — the model-evaluation staple: rank rows by
+    score descending into ``n_buckets`` equal-frequency tiers, then per
+    tier report size, positives, response rate, cumulative capture of
+    all positives, and lift vs the base rate. ``label_col`` is a
+    boolean Column (or name). One ntile window + one aggregate + an
+    O(buckets) cumulative window. ``tiebreak`` pins tier assignment
+    under score ties. The global ntile sorts in one task — right for
+    eval sets (bounded); for full-population scoring bucket by
+    approx-quantile bounds (`aggregates.bucket_by_bounds`) instead."""
+    from pyspark.sql import Window
+
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    order = [F.col(score_col).desc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.orderBy(*order)
+    tiers = df.select(
+        lbl.cast("int").alias("__y"),
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
+    agg = tiers.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("positives"),
+    )
+    tot = F.broadcast(
+        agg.agg(
+            F.sum("n").alias("__n"), F.sum("positives").alias("__p")
+        )
+    )
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(tot)
+        .withColumn("rate", F.col("positives") / F.col("n"))
+        .withColumn(
+            "cum_capture", F.sum("positives").over(cum) / F.col("__p")
+        )
+        .withColumn(
+            "lift",
+            (F.col("positives") / F.col("n"))
+            / (F.col("__p") / F.col("__n")),
+        )
+        .select("bucket", "n", "positives", "rate", "cum_capture", "lift")
+    )

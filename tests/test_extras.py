@@ -221,3 +221,17 @@ def test_association_rules_lift_semantics(spark):
     assert abs(bd.lift - 6 / 4) < 1e-12  # P(d|b)=1 vs P(d)=4/6
     bm = out[("beer", "milk")]
     assert abs(bm.lift - 1.0) < 1e-12  # milk is independent of beer
+
+
+def test_lift_table_concentrates_positives(spark):
+    from pyspark.sql import functions as Fx
+    from azuredataengineering_deeplearning_spark.operators.encoders import lift_table
+
+    # score correlates with label: top scores mostly positive
+    rows = [(float(i), i >= 80) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = {r.bucket: r for r in lift_table(df, "score", "y", n_buckets=10).collect()}
+    assert out[1].positives == 10 and abs(out[1].lift - 5.0) < 1e-9  # 100%/20%
+    assert abs(out[2].lift - 5.0) < 1e-9
+    assert out[3].positives == 0
+    assert abs(out[2].cum_capture - 1.0) < 1e-9  # all positives in top 2 deciles
