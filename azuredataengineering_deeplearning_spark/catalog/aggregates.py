@@ -542,3 +542,60 @@ def a_association_rules(spark, sf_dir):
     return A.association_rules(
         li, "l_orderkey", "l_partkey", min_pair_support=3, top_k=100
     )
+
+
+@query(
+    "a_group_mode",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS n
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT event_type, user_id, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY n DESC, user_id ASC
+             ) AS rn
+      FROM c
+    )
+    SELECT event_type, user_id AS mode, CAST(n AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def a_group_mode(spark, sf_dir):
+    """Deterministic mode: the most active user per event type
+    (smallest id tiebreak)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return A.group_mode(ev, ["event_type"], "user_id")
+
+
+@query(
+    "a_mad_outliers",
+    """
+    WITH med AS (
+      SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS median
+      FROM orders GROUP BY o_orderstatus
+    ),
+    wm AS (
+      SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, med.median
+      FROM orders o JOIN med ON o.o_orderstatus = med.o_orderstatus
+    ),
+    mad AS (
+      SELECT o_orderstatus,
+             quantile_cont(abs(o_totalprice - median), 0.5) AS mad
+      FROM wm GROUP BY o_orderstatus
+    )
+    SELECT wm.o_orderkey, wm.o_orderstatus, wm.o_totalprice,
+           wm.median, mad.mad,
+           abs(wm.o_totalprice - wm.median) > 3.0 * 1.4826 * mad.mad AS is_outlier
+    FROM wm JOIN mad ON wm.o_orderstatus = mad.o_orderstatus
+    """,
+)
+def a_mad_outliers(spark, sf_dir):
+    """MAD-based robust outlier flags on order amounts per status."""
+    o = read_parquet(
+        spark, f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    return A.mad_outliers(o, ["o_orderstatus"], "o_totalprice")

@@ -642,3 +642,62 @@ def association_rules(
         .orderBy(F.col("lift").desc(), "item_a", "item_b")
         .limit(top_k)
     )
+
+
+def group_mode(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    out: str = "mode",
+) -> DataFrame:
+    """Statistical mode per group with a DETERMINISTIC tiebreak
+    (smallest value wins) — unlike ``F.mode``, whose tie winner is
+    partition-order-dependent and therefore not oracle-checkable. Two
+    chained aggregates + one row_number window over the (keys, value)
+    count frame."""
+    counts = df.filter(F.col(value).isNotNull()).groupBy(*keys, value).agg(
+        F.count("*").alias("__n")
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__n").desc(), F.col(value).asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, F.col(value).alias(out), F.col("__n").alias("mode_count"))
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    k: float = 3.0,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Robust outlier flags via Median Absolute Deviation: per group,
+    ``median`` and ``MAD = median(|x − median|)``; a row is an outlier
+    when ``|x − median| > k · scale · MAD`` (1.4826 makes MAD σ-
+    consistent under normality). Immune to the outliers it hunts —
+    unlike z-scores, whose mean/σ the outliers drag. Two exact-
+    percentile aggregates + two broadcast-friendly joins; zero-MAD
+    groups (over half the values identical) flag any deviation."""
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value}, 0.5)").alias("__med")
+    )
+    with_med = df.join(med, list(keys))
+    mad = (
+        with_med.withColumn("__ad", F.abs(F.col(value) - F.col("__med")))
+        .groupBy(*keys)
+        .agg(F.expr("percentile(__ad, 0.5)").alias("__mad"))
+    )
+    return (
+        with_med.join(mad, list(keys))
+        .withColumn(
+            "is_outlier",
+            F.abs(F.col(value) - F.col("__med"))
+            > F.lit(k) * F.lit(scale) * F.col("__mad"),
+        )
+        .withColumnRenamed("__med", "median")
+        .withColumnRenamed("__mad", "mad")
+    )

@@ -235,3 +235,22 @@ def test_lift_table_concentrates_positives(spark):
     assert abs(out[2].lift - 5.0) < 1e-9
     assert out[3].positives == 0
     assert abs(out[2].cum_capture - 1.0) < 1e-9  # all positives in top 2 deciles
+
+
+def test_group_mode_deterministic_tiebreak(spark):
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+
+    rows = [("g", 5), ("g", 5), ("g", 3), ("g", 3), ("g", 9)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    (r,) = A.group_mode(df, ["g"], "v").collect()
+    assert (r.mode, r.mode_count) == (3, 2)  # tie 5 vs 3 -> smallest wins
+
+
+def test_mad_outliers_robust_to_the_outlier(spark):
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    out = {r.v: r.is_outlier for r in A.mad_outliers(df, ["g"], "v").collect()}
+    assert out[1000.0] is True
+    assert all(not out[v] for v in vals if v != 1000.0)
