@@ -599,3 +599,64 @@ def a_mad_outliers(spark, sf_dir):
         columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
     )
     return A.mad_outliers(o, ["o_orderstatus"], "o_totalprice")
+
+
+@query(
+    "p_winsorize",
+    """
+    WITH b AS (
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+           LEAST(GREATEST(o.o_totalprice, b.lo), b.hi) AS o_totalprice_wins
+    FROM orders o JOIN b ON o.o_orderstatus = b.o_orderstatus
+    """,
+)
+def p_winsorize(spark, sf_dir):
+    """Winsorize order amounts to the per-status [5%, 95%] band."""
+    from azuredataengineering_deeplearning_spark.operators.relational import (
+        winsorize,
+    )
+
+    o = read_parquet(
+        spark, f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    return winsorize(o, ["o_orderstatus"], "o_totalprice", 0.05, 0.95)
+
+
+@query(
+    "a_cramers_v",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+    ),
+    ct AS (SELECT a, b, COUNT(*) AS n_ab FROM base GROUP BY a, b),
+    ra AS (SELECT a, SUM(n_ab) AS n_a FROM ct GROUP BY a),
+    cb AS (SELECT b, SUM(n_ab) AS n_b FROM ct GROUP BY b),
+    t AS (SELECT SUM(n_ab) AS n, COUNT(DISTINCT a) AS r,
+                 COUNT(DISTINCT b) AS c FROM ct),
+    grid AS (
+      SELECT ra.n_a, cb.n_b, COALESCE(ct.n_ab, 0) AS obs, t.n, t.r, t.c
+      FROM ra CROSS JOIN cb
+      LEFT JOIN ct ON ct.a = ra.a AND ct.b = cb.b
+      CROSS JOIN t
+    )
+    SELECT sqrt(SUM((obs - n_a * n_b * 1.0 / n) * (obs - n_a * n_b * 1.0 / n)
+                    / (n_a * n_b * 1.0 / n))
+                / (MAX(n) * (LEAST(MAX(r), MAX(c)) - 1))) AS cramers_v,
+           SUM((obs - n_a * n_b * 1.0 / n) * (obs - n_a * n_b * 1.0 / n)
+               / (n_a * n_b * 1.0 / n)) AS chi2,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM grid
+    """,
+)
+def a_cramers_v(spark, sf_dir):
+    """Cramér's V between order status and priority — the categorical
+    association screen."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return A.cramers_v(o, "o_orderstatus", "o_orderpriority")

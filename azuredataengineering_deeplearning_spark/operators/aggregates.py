@@ -701,3 +701,45 @@ def mad_outliers(
         .withColumnRenamed("__med", "median")
         .withColumnRenamed("__mad", "mad")
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns —
+    chi-square over the contingency table normalized to [0, 1]:
+
+        ``V = sqrt( χ² / (n · (min(r, c) − 1)) )``
+
+    The EDA screen for 'are these columns related'. One contingency
+    aggregate (r×c rows), marginals derived from it, expected counts
+    under independence, one closing aggregate. Rows with a null in
+    either column are excluded (no category to attribute them to)."""
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    )
+    ct = base.groupBy(col_a, col_b).agg(F.count("*").alias("n_ab")).persist()
+    ra = ct.groupBy(col_a).agg(F.sum("n_ab").alias("n_a"))
+    cb = ct.groupBy(col_b).agg(F.sum("n_ab").alias("n_b"))
+    tot = F.broadcast(
+        ct.agg(
+            F.sum("n_ab").alias("__n"),
+            F.countDistinct(col_a).alias("__r"),
+            F.countDistinct(col_b).alias("__c"),
+        )
+    )
+    # dense grid so zero cells contribute their expected mass
+    grid = ra.crossJoin(cb).join(ct, [col_a, col_b], "left").crossJoin(tot)
+    exp = F.col("n_a") * F.col("n_b") / F.col("__n")
+    obs = F.coalesce(F.col("n_ab"), F.lit(0))
+    chi = (obs - exp) * (obs - exp) / exp
+    return grid.agg(
+        F.sqrt(
+            F.sum(chi)
+            / (F.max("__n") * (F.least(F.max("__r"), F.max("__c")) - 1))
+        ).alias("cramers_v"),
+        F.sum(chi).alias("chi2"),
+        F.max("__n").cast("long").alias("n"),
+    )

@@ -123,3 +123,31 @@ def widen_narrow_input(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def winsorize(
+    df: DataFrame,
+    keys,
+    value: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out: str | None = None,
+) -> DataFrame:
+    """Winsorization: clamp a measure to its per-group exact
+    [``lower``, ``upper``] percentiles — the robust-preprocessing
+    sibling of :func:`clip` (whose bounds are constants). One exact-
+    percentile aggregate per group + one broadcast-friendly join +
+    a map-side clamp."""
+    from pyspark.sql import functions as F
+
+    kk = list(keys)
+    bounds = df.groupBy(*kk).agg(
+        F.expr(f"percentile({value}, {lower})").alias("__lo"),
+        F.expr(f"percentile({value}, {upper})").alias("__hi"),
+    )
+    clamped = F.least(F.greatest(F.col(value), F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(bounds, kk)
+        .withColumn(out or f"{value}_wins", clamped)
+        .drop("__lo", "__hi")
+    )

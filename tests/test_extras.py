@@ -254,3 +254,32 @@ def test_mad_outliers_robust_to_the_outlier(spark):
     out = {r.v: r.is_outlier for r in A.mad_outliers(df, ["g"], "v").collect()}
     assert out[1000.0] is True
     assert all(not out[v] for v in vals if v != 1000.0)
+
+
+def test_winsorize_clamps_to_group_band(spark):
+    from azuredataengineering_deeplearning_spark.operators.relational import winsorize
+
+    vals = list(range(1, 101))  # 1..100
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+    out = {r.v: r.v_wins for r in winsorize(df, ["g"], "v", 0.10, 0.90).collect()}
+    assert out[1.0] > 1.0 and out[100.0] < 100.0  # tails clamped
+    assert out[50.0] == 50.0  # middle untouched
+    assert min(out.values()) == out[1.0] and max(out.values()) == out[100.0]
+
+
+def test_cramers_v_extremes(spark):
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+
+    # perfectly dependent columns -> V = 1
+    dep = spark.createDataFrame(
+        [(x, x) for x in ["p", "q", "r"] * 20], "a string, b string"
+    )
+    (r,) = A.cramers_v(dep, "a", "b").collect()
+    assert abs(r.cramers_v - 1.0) < 1e-9
+    # independent uniform columns -> V ~ 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in ["p", "q"] for y in ["u", "w"] for _ in range(25)],
+        "a string, b string",
+    )
+    (r2,) = A.cramers_v(ind, "a", "b").collect()
+    assert abs(r2.cramers_v) < 1e-9
