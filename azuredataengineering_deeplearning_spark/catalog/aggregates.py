@@ -660,3 +660,35 @@ def a_cramers_v(spark, sf_dir):
     association screen."""
     o = read_parquet(spark, f"{sf_dir}/orders.parquet")
     return A.cramers_v(o, "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "a_eta_squared",
+    """
+    WITH g AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n_g,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s_g,
+             SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(18,6))) AS ss_g
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY o_orderstatus
+    ),
+    t AS (
+      SELECT SUM(n_g) AS n,
+             CAST(SUM(s_g) AS DOUBLE) AS s,
+             CAST(SUM(ss_g) AS DOUBLE) AS ss,
+             SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g) AS bss_raw
+      FROM g
+    )
+    SELECT (bss_raw - (s / n) * (s / n) * n)
+             / (ss - (s / n) * (s / n) * n) AS eta_squared,
+           CAST(n AS BIGINT) AS n
+    FROM t
+    """,
+)
+def a_eta_squared(spark, sf_dir):
+    """η² of order amount explained by order status — the numeric↔
+    categorical association."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return A.eta_squared(o, "o_orderstatus", "o_totalprice")

@@ -743,3 +743,42 @@ def cramers_v(
         F.sum(chi).alias("chi2"),
         F.max("__n").cast("long").alias("n"),
     )
+
+
+def eta_squared(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """η² (correlation ratio): the numeric↔categorical association —
+    between-group sum of squares over total sum of squares, the ANOVA
+    effect size completing the EDA trio (CORR for num↔num,
+    :func:`cramers_v` for cat↔cat). Decimal-exact moments per group,
+    grand stats derived from the (small) per-group frame — ONE scan.
+    0 = group means identical, 1 = value determined by group."""
+    x = F.col(value_col).cast("double")
+    g = (
+        df.filter(x.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum(dec(x)).alias("s_g"),
+            F.sum(dec(x * x)).alias("ss_g"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").cast("double").alias("s"),
+        F.sum("ss_g").cast("double").alias("ss"),
+        F.sum(
+            (F.col("s_g").cast("double") * F.col("s_g").cast("double"))
+            / F.col("n_g")
+        ).alias("bss_raw"),
+    )
+    grand_mean = F.col("s") / F.col("n")
+    ss_total = F.col("ss") - grand_mean * grand_mean * F.col("n")
+    ss_between = F.col("bss_raw") - grand_mean * grand_mean * F.col("n")
+    return tot.select(
+        (ss_between / ss_total).alias("eta_squared"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -283,3 +283,19 @@ def test_cramers_v_extremes(spark):
     )
     (r2,) = A.cramers_v(ind, "a", "b").collect()
     assert abs(r2.cramers_v) < 1e-9
+
+
+def test_eta_squared_extremes(spark):
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+
+    # value fully determined by group -> 1; identical group means -> 0
+    det = spark.createDataFrame(
+        [("a", 1.0)] * 10 + [("b", 5.0)] * 10, "g string, v double"
+    )
+    (r,) = A.eta_squared(det, "g", "v").collect()
+    assert abs(r.eta_squared - 1.0) < 1e-9
+    flat = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)], "g string, v double"
+    )
+    (r2,) = A.eta_squared(flat, "g", "v").collect()
+    assert abs(r2.eta_squared) < 1e-9
