@@ -692,3 +692,35 @@ def a_eta_squared(spark, sf_dir):
     categorical association."""
     o = read_parquet(spark, f"{sf_dir}/orders.parquet")
     return A.eta_squared(o, "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "a_mutual_information",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+    ),
+    ct AS (SELECT a, b, COUNT(*) AS n_ab FROM base GROUP BY a, b),
+    ra AS (SELECT a, SUM(n_ab) AS n_a FROM ct GROUP BY a),
+    cb AS (SELECT b, SUM(n_ab) AS n_b FROM ct GROUP BY b),
+    t AS (SELECT SUM(n_ab) AS n FROM ct),
+    mi AS (
+      SELECT SUM((n_ab * 1.0 / t.n)
+                 * ln((n_ab * t.n) * 1.0 / (ra.n_a * cb.n_b))) AS mi
+      FROM ct JOIN ra ON ct.a = ra.a JOIN cb ON ct.b = cb.b CROSS JOIN t
+    ),
+    ha AS (SELECT SUM(-(n_a * 1.0 / t.n) * ln(n_a * 1.0 / t.n)) AS h_a
+           FROM ra CROSS JOIN t),
+    hb AS (SELECT SUM(-(n_b * 1.0 / t.n) * ln(n_b * 1.0 / t.n)) AS h_b
+           FROM cb CROSS JOIN t)
+    SELECT mi.mi, mi.mi / LEAST(ha.h_a, hb.h_b) AS mi_normalized,
+           ha.h_a, hb.h_b
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+)
+def a_mutual_information(spark, sf_dir):
+    """Mutual information between order status and priority (nats +
+    normalized)."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return A.mutual_information(o, "o_orderstatus", "o_orderpriority")

@@ -782,3 +782,43 @@ def eta_squared(
         (ss_between / ss_total).alias("eta_squared"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    ``MI = Σ p(a,b) · ln( p(a,b) / (p(a)·p(b)) )`` over observed cells
+    (empty cells contribute 0 by the 0·ln0 convention, so no dense
+    grid needed, unlike :func:`cramers_v`'s chi-square). The feature-
+    selection screen: how many nats knowing A tells you about B. Also
+    emits the normalized variant MI/min(H(A), H(B)) ∈ [0, 1]."""
+    base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    ct = base.groupBy(col_a, col_b).agg(F.count("*").alias("n_ab")).persist()
+    ra = ct.groupBy(col_a).agg(F.sum("n_ab").alias("n_a"))
+    cb = ct.groupBy(col_b).agg(F.sum("n_ab").alias("n_b"))
+    tot = F.broadcast(ct.agg(F.sum("n_ab").alias("__n")))
+    joined = ct.join(ra, col_a).join(cb, col_b).crossJoin(tot)
+    p_ab = F.col("n_ab") / F.col("__n")
+    mi_term = p_ab * F.log(
+        (F.col("n_ab") * F.col("__n"))
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    h_a_term = -(F.col("n_a") / F.col("__n")) * F.log(F.col("n_a") / F.col("__n"))
+    h_b_term = -(F.col("n_b") / F.col("__n")) * F.log(F.col("n_b") / F.col("__n"))
+    # entropies from the marginal frames (each cell of ct would multi-count)
+    ha = ra.crossJoin(tot).agg(F.sum(h_a_term).alias("h_a"))
+    hb = cb.crossJoin(tot).agg(F.sum(h_b_term).alias("h_b"))
+    mi = joined.agg(F.sum(mi_term).alias("mi"))
+    return (
+        mi.crossJoin(ha)
+        .crossJoin(hb)
+        .select(
+            "mi",
+            (F.col("mi") / F.least("h_a", "h_b")).alias("mi_normalized"),
+            "h_a",
+            "h_b",
+        )
+    )

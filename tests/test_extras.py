@@ -299,3 +299,21 @@ def test_eta_squared_extremes(spark):
     )
     (r2,) = A.eta_squared(flat, "g", "v").collect()
     assert abs(r2.eta_squared) < 1e-9
+
+
+def test_mutual_information_extremes(spark):
+    import math
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+
+    dep = spark.createDataFrame(
+        [(x, x) for x in ["p", "q"] * 30], "a string, b string"
+    )
+    (r,) = A.mutual_information(dep, "a", "b").collect()
+    assert abs(r.mi - math.log(2)) < 1e-9       # identical binary cols: MI = H = ln2
+    assert abs(r.mi_normalized - 1.0) < 1e-9
+    ind = spark.createDataFrame(
+        [(x, y) for x in ["p", "q"] for y in ["u", "w"] for _ in range(25)],
+        "a string, b string",
+    )
+    (r2,) = A.mutual_information(ind, "a", "b").collect()
+    assert abs(r2.mi) < 1e-9
