@@ -724,3 +724,26 @@ def a_mutual_information(spark, sf_dir):
     normalized)."""
     o = read_parquet(spark, f"{sf_dir}/orders.parquet")
     return A.mutual_information(o, "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "enc_quantile_transform",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           PERCENT_RANK() OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+           ) AS o_totalprice_q
+    FROM orders
+    """,
+)
+def enc_quantile_transform(spark, sf_dir):
+    """Per-status empirical-CDF transform of order amounts."""
+    from azuredataengineering_deeplearning_spark.operators.encoders import (
+        quantile_transform,
+    )
+
+    o = read_parquet(
+        spark, f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    return quantile_transform(o, ["o_orderstatus"], "o_totalprice")

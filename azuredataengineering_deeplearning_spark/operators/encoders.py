@@ -222,3 +222,27 @@ def lift_table(
         )
         .select("bucket", "n", "positives", "rate", "cum_capture", "lift")
     )
+
+
+def quantile_transform(
+    df: DataFrame,
+    keys,
+    value: str,
+    out: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Empirical-CDF (rank-uniform) transform per group: each value maps
+    to its ``percent_rank`` in [0, 1] — the distribution-free
+    normalization that makes heavy-tailed features comparable across
+    groups (the feature-engineering sibling of the scalers). One window
+    shuffle on the group keys; ``tiebreak`` pins ranks under equal
+    values (without it, SQL percent_rank already gives ties equal
+    rank, which is deterministic — pass a tiebreak only when you want
+    strict ordering)."""
+    from pyspark.sql import Window
+
+    order = [F.col(value).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(*list(keys)).orderBy(*order)
+    return df.withColumn(out or f"{value}_q", F.percent_rank().over(w))

@@ -317,3 +317,19 @@ def test_mutual_information_extremes(spark):
     )
     (r2,) = A.mutual_information(ind, "a", "b").collect()
     assert abs(r2.mi) < 1e-9
+
+
+def test_quantile_transform_uniformizes(spark):
+    from azuredataengineering_deeplearning_spark.operators.encoders import (
+        quantile_transform,
+    )
+
+    # heavy-tailed values -> uniform ranks; ties share a rank
+    vals = [1.0, 2.0, 4.0, 8.0, 8.0, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    out = sorted(
+        quantile_transform(df, ["g"], "v").collect(), key=lambda r: (r.v, r.v_q)
+    )
+    assert out[0].v_q == 0.0 and out[-1].v_q == 1.0
+    eights = [r.v_q for r in out if r.v == 8.0]
+    assert eights[0] == eights[1]  # SQL percent_rank tie semantics
