@@ -747,3 +747,41 @@ def enc_quantile_transform(spark, sf_dir):
         columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
     )
     return quantile_transform(o, ["o_orderstatus"], "o_totalprice")
+
+
+@query(
+    "a_ks_two_sample",
+    """
+    WITH a AS (SELECT o_totalprice AS v FROM orders
+               WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL),
+    b AS (SELECT o_totalprice AS v FROM orders
+          WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL),
+    ca AS (SELECT v, COUNT(*) AS ca FROM a GROUP BY v),
+    cb AS (SELECT v, COUNT(*) AS cb FROM b GROUP BY v),
+    m AS (
+      SELECT COALESCE(ca.v, cb.v) AS v,
+             COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+      FROM ca FULL JOIN cb ON ca.v = cb.v
+    ),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM m),
+    d AS (
+      SELECT abs(SUM(ca) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / t.na
+               - SUM(cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / t.nb)
+             AS dd, t.na, t.nb
+      FROM m CROSS JOIN t
+    )
+    SELECT MAX(dd) AS ks_d,
+           CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b
+    FROM d
+    """,
+)
+def a_ks_two_sample(spark, sf_dir):
+    """Exact KS statistic between open and fulfilled order amounts."""
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    return A.ks_two_sample(
+        o.filter(F.col("o_orderstatus") == "O"),
+        o.filter(F.col("o_orderstatus") == "F"),
+        "o_totalprice",
+    )

@@ -822,3 +822,57 @@ def mutual_information(
             "h_b",
         )
     )
+
+
+def ks_two_sample(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic:
+    ``D = max_x |F_a(x) − F_b(x)|`` over the pooled observed values —
+    the distribution-equality test pairing with :func:`psi` (which
+    quantizes) and :func:`ab_welch` (means only). Per distinct pooled
+    value, cumulative counts from both samples via ONE ordered window
+    over the distinct-value frame; that window is a single partition,
+    bounded by VALUE CARDINALITY, not row count — fine for measures
+    with bounded distinct values; for billions of distinct values
+    evaluate on a quantile grid instead (psi's shape)."""
+    a = df_a.select(F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    b = df_b.select(F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    counts = (
+        a.groupBy("v").agg(F.count("*").alias("ca"))
+        .join(
+            b.groupBy("v").agg(F.count("*").alias("cb")),
+            "v",
+            "full",
+        )
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = F.broadcast(
+        counts.agg(F.sum("ca").alias("__na"), F.sum("cb").alias("__nb"))
+    )
+    return (
+        counts.crossJoin(tot)
+        .withColumn(
+            "__d",
+            F.abs(
+                F.sum("ca").over(w) / F.col("__na")
+                - F.sum("cb").over(w) / F.col("__nb")
+            ),
+        )
+        .agg(
+            F.max("__d").alias("ks_d"),
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+        )
+    )

@@ -333,3 +333,15 @@ def test_quantile_transform_uniformizes(spark):
     assert out[0].v_q == 0.0 and out[-1].v_q == 1.0
     eights = [r.v_q for r in out if r.v == 8.0]
     assert eights[0] == eights[1]  # SQL percent_rank tie semantics
+
+
+def test_ks_two_sample_extremes(spark):
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+
+    a = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    same = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    (r,) = A.ks_two_sample(a, same, "v").collect()
+    assert abs(r.ks_d) < 1e-12  # identical samples
+    disjoint = spark.createDataFrame([(float(i + 1000),) for i in range(100)], "v double")
+    (r2,) = A.ks_two_sample(a, disjoint, "v").collect()
+    assert abs(r2.ks_d - 1.0) < 1e-12  # fully separated distributions
