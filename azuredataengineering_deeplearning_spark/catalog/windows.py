@@ -654,3 +654,32 @@ def w_paths_to_conversion(spark, sf_dir):
         ev, "user_id", "ts", "event_type", "purchase", k=3,
         tiebreak_col="event_id",
     )
+
+
+@query(
+    "w_frequent_sequences",
+    """
+    WITH s AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS e2,
+             LEAD(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS e3
+      FROM events
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY 1 HAVING COUNT(*) >= 5
+    ORDER BY n_occurrences DESC, path LIMIT 50
+    """,
+)
+def w_frequent_sequences(spark, sf_dir):
+    """Most frequent 3-event motifs across user timelines."""
+    ev = _events(spark, sf_dir)
+    return W.frequent_sequences(
+        ev, "user_id", "ts", "event_type", n=3, min_count=5, top_k=50,
+        tiebreak_col="event_id",
+    )

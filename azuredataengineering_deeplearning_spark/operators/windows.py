@@ -748,3 +748,38 @@ def paths_to_conversion(
         .groupBy("path")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def frequent_sequences(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    n: int = 3,
+    min_count: int = 2,
+    top_k: int = 50,
+    tiebreak_col: str | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Frequent consecutive event n-grams across per-key timelines —
+    the sequential-pattern miner generalizing
+    :func:`event_transitions` (n=2) to longer motifs: every window of
+    ``n`` consecutive events per key becomes a path string, counted
+    corpus-wide, top-``top_k`` by count (path tiebreak). ``n−1`` lead
+    windows over one (key, ts) shuffle."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    cols = [F.col(event_col)]
+    for i in range(1, n):
+        cols.append(F.lead(event_col, i).over(w))
+    seq = df.select(
+        F.concat_ws(sep, *cols).alias("path"),
+        cols[-1].isNotNull().alias("__full"),
+    ).filter(F.col("__full"))
+    return (
+        seq.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(top_k)
+    )

@@ -370,3 +370,21 @@ def test_paths_to_conversion_semantics(spark):
     assert out.get("view>click>view") == 1     # u2, oldest 'a' dropped
     assert out.get("") == 1                    # u3
     assert sum(out.values()) == 3              # u4 absent
+
+
+def test_frequent_sequences_counts_motifs(spark):
+    import datetime as dt
+    from azuredataengineering_deeplearning_spark.operators import windows as W
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = []
+    eid = 0
+    for u in ("u1", "u2", "u3"):
+        for i, e in enumerate(["a", "b", "c", "a"]):
+            eid += 1
+            rows.append((u, t(i), eid, e))
+    df = spark.createDataFrame(rows, "u string, ts timestamp, eid int, e string")
+    out = {r.path: r.n_occurrences for r in W.frequent_sequences(
+        df, "u", "ts", "e", n=3, min_count=2, top_k=10, tiebreak_col="eid"
+    ).collect()}
+    assert out == {"a>b>c": 3, "b>c>a": 3}  # two motifs per user, no cross-user
