@@ -785,3 +785,24 @@ def a_ks_two_sample(spark, sf_dir):
         o.filter(F.col("o_orderstatus") == "F"),
         "o_totalprice",
     )
+
+
+@query(
+    "a_powerlaw_alpha",
+    """
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    tail AS (SELECT CAST(c AS DOUBLE) AS x FROM counts WHERE c >= 5)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+           1.0 + COUNT(*) / SUM(ln(x / 5.0)) AS alpha,
+           (COUNT(*) / SUM(ln(x / 5.0))) / sqrt(COUNT(*)) AS alpha_se
+    FROM tail
+    """,
+)
+def a_powerlaw_alpha(spark, sf_dir):
+    """Hill/MLE power-law exponent of the per-user event-count
+    distribution (x_min = 5)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    return A.powerlaw_alpha(counts, "c", 5.0)

@@ -876,3 +876,31 @@ def ks_two_sample(
             F.max("__nb").cast("long").alias("n_b"),
         )
     )
+
+
+def powerlaw_alpha(
+    df: DataFrame,
+    value_col: str,
+    x_min: float,
+) -> DataFrame:
+    """Power-law tail exponent by the continuous MLE (Hill estimator):
+
+        ``α = 1 + n / Σ ln(xᵢ / x_min)``  over values ≥ ``x_min``
+
+    with the standard error ``(α−1)/√n`` — the heavy-tail screen for
+    degree/frequency/size distributions (word counts, per-user event
+    counts, file sizes). One filtered aggregate; choose ``x_min`` from
+    the histogram knee."""
+    x = F.col(value_col).cast("double")
+    tail = df.filter(x >= x_min)
+    return tail.agg(
+        F.count("*").cast("long").alias("n_tail"),
+        (
+            F.lit(1.0)
+            + F.count("*") / F.sum(F.log(x / F.lit(float(x_min))))
+        ).alias("alpha"),
+        (
+            (F.count("*") / F.sum(F.log(x / F.lit(float(x_min)))))
+            / F.sqrt(F.count("*"))
+        ).alias("alpha_se"),
+    )

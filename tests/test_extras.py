@@ -345,3 +345,16 @@ def test_ks_two_sample_extremes(spark):
     disjoint = spark.createDataFrame([(float(i + 1000),) for i in range(100)], "v double")
     (r2,) = A.ks_two_sample(a, disjoint, "v").collect()
     assert abs(r2.ks_d - 1.0) < 1e-12  # fully separated distributions
+
+
+def test_powerlaw_alpha_recovers_exponent(spark):
+    import numpy as np
+    from azuredataengineering_deeplearning_spark.operators import aggregates as A
+
+    # sample a Pareto(alpha=2.5) tail via inverse CDF on a fixed grid
+    rng = np.linspace(0.001, 0.999, 5000)
+    xs = 1.0 * (1 - rng) ** (-1 / 1.5)  # alpha = 2.5 => exponent param 1.5
+    df = spark.createDataFrame([(float(v),) for v in xs], "v double")
+    (r,) = A.powerlaw_alpha(df, "v", 1.0).collect()
+    assert abs(r.alpha - 2.5) < 0.05
+    assert r.alpha_se < 0.05 and r.n_tail == 5000
