@@ -806,3 +806,26 @@ def a_powerlaw_alpha(spark, sf_dir):
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     counts = ev.groupBy("user_id").agg(F.count("*").alias("c"))
     return A.powerlaw_alpha(counts, "c", 5.0)
+
+
+@query(
+    "a_behavior_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    p AS (
+      SELECT user_id, n * 1.0 / SUM(n) OVER (PARTITION BY user_id) AS p
+      FROM c
+    )
+    SELECT user_id, -SUM(p * ln(p)) AS entropy
+    FROM p GROUP BY user_id
+    """,
+)
+def a_behavior_entropy(spark, sf_dir):
+    """Behavioral diversity per user: Shannon entropy of each user's
+    event-type mix (0 = single-minded, ln(5) = uniform across types) —
+    the A7 entropy operator applied at user grain."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return A.entropy(ev, ["user_id"], "event_type")

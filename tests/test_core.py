@@ -172,8 +172,8 @@ def test_catalog_registry_integrity():
     from azuredataengineering_deeplearning_spark import catalog as C
 
     C.load_all()
-    assert len(C.QUERIES) >= 279, f"catalog shrank: {len(C.QUERIES)}"
-    assert len(C.ORACLES) >= 266
+    assert len(C.QUERIES) >= 280, f"catalog shrank: {len(C.QUERIES)}"
+    assert len(C.ORACLES) >= 267
     missing = set(C.ORACLES) - set(C.QUERIES)
     assert not missing, f"oracles without queries: {missing}"
     # every oracle is non-empty SQL mentioning a registered view
