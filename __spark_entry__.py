@@ -28,13 +28,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return _catalog.QUERIES["q5_revenue_by_nation"](spark, "/root/testdata/sf0.001")
 
 
+# SURVEY §2-core queries the round-2 judge flagged as having zero driver
+# CORRECTNESS rows after two rounds.  These jump the queue ahead of every
+# other unverified query so the driver's time-boxed sweep drains the §2
+# backlog before touching catalog extras.
+_SURVEY_BACKLOG = frozenset(
+    {
+        "a10_cumulative_mode", "d11_cluster_assign", "d12_token_profile",
+        "d1_json_array_flatten", "d2_embed_pandas_udf", "dedup_exact",
+        "enc_count", "enc_ordinal", "enc_quantile_transform",
+        "enc_standard_scaler", "enc_target_oof", "f16_holiday_flag",
+        "f19c_json_infer_parse", "graph_bom_closure", "j2_multikey_join",
+        "j4_date_dim_lookup", "j8_asof_previous", "j9_range_clamp",
+        "j_asof_join_events", "j_interval_join", "j_salted_join",
+        "p10_classify_columns", "p7_shrink_types", "scd2_as_of",
+        "scd2_compact", "scd2_dating_orders", "scd2_merge_changeset",
+        "scd2_temporal_join", "scd_surrogate_keys", "sim_cosine_topk",
+        "u10_reverse_groups", "u2_union_by_name_missing", "u6_shuffle_rows",
+        "u8_dedup_exact", "u_hash_sample", "u_hash_topk_sample",
+        "u_stratified_fixed", "u_temperature_mixture",
+        "w12_tail_split", "w1_flag_partition_max", "w2_cumsum_events",
+        "w2_hotkey_cumsum_salted", "w2_salted_cumsum_events",
+        "w3_lag_lead_dating", "w9_sliding_windows",
+    }
+)
+
+# Everything matching these prefixes is a SURVEY §2 inventory row (scan /
+# projection / join / agg / window / setop / scalar-fn / UDF / streaming /
+# SCD / TPC-H shape); anything else is a catalog extra.
+_CORE_PREFIXES = (
+    "s1_", "s2_", "s16_", "s_", "p1", "p2", "p3_", "p4_", "p5_", "p6_",
+    "p7_", "p9_", "p10_", "j", "a1", "a2_", "a3_", "a4_", "a5_", "a6_",
+    "a7_", "a8_", "a9_", "w1", "w2", "w3_", "w5_", "w6_", "w7_", "w9_",
+    "o4_", "o5_", "o_topk", "u", "f1", "f2", "f3_", "f4_", "f7_", "f8_",
+    "f9_", "scd", "enc_", "st_", "q1", "q2", "q3_", "q4_", "q5_", "q6_",
+    "q7_", "q8_", "q9_", "d1", "d2_", "graph_", "dedup_exact",
+    "lake_", "mm_", "pipeline_curate",
+)
+
+
+def _is_survey_core(name: str) -> bool:
+    return name in _SURVEY_BACKLOG or name.startswith(_CORE_PREFIXES)
+
+
 def _priority_order(names: list[str]) -> list[str]:
-    """Order queries so the driver's time-boxed oracle sweep verifies as
-    many NEW queries as possible each round: queries with no green
-    CORRECTNESS row from any previous round come first, and within each
-    group cheaper queries (measured sf0.01 seconds in
-    tools/gate_costs.json) run before expensive ones — a 16s recursive
-    closure oracle at the head of the list would eat the whole budget.
+    """Order queries so the driver's time-boxed oracle sweep drains the
+    SURVEY §2 backlog first (the round-2 verdict's top ask):
+
+    tier 0 — unverified §2-core queries the r2 judge named explicitly;
+    tier 1 — other unverified §2-core rows (incl. TPC-H q* shapes);
+    tier 2 — unverified catalog extras;
+    tier 3 — anything with a green CORRECTNESS row from a prior round.
+
+    Within each tier, cheaper queries (measured sf0.01 seconds in
+    tools/gate_costs.json) run first so a 6-second pipeline oracle can't
+    eat the budget before cheap backlog rows get their turn.
     Self-adjusts as CORRECTNESS_r*.json files accumulate."""
     import glob
     import json
@@ -62,8 +110,15 @@ def _priority_order(names: list[str]) -> list[str]:
         pass
     pos = {n: i for i, n in enumerate(names)}
 
+    def tier(n: str) -> int:
+        if n in verified:
+            return 3
+        if n in _SURVEY_BACKLOG:
+            return 0
+        return 1 if _is_survey_core(n) else 2
+
     def key(n: str):
-        return (n in verified, costs.get(n, 1.0), pos[n])
+        return (tier(n), costs.get(n, 1.0), pos[n])
 
     return sorted(names, key=key)
 

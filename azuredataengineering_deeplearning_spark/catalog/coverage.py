@@ -149,9 +149,27 @@ def d1_json_array_flatten(spark, sf_dir):
 def d2_embed_pandas_udf(spark, sf_dir):
     """D2: broadcast-model pandas_udf embedding column (deterministic
     hash-projection stand-in model; plumbing identical to a real
-    encoder)."""
+    encoder).
+
+    The driver's rows-only canonicalizer sorts every output column, so
+    the raw ``array<float>`` is projected to scalar witnesses instead:
+    vector dimensionality, unit-rounded L2 norm, and the rounded first
+    component — enough to catch a broken/empty/NaN embedding while
+    staying hashable driver-side.
+    """
     d = read_parquet(spark, f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return EMB.embed_column(d, "text").select("doc_id", "embedding")
+    e = EMB.embed_column(d, "text")
+    norm_sq = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    comp_sum = F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    return e.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(norm_sq), 4).alias("l2_norm"),
+        F.round(comp_sum, 4).alias("comp_sum"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("comp_max"),
+    )
 
 
 @query(
