@@ -54,7 +54,9 @@ def _versions(path: str) -> list[int]:
     if not os.path.isdir(d):
         return []
     return sorted(
-        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+        int(f[:-5])
+        for f in os.listdir(d)
+        if f.endswith(".json") and f[:-5].isdigit()
     )
 
 
@@ -110,26 +112,40 @@ def _stage(
 
 
 def _try_commit(path: str, version: int, actions: dict) -> None:
-    """Claim ``version`` with an exclusive create — atomic on POSIX."""
+    """Claim ``version`` atomically: write the full JSON to a temp file,
+    then ``os.link`` it to the version name — link is exclusive AND
+    atomic, so a crash mid-write can never leave a truncated commit file
+    that poisons every later snapshot replay (the exclusive-``open``
+    + ``json.dump`` it replaces could)."""
     os.makedirs(_log_dir(path), exist_ok=True)
     target = os.path.join(_log_dir(path), f"{version:08d}.json")
+    tmp = os.path.join(_log_dir(path), f".{uuid.uuid4().hex[:12]}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "ts": time.time(), **actions}, f)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        with open(target, "x") as f:
-            json.dump({"version": version, "ts": time.time(), **actions}, f)
+        os.link(tmp, target)
     except FileExistsError as e:
         raise CommitConflict(f"version {version} already committed") from e
+    finally:
+        os.unlink(tmp)
 
 
 def append(df: DataFrame, path: str, target_files: int | None = None,
-           max_retries: int = 10) -> int:
+           max_retries: int = 10, meta: dict | None = None) -> int:
     """Blind append: stage once, retry only the (cheap) version claim —
-    appends commute, so a lost race never restages data."""
+    appends commute, so a lost race never restages data. ``meta`` lands
+    in the commit record (e.g. ``{"batch_id": n}`` for streaming
+    replay detection, mirroring :func:`merge`)."""
     os.makedirs(path, exist_ok=True)
     names = _stage(df, path, target_files)
     for _ in range(max_retries):
         _, v = snapshot_files(path)
         try:
-            _try_commit(path, v + 1, {"op": "APPEND", "add": names})
+            _try_commit(
+                path, v + 1, {"op": "APPEND", "add": names, **(meta or {})}
+            )
             return v + 1
         except CommitConflict:
             continue
@@ -205,9 +221,28 @@ def merge(
     drift-ALTER path of ``merge_generator.py``. Every merge commit also
     writes a CHANGE DATA FEED file (``_change_type`` ∈ insert /
     update_preimage / update_postimage), readable with
-    :func:`read_changes` for incremental downstream consumption."""
+    :func:`read_changes` for incremental downstream consumption.
+
+    Like Delta MERGE, a changeset with multiple rows per key is
+    rejected (silently unioning both rows in would duplicate the key
+    and mis-pair CDF pre/postimages). Pre-aggregate the changeset to
+    one row per key before merging."""
     from pyspark.sql import functions as F
 
+    dupes = (
+        changeset.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dupes:
+        key_vals = {k: dupes[0][k] for k in keys}
+        raise ValueError(
+            f"merge changeset has multiple rows for key {key_vals}; "
+            "MERGE requires at most one source row per key "
+            "(deduplicate/pre-aggregate the changeset first)"
+        )
     for _ in range(max_retries):
         base_files, base_v = snapshot_files(path)
         if base_v < 0:
@@ -302,32 +337,88 @@ def compact(
     return v + 1
 
 
-def vacuum(path: str, dry_run: bool = True) -> list[str]:
+def vacuum(
+    path: str, dry_run: bool = True, orphan_retention_s: float = 3600.0
+) -> list[str]:
     """Delete data files no longer referenced by ANY version's live set
     — i.e. files removed by some commit (old snapshots become
     unreadable for those versions, like Delta VACUUM with retention 0).
-    ``dry_run=True`` (default) only reports."""
+    ``dry_run=True`` (default) only reports.
+
+    Files that were NEVER referenced by a commit are a different case:
+    they may be a concurrent writer's staged-but-uncommitted data
+    (``_stage`` renames into the table root before the version claim).
+    Deleting those would corrupt that writer's imminent commit, so
+    never-referenced files are vacuumed only when older than
+    ``orphan_retention_s`` (mtime) — the Delta retention-window guard."""
     live, _ = snapshot_files(path)
     keep = set(live)
+    ever_referenced: set[str] = set()
     for v in _versions(path):  # CDF files stay readable after vacuum
-        keep |= set(_read_commit(path, v).get("cdf", []))
-    victims = [
-        f
-        for f in os.listdir(path)
-        if f.startswith("data_") and f.endswith(".parquet") and f not in keep
-    ]  # _cdf/ files are commit-referenced via their subdir path and
-    # never candidates here (top-level listing only)
+        c = _read_commit(path, v)
+        keep |= set(c.get("cdf", []))
+        ever_referenced |= set(c.get("add", []))
+    now = time.time()
+    victims = []
+    for f in os.listdir(path):
+        # _cdf/ files are commit-referenced via their subdir path and
+        # never candidates here (top-level listing only)
+        if not (f.startswith("data_") and f.endswith(".parquet")):
+            continue
+        if f in keep:
+            continue
+        if f not in ever_referenced:
+            try:
+                age = now - os.path.getmtime(os.path.join(path, f))
+            except OSError:
+                continue  # racing writer claimed/renamed it — leave alone
+            if age < orphan_retention_s:
+                continue  # possibly another writer's in-flight staging
+        victims.append(f)
     if not dry_run:
         for f in victims:
             os.remove(os.path.join(path, f))
     return sorted(victims)
 
 
+def _stat_encode(v, side: str | None = None):
+    """Make a min/max stat value JSON-serializable while preserving
+    ORDER, so skipping comparisons on the decoded values stay correct:
+
+    - int/float/str/bool/None pass through;
+    - datetime/date → ISO-8601 string (lexicographic == chronological);
+    - Decimal → float, widened one ULP outward (``side`` 'lo' rounds
+      down, 'hi' rounds up) so float rounding can only make skipping
+      MORE conservative, never prune a file that matches.
+
+    Query bounds go through the same encoding (``side=None``, no
+    widening) before comparing against stored stats."""
+    import datetime as _dt
+    import decimal as _dec
+    import math as _math
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        f = float(v)
+        if side == "lo":
+            return _math.nextafter(f, -_math.inf)
+        if side == "hi":
+            return _math.nextafter(f, _math.inf)
+        return f
+    return str(v)
+
+
 def _collect_stats(
     spark: SparkSession, path: str, names: list[str], stats_cols: list[str]
 ) -> dict:
     """Per-file min/max for ``stats_cols`` — ONE job over the staged
-    files grouped by ``input_file_name`` (no per-file driver loop)."""
+    files grouped by ``input_file_name`` (no per-file driver loop).
+    Values are encoded JSON-safe (date/timestamp/decimal columns would
+    otherwise make ``json.dump`` raise AFTER staging, leaking orphaned
+    data files with no commit)."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(*[os.path.join(path, n) for n in names])
@@ -344,7 +435,11 @@ def _collect_stats(
     for r in agg:
         fname = os.path.basename(r["__f"])
         out[fname] = {
-            c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in stats_cols
+            c: [
+                _stat_encode(r[f"lo_{c}"], "lo"),
+                _stat_encode(r[f"hi_{c}"], "hi"),
+            ]
+            for c in stats_cols
         }
     return out
 
@@ -395,6 +490,7 @@ def read_skipping(
         if version is not None and v > version:
             break
         stats.update(_read_commit(path, v).get("stats", {}))
+    q_lo, q_hi = _stat_encode(lo), _stat_encode(hi)
     keep, skipped = [], 0
     for f in live:
         s = stats.get(f, {}).get(column)
@@ -402,7 +498,7 @@ def read_skipping(
             keep.append(f)
             continue
         f_lo, f_hi = s
-        if f_lo is None or f_hi is None or (f_lo <= hi and f_hi >= lo):
+        if f_lo is None or f_hi is None or (f_lo <= q_hi and f_hi >= q_lo):
             keep.append(f)
         else:
             skipped += 1
@@ -447,15 +543,19 @@ def read_skipping_multi(
         if version is not None and v > version:
             break
         stats.update(_read_commit(path, v).get("stats", {}))
+    enc_ranges = {
+        col: (_stat_encode(lo), _stat_encode(hi))
+        for col, (lo, hi) in ranges.items()
+    }
     keep, skipped = [], 0
     for f in live:
         fs = stats.get(f, {})
         drop = False
-        for col, (lo, hi) in ranges.items():
+        for col, (q_lo, q_hi) in enc_ranges.items():
             s = fs.get(col)
             if s is None or s[0] is None or s[1] is None:
                 continue  # no stats → cannot exclude on this column
-            if s[0] > hi or s[1] < lo:
+            if s[0] > q_hi or s[1] < q_lo:
                 drop = True
                 break
         if drop:

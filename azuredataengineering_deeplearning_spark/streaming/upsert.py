@@ -104,6 +104,10 @@ def stream_upsert_txlog(
     into the table's own log (the Delta ``txnAppId``/``txnVersion``
     idempotent-writer pattern).
 
+    Each micro-batch must carry at most one row per key (txlog MERGE
+    rejects duplicate-key changesets, matching Delta) — dedup upstream
+    with e.g. a windowed latest-row-per-key before the sink.
+
     Returns the started StreamingQuery."""
     from azuredataengineering_deeplearning_spark.sources import txlog as TX
 
@@ -119,7 +123,11 @@ def stream_upsert_txlog(
             return  # replayed batch: already committed
         spark = batch_df.sparkSession
         if not os.path.isdir(os.path.join(table_path, "_txlog")):
-            TX.append(batch_df, table_path)
+            # bootstrap append records batch_id too, so a replay of the
+            # FIRST batch is detected by the applied-id scan instead of
+            # re-running as a merge (which would emit a spurious CDF
+            # commit for change-feed consumers)
+            TX.append(batch_df, table_path, meta={"batch_id": batch_id})
             return
         TX.merge(spark, table_path, batch_df, keys, meta={"batch_id": batch_id})
 

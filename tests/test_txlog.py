@@ -224,3 +224,104 @@ def test_concurrent_appends_serialize_without_lost_updates(spark, tmp_path):
     got = {r.k for r in TX.read(spark, p).collect()}
     assert got == set(range(12)) | {999}
     assert [h["version"] for h in TX.history(p)] == list(range(13))
+
+
+def test_merge_rejects_duplicate_key_changeset(spark, tmp_path):
+    """Delta MERGE parity: multiple source rows per key must raise, not
+    silently insert duplicates with mis-paired CDF images."""
+    p = str(tmp_path / "t")
+    TX.append(_df(spark, [(1, "a")]), p)
+    with pytest.raises(ValueError, match="multiple rows"):
+        TX.merge(spark, p, _df(spark, [(1, "x"), (1, "y")]), ["k"])
+    # table unchanged, no extra commit
+    assert {(r.k, r.v) for r in TX.read(spark, p).collect()} == {(1, "a")}
+    assert len(TX.history(p)) == 1
+
+
+def test_vacuum_spares_young_unreferenced_files(spark, tmp_path):
+    """A concurrent writer's staged-but-uncommitted data_* file (never
+    referenced by any commit, young mtime) must survive vacuum; once
+    older than the retention window it becomes a victim."""
+    p = str(tmp_path / "t")
+    TX.append(_df(spark, [(1, "a")]), p)
+    orphan = os.path.join(p, "data_orphan_part-0.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not yet committed")
+    assert TX.vacuum(p, dry_run=False) == []          # young → spared
+    assert os.path.exists(orphan)
+    assert TX.vacuum(p, dry_run=False, orphan_retention_s=0.0) == [
+        "data_orphan_part-0.parquet"
+    ]
+    assert not os.path.exists(orphan)
+
+
+def test_vacuum_still_removes_commit_dereferenced_files_immediately(
+    spark, tmp_path
+):
+    """Files a commit removed (superseded snapshots) are vacuumable
+    regardless of age — the retention window only guards never-
+    referenced orphans."""
+    p = str(tmp_path / "t")
+    TX.append(_df(spark, [(1, "a")]), p, target_files=1)
+    TX.overwrite(_df(spark, [(2, "b")]), p, target_files=1)
+    dead = TX.vacuum(p, dry_run=False)   # default retention, fresh files
+    assert len(dead) == 1
+    assert {r.k for r in TX.read(spark, p).collect()} == {2}
+
+
+def test_stats_serialize_date_and_decimal_columns(spark, tmp_path):
+    """Date/decimal stats_cols must not blow up json.dump after staging
+    (that would leak orphaned data files with no commit), and skipping
+    on the encoded stats must stay correct."""
+    import datetime
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 1), "1.50"),
+            (datetime.date(2024, 1, 31), "2.25"),
+        ],
+        "d date, amt string",
+    ).selectExpr("d", "CAST(amt AS DECIMAL(10,2)) AS amt")
+    TX.append_with_stats(df.filter("d = DATE '2024-01-01'"), p, ["d", "amt"],
+                         target_files=1)
+    TX.append_with_stats(df.filter("d = DATE '2024-01-31'"), p, ["d", "amt"],
+                         target_files=1)
+    # date-range prune: only the January-1 file overlaps
+    got, info = TX.read_skipping(
+        spark, p, "d", datetime.date(2023, 12, 1), datetime.date(2024, 1, 10)
+    )
+    assert info == {"scanned": 1, "skipped": 1}
+    assert [r.d for r in got.collect()] == [datetime.date(2024, 1, 1)]
+    # decimal prune, boundary-inclusive despite float widening
+    import decimal
+
+    got2, info2 = TX.read_skipping(
+        spark, p, "amt", decimal.Decimal("2.25"), decimal.Decimal("9.99")
+    )
+    assert info2["scanned"] == 1 and info2["skipped"] == 1
+    assert [str(r.amt) for r in got2.collect()] == ["2.25"]
+
+
+def test_commit_files_written_atomically(spark, tmp_path):
+    """No *.json.tmp residue after commits, and every commit file parses
+    (the os.link claim can never publish a truncated JSON)."""
+    p = str(tmp_path / "t")
+    TX.append(_df(spark, [(1, "a")]), p)
+    TX.merge(spark, p, _df(spark, [(1, "a2")]), ["k"])
+    log_dir = os.path.join(p, "_txlog")
+    assert [f for f in os.listdir(log_dir) if f.endswith(".tmp")] == []
+    import json
+
+    for f in os.listdir(log_dir):
+        with open(os.path.join(log_dir, f)) as fh:
+            assert json.load(fh)["version"] >= 0
+
+
+def test_append_meta_records_batch_id(spark, tmp_path):
+    """TX.append(meta=...) lands in the commit record — the streaming
+    bootstrap path's replay-detection contract."""
+    p = str(tmp_path / "t")
+    TX.append(_df(spark, [(1, "a")]), p, meta={"batch_id": 0})
+    c = TX._read_commit(p, 0)
+    assert c["batch_id"] == 0
