@@ -203,3 +203,74 @@ def j_salted_join(spark, sf_dir):
     return out.select(
         "l_orderkey", "l_extendedprice", F.col("o_orderdate").cast("timestamp").alias("o_orderdate")
     )
+
+
+_ASOF_HOTKEY_SQL = """
+    WITH ev AS (
+      SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    purchases AS (
+      SELECT event_id, ts_us FROM ev WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT 0 AS g, ts_us, MAX(event_id) AS view_id
+      FROM ev WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.ts_us, v.ts_us AS ts_us_right, v.view_id
+    FROM (SELECT 0 AS g, * FROM purchases) p
+    ASOF LEFT JOIN views v
+      ON p.g = v.g AND p.ts_us >= v.ts_us
+"""
+
+
+def _asof_hotkey_inputs(spark, sf_dir):
+    """Worst-case as-of skew fixture: every event collapsed onto ONE
+    key, so the whole join lands on a single ``by`` partition (the
+    hot-user pattern of ``generate_data.py:551-555`` taken to its
+    limit, mirroring ``w2_hotkey_*``)."""
+    from azuredataengineering_deeplearning_spark.operators.aggregates import (
+        argmax_rows,
+    )
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts_us")
+        .withColumn("g", F.lit(0))
+    )
+    views = (
+        argmax_rows(
+            ev.filter(F.col("event_type") == "view").select("ts_us", "event_id"),
+            keys=["ts_us"],
+            order="event_id",
+        )
+        .select("ts_us", F.col("event_id").alias("view_id"))
+        .withColumn("g", F.lit(0))
+    )
+    return purchases, views
+
+
+@query("j_asof_hotkey_native", _ASOF_HOTKEY_SQL)
+def j_asof_hotkey_native(spark, sf_dir):
+    """Hot-key as-of, single-task baseline: the union+window strategy
+    with one global key serializes the sort onto one task — correct,
+    and the yardstick the salted variant must match."""
+    purchases, views = _asof_hotkey_inputs(spark, sf_dir)
+    out = J.asof_join_native(purchases, views, on="ts_us", by=["g"])
+    return out.select("event_id", "ts_us", "ts_us_right", "view_id")
+
+
+@query("j_asof_hotkey_salted", _ASOF_HOTKEY_SQL)
+def j_asof_hotkey_salted(spark, sf_dir):
+    """Hot-key as-of, salted: time-bucketed within-key windows + an
+    O(buckets) carry table parallelize the hot key across its time
+    range; identical results (same oracle as the native variant — that
+    IS the check). 1-hour epoch-micro buckets → ~720 buckets over the
+    30-day events table."""
+    purchases, views = _asof_hotkey_inputs(spark, sf_dir)
+    out = J.asof_join_salted(
+        purchases, views, on="ts_us", by=["g"], bucket_width=3_600_000_000
+    )
+    return out.select("event_id", "ts_us", "ts_us_right", "view_id")

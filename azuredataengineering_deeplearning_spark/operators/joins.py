@@ -267,7 +267,37 @@ def asof_join_native(
     window streams). 'nearest' still routes to the pandas path."""
     if direction not in ("backward", "forward"):
         raise ValueError("asof_join_native supports backward/forward")
+    unified, r_value_cols = _asof_unified(left, right, on, list(by), suffix)
     by = list(by)
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__is_left").asc()]
+    else:
+        order = [F.col("__t").desc(), F.col("__is_left").asc()]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unified.withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    ).filter(F.col("__is_left") == 1)
+    return matched.select(
+        *left.columns,
+        *[F.col("__m").getField(c).alias(c) for c in r_value_cols],
+    )
+
+
+def _asof_unified(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    suffix: str,
+) -> tuple[DataFrame, list[str]]:
+    """Shared construction for the union-trick as-of joins: tag both
+    inputs, pack the right row as a nullable struct ``__r``, align
+    schemas, union. Returns (unified frame with ``__t``/``__is_left``/
+    ``__r``, right value column names)."""
     left_names = set(left.columns)
     rename = {
         c: c + suffix
@@ -298,20 +328,93 @@ def asof_join_native(
     unified = l_tag.select(*left.columns, "__t", "__is_left", "__r").unionByName(
         r_tag.select(*left.columns, "__t", "__is_left", "__r")
     )
-    if direction == "backward":
-        order = [F.col("__t").asc(), F.col("__is_left").asc()]
-    else:
-        order = [F.col("__t").desc(), F.col("__is_left").asc()]
-    w = (
-        Window.partitionBy(*by)
+    return unified, r_value_cols
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    bucket_width: int,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Skew-resistant as-of join — the hot-key path.
+
+    :func:`asof_join_native` sorts each ``by`` key inside ONE task; a
+    key owning most of the table (one hot user, a global as-of with
+    ``by=()``) serializes the whole join. This variant salts the time
+    axis the way ``windows.salted_cumsum`` salts cumulative sums:
+
+    1. bucket every row by ``floor(t / bucket_width)`` and run the
+       within-(key, bucket) ordered window — hot keys now parallelize
+       across their time buckets;
+    2. reduce the right side to one "latest row" struct per (key,
+       bucket) — an O(buckets) table;
+    3. carry that seed across buckets with a second window over the
+       TINY per-bucket table (partitioned by key, ordered by bucket),
+       giving each bucket the nearest right row from any earlier
+       bucket;
+    4. join the carry back on (key, bucket) — AQE broadcasts the
+       spine — and ``coalesce(within_bucket_match, carry)``.
+
+    Same result set as the native join (equivalence-tested; same
+    DuckDB ASOF oracle in the catalog). Requires a numeric ``on``
+    column and — like the native path — a right side unique per
+    (``by``, ``on``) for deterministic tie-breaks. Pick
+    ``bucket_width`` so a hot key spreads over 10–1000 buckets
+    (e.g. 1h of epoch-micros for a day-scale table)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("asof_join_salted supports backward/forward")
+    by = list(by)
+    unified, r_value_cols = _asof_unified(left, right, on, by, suffix)
+    left_cols = [c for c in unified.columns if c not in ("__t", "__is_left", "__r")]
+
+    b = F.lit(int(bucket_width))
+    u = unified.withColumn("__bkt", F.floor(F.col("__t") / b))
+    back = direction == "backward"
+    order = [
+        F.col("__t").asc() if back else F.col("__t").desc(),
+        F.col("__is_left").asc(),
+    ]
+    w_local = (
+        Window.partitionBy(*by, "__bkt")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    matched = unified.withColumn(
-        "__m", F.last("__r", ignorenulls=True).over(w)
-    ).filter(F.col("__is_left") == 1)
+    u = u.withColumn("__m_local", F.last("__r", ignorenulls=True).over(w_local))
+
+    # per-(key, bucket) nearest-to-boundary right row: max __t for
+    # backward (last in bucket), min for forward (first in bucket) —
+    # struct comparison orders on __t first, deterministic because the
+    # right side is unique per (by, on)
+    seed_struct = F.struct(F.col("__t"), F.col("__r"))
+    seed_agg = F.max(seed_struct) if back else F.min(seed_struct)
+    seeds = (
+        u.filter(F.col("__is_left") == 0)
+        .groupBy(*by, "__bkt")
+        .agg(seed_agg.alias("__s"))
+        .select(*by, "__bkt", F.col("__s").getField("__r").alias("__seed"))
+    )
+    spine = u.select(*by, "__bkt").distinct()
+    w_carry = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__bkt").asc() if back else F.col("__bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        spine.join(seeds, [*by, "__bkt"], "left")
+        .withColumn("__carry", F.last("__seed", ignorenulls=True).over(w_carry))
+        .select(*by, "__bkt", "__carry")
+    )
+    matched = (
+        u.join(carry, [*by, "__bkt"], "left")
+        .withColumn("__m", F.coalesce("__m_local", "__carry"))
+        .filter(F.col("__is_left") == 1)
+    )
     return matched.select(
-        *left.columns,
+        *left_cols,
         *[F.col("__m").getField(c).alias(c) for c in r_value_cols],
     )
 

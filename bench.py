@@ -75,6 +75,7 @@ def main() -> None:
     qs = E.queries()
     spark = get_spark(app_name="ades-bench")
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
@@ -82,9 +83,16 @@ def main() -> None:
             continue
         df = fn(spark, sf_dir)
         df.count()  # warm: plan + scan caches JIT'd code paths
-        t0 = time.time()
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+        # median of `reps` timed runs — sub-second queries at this scale
+        # sit in a ±20% JVM-jitter band, so a single sample makes
+        # round-over-round comparisons noise-dominated
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            df.count()
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
         # drop this query's persisted intermediates so later queries are
         # measured without accumulated executor-memory pressure
         spark.catalog.clearCache()

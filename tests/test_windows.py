@@ -388,3 +388,68 @@ def test_frequent_sequences_counts_motifs(spark):
         df, "u", "ts", "e", n=3, min_count=2, top_k=10, tiebreak_col="eid"
     ).collect()}
     assert out == {"a>b>c": 3, "b>c>a": 3}  # two motifs per user, no cross-user
+
+
+def test_asof_salted_equals_native(spark):
+    """Salted (time-bucketed + carry) as-of must return exactly the
+    native join's rows — uniform keys, a hot key owning most rows,
+    buckets with no right rows, and both directions."""
+    import random
+
+    from azuredataengineering_deeplearning_spark.operators.joins import (
+        asof_join_native,
+        asof_join_salted,
+    )
+
+    random.seed(7)
+    # key 0 is hot (70% of left rows); right side unique per (k, t)
+    L = [
+        (0 if random.random() < 0.7 else random.randint(1, 9),
+         random.randint(0, 1000), i)
+        for i in range(900)
+    ]
+    R = list(
+        {
+            (k, t): (k, t, float(i))
+            for i, (k, t) in enumerate(
+                (random.randint(0, 9), random.randint(0, 1000))
+                # sparse right → many empty buckets exercise the carry
+                for _ in range(120)
+            )
+        }.values()
+    )
+    ldf = spark.createDataFrame(L, ["k", "t", "lid"])
+    rdf = spark.createDataFrame(R, ["k", "t", "rv"])
+    for d in ("backward", "forward"):
+        for w in (7, 50, 5000):  # tiny buckets, medium, one-bucket-fits-all
+            na = {
+                r.lid: (r.t_right, r.rv)
+                for r in asof_join_native(
+                    ldf, rdf, on="t", by=["k"], direction=d
+                ).collect()
+            }
+            sa = {
+                r.lid: (r.t_right, r.rv)
+                for r in asof_join_salted(
+                    ldf, rdf, on="t", by=["k"], bucket_width=w, direction=d
+                ).collect()
+            }
+            assert sa == na, (d, w)
+
+
+def test_asof_salted_global_key_and_null_fields(spark):
+    from azuredataengineering_deeplearning_spark.operators.joins import (
+        asof_join_salted,
+    )
+
+    # by=[] — a single global sequence (the degenerate hot key)
+    l2 = spark.createDataFrame([(10, 1), (3, 2), (99, 3)], ["t", "lid"])
+    r2 = spark.createDataFrame(
+        [(5, 1.0), (8, None), (50, 2.0)], "t long, v double"
+    )
+    got = {
+        r.lid: (r.t_right, r.v)
+        for r in asof_join_salted(l2, r2, on="t", by=[], bucket_width=10).collect()
+    }
+    # lid 1 (t=10): nearest prior is t=8 whose v IS NULL (struct, not ffill)
+    assert got == {1: (8, None), 2: (None, None), 3: (50, 2.0)}
