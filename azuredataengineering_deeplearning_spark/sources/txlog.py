@@ -265,6 +265,11 @@ def merge(
             pre.withColumn("_change_type", F.lit("update_preimage"))
             .unionByName(post, allowMissingColumns=True)
             .unionByName(ins, allowMissingColumns=True)
+            # stamped into the FILE so streaming CDF consumers can keep
+            # each key's newest image when a micro-batch spans commits
+            # (a lost commit race deletes and restages with the new
+            # version, so the stamp always matches the claimed commit)
+            .withColumn("_commit_version", F.lit(base_v + 1))
         )
         cdf_names = _stage(cdf, path, None, subdir="_cdf")
         try:
@@ -301,11 +306,10 @@ def read_changes(
             continue
         c = _read_commit(path, v)
         if c.get("cdf"):
-            parts.append(
-                spark.read.parquet(
-                    *[os.path.join(path, f) for f in c["cdf"]]
-                ).withColumn("_commit_version", F.lit(v))
-            )
+            part = spark.read.parquet(*[os.path.join(path, f) for f in c["cdf"]])
+            # older CDF files predate the embedded stamp; either way the
+            # authoritative version is the commit being replayed
+            parts.append(part.withColumn("_commit_version", F.lit(v)))
     if not parts:
         raise FileNotFoundError(
             f"no change data in {path} for versions [{from_version}, {to_version}]"
