@@ -26,6 +26,9 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "j1_broadcast_dim_join",
     "j_asof_join_events",
+    # skew pair: salted must land within ~2x of the uniform-key asof row
+    "j_asof_hotkey_native",
+    "j_asof_hotkey_salted",
     "j_interval_join",
     # windows over events
     "w2_salted_cumsum_events",
