@@ -286,3 +286,62 @@ def s_txlog_skipping(spark, sf_dir):
         )
     out, _ = TX.read_skipping(spark, table, "n_chars", 150, 300)
     return out
+
+
+@query(
+    "s_txlog_rescore_cdf",
+    """
+    WITH changed AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 5 = 0 OR doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           CAST(len(text) AS INT) AS n_chars,
+           CASE WHEN doc_id % 7 = 0 THEN 'rev' ELSE 'orig' END AS revision
+    FROM changed
+    """,
+)
+def s_txlog_rescore_cdf(spark, sf_dir):
+    """Incremental CDF re-scoring, batch-replayed for the gate: a
+    documents txlog table gets two MERGE days (day 1 touches doc_id%5,
+    day 2 revises doc_id%7 with a 'rev' marker), then the full change
+    feed is re-scored via ``rescore_changes`` — newest image per key
+    (argmax ``_commit_version``), row-wise scorer. The oracle
+    recomputes the expected scores for exactly the changed set, with
+    day-2 revisions winning — the ``daily_eval.py:118-183`` arg_max
+    slice semantics, O(changed docs). Streaming runtime (checkpoint,
+    replay skip) exercised in tests/test_streaming_stateful.py."""
+    from azuredataengineering_deeplearning_spark.sources import txlog as TX
+    from azuredataengineering_deeplearning_spark.streaming.rescore import (
+        rescore_changes,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    d = read_parquet(spark, src, columns=["doc_id", "text"])
+    st = os.stat(src)
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{int(st.st_mtime)}_{st.st_size}"
+    table = os.path.join(tempfile.gettempdir(), f"ades_txrescore_{tag}")
+    if not os.path.isdir(os.path.join(table, "_txlog")):
+        TX.append(d, table, target_files=2)
+        TX.merge(
+            spark, table,
+            d.filter("doc_id % 5 = 0"),
+            ["doc_id"],
+        )
+        TX.merge(
+            spark, table,
+            d.filter("doc_id % 7 = 0").withColumn(
+                "text", F.concat(F.col("text"), F.lit(""))
+            ).withColumn("__rev", F.lit("rev")),
+            ["doc_id"],
+        )
+    changes = TX.read_changes(spark, table, from_version=1)
+
+    def score(df):
+        return df.select(
+            "doc_id",
+            F.length("text").cast("int").alias("n_chars"),
+            F.coalesce(F.col("__rev"), F.lit("orig")).alias("revision"),
+        )
+
+    return rescore_changes(changes, ["doc_id"], score)

@@ -336,9 +336,10 @@ def asof_join_salted(
     right: DataFrame,
     on: str,
     by: Sequence[str],
-    bucket_width: int,
+    bucket_width: int | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    target_buckets: int = 256,
 ) -> DataFrame:
     """Skew-resistant as-of join — the hot-key path.
 
@@ -364,10 +365,18 @@ def asof_join_salted(
     column and — like the native path — a right side unique per
     (``by``, ``on``) for deterministic tie-breaks. Pick
     ``bucket_width`` so a hot key spreads over 10–1000 buckets
-    (e.g. 1h of epoch-micros for a day-scale table)."""
+    (e.g. 1h of epoch-micros for a day-scale table); ``None`` sizes it
+    from the left side's global time span (one tiny agg) to
+    ``target_buckets`` buckets."""
     if direction not in ("backward", "forward"):
         raise ValueError("asof_join_salted supports backward/forward")
     by = list(by)
+    if bucket_width is None:
+        row = left.agg(
+            F.min(F.col(on)).alias("lo"), F.max(F.col(on)).alias("hi")
+        ).first()
+        span = (row["hi"] or 0) - (row["lo"] or 0)
+        bucket_width = int(max(span // max(target_buckets, 1), 1))
     unified, r_value_cols = _asof_unified(left, right, on, by, suffix)
     left_cols = [c for c in unified.columns if c not in ("__t", "__is_left", "__r")]
 

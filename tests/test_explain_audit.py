@@ -255,3 +255,14 @@ def test_runtime_bloom_filter_knob_injects_pruning(spark):
         spark.conf.set(conf, old)
         spark.conf.unset(thr)
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_asof_salted_no_nested_loop_and_bounded_shuffles(spark, sf_dir):
+    # the hot-key as-of must stay equi-join + window shaped: no
+    # cartesian/BNL anywhere, and the carry-spine join back is an
+    # equi-join on (key, bucket)
+    plan = _plan(E.queries()["j_asof_hotkey_salted"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # per-(key,bucket) windows — the hot key is NOT a single partition
+    assert "Window" in plan

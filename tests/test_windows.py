@@ -453,3 +453,9 @@ def test_asof_salted_global_key_and_null_fields(spark):
     }
     # lid 1 (t=10): nearest prior is t=8 whose v IS NULL (struct, not ffill)
     assert got == {1: (8, None), 2: (None, None), 3: (50, 2.0)}
+    # auto bucket width (sized from the left span) gives the same rows
+    auto = {
+        r.lid: (r.t_right, r.v)
+        for r in asof_join_salted(l2, r2, on="t", by=[]).collect()
+    }
+    assert auto == got
