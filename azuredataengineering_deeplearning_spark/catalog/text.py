@@ -911,3 +911,87 @@ def t_script_profile(spark, sf_dir):
     fingerprint for language pipelines and corruption detection."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return d.select("doc_id", *T.script_profile("text"))
+
+
+_BM25_TERMS = ("data", "model", "learning", "cloud", "pipeline")
+_BM25_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS term
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM t2
+      WHERE term IN {str(_BM25_TERMS)} GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+    ts AS (
+      SELECT tf.doc_id,
+             CAST(ln((stats.n - dfq.df_t + 0.5) / (dfq.df_t + 0.5) + 1.0)
+                  * tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                  AS DECIMAL(28,8)) AS s
+      FROM tf
+      JOIN dfq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+    FROM ts GROUP BY doc_id
+    ORDER BY SUM(s) DESC, doc_id ASC LIMIT 20
+"""
+
+
+@query("t_bm25_topk", _BM25_SQL)
+def t_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 for a fixed query-term bag — ranked retrieval
+    over the corpus (topic-slice selection / retrieval-eval set
+    building). Per-(doc, term) scores round into decimal(28,8) before
+    the per-doc sum so the total and the top-k cutoff are deterministic
+    and engine-portable."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return T.bm25_topk(d, "doc_id", "text", list(_BM25_TERMS), k=20)
+
+
+_HB_SQL = "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % {n}"
+
+_LEAKAGE_SPLIT_SQL = f"""
+    WITH RECURSIVE pairs AS ({{jaccard}}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    cc AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    )
+    SELECT doc_id, group_key,
+           CAST(CASE WHEN {_HB_SQL.format(k='group_key', n=10000)} < 9000
+                THEN 0 ELSE 1 END AS INT) AS split
+    FROM keyed
+"""
+
+
+@query(
+    "u_leakage_safe_split",
+    _LEAKAGE_SPLIT_SQL.format(jaccard=_EXACT_JACCARD_SQL.format(thr=0.8)),
+)
+def u_leakage_safe_split(spark, sf_dir):
+    """90/10 train/eval split that can NEVER leak a near-duplicate
+    across the boundary: the split hashes the near-dup cluster's
+    canonical id (minhash pairs → connected components), so whole
+    clusters move together. The oracle rebuilds the same components
+    with a recursive CTE and applies the identical portable hash."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = DD.minhash_near_duplicates(d, "doc_id", "text", threshold=0.8)
+    out = DD.leakage_safe_split(d, "doc_id", pairs, [0.9, 0.1])
+    return out.select("doc_id", "group_key", "split")

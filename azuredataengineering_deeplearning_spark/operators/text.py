@@ -877,3 +877,61 @@ def script_profile(
         punct.alias(f"{prefix}punct"),
         other.alias(f"{prefix}non_ascii"),
     ]
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-``k`` documents for a bag of query
+    terms (Robertson et al., TREC-3) — the ranked-retrieval upgrade of
+    :func:`tfidf_topk` used to pull topic-relevant training slices and
+    to build retrieval-eval sets from the corpus itself.
+
+    One explode + ONE (doc, term) shuffle for the whole corpus; the
+    query-term filter prunes the scored frame to |terms| × matching
+    docs BEFORE any join; document frequencies and the (N, avgdl)
+    stats row are tiny aggregates broadcast back. Per-(doc, term)
+    scores are rounded into ``decimal(28,8)`` before the per-doc sum,
+    so the total is exact-decimal — independent of partition order and
+    bit-identical across engines — and the (score desc, id asc) top-k
+    cutoff is deterministic. Scales as the corpus tokenization scan:
+    no corpus-size collect, no global sort (TakeOrderedAndProject)."""
+    terms = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+        )
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(stats)
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+    term_score = (idf * F.col("tf") * (k1 + 1.0) / denom).cast("decimal(28,8)")
+    per_doc = scored.groupBy(id_col).agg(F.sum(term_score).alias("__s"))
+    return (
+        per_doc.orderBy(F.col("__s").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.col("__s").cast("double").alias("bm25"))
+    )

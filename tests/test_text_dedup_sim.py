@@ -559,3 +559,64 @@ def test_script_profile_classifies_mixed_content(spark):
     assert abs(r1.frac_punct - 0.2) < 1e-9
     assert out[2].frac_non_ascii == 1.0
     assert out[3].frac_latin == 0.0  # empty doc guarded by GREATEST(n,1)
+
+
+def test_bm25_ranking_properties(spark):
+    from azuredataengineering_deeplearning_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),        # tf=3 for 'spark'
+            (2, "spark engine"),                     # tf=1
+            (3, "pandas dataframe engine"),          # no query term 'spark'
+            (4, "rare gem here"),                    # only doc with 'gem'
+            (5, "common words only nothing else"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["spark"], k=10)
+    rows = out.collect()
+    ids = [r.doc_id for r in rows]
+    # only docs containing a query term are scored
+    assert set(ids) == {1, 2}
+    # higher tf wins (same dl effects small here)
+    assert ids[0] == 1 and rows[0].bm25 > rows[1].bm25
+    # a rarer term out-scores a common one at equal tf
+    two = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(docs, "doc_id", "text", ["engine", "gem"], k=10).collect()
+    }
+    assert two[4] > two[3]  # 'gem' df=1 beats 'engine' df=3 at tf=1
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from pyspark.sql import functions as F
+
+    from azuredataengineering_deeplearning_spark.operators.dedup import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    # two explicit near-dup clusters: {0,1,2} and {10, 11}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, "doc_id", pairs, [0.8, 0.2]).cache()
+    by_id = {r.doc_id: (r.group_key, r.split) for r in out.collect()}
+    # whole clusters share one group key and one split
+    assert by_id[0] == by_id[1] == by_id[2]
+    assert by_id[10] == by_id[11]
+    assert by_id[0][0] == 0 and by_id[10][0] == 10  # canonical min ids
+    # singletons key as themselves
+    assert by_id[42][0] == 42
+    # both splits populated, deterministic across invocations
+    splits = [v[1] for v in by_id.values()]
+    assert set(splits) == {0, 1}
+    again = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(docs, "doc_id", pairs, [0.8, 0.2]).collect()
+    }
+    assert again == {k: v[1] for k, v in by_id.items()}
