@@ -76,6 +76,31 @@ def main() -> None:
         results["cumsum_salted_hotkey"] = t
         print(json.dumps({"probe": "cumsum_salted_hotkey", "rows": args.rows, "sec": t}))
 
+        # ---- hot-key as-of: native (single-task sort) vs salted -------
+        from azuredataengineering_deeplearning_spark.operators import joins as J
+
+        asof_left = ev.filter(F.col("user_id") == 0).select(
+            F.lit(0).alias("g"), "ts", F.col("ts").alias("lid")
+        )
+        asof_right = (
+            spark.range(0, args.rows, 100)
+            .select(F.lit(0).alias("g"), F.col("id").alias("ts"), (F.col("id") % 997).alias("rv"))
+        )
+        t, _ = timed(
+            lambda: J.asof_join_native(asof_left, asof_right, on="ts", by=["g"]).count()
+        )
+        results["asof_hotkey_native"] = t
+        print(json.dumps({"probe": "asof_hotkey_native", "rows": args.rows // 2, "sec": t}))
+
+        t, _ = timed(
+            lambda: J.asof_join_salted(
+                asof_left, asof_right, on="ts", by=["g"],
+                bucket_width=max(args.rows // 256, 1),
+            ).count()
+        )
+        results["asof_hotkey_salted"] = t
+        print(json.dumps({"probe": "asof_hotkey_salted", "rows": args.rows // 2, "sec": t}))
+
         # ---- dim lookup: broadcast vs shuffled join -------------------
         dim = spark.range(1000).select(
             F.col("id").alias("user_id"), F.concat(F.lit("seg_"), F.col("id") % 7).alias("segment")
