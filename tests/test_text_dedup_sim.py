@@ -620,3 +620,19 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         for r in leakage_safe_split(docs, "doc_id", pairs, [0.8, 0.2]).collect()
     }
     assert again == {k: v[1] for k, v in by_id.items()}
+
+
+def test_resolve_clusters_converges_on_long_chain(spark):
+    """Pointer jumping: a 60-node chain (diameter >> default rounds for
+    plain propagation) must fully converge to the single component min."""
+    from azuredataengineering_deeplearning_spark.operators.dedup import (
+        resolve_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 160)], "id_a long, id_b long"
+    )
+    out = resolve_clusters(pairs, max_iter=10)  # 10 rounds < 60 diameter
+    labels = {r.node: r.cluster_id for r in out.collect()}
+    assert set(labels.values()) == {100}
+    assert len(labels) == 61
