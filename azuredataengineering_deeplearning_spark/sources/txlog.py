@@ -65,18 +65,65 @@ def _read_commit(path: str, v: int) -> dict:
         return json.load(f)
 
 
+def _ckpt_dir(path: str) -> str:
+    return os.path.join(_log_dir(path), "_checkpoints")
+
+
+def _checkpoint_versions(path: str) -> list[int]:
+    d = _ckpt_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(d)
+        if f.endswith(".ckpt.json") and f.split(".")[0].isdigit()
+    )
+
+
+def _latest_checkpoint(path: str, version: int | None = None) -> dict | None:
+    """Newest checkpoint at-or-before ``version`` (latest if None)."""
+    best = None
+    for v in _checkpoint_versions(path):
+        if version is None or v <= version:
+            best = v
+    if best is None:
+        return None
+    with open(os.path.join(_ckpt_dir(path), f"{best:08d}.ckpt.json")) as f:
+        return json.load(f)
+
+
 def snapshot_files(path: str, version: int | None = None) -> tuple[list[str], int]:
     """Replay the log → (live data files, resolved version). Version
-    ``None`` = latest; -1 (empty table) when no commits exist."""
-    live: set[str] = set()
-    resolved = -1
-    for v in _versions(path):
+    ``None`` = latest; -1 (empty table) when no commits exist.
+
+    Replay starts from the newest checkpoint at-or-before ``version``
+    (see :func:`checkpoint_log`) and walks only the commits after it —
+    O(commits since checkpoint), not O(table history)."""
+    ck = _latest_checkpoint(path, version)
+    live: set[str] = set(ck["live"]) if ck else set()
+    resolved = ck["version"] if ck else -1
+    vs = _versions(path)
+    for v in vs:
+        if v <= resolved:
+            continue
         if version is not None and v > version:
             break
         c = _read_commit(path, v)
         live -= set(c.get("remove", []))
         live |= set(c.get("add", []))
         resolved = v
+    if (
+        version is not None
+        and ck is None
+        and _checkpoint_versions(path)
+        and not any(v <= version for v in vs)
+    ):
+        raise ValueError(
+            f"version {version} predates the oldest checkpoint of {path} "
+            "and its commits were removed by clean_log(); time travel "
+            "below the checkpoint horizon is gone (Delta log-retention "
+            "semantics)"
+        )
     return sorted(live), resolved
 
 
@@ -196,6 +243,90 @@ def history(path: str) -> list[dict]:
             }
         )
     return out
+
+
+def _replay_stats(path: str, version: int | None = None) -> dict:
+    """File → column min/max stats at ``version``: checkpoint base plus
+    the commits after it (newest entry per file wins)."""
+    ck = _latest_checkpoint(path, version)
+    stats: dict = dict(ck.get("stats", {})) if ck else {}
+    start = ck["version"] if ck else -1
+    for v in _versions(path):
+        if v <= start:
+            continue
+        if version is not None and v > version:
+            break
+        stats.update(_read_commit(path, v).get("stats", {}))
+    return stats
+
+
+def checkpoint_log(path: str) -> int:
+    """Write a log CHECKPOINT at the current version: the fully-replayed
+    live file set plus the merged per-file stats for those files, in one
+    JSON under ``_txlog/_checkpoints/``. Readers resolve snapshots from
+    the newest checkpoint + the commit tail, so replay cost stays
+    O(commits since checkpoint) no matter how old the table gets — the
+    Delta ``_last_checkpoint`` mechanism (there it's a parquet of the
+    log; JSON is honest at this scale since the state is file-level).
+
+    Concurrent writers are unaffected (the checkpoint claims no
+    version); two racers checkpointing the same version dedupe via the
+    same exclusive-link claim commits use. Returns the checkpointed
+    version."""
+    live, v = snapshot_files(path)
+    if v < 0:
+        raise FileNotFoundError(f"nothing to checkpoint in {path}")
+    live_set = set(live)
+    stats = {
+        f: s for f, s in _replay_stats(path).items() if f in live_set
+    }
+    os.makedirs(_ckpt_dir(path), exist_ok=True)
+    target = os.path.join(_ckpt_dir(path), f"{v:08d}.ckpt.json")
+    tmp = os.path.join(_ckpt_dir(path), f".{uuid.uuid4().hex[:12]}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"version": v, "ts": time.time(), "live": live, "stats": stats}, f
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        pass  # a racer checkpointed the same version — identical content
+    finally:
+        os.unlink(tmp)
+    return v
+
+
+def maybe_checkpoint(path: str, every: int = 10) -> int | None:
+    """Checkpoint when the commit tail since the newest checkpoint has
+    reached ``every`` commits (the Delta auto-checkpoint cadence).
+    Returns the checkpointed version, or None if below the threshold."""
+    ck = _latest_checkpoint(path)
+    base = ck["version"] if ck else -1
+    tail = [v for v in _versions(path) if v > base]
+    if len(tail) >= every:
+        return checkpoint_log(path)
+    return None
+
+
+def clean_log(path: str, dry_run: bool = True) -> list[str]:
+    """Delete commit JSONs at-or-below the newest checkpoint — the log
+    analog of VACUUM. After cleaning, time travel and CDF reads below
+    the checkpoint horizon are gone (Delta log-retention semantics);
+    snapshot reads at/above it are untouched because the checkpoint
+    carries the full live set and stats. ``dry_run=True`` only
+    reports."""
+    ck = _latest_checkpoint(path)
+    if ck is None:
+        return []
+    victims = [
+        f"{v:08d}.json" for v in _versions(path) if v <= ck["version"]
+    ]
+    if not dry_run:
+        for name in victims:
+            os.remove(os.path.join(_log_dir(path), name))
+    return victims
 
 
 def merge(
@@ -489,11 +620,7 @@ def read_skipping(
     from pyspark.sql import functions as F
 
     live, _ = snapshot_files(path, version)
-    stats: dict = {}
-    for v in _versions(path):
-        if version is not None and v > version:
-            break
-        stats.update(_read_commit(path, v).get("stats", {}))
+    stats = _replay_stats(path, version)
     q_lo, q_hi = _stat_encode(lo), _stat_encode(hi)
     keep, skipped = [], 0
     for f in live:
@@ -542,11 +669,7 @@ def read_skipping_multi(
     from pyspark.sql import functions as F
 
     live, _ = snapshot_files(path, version)
-    stats: dict = {}
-    for v in _versions(path):
-        if version is not None and v > version:
-            break
-        stats.update(_read_commit(path, v).get("stats", {}))
+    stats = _replay_stats(path, version)
     enc_ranges = {
         col: (_stat_encode(lo), _stat_encode(hi))
         for col, (lo, hi) in ranges.items()

@@ -325,3 +325,54 @@ def test_append_meta_records_batch_id(spark, tmp_path):
     TX.append(_df(spark, [(1, "a")]), p, meta={"batch_id": 0})
     c = TX._read_commit(p, 0)
     assert c["batch_id"] == 0
+
+
+def test_checkpoint_bounds_replay_and_preserves_snapshots(spark, tmp_path):
+    """Snapshot resolution from checkpoint + tail must equal a full
+    replay; time travel works across the checkpoint boundary."""
+    p = str(tmp_path / "t")
+    for i in range(6):
+        TX.append(_df(spark, [(i, f"v{i}")]), p, target_files=1)
+    full_live, full_v = TX.snapshot_files(p)
+    ck_v = TX.checkpoint_log(p)
+    assert ck_v == full_v == 5
+    # post-checkpoint commits replay on top of the checkpoint base
+    TX.overwrite(_df(spark, [(99, "z")]), p, target_files=1)
+    TX.append(_df(spark, [(100, "zz")]), p, target_files=1)
+    assert {r.k for r in TX.read(spark, p).collect()} == {99, 100}
+    # time travel: at the checkpoint version and below it (commits kept)
+    assert TX.snapshot_files(p, version=5)[0] == full_live
+    assert {r.k for r in TX.read(spark, p, version=2).collect()} == {0, 1, 2}
+    # maybe_checkpoint: below threshold → None, at threshold → version
+    assert TX.maybe_checkpoint(p, every=10) is None
+    assert TX.maybe_checkpoint(p, every=2) == 7
+
+
+def test_clean_log_keeps_reads_loses_deep_time_travel(spark, tmp_path):
+    p = str(tmp_path / "t")
+    for i in range(4):
+        TX.append(_df(spark, [(i, str(i))]), p, target_files=1)
+    TX.checkpoint_log(p)
+    TX.append(_df(spark, [(9, "after")]), p, target_files=1)
+    victims = TX.clean_log(p, dry_run=False)
+    assert victims == [f"0000000{i}.json" for i in range(4)]
+    # current snapshot intact (checkpoint + tail)
+    assert {r.k for r in TX.read(spark, p).collect()} == {0, 1, 2, 3, 9}
+    # history below the horizon is gone, with a clear error
+    with pytest.raises(ValueError, match="predates the oldest checkpoint"):
+        TX.snapshot_files(p, version=1)
+
+
+def test_checkpoint_carries_stats_for_skipping(spark, tmp_path):
+    """After checkpoint + clean_log, stats-skipping must still prune —
+    proof the checkpoint carries the merged per-file stats."""
+    p = str(tmp_path / "t")
+    lo = spark.createDataFrame([(i, "x") for i in range(10)], "k long, v string")
+    hi = spark.createDataFrame([(i, "y") for i in range(100, 110)], "k long, v string")
+    TX.append_with_stats(lo, p, ["k"], target_files=1)
+    TX.append_with_stats(hi, p, ["k"], target_files=1)
+    TX.checkpoint_log(p)
+    TX.clean_log(p, dry_run=False)
+    got, info = TX.read_skipping(spark, p, "k", 100, 200)
+    assert info == {"scanned": 1, "skipped": 1}
+    assert got.count() == 10
