@@ -148,3 +148,31 @@ def lake_zorder_key(spark, sf_dir):
         zorder_key([F.col("o_custkey") % 256, F.col("o_orderkey") % 256], bits=_ZBITS)
         .alias("zkey"),
     )
+
+
+@query("ml_rf_train_score")  # fitted-model output → rows-only
+def ml_rf_train_score(spark, sf_dir):
+    """The reference's full RandomForest chain executed distributed
+    (``spark_randomforest.py:17-70``): balanced class weights, vector
+    assembly, seeded 20-tree fit on order features, map-side scoring —
+    output is the per-class prediction histogram (stable schema,
+    seeded model)."""
+    from azuredataengineering_deeplearning_spark.operators import ml as ML
+
+    o = (
+        read_parquet(
+            spark, f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
+        .withColumn("order_doy", F.dayofyear("o_orderdate").cast("double"))
+    )
+    feats = ["o_totalprice", "order_doy"]
+    model, si = ML.fit_random_forest(
+        o, feats, "o_orderstatus", num_trees=20, max_depth=5
+    )
+    scored = ML.predict(model, si, o, feats)
+    return (
+        scored.groupBy("predicted_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
