@@ -123,3 +123,14 @@ def predict(model, si, df: DataFrame, feature_cols: Sequence[str]) -> DataFrame:
         labels=si.labelsArray[0],
     )
     return back.transform(scored)
+
+
+def feature_importances(model, feature_cols: Sequence[str]):
+    """Impurity-based feature importances as (feature, importance) rows
+    — the Spark-native answer to the reference's post-hoc model
+    explanation step (``shap_demo_xgb.py``; MLlib exposes normalized
+    Gini importances on the fitted ensemble, no re-scan of the data).
+    Returns a list of (name, float) sorted descending."""
+    imps = model.featureImportances
+    pairs = [(name, float(imps[i])) for i, name in enumerate(feature_cols)]
+    return sorted(pairs, key=lambda p: (-p[1], p[0]))

@@ -51,3 +51,14 @@ def test_rf_fit_predict_roundtrip(spark):
     # scoring is map-side: no exchange in the prediction plan beyond the scan
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_feature_importances_rank_signal_over_noise(spark):
+    train = _toy(spark).withColumn("noise", F.randn(9)).cache()
+    model, _ = ML.fit_random_forest(
+        train, ["x1", "x2", "noise"], "label", num_trees=20, max_depth=5
+    )
+    imps = ML.feature_importances(model, ["x1", "x2", "noise"])
+    assert imps[0][0] in ("x1", "x2")
+    assert dict(imps)["noise"] < 0.1
+    assert abs(sum(v for _, v in imps) - 1.0) < 1e-6
