@@ -636,3 +636,27 @@ def test_resolve_clusters_converges_on_long_chain(spark):
     labels = {r.node: r.cluster_id for r in out.collect()}
     assert set(labels.values()) == {100}
     assert len(labels) == 61
+
+
+def test_contamination_hash_grams_matches_string_grams(spark):
+    from azuredataengineering_deeplearning_spark.operators.dedup import (
+        contamination_flags,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text with no shared phrases at all here"),
+            (3, "another doc where the quick brown fox jumps over fences"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps over everything")],
+        "doc_id long, text string",
+    )
+    s = {(r.doc_id, r.overlap_grams)
+         for r in contamination_flags(corpus, bench, n=5).collect()}
+    h = {(r.doc_id, r.overlap_grams)
+         for r in contamination_flags(corpus, bench, n=5, hash_grams=True).collect()}
+    assert s == h and {d for d, _ in s} == {1, 3}
