@@ -266,3 +266,12 @@ def test_asof_salted_no_nested_loop_and_bounded_shuffles(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # per-(key,bucket) windows — the hot key is NOT a single partition
     assert "Window" in plan
+
+
+def test_bm25_topk_is_take_ordered_with_broadcast_stats(spark, sf_dir):
+    plan = _plan(E.queries()["t_bm25_topk"](spark, sf_dir))
+    # top-k must not be a global sort, and the df/stats aggregates
+    # broadcast back onto the (doc, term) frame
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
