@@ -535,11 +535,58 @@ def ts_ewma_bands(spark, sf_dir):
     return out.withColumnRenamed("d", "ds")
 
 
-@query("ts_cusum_changepoints")  # recursive reset — not SQL-expressible; rows-only
+@query(
+    "ts_cusum_changepoints",
+    f"""
+    WITH RECURSIVE daily AS ({_DAILY_SQL}),
+    stats AS (
+      SELECT user_id, AVG(y) AS mu, STDDEV_POP(y) AS sd
+      FROM daily GROUP BY user_id
+    ),
+    z AS (
+      SELECT daily.user_id, d, y,
+             ROW_NUMBER() OVER (PARTITION BY daily.user_id ORDER BY d) AS rn,
+             CASE WHEN sd > 0 THEN (y - mu) / sd ELSE 0.0 END AS zv
+      FROM daily JOIN stats ON daily.user_id = stats.user_id
+    ),
+    rec AS (
+      SELECT user_id, rn, d, y,
+             GREATEST(0.0, zv - 0.5) AS s_hi,
+             GREATEST(0.0, -zv - 0.5) AS s_lo,
+             (GREATEST(0.0, zv - 0.5) > 5.0
+              OR GREATEST(0.0, -zv - 0.5) > 5.0) AS is_change,
+             CASE WHEN GREATEST(0.0, zv - 0.5) > 5.0
+                    OR GREATEST(0.0, -zv - 0.5) > 5.0
+                  THEN 0.0 ELSE GREATEST(0.0, zv - 0.5) END AS hi_state,
+             CASE WHEN GREATEST(0.0, zv - 0.5) > 5.0
+                    OR GREATEST(0.0, -zv - 0.5) > 5.0
+                  THEN 0.0 ELSE GREATEST(0.0, -zv - 0.5) END AS lo_state
+      FROM z WHERE rn = 1
+      UNION ALL
+      SELECT z.user_id, z.rn, z.d, z.y,
+             GREATEST(0.0, rec.hi_state + z.zv - 0.5) AS s_hi,
+             GREATEST(0.0, rec.lo_state - z.zv - 0.5) AS s_lo,
+             (GREATEST(0.0, rec.hi_state + z.zv - 0.5) > 5.0
+              OR GREATEST(0.0, rec.lo_state - z.zv - 0.5) > 5.0) AS is_change,
+             CASE WHEN GREATEST(0.0, rec.hi_state + z.zv - 0.5) > 5.0
+                    OR GREATEST(0.0, rec.lo_state - z.zv - 0.5) > 5.0
+                  THEN 0.0
+                  ELSE GREATEST(0.0, rec.hi_state + z.zv - 0.5) END AS hi_state,
+             CASE WHEN GREATEST(0.0, rec.hi_state + z.zv - 0.5) > 5.0
+                    OR GREATEST(0.0, rec.lo_state - z.zv - 0.5) > 5.0
+                  THEN 0.0
+                  ELSE GREATEST(0.0, rec.lo_state - z.zv - 0.5) END AS lo_state
+      FROM rec JOIN z ON z.user_id = rec.user_id AND z.rn = rec.rn + 1
+    )
+    SELECT user_id, d AS ds, y, s_hi, s_lo, is_change FROM rec
+    """,
+)
 def ts_cusum_changepoints(spark, sf_dir):
-    """CUSUM level-shift detection over each user's daily series
-    (rows-only: the alarm-reset recursion has no SQL form; invariants
-    are pytest-verified)."""
+    """CUSUM level-shift detection over each user's daily series. The
+    alarm-reset recurrence (``s⁺=max(0,s⁺+z−k)`` with reset on alarm)
+    runs as an ``applyInPandas`` numpy loop on Spark and as a recursive
+    CTE stepping rn→rn+1 on the DuckDB oracle — both double-precision,
+    so the hash comparison holds at the gate's 6-decimal rounding."""
     daily = _daily(spark, sf_dir)
     return TS.cusum_changepoints(daily, ["user_id"], "d", "y").withColumnRenamed(
         "d", "ds"

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -38,13 +38,12 @@ def class_weight_column(
     ``spark_randomforest.py:31-38``) — computed as one O(classes)
     aggregate broadcast back onto the frame, never a driver collect."""
     counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    w = Window.partitionBy()
-    weights = counts.select(
+    totals = counts.agg(
+        F.sum("__cnt").alias("__tot"), F.count(F.lit(1)).alias("__k")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
         label_col,
-        (
-            F.sum("__cnt").over(w)
-            / (F.count(F.lit(1)).over(w) * F.col("__cnt"))
-        ).alias(out),
+        (F.col("__tot") / (F.col("__k") * F.col("__cnt"))).alias(out),
     )
     return df.join(F.broadcast(weights), label_col)
 
