@@ -995,3 +995,49 @@ def u_leakage_safe_split(spark, sf_dir):
     pairs = DD.minhash_near_duplicates(d, "doc_id", "text", threshold=0.8)
     out = DD.leakage_safe_split(d, "doc_id", pairs, [0.9, 0.1])
     return out.select("doc_id", "group_key", "split")
+
+
+_SFT_SYS = "Identify the language of the text."
+
+@query(
+    "sft_render_zephyr",
+    f"""
+    WITH clean AS (
+      SELECT * FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL
+        AND length(text) > 0 AND length(lang) > 0
+    ),
+    dedup AS (
+      SELECT text, lang, MIN(doc_id) AS doc_id
+      FROM clean GROUP BY text, lang
+    ),
+    r AS (
+      SELECT doc_id, lang, text,
+             '<|system|>' || chr(10) || '{_SFT_SYS}' || '</s>' || chr(10)
+             || '<|user|>' || chr(10) || text || '</s>' || chr(10)
+             || '<|assistant|>' || chr(10) || lang || '</s>' AS rendered
+      FROM dedup
+    )
+    SELECT doc_id, lang, rendered,
+           CAST(len(string_split(rendered, ' ')) AS INT) AS n_tokens,
+           CAST(CASE WHEN {_HB_SQL.format(k='text', n=10000)} < 8000
+                THEN 0 ELSE 1 END AS INT) AS split
+    FROM r
+    WHERE len(string_split(rendered, ' ')) <= 256
+    """,
+)
+def sft_render_zephyr(spark, sf_dir):
+    """SFT chat-template dataset prep (zephyr format): null/empty
+    filter, exact pair dedup with deterministic survivor, pure-concat
+    template render, whitespace token budget, leakage-free md5-bucket
+    80/20 split keyed on the user text — the reference's
+    template_dataset.py:12-75 + prepare_dataset.py:11-60 chain as one
+    map-side plan with a single dedup shuffle."""
+    from azuredataengineering_deeplearning_spark.operators import sft as SFT
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = SFT.sft_prepare(
+        d, "text", "lang", system=_SFT_SYS, template="zephyr",
+        max_tokens=256, out="rendered",
+    )
+    return out.select("doc_id", "lang", "rendered", "n_tokens", "split")
