@@ -746,3 +746,93 @@ def ts_activity_heatmap(spark, sf_dir):
     cell shares."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return TS.activity_heatmap(ev, "ts", "value")
+
+
+_BACKTEST_SQL = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    b AS (
+      SELECT user_id, d, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS DOUBLE) AS rn
+      FROM daily
+    ),
+    s AS (
+      SELECT user_id, d, y, rn,
+             MAX(rn) OVER (PARTITION BY user_id) AS maxrn,
+             AVG(y) OVER wp AS p_mean,
+             CAST(COUNT(*) OVER wp AS DOUBLE) AS n,
+             SUM(rn) OVER wp AS sx,
+             SUM(y) OVER wp AS sy,
+             SUM(rn * y) OVER wp AS sxy,
+             SUM(rn * rn) OVER wp AS sxx,
+             LAG(y, 7) OVER (PARTITION BY user_id ORDER BY d) AS p_snaive
+      FROM b
+      WINDOW wp AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 7 PRECEDING)
+    ),
+    p AS (
+      SELECT user_id, y, rn, maxrn, p_mean, p_snaive,
+             CASE WHEN n > 0 THEN
+               (sy - (CASE WHEN n * sxx - sx * sx != 0
+                           THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                           ELSE 0.0 END) * sx) / n
+               + (CASE WHEN n * sxx - sx * sx != 0
+                       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                       ELSE 0.0 END) * rn
+             END AS p_lin
+      FROM s
+    ),
+    f AS (SELECT * FROM p WHERE rn > maxrn - 28),
+    long AS (
+      SELECT user_id, y, 'seasonal_naive' AS model, p_snaive AS yhat FROM f
+      UNION ALL SELECT user_id, y, 'trailing_mean', p_mean FROM f
+      UNION ALL SELECT user_id, y, 'linear_trend', p_lin FROM f
+    )
+    SELECT user_id, model,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           AVG(ABS(yhat - y)) AS mae,
+           AVG(CASE WHEN ABS(y) + ABS(yhat) > 0
+                    THEN 2.0 * ABS(yhat - y) / (ABS(y) + ABS(yhat))
+                    ELSE 0.0 END) AS smape
+    FROM long WHERE yhat IS NOT NULL
+    GROUP BY user_id, model
+"""
+
+
+@query("ts_backtest_models", _BACKTEST_SQL)
+def ts_backtest_models(spark, sf_dir):
+    """Rolling-origin backtest of three closed-form forecasters over
+    every user's daily series in ONE windowed pass — the distributed
+    form of the reference's per-series Ray tuning fan-out
+    (``stats_forecast_tune.py:18-74``)."""
+    daily = _daily(spark, sf_dir)
+    return TS.backtest_models(
+        daily, ["user_id"], "d", "y", horizon=7, eval_points=28, season=7
+    )
+
+
+@query(
+    "ts_model_selection",
+    f"""
+    WITH bt AS ({_BACKTEST_SQL}),
+    r AS (
+      SELECT user_id, model, n_eval, ROUND(mae, 4) AS mae_r,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ROUND(mae, 4) ASC, model ASC) AS rk
+      FROM bt
+    )
+    SELECT user_id, model, n_eval, mae_r FROM r WHERE rk = 1
+    """,
+)
+def ts_model_selection(spark, sf_dir):
+    """Per-series winner of the backtest (the "tune" argmin). The rank
+    key is mae ROUNDED to 4 decimals: raw float argmin is not portable
+    when two candidates tie to ~1e-9 (e.g. trailing-mean vs zero-slope
+    linear on flat series) — rounding gives both engines the same
+    total order, with the model name as the deterministic tie-break."""
+    daily = _daily(spark, sf_dir)
+    bt = TS.backtest_models(
+        daily, ["user_id"], "d", "y", horizon=7, eval_points=28, season=7
+    ).withColumn("mae_r", F.round("mae", 4))
+    return TS.select_best_model(bt, ["user_id"], metric="mae_r").select(
+        "user_id", "model", "n_eval", "mae_r"
+    )

@@ -853,3 +853,94 @@ def activity_heatmap(
         *(["value_sum"] if value_col else []),
         (F.col("n") / F.col("__t")).alias("share"),
     )
+
+
+def backtest_models(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    horizon: int = 7,
+    eval_points: int = 28,
+    season: int = 7,
+) -> DataFrame:
+    """Rolling-origin backtest of the engine's closed-form forecasters —
+    the distributed answer to the reference's per-series tuning fan-out
+    (``stats_forecast_tune.py:18-74`` / ``darts_tuner_ensemble_stats.py``
+    run one cross-validation job per series on a Ray cluster; here every
+    candidate is a WINDOW EXPRESSION, so all series × all models
+    backtest in one pass with a single shuffle on the series key).
+
+    For each of the last ``eval_points`` rows of each series, each
+    candidate predicts ``horizon`` steps ahead using only rows at lag
+    ≥ ``horizon`` (no look-ahead):
+
+    - ``seasonal_naive``: value ``season`` rows back (requires
+      ``season >= horizon``);
+    - ``trailing_mean``: mean of the training frame;
+    - ``linear_trend``: least-squares line over the training frame,
+      evaluated at the target row (closed-form from window moment sums
+      — the x axis is the in-series row number, exact in doubles).
+
+    Returns long format: ``keys + model + n_eval + mae + smape``.
+    Rows where a model has no training history are excluded from that
+    model's average (matching StatsForecast, which skips folds shorter
+    than the model's minimum history)."""
+    assert season >= horizon, "seasonal_naive would look ahead"
+    w_ord = Window.partitionBy(*keys).orderBy(order_col)
+    w_pre = w_ord.rowsBetween(Window.unboundedPreceding, -horizon)
+    w_all = Window.partitionBy(*keys)
+
+    y = F.col(value_col).cast("double")
+    base = (
+        df.select(*keys, order_col, y.alias("__y"))
+        .withColumn("__rn", F.row_number().over(w_ord).cast("double"))
+    )
+    x, yy = F.col("__rn"), F.col("__y")
+    n = F.count(F.lit(1)).over(w_pre).cast("double")
+    sx = F.sum(x).over(w_pre)
+    sy = F.sum(yy).over(w_pre)
+    sxy = F.sum(x * yy).over(w_pre)
+    sxx = F.sum(x * x).over(w_pre)
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom).otherwise(F.lit(0.0))
+    pred_lin = F.when(n > 0, (sy - slope * sx) / n + slope * x)
+    scored = base.select(
+        *keys,
+        "__y",
+        "__rn",
+        F.max("__rn").over(w_all).alias("__maxrn"),
+        F.avg(yy).over(w_pre).alias("__p_mean"),
+        pred_lin.alias("__p_lin"),
+        F.lag("__y", season).over(w_ord).alias("__p_snaive"),
+    ).filter(F.col("__rn") > F.col("__maxrn") - eval_points)
+    long = scored.select(
+        *keys,
+        "__y",
+        F.expr(
+            "stack(3, 'seasonal_naive', __p_snaive, 'trailing_mean', __p_mean,"
+            " 'linear_trend', __p_lin) AS (model, yhat)"
+        ),
+    ).filter(F.col("yhat").isNotNull())
+    err = F.abs(F.col("yhat") - F.col("__y"))
+    sden = F.abs(F.col("__y")) + F.abs(F.col("yhat"))
+    sterm = F.when(sden > 0, 2.0 * err / sden).otherwise(F.lit(0.0))
+    return long.groupBy(*keys, "model").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.avg(err).alias("mae"),
+        F.avg(sterm).alias("smape"),
+    )
+
+
+def select_best_model(
+    backtest: DataFrame, keys: list[str], metric: str = "mae"
+) -> DataFrame:
+    """Per-series winner from a :func:`backtest_models` frame (the
+    "tune" step's argmin): lowest ``metric``, model name breaking ties
+    deterministically. One window over the series key."""
+    w = Window.partitionBy(*keys).orderBy(F.col(metric).asc(), F.col("model").asc())
+    return (
+        backtest.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
