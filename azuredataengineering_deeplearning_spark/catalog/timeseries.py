@@ -836,3 +836,104 @@ def ts_model_selection(spark, sf_dir):
     return TS.select_best_model(bt, ["user_id"], metric="mae_r").select(
         "user_id", "model", "n_eval", "mae_r"
     )
+
+
+@query(
+    "ts_ensemble_forecast",
+    f"""
+    WITH bt AS ({_BACKTEST_SQL}),
+    wt AS (
+      SELECT user_id,
+             MAX(CASE WHEN model = 'seasonal_naive' THEN mae END) AS mae_sn,
+             MAX(CASE WHEN model = 'trailing_mean' THEN mae END) AS mae_mean,
+             MAX(CASE WHEN model = 'linear_trend' THEN mae END) AS mae_lin
+      FROM bt GROUP BY user_id
+    ),
+    daily AS ({_DAILY_SQL}),
+    b AS (
+      SELECT user_id, d, y,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS nn
+      FROM daily
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(rn AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rn * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(CAST(rn AS DOUBLE) * rn AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             MAX(d) AS last_d
+      FROM b GROUP BY user_id
+    ),
+    t AS (
+      SELECT user_id, n, sy, last_d,
+             CASE WHEN n * sxx - sx * sx <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  ELSE 0.0 END AS slope,
+             sx
+      FROM m
+    ),
+    e AS (
+      SELECT t.user_id, n, sy, last_d, slope,
+             (sy - slope * sx) / n AS b0,
+             s.k
+      FROM t CROSS JOIN (SELECT CAST(r.x + 1 AS INT) AS k FROM range(0, 7) r(x)) s
+    ),
+    p AS (
+      SELECT e.user_id, e.k,
+             e.last_d + INTERVAL 1 DAY * e.k AS ds,
+             CASE WHEN e.n >= 7 THEN tail.y END AS yhat_snaive,
+             e.sy / e.n AS yhat_mean,
+             e.b0 + e.slope * (e.n + e.k) AS yhat_linear
+      FROM e LEFT JOIN b tail
+        ON tail.user_id = e.user_id AND tail.rn = CAST(e.n - 7 + e.k AS BIGINT)
+    )
+    SELECT p.user_id, p.k, p.ds, p.yhat_snaive, p.yhat_mean, p.yhat_linear,
+           CASE WHEN
+             (CASE WHEN yhat_snaive IS NOT NULL
+                   THEN (CASE WHEN mae_sn IS NOT NULL THEN 1.0/(mae_sn+0.001) ELSE 1.0 END)
+                   ELSE 0.0 END
+              + CASE WHEN yhat_mean IS NOT NULL
+                   THEN (CASE WHEN mae_mean IS NOT NULL THEN 1.0/(mae_mean+0.001) ELSE 1.0 END)
+                   ELSE 0.0 END
+              + CASE WHEN yhat_linear IS NOT NULL
+                   THEN (CASE WHEN mae_lin IS NOT NULL THEN 1.0/(mae_lin+0.001) ELSE 1.0 END)
+                   ELSE 0.0 END) > 0
+           THEN
+             (CASE WHEN yhat_snaive IS NOT NULL
+                   THEN (CASE WHEN mae_sn IS NOT NULL THEN 1.0/(mae_sn+0.001) ELSE 1.0 END) * yhat_snaive
+                   ELSE 0.0 END
+              + CASE WHEN yhat_mean IS NOT NULL
+                   THEN (CASE WHEN mae_mean IS NOT NULL THEN 1.0/(mae_mean+0.001) ELSE 1.0 END) * yhat_mean
+                   ELSE 0.0 END
+              + CASE WHEN yhat_linear IS NOT NULL
+                   THEN (CASE WHEN mae_lin IS NOT NULL THEN 1.0/(mae_lin+0.001) ELSE 1.0 END) * yhat_linear
+                   ELSE 0.0 END)
+             /
+             (CASE WHEN yhat_snaive IS NOT NULL
+                   THEN (CASE WHEN mae_sn IS NOT NULL THEN 1.0/(mae_sn+0.001) ELSE 1.0 END)
+                   ELSE 0.0 END
+              + CASE WHEN yhat_mean IS NOT NULL
+                   THEN (CASE WHEN mae_mean IS NOT NULL THEN 1.0/(mae_mean+0.001) ELSE 1.0 END)
+                   ELSE 0.0 END
+              + CASE WHEN yhat_linear IS NOT NULL
+                   THEN (CASE WHEN mae_lin IS NOT NULL THEN 1.0/(mae_lin+0.001) ELSE 1.0 END)
+                   ELSE 0.0 END)
+           END AS yhat
+    FROM p LEFT JOIN wt ON p.user_id = wt.user_id
+    """,
+)
+def ts_ensemble_forecast(spark, sf_dir):
+    """7-day inverse-backtest-error ensemble forecast per user series —
+    the darts ensemble scripts' combine step, distributed: one backtest
+    pass (windows), one moments aggregate, one explode. The seasonal
+    term reads only the last `season` values per series (bounded map),
+    never the whole history."""
+    daily = _daily(spark, sf_dir)
+    bt = TS.backtest_models(
+        daily, ["user_id"], "d", "y", horizon=7, eval_points=28, season=7
+    )
+    return TS.ensemble_forecast(
+        daily, ["user_id"], "d", "y", horizon=7, season=7, backtest=bt
+    )

@@ -944,3 +944,121 @@ def select_best_model(
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def ensemble_forecast(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    horizon: int = 7,
+    season: int = 7,
+    backtest: DataFrame | None = None,
+    metric: str = "mae",
+    eps: float = 1e-3,
+) -> DataFrame:
+    """Inverse-error-weighted ensemble of the closed-form forecasters —
+    the reference's forecast-ensembling step
+    (``darts_single_runs_ensemble_stats.py`` /
+    ``darts_tuner_ensemble_nn.py`` average tuned per-series models; here
+    the combination is one aggregate + one explode, no model registry).
+
+    Per series: one grouped aggregate collects the regression moments
+    (decimal-accumulated, like :func:`linear_trend`), the trailing mean,
+    the last ``season`` values (a bounded map — never the whole series),
+    and the last timestamp; ``horizon`` future steps are exploded per
+    key. Candidate predictions: seasonal-naive (value ``season`` back,
+    null when history is shorter), trailing mean, linear trend. Weights
+    are ``1/(metric+eps)`` from a :func:`backtest_models` frame (equal
+    weights when ``backtest`` is None; series or models missing from
+    the backtest fall back to weight 1); null candidates drop out of
+    both numerator and denominator. ``eps`` floors the weight of an
+    exactly-zero-error candidate at ``1/eps`` instead of infinity.
+
+    Returns ``keys + k (1..horizon) + ds + yhat_snaive + yhat_mean +
+    yhat_linear + yhat`` (the weighted ensemble)."""
+    assert season >= horizon, "seasonal_naive would recycle within horizon"
+    w_ord = Window.partitionBy(*keys).orderBy(order_col)
+    w_all = Window.partitionBy(*keys)
+    y = F.col(value_col).cast("double")
+    b = (
+        df.select(*keys, order_col, y.alias("__y"))
+        .withColumn("__rn", F.row_number().over(w_ord))
+        .withColumn("__maxrn", F.max("__rn").over(w_all))
+    )
+    x = F.col("__rn").cast("double")
+    tail = F.when(
+        F.col("__rn") > F.col("__maxrn") - season,
+        F.struct(F.col("__rn").alias("rn"), F.col("__y").alias("y")),
+    )
+    agg = b.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(dec(x)).cast("double").alias("__sx"),
+        F.sum(dec(F.col("__y"))).cast("double").alias("__sy"),
+        F.sum(dec(x * F.col("__y"))).cast("double").alias("__sxy"),
+        F.sum(dec(x * x)).cast("double").alias("__sxx"),
+        F.max(order_col).alias("__last"),
+        F.map_from_entries(F.collect_list(tail)).alias("__tail"),
+    )
+    denom = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        denom != 0,
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom,
+    ).otherwise(F.lit(0.0))
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / F.col("__n")
+    e = agg.select(
+        *keys,
+        "__n",
+        "__sy",
+        "__last",
+        "__tail",
+        slope.alias("__slope"),
+        intercept.alias("__b0"),
+        F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("k"),
+    )
+    p_sn = F.when(
+        F.col("__n") >= season,
+        F.element_at(
+            F.col("__tail"),
+            (F.col("__n") - season + F.col("k")).cast("int"),
+        ),
+    )
+    p_mean = F.col("__sy") / F.col("__n")
+    p_lin = F.col("__b0") + F.col("__slope") * (F.col("__n") + F.col("k"))
+    e = e.select(
+        *keys, "k", "__last",
+        p_sn.alias("yhat_snaive"),
+        p_mean.alias("yhat_mean"),
+        p_lin.alias("yhat_linear"),
+    )
+    if backtest is not None:
+        models = ["seasonal_naive", "trailing_mean", "linear_trend"]
+        wt = (
+            backtest.groupBy(*keys)
+            .pivot("model", models)
+            .agg(F.first(metric))
+        )
+        e = e.join(F.broadcast(wt), keys, "left")
+        weights = {
+            "yhat_snaive": F.col("seasonal_naive"),
+            "yhat_mean": F.col("trailing_mean"),
+            "yhat_linear": F.col("linear_trend"),
+        }
+    else:
+        weights = {c: F.lit(None).cast("double")
+                   for c in ("yhat_snaive", "yhat_mean", "yhat_linear")}
+    num, den = F.lit(0.0), F.lit(0.0)
+    for pred_col, m in weights.items():
+        w = F.when(m.isNotNull(), 1.0 / (m + eps)).otherwise(F.lit(1.0))
+        avail = F.col(pred_col).isNotNull()
+        num = num + F.when(avail, w * F.col(pred_col)).otherwise(F.lit(0.0))
+        den = den + F.when(avail, w).otherwise(F.lit(0.0))
+    return e.select(
+        *keys,
+        "k",
+        F.timestamp_add("DAY", F.col("k"), F.col("__last")).alias("ds"),
+        "yhat_snaive",
+        "yhat_mean",
+        "yhat_linear",
+        F.when(den > 0, num / den).alias("yhat"),
+    )

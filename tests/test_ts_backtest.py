@@ -53,3 +53,33 @@ def test_select_best_model_per_series(panel):
     assert best["trend"] == "linear_trend"
     # flat: three-way exact tie -> lexicographic tie-break
     assert best["flat"] == "linear_trend"
+
+
+def test_ensemble_forecast_weighted(panel):
+    bt = TS.backtest_models(
+        panel, ["uid"], "d", "y", horizon=7, eval_points=14, season=7
+    )
+    fc = TS.ensemble_forecast(
+        panel, ["uid"], "d", "y", horizon=7, season=7, backtest=bt
+    )
+    rows = {(r["uid"], r["k"]): r for r in fc.collect()}
+    assert len(rows) == 21  # 3 series x 7 steps
+    # flat series: every candidate says 10 -> ensemble exactly 10
+    assert rows[("flat", 1)]["yhat"] == pytest.approx(10.0, abs=1e-9)
+    # weekly cycle: snaive has mae 0 -> weight 1/eps dominates, so the
+    # ensemble hugs the seasonal prediction
+    r = rows[("weekly", 3)]
+    # snaive at step k reads rn = n - season + k = 56 -> y = (56-1) % 7
+    assert r["yhat_snaive"] == pytest.approx(6.0)
+    assert abs(r["yhat"] - r["yhat_snaive"]) < 0.1
+    # trend series: linear candidate extrapolates exactly
+    assert rows[("trend", 5)]["yhat_linear"] == pytest.approx(64.0, abs=1e-6)
+
+
+def test_ensemble_forecast_equal_weights_and_dates(panel):
+    fc = TS.ensemble_forecast(panel, ["uid"], "d", "y", horizon=3, season=7)
+    rows = [r for r in fc.collect() if r["uid"] == "flat"]
+    assert sorted(r["k"] for r in rows) == [1, 2, 3]
+    ds = sorted(r["ds"] for r in rows)
+    assert (ds[1] - ds[0]).days == 1 and (ds[2] - ds[1]).days == 1
+    assert all(r["yhat"] == pytest.approx(10.0, abs=1e-9) for r in rows)
