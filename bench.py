@@ -57,9 +57,12 @@ HEADLINE = [
     "t_bigram_xent",
     "w_funnel_progress",
     "dq_orders_suite",
-    # forecasting baselines
+    # forecasting baselines + tune/ensemble (round 3)
     "ts_seasonal_naive",
     "ts_conformal_intervals",
+    "ts_ensemble_forecast",
+    # SFT dataset prep (round 3)
+    "sft_render_zephyr",
     # time series + recursion
     "ts_spine_gap_fill",
     "ts_make_series",
