@@ -275,3 +275,21 @@ def test_bm25_topk_is_take_ordered_with_broadcast_stats(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_backtest_models_single_shuffle(spark, sf_dir):
+    plan = _plan(E.queries()["ts_backtest_models"](spark, sf_dir))
+    # all three candidates are window expressions over one series sort;
+    # no join, no cartesian — exchanges: daily agg + window + final agg
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Window") >= 1
+
+
+def test_ensemble_forecast_broadcast_weights(spark, sf_dir):
+    plan = _plan(E.queries()["ts_ensemble_forecast"](spark, sf_dir))
+    # backtest weights (O(series) rows) must broadcast onto the
+    # exploded forecast frame, and the explode must not cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the horizon explode is distributed
