@@ -176,3 +176,141 @@ def ml_rf_train_score(spark, sf_dir):
         scored.groupBy("predicted_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "ml_classification_report",
+    """
+    WITH t AS (
+      SELECT o_orderstatus AS label,
+             CASE WHEN CAST(o_totalprice AS DOUBLE) > 150000.0
+                  THEN 'F' ELSE 'O' END AS pred
+      FROM orders
+    ),
+    cm AS (SELECT label, pred, COUNT(*) AS n FROM t GROUP BY 1, 2),
+    a AS (SELECT label AS cls, SUM(n) AS support FROM cm GROUP BY 1),
+    p AS (SELECT pred AS cls, SUM(n) AS n_pred FROM cm GROUP BY 1),
+    tp AS (SELECT label AS cls, n AS tp FROM cm WHERE label = pred),
+    j AS (
+      SELECT COALESCE(a.cls, p.cls) AS cls,
+             COALESCE(support, 0) AS support,
+             COALESCE(n_pred, 0) AS n_pred,
+             COALESCE(tp.tp, 0) AS tp
+      FROM a FULL OUTER JOIN p ON a.cls = p.cls
+             LEFT JOIN tp ON COALESCE(a.cls, p.cls) = tp.cls
+    )
+    SELECT cls, CAST(support AS BIGINT) AS support,
+           CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END AS precision,
+           CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END AS recall,
+           CASE WHEN (CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END)
+                   + (CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END) > 0
+                THEN 2.0 * (CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END)
+                         * (CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END)
+                     / ((CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END)
+                        + (CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END))
+                ELSE 0.0 END AS f1
+    FROM j
+    """,
+)
+def ml_classification_report(spark, sf_dir):
+    """Per-class precision/recall/F1/support from one contingency pass
+    (the reference eval jobs' readout) over a deterministic
+    price-threshold classifier of order status."""
+    from azuredataengineering_deeplearning_spark.operators import ml as ML
+
+    o = read_parquet(
+        spark, f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"],
+    ).select(
+        F.col("o_orderstatus").alias("label"),
+        F.when(F.col("o_totalprice").cast("double") > 150000.0, "F")
+        .otherwise("O")
+        .alias("pred"),
+    )
+    return ML.classification_report(o, "label", "pred")
+
+
+@query(
+    "ml_binary_auc",
+    """
+    WITH l AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(o_totalprice AS DOUBLE) AS s
+      FROM orders
+    ),
+    c AS (SELECT s, SUM(y) AS pos, SUM(1.0 - y) AS neg FROM l GROUP BY s),
+    k AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cneg
+      FROM c
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           SUM(pos * (cneg + neg / 2.0)) / (SUM(pos) * SUM(neg)) AS auc
+    FROM k
+    """,
+)
+def ml_binary_auc(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC of order price as a predictor of
+    status F — reduced to per-distinct-score counts before any sort,
+    so the only full-data pass is one hash aggregate."""
+    from azuredataengineering_deeplearning_spark.operators import ml as ML
+
+    o = read_parquet(
+        spark, f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"],
+    ).select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.col("o_totalprice").cast("double").alias("s"),
+    )
+    return ML.binary_auc(o, "y", "s")
+
+
+@query(
+    "ml_regression_metrics",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY user_id, d
+    ),
+    p AS (
+      SELECT y,
+             LAG(y, 7) OVER (PARTITION BY user_id ORDER BY d) AS yhat
+      FROM daily
+    ),
+    f AS (SELECT y, yhat FROM p WHERE yhat IS NOT NULL),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(ABS(yhat - y)) AS mae,
+             AVG((yhat - y) * (yhat - y)) AS mse,
+             AVG(CASE WHEN ABS(y) + ABS(yhat) > 0
+                      THEN 2.0 * ABS(yhat - y) / (ABS(y) + ABS(yhat))
+                      ELSE 0.0 END) AS smape,
+             SUM(y) AS sy, SUM(y * y) AS syy
+      FROM f
+    )
+    SELECT CAST(n AS BIGINT) AS n, mae, SQRT(mse) AS rmse,
+           CASE WHEN syy - sy * sy / n > 0
+                THEN 1.0 - (mse * n) / (syy - sy * sy / n) END AS r2,
+           smape
+    FROM m
+    """,
+)
+def ml_regression_metrics(spark, sf_dir):
+    """MAE/RMSE/R²/sMAPE of the in-sample seasonal-naive predictor over
+    the daily panel — one aggregate after the lag window (the
+    forecast-eval readout)."""
+    from azuredataengineering_deeplearning_spark.operators import ml as ML
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    scored = daily.select(
+        "y", F.lag("y", 7).over(w).alias("yhat")
+    ).filter(F.col("yhat").isNotNull())
+    return ML.regression_metrics(scored, "y", "yhat")

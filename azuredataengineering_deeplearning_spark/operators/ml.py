@@ -133,3 +133,132 @@ def feature_importances(model, feature_cols: Sequence[str]):
     imps = model.featureImportances
     pairs = [(name, float(imps[i])) for i, name in enumerate(feature_cols)]
     return sorted(pairs, key=lambda p: (-p[1], p[0]))
+
+
+def confusion_matrix(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Confusion counts as one grouped aggregate (``label, prediction,
+    n``) — the evaluation table the reference's eval jobs build after
+    scoring (``llama2/eval.py`` / ``daily_eval.py:118-183`` accuracy
+    tallies). Long format so the class count never widens the schema."""
+    return df.groupBy(
+        F.col(label_col).alias("label"), F.col(pred_col).alias("prediction")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def classification_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 + support from ONE pass over
+    the scored frame: the (label, prediction) contingency aggregates
+    once, then per-class totals come from two O(classes) re-aggregations
+    of that tiny frame (never a rescan of the data). Macro/micro
+    averages are one more O(classes) reduction on the result."""
+    cm = confusion_matrix(df, label_col, pred_col).cache()
+    tp = (
+        cm.filter(F.col("label") == F.col("prediction"))
+        .select(F.col("label").alias("cls"), F.col("n").alias("tp"))
+    )
+    actual = cm.groupBy(F.col("label").alias("cls")).agg(
+        F.sum("n").alias("support")
+    )
+    predicted = cm.groupBy(F.col("prediction").alias("cls")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    rep = (
+        actual.join(predicted, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .na.fill({"tp": 0, "support": 0, "n_pred": 0})
+    )
+    precision = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    recall = F.when(
+        F.col("support") > 0, F.col("tp") / F.col("support")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        precision + recall > 0, 2 * precision * recall / (precision + recall)
+    ).otherwise(F.lit(0.0))
+    return rep.select(
+        "cls",
+        F.col("support").cast("long").alias("support"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    )
+
+
+def binary_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney with tie correction) computed
+    scale-first: the frame first REDUCES to per-distinct-score
+    positive/negative counts (one hash aggregate — at 100 TB this is
+    the only pass over the data), then the running-negative window runs
+    over that O(distinct scores) frame only. Never a per-row global
+    sort. ``AUC = Σ_s pos_s · (neg_below(s) + neg_s/2) / (P·N)`` —
+    identical to averaged-rank AUC for any tie structure.
+    ``label_col`` must be 0/1."""
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("double")
+    counts = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(y).alias("__pos"),
+        F.sum(1.0 - y).alias("__neg"),
+    )
+    # ordered cumulative over the aggregated (distinct-score) frame;
+    # single-partition window is fine here: its size is the score
+    # cardinality, not the row count.
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = counts.select(
+        "__pos",
+        "__neg",
+        (
+            F.col("__pos")
+            * (F.coalesce(F.sum("__neg").over(w), F.lit(0.0))
+               + F.col("__neg") / 2.0)
+        ).alias("__c"),
+    )
+    agg = contrib.agg(
+        F.sum("__pos").alias("__p"),
+        F.sum("__neg").alias("__n"),
+        F.sum("__c").alias("__cc"),
+    )
+    p, n = F.col("__p"), F.col("__n")
+    return agg.select(
+        p.cast("long").alias("n_pos"),
+        n.cast("long").alias("n_neg"),
+        (F.col("__cc") / (p * n)).alias("auc"),
+    )
+
+
+def regression_metrics(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """MAE / RMSE / R² / sMAPE in one aggregate (the forecast-eval
+    readout of ``daily_eval.py`` / the darts tuners' scoring step).
+    R² uses the standard 1 − SSE/SST form; SST accumulates via the
+    sum-of-squares identity so a single pass suffices."""
+    y = F.col(label_col).cast("double")
+    yhat = F.col(pred_col).cast("double")
+    err = yhat - y
+    sden = F.abs(y) + F.abs(yhat)
+    sterm = F.when(sden > 0, 2.0 * F.abs(err) / sden).otherwise(F.lit(0.0))
+    agg = df.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.avg(err * err).alias("__mse"),
+        F.avg(sterm).alias("smape"),
+        F.sum(y).alias("__sy"),
+        F.sum(y * y).alias("__syy"),
+    )
+    sst = F.col("__syy") - F.col("__sy") * F.col("__sy") / F.col("__n")
+    r2 = F.when(
+        sst > 0, 1.0 - (F.col("__mse") * F.col("__n")) / sst
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        "mae",
+        F.sqrt(F.col("__mse")).alias("rmse"),
+        r2.alias("r2"),
+        "smape",
+    )

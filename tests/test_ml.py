@@ -62,3 +62,70 @@ def test_feature_importances_rank_signal_over_noise(spark):
     assert imps[0][0] in ("x1", "x2")
     assert dict(imps)["noise"] < 0.1
     assert abs(sum(v for _, v in imps) - 1.0) < 1e-6
+
+
+# ------------------------------------------------------------- evaluation
+
+
+def test_confusion_matrix_counts(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "a")],
+        "label string, pred string",
+    )
+    cm = {(r["label"], r["prediction"]): r["n"]
+          for r in ML.confusion_matrix(df, "label", "pred").collect()}
+    assert cm == {("a", "a"): 2, ("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 1}
+
+
+def test_classification_report_hand_values(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "a")],
+        "label string, pred string",
+    )
+    rep = {r["cls"]: r for r in
+           ML.classification_report(df, "label", "pred").collect()}
+    a, b = rep["a"], rep["b"]
+    assert a["support"] == 3 and b["support"] == 2
+    assert a["precision"] == pytest.approx(2 / 3)
+    assert a["recall"] == pytest.approx(2 / 3)
+    assert a["f1"] == pytest.approx(2 / 3)
+    assert b["precision"] == pytest.approx(0.5)
+    assert b["f1"] == pytest.approx(0.5)
+
+
+def test_classification_report_unpredicted_class(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("p", "a")], "label string, pred string"
+    )
+    rep = {r["cls"]: r for r in
+           ML.classification_report(df, "label", "pred").collect()}
+    assert rep["p"]["precision"] == 0.0 and rep["p"]["recall"] == 0.0
+    assert rep["p"]["support"] == 1
+
+
+def test_binary_auc_known_cases(spark):
+    perfect = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], "y int, s double"
+    )
+    r = ML.binary_auc(perfect, "y", "s").first()
+    assert r["auc"] == pytest.approx(1.0) and r["n_pos"] == 2 and r["n_neg"] == 2
+    mixed = spark.createDataFrame(
+        [(1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1)], "y int, s double"
+    )
+    assert ML.binary_auc(mixed, "y", "s").first()["auc"] == pytest.approx(0.75)
+    # all scores tied -> 0.5 by the tie correction
+    tied = spark.createDataFrame(
+        [(1, 0.5), (0, 0.5), (1, 0.5), (0, 0.5)], "y int, s double"
+    )
+    assert ML.binary_auc(tied, "y", "s").first()["auc"] == pytest.approx(0.5)
+
+
+def test_regression_metrics_hand_values(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 4.0)], "y double, yhat double"
+    )
+    r = ML.regression_metrics(df, "y", "yhat").first()
+    assert r["n"] == 3
+    assert r["mae"] == pytest.approx(1 / 3)
+    assert r["rmse"] == pytest.approx((1 / 3) ** 0.5)
+    assert r["r2"] == pytest.approx(1 - 1 / 2)  # sse=1, sst=2
