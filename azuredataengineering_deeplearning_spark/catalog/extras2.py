@@ -314,3 +314,82 @@ def ml_regression_metrics(spark, sf_dir):
         "y", F.lag("y", 7).over(w).alias("yhat")
     ).filter(F.col("yhat").isNotNull())
     return ML.regression_metrics(scored, "y", "yhat")
+
+
+@query(
+    "ml_calibration_bins",
+    """
+    WITH l AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+             LEAST(CAST(o_totalprice AS DOUBLE) / 600000.0, 0.9999999) AS s
+      FROM orders
+    )
+    SELECT LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           AVG(s) AS mean_score,
+           AVG(y) AS pos_rate,
+           SUM((s - y) * (s - y)) AS brier_sum
+    FROM l GROUP BY 1
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins of normalized price vs status-F rate —
+    one hash aggregate, O(bins) output."""
+    from azuredataengineering_deeplearning_spark.operators import ml as ML
+
+    o = read_parquet(
+        spark, f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"],
+    ).select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.least(
+            F.col("o_totalprice").cast("double") / 600000.0, F.lit(0.9999999)
+        ).alias("s"),
+    )
+    return ML.calibration_bins(o, "y", "s", bins=10)
+
+
+@query(
+    "ml_threshold_sweep",
+    """
+    WITH l AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(o_totalprice AS DOUBLE) AS s
+      FROM orders
+    ),
+    c AS (SELECT s AS threshold, SUM(y) AS pos, SUM(1.0 - y) AS neg
+          FROM l GROUP BY s),
+    k AS (
+      SELECT threshold,
+             SUM(pos) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             SUM(neg) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             SUM(pos) OVER () AS p_tot
+      FROM c
+    )
+    SELECT threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           tp / (tp + fp) AS precision,
+           tp / p_tot AS recall,
+           CASE WHEN tp / (tp + fp) + tp / p_tot > 0
+                THEN 2.0 * (tp / (tp + fp)) * (tp / p_tot)
+                     / (tp / (tp + fp) + tp / p_tot)
+                ELSE 0.0 END AS f1
+    FROM k
+    """,
+)
+def ml_threshold_sweep(spark, sf_dir):
+    """Full PR curve (precision/recall/F1 at every distinct score
+    threshold) from one reduction + cumulative windows over score
+    cardinality."""
+    from azuredataengineering_deeplearning_spark.operators import ml as ML
+
+    o = read_parquet(
+        spark, f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"],
+    ).select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.col("o_totalprice").cast("double").alias("s"),
+    )
+    return ML.threshold_sweep(o, "y", "s")

@@ -262,3 +262,65 @@ def regression_metrics(
         r2.alias("r2"),
         "smape",
     )
+
+
+def calibration_bins(
+    df: DataFrame, label_col: str, score_col: str, bins: int = 10
+) -> DataFrame:
+    """Reliability-diagram table: scores bucketed into ``bins`` equal
+    [0,1) intervals, each with mean predicted score, observed positive
+    rate, and count — plus each bin's Brier contribution. One hash
+    aggregate; plotting-ready O(bins) output."""
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.floor(s * bins).cast("int"), F.lit(bins - 1)
+    ).alias("bin")
+    return (
+        df.select(b, s.alias("__s"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__s").alias("mean_score"),
+            F.avg("__y").alias("pos_rate"),
+            F.sum((F.col("__s") - F.col("__y")) ** 2).alias("brier_sum"),
+        )
+    )
+
+
+def threshold_sweep(
+    df: DataFrame, label_col: str, score_col: str
+) -> DataFrame:
+    """Precision / recall / F1 at EVERY distinct score threshold
+    ("predict positive when score >= s") — the full PR curve from the
+    same scale-first reduction as :func:`binary_auc`: one hash
+    aggregate to per-score counts, then cumulative windows over the
+    O(distinct scores) frame. ``argmax f1`` over the result picks the
+    operating point; no repeated scans per candidate threshold."""
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("double")
+    counts = df.groupBy(F.col(score_col).cast("double").alias("threshold")).agg(
+        F.sum(y).alias("__pos"),
+        F.sum(1.0 - y).alias("__neg"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    tp = F.sum("__pos").over(w)
+    fp = F.sum("__neg").over(w)
+    p_tot = F.sum("__pos").over(w_all)
+    precision = tp / (tp + fp)
+    recall = tp / p_tot
+    f1 = F.when(
+        precision + recall > 0, 2 * precision * recall / (precision + recall)
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        "threshold",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    )

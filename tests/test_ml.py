@@ -129,3 +129,30 @@ def test_regression_metrics_hand_values(spark):
     assert r["mae"] == pytest.approx(1 / 3)
     assert r["rmse"] == pytest.approx((1 / 3) ** 0.5)
     assert r["r2"] == pytest.approx(1 - 1 / 2)  # sse=1, sst=2
+
+
+def test_calibration_bins(spark):
+    df = spark.createDataFrame(
+        [(0.05, 0), (0.08, 0), (0.95, 1), (0.92, 1), (1.0, 1)],
+        "s double, y int",
+    )
+    bins = {r["bin"]: r for r in
+            ML.calibration_bins(df, "y", "s", bins=10).collect()}
+    assert set(bins) == {0, 9}
+    assert bins[0]["n"] == 2 and bins[0]["pos_rate"] == 0.0
+    assert bins[9]["n"] == 3 and bins[9]["pos_rate"] == 1.0  # s=1.0 clamps to bin 9
+    assert bins[0]["mean_score"] == pytest.approx(0.065)
+
+
+def test_threshold_sweep_pr_curve(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1)], "y int, s double"
+    )
+    rows = {r["threshold"]: r for r in
+            ML.threshold_sweep(df, "y", "s").collect()}
+    assert rows[0.9]["precision"] == 1.0 and rows[0.9]["recall"] == 0.5
+    assert rows[0.7]["precision"] == pytest.approx(2 / 3)
+    assert rows[0.7]["recall"] == 1.0
+    assert rows[0.1]["recall"] == 1.0 and rows[0.1]["precision"] == 0.5
+    best = max(rows.values(), key=lambda r: r["f1"])
+    assert best["threshold"] == 0.7  # f1 = 0.8 beats 2/3 and 2/3
