@@ -937,3 +937,42 @@ def ts_ensemble_forecast(spark, sf_dir):
     return TS.ensemble_forecast(
         daily, ["user_id"], "d", "y", horizon=7, season=7, backtest=bt
     )
+
+
+@query(
+    "ts_tune_season",
+    f"""
+    WITH daily AS ({_DAILY_SQL}),
+    b AS (
+      SELECT user_id, d, y,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS maxrn,
+             LAG(y, 1) OVER w AS p_1,
+             LAG(y, 7) OVER w AS p_7,
+             LAG(y, 14) OVER w AS p_14,
+             LAG(y, 28) OVER w AS p_28
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ),
+    f AS (SELECT * FROM b WHERE rn > maxrn - 28),
+    long AS (
+      SELECT user_id, y, 1 AS season, p_1 AS yhat FROM f
+      UNION ALL SELECT user_id, y, 7, p_7 FROM f
+      UNION ALL SELECT user_id, y, 14, p_14 FROM f
+      UNION ALL SELECT user_id, y, 28, p_28 FROM f
+    )
+    SELECT user_id, season,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           AVG(ABS(yhat - y)) AS mae
+    FROM long WHERE yhat IS NOT NULL
+    GROUP BY user_id, season
+    """,
+)
+def ts_tune_season(spark, sf_dir):
+    """Season-period grid search for the seasonal-naive forecaster —
+    four candidate lags evaluated for every series in one windowed
+    pass (the tuning-sweep-as-plan pattern)."""
+    daily = _daily(spark, sf_dir)
+    return TS.tune_seasonal_period(
+        daily, ["user_id"], "d", "y", seasons=[1, 7, 14, 28], eval_points=28
+    )

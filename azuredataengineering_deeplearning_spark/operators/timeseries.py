@@ -1062,3 +1062,53 @@ def ensemble_forecast(
         "yhat_linear",
         F.when(den > 0, num / den).alias("yhat"),
     )
+
+
+def tune_seasonal_period(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    seasons: list[int] = (1, 7, 14, 28),
+    eval_points: int = 28,
+) -> DataFrame:
+    """Hyperparameter grid search, Spark-first: backtest the seasonal-
+    naive forecaster at every candidate period in ``seasons`` over every
+    series in ONE windowed pass — each candidate is just a ``lag``
+    expression, so the whole grid costs the same single shuffle the
+    panel sort needs anyway. The distributed form of the reference's
+    tuning sweeps (``darts_hyperopt_workflow.py`` /
+    ``neural_forecast_tune.py`` schedule one trial per (series, param)
+    on a cluster).
+
+    One-step-ahead errors over the last ``eval_points`` rows; returns
+    ``keys + season + n_eval + mae``. Chain :func:`select_best_model`
+    (metric="mae") after renaming, or take the argmin by season."""
+    w_ord = Window.partitionBy(*keys).orderBy(order_col)
+    w_all = Window.partitionBy(*keys)
+    y = F.col(value_col).cast("double")
+    b = (
+        df.select(*keys, order_col, y.alias("__y"))
+        .withColumn("__rn", F.row_number().over(w_ord))
+        .withColumn("__maxrn", F.max(F.col("__rn")).over(w_all))
+    )
+    preds = b.select(
+        *keys,
+        "__y",
+        "__rn",
+        "__maxrn",
+        *[
+            F.lag("__y", s).over(w_ord).alias(f"__p_{s}")
+            for s in seasons
+        ],
+    ).filter(F.col("__rn") > F.col("__maxrn") - eval_points)
+    pairs = ", ".join(f"{s}, __p_{s}" for s in seasons)
+    long = preds.select(
+        *keys,
+        "__y",
+        F.expr(f"stack({len(seasons)}, {pairs}) AS (season, yhat)"),
+    ).filter(F.col("yhat").isNotNull())
+    return long.groupBy(*keys, "season").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.avg(F.abs(F.col("yhat") - F.col("__y"))).alias("mae"),
+    )

@@ -83,3 +83,17 @@ def test_ensemble_forecast_equal_weights_and_dates(panel):
     ds = sorted(r["ds"] for r in rows)
     assert (ds[1] - ds[0]).days == 1 and (ds[2] - ds[1]).days == 1
     assert all(r["yhat"] == pytest.approx(10.0, abs=1e-9) for r in rows)
+
+
+def test_tune_seasonal_period_grid(panel):
+    tuned = TS.tune_seasonal_period(
+        panel, ["uid"], "d", "y", seasons=[1, 7, 14], eval_points=14
+    )
+    rows = {(r["uid"], r["season"]): r["mae"] for r in tuned.collect()}
+    assert len(rows) == 9
+    # weekly cycle: lag-7 and lag-14 are exact, lag-1 is not
+    assert rows[("weekly", 7)] == 0.0 and rows[("weekly", 14)] == 0.0
+    assert rows[("weekly", 1)] > 0.5
+    # pure trend: shorter lag = smaller bias (mae == season)
+    assert rows[("trend", 1)] == pytest.approx(1.0)
+    assert rows[("trend", 7)] == pytest.approx(7.0)
