@@ -324,3 +324,37 @@ def threshold_sweep(
         recall.alias("recall"),
         f1.alias("f1"),
     )
+
+
+def fit_gradient_boosting(
+    train: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    num_iterations: int = 50,
+    max_depth: int = 5,
+    step_size: float = 0.1,
+    seed: int = 42,
+):
+    """Gradient-boosted trees on the same prep chain as
+    :func:`fit_random_forest` — the Spark-native face of the
+    reference's XGBoost-on-Ray tabular job
+    (``tabular/boost.py`` / ``minimal_xgboost_ray.py``: distributed
+    boosting over partitioned data with a tune loop around it; MLlib's
+    ``GBTClassifier`` trains each boosting stage distributed, and the
+    scored output feeds the same :func:`classification_report` /
+    :func:`binary_auc` readouts the reference computes with sklearn).
+    Binary labels only (MLlib GBT restriction). Returns
+    (model, fitted label indexer)."""
+    from pyspark.ml.classification import GBTClassifier
+
+    indexed, si = index_label(train, label_col)
+    data = assemble_features(indexed, feature_cols)
+    gbt = GBTClassifier(
+        featuresCol="features",
+        labelCol=f"{label_col}_si",
+        maxIter=num_iterations,
+        maxDepth=max_depth,
+        stepSize=step_size,
+        seed=seed,
+    )
+    return gbt.fit(data), si

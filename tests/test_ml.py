@@ -156,3 +156,21 @@ def test_threshold_sweep_pr_curve(spark):
     assert rows[0.1]["recall"] == 1.0 and rows[0.1]["precision"] == 0.5
     best = max(rows.values(), key=lambda r: r["f1"])
     assert best["threshold"] == 0.7  # f1 = 0.8 beats 2/3 and 2/3
+
+
+def test_gbt_chain_end_to_end(spark):
+    import pyspark.sql.functions as SF
+
+    df = spark.range(400).select(
+        (SF.col("id") % 2).cast("string").alias("lbl"),
+        (SF.col("id") % 2 + SF.rand(7) * 0.2).alias("x1"),
+        SF.rand(11).alias("x2"),
+    )
+    model, si = ML.fit_gradient_boosting(
+        df, ["x1", "x2"], "lbl", num_iterations=5, max_depth=2
+    )
+    scored = ML.predict(model, si, df, ["x1", "x2"])
+    acc = scored.filter(SF.col("predicted_label") == SF.col("lbl")).count() / 400
+    assert acc > 0.95  # x1 separates the classes almost perfectly
+    imps = ML.feature_importances(model, ["x1", "x2"])
+    assert imps[0][0] == "x1" and imps[0][1] > 0.5
