@@ -1041,3 +1041,70 @@ def sft_render_zephyr(spark, sf_dir):
         max_tokens=256, out="rendered",
     )
     return out.select("doc_id", "lang", "rendered", "n_tokens", "split")
+
+
+@query(
+    "lm_structured_output_eval",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN '[{"Action":"Replace","ChimeraTy'
+                  ELSE '[{"Action":"' ||
+                       (CASE WHEN doc_id % 3 = 0 THEN 'Inspect'
+                             WHEN doc_id % 2 = 0 THEN 'Reboot'
+                             ELSE 'Replace' END) ||
+                       '","ChimeraType":"' || lang || '"}]'
+             END AS pred,
+             '[{"Action":"Replace","ChimeraType":"' || lang || '"}]' AS gold
+      FROM documents
+    )
+    SELECT doc_id,
+           j IS NOT NULL AS is_valid_json,
+           CAST(COALESCE(json_array_length(j), -1) AS INT) AS n_items,
+           CASE WHEN j IS NOT NULL
+                THEN CASE WHEN json_extract_string(j, '$[0].Action')
+                               IN ('Replace', 'Reboot', 'Reseat', 'Clean')
+                          THEN 0 ELSE 1 END
+           END AS oov_action,
+           j IS NOT NULL AND pred = gold AS exact_match
+    FROM (SELECT doc_id, pred, gold, try_cast(pred AS JSON) AS j FROM p)
+    """,
+)
+def lm_structured_output_eval(spark, sf_dir):
+    """Post-inference structured-output scoring (daily_eval.py's JSON
+    contract): parse with an explicit schema, flag malformed output and
+    out-of-vocabulary Actions, exact-match against gold semantically
+    (canonical re-serialization — the synthetic predictions are built
+    in canonical form, so the oracle's string comparison is the same
+    predicate). Map-only; deterministic inputs derived from documents."""
+    from azuredataengineering_deeplearning_spark.operators import lmeval as LE
+
+    d = read_parquet(
+        spark, f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    action = (
+        F.when(F.col("doc_id") % 3 == 0, "Inspect")
+        .when(F.col("doc_id") % 2 == 0, "Reboot")
+        .otherwise("Replace")
+    )
+    pred = F.when(
+        F.col("doc_id") % 11 == 0, F.lit('[{"Action":"Replace","ChimeraTy')
+    ).otherwise(
+        F.concat(
+            F.lit('[{"Action":"'), action,
+            F.lit('","ChimeraType":"'), F.col("lang"), F.lit('"}]'),
+        )
+    )
+    gold = F.concat(
+        F.lit('[{"Action":"Replace","ChimeraType":"'), F.col("lang"), F.lit('"}]')
+    )
+    df = d.select("doc_id", pred.alias("pred"), gold.alias("gold"))
+    out = LE.structured_output_eval(
+        df, "pred", "gold",
+        "array<struct<Action:string,ChimeraType:string>>",
+        {"Action": ["Replace", "Reboot", "Reseat", "Clean"]},
+    )
+    return out.select(
+        "doc_id", "is_valid_json", "n_items", "oov_action", "exact_match"
+    )

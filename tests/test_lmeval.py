@@ -1,0 +1,67 @@
+"""Structured-output evaluation (operators/lmeval.py)."""
+
+import pytest
+
+from azuredataengineering_deeplearning_spark.operators import lmeval as LE
+
+SCHEMA = "array<struct<Action:string,ChimeraType:string>>"
+ALLOWED = {"Action": ["Replace", "Reboot"], "ChimeraType": ["DIMM", "GPU"]}
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    rows = [
+        # valid, exact match
+        (1, '[{"Action":"Replace","ChimeraType":"DIMM"}]',
+            '[{"Action":"Replace","ChimeraType":"DIMM"}]'),
+        # valid, whitespace/key-order differences only -> still exact
+        (2, '[{"ChimeraType": "GPU", "Action": "Reboot"}]',
+            '[{"Action":"Reboot","ChimeraType":"GPU"}]'),
+        # valid, wrong value + OOV action
+        (3, '[{"Action":"Destroy","ChimeraType":"DIMM"}]',
+            '[{"Action":"Replace","ChimeraType":"DIMM"}]'),
+        # malformed JSON
+        (4, '[{"Action":"Replace"', '[{"Action":"Replace","ChimeraType":"DIMM"}]'),
+        # valid, two items, one OOV type
+        (5, '[{"Action":"Replace","ChimeraType":"DIMM"},'
+            '{"Action":"Reboot","ChimeraType":"Cable"}]',
+            '[{"Action":"Replace","ChimeraType":"DIMM"}]'),
+    ]
+    df = spark.createDataFrame(rows, "id long, pred string, gold string")
+    return {r["id"]: r for r in LE.structured_output_eval(
+        df, "pred", "gold", SCHEMA, ALLOWED).collect()}
+
+
+def test_validity_and_items(scored):
+    assert scored[1]["is_valid_json"] and scored[1]["n_items"] == 1
+    assert not scored[4]["is_valid_json"] and scored[4]["n_items"] == -1
+    assert scored[5]["n_items"] == 2
+
+
+def test_exact_match_is_semantic(scored):
+    assert scored[1]["exact_match"]
+    assert scored[2]["exact_match"]  # key order + whitespace ignored
+    assert not scored[3]["exact_match"]
+    assert not scored[4]["exact_match"]
+
+
+def test_oov_counts(scored):
+    assert scored[1]["oov_action"] == 0 and scored[1]["oov_chimeratype"] == 0
+    assert scored[3]["oov_action"] == 1
+    assert scored[5]["oov_chimeratype"] == 1
+    assert scored[4]["oov_action"] is None  # invalid row -> null, not 0
+
+
+def test_accuracy_summary(spark):
+    df = spark.createDataFrame(
+        [(1, '[{"Action":"Replace","ChimeraType":"DIMM"}]',
+             '[{"Action":"Replace","ChimeraType":"DIMM"}]'),
+         (2, 'oops', '[{"Action":"Reboot","ChimeraType":"GPU"}]')],
+        "id long, pred string, gold string",
+    )
+    s = LE.structured_output_eval(df, "pred", "gold", SCHEMA, ALLOWED)
+    r = LE.accuracy_summary(s).first()
+    assert r["n"] == 2
+    assert r["valid_rate"] == pytest.approx(0.5)
+    assert r["exact_match_rate"] == pytest.approx(0.5)
+    assert r["mean_items"] == pytest.approx(1.0)
