@@ -976,3 +976,53 @@ def ts_tune_season(spark, sf_dir):
     return TS.tune_seasonal_period(
         daily, ["user_id"], "d", "y", seasons=[1, 7, 14, 28], eval_points=28
     )
+
+
+@query(
+    "ts_mann_kendall",
+    f"""
+    WITH daily AS ({_DAILY_SQL}),
+    b AS (
+      SELECT user_id, y,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM daily
+    ),
+    s AS (
+      SELECT a.user_id,
+             CAST(SUM(SIGN(b2.y - a.y)) AS BIGINT) AS s_stat
+      FROM b a JOIN b b2
+        ON a.user_id = b2.user_id AND a.rn < b2.rn
+      GROUP BY a.user_id
+    ),
+    nn AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY user_id),
+    ties AS (
+      SELECT user_id,
+             SUM(t * (t - 1) * (2 * t + 5)) AS tie_term,
+             SUM(t * (t - 1) / 2.0) AS t_ties
+      FROM (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS t
+            FROM daily GROUP BY user_id, y)
+      GROUP BY user_id
+    ),
+    m AS (
+      SELECT nn.user_id, nn.n, COALESCE(s.s_stat, 0) AS s_stat,
+             (nn.n * (nn.n - 1.0) * (2.0 * nn.n + 5) - ties.tie_term) / 18.0 AS var_s,
+             nn.n * (nn.n - 1.0) / 2.0 AS half, ties.t_ties
+      FROM nn JOIN ties ON nn.user_id = ties.user_id
+              LEFT JOIN s ON nn.user_id = s.user_id
+    )
+    SELECT user_id, n, s_stat, var_s,
+           CASE WHEN s_stat > 0 AND var_s > 0 THEN (s_stat - 1) / SQRT(var_s)
+                WHEN s_stat < 0 AND var_s > 0 THEN (s_stat + 1) / SQRT(var_s)
+                ELSE 0.0 END AS z,
+           CASE WHEN SQRT(half * (half - t_ties)) > 0
+                THEN s_stat / SQRT(half * (half - t_ties))
+                ELSE 0.0 END AS tau_b
+    FROM m
+    """,
+)
+def ts_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test per user series (exact S,
+    tie-corrected Z, tau-b); the oracle counts the pair triangle with a
+    self-join."""
+    daily = _daily(spark, sf_dir)
+    return TS.mann_kendall_trend(daily, ["user_id"], "d", "y")

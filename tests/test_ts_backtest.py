@@ -97,3 +97,17 @@ def test_tune_seasonal_period_grid(panel):
     # pure trend: shorter lag = smaller bias (mae == season)
     assert rows[("trend", 1)] == pytest.approx(1.0)
     assert rows[("trend", 7)] == pytest.approx(7.0)
+
+
+def test_mann_kendall_trend_signs(panel):
+    mk = {r["uid"]: r for r in
+          TS.mann_kendall_trend(panel, ["uid"], "d", "y").collect()}
+    # strictly increasing: S = n(n-1)/2, tau_b = 1
+    t = mk["trend"]
+    assert t["s_stat"] == 60 * 59 // 2 and t["tau_b"] == pytest.approx(1.0)
+    assert t["z"] > 5
+    # constant series: all ties -> S=0, var 0, z 0
+    f = mk["flat"]
+    assert f["s_stat"] == 0 and f["z"] == 0.0 and f["tau_b"] == 0.0
+    # weekly cycle: no monotone drift -> |tau| small
+    assert abs(mk["weekly"]["tau_b"]) < 0.1
