@@ -393,3 +393,61 @@ def ml_threshold_sweep(spark, sf_dir):
         F.col("o_totalprice").cast("double").alias("s"),
     )
     return ML.threshold_sweep(o, "y", "s")
+
+
+@query(
+    "ml_kendall_tau",
+    """
+    WITH b AS (
+      SELECT l_suppkey,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem WHERE l_suppkey % 20 = 0
+    ),
+    p AS (
+      SELECT a.l_suppkey,
+             SUM(CASE WHEN SIGN(b2.x - a.x) * SIGN(b2.y - a.y) > 0
+                      THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN SIGN(b2.x - a.x) * SIGN(b2.y - a.y) < 0
+                      THEN 1 ELSE 0 END) AS d
+      FROM b a JOIN b b2 ON a.l_suppkey = b2.l_suppkey AND a.rn < b2.rn
+      GROUP BY a.l_suppkey
+    ),
+    nn AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+    tx AS (SELECT l_suppkey, SUM(t * (t - 1) / 2.0) AS tx
+           FROM (SELECT l_suppkey, CAST(COUNT(*) AS DOUBLE) AS t
+                 FROM b GROUP BY l_suppkey, x) GROUP BY 1),
+    ty AS (SELECT l_suppkey, SUM(t * (t - 1) / 2.0) AS ty
+           FROM (SELECT l_suppkey, CAST(COUNT(*) AS DOUBLE) AS t
+                 FROM b GROUP BY l_suppkey, y) GROUP BY 1)
+    SELECT nn.l_suppkey AS suppkey, nn.n,
+           CAST(COALESCE(p.c, 0) AS BIGINT) AS concordant,
+           CAST(COALESCE(p.d, 0) AS BIGINT) AS discordant,
+           CASE WHEN SQRT((nn.n * (nn.n - 1.0) / 2.0 - tx.tx)
+                          * (nn.n * (nn.n - 1.0) / 2.0 - ty.ty)) > 0
+                THEN (COALESCE(p.c, 0) - COALESCE(p.d, 0))
+                     / SQRT((nn.n * (nn.n - 1.0) / 2.0 - tx.tx)
+                            * (nn.n * (nn.n - 1.0) / 2.0 - ty.ty))
+                ELSE 0.0 END AS tau_b
+    FROM nn JOIN tx ON nn.l_suppkey = tx.l_suppkey
+            JOIN ty ON nn.l_suppkey = ty.l_suppkey
+            LEFT JOIN p ON nn.l_suppkey = p.l_suppkey
+    """,
+)
+def ml_kendall_tau(spark, sf_dir):
+    """Exact grouped Kendall tau-b (quantity vs extended price per
+    sampled supplier) — the reference's ranking metric as a distributed
+    per-group triangle."""
+    from azuredataengineering_deeplearning_spark.operators import ml as ML
+
+    li = read_parquet(
+        spark, f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_quantity", "l_extendedprice"],
+    ).filter(F.col("l_suppkey") % 20 == 0).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    return ML.kendall_tau_b(li, ["suppkey"], "x", "y")

@@ -174,3 +174,25 @@ def test_gbt_chain_end_to_end(spark):
     assert acc > 0.95  # x1 separates the classes almost perfectly
     imps = ML.feature_importances(model, ["x1", "x2"])
     assert imps[0][0] == "x1" and imps[0][1] > 0.5
+
+
+def test_kendall_tau_b_exact(spark):
+    # group g: y = x (perfect concordance); group h: y = -x
+    rows = [("g", float(i), float(i)) for i in range(10)]
+    rows += [("h", float(i), float(-i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    taus = {r["grp"]: r for r in
+            ML.kendall_tau_b(df, ["grp"], "x", "y").collect()}
+    assert taus["g"]["tau_b"] == pytest.approx(1.0)
+    assert taus["g"]["concordant"] == 45 and taus["g"]["discordant"] == 0
+    assert taus["h"]["tau_b"] == pytest.approx(-1.0)
+
+
+def test_kendall_tau_b_ties(spark):
+    # constant y -> denominator 0 -> tau 0 by convention
+    df = spark.createDataFrame(
+        [("g", 1.0, 5.0), ("g", 2.0, 5.0), ("g", 3.0, 5.0)],
+        "grp string, x double, y double",
+    )
+    r = ML.kendall_tau_b(df, ["grp"], "x", "y").first()
+    assert r["tau_b"] == 0.0 and r["concordant"] == 0
