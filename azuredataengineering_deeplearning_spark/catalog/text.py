@@ -1108,3 +1108,67 @@ def lm_structured_output_eval(spark, sf_dir):
     return out.select(
         "doc_id", "is_valid_json", "n_items", "oov_action", "exact_match"
     )
+
+
+@query(
+    "lm_accuracy_by_lang",
+    """
+    WITH p AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 11 = 0
+                  THEN '[{"Action":"Replace","ChimeraTy'
+                  ELSE '[{"Action":"' ||
+                       (CASE WHEN doc_id % 3 = 0 THEN 'Inspect'
+                             WHEN doc_id % 2 = 0 THEN 'Reboot'
+                             ELSE 'Replace' END) ||
+                       '","ChimeraType":"' || lang || '"}]'
+             END AS pred,
+             '[{"Action":"Replace","ChimeraType":"' || lang || '"}]' AS gold
+      FROM documents
+    ),
+    s AS (
+      SELECT lang,
+             try_cast(pred AS JSON) IS NOT NULL AS valid,
+             try_cast(pred AS JSON) IS NOT NULL AND pred = gold AS em,
+             CASE WHEN try_cast(pred AS JSON) IS NOT NULL
+                  THEN CAST(json_array_length(try_cast(pred AS JSON)) AS DOUBLE)
+             END AS items
+      FROM p
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           AVG(CASE WHEN valid THEN 1.0 ELSE 0.0 END) AS valid_rate,
+           AVG(CASE WHEN em THEN 1.0 ELSE 0.0 END) AS exact_match_rate,
+           AVG(items) AS mean_items
+    FROM s GROUP BY lang
+    """,
+)
+def lm_accuracy_by_lang(spark, sf_dir):
+    """Per-language accuracy readout of the structured-output scorer —
+    the daily_eval summary table (validity rate, exact-match rate, mean
+    items) as one aggregate over the scored frame."""
+    from azuredataengineering_deeplearning_spark.operators import lmeval as LE
+
+    d = read_parquet(
+        spark, f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    action = (
+        F.when(F.col("doc_id") % 3 == 0, "Inspect")
+        .when(F.col("doc_id") % 2 == 0, "Reboot")
+        .otherwise("Replace")
+    )
+    pred = F.when(
+        F.col("doc_id") % 11 == 0, F.lit('[{"Action":"Replace","ChimeraTy')
+    ).otherwise(
+        F.concat(
+            F.lit('[{"Action":"'), action,
+            F.lit('","ChimeraType":"'), F.col("lang"), F.lit('"}]'),
+        )
+    )
+    gold = F.concat(
+        F.lit('[{"Action":"Replace","ChimeraType":"'), F.col("lang"), F.lit('"}]')
+    )
+    df = d.select("doc_id", "lang", pred.alias("pred"), gold.alias("gold"))
+    scored = LE.structured_output_eval(
+        df, "pred", "gold", "array<struct<Action:string,ChimeraType:string>>"
+    )
+    return LE.accuracy_summary(scored, ["lang"])
