@@ -363,6 +363,49 @@ def main() -> None:
         results["funnel_progress"] = t
         print(json.dumps({"probe": "funnel_progress", "rows": args.rows, "sec": t}))
 
+        # ---- backtest/ensemble: 100k series x 200 days in one pass ----
+        from azuredataengineering_deeplearning_spark.operators import (
+            timeseries as TS,
+        )
+
+        panel_path = f"{tmp}/panel"
+        n_series = max(args.rows // 200, 1000)
+        (
+            spark.range(n_series * 200)
+            .select(
+                (F.col("id") % n_series).alias("uid"),
+                F.date_add(
+                    F.lit("2024-01-01").cast("date"),
+                    (F.col("id") / n_series).cast("int"),
+                ).alias("d"),
+                (F.rand(13) * 100 + (F.col("id") / n_series)).alias("y"),
+            )
+            .write.mode("overwrite").parquet(panel_path)
+        )
+        panel = spark.read.parquet(panel_path)
+
+        t, n = timed(
+            lambda: TS.backtest_models(
+                panel, ["uid"], "d", "y", horizon=7, eval_points=28
+            ).count()
+        )
+        results["backtest_models"] = t
+        print(json.dumps(
+            {"probe": "backtest_models", "series": n_series, "rows": n_series * 200,
+             "out_rows": n, "sec": t}
+        ))
+
+        t, n = timed(
+            lambda: TS.ensemble_forecast(
+                panel, ["uid"], "d", "y", horizon=7, season=7
+            ).count()
+        )
+        results["ensemble_forecast"] = t
+        print(json.dumps(
+            {"probe": "ensemble_forecast", "series": n_series,
+             "out_rows": n, "sec": t}
+        ))
+
     print(
         json.dumps(
             {
