@@ -451,3 +451,38 @@ def ml_kendall_tau(spark, sf_dir):
         F.col("l_extendedprice").cast("double").alias("y"),
     )
     return ML.kendall_tau_b(li, ["suppkey"], "x", "y")
+
+
+@query(
+    "recsys_slates",
+    """
+    WITH g AS (
+      SELECT user_id,
+             list(printf('%.6f', value) ORDER BY event_id) AS l,
+             arg_max(value, event_id) AS lastv
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           array_to_string(l[greatest(len(l) - 19, 1):len(l)], ',') AS seq_csv,
+           CAST(len(l) AS INT) AS seq_len,
+           printf('%.6f', lastv) AS last_s
+    FROM g
+    """,
+)
+def recsys_slates(spark, sf_dir):
+    """Per-user ranking slates: time-ordered value sequence truncated to
+    the last 20 steps + the final-step label (the pointwise-ranker
+    dataset prep). Sequence emitted as fixed-format CSV so the
+    order-insensitive hash still proves element order."""
+    from azuredataengineering_deeplearning_spark.operators import ml as ML
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    s = ML.build_ranking_slates(ev, "user_id", "event_id", "value", max_len=20)
+    return s.select(
+        "user_id",
+        F.array_join(
+            F.transform(F.col("seq"), lambda v: F.format_string("%.6f", v)), ","
+        ).alias("seq_csv"),
+        "seq_len",
+        F.format_string("%.6f", F.col("last")).alias("last_s"),
+    )

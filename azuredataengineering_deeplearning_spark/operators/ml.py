@@ -409,3 +409,38 @@ def kendall_tau_b(
     return df.select(*kk, x_col, y_col).groupBy(*kk).applyInPandas(
         fn, schema=schema
     )
+
+
+def build_ranking_slates(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    feature_col: str,
+    max_len: int = 50,
+) -> DataFrame:
+    """Grouped-sequence dataset prep for rankers — the Spark side of the
+    reference's pointwise/slate trainer (``ray_train_pointwise.py:
+    179-226`` builds per-``group_key`` ordered feature tensors and takes
+    the label at the final timestep). One grouped ``collect_list`` of
+    (order, value) structs, array-sorted executor-side, truncated to the
+    LAST ``max_len`` steps — per-group state is O(max_len) after the
+    slice, and the shuffle carries only the projected columns.
+
+    Returns ``group_col + seq (array<double>, time-ordered) + seq_len
+    (pre-truncation length) + last (the final value — the pointwise
+    label)``."""
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                F.col(feature_col).cast("double").alias("v")))
+    )
+    g = df.groupBy(group_col).agg(arr.alias("__a"))
+    n = F.size("__a")
+    tail = F.when(
+        n > max_len, F.slice("__a", n - max_len + 1, max_len)
+    ).otherwise(F.col("__a"))
+    return g.select(
+        group_col,
+        F.transform(tail, lambda x: x["v"]).alias("seq"),
+        n.cast("int").alias("seq_len"),
+        F.element_at(F.col("__a"), -1)["v"].alias("last"),
+    )

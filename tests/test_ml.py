@@ -196,3 +196,16 @@ def test_kendall_tau_b_ties(spark):
     )
     r = ML.kendall_tau_b(df, ["grp"], "x", "y").first()
     assert r["tau_b"] == 0.0 and r["concordant"] == 0
+
+
+def test_build_ranking_slates(spark):
+    rows = [(1, i, float(i * 10)) for i in range(5)]
+    rows += [(2, i, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "uid long, t long, v double")
+    s = {r["uid"]: r for r in
+         ML.build_ranking_slates(df, "uid", "t", "v", max_len=20).collect()}
+    assert s[1]["seq"] == [0.0, 10.0, 20.0, 30.0, 40.0]
+    assert s[1]["seq_len"] == 5 and s[1]["last"] == 40.0
+    # long series truncates to the LAST 20 steps
+    assert s[2]["seq"] == [float(i) for i in range(10, 30)]
+    assert s[2]["seq_len"] == 30 and s[2]["last"] == 29.0
