@@ -486,3 +486,49 @@ def recsys_slates(spark, sf_dir):
         "seq_len",
         F.format_string("%.6f", F.col("last")).alias("last_s"),
     )
+
+
+@query(
+    "recsys_negative_sample",
+    """
+    WITH pos AS (
+      SELECT l_suppkey AS user_key, l_partkey AS item_key,
+             l_orderkey AS ok, l_linenumber AS ln
+      FROM lineitem WHERE l_suppkey % 20 = 0
+    ),
+    mx AS (SELECT MAX(p_partkey) AS P FROM part),
+    cand AS (
+      SELECT user_key,
+             CAST(concat('0x', substr(md5(
+               concat_ws('-', user_key, ok, ln, j.j)), 1, 15)) AS BIGINT)
+               % P + 1 AS item_key
+      FROM pos CROSS JOIN mx
+           CROSS JOIN (SELECT CAST(x + 1 AS INT) AS j FROM range(0, 4) r(x)) j
+    ),
+    neg AS (
+      SELECT c.user_key, c.item_key FROM cand c
+      LEFT JOIN (SELECT DISTINCT user_key, item_key FROM pos) p
+        ON c.user_key = p.user_key AND c.item_key = p.item_key
+      WHERE p.user_key IS NULL
+    )
+    SELECT user_key, item_key, 1 AS label FROM pos
+    UNION ALL
+    SELECT user_key, item_key, 0 AS label FROM neg
+    """,
+)
+def recsys_negative_sample(spark, sf_dir):
+    """Pointwise pairs with k=4 portable-hash negatives per observed
+    (supplier, part) interaction; collisions with true interactions
+    anti-joined away. Deterministic across engines and retries."""
+    from azuredataengineering_deeplearning_spark.operators import ml as ML
+
+    li = read_parquet(
+        spark, f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_orderkey", "l_linenumber"],
+    ).filter(F.col("l_suppkey") % 20 == 0)
+    p = read_parquet(spark, f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    n_items = p.agg(F.max("p_partkey").alias("P"))
+    return ML.negative_sample_interactions(
+        li, "l_suppkey", "l_partkey", ["l_orderkey", "l_linenumber"],
+        n_items, k=4,
+    )

@@ -444,3 +444,69 @@ def build_ranking_slates(
         n.cast("int").alias("seq_len"),
         F.element_at(F.col("__a"), -1)["v"].alias("last"),
     )
+
+
+def negative_sample_interactions(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    id_cols: Sequence[str],
+    n_items_df: DataFrame,
+    k: int = 4,
+) -> DataFrame:
+    """Pointwise training pairs with deterministic hash negatives — the
+    recsys dataset-construction step (the reference trains its pointwise
+    ranker on labeled interaction pairs, ``ray_train_pointwise.py``;
+    the classic prep draws k random non-interacted items per positive).
+    Seeded RNG is engine-private and non-reproducible across retries, so
+    negatives here come from the engine's portable md5-bucket hash over
+    (user, interaction ids, draw index): same candidates on every
+    engine, every run. Candidates that collide with a TRUE interaction
+    are removed by one anti-join against the distinct positive set.
+
+    ``n_items_df`` is a 1-row frame with column ``P`` (the item-id
+    upper bound, items assumed 1..P) — pass an aggregate, it broadcasts.
+    Returns ``user + item + label`` (1 = observed, 0 = sampled negative;
+    up to k negatives per positive). Map-side generation + one
+    broadcast + one anti-join shuffle."""
+    u, it = F.col(user_col), F.col(item_col)
+    pos = df.select(u.alias("user_key"), it.alias("item_key"), *id_cols)
+    cand = (
+        pos.crossJoin(F.broadcast(n_items_df))
+        .select(
+            "user_key",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("__j"),
+            *id_cols,
+            "P",
+        )
+        .select(
+            "user_key",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "-",
+                                F.col("user_key"),
+                                *[F.col(c) for c in id_cols],
+                                F.col("__j"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("P")
+                + 1
+            ).alias("item_key"),
+        )
+    )
+    observed = pos.select("user_key", "item_key").distinct()
+    neg = cand.join(observed, ["user_key", "item_key"], "left_anti")
+    return pos.select(
+        "user_key", "item_key", F.lit(1).alias("label")
+    ).unionByName(
+        neg.select("user_key", "item_key", F.lit(0).alias("label"))
+    )

@@ -209,3 +209,27 @@ def test_build_ranking_slates(spark):
     # long series truncates to the LAST 20 steps
     assert s[2]["seq"] == [float(i) for i in range(10, 30)]
     assert s[2]["seq_len"] == 30 and s[2]["last"] == 29.0
+
+
+def test_negative_sample_interactions(spark):
+    pos = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 101), (2, 10, 102)],
+        "u long, it long, rid long",
+    )
+    n_items = spark.createDataFrame([(50,)], "P long")
+    out = ML.negative_sample_interactions(
+        pos, "u", "it", ["rid"], n_items, k=3
+    ).collect()
+    positives = [r for r in out if r["label"] == 1]
+    negatives = [r for r in out if r["label"] == 0]
+    assert len(positives) == 3
+    assert 0 < len(negatives) <= 9
+    observed = {(1, 10), (1, 11), (2, 10)}
+    for r in negatives:
+        assert (r["user_key"], r["item_key"]) not in observed
+        assert 1 <= r["item_key"] <= 50
+    # deterministic across runs
+    again = ML.negative_sample_interactions(
+        pos, "u", "it", ["rid"], n_items, k=3
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
