@@ -1172,3 +1172,65 @@ def lm_accuracy_by_lang(spark, sf_dir):
         df, "pred", "gold", "array<struct<Action:string,ChimeraType:string>>"
     )
     return LE.accuracy_summary(scored, ["lang"])
+
+
+@query(
+    "lm_token_f1",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:30], ' ') AS pred,
+             text AS gold
+      FROM documents
+    ),
+    pt AS (
+      SELECT doc_id, tok, COUNT(*) AS pc
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(pred, ' '), t -> t != '')) AS tok
+            FROM p)
+      GROUP BY 1, 2
+    ),
+    gt AS (
+      SELECT doc_id, tok, COUNT(*) AS gc
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(gold, ' '), t -> t != '')) AS tok
+            FROM p)
+      GROUP BY 1, 2
+    ),
+    ov AS (
+      SELECT pt.doc_id, SUM(LEAST(pc, gc)) AS overlap
+      FROM pt JOIN gt ON pt.doc_id = gt.doc_id AND pt.tok = gt.tok
+      GROUP BY 1
+    ),
+    sz AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(pred, ' '), t -> t != '')) AS INT) AS n_pred,
+             CAST(len(list_filter(string_split(gold, ' '), t -> t != '')) AS INT) AS n_gold
+      FROM p
+    )
+    SELECT sz.doc_id, n_pred, n_gold,
+           CAST(COALESCE(overlap, 0) AS BIGINT) AS overlap,
+           CASE WHEN n_pred > 0 THEN COALESCE(overlap, 0) * 1.0 / n_pred ELSE 0.0 END AS precision,
+           CASE WHEN n_gold > 0 THEN COALESCE(overlap, 0) * 1.0 / n_gold ELSE 0.0 END AS recall,
+           CASE WHEN (CASE WHEN n_pred > 0 THEN COALESCE(overlap, 0) * 1.0 / n_pred ELSE 0.0 END)
+                   + (CASE WHEN n_gold > 0 THEN COALESCE(overlap, 0) * 1.0 / n_gold ELSE 0.0 END) > 0
+                THEN 2.0 * (COALESCE(overlap, 0) * 1.0 / n_pred) * (COALESCE(overlap, 0) * 1.0 / n_gold)
+                     / ((COALESCE(overlap, 0) * 1.0 / n_pred) + (COALESCE(overlap, 0) * 1.0 / n_gold))
+                ELSE 0.0 END AS f1
+    FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
+    """,
+)
+def lm_token_f1(spark, sf_dir):
+    """SQuAD-style token-overlap F1 between a 30-token prediction
+    prefix and the reference text — multiset overlap via two map-side
+    token-count aggregates and one (id, token) join."""
+    from azuredataengineering_deeplearning_spark.operators import lmeval as LE
+
+    d = read_parquet(
+        spark, f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 30), " ").alias("pred"),
+        F.col("text").alias("gold"),
+    )
+    return LE.token_f1(d, "doc_id", "pred", "gold")

@@ -105,3 +105,71 @@ def accuracy_summary(
             F.when(F.col("n_items") >= 0, F.col("n_items").cast("double"))
         ).alias("mean_items"),
     )
+
+
+def token_f1(
+    df: DataFrame,
+    id_col: str,
+    pred_col: str,
+    gold_col: str,
+    sep: str = " ",
+) -> DataFrame:
+    """Per-row token-overlap F1 (the SQuAD-style generation metric:
+    multiset precision/recall between predicted and reference tokens).
+    Overlap = Σ_tok min(count_pred, count_gold), computed distributed:
+    explode each side to (id, token, count) frames — partial-aggregated
+    map-side — join on (id, token), reduce per id. Totals come from the
+    map-side token counts, so the whole metric is two hash aggregates
+    and one join keyed by (id, token); no per-row Python, no quadratic
+    work in document length.
+
+    Returns ``id + n_pred + n_gold + overlap + precision + recall +
+    f1`` (empty/both-null rows: F1 0 by convention)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(pred_col), F.lit("")).alias("__p"),
+        F.coalesce(F.col(gold_col), F.lit("")).alias("__g"),
+    )
+
+    def counts(col: str, out: str) -> DataFrame:
+        return (
+            base.select(
+                "id",
+                F.explode(
+                    F.filter(F.split(F.col(col), sep), lambda t: t != "")
+                ).alias("tok"),
+            )
+            .groupBy("id", "tok")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    p, g = counts("__p", "pc"), counts("__g", "gc")
+    overlap = (
+        p.join(g, ["id", "tok"])
+        .groupBy("id")
+        .agg(F.sum(F.least(F.col("pc"), F.col("gc"))).alias("overlap"))
+    )
+    sizes = base.select(
+        "id",
+        F.size(F.filter(F.split(F.col("__p"), sep), lambda t: t != ""))
+        .alias("n_pred"),
+        F.size(F.filter(F.split(F.col("__g"), sep), lambda t: t != ""))
+        .alias("n_gold"),
+    )
+    j = sizes.join(overlap, "id", "left").na.fill({"overlap": 0})
+    prec = F.when(F.col("n_pred") > 0, F.col("overlap") / F.col("n_pred")).otherwise(
+        F.lit(0.0)
+    )
+    rec = F.when(F.col("n_gold") > 0, F.col("overlap") / F.col("n_gold")).otherwise(
+        F.lit(0.0)
+    )
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("id").alias(id_col),
+        "n_pred",
+        "n_gold",
+        F.col("overlap").cast("long").alias("overlap"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    )

@@ -65,3 +65,22 @@ def test_accuracy_summary(spark):
     assert r["valid_rate"] == pytest.approx(0.5)
     assert r["exact_match_rate"] == pytest.approx(0.5)
     assert r["mean_items"] == pytest.approx(1.0)
+
+
+def test_token_f1_hand_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "a b c"),          # perfect
+            (2, "a a b", "a c"),            # overlap: min counts -> a:1 = 1
+            (3, "", "a b"),                 # empty pred
+            (4, "x y", "p q"),              # disjoint
+        ],
+        "id long, pred string, gold string",
+    )
+    r = {x["id"]: x for x in LE.token_f1(df, "id", "pred", "gold").collect()}
+    assert r[1]["f1"] == pytest.approx(1.0)
+    assert r[2]["overlap"] == 1
+    assert r[2]["precision"] == pytest.approx(1 / 3)
+    assert r[2]["recall"] == pytest.approx(0.5)
+    assert r[3]["f1"] == 0.0 and r[3]["n_pred"] == 0
+    assert r[4]["f1"] == 0.0 and r[4]["overlap"] == 0
