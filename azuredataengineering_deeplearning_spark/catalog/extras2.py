@@ -532,3 +532,62 @@ def recsys_negative_sample(spark, sf_dir):
         li, "l_suppkey", "l_partkey", ["l_orderkey", "l_linenumber"],
         n_items, k=4,
     )
+
+
+@query(
+    "ml_macro_f1",
+    """
+    WITH t AS (
+      SELECT o_orderstatus AS label,
+             CASE WHEN CAST(o_totalprice AS DOUBLE) > 150000.0
+                  THEN 'F' ELSE 'O' END AS pred
+      FROM orders
+    ),
+    cm AS (SELECT label, pred, COUNT(*) AS n FROM t GROUP BY 1, 2),
+    a AS (SELECT label AS cls, SUM(n) AS support FROM cm GROUP BY 1),
+    p AS (SELECT pred AS cls, SUM(n) AS n_pred FROM cm GROUP BY 1),
+    tp AS (SELECT label AS cls, n AS tp FROM cm WHERE label = pred),
+    j AS (
+      SELECT COALESCE(a.cls, p.cls) AS cls,
+             COALESCE(support, 0) AS support,
+             COALESCE(n_pred, 0) AS n_pred,
+             COALESCE(tp.tp, 0) AS tp
+      FROM a FULL OUTER JOIN p ON a.cls = p.cls
+             LEFT JOIN tp ON COALESCE(a.cls, p.cls) = tp.cls
+    ),
+    r AS (
+      SELECT cls, support,
+             CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END AS prec,
+             CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END AS rec
+      FROM j
+    ),
+    f AS (
+      SELECT cls, support, prec, rec,
+             CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec)
+                  ELSE 0.0 END AS f1
+      FROM r
+    )
+    SELECT CAST(SUM(support) AS BIGINT) AS n,
+           SUM(rec * support) / SUM(support) AS accuracy,
+           AVG(prec) AS macro_precision,
+           AVG(rec) AS macro_recall,
+           AVG(f1) AS macro_f1,
+           SUM(f1 * support) / SUM(support) AS weighted_f1
+    FROM f
+    """,
+)
+def ml_macro_f1(spark, sf_dir):
+    """Macro/micro classification summary of the price-threshold
+    classifier — the single-row eval readout."""
+    from azuredataengineering_deeplearning_spark.operators import ml as ML
+
+    o = read_parquet(
+        spark, f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"],
+    ).select(
+        F.col("o_orderstatus").alias("label"),
+        F.when(F.col("o_totalprice").cast("double") > 150000.0, "F")
+        .otherwise("O")
+        .alias("pred"),
+    )
+    return ML.classification_summary(o, "label", "pred")

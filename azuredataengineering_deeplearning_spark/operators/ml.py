@@ -510,3 +510,25 @@ def negative_sample_interactions(
     ).unionByName(
         neg.select("user_key", "item_key", F.lit(0).alias("label"))
     )
+
+
+def classification_summary(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """One-row macro/micro summary over :func:`classification_report`:
+    accuracy (= micro-F1 for single-label), macro precision/recall/F1
+    (unweighted class mean), and support-weighted F1. O(classes)
+    reduction on the report frame."""
+    rep = classification_report(df, label_col, pred_col)
+    return rep.agg(
+        F.sum("support").cast("long").alias("n"),
+        (
+            F.sum(F.col("recall") * F.col("support")) / F.sum("support")
+        ).alias("accuracy"),
+        F.avg("precision").alias("macro_precision"),
+        F.avg("recall").alias("macro_recall"),
+        F.avg("f1").alias("macro_f1"),
+        (
+            F.sum(F.col("f1") * F.col("support")) / F.sum("support")
+        ).alias("weighted_f1"),
+    )

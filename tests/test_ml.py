@@ -233,3 +233,15 @@ def test_negative_sample_interactions(spark):
         pos, "u", "it", ["rid"], n_items, k=3
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_classification_summary(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "a")],
+        "label string, pred string",
+    )
+    r = ML.classification_summary(df, "label", "pred").first()
+    assert r["n"] == 5
+    assert r["accuracy"] == pytest.approx(3 / 5)
+    assert r["macro_f1"] == pytest.approx((2 / 3 + 0.5) / 2)
+    assert r["weighted_f1"] == pytest.approx((2 / 3 * 3 + 0.5 * 2) / 5)
