@@ -591,3 +591,50 @@ def ml_macro_f1(spark, sf_dir):
         .alias("pred"),
     )
     return ML.classification_summary(o, "label", "pred")
+
+
+@query(
+    "ml_ndcg_at_k",
+    """
+    WITH b AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(l_quantity AS DOUBLE) AS score,
+             CAST(l_extendedprice AS DOUBLE) / 100000.0 AS rel,
+             l_orderkey * 10 + l_linenumber AS tie
+      FROM lineitem WHERE l_suppkey % 20 = 0
+    ),
+    r AS (
+      SELECT suppkey, rel,
+             ROW_NUMBER() OVER (PARTITION BY suppkey
+                                ORDER BY score DESC, tie ASC) AS rp,
+             ROW_NUMBER() OVER (PARTITION BY suppkey
+                                ORDER BY rel DESC, tie ASC) AS ri
+      FROM b
+    )
+    SELECT suppkey,
+           SUM(CASE WHEN rp <= 10 THEN rel / log2(rp + 1.0) END) AS dcg,
+           SUM(CASE WHEN ri <= 10 THEN rel / log2(ri + 1.0) END) AS idcg,
+           CASE WHEN SUM(CASE WHEN ri <= 10 THEN rel / log2(ri + 1.0) END) > 0
+                THEN SUM(CASE WHEN rp <= 10 THEN rel / log2(rp + 1.0) END)
+                     / SUM(CASE WHEN ri <= 10 THEN rel / log2(ri + 1.0) END)
+                ELSE 0.0 END AS ndcg
+    FROM r GROUP BY suppkey
+    """,
+)
+def ml_ndcg_at_k(spark, sf_dir):
+    """NDCG@10 per sampled supplier (quantity as predicted relevance,
+    scaled price as graded truth) with a deterministic tiebreak so
+    ranks agree across engines."""
+    from azuredataengineering_deeplearning_spark.operators import ml as ML
+
+    li = read_parquet(
+        spark, f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_quantity", "l_extendedprice",
+                 "l_orderkey", "l_linenumber"],
+    ).filter(F.col("l_suppkey") % 20 == 0).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_quantity").cast("double").alias("score"),
+        (F.col("l_extendedprice").cast("double") / 100000.0).alias("rel"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tie"),
+    )
+    return ML.ndcg_at_k(li, ["suppkey"], "score", "rel", "tie", k=10)

@@ -532,3 +532,54 @@ def classification_summary(
             F.sum(F.col("f1") * F.col("support")) / F.sum("support")
         ).alias("weighted_f1"),
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    keys: Sequence[str],
+    score_col: str,
+    rel_col: str,
+    tie_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k per group — the graded-relevance ranking readout
+    completing the recsys eval set (Kendall tau for concordance, NDCG
+    for position-discounted gain). Two windows over the same group sort
+    + one aggregate: DCG ranks by (score desc, ``tie_col``), the ideal
+    DCG ranks the same rows by (relevance desc, ``tie_col``), and both
+    discount by log2(rank+1) over the top ``k``. The explicit
+    deterministic tiebreak makes ranks — and therefore the metric —
+    identical across engines and retries, which a bare float sort does
+    not guarantee. Returns ``keys + dcg + idcg + ndcg``."""
+    from pyspark.sql import Window
+
+    rel = F.col(rel_col).cast("double")
+    w_pred = Window.partitionBy(*keys).orderBy(
+        F.col(score_col).desc(), F.col(tie_col).asc()
+    )
+    w_ideal = Window.partitionBy(*keys).orderBy(
+        rel.desc(), F.col(tie_col).asc()
+    )
+    ranked = df.select(
+        *keys,
+        rel.alias("__rel"),
+        F.row_number().over(w_pred).alias("__rp"),
+        F.row_number().over(w_ideal).alias("__ri"),
+    )
+    disc = lambda r: F.log2(r.cast("double") + 1.0)  # noqa: E731
+    agg = ranked.groupBy(*keys).agg(
+        F.sum(
+            F.when(F.col("__rp") <= k, F.col("__rel") / disc(F.col("__rp")))
+        ).alias("dcg"),
+        F.sum(
+            F.when(F.col("__ri") <= k, F.col("__rel") / disc(F.col("__ri")))
+        ).alias("idcg"),
+    )
+    return agg.select(
+        *keys,
+        "dcg",
+        "idcg",
+        F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )

@@ -245,3 +245,15 @@ def test_classification_summary(spark):
     assert r["accuracy"] == pytest.approx(3 / 5)
     assert r["macro_f1"] == pytest.approx((2 / 3 + 0.5) / 2)
     assert r["weighted_f1"] == pytest.approx((2 / 3 * 3 + 0.5 * 2) / 5)
+
+
+def test_ndcg_at_k(spark):
+    # perfect ranking vs inverted ranking
+    rows = [("p", float(10 - i), float(10 - i), i) for i in range(5)]
+    rows += [("inv", float(i), float(10 - i), i) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, score double, rel double, tie int")
+    r = {x["g"]: x for x in
+         ML.ndcg_at_k(df, ["g"], "score", "rel", "tie", k=5).collect()}
+    assert r["p"]["ndcg"] == pytest.approx(1.0)
+    assert 0 < r["inv"]["ndcg"] < 1.0
+    assert r["p"]["dcg"] == pytest.approx(r["p"]["idcg"])
