@@ -14,7 +14,11 @@ from azuredataengineering_deeplearning_spark.streaming.windows import (
 from azuredataengineering_deeplearning_spark.streaming.stateful import (
     sessionize_stream,
 )
-from azuredataengineering_deeplearning_spark.streaming.rollup import stream_rollup
+from azuredataengineering_deeplearning_spark.streaming.rollup import (
+    read_accuracy_state,
+    stream_accuracy_rollup,
+    stream_rollup,
+)
 from azuredataengineering_deeplearning_spark.streaming.upsert import stream_upsert
 from azuredataengineering_deeplearning_spark.streaming.dedup import stream_dedup
 
@@ -28,6 +32,8 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "sessionize_stream",
+    "read_accuracy_state",
+    "stream_accuracy_rollup",
     "stream_rollup",
     "stream_upsert",
 ]

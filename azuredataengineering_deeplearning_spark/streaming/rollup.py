@@ -100,3 +100,74 @@ def stream_rollup(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_accuracy_rollup(
+    stream: DataFrame,
+    group_cols: Sequence[str],
+    pred_col: str,
+    gold_col: str,
+    schema: str,
+    state_path: str,
+    checkpoint: str,
+    allowed=None,
+) -> StreamingQuery:
+    """Continuously maintained evaluation scoreboard — the streaming
+    face of ``lmeval.accuracy_summary`` (the reference re-scores daily
+    prediction slices in a scheduled loop; here each micro-batch of
+    (prediction, gold) rows folds into per-group counts with the same
+    exactly-once marker discipline as :func:`stream_rollup`, so the
+    scoreboard is O(batch + groups) per day, never a rescan).
+
+    Read any time with :func:`read_accuracy_state`."""
+    from pyspark.sql import functions as F
+
+    from azuredataengineering_deeplearning_spark.operators.lmeval import (
+        structured_output_eval,
+    )
+
+    scored = structured_output_eval(stream, pred_col, gold_col, schema, allowed)
+    flat = scored.select(
+        *group_cols,
+        F.col("is_valid_json").cast("int").alias("__valid"),
+        F.col("exact_match").cast("int").alias("__em"),
+        F.when(F.col("n_items") >= 0, F.col("n_items")).alias("__items"),
+        F.when(F.col("n_items") >= 0, 1).otherwise(0).alias("__items_n"),
+    ).na.fill({"__items": 0})
+    spec = {
+        "n": ("count", None),
+        "n_valid": ("sum", "__valid"),
+        "n_exact": ("sum", "__em"),
+        "items_sum": ("sum", "__items"),
+        "items_n": ("sum", "__items_n"),
+    }
+    return stream_rollup(flat, group_cols, spec, state_path, checkpoint)
+
+
+def read_accuracy_state(spark, state_path: str) -> DataFrame:
+    """Scoreboard projection of the accuracy state: the same columns
+    ``lmeval.accuracy_summary`` emits (n, valid_rate, exact_match_rate,
+    mean_items) derived from the mergeable counts."""
+    from pyspark.sql import functions as F
+
+    spec = {
+        "n": ("count", None),
+        "n_valid": ("sum", "__valid"),
+        "n_exact": ("sum", "__em"),
+        "items_sum": ("sum", "__items"),
+        "items_n": ("sum", "__items_n"),
+    }
+    from azuredataengineering_deeplearning_spark.operators.incremental import (
+        finalize_state,
+    )
+
+    s = finalize_state(spark.read.parquet(state_path), spec)
+    return s.select(
+        *[c for c in s.columns if not c.startswith(("n", "items"))],
+        F.col("n"),
+        (F.col("n_valid") / F.col("n")).alias("valid_rate"),
+        (F.col("n_exact") / F.col("n")).alias("exact_match_rate"),
+        F.when(
+            F.col("items_n") > 0, F.col("items_sum") / F.col("items_n")
+        ).alias("mean_items"),
+    )

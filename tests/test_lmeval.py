@@ -84,3 +84,48 @@ def test_token_f1_hand_values(spark):
     assert r[2]["recall"] == pytest.approx(0.5)
     assert r[3]["f1"] == 0.0 and r[3]["n_pred"] == 0
     assert r[4]["f1"] == 0.0 and r[4]["overlap"] == 0
+
+
+def test_stream_accuracy_rollup_equals_batch(spark, tmp_path):
+    import os
+
+    from azuredataengineering_deeplearning_spark.operators import lmeval as LE
+    from azuredataengineering_deeplearning_spark.streaming import (
+        read_accuracy_state, run_until_drained, stream_accuracy_rollup,
+    )
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    in_schema = "lang string, pred string, gold string"
+    g = '[{"Action":"Replace","ChimeraType":"DIMM"}]'
+    rows1 = [("en", g, g), ("en", "bad json", g), ("de", g, g)]
+    rows2 = [("en", g, g), ("de", '[{"Action":"Reboot","ChimeraType":"GPU"}]', g)]
+
+    def drop(name, rows):
+        import json as J
+        with open(f"{landing}/{name}", "w") as f:
+            for r in rows:
+                f.write(J.dumps({"lang": r[0], "pred": r[1], "gold": r[2]}) + "\n")
+
+    def start():
+        return stream_accuracy_rollup(
+            spark.readStream.schema(in_schema).json(landing),
+            ["lang"], "pred", "gold", SCHEMA, state, ckpt,
+        )
+
+    drop("b1.jsonl", rows1)
+    run_until_drained(start())
+    drop("b2.jsonl", rows2)
+    run_until_drained(start())
+
+    got = {r["lang"]: (r["n"], r["valid_rate"], r["exact_match_rate"], r["mean_items"])
+           for r in read_accuracy_state(spark, state).collect()}
+    batch = spark.createDataFrame(rows1 + rows2, in_schema)
+    want_df = LE.accuracy_summary(
+        LE.structured_output_eval(batch, "pred", "gold", SCHEMA), ["lang"]
+    )
+    want = {r["lang"]: (r["n"], r["valid_rate"], r["exact_match_rate"], r["mean_items"])
+            for r in want_df.collect()}
+    assert got == want
