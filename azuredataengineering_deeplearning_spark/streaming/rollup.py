@@ -162,8 +162,9 @@ def read_accuracy_state(spark, state_path: str) -> DataFrame:
     )
 
     s = finalize_state(spark.read.parquet(state_path), spec)
+    group_cols = [c for c in s.columns if c not in spec]
     return s.select(
-        *[c for c in s.columns if not c.startswith(("n", "items"))],
+        *group_cols,
         F.col("n"),
         (F.col("n_valid") / F.col("n")).alias("valid_rate"),
         (F.col("n_exact") / F.col("n")).alias("exact_match_rate"),
