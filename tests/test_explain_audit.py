@@ -293,3 +293,20 @@ def test_ensemble_forecast_broadcast_weights(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the horizon explode is distributed
+
+
+def test_token_f1_partial_aggregates_no_cartesian(spark, sf_dir):
+    plan = _plan(E.queries()["lm_token_f1"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # token-count aggregates must partial-aggregate before the shuffle
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_auc_reduces_before_ordering(spark, sf_dir):
+    plan = _plan(E.queries()["ml_binary_auc"](spark, sf_dir))
+    # the distinct-score reduction must come before the window sort:
+    # exactly one scan, no join, aggregates around a single window
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
