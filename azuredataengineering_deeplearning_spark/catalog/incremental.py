@@ -259,3 +259,75 @@ def inc_cdf_gold(spark, sf_dir):
             .alias("total_price"),
         )
     )
+
+
+_HQ_BOUNDS = [50_000.0, 100_000.0, 200_000.0, 300_000.0, 400_000.0]
+
+
+def _hq_oracle() -> str:
+    """Generate the DuckDB mirror of incremental.hist_quantiles for the
+    o_totalprice histogram: same bucket CASE, same first-hit
+    interpolation, same edge clamps."""
+    bounds = _HQ_BOUNDS
+    n = len(bounds) + 1
+    bucket = " + ".join(
+        f"(CASE WHEN CAST(o_totalprice AS DOUBLE) >= {b} THEN 1 ELSE 0 END)"
+        for b in bounds
+    )
+    counts = ",\n".join(
+        f"SUM(CASE WHEN ({bucket}) = {i} THEN 1 ELSE 0 END) AS c{i}"
+        for i in range(n)
+    )
+    total = " + ".join(f"c{i}" for i in range(n))
+
+    def est(prob: str) -> str:
+        expr = None
+        for i in reversed(range(n)):
+            lo = bounds[i - 1] if i > 0 else bounds[0]
+            hi = bounds[i] if i < len(bounds) else bounds[-1]
+            before = " + ".join(f"c{j}" for j in range(i)) or "0"
+            frac = (
+                f"(CASE WHEN c{i} > 0 THEN (({prob}) * tot - ({before})) * 1.0 / c{i} "
+                f"ELSE 0.0 END)"
+            )
+            e = f"LEAST(GREATEST({lo} + {frac} * ({hi} - {lo}), {lo}), {hi})"
+            if expr is None:
+                expr = e
+            else:
+                expr = (
+                    f"CASE WHEN ({before}) + c{i} >= ({prob}) * tot "
+                    f"THEN {e} ELSE {expr} END"
+                )
+        return expr
+
+    return f"""
+    WITH c AS (
+      SELECT o_orderpriority, {counts}
+      FROM orders GROUP BY o_orderpriority
+    ),
+    t AS (SELECT *, CAST({total} AS DOUBLE) AS tot FROM c)
+    SELECT o_orderpriority,
+           CAST(tot AS BIGINT) AS n,
+           CASE WHEN tot > 0 THEN {est('0.5')} END AS q5,
+           CASE WHEN tot > 0 THEN {est('0.9')} END AS q9
+    FROM t
+    """
+
+
+@query("inc_hist_quantiles", _hq_oracle())
+def inc_hist_quantiles(spark, sf_dir):
+    """Approximate per-priority price percentiles from the mergeable
+    histogram state — the streaming/incremental percentile path: bucket
+    counts fold batch-by-batch (integer vector add), quantiles finalize
+    by in-bucket interpolation. Oracle mirrors the exact arithmetic."""
+    from azuredataengineering_deeplearning_spark.operators import (
+        incremental as INC,
+    )
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    spec = {"n": ("count", None), "h": ("hist", ("o_totalprice", _HQ_BOUNDS))}
+    state = INC.aggregate_batch(o, ["o_orderpriority"], spec)
+    q = INC.hist_quantiles(state, "h", _HQ_BOUNDS, [0.5, 0.9])
+    return q.select(
+        "o_orderpriority", F.col("n").cast("long").alias("n"), "q5", "q9"
+    )

@@ -45,6 +45,15 @@ AggSpec = Mapping[str, tuple[str, str | None]]
 _MERGE_FN = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
 
 
+def _hist_bucket(col: str, bounds: Sequence[float]):
+    """Bucket index 0..len(bounds): number of boundaries <= x."""
+    x = F.col(col).cast("double")
+    b = F.lit(0)
+    for t in bounds:
+        b = b + (x >= F.lit(float(t))).cast("int")
+    return b
+
+
 def aggregate_batch(df: DataFrame, keys: Sequence[str], spec: AggSpec) -> DataFrame:
     """Partial-aggregate one changeset batch into mergeable state rows."""
     aggs = []
@@ -55,6 +64,19 @@ def aggregate_batch(df: DataFrame, keys: Sequence[str], spec: AggSpec) -> DataFr
             aggs.append(F.sum(dec(col)).alias(out))
         elif kind in ("min", "max"):
             aggs.append(getattr(F, kind)(col).alias(out))
+        elif kind == "hist":
+            # col is (source_column, fixed bucket boundaries); state is
+            # an array<bigint> of len(bounds)+1 counts — integer vector
+            # addition merges it, so it folds batch-by-batch like a sum
+            # and finalizes to approximate quantiles (hist_quantiles).
+            src, bounds = col
+            bucket = _hist_bucket(src, bounds)
+            aggs.append(
+                F.array(*[
+                    F.sum(F.when(bucket == i, F.lit(1)).otherwise(F.lit(0)))
+                    for i in range(len(bounds) + 1)
+                ]).alias(out)
+            )
         else:
             raise ValueError(f"unsupported incremental aggregate kind {kind!r}")
     return df.groupBy(*keys).agg(*aggs)
@@ -69,7 +91,15 @@ def merge_states(
     × batches), independent of fact-table size.
     """
     unioned = reduce(DataFrame.unionByName, states)
-    aggs = [_MERGE_FN[kind](out).alias(out) for out, (kind, _) in spec.items()]
+    aggs = []
+    for out, (kind, col) in spec.items():
+        if kind == "hist":
+            n = len(col[1]) + 1
+            aggs.append(
+                F.array(*[F.sum(F.col(out)[i]) for i in range(n)]).alias(out)
+            )
+        else:
+            aggs.append(_MERGE_FN[kind](out).alias(out))
     return unioned.groupBy(*keys).agg(*aggs)
 
 
@@ -89,7 +119,58 @@ def finalize_state(state: DataFrame, spec: AggSpec) -> DataFrame:
             cols[out] = F.col(out).cast("long")
         elif kind == "sum":
             cols[out] = F.col(out).cast("double")
+        elif kind == "hist":
+            cols[out] = F.col(out).cast("array<bigint>")
     return state.withColumns(cols)
+
+
+def hist_quantiles(
+    state: DataFrame,
+    hist_col: str,
+    bounds: Sequence[float],
+    probs: Sequence[float],
+    prefix: str = "q",
+) -> DataFrame:
+    """Approximate quantiles from a mergeable histogram state column —
+    the finalize step that turns streamed/incremental bucket counts
+    into percentile estimates (linear interpolation inside the hit
+    bucket; unbounded edge buckets clamp to the nearest boundary, so
+    estimates are always within [bounds[0], bounds[-1]]). Error is
+    bounded by bucket width — pick boundaries for the precision the
+    readout needs. Adds one ``{prefix}<prob>`` double per requested
+    quantile; pure column arithmetic, no shuffle."""
+    h = F.col(hist_col)
+    n = len(bounds) + 1
+    total = reduce(lambda a, b: a + b, [h[i] for i in range(n)])
+    out = state.withColumn("__tot", total.cast("double"))
+    cols = {}
+    for p_ in probs:
+        target = F.col("__tot") * float(p_)
+        # walk buckets low->high, keep the FIRST bucket whose cumulative
+        # count reaches the target; built by wrapping in reverse so the
+        # earliest hit wins
+        cases = []
+        for i in range(n):
+            lo = float(bounds[i - 1]) if i > 0 else float(bounds[0])
+            hi = float(bounds[i]) if i < len(bounds) else float(bounds[-1])
+            cases.append((i, lo, hi))
+        expr = None
+        cum_exprs = []
+        run = F.lit(0).cast("double")
+        for i, _, _ in cases:
+            cum_exprs.append(run)
+            run = run + h[i].cast("double")
+        for i, lo, hi in reversed(cases):
+            cnt = h[i].cast("double")
+            before = cum_exprs[i]
+            frac = F.when(cnt > 0, (target - before) / cnt).otherwise(F.lit(0.0))
+            est = F.lit(lo) + frac * (F.lit(hi) - F.lit(lo))
+            est = F.least(F.greatest(est, F.lit(lo)), F.lit(hi))
+            hit = (before + cnt) >= target
+            expr = est if expr is None else F.when(hit, est).otherwise(expr)
+        name = f"{prefix}{str(p_).replace('0.', '')}"
+        cols[name] = F.when(F.col("__tot") > 0, expr)
+    return out.withColumns(cols).drop("__tot")
 
 
 def table_diff(

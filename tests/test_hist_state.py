@@ -1,0 +1,80 @@
+"""Mergeable histogram state (incremental 'hist' kind) + quantile
+finalizer: merge==full, hand-value interpolation, streaming fold."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.operators import incremental as I
+
+BOUNDS = [10.0, 20.0, 30.0, 40.0]
+SPEC = {"n": ("count", None), "h": ("hist", ("v", BOUNDS))}
+
+
+def test_hist_merge_equals_full(spark):
+    rows = [("a", float(v)) for v in range(50)] + [("b", float(v % 25)) for v in range(40)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    full = I.aggregate_batch(df, ["k"], SPEC)
+    b1 = df.filter(F.col("v") < 15)
+    b2 = df.filter(F.col("v") >= 15)
+    merged = I.merge_states(
+        [I.aggregate_batch(b1, ["k"], SPEC), I.aggregate_batch(b2, ["k"], SPEC)],
+        ["k"], SPEC,
+    )
+    f = {r["k"]: (r["n"], r["h"]) for r in full.collect()}
+    m = {r["k"]: (r["n"], r["h"]) for r in merged.collect()}
+    assert f == m
+    # bucket counts partition the rows
+    assert sum(f["a"][1]) == 50
+
+
+def test_hist_quantiles_hand_values(spark):
+    # uniform 0..49 for key a: bucket counts [10,10,10,10,10]
+    df = spark.createDataFrame([("a", float(v)) for v in range(50)], "k string, v double")
+    state = I.aggregate_batch(df, ["k"], SPEC)
+    q = I.hist_quantiles(state, "h", BOUNDS, [0.5, 0.9]).first()
+    # median: target 25 -> bucket 2 ([20,30)), before=20, frac=0.5 -> 25
+    assert q["q5"] == pytest.approx(25.0)
+    # p90: target 45 -> last bucket clamps to the top boundary
+    assert q["q9"] == pytest.approx(40.0)
+
+
+def test_hist_quantiles_edge_clamp(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k string, v double")
+    state = I.aggregate_batch(df, ["k"], SPEC)
+    q = I.hist_quantiles(state, "h", BOUNDS, [0.5]).first()
+    assert q["q5"] == pytest.approx(10.0)  # all below first boundary
+
+
+def test_stream_hist_rollup_equals_batch(spark, tmp_path):
+    import os
+
+    from azuredataengineering_deeplearning_spark.streaming import (
+        run_until_drained, stream_rollup,
+    )
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = "k string, v double"
+
+    def drop(name, vals):
+        with open(f"{landing}/{name}", "w") as f:
+            f.write("k,v\n")
+            for k, v in vals:
+                f.write(f"{k},{v}\n")
+
+    drop("b1.csv", [("a", float(v)) for v in range(25)])
+    run_until_drained(stream_rollup(
+        spark.readStream.schema(schema).option("header", "true").csv(landing),
+        ["k"], SPEC, state, ckpt))
+    drop("b2.csv", [("a", float(v)) for v in range(25, 50)])
+    run_until_drained(stream_rollup(
+        spark.readStream.schema(schema).option("header", "true").csv(landing),
+        ["k"], SPEC, state, ckpt))
+
+    got = I.hist_quantiles(
+        I.finalize_state(spark.read.parquet(state), SPEC), "h", BOUNDS, [0.5]
+    ).first()
+    assert got["q5"] == pytest.approx(25.0)
+    assert got["n"] == 50
