@@ -77,6 +77,11 @@ def aggregate_batch(df: DataFrame, keys: Sequence[str], spec: AggSpec) -> DataFr
                     for i in range(len(bounds) + 1)
                 ]).alias(out)
             )
+        elif kind == "hll":
+            # mergeable distinct-count state: a DataSketches HLL binary
+            # that unions across batches (hll_union_agg) — streaming
+            # COUNT(DISTINCT) without retaining the keys.
+            aggs.append(F.hll_sketch_agg(F.col(col), F.lit(12)).alias(out))
         else:
             raise ValueError(f"unsupported incremental aggregate kind {kind!r}")
     return df.groupBy(*keys).agg(*aggs)
@@ -98,6 +103,8 @@ def merge_states(
             aggs.append(
                 F.array(*[F.sum(F.col(out)[i]) for i in range(n)]).alias(out)
             )
+        elif kind == "hll":
+            aggs.append(F.hll_union_agg(F.col(out)).alias(out))
         else:
             aggs.append(_MERGE_FN[kind](out).alias(out))
     return unioned.groupBy(*keys).agg(*aggs)
@@ -121,6 +128,10 @@ def finalize_state(state: DataFrame, spec: AggSpec) -> DataFrame:
             cols[out] = F.col(out).cast("double")
         elif kind == "hist":
             cols[out] = F.col(out).cast("array<bigint>")
+        elif kind == "hll":
+            # finalize to the cardinality estimate (the sketch itself
+            # stays mergeable in the stored state)
+            cols[out] = F.hll_sketch_estimate(F.col(out))
     return state.withColumns(cols)
 
 

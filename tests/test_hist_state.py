@@ -78,3 +78,51 @@ def test_stream_hist_rollup_equals_batch(spark, tmp_path):
     ).first()
     assert got["q5"] == pytest.approx(25.0)
     assert got["n"] == 50
+
+
+def test_hll_state_merge_and_stream(spark, tmp_path):
+    import os
+
+    from azuredataengineering_deeplearning_spark.streaming import (
+        run_until_drained, stream_rollup,
+    )
+
+    spec = {"n": ("count", None), "uniq": ("hll", "u")}
+    rows = [("a", f"user{i % 30}") for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, u string")
+    # merge of halves == full
+    full = I.finalize_state(I.aggregate_batch(df, ["k"], spec), spec).first()
+    b1, b2 = df.limit(50), df.subtract(df.limit(50))
+    merged = I.finalize_state(
+        I.merge_states(
+            [I.aggregate_batch(b1, ["k"], spec), I.aggregate_batch(df.exceptAll(b1), ["k"], spec)],
+            ["k"], spec,
+        ),
+        spec,
+    ).first()
+    assert round(full["uniq"]) == 30
+    assert round(merged["uniq"]) == 30
+
+    # streaming fold across two micro-batches
+    landing = str(tmp_path / "hll_landing")
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "hll_ckpt")
+    os.makedirs(landing)
+
+    def drop(name, users):
+        with open(f"{landing}/{name}", "w") as f:
+            f.write("k,u\n")
+            for u in users:
+                f.write(f"a,{u}\n")
+
+    drop("b1.csv", [f"user{i}" for i in range(20)])
+    run_until_drained(stream_rollup(
+        spark.readStream.schema("k string, u string").option("header", "true").csv(landing),
+        ["k"], spec, state, ckpt))
+    drop("b2.csv", [f"user{i}" for i in range(10, 40)])  # overlap 10..19
+    run_until_drained(stream_rollup(
+        spark.readStream.schema("k string, u string").option("header", "true").csv(landing),
+        ["k"], spec, state, ckpt))
+    got = I.finalize_state(spark.read.parquet(state), spec).first()
+    assert round(got["uniq"]) == 40
+    assert got["n"] == 50
