@@ -126,3 +126,23 @@ def test_hll_state_merge_and_stream(spark, tmp_path):
     got = I.finalize_state(spark.read.parquet(state), spec).first()
     assert round(got["uniq"]) == 40
     assert got["n"] == 50
+
+
+def test_hist_quantiles_properties(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(vals=st.lists(st.floats(-5, 60, allow_nan=False, width=32),
+                         min_size=1, max_size=50))
+    def prop(vals):
+        df = spark.createDataFrame([("a", float(v)) for v in vals],
+                                   "k string, v double")
+        state = I.aggregate_batch(df, ["k"], SPEC)
+        q = I.hist_quantiles(state, "h", BOUNDS, [0.1, 0.5, 0.9]).first()
+        # estimates clamp to the boundary range and are monotone in p
+        assert BOUNDS[0] <= q["q1"] <= BOUNDS[-1]
+        assert q["q1"] <= q["q5"] + 1e-9 and q["q5"] <= q["q9"] + 1e-9
+
+    prop()
