@@ -32,6 +32,7 @@ stand-in pattern used across `sources.connectors`.
 from __future__ import annotations
 
 import importlib
+import os
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -76,13 +77,30 @@ def synthetic_feed(
     return rows, (str(nxt) if nxt < ROWS_PER_WINDOW else None)
 
 
+# Captured at import time ON THE DRIVER and pickled by value with this
+# module: lets executor workers import the engine package even when the
+# driver process runs from an unrelated CWD (local mode / shared FS; on
+# a real cluster ship the package as a wheel instead).
+_PKG_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
 def _resolve_fetcher(spec: str):
     """``module:function`` → callable, resolved executor-side (the spec
     travels as a plain option string, never a pickled closure)."""
     mod, _, fn = spec.partition(":")
     if not fn:
         raise ValueError(f"fetcher must be 'module:function', got {spec!r}")
-    return getattr(importlib.import_module(mod), fn)
+    try:
+        return getattr(importlib.import_module(mod), fn)
+    except ModuleNotFoundError:
+        import sys
+
+        if _PKG_ROOT not in sys.path and os.path.isdir(_PKG_ROOT):
+            sys.path.insert(0, _PKG_ROOT)
+            return getattr(importlib.import_module(mod), fn)
+        raise
 
 
 def _windows(options) -> list[tuple[int, int]]:
@@ -218,6 +236,20 @@ class RestWindowedDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the engine's Python data sources.
     Also enables Python-source filter pushdown (off by default in 4.1;
-    without it a reader implementing ``pushFilters`` is rejected)."""
+    without it a reader implementing ``pushFilters`` is rejected).
+
+    The DataSource class is marked pickle-by-value: the create-source
+    worker unpickles it OUTSIDE this package's import path (its
+    sys.path is the driver process CWD, not wherever the engine is
+    installed), so by-reference pickling breaks the moment the driver
+    runs from another directory."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle: fall back to by-reference pickling
     spark.dataSource.register(RestWindowedDataSource)
