@@ -308,10 +308,12 @@ def kql_top_nested(spark, sf_dir):
 
 @query(
     "kql_make_list_set",
+    # CSV-joined so the driver canonicalizer (which cannot hash list
+    # cells) can sort the frame; order is proven by the join
     """
     SELECT user_id,
-           list_sort(list(event_type)) AS types_all,
-           list_sort(list(DISTINCT event_type)) AS types_set
+           array_to_string(list_sort(list(event_type)), ',') AS types_all_csv,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_set_csv
     FROM events GROUP BY user_id
     """,
 )
@@ -319,10 +321,15 @@ def kql_make_list_set(spark, sf_dir):
     """KQL make_list/make_set per user (emitted sorted — a documented
     determinism deviation from Kusto's arrival order)."""
     t = load_tables(spark, sf_dir, ["events"])
-    return kql_to_df(
+    out = kql_to_df(
         t,
         "events | summarize types_all=make_list(event_type),"
         " types_set=make_set(event_type) by user_id",
+    )
+    return out.select(
+        "user_id",
+        F.array_join("types_all", ",").alias("types_all_csv"),
+        F.array_join("types_set", ",").alias("types_set_csv"),
     )
 
 

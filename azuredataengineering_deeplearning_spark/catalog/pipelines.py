@@ -40,7 +40,7 @@ from azuredataengineering_deeplearning_spark.sources.readers import load_tables,
     SELECT user_id, session_id,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-           list(k ORDER BY k, event_id) AS ks
+           array_to_string(list(CAST(k AS VARCHAR) ORDER BY k, event_id), ',') AS ks_csv
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -56,10 +56,13 @@ def pipeline_sessions(spark, sf_dir):
     return parsed.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("k", "event_id"))),
-            lambda s: s["k"],
-        ).alias("ks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "event_id"))),
+                lambda s: s["k"].cast("string"),
+            ),
+            ",",
+        ).alias("ks_csv"),
     )
 
 

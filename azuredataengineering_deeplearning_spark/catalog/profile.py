@@ -185,8 +185,14 @@ _EXPECT_SQL = """
     FROM orders
 """
 
+# CSV-joined for the driver canonicalizer (no list cells)
+_EXPECT_CSV_SQL = (
+    "SELECT o_orderkey, COALESCE(array_to_string(violations, ','), '') AS violations_csv "
+    f"FROM ({_EXPECT_SQL})"
+)
 
-@query("prof_expectations", _EXPECT_SQL)
+
+@query("prof_expectations", _EXPECT_CSV_SQL)
 def prof_expectations(spark, sf_dir):
     """Row-level data-quality expectations: per-row array of failed
     check names (NULL results count as failures) — map-side audit."""
@@ -199,7 +205,8 @@ def prof_expectations(spark, sf_dir):
         "priority_set": F.col("o_orderpriority").isNotNull(),
     }
     return with_expectations(t["orders"], checks).select(
-        "o_orderkey", F.array_sort("violations").alias("violations")
+        "o_orderkey",
+        F.array_join(F.array_sort("violations"), ",").alias("violations_csv"),
     )
 
 

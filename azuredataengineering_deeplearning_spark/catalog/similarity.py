@@ -123,9 +123,9 @@ def sim_ivfpq_topk(spark, sf_dir):
     "sim_quantize_embeddings",
     """
     SELECT vec_id,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
              x -> CAST(LEAST(GREATEST(FLOOR((CAST(x AS DOUBLE) + 0.5) / 1.0 * 256),
-                                      0), 255) AS INT)) AS codes
+                                      0), 255) AS INT)), ',') AS codes_csv
     FROM embeddings
     """,
 )
@@ -134,8 +134,12 @@ def sim_quantize_embeddings(spark, sf_dir):
     [-0.5, 0.5] range — integer codes hash-compare bit-exactly; the
     reconstruction-error bound is pytest-checked."""
     e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
-    return SIM.quantize_embeddings(e, "embedding", lo=-0.5, hi=0.5).select(
-        "vec_id", "codes"
+    q = SIM.quantize_embeddings(e, "embedding", lo=-0.5, hi=0.5)
+    return q.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda v: v.cast("string")), ","
+        ).alias("codes_csv"),
     )
 
 

@@ -231,7 +231,8 @@ _MINSIG_SQL = f"""
              CAST(concat('0x', substr(md5(s.unnest), 1, 15)) AS BIGINT) % 2147483647 AS h
       FROM (SELECT doc_id, unnest(s) AS unnest FROM sh) s
     )
-    SELECT doc_id, [{{mins}}] AS signature FROM h GROUP BY doc_id
+    SELECT doc_id, array_to_string([{{mins}}], ',') AS signature_csv
+    FROM h GROUP BY doc_id
 """
 
 
@@ -245,9 +246,16 @@ _MINSIG_SQL = f"""
 )
 def dedup_minhash_signatures(spark, sf_dir):
     """Raw MinHash signatures — every stage of the sketch pipeline is
-    independently oracle-checked."""
+    independently oracle-checked (CSV-joined: the driver canonicalizer
+    cannot hash list cells, and the join proves element order)."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    return DD.minhash_signatures(d, "doc_id", "text")
+    sig = DD.minhash_signatures(d, "doc_id", "text")
+    return sig.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("signature"), lambda v: v.cast("string")), ","
+        ).alias("signature_csv"),
+    )
 
 
 _REPETITION_SQL = """

@@ -137,8 +137,13 @@ def w7_expanding_mean(spark, sf_dir):
 
 @query(
     "w9_sliding_windows",
+    # window emitted as fixed-format CSV: the driver canonicalizer sorts
+    # pandas columns and cannot hash list cells, and the CSV still
+    # proves element ORDER inside each window
     """
-    SELECT event_id, win FROM (
+    SELECT event_id,
+           array_to_string(list_transform(win, v -> printf('%.6f', v)), ',') AS win_csv
+    FROM (
       SELECT event_id,
              list(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
                   ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS win
@@ -149,8 +154,12 @@ def w7_expanding_mean(spark, sf_dir):
 def w9_sliding_windows(spark, sf_dir):
     """W9: fixed-size sliding windows with partial windows dropped."""
     ev = _events(spark, sf_dir)
-    return W.sliding_windows(ev, ["user_id"], "ts_ns", "value", 3, out="win").select(
-        "event_id", "win"
+    out = W.sliding_windows(ev, ["user_id"], "ts_ns", "value", 3, out="win")
+    return out.select(
+        "event_id",
+        F.array_join(
+            F.transform(F.col("win"), lambda v: F.format_string("%.6f", v)), ","
+        ).alias("win_csv"),
     )
 
 
