@@ -1,0 +1,27 @@
+"""Catalog-wide output contract: every query must emit only
+driver-canonicalizable scalar columns (the driver's hash harness sorts
+pandas frames and crashes on list/map/struct cells — the round-2 d2
+failure class). Arrays must be CSV-joined before they leave a query."""
+
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_every_query_builds_and_emits_scalars_only(spark):
+    bad = {}
+    for name, fn in E.queries().items():
+        try:
+            schema = fn(spark, SF_DIR).schema
+        except Exception as exc:
+            bad[name] = f"build failed: {type(exc).__name__}: {exc}"[:160]
+            continue
+        nonscalar = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nonscalar:
+            bad[name] = f"non-scalar columns {nonscalar}"
+    assert not bad, bad
