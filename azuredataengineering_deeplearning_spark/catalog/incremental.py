@@ -331,3 +331,68 @@ def inc_hist_quantiles(spark, sf_dir):
     return q.select(
         "o_orderpriority", F.col("n").cast("long").alias("n"), "q5", "q9"
     )
+
+
+def _psi_oracle() -> str:
+    """DuckDB mirror of psi_from_hists over the o_totalprice histogram
+    (ref = even orderkeys, cur = odd), same bounds as inc_hist_quantiles."""
+    bounds = _HQ_BOUNDS
+    n = len(bounds) + 1
+    bucket = " + ".join(
+        f"(CASE WHEN CAST(o_totalprice AS DOUBLE) >= {b} THEN 1 ELSE 0 END)"
+        for b in bounds
+    )
+
+    def counts(side: str, parity: int) -> str:
+        cs = ",\n".join(
+            f"SUM(CASE WHEN ({bucket}) = {i} THEN 1 ELSE 0 END) AS {side}{i}"
+            for i in range(n)
+        )
+        return (
+            f"SELECT o_orderpriority, {cs} FROM orders "
+            f"WHERE o_orderkey % 2 = {parity} GROUP BY o_orderpriority"
+        )
+
+    tot_r = " + ".join(f"r{i}" for i in range(n))
+    tot_c = " + ".join(f"c{i}" for i in range(n))
+    terms = " + ".join(
+        f"(GREATEST(r{i} * 1.0 / tr, 1e-6) - GREATEST(c{i} * 1.0 / tc, 1e-6))"
+        f" * (LN(GREATEST(r{i} * 1.0 / tr, 1e-6)) - LN(GREATEST(c{i} * 1.0 / tc, 1e-6)))"
+        for i in range(n)
+    )
+    return f"""
+    WITH r AS ({counts('r', 0)}),
+    c AS ({counts('c', 1)}),
+    j AS (
+      SELECT r.o_orderpriority,
+             CAST({tot_r} AS DOUBLE) AS tr, CAST({tot_c} AS DOUBLE) AS tc,
+             {', '.join(f'r{i}' for i in range(n))},
+             {', '.join(f'c{i}' for i in range(n))}
+      FROM r JOIN c ON r.o_orderpriority = c.o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(tr AS BIGINT) AS n_ref, CAST(tc AS BIGINT) AS n_cur,
+           CASE WHEN tr > 0 AND tc > 0 THEN {terms} END AS psi
+    FROM j
+    """
+
+
+@query("inc_psi_drift", _psi_oracle())
+def inc_psi_drift(spark, sf_dir):
+    """PSI drift between two mergeable price histograms (even vs odd
+    orderkeys per priority) — the streaming drift readout: reference
+    state fixed, current state folds per batch, drift is an O(keys)
+    join + O(bins) arithmetic."""
+    from azuredataengineering_deeplearning_spark.operators import (
+        incremental as INC,
+    )
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    spec = {"h": ("hist", ("o_totalprice", _HQ_BOUNDS))}
+    ref = INC.aggregate_batch(
+        o.filter(F.col("o_orderkey") % 2 == 0), ["o_orderpriority"], spec
+    )
+    cur = INC.aggregate_batch(
+        o.filter(F.col("o_orderkey") % 2 == 1), ["o_orderpriority"], spec
+    )
+    return INC.psi_from_hists(ref, cur, ["o_orderpriority"], "h")

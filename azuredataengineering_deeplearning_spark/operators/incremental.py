@@ -274,3 +274,54 @@ def partition_checksums(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_hash.cast("decimal(38,0)")).cast("string").alias("checksum"),
     )
+
+
+def psi_from_hists(
+    ref: DataFrame,
+    cur: DataFrame,
+    keys: Sequence[str],
+    hist_col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two mergeable histogram
+    states over the same boundaries — the streaming face of the
+    batch PSI profiler: the reference histogram is computed once, the
+    current one folds micro-batch by micro-batch (``"hist"`` AggSpec),
+    and the drift readout is an O(keys) join + O(bins) column math.
+    ``PSI = Σ_i (p_i − q_i) · ln(p_i / q_i)`` with ``eps`` floor on
+    both rates (the standard guard for empty buckets). Returns
+    ``keys + n_ref + n_cur + psi``."""
+    r = ref.select(*keys, F.col(hist_col).alias("__hr"))
+    c = cur.select(*keys, F.col(hist_col).alias("__hc"))
+    j = r.join(c, list(keys))
+    n = F.size("__hr")
+    tot_r = F.aggregate("__hr", F.lit(0).cast("long"), lambda a, b: a + b)
+    tot_c = F.aggregate("__hc", F.lit(0).cast("long"), lambda a, b: a + b)
+    j = j.withColumn("__tr", tot_r.cast("double")).withColumn(
+        "__tc", tot_c.cast("double")
+    )
+    terms = F.zip_with(
+        "__hr",
+        "__hc",
+        lambda a, b: (
+            (
+                F.greatest(a.cast("double") / F.col("__tr"), F.lit(eps))
+                - F.greatest(b.cast("double") / F.col("__tc"), F.lit(eps))
+            )
+            * (
+                F.log(
+                    F.greatest(a.cast("double") / F.col("__tr"), F.lit(eps))
+                )
+                - F.log(
+                    F.greatest(b.cast("double") / F.col("__tc"), F.lit(eps))
+                )
+            )
+        ),
+    )
+    psi = F.aggregate(terms, F.lit(0.0), lambda a, b: a + b)
+    return j.select(
+        *keys,
+        F.col("__tr").cast("long").alias("n_ref"),
+        F.col("__tc").cast("long").alias("n_cur"),
+        F.when((F.col("__tr") > 0) & (F.col("__tc") > 0), psi).alias("psi"),
+    )

@@ -146,3 +146,17 @@ def test_hist_quantiles_properties(spark):
         assert q["q1"] <= q["q5"] + 1e-9 and q["q5"] <= q["q9"] + 1e-9
 
     prop()
+
+
+def test_psi_from_hists(spark):
+    # identical distributions -> psi ~ 0; shifted -> psi grows
+    same = [("a", float(v % 50)) for v in range(200)]
+    shifted = [("a", float(v % 50) ) for v in range(200)]
+    far = [("a", 40.0 + float(v % 10)) for v in range(200)]
+    mk = lambda rows: I.aggregate_batch(
+        spark.createDataFrame(rows, "k string, v double"), ["k"], SPEC)
+    r = I.psi_from_hists(mk(same), mk(shifted), ["k"], "h").first()
+    assert r["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert r["n_ref"] == 200 and r["n_cur"] == 200
+    r2 = I.psi_from_hists(mk(same), mk(far), ["k"], "h").first()
+    assert r2["psi"] > 1.0  # gross shift
