@@ -396,3 +396,69 @@ def inc_psi_drift(spark, sf_dir):
         o.filter(F.col("o_orderkey") % 2 == 1), ["o_orderpriority"], spec
     )
     return INC.psi_from_hists(ref, cur, ["o_orderpriority"], "h")
+
+
+def _ks_oracle() -> str:
+    """DuckDB mirror of ks_from_hists on the same ref/cur split as
+    inc_psi_drift."""
+    bounds = _HQ_BOUNDS
+    n = len(bounds) + 1
+    bucket = " + ".join(
+        f"(CASE WHEN CAST(o_totalprice AS DOUBLE) >= {b} THEN 1 ELSE 0 END)"
+        for b in bounds
+    )
+
+    def counts(side: str, parity: int) -> str:
+        cs = ",\n".join(
+            f"SUM(CASE WHEN ({bucket}) = {i} THEN 1 ELSE 0 END) AS {side}{i}"
+            for i in range(n)
+        )
+        return (
+            f"SELECT o_orderpriority, {cs} FROM orders "
+            f"WHERE o_orderkey % 2 = {parity} GROUP BY o_orderpriority"
+        )
+
+    tot_r = " + ".join(f"r{i}" for i in range(n))
+    tot_c = " + ".join(f"c{i}" for i in range(n))
+    edges = ", ".join(
+        "ABS(("
+        + " + ".join(f"r{j}" for j in range(i + 1))
+        + ") * 1.0 / tr - ("
+        + " + ".join(f"c{j}" for j in range(i + 1))
+        + ") * 1.0 / tc)"
+        for i in range(n)
+    )
+    return f"""
+    WITH r AS ({counts('r', 0)}),
+    c AS ({counts('c', 1)}),
+    j AS (
+      SELECT r.o_orderpriority,
+             CAST({tot_r} AS DOUBLE) AS tr, CAST({tot_c} AS DOUBLE) AS tc,
+             {', '.join(f'r{i}' for i in range(n))},
+             {', '.join(f'c{i}' for i in range(n))}
+      FROM r JOIN c ON r.o_orderpriority = c.o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(tr AS BIGINT) AS n_ref, CAST(tc AS BIGINT) AS n_cur,
+           CASE WHEN tr > 0 AND tc > 0 THEN GREATEST({edges}) END AS ks
+    FROM j
+    """
+
+
+@query("inc_ks_drift", _ks_oracle())
+def inc_ks_drift(spark, sf_dir):
+    """Binned KS drift between the two mergeable price histograms —
+    max CDF gap at bucket edges from O(bins) state, no value rescan."""
+    from azuredataengineering_deeplearning_spark.operators import (
+        incremental as INC,
+    )
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    spec = {"h": ("hist", ("o_totalprice", _HQ_BOUNDS))}
+    ref = INC.aggregate_batch(
+        o.filter(F.col("o_orderkey") % 2 == 0), ["o_orderpriority"], spec
+    )
+    cur = INC.aggregate_batch(
+        o.filter(F.col("o_orderkey") % 2 == 1), ["o_orderpriority"], spec
+    )
+    return INC.ks_from_hists(ref, cur, ["o_orderpriority"], "h")

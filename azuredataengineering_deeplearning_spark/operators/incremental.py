@@ -325,3 +325,40 @@ def psi_from_hists(
         F.col("__tc").cast("long").alias("n_cur"),
         F.when((F.col("__tr") > 0) & (F.col("__tc") > 0), psi).alias("psi"),
     )
+
+
+def ks_from_hists(
+    ref: DataFrame,
+    cur: DataFrame,
+    keys: Sequence[str],
+    hist_col: str,
+) -> DataFrame:
+    """Binned Kolmogorov-Smirnov statistic between two histogram states
+    over the same bounds: ``max_i |CDF_ref(i) − CDF_cur(i)|`` at bucket
+    edges — the streaming companion to the exact batch KS (which needs
+    both samples' full value sets; this needs only the O(bins) states).
+    A lower bound on the exact KS (within-bucket differences are
+    invisible); tighten by adding boundaries. Returns ``keys + n_ref +
+    n_cur + ks``."""
+    r = ref.select(*keys, F.col(hist_col).alias("__hr"))
+    c = cur.select(*keys, F.col(hist_col).alias("__hc"))
+    j = r.join(c, list(keys))
+    tot = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda a, b: a + b)  # noqa: E731
+    j = j.withColumn("__tr", tot("__hr").cast("double")).withColumn(
+        "__tc", tot("__hc").cast("double")
+    )
+    n = "size(__hr)"
+    # cumulative rate difference at each bucket edge, then max — array
+    # expressions over O(bins) elements, no shuffle
+    diffs = F.expr(
+        "transform(sequence(1, size(__hr)), i -> "
+        " abs(aggregate(slice(__hr, 1, i), 0L, (a, b) -> a + b) / __tr"
+        "    - aggregate(slice(__hc, 1, i), 0L, (a, b) -> a + b) / __tc))"
+    )
+    ks = F.array_max(diffs)
+    return j.select(
+        *keys,
+        F.col("__tr").cast("long").alias("n_ref"),
+        F.col("__tc").cast("long").alias("n_cur"),
+        F.when((F.col("__tr") > 0) & (F.col("__tc") > 0), ks).alias("ks"),
+    )

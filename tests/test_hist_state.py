@@ -160,3 +160,15 @@ def test_psi_from_hists(spark):
     assert r["n_ref"] == 200 and r["n_cur"] == 200
     r2 = I.psi_from_hists(mk(same), mk(far), ["k"], "h").first()
     assert r2["psi"] > 1.0  # gross shift
+
+
+def test_ks_from_hists(spark):
+    mk = lambda rows: I.aggregate_batch(
+        spark.createDataFrame(rows, "k string, v double"), ["k"], SPEC)
+    same = [("a", float(v % 50)) for v in range(200)]
+    far = [("a", 45.0) for _ in range(200)]  # all mass in last bucket
+    r0 = I.ks_from_hists(mk(same), mk(same), ["k"], "h").first()
+    assert r0["ks"] == pytest.approx(0.0)
+    r1 = I.ks_from_hists(mk(same), mk(far), ["k"], "h").first()
+    # ref CDF at edge 40: 40/50 = 0.8; cur CDF there: 0 -> ks = 0.8
+    assert r1["ks"] == pytest.approx(0.8)
