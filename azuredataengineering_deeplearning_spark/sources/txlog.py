@@ -696,3 +696,46 @@ def read_skipping_multi(
     for col, (lo, hi) in ranges.items():
         df = df.filter(F.col(col).between(lo, hi))
     return df, {"scanned": len(keep), "skipped": skipped}
+
+
+def clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+    deep: bool = True,
+) -> int:
+    """DEEP / SHALLOW CLONE of a table snapshot — the executable form
+    of the Databricks clone the DDL generator only scripts
+    (``sources.ddl.deep_clone_ddl``; reference pattern
+    ``AIO_delta_table_generator.py``). ``deep=True`` copies the
+    snapshot's data files byte-for-byte into ``dst`` and commits them
+    as version 1 there (dev/stage refreshes survive a source VACUUM);
+    ``deep=False`` commits ABSOLUTE paths pointing at the source files
+    — zero copy, created instantly, valid until the source vacuums
+    (exactly Delta's shallow-clone contract, and documented as such).
+    Either way the clone is a normal table: it diverges independently
+    from the moment it exists. Returns the committed version (0)."""
+    import shutil
+
+    files, v = snapshot_files(src, version)
+    if not files:
+        raise FileNotFoundError(f"no committed data in {src} at {version}")
+    if os.path.isdir(_log_dir(dst)) and _versions(dst):
+        raise FileExistsError(f"clone target {dst} already has commits")
+    os.makedirs(dst, exist_ok=True)
+    if deep:
+        names = []
+        for f in files:
+            name = f"clone_{v}_{os.path.basename(f)}"
+            shutil.copyfile(os.path.join(src, f), os.path.join(dst, name))
+            names.append(name)
+    else:
+        names = [os.path.abspath(os.path.join(src, f)) for f in files]
+    _try_commit(
+        dst, 0,
+        {"op": "CLONE", "add": names,
+         "source": os.path.abspath(src), "source_version": v,
+         "deep": deep},
+    )
+    return 0

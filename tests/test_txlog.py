@@ -376,3 +376,37 @@ def test_checkpoint_carries_stats_for_skipping(spark, tmp_path):
     got, info = TX.read_skipping(spark, p, "k", 100, 200)
     assert info == {"scanned": 1, "skipped": 1}
     assert got.count() == 10
+
+
+def test_clone_deep_and_shallow(spark, tmp_path):
+    from azuredataengineering_deeplearning_spark.sources import txlog as TX
+
+    src = str(tmp_path / "src")
+    df = spark.range(100).withColumnRenamed("id", "k")
+    TX.append(df, src)
+    TX.append(spark.range(100, 150).withColumnRenamed("id", "k"), src)
+
+    # deep clone of the LATEST version, then diverge both sides
+    deep = str(tmp_path / "deep")
+    assert TX.clone(spark, src, deep, deep=True) == 0
+    assert TX.read(spark, deep).count() == 150
+    TX.append(spark.range(500, 510).withColumnRenamed("id", "k"), deep)
+    assert TX.read(spark, deep).count() == 160
+    assert TX.read(spark, src).count() == 150  # source untouched
+
+    # time-travel clone of the first commit (version 0)
+    v1 = str(tmp_path / "v1")
+    TX.clone(spark, src, v1, version=0, deep=True)
+    assert TX.read(spark, v1).count() == 100
+
+    # shallow clone: zero copy, reads the source's files
+    sh = str(tmp_path / "shallow")
+    TX.clone(spark, src, sh, deep=False)
+    assert TX.read(spark, sh).count() == 150
+    import glob, os
+    assert not glob.glob(os.path.join(sh, "*.parquet"))  # no data copied
+
+    # clone target must be empty
+    import pytest as _pt
+    with _pt.raises(FileExistsError):
+        TX.clone(spark, src, deep)
