@@ -739,3 +739,22 @@ def clone(
          "deep": deep},
     )
     return 0
+
+
+def restore(path: str, version: int) -> int:
+    """RESTORE the table to an earlier snapshot as a NEW commit (Delta
+    RESTORE semantics): the current file set is removed and the target
+    version's files re-added, so history is preserved — the rollback
+    itself is time-travelable, and nothing is deleted (the rolled-back
+    files remain reachable for readers of intermediate versions until
+    VACUUM). Returns the new version."""
+    target_files, tv = snapshot_files(path, version)
+    if tv != version:
+        raise FileNotFoundError(f"version {version} not found in {path}")
+    current, cv = snapshot_files(path)
+    _try_commit(
+        path, cv + 1,
+        {"op": "RESTORE", "add": target_files, "remove": current,
+         "restored_version": version},
+    )
+    return cv + 1

@@ -410,3 +410,21 @@ def test_clone_deep_and_shallow(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(FileExistsError):
         TX.clone(spark, src, deep)
+
+
+def test_restore_rolls_back_and_preserves_history(spark, tmp_path):
+    from azuredataengineering_deeplearning_spark.sources import txlog as TX
+
+    t = str(tmp_path / "restore_t")
+    TX.append(spark.range(10).withColumnRenamed("id", "k"), t)        # v0
+    TX.overwrite(spark.range(100, 105).withColumnRenamed("id", "k"), t)  # v1
+    assert TX.read(spark, t).count() == 5
+    v = TX.restore(t, 0)
+    assert TX.read(spark, t).count() == 10          # back to v0 content
+    assert TX.read(spark, t, version=1).count() == 5  # history intact
+    assert TX.read(spark, t, version=v).count() == 10
+    ops = [h["op"] for h in TX.history(t)]
+    assert "RESTORE" in ops
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError):
+        TX.restore(t, 99)
