@@ -219,12 +219,24 @@ def overwrite(
     return v + 1
 
 
-def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """Snapshot read (optionally time travel to ``version``)."""
+def read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Snapshot read (optionally time travel to ``version``).
+    ``merge_schema=True`` unions column sets across the snapshot's
+    files (Delta mergeSchema read semantics) — pair with an
+    ``append`` that widened the schema; columns absent from older
+    files come back NULL."""
     files, v = snapshot_files(path, version)
     if not files:
         raise FileNotFoundError(f"no committed data in {path} at version {version}")
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(path, f) for f in files])
 
 
 def history(path: str) -> list[dict]:

@@ -428,3 +428,23 @@ def test_restore_rolls_back_and_preserves_history(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(FileNotFoundError):
         TX.restore(t, 99)
+
+
+def test_schema_evolution_append_and_merge_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from azuredataengineering_deeplearning_spark.sources import txlog as TX
+
+    t = str(tmp_path / "evolve_t")
+    TX.append(spark.range(5).withColumnRenamed("id", "k"), t)
+    TX.append(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), F.lit("new").alias("extra")
+        ),
+        t,
+    )
+    merged = TX.read(spark, t, merge_schema=True)
+    assert set(merged.columns) == {"k", "extra"}
+    assert merged.count() == 8
+    # rows from the pre-widen files surface NULL in the new column
+    assert merged.filter(F.col("extra").isNull()).count() == 5
