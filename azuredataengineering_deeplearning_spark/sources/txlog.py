@@ -467,15 +467,23 @@ def compact(
     path: str,
     target_files: int = 1,
     stats_cols: list[str] | None = None,
+    zorder_by: list | None = None,
 ) -> int:
     """OPTIMIZE-style compaction: rewrite the snapshot into
     ``target_files`` files in one commit (same rows, fewer files).
     Pass ``stats_cols`` to re-stat the compacted files — otherwise
-    :func:`read_skipping` reads them conservatively."""
+    :func:`read_skipping` reads them conservatively. ``zorder_by``
+    range-partitions + sorts the rewrite on those columns (OPTIMIZE
+    ZORDER BY: narrows per-file min/max so ``stats_cols`` skipping
+    prunes aggressively — pass both)."""
     files, v = snapshot_files(path)
     if not files:
         raise FileNotFoundError(f"nothing to compact in {path}")
     df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    if zorder_by:
+        df = df.repartitionByRange(target_files, *zorder_by).sortWithinPartitions(
+            *zorder_by
+        )
     names = _stage(df, path, target_files)
     actions = {"op": "COMPACT", "add": names, "remove": files}
     if stats_cols:

@@ -448,3 +448,27 @@ def test_schema_evolution_append_and_merge_read(spark, tmp_path):
     assert merged.count() == 8
     # rows from the pre-widen files surface NULL in the new column
     assert merged.filter(F.col("extra").isNull()).count() == 5
+
+
+def test_compact_zorder_tightens_skipping(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from azuredataengineering_deeplearning_spark.sources import txlog as TX
+
+    t = str(tmp_path / "zorder_t")
+    # interleaved keys: every file spans the whole key range pre-compact
+    df = spark.range(4000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("payload")
+    )
+    TX.append(df, t, target_files=4)
+    # plain compact: files still span everything
+    TX.compact(spark, t, target_files=4, stats_cols=["k"])
+    plain, plain_stats = TX.read_skipping(spark, t, "k", 5, 10)
+    # zorder compact: range layout -> narrow per-file min/max
+    TX.compact(spark, t, target_files=4, stats_cols=["k"], zorder_by=["k"])
+    zz, zz_stats = TX.read_skipping(spark, t, "k", 5, 10)
+    want = df.filter(F.col("k").between(5, 10)).count()
+    assert zz.count() == plain.count() == want
+    assert plain_stats["skipped"] == 0      # every file spans the range
+    assert zz_stats["skipped"] >= 2         # range layout prunes files
+    assert zz_stats["scanned"] == 1
