@@ -12,6 +12,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_every_query_builds_and_emits_scalars_only(spark):
     bad = {}
+    spark.catalog.clearCache()
     for name, fn in E.queries().items():
         try:
             schema = fn(spark, SF_DIR).schema
@@ -24,4 +25,7 @@ def test_every_query_builds_and_emits_scalars_only(spark):
         ]
         if nonscalar:
             bad[name] = f"non-scalar columns {nonscalar}"
+    # building some queries persists internal frames (e.g. contingency
+    # caches); drop them so later tests see pristine plans
+    spark.catalog.clearCache()
     assert not bad, bad

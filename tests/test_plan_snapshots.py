@@ -16,6 +16,7 @@ from plan_snapshot import OUT, SF_DIR, signature  # noqa: E402
 
 
 def test_headline_plan_signatures_unchanged(spark):
+    spark.catalog.clearCache()  # plans must not depend on test-order cache state
     with open(OUT) as f:
         want = json.load(f)
     qs = E.queries()
