@@ -187,3 +187,29 @@ def benford_profile(
     return joined.select(
         "digit", "n", "frac", "expected_frac", chi.alias("chi2_term")
     )
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, Column],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> dict:
+    """Write + audit in ONE pass: attach ``df.observe`` aggregate
+    metrics to the plan, run the write action, return the collected
+    metric values. At 100 TB the alternative — write, then re-scan to
+    compute row counts / null rates / sums for the audit table — doubles
+    the job; ``observe`` rides the write's own scan (Spark accumulates
+    the aggregates task-side during the action, exactly-once per row
+    for foreground actions like this write).
+
+    ``metrics`` maps output names to AGGREGATE expressions, e.g.
+    ``{"n": F.count(F.lit(1)), "null_keys": F.sum(F.col("k").isNull()
+    .cast("int"))}``. Returns ``{name: value}``."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode(mode).format(fmt).save(path)
+    return dict(obs.get)

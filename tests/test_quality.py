@@ -78,3 +78,26 @@ def test_benford_profile_on_benford_like_vs_uniform(spark):
     uniform = spark.range(9000).selectExpr("CAST(id % 9 + 1 AS DOUBLE) AS v")
     chi_u = sum(r.chi2_term for r in Q.benford_profile(uniform, "v").collect())
     assert chi_u > 100  # uniform digits wildly violate Benford
+
+
+def test_observed_write_single_pass_metrics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from azuredataengineering_deeplearning_spark.operators.quality import (
+        observed_write,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    out = str(tmp_path / "observed")
+    got = observed_write(
+        df, out,
+        {"n": F.count(F.lit(1)),
+         "null_v": F.sum(F.col("v").isNull().cast("int")),
+         "sum_k": F.sum("k")},
+    )
+    assert got["n"] == 100 and got["null_v"] == 10
+    assert got["sum_k"] == sum(range(100))
+    assert spark.read.parquet(out).count() == 100
