@@ -111,3 +111,18 @@ def test_mann_kendall_trend_signs(panel):
     assert f["s_stat"] == 0 and f["z"] == 0.0 and f["tau_b"] == 0.0
     # weekly cycle: no monotone drift -> |tau| small
     assert abs(mk["weekly"]["tau_b"]) < 0.1
+
+
+def test_ensemble_forecast_single_point_series(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("solo", dt.date(2024, 1, 1), 42.0)], "uid string, d date, y double"
+    )
+    rows = TS.ensemble_forecast(df, ["uid"], "d", "y", horizon=2, season=7).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["yhat_snaive"] is None       # no seasonal history
+        assert r["yhat_mean"] == 42.0
+        assert r["yhat_linear"] == 42.0       # zero-slope fallback = mean
+        assert r["yhat"] == pytest.approx(42.0)
