@@ -226,3 +226,19 @@ def load_tables(
             df = _events_with_ts(df)
         out[name] = df
     return out
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: Sequence[str] | None = None
+) -> list[str]:
+    """Register the star schema as temp views so ANSI-SQL users can run
+    ``spark.sql`` directly (the engine is DataFrame-first, but the
+    reference's analysts live in SQL/KQL — this is their front door).
+    Views are lazy: no scan happens until a query reads them, and every
+    catalog semantics (pushdown, pruning, nanos normalization on
+    ``events``) rides along because the view wraps the engine reader.
+    Returns the registered names."""
+    tables = load_tables(spark, sf_dir, names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return list(tables)
