@@ -149,3 +149,65 @@ def list_files(
     if modified_after is not None:
         df = df.filter(F.col("modificationTime") > modified_after)
     return df
+
+
+class JdbcStagedSink:
+    """Write-side S6/S7: the staged-swap bulk-load workflow of the
+    reference's warehouse writer (``databricks_synapse_sql_writer.py``:
+    identify → create staging table → bulk write → swap into place →
+    drop old), expressed as a statement plan plus one Spark JDBC write.
+
+    The swap makes the load ATOMIC for readers: they see the old table
+    until the single sp_rename/RENAME transaction, never a half-loaded
+    one — the warehouse-side analog of the engine's parquet
+    staged-rename discipline. DDL strings come from
+    ``ddl.export_table_ddl`` (varchar plan); statements execute through
+    an injected ``executor`` callable so the workflow is fully testable
+    offline (same stand-in posture as :class:`KustoSource`), and the
+    bulk write itself is Spark's parallel JDBC writer when a live
+    ``url`` is configured."""
+
+    def __init__(self, url: str | None, table: str, executor=None):
+        self.url, self.table = url, table
+        self.executor = executor
+        self.statements: list[str] = []
+
+    def _exec(self, sql: str) -> None:
+        self.statements.append(sql)
+        if self.executor is not None:
+            self.executor(sql)
+
+    def write(
+        self,
+        df: DataFrame,
+        varchar_plan: Mapping[str, str],
+        n_rows: int | None = None,
+    ) -> list[str]:
+        from azuredataengineering_deeplearning_spark.sources.ddl import (
+            export_table_ddl,
+            truncate_for_export,
+        )
+
+        df = truncate_for_export(df, varchar_plan)
+        if n_rows is None:
+            n_rows = df.count()
+        staging = f"{self.table}__staging"
+        old = f"{self.table}__old"
+        self._exec(f"IF OBJECT_ID('{staging}') IS NOT NULL DROP TABLE [{staging}]")
+        self._exec(export_table_ddl(staging, varchar_plan, n_rows))
+        if self.url is not None:
+            (
+                df.write.format("jdbc")
+                .option("url", self.url)
+                .option("dbtable", staging)
+                .mode("append")
+                .save()
+            )
+        self._exec(f"IF OBJECT_ID('{old}') IS NOT NULL DROP TABLE [{old}]")
+        self._exec(
+            f"IF OBJECT_ID('{self.table}') IS NOT NULL "
+            f"EXEC sp_rename '{self.table}', '{old}'"
+        )
+        self._exec(f"EXEC sp_rename '{staging}', '{self.table}'")
+        self._exec(f"IF OBJECT_ID('{old}') IS NOT NULL DROP TABLE [{old}]")
+        return list(self.statements)
