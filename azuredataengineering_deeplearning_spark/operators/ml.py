@@ -583,3 +583,64 @@ def ndcg_at_k(
         .otherwise(F.lit(0.0))
         .alias("ndcg"),
     )
+
+
+def fit_pca(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    k: int,
+    max_sample: int = 100_000,
+):
+    """Driver-fit PCA on a bounded DETERMINISTIC sample (ordered by a
+    row hash like the clustering fit — reproducible across retries,
+    unlike ``sample()``). Returns ``(mean, components)`` as plain numpy
+    (column means and the top-``k`` right singular vectors). The fit is
+    O(max_sample · d²) on the driver; the data never leaves the
+    cluster beyond the capped sample."""
+    import numpy as np
+
+    cols = [F.col(c).cast("double") for c in feature_cols]
+    sample = (
+        df.select(*[c.alias(f"__f{i}") for i, c in enumerate(cols)])
+        .na.drop()
+        .withColumn("__h", F.xxhash64(*[f"__f{i}" for i in range(len(cols))]))
+        .orderBy("__h")
+        .limit(max_sample)
+        .drop("__h")
+        .toPandas()
+        .to_numpy(dtype=float)
+    )
+    mean = sample.mean(axis=0)
+    centered = sample - mean
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    return mean, vt[:k]
+
+
+def pca_anomaly_scores(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    mean,
+    components,
+    out: str = "recon_err",
+) -> DataFrame:
+    """Reconstruction-error anomaly score — the closed-form analog of
+    the reference's autoencoder detector (``TransformerAutoEncoder.py``
+    flags rows whose reconstruction through a low-rank bottleneck is
+    poor; PCA is the linear bottleneck). The projection and
+    reconstruction unroll into PURE COLUMN ARITHMETIC (the fitted mean
+    and components are literals), so scoring is whole-stage-codegen
+    map work — no UDF, no Arrow, scan-speed at any scale. Adds
+    ``out`` = squared reconstruction error."""
+    xs = [F.col(c).cast("double") - float(m) for c, m in zip(feature_cols, mean)]
+    # z_i = <x - mean, w_i>
+    zs = [
+        sum((x * float(w)) for x, w in zip(xs, comp_row))
+        for comp_row in components
+    ]
+    # recon_j = sum_i z_i w_ij ; err = sum_j (x_j - recon_j)^2
+    err = None
+    for j, x in enumerate(xs):
+        recon_j = sum(z * float(comp_row[j]) for z, comp_row in zip(zs, components))
+        d = x - recon_j
+        err = d * d if err is None else err + d * d
+    return df.withColumn(out, err)

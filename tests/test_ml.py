@@ -257,3 +257,30 @@ def test_ndcg_at_k(spark):
     assert r["p"]["ndcg"] == pytest.approx(1.0)
     assert 0 < r["inv"]["ndcg"] < 1.0
     assert r["p"]["dcg"] == pytest.approx(r["p"]["idcg"])
+
+
+def test_pca_anomaly_scores(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # rank-2 structure embedded in 4-D + 5 off-manifold outliers
+    z = rng.normal(size=(200, 2))
+    w = np.array([[1.0, 0.5, -0.3, 0.2], [0.1, -1.0, 0.4, 0.8]])
+    inliers = z @ w
+    outliers = rng.normal(size=(5, 4)) * 3 + np.array([0, 0, 5.0, -5.0])
+    rows = [(0, *map(float, r)) for r in inliers]
+    rows += [(1, *map(float, r)) for r in outliers]
+    df = spark.createDataFrame(rows, "is_out int, a double, b double, c double, d double")
+    feats = ["a", "b", "c", "d"]
+    # fit on the (mostly clean) training frame; five far outliers would
+    # otherwise dominate the variance and tilt the components
+    clean = df.filter(df.is_out == 0)
+    mean, comps = ML.fit_pca(clean, feats, k=2)
+    scored = ML.pca_anomaly_scores(df, feats, mean, comps).collect()
+    in_err = [r["recon_err"] for r in scored if r["is_out"] == 0]
+    out_err = [r["recon_err"] for r in scored if r["is_out"] == 1]
+    assert max(in_err) < min(out_err)  # clean separation on planted data
+    assert max(in_err) < 0.5
+    # deterministic fit: same sample order -> identical components
+    mean2, comps2 = ML.fit_pca(clean, feats, k=2)
+    assert np.allclose(mean, mean2) and np.allclose(comps, comps2)
