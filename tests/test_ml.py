@@ -284,3 +284,30 @@ def test_pca_anomaly_scores(spark):
     # deterministic fit: same sample order -> identical components
     mean2, comps2 = ML.fit_pca(clean, feats, k=2)
     assert np.allclose(mean, mean2) and np.allclose(comps, comps2)
+
+
+def test_train_score_evaluate_chain(spark):
+    """The full reference loop: fit -> map-side score -> probability ->
+    AUC + report, all engine operators composing."""
+    import pyspark.sql.functions as SF
+    from pyspark.ml.functions import vector_to_array
+
+    df = spark.range(600).select(
+        (SF.col("id") % 2).cast("string").alias("lbl"),
+        ((SF.col("id") % 2) + SF.rand(3) * 0.6).alias("x1"),
+        SF.rand(5).alias("x2"),
+    )
+    model, si = ML.fit_random_forest(df, ["x1", "x2"], "lbl", num_trees=10, max_depth=3)
+    scored = ML.predict(model, si, df, ["x1", "x2"])
+    # probability of the indexed class '1'
+    idx_of_1 = si.labelsArray[0].index("1")
+    probs = scored.select(
+        SF.col("lbl").cast("int").alias("y"),
+        vector_to_array("probability")[idx_of_1].alias("s"),
+        "predicted_label",
+    )
+    auc = ML.binary_auc(probs, "y", "s").first()["auc"]
+    assert auc > 0.9  # x1 separates well
+    rep = {r["cls"]: r for r in
+           ML.classification_report(scored, "lbl", "predicted_label").collect()}
+    assert rep["1"]["f1"] > 0.8 and rep["0"]["f1"] > 0.8
