@@ -406,6 +406,52 @@ def main() -> None:
              "out_rows": n, "sec": t}
         ))
 
+        # ---- SFT prep + token-F1 over synthetic documents -------------
+        from azuredataengineering_deeplearning_spark.operators import (
+            lmeval as LE,
+        )
+        from azuredataengineering_deeplearning_spark.operators import sft as SFT
+
+        docs_path = f"{tmp}/docs"
+        (
+            spark.range(args.docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit("w"), F.conv(
+                            F.substring(F.md5(F.concat(F.col("id"), F.lit(i))), 1, 4),
+                            16, 10))
+                        for i in range(30)
+                    ],
+                ).alias("q"),
+                F.concat(F.lit("answer for "), F.col("id")).alias("a"),
+            )
+            .write.mode("overwrite").parquet(docs_path)
+        )
+        docs = spark.read.parquet(docs_path)
+
+        t, n = timed(
+            lambda: SFT.sft_prepare(docs, "q", "a", template="zephyr").count()
+        )
+        results["sft_prepare"] = t
+        print(json.dumps({"probe": "sft_prepare", "docs": args.docs,
+                          "out_rows": n, "sec": t}))
+
+        t, n = timed(
+            lambda: LE.token_f1(
+                docs.withColumn(
+                    "pred",
+                    F.concat_ws(" ", F.col("q"), F.lit("extra tail tokens")),
+                ),
+                "doc_id", "pred", "q",
+            ).count()
+        )
+        results["token_f1"] = t
+        print(json.dumps({"probe": "token_f1", "docs": args.docs,
+                          "out_rows": n, "sec": t}))
+
     print(
         json.dumps(
             {
