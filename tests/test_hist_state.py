@@ -172,3 +172,21 @@ def test_ks_from_hists(spark):
     r1 = I.ks_from_hists(mk(same), mk(far), ["k"], "h").first()
     # ref CDF at edge 40: 40/50 = 0.8; cur CDF there: 0 -> ks = 0.8
     assert r1["ks"] == pytest.approx(0.8)
+
+
+def test_psi_ks_symmetry(spark):
+    import random
+
+    rng = random.Random(3)
+    a = [("k", float(rng.uniform(0, 50))) for _ in range(150)]
+    b = [("k", float(rng.uniform(10, 45))) for _ in range(120)]
+    mk = lambda rows: I.aggregate_batch(
+        spark.createDataFrame(rows, "k string, v double"), ["k"], SPEC)
+    sa, sb = mk(a), mk(b)
+    p_ab = I.psi_from_hists(sa, sb, ["k"], "h").first()["psi"]
+    p_ba = I.psi_from_hists(sb, sa, ["k"], "h").first()["psi"]
+    assert p_ab == pytest.approx(p_ba)      # PSI is symmetric
+    k_ab = I.ks_from_hists(sa, sb, ["k"], "h").first()["ks"]
+    k_ba = I.ks_from_hists(sb, sa, ["k"], "h").first()["ks"]
+    assert k_ab == pytest.approx(k_ba)      # KS is symmetric
+    assert 0.0 <= k_ab <= 1.0
