@@ -245,6 +245,15 @@ def main() -> None:
         results["contamination_sweep"] = t
         print(json.dumps({"probe": "contamination_sweep", "docs": args.docs, "sec": t}))
 
+        t, _ = timed(
+            lambda: DD.contamination_flags(
+                corpus, bench, "doc_id", "text", n=5, hash_grams=True
+            ).count()
+        )
+        results["contamination_sweep_hashed"] = t
+        print(json.dumps({"probe": "contamination_sweep_hashed",
+                          "docs": args.docs, "sec": t}))
+
         # ---- corpus-level span dedup over the same corpus -------------
         from azuredataengineering_deeplearning_spark.operators import text as TX
 
