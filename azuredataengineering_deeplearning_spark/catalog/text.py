@@ -1242,3 +1242,18 @@ def lm_token_f1(spark, sf_dir):
         F.col("text").alias("gold"),
     )
     return LE.token_f1(d, "doc_id", "pred", "gold")
+
+
+@query("dedup_contamination_hashed", _CONTAMINATION_SQL)
+def dedup_contamination_hashed(spark, sf_dir):
+    """The contamination sweep's SCALE PATH: identical semantics joined
+    on 8-byte xxhash64 gram keys (1.6x at 1M docs; the gap grows with
+    gram length). Shares the string-gram oracle — a hash collision
+    would surface as a count mismatch here, so the gate doubles as the
+    collision canary."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    return DD.contamination_flags(
+        corpus, bench, "doc_id", "text", n=5, hash_grams=True
+    )
