@@ -224,10 +224,12 @@ def binary_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
         F.sum("__c").alias("__cc"),
     )
     p, n = F.col("__p"), F.col("__n")
+    # explicit single-class guard: ANSI mode (Spark 4 default) turns the
+    # 0-denominator into an error, not a null
     return agg.select(
         p.cast("long").alias("n_pos"),
         n.cast("long").alias("n_neg"),
-        (F.col("__cc") / (p * n)).alias("auc"),
+        F.when((p > 0) & (n > 0), F.col("__cc") / (p * n)).alias("auc"),
     )
 
 
@@ -311,8 +313,8 @@ def threshold_sweep(
     tp = F.sum("__pos").over(w)
     fp = F.sum("__neg").over(w)
     p_tot = F.sum("__pos").over(w_all)
-    precision = tp / (tp + fp)
-    recall = tp / p_tot
+    precision = tp / (tp + fp)  # tp+fp >= 1 at every threshold row
+    recall = F.when(p_tot > 0, tp / p_tot).otherwise(F.lit(0.0))
     f1 = F.when(
         precision + recall > 0, 2 * precision * recall / (precision + recall)
     ).otherwise(F.lit(0.0))

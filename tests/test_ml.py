@@ -311,3 +311,14 @@ def test_train_score_evaluate_chain(spark):
     rep = {r["cls"]: r for r in
            ML.classification_report(scored, "lbl", "predicted_label").collect()}
     assert rep["1"]["f1"] > 0.8 and rep["0"]["f1"] > 0.8
+
+
+def test_binary_auc_single_class_null_not_error(spark):
+    # ANSI mode (Spark 4 default) would error on the 0-denominator
+    allpos = spark.createDataFrame([(1, 0.9), (1, 0.1)], "y int, s double")
+    r = ML.binary_auc(allpos, "y", "s").first()
+    assert r["auc"] is None and r["n_neg"] == 0
+    allneg = spark.createDataFrame([(0, 0.9)], "y int, s double")
+    assert ML.binary_auc(allneg, "y", "s").first()["auc"] is None
+    sweep = ML.threshold_sweep(allneg, "y", "s").first()
+    assert sweep["recall"] == 0.0 and sweep["precision"] == 0.0
