@@ -106,14 +106,21 @@ def onehot_encode(
 def fit_ordinal(df: DataFrame, column: str) -> DataFrame:
     """D8 fit: value → code 1..N by sorted value (0 reserved for
     padding, deterministic unlike first-appearance order;
-    ``generate_data.py:1104-1151``)."""
-    w = Window.orderBy(F.col(column))
-    return (
-        df.select(column)
-        .distinct()
-        .filter(F.col(column).isNotNull())
-        .withColumn("__code", F.dense_rank().over(w))
+    ``generate_data.py:1104-1151``).
+
+    The rank over the distinct-value frame is distributed via the
+    surrogate-key pattern (range-partition + per-partition offsets,
+    scd.py:77-90) rather than an unpartitioned ``dense_rank`` — for
+    near-unique key-like columns distinct cardinality ≈ row count and
+    a global-window rank would serialize onto one task. Values are
+    distinct here, so rank ≡ row number."""
+    from azuredataengineering_deeplearning_spark.operators.scd import with_surrogate_key
+
+    distinct = (
+        df.select(column).distinct().filter(F.col(column).isNotNull())
     )
+    keyed = with_surrogate_key(distinct, [column], out="__code", start=1)
+    return keyed.withColumn("__code", F.col("__code").cast("int"))
 
 
 def apply_ordinal(

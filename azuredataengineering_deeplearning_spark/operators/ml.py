@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -97,13 +97,15 @@ def fit_random_forest(
     if weighted:
         indexed = class_weight_column(indexed, f"{label_col}_si")
     data = assemble_features(indexed, feature_cols)
+    # weightCol must be OMITTED, not None: pyspark forwards an explicit
+    # None to the JVM param and fit() dies with NullPointerException.
     rf = RandomForestClassifier(
         featuresCol="features",
         labelCol=f"{label_col}_si",
-        weightCol="weight" if weighted else None,
         numTrees=num_trees,
         maxDepth=max_depth,
         seed=seed,
+        **({"weightCol": "weight"} if weighted else {}),
     )
     return rf.fit(data), si
 
@@ -189,6 +191,58 @@ def classification_report(
     )
 
 
+def _ordered_running_sums(
+    counts: DataFrame,
+    order_col: str,
+    value_cols: Sequence[str],
+    ascending: bool = True,
+) -> DataFrame:
+    """Running (inclusive) sums of ``value_cols`` along the total order
+    of ``order_col`` WITHOUT a single-task global window — the
+    surrogate-key pattern (scd.py:77-90) applied to cumulative sums:
+    range-partition on the order column, cumsum within each partition,
+    then add per-partition totals back as broadcast offsets.  The only
+    ordered window over the whole frame is the O(partitions) offset
+    computation.  Matters because callers feed per-distinct-score
+    frames, and for continuous model scores distinct cardinality ≈ row
+    count — a plain ``Window.orderBy`` would serialize 100 TB of scores
+    through one task.  Assumes ``order_col`` values are distinct (true
+    for the post-groupBy frames the eval suite builds).  Adds a
+    ``__cum_<col>`` column per value column."""
+    ob = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    parted = counts.repartitionByRange(ob)
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(ob)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = with_pid.select(
+        "*", *[F.sum(c).over(w_in).alias(f"__cin_{c}") for c in value_cols]
+    )
+    totals = with_pid.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in value_cols]
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(w_off), F.lit(0.0)).alias(
+                f"__off_{c}"
+            )
+            for c in value_cols
+        ],
+    )
+    out = cum.join(F.broadcast(offsets), "__pid")
+    for c in value_cols:
+        out = out.withColumn(f"__cum_{c}", F.col(f"__cin_{c}") + F.col(f"__off_{c}"))
+    return out.drop(
+        "__pid",
+        *[f"__cin_{c}" for c in value_cols],
+        *[f"__off_{c}" for c in value_cols],
+    )
+
+
 def binary_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     """Exact ROC-AUC (Mann-Whitney with tie correction) computed
     scale-first: the frame first REDUCES to per-distinct-score
@@ -197,25 +251,26 @@ def binary_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     over that O(distinct scores) frame only. Never a per-row global
     sort. ``AUC = Σ_s pos_s · (neg_below(s) + neg_s/2) / (P·N)`` —
     identical to averaged-rank AUC for any tie structure.
-    ``label_col`` must be 0/1."""
-    from pyspark.sql import Window
+    ``label_col`` must be 0/1.
 
+    The running-negative cumulative over the distinct-score frame is
+    distributed via :func:`_ordered_running_sums` (range-partition +
+    per-partition broadcast offsets) — for continuous model scores
+    distinct cardinality ≈ row count, so an unpartitioned window here
+    would be a single-task bottleneck at scale."""
     y = F.col(label_col).cast("double")
     counts = df.groupBy(F.col(score_col).alias("__s")).agg(
         F.sum(y).alias("__pos"),
         F.sum(1.0 - y).alias("__neg"),
     )
-    # ordered cumulative over the aggregated (distinct-score) frame;
-    # single-partition window is fine here: its size is the score
-    # cardinality, not the row count.
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
-    contrib = counts.select(
+    cum = _ordered_running_sums(counts, "__s", ["__neg"], ascending=True)
+    # negatives strictly below this score = inclusive running sum − own
+    contrib = cum.select(
         "__pos",
         "__neg",
         (
             F.col("__pos")
-            * (F.coalesce(F.sum("__neg").over(w), F.lit(0.0))
-               + F.col("__neg") / 2.0)
+            * (F.col("__cum___neg") - F.col("__neg") + F.col("__neg") / 2.0)
         ).alias("__c"),
     )
     agg = contrib.agg(
@@ -296,29 +351,32 @@ def threshold_sweep(
     """Precision / recall / F1 at EVERY distinct score threshold
     ("predict positive when score >= s") — the full PR curve from the
     same scale-first reduction as :func:`binary_auc`: one hash
-    aggregate to per-score counts, then cumulative windows over the
-    O(distinct scores) frame. ``argmax f1`` over the result picks the
-    operating point; no repeated scans per candidate threshold."""
-    from pyspark.sql import Window
-
+    aggregate to per-score counts, then cumulative sums over the
+    O(distinct scores) frame — distributed via
+    :func:`_ordered_running_sums` (descending order), never an
+    unpartitioned window, because distinct scores ≈ rows for continuous
+    models. Total positives attach as a broadcast 1-row scalar.
+    ``argmax f1`` over the result picks the operating point; no
+    repeated scans per candidate threshold."""
     y = F.col(label_col).cast("double")
     counts = df.groupBy(F.col(score_col).cast("double").alias("threshold")).agg(
         F.sum(y).alias("__pos"),
         F.sum(1.0 - y).alias("__neg"),
     )
-    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    cum = _ordered_running_sums(
+        counts, "threshold", ["__pos", "__neg"], ascending=False
     )
-    w_all = Window.partitionBy()
-    tp = F.sum("__pos").over(w)
-    fp = F.sum("__neg").over(w)
-    p_tot = F.sum("__pos").over(w_all)
+    totals = counts.agg(F.sum("__pos").alias("__ptot"))
+    cum = cum.crossJoin(F.broadcast(totals))
+    tp = F.col("__cum___pos")
+    fp = F.col("__cum___neg")
+    p_tot = F.col("__ptot")
     precision = tp / (tp + fp)  # tp+fp >= 1 at every threshold row
     recall = F.when(p_tot > 0, tp / p_tot).otherwise(F.lit(0.0))
     f1 = F.when(
         precision + recall > 0, 2 * precision * recall / (precision + recall)
     ).otherwise(F.lit(0.0))
-    return counts.select(
+    return cum.select(
         "threshold",
         tp.cast("long").alias("tp"),
         fp.cast("long").alias("fp"),

@@ -303,10 +303,32 @@ def test_token_f1_partial_aggregates_no_cartesian(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4
 
 
+def _window_first_args(plan: str) -> list[str]:
+    """First argument of every windowspecdefinition in the plan — the
+    leading partition column, or the order column if unpartitioned."""
+    import re
+
+    return re.findall(r"windowspecdefinition\((\w+)#", plan)
+
+
 def test_auc_reduces_before_ordering(spark, sf_dir):
     plan = _plan(E.queries()["ml_binary_auc"](spark, sf_dir))
-    # the distinct-score reduction must come before the window sort:
-    # exactly one scan, no join, aggregates around a single window
-    assert "Join" not in plan
+    # the distinct-score reduction must come before any window
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+    # per-partition offsets attach via broadcast, never a shuffle join
+    assert "SortMergeJoin" not in plan
+    # no unpartitioned window over the distinct-score frame: every
+    # window must lead with __pid (either partitioned by it, or the
+    # O(partitions)-row offset window ordered by it). For continuous
+    # scores distinct cardinality ~ row count, so a window leading
+    # with the score column would serialize onto one task.
+    firsts = _window_first_args(plan)
+    assert firsts and all(a == "__pid" for a in firsts), firsts
+
+
+def test_threshold_sweep_no_global_score_window(spark, sf_dir):
+    plan = _plan(E.queries()["ml_threshold_sweep"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    firsts = _window_first_args(plan)
+    assert firsts and all(a == "__pid" for a in firsts), firsts

@@ -53,6 +53,17 @@ def test_rf_fit_predict_roundtrip(spark):
     assert "Exchange" not in plan
 
 
+def test_rf_unweighted_fit(spark):
+    # weighted=False must omit weightCol entirely — passing None to the
+    # JVM param made fit() throw NullPointerException
+    train = _toy(spark).cache()
+    model, si = ML.fit_random_forest(
+        train, ["x1", "x2"], "label", weighted=False, num_trees=5, max_depth=3
+    )
+    scored = ML.predict(model, si, train, ["x1", "x2"])
+    assert scored.count() == train.count()
+
+
 def test_feature_importances_rank_signal_over_noise(spark):
     train = _toy(spark).withColumn("noise", F.randn(9)).cache()
     model, _ = ML.fit_random_forest(
