@@ -46,11 +46,22 @@ def with_null_masks(df: DataFrame, columns: list[str], suffix: str = "_attnmask"
 
 def factorize(df: DataFrame, column: str, out: str) -> DataFrame:
     """F18: dense integer codes for a categorical — ``pd.factorize``
-    analog (``azureml_ray_basic_functions.py:70``) as ``dense_rank`` over
-    value order (deterministic, unlike first-appearance order which is
-    partition-dependent at scale)."""
-    from pyspark.sql import Window
+    analog (``azureml_ray_basic_functions.py:70``) coded 0..N-1 by
+    sorted value order (deterministic, unlike first-appearance order
+    which is partition-dependent at scale).
 
-    w = Window.orderBy(F.col(column))
-    codes = df.select(column).distinct().withColumn(out, F.dense_rank().over(w) - 1)
+    The rank over the distinct-value frame goes through
+    :func:`~azuredataengineering_deeplearning_spark.operators.scd.with_surrogate_key`
+    (range-partition + per-partition offsets, the fit_ordinal fix) —
+    never an unpartitioned ``dense_rank``, because a near-unique
+    key-like column makes distinct ≈ rows and a global window would
+    serialize the frame through one task. The code attach keeps the
+    broadcast hint (dictionary-sized mapping, same contract as
+    ``apply_ordinal``); for a genuinely near-unique column drop the
+    hint and let AQE pick the join side."""
+    from azuredataengineering_deeplearning_spark.operators.scd import with_surrogate_key
+
+    distinct = df.select(column).distinct().filter(F.col(column).isNotNull())
+    codes = with_surrogate_key(distinct, [column], out=out, start=0)
+    codes = codes.withColumn(out, F.col(out).cast("int"))
     return df.join(F.broadcast(codes), [column], "left")

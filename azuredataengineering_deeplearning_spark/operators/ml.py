@@ -196,22 +196,47 @@ def _ordered_running_sums(
     order_col: str,
     value_cols: Sequence[str],
     ascending: bool = True,
-) -> DataFrame:
+) -> tuple[DataFrame, dict[str, float]]:
     """Running (inclusive) sums of ``value_cols`` along the total order
     of ``order_col`` WITHOUT a single-task global window — the
     surrogate-key pattern (scd.py:77-90) applied to cumulative sums:
     range-partition on the order column, cumsum within each partition,
-    then add per-partition totals back as broadcast offsets.  The only
-    ordered window over the whole frame is the O(partitions) offset
-    computation.  Matters because callers feed per-distinct-score
-    frames, and for continuous model scores distinct cardinality ≈ row
-    count — a plain ``Window.orderBy`` would serialize 100 TB of scores
-    through one task.  Assumes ``order_col`` values are distinct (true
-    for the post-groupBy frames the eval suite builds).  Adds a
-    ``__cum_<col>`` column per value column."""
+    then add per-partition totals back as broadcast offsets.  Matters
+    because callers feed per-distinct-score frames, and for continuous
+    model scores distinct cardinality ≈ row count — a plain
+    ``Window.orderBy`` would serialize 100 TB of scores through one
+    task.  Assumes ``order_col`` values are distinct (true for the
+    post-groupBy frames the eval suite builds).
+
+    ``spark_partition_id()`` is non-deterministic, so ``__pid`` is
+    pinned with an eager ``localCheckpoint`` BEFORE the frame forks
+    into the cumsum branch and the per-partition-totals job — without
+    it the two branches would only agree by grace of exchange reuse
+    (see ``global_row_number``, windows.py:497, for the same hazard).
+    The per-partition totals are collected driver-side (O(partitions)
+    rows, same class as the checkpoint's own job), the exclusive
+    prefix sums computed in Python, and rebroadcast — no unpartitioned
+    offset window remains in the plan.
+
+    Returns ``(frame with __cum_<col> per value column, grand totals
+    {col: sum})`` — the totals come free from the offset collect, so
+    callers never re-aggregate the raw frame for them."""
     ob = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     parted = counts.repartitionByRange(ob)
-    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    with_pid = parted.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    per_part = with_pid.groupBy("__pid").agg(
+        *[F.sum(c).alias(c) for c in value_cols]
+    ).collect()
+    acc = {c: 0.0 for c in value_cols}
+    offset_rows = []
+    for r in sorted(per_part, key=lambda r: r["__pid"]):
+        offset_rows.append((r["__pid"], *[acc[c] for c in value_cols]))
+        for c in value_cols:
+            acc[c] += float(r[c] or 0.0)
+    schema = "__pid int, " + ", ".join(f"__off_{c} double" for c in value_cols)
+    offsets = counts.sparkSession.createDataFrame(offset_rows, schema)
     w_in = (
         Window.partitionBy("__pid")
         .orderBy(ob)
@@ -220,27 +245,15 @@ def _ordered_running_sums(
     cum = with_pid.select(
         "*", *[F.sum(c).over(w_in).alias(f"__cin_{c}") for c in value_cols]
     )
-    totals = with_pid.groupBy("__pid").agg(
-        *[F.sum(c).alias(f"__t_{c}") for c in value_cols]
-    )
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__pid",
-        *[
-            F.coalesce(F.sum(f"__t_{c}").over(w_off), F.lit(0.0)).alias(
-                f"__off_{c}"
-            )
-            for c in value_cols
-        ],
-    )
     out = cum.join(F.broadcast(offsets), "__pid")
     for c in value_cols:
         out = out.withColumn(f"__cum_{c}", F.col(f"__cin_{c}") + F.col(f"__off_{c}"))
-    return out.drop(
+    out = out.drop(
         "__pid",
         *[f"__cin_{c}" for c in value_cols],
         *[f"__off_{c}" for c in value_cols],
     )
+    return out, acc
 
 
 def binary_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
@@ -263,7 +276,7 @@ def binary_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
         F.sum(y).alias("__pos"),
         F.sum(1.0 - y).alias("__neg"),
     )
-    cum = _ordered_running_sums(counts, "__s", ["__neg"], ascending=True)
+    cum, _ = _ordered_running_sums(counts, "__s", ["__neg"], ascending=True)
     # negatives strictly below this score = inclusive running sum − own
     contrib = cum.select(
         "__pos",
@@ -355,22 +368,22 @@ def threshold_sweep(
     O(distinct scores) frame — distributed via
     :func:`_ordered_running_sums` (descending order), never an
     unpartitioned window, because distinct scores ≈ rows for continuous
-    models. Total positives attach as a broadcast 1-row scalar.
-    ``argmax f1`` over the result picks the operating point; no
-    repeated scans per candidate threshold."""
+    models. Total positives fall out of the same per-partition offset
+    collect the running sums already do (one aggregation of the raw
+    data, total) and enter the plan as a literal. ``argmax f1`` over
+    the result picks the operating point; no repeated scans per
+    candidate threshold."""
     y = F.col(label_col).cast("double")
     counts = df.groupBy(F.col(score_col).cast("double").alias("threshold")).agg(
         F.sum(y).alias("__pos"),
         F.sum(1.0 - y).alias("__neg"),
     )
-    cum = _ordered_running_sums(
+    cum, totals = _ordered_running_sums(
         counts, "threshold", ["__pos", "__neg"], ascending=False
     )
-    totals = counts.agg(F.sum("__pos").alias("__ptot"))
-    cum = cum.crossJoin(F.broadcast(totals))
     tp = F.col("__cum___pos")
     fp = F.col("__cum___neg")
-    p_tot = F.col("__ptot")
+    p_tot = F.lit(totals["__pos"])
     precision = tp / (tp + fp)  # tp+fp >= 1 at every threshold row
     recall = F.when(p_tot > 0, tp / p_tot).otherwise(F.lit(0.0))
     f1 = F.when(

@@ -73,16 +73,29 @@ def with_surrogate_key(
     Scale-safe: a naive global ``row_number`` would serialize every row
     through one task. Instead: range-partition on the order, number
     within partitions, then add per-partition row-count offsets (a tiny
-    broadcast) — the zipWithIndex pattern in pure DataFrame form."""
+    broadcast) — the zipWithIndex pattern in pure DataFrame form.
+
+    ``__pid`` is pinned with an eager ``localCheckpoint`` before the
+    frame forks into the numbering branch and the counts job:
+    ``spark_partition_id()`` is non-deterministic, so without the pin
+    the two branches only agree by grace of exchange reuse (same
+    hazard as ``global_row_number``, windows.py:497). The count job
+    collects O(partitions) rows; exclusive prefix sums are computed
+    driver-side and rebroadcast, so no unpartitioned window remains."""
     parted = df.repartitionByRange(*[F.col(c) for c in order_by])
-    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    with_pid = parted.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    sizes = with_pid.groupBy("__pid").count().collect()
+    offset_rows, acc = [], 0
+    for r in sorted(sizes, key=lambda r: r["__pid"]):
+        offset_rows.append((r["__pid"], acc))
+        acc += r["count"]
+    offsets = df.sparkSession.createDataFrame(
+        offset_rows, "__pid int, __off long"
+    )
     w_in = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_by])
     numbered = with_pid.withColumn("__rn", F.row_number().over(w_in))
-    counts = numbered.groupBy("__pid").count()
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__pid", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("__off")
-    )
     return (
         numbered.join(F.broadcast(offsets), "__pid")
         .withColumn(out, (F.col("__rn") + F.col("__off") + F.lit(start - 1)).cast("long"))

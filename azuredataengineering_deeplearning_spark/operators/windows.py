@@ -476,7 +476,7 @@ def cumulative_distinct(
 
 def global_row_number(
     df: DataFrame,
-    order: Sequence[str],
+    order: Sequence[str | Column],
     out: str = "rn",
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -490,14 +490,16 @@ def global_row_number(
 
     ``order`` should be a total order (add a unique tiebreak column);
     equal keys land in one range partition, so numbering stays
-    deterministic."""
+    deterministic. Entries may be Column sort specs
+    (``F.col(c).desc()``) — range partitioning honors the direction."""
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # persist BEFORE branching: the size-count job and the numbering job
     # must see one materialization of __pid — re-evaluating
     # spark_partition_id() in a second job (or after the window's own
     # exchange) would renumber rows arbitrarily
     parts = (
-        df.repartitionByRange(n, *[F.col(c) for c in order])
+        df.repartitionByRange(n, *ocols)
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
@@ -510,7 +512,7 @@ def global_row_number(
         offsets.append((pid, acc))
         acc += sizes[pid]
     off = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
-    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order])
+    w = Window.partitionBy("__pid").orderBy(*ocols)
     numbered = (
         parts.join(F.broadcast(off), "__pid")
         .withColumn(out, (F.row_number().over(w) + F.col("__off")).cast("long"))
