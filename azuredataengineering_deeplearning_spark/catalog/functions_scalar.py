@@ -295,6 +295,33 @@ def f18_math_transforms(spark, sf_dir):
 
 
 @query(
+    "f18_factorize",
+    """
+    WITH src AS (
+      SELECT event_id, CASE WHEN value > 50 THEN event_type END AS et FROM events
+    ), c AS (
+      SELECT et, CAST(DENSE_RANK() OVER (ORDER BY et) - 1 AS INT) AS et_code
+      FROM (SELECT DISTINCT et FROM src WHERE et IS NOT NULL)
+    )
+    SELECT s.event_id, s.et, COALESCE(c.et_code, -1) AS et_code
+    FROM src s LEFT JOIN c USING (et)
+    """,
+)
+def f18_factorize(spark, sf_dir):
+    """F18: ``pd.factorize`` analog (``azureml_ray_basic_functions.py:70``)
+    — dense 0..N-1 codes in sorted value order via the range-partitioned
+    surrogate-key path (never a global ``dense_rank``), NULL → -1. The
+    CASE makes some categories NULL so the sentinel path is exercised
+    by the oracle, not just by pytest."""
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+    src = ev.select(
+        "event_id",
+        F.when(F.col("value") > 50, F.col("event_type")).alias("et"),
+    )
+    return M.factorize(src, "et", "et_code")
+
+
+@query(
     "f19_json_extract",
     """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k

@@ -48,7 +48,9 @@ def factorize(df: DataFrame, column: str, out: str) -> DataFrame:
     """F18: dense integer codes for a categorical — ``pd.factorize``
     analog (``azureml_ray_basic_functions.py:70``) coded 0..N-1 by
     sorted value order (deterministic, unlike first-appearance order
-    which is partition-dependent at scale).
+    which is partition-dependent at scale). NULL categories code to
+    ``-1``, matching ``pd.factorize``'s sentinel. Eager: the surrogate-
+    key numbering jobs run at call time, not at first action.
 
     The rank over the distinct-value frame goes through
     :func:`~azuredataengineering_deeplearning_spark.operators.scd.with_surrogate_key`
@@ -64,4 +66,6 @@ def factorize(df: DataFrame, column: str, out: str) -> DataFrame:
     distinct = df.select(column).distinct().filter(F.col(column).isNotNull())
     codes = with_surrogate_key(distinct, [column], out=out, start=0)
     codes = codes.withColumn(out, F.col(out).cast("int"))
-    return df.join(F.broadcast(codes), [column], "left")
+    return df.join(F.broadcast(codes), [column], "left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(-1))
+    )

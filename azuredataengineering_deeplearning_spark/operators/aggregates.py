@@ -200,12 +200,18 @@ def quantile_buckets(
     /difficulty-tier primitive (e.g. quality-score deciles feeding a
     staged training mix). ``tiebreak`` columns make bucket assignment
     deterministic under ties. One window shuffle on the grouping keys;
-    with no keys the window is global — at 100 TB prefer per-shard
-    buckets or :func:`bucket_by_bounds` (map-only) instead."""
-    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(
-        column, *tiebreak
-    )
-    return df.withColumn(out, F.ntile(n_buckets).over(w))
+    with no keys the tiling routes through
+    :func:`~azuredataengineering_deeplearning_spark.operators.windows.global_ntile`
+    (range-partition + broadcast offsets, eager) — never an
+    unpartitioned ``ntile`` window, which would sort the whole frame
+    through one task. :func:`bucket_by_bounds` (map-only at fixed
+    boundaries) remains the cheapest path when approximate edges do."""
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(column, *tiebreak)
+        return df.withColumn(out, F.ntile(n_buckets).over(w))
+    from azuredataengineering_deeplearning_spark.operators.windows import global_ntile
+
+    return global_ntile(df, [column, *tiebreak], n_buckets, out=out)
 
 
 def bucket_by_bounds(
@@ -291,36 +297,46 @@ def rfm_segments(
     """RFM segmentation: per entity, recency (days since last activity,
     relative to ``asof`` or the corpus max), frequency (activity count)
     and monetary (total amount), each quantile-coded 1..n (higher =
-    better: more recent / more frequent / higher spend). One entity
-    aggregate + three ntile windows over the (small) per-entity frame;
-    the raw table is touched once."""
+    better: more recent / more frequent / higher spend).
+
+    Scale shape: one raw-table aggregate, then the per-entity frame
+    only. The corpus-max date is a scalar aggregate cross-broadcast
+    back (never an unpartitioned ``max`` window), and each score is a
+    :func:`~azuredataengineering_deeplearning_spark.operators.windows.global_ntile`
+    — range-partition + broadcast-offset row numbers + the SQL tile
+    formula — never ``ntile`` over an unpartitioned window, which would
+    serialize every distinct customer through one task at 100-TB
+    interaction scale. Three range shuffles of the entity frame total.
+    Eager (``global_ntile`` runs its numbering jobs at call time)."""
+    from azuredataengineering_deeplearning_spark.operators.windows import global_ntile
+
     per = df.groupBy(id_col).agg(
         F.max(F.col(ts_col).cast("date")).alias("__last"),
         F.count("*").alias("frequency"),
         F.sum(dec(amount_col)).cast("double").alias("monetary"),
     )
-    per = per.withColumn(
-        "recency_days",
-        F.datediff(
-            F.lit(asof).cast("date")
-            if asof is not None
-            else F.max("__last").over(Window.partitionBy()),
-            F.col("__last"),
-        ),
-    )
-    tile = lambda c, asc: F.ntile(n_tiles).over(
-        Window.orderBy(
-            (F.col(c).asc() if asc else F.col(c).desc()), F.col(id_col)
+    if asof is not None:
+        per = per.withColumn(
+            "recency_days", F.datediff(F.lit(asof).cast("date"), F.col("__last"))
         )
+    else:
+        mx = per.agg(F.max("__last").alias("__mx"))
+        per = per.crossJoin(F.broadcast(mx)).withColumn(
+            "recency_days", F.datediff(F.col("__mx"), F.col("__last"))
+        ).drop("__mx")
+    per = per.select(id_col, "recency_days", "frequency", "monetary")
+    scored = global_ntile(
+        per, [F.col("recency_days").desc(), F.col(id_col)], n_tiles, out="r_score"
+    )  # fewer days -> higher tile
+    scored = global_ntile(
+        scored, [F.col("frequency").asc(), F.col(id_col)], n_tiles, out="f_score"
     )
-    return per.select(
-        id_col,
-        "recency_days",
-        "frequency",
-        "monetary",
-        tile("recency_days", False).alias("r_score"),  # fewer days -> higher tile
-        tile("frequency", True).alias("f_score"),
-        tile("monetary", True).alias("m_score"),
+    scored = global_ntile(
+        scored, [F.col("monetary").asc(), F.col(id_col)], n_tiles, out="m_score"
+    )
+    return scored.select(
+        id_col, "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 
@@ -833,11 +849,13 @@ def ks_two_sample(
     ``D = max_x |F_a(x) − F_b(x)|`` over the pooled observed values —
     the distribution-equality test pairing with :func:`psi` (which
     quantizes) and :func:`ab_welch` (means only). Per distinct pooled
-    value, cumulative counts from both samples via ONE ordered window
-    over the distinct-value frame; that window is a single partition,
-    bounded by VALUE CARDINALITY, not row count — fine for measures
-    with bounded distinct values; for billions of distinct values
-    evaluate on a quantile grid instead (psi's shape)."""
+    value, cumulative counts from both samples — distributed via
+    ``_ordered_running_sums`` (range-partition + per-partition broadcast
+    offsets, ml.py), never a single-task global window: for continuous
+    measures distinct cardinality ≈ row count, so the old
+    one-partition CDF window was the rfm-class bottleneck. The sample
+    sizes ride the offset collect for free (no second aggregate).
+    Eager (the offset jobs run at call time)."""
     a = df_a.select(F.col(value_col).cast("double").alias("v")).filter(
         F.col("v").isNotNull()
     )
@@ -857,23 +875,22 @@ def ks_two_sample(
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    tot = F.broadcast(
-        counts.agg(F.sum("ca").alias("__na"), F.sum("cb").alias("__nb"))
+    from azuredataengineering_deeplearning_spark.operators.ml import (
+        _ordered_running_sums,
     )
+
+    cum, tot = _ordered_running_sums(counts, "v", ["ca", "cb"], ascending=True)
+    na, nb = tot["ca"], tot["cb"]
     return (
-        counts.crossJoin(tot)
-        .withColumn(
+        cum.withColumn(
             "__d",
-            F.abs(
-                F.sum("ca").over(w) / F.col("__na")
-                - F.sum("cb").over(w) / F.col("__nb")
-            ),
+            F.abs(F.col("__cum_ca") / F.lit(na) - F.col("__cum_cb") / F.lit(nb)),
         )
-        .agg(
-            F.max("__d").alias("ks_d"),
-            F.max("__na").cast("long").alias("n_a"),
-            F.max("__nb").cast("long").alias("n_b"),
+        .agg(F.max("__d").alias("ks_d"))
+        .select(
+            "ks_d",
+            F.lit(int(na)).cast("long").alias("n_a"),
+            F.lit(int(nb)).cast("long").alias("n_b"),
         )
     )
 

@@ -190,21 +190,28 @@ def lift_table(
     score descending into ``n_buckets`` equal-frequency tiers, then per
     tier report size, positives, response rate, cumulative capture of
     all positives, and lift vs the base rate. ``label_col`` is a
-    boolean Column (or name). One ntile window + one aggregate + an
-    O(buckets) cumulative window. ``tiebreak`` pins tier assignment
-    under score ties. The global ntile sorts in one task — right for
-    eval sets (bounded); for full-population scoring bucket by
-    approx-quantile bounds (`aggregates.bucket_by_bounds`) instead."""
+    boolean Column (or name). One distributed ntile + one aggregate +
+    an O(buckets) cumulative window. ``tiebreak`` pins tier assignment
+    under score ties. Tiering goes through
+    :func:`~azuredataengineering_deeplearning_spark.operators.windows.global_ntile`
+    (range-partition + broadcast-offset row numbers), never an
+    unpartitioned ``ntile`` window — full-population score frames are
+    row-scale, and a global window would sort them through one task.
+    Eager (the numbering jobs run at call time); for map-only bucketing
+    at fixed boundaries use `aggregates.bucket_by_bounds`."""
     from pyspark.sql import Window
+
+    from azuredataengineering_deeplearning_spark.operators.windows import global_ntile
 
     lbl = F.col(label_col) if isinstance(label_col, str) else label_col
     order = [F.col(score_col).desc()] + (
         [F.col(tiebreak).asc()] if tiebreak else []
     )
-    w = Window.orderBy(*order)
-    tiers = df.select(
-        lbl.cast("int").alias("__y"),
-        F.ntile(n_buckets).over(w).alias("bucket"),
+    proj = [lbl.cast("int").alias("__y"), F.col(score_col)] + (
+        [F.col(tiebreak)] if tiebreak else []
+    )
+    tiers = global_ntile(df.select(*proj), order, n_buckets, out="bucket").select(
+        "__y", "bucket"
     )
     agg = tiers.groupBy("bucket").agg(
         F.count("*").cast("long").alias("n"),

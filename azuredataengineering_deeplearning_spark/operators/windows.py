@@ -491,7 +491,24 @@ def global_row_number(
     ``order`` should be a total order (add a unique tiebreak column);
     equal keys land in one range partition, so numbering stays
     deterministic. Entries may be Column sort specs
-    (``F.col(c).desc()``) — range partitioning honors the direction."""
+    (``F.col(c).desc()``) — range partitioning honors the direction.
+
+    NOTE: eager — the numbering jobs run at call time (and the result
+    is pinned with a lineage-free ``localCheckpoint``), not when the
+    caller first acts on the returned frame."""
+    result, _ = _global_row_number_total(df, order, out, num_partitions)
+    return result
+
+
+def _global_row_number_total(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    out: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """:func:`global_row_number` core, additionally returning the total
+    row count — free from the per-partition size collect, so callers
+    like :func:`global_ntile` never pay a second counting job."""
     ocols = [F.col(c) if isinstance(c, str) else c for c in order]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # persist BEFORE branching: the size-count job and the numbering job
@@ -525,7 +542,40 @@ def global_row_number(
     # when the result is garbage collected.
     result = numbered.localCheckpoint(eager=True)
     parts.unpersist()
-    return result
+    return result, acc
+
+
+def global_ntile(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    n_tiles: int,
+    out: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n)`` over a TOTAL order without the single-reducer
+    global window — the distributed twin of
+    ``F.ntile(n).over(Window.orderBy(...))``, which funnels the whole
+    frame through one task at scale. Built on
+    :func:`global_row_number` (range-partition + broadcast offsets) plus
+    the SQL-standard tile formula: with total ``T`` rows, the first
+    ``T % n`` buckets hold ``T//n + 1`` rows and the rest ``T//n`` —
+    bit-identical to Spark's and DuckDB's ``NTILE`` (larger buckets
+    first), so oracle parity holds for any ``T``/``n``.
+
+    ``order`` must be a total order (add a unique tiebreak) for the
+    tiles to be deterministic. Eager, like :func:`global_row_number`."""
+    numbered, total = _global_row_number_total(df, order, "__gnt_rn", num_partitions)
+    base, rem = divmod(total, n_tiles)
+    rn = F.col("__gnt_rn")
+    cut = rem * (base + 1)  # rows living in the size-(base+1) buckets
+    first = F.floor((rn - 1) / (base + 1)) + 1
+    if base > 0:
+        tile = F.when(rn <= cut, first).otherwise(
+            rem + F.floor((rn - cut - 1) / base) + 1
+        )
+    else:  # T < n: every bucket holds at most one row
+        tile = first
+    return numbered.withColumn(out, tile.cast("int")).drop("__gnt_rn")
 
 
 def funnel_progress(

@@ -68,3 +68,34 @@ def test_entropy_matches_numpy(spark):
     ps = [2 / 6, 1 / 6, 3 / 6]
     want = -sum(p * math.log(p) for p in ps)
     assert abs(got - want) < 1e-12
+
+
+def test_factorize_matches_pandas(spark):
+    """pd.factorize parity: dense 0..N-1 codes in sorted value order,
+    NULL -> -1 sentinel, idempotent across partition layouts."""
+    import pandas as pd
+
+    from azuredataengineering_deeplearning_spark.functions import mathx as M
+
+    vals = ["b", "a", None, "c", "a", None, "b", "b"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, v string"
+    ).repartition(5)
+    out = {r.id: r.code for r in M.factorize(df, "v", "code").collect()}
+    # sorted-order codes: a=0, b=1, c=2; null -> -1
+    pd_codes, pd_uniques = pd.factorize(pd.array(vals), sort=True)
+    expected = {i: int(c) for i, c in enumerate(pd_codes)}
+    assert out == expected
+    assert list(pd_uniques) == ["a", "b", "c"]
+
+
+def test_factorize_dense_and_deterministic(spark):
+    from azuredataengineering_deeplearning_spark.functions import mathx as M
+
+    df = spark.range(0, 1000).withColumn("v", (F.col("id") % 37).cast("string"))
+    got = M.factorize(df, "v", "code")
+    codes = sorted({r.code for r in got.select("code").distinct().collect()})
+    assert codes == list(range(37))  # dense 0..N-1, no gaps, no -1 (no nulls)
+    # re-running on a different partitioning yields identical codes
+    again = M.factorize(df.repartition(3), "v", "code")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))

@@ -1,9 +1,13 @@
 """Plan lint: build EVERY catalog query's physical plan at sf0.001 and
 flag scale anti-patterns — CartesianProduct, BroadcastNestedLoopJoin,
-and row-at-a-time Python UDFs (BatchEvalPython; Arrow-batched pandas
-UDFs show as ArrowEvalPython and are allowed). Documented exceptions
-live in WHITELIST with the reason. Analysis only (no execution), so the
-whole catalog lints in a few minutes.
+row-at-a-time Python UDFs (BatchEvalPython; Arrow-batched pandas
+UDFs show as ArrowEvalPython and are allowed), and UNPARTITIONED
+WINDOWS (a ``Window`` operator with an empty partition spec funnels the
+whole frame through one task — the bug class behind the rfm_segments /
+factorize fixes; the distributed alternatives are ``global_row_number``
+/ ``global_ntile`` / ``_ordered_running_sums``). Documented exceptions
+live in WHITELIST / UNPART_WINDOW_OK with the reason. Analysis only (no
+execution), so the whole catalog lints in a few minutes.
 
 Usage: python tools/plan_lint.py            # prints violations, exit 1 if any
 """
@@ -53,6 +57,69 @@ WHITELIST = {
 }
 
 BAD = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+# Queries allowed to run a Window with NO partition keys, each with the
+# reason the frame feeding it is BOUNDED BY CONSTRUCTION (an aggregate
+# of O(bins)/O(classes)/O(partitions) rows, or post-limit) — a global
+# window over a bounded frame is one small task, not a scale hazard.
+# Anything else that orders/aggregates an unbounded frame through an
+# unpartitioned window is a violation: use global_row_number /
+# global_ntile / _ordered_running_sums instead.
+UNPART_WINDOW_OK: dict[str, str] = {
+    "a_histogram_quantiles": "cumsum over the O(bins) merged histogram frame",
+    "a_grouped_histogram_quantiles": "cumsum over O(groups*bins) histogram frame",
+    "kql_serialized_diff": "KQL serialize contract is explicitly sequential; "
+    "bounded by the preceding `where`; global_row_number is the scale path",
+    "ml_lift_table": "cumulative-capture over the O(buckets) tier aggregate "
+    "(per-row tiering itself is distributed via global_ntile)",
+    "prof_key_skew": "rank over the post-limit O(top_n) heavy-hitter frame",
+    "ts_period_growth": "lag over the O(periods) per-period aggregate",
+    "w2_hotkey_cumsum_plain": "documented exhibit of the unsalted hazard; "
+    "w2_hotkey_cumsum_salted is the fix",
+    "w2_hotkey_cumsum_salted": "second-level window over O(salt-buckets) totals",
+}
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Return the ``Window`` operator lines whose partition spec is
+    empty. Physical format: ``Window [exprs], [partSpec], [orderSpec]``
+    — three top-level bracket groups when partitioned; one or two when
+    the partition spec is empty (global window)."""
+    hits = []
+    for line in plan.splitlines():
+        s = line.lstrip(" :+-*")
+        if not (s.startswith("Window ") or s.startswith("WindowGroupLimit ")):
+            continue
+        if s.startswith("WindowGroupLimit "):
+            # rank-filter pushdown: runs PARTIAL before the shuffle, so a
+            # global one is a parallel top-k, not a single-task funnel
+            continue
+        depth = 0
+        groups: list[str] = []
+        buf: list[str] = []
+        for ch in s:
+            if ch == "[":
+                if depth == 0:
+                    buf = []
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                    continue
+            if depth >= 1:
+                buf.append(ch)
+        if len(groups) >= 3:
+            continue  # [exprs], [partSpec], [orderSpec] — partitioned
+        if len(groups) == 2 and not (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            continue  # [exprs], [partSpec] — partitioned, unordered frame
+        # [exprs] alone, or [exprs], [orderSpec]: no partition keys
+        hits.append(s[:160])
+    return hits
 
 
 def _indent(line: str) -> int:
@@ -110,6 +177,9 @@ def main() -> int:
             if b == "BroadcastNestedLoopJoin" and bnlj_is_scalar_attach(plan):
                 continue  # broadcast-1-row scalar attach: documented clean pattern
             hits.append(b)
+        if name not in UNPART_WINDOW_OK:
+            for wline in unpartitioned_windows(plan):
+                hits.append(f"UnpartitionedWindow: {wline}")
         if hits:
             violations[name] = hits
     print(f"linted {built}/{len(qs)} plans")
