@@ -49,12 +49,13 @@ def factorize(df: DataFrame, column: str, out: str) -> DataFrame:
     analog (``azureml_ray_basic_functions.py:70``) coded 0..N-1 by
     sorted value order (deterministic, unlike first-appearance order
     which is partition-dependent at scale). NULL categories code to
-    ``-1``, matching ``pd.factorize``'s sentinel. Eager: the surrogate-
-    key numbering jobs run at call time, not at first action.
+    ``-1``, matching ``pd.factorize``'s sentinel. Two cheap
+    O(buckets)-result jobs run at call time (the surrogate-key bounds/
+    counts scans); the coding itself is lazy.
 
     The rank over the distinct-value frame goes through
     :func:`~azuredataengineering_deeplearning_spark.operators.scd.with_surrogate_key`
-    (range-partition + per-partition offsets, the fit_ordinal fix) —
+    (deterministic-bounds buckets + literal offsets, the fit_ordinal fix) —
     never an unpartitioned ``dense_rank``, because a near-unique
     key-like column makes distinct ≈ rows and a global window would
     serialize the frame through one task. The code attach keeps the

@@ -202,7 +202,7 @@ def quantile_buckets(
     deterministic under ties. One window shuffle on the grouping keys;
     with no keys the tiling routes through
     :func:`~azuredataengineering_deeplearning_spark.operators.windows.global_ntile`
-    (range-partition + broadcast offsets, eager) — never an
+    (deterministic-bounds buckets + literal offsets; lazy tiling) — never an
     unpartitioned ``ntile`` window, which would sort the whole frame
     through one task. :func:`bucket_by_bounds` (map-only at fixed
     boundaries) remains the cheapest path when approximate edges do."""
@@ -306,8 +306,9 @@ def rfm_segments(
     — range-partition + broadcast-offset row numbers + the SQL tile
     formula — never ``ntile`` over an unpartitioned window, which would
     serialize every distinct customer through one task at 100-TB
-    interaction scale. Three range shuffles of the entity frame total.
-    Eager (``global_ntile`` runs its numbering jobs at call time)."""
+    interaction scale. Three bucket shuffles of the entity frame total; each
+    ``global_ntile`` runs two cheap O(buckets) jobs at call time and
+    tiles lazily at action."""
     from azuredataengineering_deeplearning_spark.operators.windows import global_ntile
 
     per = df.groupBy(id_col).agg(
@@ -850,12 +851,14 @@ def ks_two_sample(
     the distribution-equality test pairing with :func:`psi` (which
     quantizes) and :func:`ab_welch` (means only). Per distinct pooled
     value, cumulative counts from both samples — distributed via
-    ``_ordered_running_sums`` (range-partition + per-partition broadcast
-    offsets, ml.py), never a single-task global window: for continuous
-    measures distinct cardinality ≈ row count, so the old
-    one-partition CDF window was the rfm-class bottleneck. The sample
-    sizes ride the offset collect for free (no second aggregate).
-    Eager (the offset jobs run at call time)."""
+    ``_ordered_running_sums`` (deterministic quantile-bounds buckets +
+    literal-array offsets, ml.py), never a single-task global window:
+    for continuous measures distinct cardinality ≈ row count, so the
+    old one-partition CDF window was the rfm-class bottleneck. The
+    bounds/totals jobs run on the pooled RAW union (indicator columns,
+    O(buckets) groups), so the distinct-value aggregate runs once; the
+    sample sizes ride the totals collect for free. Eager bounds/totals
+    jobs at call time; the CDF frame stays lazy."""
     a = df_a.select(F.col(value_col).cast("double").alias("v")).filter(
         F.col("v").isNotNull()
     )
@@ -879,7 +882,15 @@ def ks_two_sample(
         _ordered_running_sums,
     )
 
-    cum, tot = _ordered_running_sums(counts, "v", ["ca", "cb"], ascending=True)
+    pooled = a.select(
+        "v", F.lit(1.0).alias("__ia"), F.lit(0.0).alias("__ib")
+    ).unionByName(
+        b.select("v", F.lit(0.0).alias("__ia"), F.lit(1.0).alias("__ib"))
+    )
+    cum, tot = _ordered_running_sums(
+        counts, "v", ["ca", "cb"], ascending=True,
+        raw=(pooled, F.col("v"), {"ca": F.col("__ia"), "cb": F.col("__ib")}),
+    )
     na, nb = tot["ca"], tot["cb"]
     return (
         cum.withColumn(

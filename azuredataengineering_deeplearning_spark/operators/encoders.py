@@ -109,8 +109,8 @@ def fit_ordinal(df: DataFrame, column: str) -> DataFrame:
     ``generate_data.py:1104-1151``).
 
     The rank over the distinct-value frame is distributed via the
-    surrogate-key pattern (range-partition + per-partition offsets,
-    scd.py:77-90) rather than an unpartitioned ``dense_rank`` — for
+    surrogate-key pattern (deterministic-bounds buckets + literal
+    offsets, scd.py/windows.py) rather than an unpartitioned ``dense_rank`` — for
     near-unique key-like columns distinct cardinality ≈ row count and
     a global-window rank would serialize onto one task. Values are
     distinct here, so rank ≡ row number."""
@@ -197,8 +197,9 @@ def lift_table(
     (range-partition + broadcast-offset row numbers), never an
     unpartitioned ``ntile`` window — full-population score frames are
     row-scale, and a global window would sort them through one task.
-    Eager (the numbering jobs run at call time); for map-only bucketing
-    at fixed boundaries use `aggregates.bucket_by_bounds`."""
+    Two cheap O(buckets) jobs run at call time; the tiering itself is
+    lazy. For map-only bucketing at fixed boundaries use
+    `aggregates.bucket_by_bounds`."""
     from pyspark.sql import Window
 
     from azuredataengineering_deeplearning_spark.operators.windows import global_ntile

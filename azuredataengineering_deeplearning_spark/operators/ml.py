@@ -196,64 +196,110 @@ def _ordered_running_sums(
     order_col: str,
     value_cols: Sequence[str],
     ascending: bool = True,
+    raw: tuple[DataFrame, "F.Column", dict[str, "F.Column"]] | None = None,
+    n_buckets: int | None = None,
 ) -> tuple[DataFrame, dict[str, float]]:
     """Running (inclusive) sums of ``value_cols`` along the total order
-    of ``order_col`` WITHOUT a single-task global window — the
-    surrogate-key pattern (scd.py:77-90) applied to cumulative sums:
-    range-partition on the order column, cumsum within each partition,
-    then add per-partition totals back as broadcast offsets.  Matters
+    of ``order_col`` WITHOUT a single-task global window. Matters
     because callers feed per-distinct-score frames, and for continuous
     model scores distinct cardinality ≈ row count — a plain
     ``Window.orderBy`` would serialize 100 TB of scores through one
-    task.  Assumes ``order_col`` values are distinct (true for the
+    task. Assumes ``order_col`` values are distinct (true for the
     post-groupBy frames the eval suite builds).
 
-    ``spark_partition_id()`` is non-deterministic, so ``__pid`` is
-    pinned with an eager ``localCheckpoint`` BEFORE the frame forks
-    into the cumsum branch and the per-partition-totals job — without
-    it the two branches would only agree by grace of exchange reuse
-    (see ``global_row_number``, windows.py:497, for the same hazard).
-    The per-partition totals are collected driver-side (O(partitions)
-    rows, same class as the checkpoint's own job), the exclusive
-    prefix sums computed in Python, and rebroadcast — no unpartitioned
-    offset window remains in the plan.
+    Shape — DETERMINISTIC-BOUNDS bucketing (replaces the r5
+    ``repartitionByRange`` + pinned ``spark_partition_id`` kernel,
+    whose persist/localCheckpoint lifecycle cost two full-frame
+    materializations and made the result lineage-free):
 
-    Returns ``(frame with __cum_<col> per value column, grand totals
-    {col: sum})`` — the totals come free from the offset collect, so
-    callers never re-aggregate the raw frame for them."""
-    ob = F.col(order_col).asc() if ascending else F.col(order_col).desc()
-    parted = counts.repartitionByRange(ob)
-    with_pid = parted.withColumn(
-        "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
-    per_part = with_pid.groupBy("__pid").agg(
-        *[F.sum(c).alias(c) for c in value_cols]
-    ).collect()
+    1. bucket boundaries from an approx-quantile sketch (one cheap
+       scan); the bucket id ``#bounds < value`` is a PURE FUNCTION OF
+       THE DATA VALUE, so any recomputation reproduces it — no pinning,
+       no persist, no checkpoint, ordinary fault tolerance;
+    2. per-bucket totals in a second O(buckets)-group scan, collected
+       driver-side; exclusive prefix sums → offsets;
+    3. the returned frame is LAZY: within-bucket running windows
+       (``Window.partitionBy(__b)``, parallel) plus the offset attached
+       by an O(buckets) literal-array lookup — no join, one shuffle.
+
+    ``raw=(df, order_expr, {value_col: sum_expr})`` lets callers point
+    steps 1-2 at the RAW pre-aggregation frame: the quantile sketch and
+    the O(buckets) totals agg are then plain scans with map-side
+    combine, never re-running the caller's distinct-score aggregate
+    (the expensive part). Without ``raw`` both jobs evaluate ``counts``.
+
+    Eager CONTRACT NOTE: the two bound/total jobs run at call time
+    (freezing their view of the input); the cum frame itself stays
+    lazy. Returns ``(frame with __cum_<col> per value column, grand
+    totals {col: sum})`` — totals fall out of the offset pass, so
+    callers never re-aggregate for them."""
+    from functools import reduce
+
+    spark = counts.sparkSession
+    n = n_buckets or spark.sparkContext.defaultParallelism
+    probs = [i / n for i in range(1, n)]
+    if raw is not None:
+        rdf, oexpr, vexprs = raw
+        # bounds only steer bucket BALANCE, never correctness — a 5%
+        # sample keeps the sketch scan cheap at any scale
+        bounds = (
+            rdf.select(oexpr.alias("__oq"))
+            .sample(fraction=0.05, seed=7)
+            .approxQuantile("__oq", probs, 0.02)
+        )
+    else:
+        bounds = counts.approxQuantile(order_col, probs, 0.01)
+    bounds = sorted({float(b) for b in bounds if b is not None})
+
+    def bucket_of(c):
+        # nulls compare to null -> otherwise(0): bucket 0, matching
+        # NULLS FIRST (asc) / NULLS LAST (desc, bucket 0 walks last)
+        return reduce(
+            lambda a, b: a + F.when(c > F.lit(b), 1).otherwise(0),
+            bounds,
+            F.lit(0),
+        )
+
+    if raw is not None:
+        per = (
+            rdf.groupBy(bucket_of(oexpr).alias("__b"))
+            .agg(*[F.sum(e).alias(c) for c, e in vexprs.items()])
+            .collect()
+        )
+    else:
+        per = (
+            counts.groupBy(bucket_of(F.col(order_col)).alias("__b"))
+            .agg(*[F.sum(c).alias(c) for c in value_cols])
+            .collect()
+        )
+    n_b = len(bounds) + 1
+    totals_by_b = {int(r["__b"]): r for r in per}
     acc = {c: 0.0 for c in value_cols}
-    offset_rows = []
-    for r in sorted(per_part, key=lambda r: r["__pid"]):
-        offset_rows.append((r["__pid"], *[acc[c] for c in value_cols]))
+    off_arrays = {c: [0.0] * n_b for c in value_cols}
+    walk = range(n_b) if ascending else reversed(range(n_b))
+    for b in walk:
         for c in value_cols:
-            acc[c] += float(r[c] or 0.0)
-    schema = "__pid int, " + ", ".join(f"__off_{c} double" for c in value_cols)
-    offsets = counts.sparkSession.createDataFrame(offset_rows, schema)
+            off_arrays[c][b] = acc[c]
+        r = totals_by_b.get(b)
+        if r is not None:
+            for c in value_cols:
+                acc[c] += float(r[c] or 0.0)
+
+    ob = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    wc = counts.withColumn("__b", bucket_of(F.col(order_col)))
     w_in = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__b")
         .orderBy(ob)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = with_pid.select(
-        "*", *[F.sum(c).over(w_in).alias(f"__cin_{c}") for c in value_cols]
-    )
-    out = cum.join(F.broadcast(offsets), "__pid")
+    out = wc
     for c in value_cols:
-        out = out.withColumn(f"__cum_{c}", F.col(f"__cin_{c}") + F.col(f"__off_{c}"))
-    out = out.drop(
-        "__pid",
-        *[f"__cin_{c}" for c in value_cols],
-        *[f"__off_{c}" for c in value_cols],
-    )
-    return out, acc
+        arr = F.array(*[F.lit(v) for v in off_arrays[c]])
+        out = out.withColumn(
+            f"__cum_{c}",
+            F.sum(c).over(w_in) + F.element_at(arr, F.col("__b") + 1),
+        )
+    return out.drop("__b"), acc
 
 
 def binary_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
@@ -267,16 +313,23 @@ def binary_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     ``label_col`` must be 0/1.
 
     The running-negative cumulative over the distinct-score frame is
-    distributed via :func:`_ordered_running_sums` (range-partition +
-    per-partition broadcast offsets) — for continuous model scores
-    distinct cardinality ≈ row count, so an unpartitioned window here
-    would be a single-task bottleneck at scale."""
+    distributed via :func:`_ordered_running_sums` (deterministic
+    quantile-bounds buckets + literal-array offsets) — for continuous
+    model scores distinct cardinality ≈ row count, so an unpartitioned
+    window here would be a single-task bottleneck at scale. The
+    bounds/totals jobs run against the RAW frame (cheap O(buckets)
+    aggregates), so the distinct-score hash aggregate runs exactly once,
+    at the caller's action. Eager bounds/totals jobs at call time; the
+    result frame is lazy and fault-tolerant."""
     y = F.col(label_col).cast("double")
     counts = df.groupBy(F.col(score_col).alias("__s")).agg(
         F.sum(y).alias("__pos"),
         F.sum(1.0 - y).alias("__neg"),
     )
-    cum, _ = _ordered_running_sums(counts, "__s", ["__neg"], ascending=True)
+    cum, _ = _ordered_running_sums(
+        counts, "__s", ["__neg"], ascending=True,
+        raw=(df, F.col(score_col), {"__neg": 1.0 - y}),
+    )
     # negatives strictly below this score = inclusive running sum − own
     contrib = cum.select(
         "__pos",
@@ -372,14 +425,21 @@ def threshold_sweep(
     collect the running sums already do (one aggregation of the raw
     data, total) and enter the plan as a literal. ``argmax f1`` over
     the result picks the operating point; no repeated scans per
-    candidate threshold."""
+    candidate threshold. Eager: the offset jobs run at call time (see
+    :func:`_ordered_running_sums`), freezing input state at the call,
+    not at the caller's first action."""
     y = F.col(label_col).cast("double")
     counts = df.groupBy(F.col(score_col).cast("double").alias("threshold")).agg(
         F.sum(y).alias("__pos"),
         F.sum(1.0 - y).alias("__neg"),
     )
     cum, totals = _ordered_running_sums(
-        counts, "threshold", ["__pos", "__neg"], ascending=False
+        counts, "threshold", ["__pos", "__neg"], ascending=False,
+        raw=(
+            df,
+            F.col(score_col).cast("double"),
+            {"__pos": y, "__neg": 1.0 - y},
+        ),
     )
     tp = F.col("__cum___pos")
     fp = F.col("__cum___neg")

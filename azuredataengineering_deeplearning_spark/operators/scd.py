@@ -75,32 +75,24 @@ def with_surrogate_key(
     within partitions, then add per-partition row-count offsets (a tiny
     broadcast) — the zipWithIndex pattern in pure DataFrame form.
 
-    ``__pid`` is pinned with an eager ``localCheckpoint`` before the
-    frame forks into the numbering branch and the counts job:
-    ``spark_partition_id()`` is non-deterministic, so without the pin
-    the two branches only agree by grace of exchange reuse (same
-    hazard as ``global_row_number``, windows.py:497). The count job
-    collects O(partitions) rows; exclusive prefix sums are computed
-    driver-side and rebroadcast, so no unpartitioned window remains."""
-    parted = df.repartitionByRange(*[F.col(c) for c in order_by])
-    with_pid = parted.withColumn(
-        "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
-    sizes = with_pid.groupBy("__pid").count().collect()
-    offset_rows, acc = [], 0
-    for r in sorted(sizes, key=lambda r: r["__pid"]):
-        offset_rows.append((r["__pid"], acc))
-        acc += r["count"]
-    offsets = df.sparkSession.createDataFrame(
-        offset_rows, "__pid int, __off long"
+    Delegates to ``windows._global_row_number_total`` — the
+    deterministic-bounds bucketing kernel (bucket id is a pure function
+    of the leading order value, so recomputation is always consistent:
+    no ``spark_partition_id`` pinning, no persist, no checkpoint,
+    ordinary lineage fault tolerance). Two cheap O(buckets)-result jobs
+    run at call time (bounds sample + per-bucket counts); the numbering
+    itself is LAZY and runs at the caller's action. Persist the input
+    upstream if it is expensive to recompute across those scans."""
+    from azuredataengineering_deeplearning_spark.operators.windows import (
+        _global_row_number_total,
     )
-    w_in = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_by])
-    numbered = with_pid.withColumn("__rn", F.row_number().over(w_in))
-    return (
-        numbered.join(F.broadcast(offsets), "__pid")
-        .withColumn(out, (F.col("__rn") + F.col("__off") + F.lit(start - 1)).cast("long"))
-        .drop("__pid", "__rn", "__off")
-    )
+
+    numbered, _ = _global_row_number_total(df, list(order_by), out, None)
+    if start != 1:
+        numbered = numbered.withColumn(
+            out, (F.col(out) + F.lit(start - 1)).cast("long")
+        )
+    return numbered
 
 
 def validate_scd2(

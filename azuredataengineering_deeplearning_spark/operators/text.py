@@ -179,25 +179,56 @@ def repetition_metrics(
     - ``dup_ngram_frac``: share of n-grams that occur more than once
       (templated/spun-text detector).
 
-    Two grouped aggregations, both partial-aggregated map-side; the
-    (id, gram) shuffle is the only wide stage and carries one row per
-    *distinct* gram per doc — at 100 TB this is the same shape as the
-    MinHash shingle stage and scales identically."""
+    ZERO-SHUFFLE: both metrics group only WITHIN a document, so they
+    compute map-side as a single codegen'd expression — sort the doc's
+    gram array, then one linear pass (``F.aggregate``) tracking run
+    lengths: max run = top-gram count, rows in runs > 1 = duplicated
+    grams. The former (id, gram) explode+shuffle carried one row per
+    gram per doc (petabytes of shuffle at 100 TB) for a computation
+    that never crossed document boundaries. Docs with no n-grams
+    (fewer than ``n`` words) emit no row, as before."""
     from azuredataengineering_deeplearning_spark.operators.relational import (
         widen_narrow_input,
     )
 
-    grams = widen_narrow_input(df).select(
-        id_col, F.explode(word_ngrams(text_col, n)).alias("__g")
+    arr = F.array_sort(word_ngrams(text_col, n))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("maxrun"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("tot"),
     )
-    cnts = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
-    total = F.sum("__c")
-    return cnts.groupBy(id_col).agg(
-        (F.max("__c").cast("double") / total).alias("top_ngram_frac"),
-        (
-            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).cast("double")
-            / total
-        ).alias("dup_ngram_frac"),
+
+    def step(acc, g):
+        new_run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            g.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["maxrun"], new_run).alias("maxrun"),
+            (
+                acc["dup"]
+                + F.when(new_run == 2, 2).when(new_run > 2, 1).otherwise(0)
+            ).alias("dup"),
+            (acc["tot"] + 1).alias("tot"),
+        )
+
+    st = F.aggregate(arr, zero, step)
+    return (
+        widen_narrow_input(df)
+        .select(id_col, st.alias("__st"))
+        .filter(F.col("__st.tot") > 0)
+        .select(
+            id_col,
+            (F.col("__st.maxrun").cast("double") / F.col("__st.tot")).alias(
+                "top_ngram_frac"
+            ),
+            (F.col("__st.dup").cast("double") / F.col("__st.tot")).alias(
+                "dup_ngram_frac"
+            ),
+        )
     )
 
 

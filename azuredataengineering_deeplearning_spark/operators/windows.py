@@ -474,6 +474,92 @@ def cumulative_distinct(
     ).drop("__first")
 
 
+def _order_specs(order):
+    """Normalize order entries to (expression, ascending) pairs.
+
+    Accepts plain column names, plain Columns, and Column sort specs
+    (``F.col(c).desc()``). Sort specs are deconstructed from the
+    Column's string form (``Column<'x DESC NULLS LAST'>``) — the inner
+    text minus the direction suffix re-parses via ``F.expr`` — because
+    the bucketing kernel needs the BARE expression for literal
+    comparisons, not just something orderable."""
+    specs = []
+    for c in order:
+        if isinstance(c, str):
+            specs.append((F.col(c), True))
+            continue
+        s = str(c)
+        inner = s[len("Column<'"):-2] if s.startswith("Column<'") and s.endswith("'>") else None
+        expr, asc = c, True
+        if inner is not None:
+            for suf, a in (
+                (" DESC NULLS LAST", False),
+                (" DESC NULLS FIRST", False),
+                (" ASC NULLS FIRST", True),
+                (" ASC NULLS LAST", True),
+            ):
+                if inner.endswith(suf):
+                    expr, asc = F.expr(inner[: -len(suf)]), a
+                    break
+        specs.append((expr, asc))
+    return specs
+
+
+_NUMERIC_TYPES = {
+    "byte", "short", "integer", "long", "float", "double", "decimal",
+}
+
+
+def _bucket_bounds(df: DataFrame, first, n: int) -> list:
+    """Deterministic bucket boundaries for the leading order expression:
+    an approx-quantile sketch over a 5% sample for numeric types, an
+    evenly-spaced pick from a capped sorted sample otherwise. Bounds
+    steer bucket BALANCE only — bucket id is ``#bounds < value``, a
+    pure function of the value, so ANY bound set yields a correct
+    (monotone, recompute-stable) bucketing."""
+    full = df.select(first.alias("__v"))
+    probe = full.sample(fraction=0.05, seed=7)
+    dt = probe.schema[0].dataType.typeName()
+    probs = [i / n for i in range(1, n)]
+    if dt in _NUMERIC_TYPES or dt.startswith("decimal"):
+        bounds = sorted(
+            {float(b) for b in probe.approxQuantile("__v", probs, 0.02) if b is not None}
+        )
+        if not bounds:
+            # small frame: the sample missed — one full-frame sketch is
+            # cheap there, and without it the single constant bucket
+            # folds into an unpartitioned window
+            bounds = sorted(
+                {float(b) for b in full.approxQuantile("__v", probs, 0.02) if b is not None}
+            )
+        return bounds
+
+    def _pick(vals: list) -> list:
+        if len(vals) <= n:
+            return vals[:-1] if len(vals) > 1 else []
+        step = len(vals) / n
+        return sorted({vals[int(i * step)] for i in range(1, n)})
+
+    vals = sorted({r[0] for r in probe.limit(50_000).collect() if r[0] is not None})
+    if len(vals) < 2:
+        vals = sorted({r[0] for r in full.limit(50_000).collect() if r[0] is not None})
+    return _pick(vals)
+
+
+def _with_bucket(df: DataFrame, first, bounds) -> DataFrame:
+    """Attach ``__rb`` = count of bounds strictly below the leading
+    order value (nulls → bucket 0, matching NULLS FIRST asc / NULLS
+    LAST desc once buckets are walked in direction order)."""
+    from functools import reduce
+
+    bucket = reduce(
+        lambda a, b: a + F.when(first > F.lit(b), 1).otherwise(0),
+        bounds,
+        F.lit(0),
+    )
+    return df.withColumn("__rb", bucket)
+
+
 def global_row_number(
     df: DataFrame,
     order: Sequence[str | Column],
@@ -482,20 +568,28 @@ def global_row_number(
 ) -> DataFrame:
     """Dense 1-based global row numbers in total ``order`` WITHOUT the
     single-reducer global window (``Window.orderBy`` with no partition
-    key funnels 100 TB through one task). Two-phase: range-partition on
-    the order keys, number rows inside each partition (parallel
-    windows), then shift each partition by the cumulative count of the
-    partitions before it — an O(partitions) scalar collect, the
-    ``zipWithIndex`` pattern expressed in DataFrames.
+    key funnels 100 TB through one task) — the ``zipWithIndex`` pattern
+    in pure DataFrames, built on DETERMINISTIC-BOUNDS bucketing:
+
+    1. bucket boundaries for the leading order column from a sampled
+       quantile sketch (numeric) or sorted-sample pick (other types);
+       the bucket id is a pure function of the value, so recomputation
+       is always consistent — no ``spark_partition_id`` pinning, no
+       persist, no checkpoint, ordinary lineage fault tolerance;
+    2. per-bucket row counts from one O(buckets)-group aggregate,
+       collected; exclusive prefix sums become literal offsets;
+    3. the returned frame is LAZY: ``row_number`` inside each bucket
+       (parallel windows partitioned by ``__rb``) plus the bucket's
+       offset via an O(buckets) literal-array lookup.
 
     ``order`` should be a total order (add a unique tiebreak column);
-    equal keys land in one range partition, so numbering stays
-    deterministic. Entries may be Column sort specs
-    (``F.col(c).desc()``) — range partitioning honors the direction.
+    rows with equal leading values land in one bucket, so numbering
+    stays deterministic. Entries may be Column sort specs
+    (``F.col(c).desc()``).
 
-    NOTE: eager — the numbering jobs run at call time (and the result
-    is pinned with a lineage-free ``localCheckpoint``), not when the
-    caller first acts on the returned frame."""
+    Contract note: the bounds/counts jobs run at call time (two cheap
+    scans of the input — persist upstream if it is expensive to
+    recompute); the numbering itself runs at the caller's action."""
     result, _ = _global_row_number_total(df, order, out, num_partitions)
     return result
 
@@ -507,42 +601,33 @@ def _global_row_number_total(
     num_partitions: int | None,
 ) -> tuple[DataFrame, int]:
     """:func:`global_row_number` core, additionally returning the total
-    row count — free from the per-partition size collect, so callers
-    like :func:`global_ntile` never pay a second counting job."""
+    row count — free from the per-bucket size collect, so callers like
+    :func:`global_ntile` never pay a second counting job."""
+    specs = _order_specs(order)
     ocols = [F.col(c) if isinstance(c, str) else c for c in order]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # persist BEFORE branching: the size-count job and the numbering job
-    # must see one materialization of __pid — re-evaluating
-    # spark_partition_id() in a second job (or after the window's own
-    # exchange) would renumber rows arbitrarily
-    parts = (
-        df.repartitionByRange(n, *ocols)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
+    first, first_asc = specs[0]
+    bounds = _bucket_bounds(df, first, n)
+    bucketed = _with_bucket(df, first, bounds)
     sizes = {
-        r["__pid"]: r["cnt"]
-        for r in parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        int(r["__rb"]): r["cnt"]
+        for r in bucketed.groupBy("__rb").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    offsets, acc = [], 0
-    for pid in sorted(sizes):
-        offsets.append((pid, acc))
-        acc += sizes[pid]
-    off = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
-    w = Window.partitionBy("__pid").orderBy(*ocols)
-    numbered = (
-        parts.join(F.broadcast(off), "__pid")
-        .withColumn(out, (F.row_number().over(w) + F.col("__off")).cast("long"))
-        .drop("__pid", "__off")
-    )
-    # run the numbering job NOW (eager localCheckpoint severs the
-    # lineage), then release the cached __pid frame — otherwise every
-    # call leaks a cached copy of the full input for the session's
-    # lifetime. Checkpoint blocks are reference-tracked and cleaned
-    # when the result is garbage collected.
-    result = numbered.localCheckpoint(eager=True)
-    parts.unpersist()
-    return result, acc
+    n_b = len(bounds) + 1
+    offsets, acc = [0] * n_b, 0
+    walk = range(n_b) if first_asc else reversed(range(n_b))
+    for b in walk:
+        offsets[b] = acc
+        acc += sizes.get(b, 0)
+    off_arr = F.array(*[F.lit(v) for v in offsets])
+    w = Window.partitionBy("__rb").orderBy(*ocols)
+    numbered = bucketed.withColumn(
+        out,
+        (F.row_number().over(w) + F.element_at(off_arr, F.col("__rb") + 1)).cast(
+            "long"
+        ),
+    ).drop("__rb")
+    return numbered, acc
 
 
 def global_ntile(
@@ -556,14 +641,15 @@ def global_ntile(
     global window — the distributed twin of
     ``F.ntile(n).over(Window.orderBy(...))``, which funnels the whole
     frame through one task at scale. Built on
-    :func:`global_row_number` (range-partition + broadcast offsets) plus
-    the SQL-standard tile formula: with total ``T`` rows, the first
+    :func:`global_row_number` (deterministic-bounds buckets + literal
+    offsets; lazy result, two cheap scans at call time) plus the
+    SQL-standard tile formula: with total ``T`` rows, the first
     ``T % n`` buckets hold ``T//n + 1`` rows and the rest ``T//n`` —
     bit-identical to Spark's and DuckDB's ``NTILE`` (larger buckets
     first), so oracle parity holds for any ``T``/``n``.
 
     ``order`` must be a total order (add a unique tiebreak) for the
-    tiles to be deterministic. Eager, like :func:`global_row_number`."""
+    tiles to be deterministic."""
     numbered, total = _global_row_number_total(df, order, "__gnt_rn", num_partitions)
     base, rem = divmod(total, n_tiles)
     rn = F.col("__gnt_rn")

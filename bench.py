@@ -68,6 +68,10 @@ HEADLINE = [
     "ts_make_series",
     "graph_bom_closure",
     "o5_percentiles_doc_length",
+    # model-eval hot path (round 6): rewritten in r4/r5/r6 with no bench
+    # row to catch a perf regression — now first-class headline rows
+    "ml_classification_report",
+    "lm_token_f1",
 ]
 
 
@@ -81,7 +85,7 @@ def main() -> None:
     qs = E.queries()
     spark = get_spark(app_name="ades-bench")
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
@@ -91,14 +95,18 @@ def main() -> None:
         df.count()  # warm: plan + scan caches JIT'd code paths
         # median of `reps` timed runs — sub-second queries at this scale
         # sit in a ±20% JVM-jitter band, so a single sample makes
-        # round-over-round comparisons noise-dominated
+        # round-over-round comparisons noise-dominated. The max sample
+        # is DISCARDED before taking the median (r4/r5 both recorded
+        # phantom regressions from machine-load spikes during the
+        # driver sweep; one loaded rep can no longer distort a row)
         samples = []
         for _ in range(reps):
             t0 = time.time()
             df.count()
             samples.append(time.time() - t0)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        kept = samples[:-1] if len(samples) >= 3 else samples
+        timings[name] = round(kept[len(kept) // 2], 3)
         # drop this query's persisted intermediates so later queries are
         # measured without accumulated executor-memory pressure
         spark.catalog.clearCache()

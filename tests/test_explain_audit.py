@@ -319,16 +319,16 @@ def test_auc_reduces_before_ordering(spark, sf_dir):
     # per-partition offsets attach via broadcast, never a shuffle join
     assert "SortMergeJoin" not in plan
     # no unpartitioned window over the distinct-score frame: every
-    # window must lead with __pid (either partitioned by it, or the
-    # O(partitions)-row offset window ordered by it). For continuous
-    # scores distinct cardinality ~ row count, so a window leading
-    # with the score column would serialize onto one task.
+    # window must partition on the deterministic quantile-bounds bucket
+    # (__b). For continuous scores distinct cardinality ~ row count, so
+    # a window leading with the score column would serialize onto one
+    # task.
     firsts = _window_first_args(plan)
-    assert firsts and all(a == "__pid" for a in firsts), firsts
+    assert firsts and all(a == "__b" for a in firsts), firsts
 
 
 def test_threshold_sweep_no_global_score_window(spark, sf_dir):
     plan = _plan(E.queries()["ml_threshold_sweep"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     firsts = _window_first_args(plan)
-    assert firsts and all(a == "__pid" for a in firsts), firsts
+    assert firsts and all(a == "__b" for a in firsts), firsts

@@ -35,6 +35,7 @@ def main() -> None:
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--edges", type=int, default=2_000_000)
     ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--scores", type=int, default=4_000_000)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -460,6 +461,75 @@ def main() -> None:
         results["token_f1"] = t
         print(json.dumps({"probe": "token_f1", "docs": args.docs,
                           "out_rows": n, "sec": t}))
+
+        # ---- exact AUC / PR sweep at millions of DISTINCT scores ------
+        # The eval-suite worst case: continuous model scores, so the
+        # per-distinct-score frame is as big as the data. Compares the
+        # distributed running-sum kernel (_ordered_running_sums:
+        # range-partition + broadcast offsets, 32-way parallel windows)
+        # against the old single-task global-window shape on the SAME
+        # per-score counts.
+        from pyspark.sql import Window
+
+        from azuredataengineering_deeplearning_spark.operators import ml as ML
+
+        scores_path = f"{tmp}/scores"
+        (
+            spark.range(args.scores)
+            .select(
+                # unique continuous score per row -> distinct == rows
+                (F.col("id").cast("double") / args.scores).alias("score"),
+                (F.rand(23) < (F.col("id") / args.scores)).cast("int").alias("label"),
+            )
+            .write.mode("overwrite").parquet(scores_path)
+        )
+        sc_df = spark.read.parquet(scores_path)
+
+        # .collect()/checksum-agg, never .count(): a count over a 1-row
+        # aggregate (or over a window whose outputs go unread) lets
+        # Catalyst PRUNE the computation being measured
+        t, _ = timed(lambda: ML.binary_auc(sc_df, "label", "score").collect())
+        t2, _ = timed(lambda: ML.binary_auc(sc_df, "label", "score").collect())
+        results["auc_distinct_distributed"] = t2
+        print(json.dumps({"probe": "auc_distinct_distributed",
+                          "distinct_scores": args.scores,
+                          "sec_cold": t, "sec": t2}))
+
+        def _auc_global_window():
+            y = F.col("label").cast("double")
+            counts = sc_df.groupBy(F.col("score").alias("__s")).agg(
+                F.sum(y).alias("__pos"), F.sum(1.0 - y).alias("__neg")
+            )
+            w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+            cum = counts.withColumn("__cum___neg", F.sum("__neg").over(w))
+            contrib = cum.select(
+                "__pos", "__neg",
+                (F.col("__pos") * (F.col("__cum___neg") - F.col("__neg")
+                                   + F.col("__neg") / 2.0)).alias("__c"),
+            )
+            return contrib.agg(
+                F.sum("__pos").alias("p"), F.sum("__neg").alias("n"),
+                F.sum("__c").alias("c"),
+            ).collect()
+
+        t, _ = timed(_auc_global_window)
+        t2, _ = timed(_auc_global_window)
+        results["auc_distinct_global_window"] = t2
+        print(json.dumps({"probe": "auc_distinct_global_window",
+                          "distinct_scores": args.scores,
+                          "sec_cold": t, "sec": t2}))
+
+        def _sweep_checksum():
+            sw = ML.threshold_sweep(sc_df, "label", "score")
+            # hash over every output column defeats window/column pruning
+            return sw.agg(F.sum(F.hash(*sw.columns))).collect()
+
+        t, _ = timed(_sweep_checksum)
+        t2, _ = timed(_sweep_checksum)
+        results["threshold_sweep_distinct"] = t2
+        print(json.dumps({"probe": "threshold_sweep_distinct",
+                          "distinct_scores": args.scores,
+                          "sec_cold": t, "sec": t2}))
 
     print(
         json.dumps(
