@@ -478,21 +478,52 @@ def _extend_one(
     """One ``extend Name = expr`` assignment. Serialized window
     functions (``row_number()``, ``prev(col[, n])``, ``next(col[, n])``)
     need a pinned row order — KQL requires ``serialize``/``sort`` before
-    them and so do we (the preceding ``sort by`` keys define the window
-    order). The window is global by construction, matching Kusto's
-    serialized-row semantics — use summarize/partitioned operators when
-    the data is large; for dense global numbering at scale see
-    ``windows.global_row_number``."""
+    them and so do we (the preceding ``sort by`` keys define the order).
+
+    Scale shape: Kusto's serialized-row semantics are implemented
+    WITHOUT an unpartitioned window. ``row_number()`` is
+    ``windows.global_row_number`` (deterministic-bounds buckets +
+    literal offsets — parallel windows, lazy); ``prev``/``next`` become
+    an equi-join against the frame shifted by ``±n`` on that row
+    number — a hash-partitioned join, never a single-task sort. The
+    row number is deterministic for a fixed sort key, so repeated
+    serialized extends in one pipe agree with each other."""
     if re.search(r"\b(row_number|prev|next)\s*\(", body):
         if order_spec is None:
             raise ValueError(
                 f"window function in {body!r} needs a preceding 'sort by' "
                 "(KQL serialize semantics)"
             )
-        over = f" OVER (ORDER BY {order_spec})"
-        body = re.sub(r"\brow_number\(\)", f"(row_number(){over})", body)
-        body = re.sub(rf"\bprev\(([^()]*)\)", lambda m: f"(lag({m.group(1)}){over})", body)
-        body = re.sub(rf"\bnext\(([^()]*)\)", lambda m: f"(lead({m.group(1)}){over})", body)
+        from azuredataengineering_deeplearning_spark.operators.windows import (
+            global_row_number,
+        )
+
+        base = global_row_number(df, _order_cols(order_spec), out="__kqlrn")
+        body = re.sub(r"\brow_number\(\)", "__kqlrn", body)
+        joins: list[tuple[str, str, int]] = []
+
+        def _shift_repl(sign):
+            def _r(m):
+                args = _split_csv(m.group(1))
+                col_expr = args[0].strip()
+                off = int(args[1]) if len(args) > 1 and args[1].strip() else 1
+                alias = f"__kqlw{len(joins)}"
+                joins.append((alias, col_expr, sign * off))
+                return alias
+
+            return _r
+
+        body = re.sub(r"\bprev\(([^()]*)\)", _shift_repl(+1), body)
+        body = re.sub(r"\bnext\(([^()]*)\)", _shift_repl(-1), body)
+        out = base
+        for alias, col_expr, off in joins:
+            shifted = base.select(
+                (F.col("__kqlrn") + F.lit(off)).alias("__kqlrn"),
+                F.expr(_expr(col_expr, now)).alias(alias),
+            )
+            out = out.join(shifted, "__kqlrn", "left")
+        out = out.withColumn(name, F.expr(_expr(body, now)))
+        return out.drop("__kqlrn", *[a for a, _, _ in joins])
     return df.withColumn(name, F.expr(_expr(body, now)))
 
 

@@ -68,8 +68,6 @@ BAD = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 UNPART_WINDOW_OK: dict[str, str] = {
     "a_histogram_quantiles": "cumsum over the O(bins) merged histogram frame",
     "a_grouped_histogram_quantiles": "cumsum over O(groups*bins) histogram frame",
-    "kql_serialized_diff": "KQL serialize contract is explicitly sequential; "
-    "bounded by the preceding `where`; global_row_number is the scale path",
     "ml_lift_table": "cumulative-capture over the O(buckets) tier aggregate "
     "(per-row tiering itself is distributed via global_ntile)",
     "prof_key_skew": "rank over the post-limit O(top_n) heavy-hitter frame",
