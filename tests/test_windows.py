@@ -459,3 +459,72 @@ def test_asof_salted_global_key_and_null_fields(spark):
         for r in asof_join_salted(l2, r2, on="t", by=[]).collect()
     }
     assert auto == got
+
+
+def test_global_ntile_matches_spark_ntile_property(spark):
+    """The hand-derived tile formula must be bit-identical to Spark's
+    NTILE over a global window, across sizes that exercise every
+    remainder case and bucket-vs-rows regime."""
+    from pyspark.sql import Window
+
+    from azuredataengineering_deeplearning_spark.operators.windows import global_ntile
+
+    for total, n in [(1, 4), (3, 4), (4, 4), (10, 4), (10, 3), (97, 8), (64, 64), (5, 7)]:
+        df = spark.range(total).select(
+            (F.col("id") * 37 % 101).alias("v"), F.col("id").alias("tid")
+        )
+        got = {
+            (r.v, r.tid): r.t
+            for r in global_ntile(df, ["v", "tid"], n, out="t").collect()
+        }
+        ref = {
+            (r.v, r.tid): r.t
+            for r in df.withColumn(
+                "t", F.ntile(n).over(Window.orderBy("v", "tid"))
+            ).collect()
+        }
+        assert got == ref, (total, n)
+
+
+def test_global_row_number_desc_and_string_orders(spark):
+    """Desc Column specs and string order columns (the sorted-sample
+    bounds path) must both produce the exact global ranking."""
+    from azuredataengineering_deeplearning_spark.operators.windows import global_row_number
+
+    df = spark.range(200).select(
+        (F.col("id") * 7 % 50).alias("num"),
+        F.concat(F.lit("k"), F.lpad((F.col("id") * 13 % 97).cast("string"), 3, "0")).alias("s"),
+        F.col("id").alias("tid"),
+    ).repartition(7)
+    # descending numeric with tiebreak
+    got = [
+        (r.num, r.tid)
+        for r in global_row_number(df, [F.col("num").desc(), F.col("tid")], out="rn")
+        .orderBy("rn")
+        .collect()
+    ]
+    ref = sorted(((r.num, r.tid) for r in df.collect()), key=lambda t: (-t[0], t[1]))
+    assert got == ref
+    # string leading order (non-numeric bounds path)
+    got_s = [
+        (r.s, r.tid)
+        for r in global_row_number(df, ["s", "tid"], out="rn").orderBy("rn").collect()
+    ]
+    ref_s = sorted(((r.s, r.tid) for r in df.collect()))
+    assert got_s == ref_s
+
+
+def test_global_row_number_is_recompute_stable(spark):
+    """The bucket id is a pure function of the value: re-evaluating the
+    SAME returned frame twice (lazy, no cache) must give identical
+    numbering — the property the old pid-pinned kernel needed
+    localCheckpoint for."""
+    from azuredataengineering_deeplearning_spark.operators.windows import global_row_number
+
+    df = spark.range(5000).select(
+        (F.hash("id") % 1000).alias("v"), F.col("id").alias("tid")
+    )
+    out = global_row_number(df, ["v", "tid"], out="rn")
+    first = sorted(map(tuple, out.collect()))
+    second = sorted(map(tuple, out.collect()))
+    assert first == second
