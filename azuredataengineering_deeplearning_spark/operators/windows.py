@@ -499,7 +499,18 @@ def _order_specs(order):
                 (" ASC NULLS LAST", True),
             ):
                 if inner.endswith(suf):
-                    expr, asc = F.expr(inner[: -len(suf)]), a
+                    bare = inner[: -len(suf)]
+                    # plain identifiers go through F.col (tolerates
+                    # names SQL parsing would reject); anything with
+                    # operator characters re-parses as an expression
+                    import re as _re
+
+                    expr = (
+                        F.expr(bare)
+                        if _re.search(r"[()+\-*/]", bare)
+                        else F.col(bare)
+                    )
+                    asc = a
                     break
         specs.append((expr, asc))
     return specs

@@ -336,3 +336,30 @@ def test_kql_top_hitters_and_lookup_shapes(spark, events):
         "events | lookup dim on event_type | where family == 'engagement' | count",
     ).collect()[0].Count
     assert lk == events.filter("event_type = 'click'").count()
+
+
+def test_serialized_prev_next_offsets(spark):
+    """prev(col, n) / next(col) over the distributed serialized path
+    must match pandas shift on the pinned sort order."""
+    from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 10, float(i * i)) for i in range(20)],
+        "event_id long, k long, value double",
+    ).repartition(5)
+    out = kql_to_df(
+        {"t": df},
+        "t | sort by k, event_id | serialize"
+        " | extend rn = row_number()"
+        " | extend p2 = prev(value, 2) | extend nx = next(value)"
+        " | project rn, event_id, value, p2, nx",
+    ).orderBy("rn").collect()
+    rows = sorted(
+        ((r.k, r.event_id, r.value) for r in df.collect())
+    )
+    vals = [v for _, _, v in rows]
+    for i, r in enumerate(out):
+        assert r.rn == i + 1
+        assert r.value == vals[i]
+        assert r.p2 == (vals[i - 2] if i >= 2 else None)
+        assert r.nx == (vals[i + 1] if i + 1 < len(vals) else None)
