@@ -333,3 +333,26 @@ def test_binary_auc_single_class_null_not_error(spark):
     assert ML.binary_auc(allneg, "y", "s").first()["auc"] is None
     sweep = ML.threshold_sweep(allneg, "y", "s").first()
     assert sweep["recall"] == 0.0 and sweep["precision"] == 0.0
+
+
+def test_ordered_running_sums_no_raw_fallback(spark):
+    """The raw=None path (bounds + totals computed from the counts
+    frame itself) must agree with the raw-hinted path and with a
+    pandas cumsum, ascending and descending."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from azuredataengineering_deeplearning_spark.operators.ml import (
+        _ordered_running_sums,
+    )
+
+    pdf = pd.DataFrame({"s": [float(x) for x in range(40)], "v": [float((x * 3) % 7) for x in range(40)]})
+    df = spark.createDataFrame(pdf).repartition(6)
+    for asc in (True, False):
+        cum, tot = _ordered_running_sums(df, "s", ["v"], ascending=asc)
+        got = {r["s"]: r["__cum_v"] for r in cum.collect()}
+        order = pdf.sort_values("s", ascending=asc)
+        ref = dict(zip(order["s"], order["v"].cumsum()))
+        assert got == ref, asc
+        assert tot["v"] == pdf["v"].sum()

@@ -660,3 +660,27 @@ def test_contamination_hash_grams_matches_string_grams(spark):
     h = {(r.doc_id, r.overlap_grams)
          for r in contamination_flags(corpus, bench, n=5, hash_grams=True).collect()}
     assert s == h and {d for d, _ in s} == {1, 3}
+
+
+def test_resolve_clusters_tiny_frontier_threshold_bails_and_converges(spark):
+    """A frontier threshold smaller than any changed set forces the
+    driver-tail gear to bail (or never engage) — convergence must then
+    come from the distributed pointer-jumping rounds alone, and a
+    threshold between the two regimes must still converge through the
+    bail-and-return path."""
+    from azuredataengineering_deeplearning_spark.operators.dedup import (
+        resolve_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 80)]      # 81-node chain
+        + [(1000 + 4 * j + k, 1000 + 4 * j) for j in range(30) for k in (1, 2, 3)],
+        "id_a long, id_b long",
+    )
+    for thresh in (1, 10):
+        out = resolve_clusters(pairs, max_iter=20, frontier_threshold=thresh)
+        labels = {r.node: r.cluster_id for r in out.collect()}
+        assert all(labels[i] == 0 for i in range(81)), thresh
+        for j in range(30):
+            root = 1000 + 4 * j
+            assert all(labels[root + k] == root for k in (0, 1, 2, 3)), thresh
