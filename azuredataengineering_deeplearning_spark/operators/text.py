@@ -373,23 +373,40 @@ def pack_sequences(
 
     Emits ``(id, n_tokens, pack_id, pack_offset)``. With ``pack_by``
     (e.g. lang or shard), packing is independent per group and the
-    window is partitioned — the scalable form. Without it the window is
-    global (single-partition): correct for bounded inputs, but at 100 TB
-    pack within shards instead — bins are shard-local by design, so
-    parallel packing loses nothing."""
+    window is partitioned — one shuffle. Without it the global running
+    total routes through ``_ordered_running_sums`` (deterministic
+    quantile-bounds buckets + literal offsets, ml.py) — parallel
+    windows, never a single-task global sort; ``order`` (default
+    ``id_col``) should be unique for deterministic packing."""
     tc = _c(token_count_col)
     order = F.col(order_by if order_by is not None else id_col)
     from pyspark.sql import Window
 
-    w = (Window.partitionBy(pack_by) if pack_by else Window.partitionBy()).orderBy(order)
-    before = F.coalesce(
-        F.sum(tc).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-    )
-    cols = [F.col(id_col), tc.alias("n_tokens")]
     if pack_by:
-        cols.insert(0, F.col(pack_by))
-    return df.select(
-        *cols,
+        w = Window.partitionBy(pack_by).orderBy(order)
+        before = F.coalesce(
+            F.sum(tc).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        )
+        return df.select(
+            F.col(pack_by),
+            F.col(id_col),
+            tc.alias("n_tokens"),
+            F.floor(before / budget).cast("int").alias("pack_id"),
+            (before % budget).cast("int").alias("pack_offset"),
+        )
+    from azuredataengineering_deeplearning_spark.operators.ml import (
+        _ordered_running_sums,
+    )
+
+    sel = df.select(F.col(id_col), tc.alias("n_tokens"), order.alias("__ord"))
+    cum, _ = _ordered_running_sums(
+        sel, "__ord", ["n_tokens"], ascending=True,
+        raw=(sel, F.col("__ord"), {"n_tokens": F.col("n_tokens")}),
+    )
+    before = F.col("__cum_n_tokens") - F.col("n_tokens")
+    return cum.select(
+        F.col(id_col),
+        F.col("n_tokens"),
         F.floor(before / budget).cast("int").alias("pack_id"),
         (before % budget).cast("int").alias("pack_offset"),
     )
