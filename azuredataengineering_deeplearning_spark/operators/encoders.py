@@ -253,11 +253,48 @@ def quantile_transform(
     shuffle on the group keys; ``tiebreak`` pins ranks under equal
     values (without it, SQL percent_rank already gives ties equal
     rank, which is deterministic — pass a tiebreak only when you want
-    strict ordering)."""
+    strict ordering).
+
+    With EMPTY ``keys`` the rank is global, and a bare
+    ``Window.orderBy`` would funnel the frame through one task — so
+    the global path computes ``rank(v) = 1 + #rows below v`` over the
+    per-distinct-value counts via ``_ordered_running_sums``
+    (deterministic buckets, parallel windows), exactly matching SQL
+    ``percent_rank`` tie semantics; a ``tiebreak`` instead routes
+    through ``global_row_number`` (strict total order)."""
     from pyspark.sql import Window
 
+    out = out or f"{value}_q"
+    keys = list(keys)
     order = [F.col(value).asc()] + (
         [F.col(tiebreak).asc()] if tiebreak else []
     )
-    w = Window.partitionBy(*list(keys)).orderBy(*order)
-    return df.withColumn(out or f"{value}_q", F.percent_rank().over(w))
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(*order)
+        return df.withColumn(out, F.percent_rank().over(w))
+    if tiebreak:
+        from azuredataengineering_deeplearning_spark.operators.windows import (
+            _global_row_number_total,
+        )
+
+        numbered, total = _global_row_number_total(df, order, "__qrn", None)
+        return numbered.withColumn(
+            out, (F.col("__qrn") - 1) / F.lit(max(total - 1, 1))
+        ).drop("__qrn")
+    from azuredataengineering_deeplearning_spark.operators.ml import (
+        _ordered_running_sums,
+    )
+
+    counts = df.groupBy(F.col(value).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    cum, tot = _ordered_running_sums(
+        counts, "__v", ["__c"], ascending=True,
+        raw=(df, F.col(value), {"__c": F.lit(1.0)}),
+    )
+    total = tot["__c"]
+    ranks = cum.select(
+        F.col("__v").alias(value),
+        ((F.col("__cum___c") - F.col("__c")) / F.lit(max(total - 1, 1.0))).alias(out),
+    )
+    return df.join(ranks, [value], "left")

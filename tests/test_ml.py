@@ -356,3 +356,35 @@ def test_ordered_running_sums_no_raw_fallback(spark):
         ref = dict(zip(order["s"], order["v"].cumsum()))
         assert got == ref, asc
         assert tot["v"] == pdf["v"].sum()
+
+
+def test_quantile_transform_global_paths_match_window(spark):
+    """Empty-keys quantile_transform (distributed rank path, with and
+    without tiebreak) must equal the single-window percent_rank."""
+    from pyspark.sql import Window
+
+    from azuredataengineering_deeplearning_spark.operators.encoders import (
+        quantile_transform,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float((i * 13) % 7)) for i in range(50)], "tid int, v double"
+    ).repartition(5)
+    # ties, no tiebreak: SQL percent_rank tie semantics
+    got = {r.tid: r.v_q for r in quantile_transform(df, [], "v").collect()}
+    ref = {
+        r.tid: r.v_q
+        for r in df.withColumn(
+            "v_q", F.percent_rank().over(Window.orderBy(F.col("v")))
+        ).collect()
+    }
+    assert got == ref
+    # strict ordering via tiebreak
+    got2 = {r.tid: r.v_q for r in quantile_transform(df, [], "v", tiebreak="tid").collect()}
+    ref2 = {
+        r.tid: r.v_q
+        for r in df.withColumn(
+            "v_q", F.percent_rank().over(Window.orderBy(F.col("v"), F.col("tid")))
+        ).collect()
+    }
+    assert got2 == ref2
