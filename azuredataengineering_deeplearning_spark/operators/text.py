@@ -398,12 +398,21 @@ def pack_sequences(
         _ordered_running_sums,
     )
 
-    sel = df.select(F.col(id_col), tc.alias("n_tokens"), order.alias("__ord"))
-    cum, _ = _ordered_running_sums(
-        sel, "__ord", ["n_tokens"], ascending=True,
-        raw=(sel, F.col("__ord"), {"n_tokens": F.col("n_tokens")}),
+    # the kernel's within-bucket SUM window is null-propagating for an
+    # all-null prefix, so run it over a 0-coalesced copy — null token
+    # counts contribute nothing to the running total (old single-window
+    # contract) while n_tokens itself stays raw
+    sel = df.select(
+        F.col(id_col),
+        tc.alias("n_tokens"),
+        F.coalesce(tc, F.lit(0)).alias("__tok"),
+        order.alias("__ord"),
     )
-    before = F.col("__cum_n_tokens") - F.col("n_tokens")
+    cum, _ = _ordered_running_sums(
+        sel, "__ord", ["__tok"], ascending=True,
+        raw=(sel, F.col("__ord"), {"__tok": F.col("__tok")}),
+    )
+    before = F.col("__cum___tok") - F.col("__tok")
     return cum.select(
         F.col(id_col),
         F.col("n_tokens"),
