@@ -531,6 +531,87 @@ def main() -> None:
                           "distinct_scores": args.scores,
                           "sec_cold": t, "sec": t2}))
 
+        # ---- global quantile_transform (empty keys) at distinct==rows -
+        # Same worst case as AUC: every score distinct, so the global
+        # percent_rank frame is as big as the data. Distributed path
+        # (rank = 1 + rows-below-v via _ordered_running_sums) vs the
+        # single-task global percent_rank window on the same input.
+        from azuredataengineering_deeplearning_spark.operators import (
+            encoders as ENC,
+        )
+
+        def _qt_checksum():
+            q = ENC.quantile_transform(sc_df, [], "score")
+            return q.agg(F.sum(F.hash(*q.columns))).collect()
+
+        t, _ = timed(_qt_checksum)
+        t2, _ = timed(_qt_checksum)
+        results["quantile_transform_global"] = t2
+        print(json.dumps({"probe": "quantile_transform_global",
+                          "distinct_scores": args.scores,
+                          "sec_cold": t, "sec": t2}))
+
+        def _qt_global_window():
+            q = sc_df.withColumn(
+                "score_q", F.percent_rank().over(Window.orderBy("score"))
+            )
+            return q.agg(F.sum(F.hash(*q.columns))).collect()
+
+        t, _ = timed(_qt_global_window)
+        t2, _ = timed(_qt_global_window)
+        results["quantile_transform_global_window"] = t2
+        print(json.dumps({"probe": "quantile_transform_global_window",
+                          "distinct_scores": args.scores,
+                          "sec_cold": t, "sec": t2}))
+
+        # ---- global (no pack_by) sequence packing ----------------------
+        # The running total spans the whole corpus; distributed path
+        # (running-sums kernel) vs the single-task global-window shape.
+        from azuredataengineering_deeplearning_spark.operators import (
+            text as TXT,
+        )
+
+        pk_path = f"{tmp}/pack_docs"
+        (
+            spark.range(args.scores)
+            .select(
+                F.col("id").alias("doc_id"),
+                (F.pmod(F.col("id") * 2654435761, F.lit(900)) + 100)
+                .cast("int").alias("n_tok"),
+            )
+            .write.mode("overwrite").parquet(pk_path)
+        )
+        pk_df = spark.read.parquet(pk_path)
+
+        def _pack_checksum():
+            p = TXT.pack_sequences(pk_df, "doc_id", F.col("n_tok"), 4096)
+            return p.agg(F.sum(F.hash(*p.columns))).collect()
+
+        t, _ = timed(_pack_checksum)
+        t2, _ = timed(_pack_checksum)
+        results["pack_global_distributed"] = t2
+        print(json.dumps({"probe": "pack_global_distributed",
+                          "docs": args.scores, "sec_cold": t, "sec": t2}))
+
+        def _pack_global_window():
+            w = Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+            p = pk_df.select(
+                "doc_id",
+                F.col("n_tok").alias("n_tokens"),
+                F.floor(before / 4096).cast("int").alias("pack_id"),
+                (before % 4096).cast("int").alias("pack_offset"),
+            )
+            return p.agg(F.sum(F.hash(*p.columns))).collect()
+
+        t, _ = timed(_pack_global_window)
+        t2, _ = timed(_pack_global_window)
+        results["pack_global_window"] = t2
+        print(json.dumps({"probe": "pack_global_window",
+                          "docs": args.scores, "sec_cold": t, "sec": t2}))
+
     print(
         json.dumps(
             {
