@@ -6,7 +6,11 @@ order-insensitive canonical value hash (doubles rounded to 6 decimals,
 timestamps ISO-8601, NULL as a token). Queries with no oracle get a
 rows-only check.
 
-Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+Usage: python tools/check_correctness.py [--json out.json] [sf_dir] [query_name ...]
+
+``--json`` additionally writes a per-query result map in the driver's
+CORRECTNESS_r{N}.json shape, so a full local sweep can be committed as
+a reproducible self-check artifact.
 """
 
 from __future__ import annotations
@@ -53,8 +57,14 @@ def frame_hash(df) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as E
 
@@ -71,6 +81,7 @@ def main() -> int:
     spark = get_spark(app_name="ades-check", shuffle_partitions=16)
 
     failed, passed, rows_only = [], 0, 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -79,20 +90,31 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failed.append((name, f"spark error: {str(e)[:400]}"))
+            report[name] = {"err": f"spark error: {str(e)[:200]}"}
             print(f"FAIL {name}: spark error {str(e)[:200]}")
             continue
         if name not in oracles:
             rows_only += 1
+            report[name] = {"rows_only": True, "spark_rows": len(sdf), "err": None}
             print(f"rows-only {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             failed.append((name, f"duckdb error: {str(e)[:400]}"))
+            report[name] = {"err": f"duckdb error: {str(e)[:200]}"}
             print(f"FAIL {name}: duckdb error {str(e)[:200]}")
             continue
         sn, sc, sh = frame_hash(sdf)
         on_, oc, oh = frame_hash(odf)
+        report[name] = {
+            "rows_match": sn == on_,
+            "schema_match": sc == oc,
+            "hash_match": sh == oh,
+            "spark_rows": sn,
+            "oracle_rows": on_,
+            "err": None,
+        }
         if sn != on_:
             failed.append((name, f"rowcount {sn} != {on_}"))
             print(f"FAIL {name}: rowcount spark={sn} oracle={on_}")
@@ -111,6 +133,12 @@ def main() -> int:
         f"\n{passed} ok, {rows_only} rows-only, {len(failed)} failed"
         + (f": {[n for n, _ in failed]}" if failed else "")
     )
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(report)} queries)")
     spark.stop()
     return 1 if failed else 0
 
