@@ -503,8 +503,11 @@ def kendall_tau_b(
     group — the reference's ranking-quality metric
     (``ray_train_pointwise.py:233-266`` computes the concordant /
     discordant sign matrix per slate in torch; here the same triangle
-    runs as vectorized numpy per group behind one ``applyInPandas``
-    shuffle). ``τ_b = (C − D) / sqrt((n₀ − T_x)(n₀ − T_y))`` with
+    runs as vectorized numpy per group behind one
+    :func:`~azuredataengineering_deeplearning_spark.operators.timeseries.grouped_apply_packed`
+    shuffle — per-group dispatch amortized per partition, fan-out
+    pinned against AQE byte-coalescing).
+    ``τ_b = (C − D) / sqrt((n₀ − T_x)(n₀ − T_y))`` with
     ``n₀ = n(n−1)/2`` and per-column tie corrections. O(n²) per group,
     parallel across groups — the slate/panel regime; swap in a
     merge-sort inversion count for very long groups."""
@@ -539,9 +542,11 @@ def kendall_tau_b(
         out["tau_b"] = float(tau)
         return out
 
-    return df.select(*kk, x_col, y_col).groupBy(*kk).applyInPandas(
-        fn, schema=schema
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        grouped_apply_packed,
     )
+
+    return grouped_apply_packed(df.select(*kk, x_col, y_col), kk, fn, schema)
 
 
 def build_ranking_slates(

@@ -390,3 +390,41 @@ def test_activity_heatmap_cells(spark):
     assert out[(1, 9)].n == 2 and out[(1, 9)].value_sum == 3.0   # ISO Monday
     assert out[(7, 9)].n == 1                                     # ISO Sunday
     assert abs(out[(1, 17)].share - 0.25) < 1e-12
+
+
+def test_grouped_apply_packed_contract(spark):
+    """Packed grouped apply ≡ groupBy().applyInPandas on the same fn:
+    same groups (incl. a NULL key), same multi-row outputs — and the
+    fan-out stays pinned at defaultParallelism (AQE byte-coalescing
+    would otherwise fold a small panel into ONE task and serialize
+    every CPU-bound group through one python worker)."""
+    import pandas as pd
+
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        grouped_apply_packed,
+    )
+
+    rows = [
+        (None, 1, 1.0), (None, 2, 2.0),
+        ("a", 1, 3.0), ("a", 2, 4.0), ("a", 3, 5.0),
+        ("b", 1, 6.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    schema = "k string, o int, cum double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # multi-row output: per-group running sum in o order
+        pdf = pdf.sort_values("o", kind="mergesort").reset_index(drop=True)
+        out = pdf[["k", "o"]].copy()
+        out["cum"] = pdf["v"].cumsum()
+        return out
+
+    packed = {(r.k, r.o, r.cum) for r in
+              grouped_apply_packed(df, ["k"], fn, schema).collect()}
+    native = {(r.k, r.o, r.cum) for r in
+              df.groupBy("k").applyInPandas(fn, schema).collect()}
+    assert packed == native
+    assert (None, 2, 3.0) in packed  # null-key group survives
+    # pinned fan-out: partitions = defaultParallelism, not AQE-coalesced
+    n = grouped_apply_packed(df, ["k"], fn, schema).rdd.getNumPartitions()
+    assert n == spark.sparkContext.defaultParallelism
