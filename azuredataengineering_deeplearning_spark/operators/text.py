@@ -33,6 +33,19 @@ def tokens(col: Column | str, sep: str = TOKEN_SPLIT) -> Column:
     return F.split(_c(col), sep)
 
 
+def bind_once(expr: Column, build) -> Column:
+    """Evaluate ``expr`` ONCE per row and hand it to ``build`` as a
+    bound lambda variable. Catalyst INLINES any outer expression a
+    higher-order-function lambda references into the lambda body, so
+    ``transform(sequence(...), i -> f(expr, i))`` re-evaluates ``expr``
+    per ELEMENT — O(tokens²) work per document when ``expr`` is the
+    token split (measured ~4x on the sf0.1 shingle explode; far worse
+    for the doubly-nested PMI pair builder). Routing ``expr`` through a
+    one-element-array ``transform`` makes it a ``NamedLambdaVariable``:
+    computed once, referenced many times."""
+    return F.element_at(F.transform(F.array(expr), build), 1)
+
+
 def token_count(col: Column | str, sep: str = TOKEN_SPLIT) -> Column:
     """D12/O5 input: token count per document."""
     return F.size(tokens(col, sep))
@@ -66,16 +79,22 @@ def word_shingles(col: Column | str, k: int = 3, sep: str = TOKEN_SPLIT) -> Colu
     """Distinct k-word shingles of a document → array<string>. The
     discriminative unit for near-dup detection (word *sets* saturate on
     shared-vocabulary corpora)."""
-    w = tokens(col, sep)
     # slice + array_join: one catalyst call per shingle (see word_ngrams);
-    # docs shorter than k shingle to empty (the oracle drops them too)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - k + 1),
-            lambda i: F.array_join(F.slice(w, i, k), " "),
+    # docs shorter than k shingle to empty (the oracle drops them too).
+    # bind_once: the lambda must see the split as a bound variable, not
+    # re-tokenize the document per shingle.
+    def build(w: Column) -> Column:
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - k + 1),
+                lambda i: F.array_join(F.slice(w, i, k), " "),
+            )
         )
-    )
-    return F.when(F.size(w) >= k, sh).otherwise(F.array().cast("array<string>"))
+        return F.when(F.size(w) >= k, sh).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(tokens(col, sep), build)
 
 
 def stopword_ratio(col: Column | str, stopwords: Sequence[str]) -> Column:
@@ -157,16 +176,19 @@ def word_ngrams(col: Column | str, n: int = 2, sep: str = TOKEN_SPLIT) -> Column
     """All (non-distinct) n-word grams of a document → array<string>.
     Unlike :func:`word_shingles` this keeps multiplicity — the input to
     repetition metrics, where how *often* a gram repeats is the signal."""
-    w = tokens(col, sep)
     # slice + array_join beats n chained element_at/concat_ws ~3.4x
-    # (one bounds-checked copy per gram instead of n catalyst calls)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - n + 1),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
-    return F.when(F.size(w) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    # (one bounds-checked copy per gram instead of n catalyst calls);
+    # bind_once so the split isn't re-evaluated per gram
+    def build(w: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(w) - n + 1),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+        return F.when(F.size(w) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(tokens(col, sep), build)
 
 
 def repetition_metrics(
@@ -303,10 +325,16 @@ def chunk_tokens(col: Column | str, k: int = 10, sep: str = TOKEN_SPLIT) -> Colu
     """Re-chunk a document into consecutive k-token spans
     (array<string>, last span may be short). The "line" unit for
     corpora without newline structure."""
-    toks = F.split(_c(col), sep)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.when(n > 0, (n - 1) / k).otherwise(0).cast("int"))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i * k + 1, k), sep))
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(
+            F.lit(0), F.when(n > 0, (n - 1) / k).otherwise(0).cast("int")
+        )
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i * k + 1, k), sep)
+        )
+
+    return bind_once(F.split(_c(col), sep), build)
 
 
 def remove_common_spans(
@@ -603,11 +631,16 @@ def chunk_text_overlap(
     if overlap >= size:
         raise ValueError("overlap must be smaller than size")
     stride = size - overlap
-    w = tokens(text_col, sep)
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size(w) - overlap, F.lit(1)), F.lit(stride)
-    )
-    chunks = F.transform(starts, lambda s: F.array_join(F.slice(w, s, size), " "))
+
+    def build(w: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(w) - overlap, F.lit(1)), F.lit(stride)
+        )
+        return F.transform(
+            starts, lambda s: F.array_join(F.slice(w, s, size), " ")
+        )
+
+    chunks = bind_once(tokens(text_col, sep), build)
     return df.select(
         id_col, F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
@@ -870,20 +903,26 @@ def pmi_collocations(
     aggregates; the pair table is pinned because both marginals join
     onto it."""
     w = tokens(F.col(text_col), sep)
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(0))),
-            lambda i: F.transform(
-                F.sequence(
-                    i + 1, F.least(i + window, F.size(w))
+
+    # bind_once: without it the doubly-nested lambda re-splits the
+    # document once per (i, j) PAIR — O(tokens² x window) re-splits
+    def build(wv: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(wv) - 1, F.lit(0))),
+                lambda i: F.transform(
+                    F.sequence(
+                        i + 1, F.least(i + window, F.size(wv))
+                    ),
+                    lambda j: F.struct(
+                        F.element_at(wv, i.cast("int")).alias("w1"),
+                        F.element_at(wv, j.cast("int")).alias("w2"),
+                    ),
                 ),
-                lambda j: F.struct(
-                    F.element_at(w, i.cast("int")).alias("w1"),
-                    F.element_at(w, j.cast("int")).alias("w2"),
-                ),
-            ),
+            )
         )
-    )
+
+    pairs = bind_once(w, build)
     p = (
         df.filter(F.size(w) >= 2)
         .select(F.explode(pairs).alias("__p"))
