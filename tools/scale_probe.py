@@ -593,6 +593,46 @@ def main() -> None:
         print(json.dumps({"probe": "pack_global_distributed",
                           "docs": args.scores, "sec_cold": t, "sec": t2}))
 
+        # ---- packed grouped-python panel: many small series ------------
+        # 100k series x 20 rows. applyInPandas pays per-group
+        # Python/Arrow dispatch AND (on byte-small panels) AQE coalesces
+        # its shuffle to one task; grouped_apply_packed pins the fan-out
+        # and dispatches per partition.
+        from azuredataengineering_deeplearning_spark.operators import (
+            timeseries as TSOP,
+        )
+
+        panel_path = f"{tmp}/panel"
+        (
+            spark.range(2_000_000)
+            .select(
+                (F.col("id") % 100_000).alias("k"),
+                (F.col("id") / 100_000).cast("int").alias("o"),
+                (F.rand(11) * 10).alias("v"),
+            )
+            .write.mode("overwrite").parquet(panel_path)
+        )
+        panel = spark.read.parquet(panel_path)
+
+        def _mean_fn(pdf):
+            import pandas as _pd
+
+            out = pdf[["k"]].iloc[:1].copy()
+            out["mu"] = float(pdf["v"].mean())
+            return out
+
+        t, _ = timed(lambda: TSOP.grouped_apply_packed(
+            panel, ["k"], _mean_fn, "k long, mu double").count())
+        results["grouped_panel_packed"] = t
+        print(json.dumps({"probe": "grouped_panel_packed",
+                          "series": 100_000, "sec": t}))
+
+        t, _ = timed(lambda: panel.groupBy("k").applyInPandas(
+            _mean_fn, "k long, mu double").count())
+        results["grouped_panel_applyinpandas"] = t
+        print(json.dumps({"probe": "grouped_panel_applyinpandas",
+                          "series": 100_000, "sec": t}))
+
         def _pack_global_window():
             w = Window.orderBy("doc_id").rowsBetween(
                 Window.unboundedPreceding, -1
