@@ -423,23 +423,37 @@ def funnel_steps(
     One aggregate: per user, collect each step's sorted event times
     (bounded by session/funnel cardinality, same boundedness the
     sessionizer assumes), then fold through array lookups — no joins,
-    no per-step passes over the corpus, one shuffle total."""
+    no per-step passes over the corpus, one shuffle total.
+
+    Each step's time is bound once per row (``text.bind_once``) before
+    the next step's filter references it: a HOF lambda inlines captured
+    expressions per ELEMENT, so without the binding step i re-evaluates
+    the entire step-0..i-1 chain for every candidate event time —
+    multiplicative in per-user event counts at depth."""
     arrays = [
         F.array_sort(
             F.collect_list(F.when(F.col(event_col) == s, F.col(ts_col)))
         ).alias(f"__a{i}")
         for i, s in enumerate(steps)
     ]
+    from azuredataengineering_deeplearning_spark.operators.text import bind_once
+
     g = df.groupBy(user_col).agg(*arrays)
+
+    def _next_step(arr, prev_t):
+        # earliest element strictly after the previous step's time;
+        # bind that time once per row (unary lambda: pyspark treats a
+        # binary lambda as (element, index))
+        return bind_once(
+            prev_t,
+            lambda p: F.try_element_at(F.filter(arr, lambda x: x > p), F.lit(1)),
+        )
+
     prev = None
     cols = []
     for i in range(len(steps)):
         arr = F.col(f"__a{i}")
-        if prev is None:
-            t = F.try_element_at(arr, F.lit(1))
-        else:
-            # earliest element strictly after the previous step's time
-            t = F.try_element_at(F.filter(arr, lambda x: x > prev), F.lit(1))
+        t = F.try_element_at(arr, F.lit(1)) if prev is None else _next_step(arr, prev)
         cols.append(t.alias(f"{out_prefix}{i}"))
         prev = t
     done = sum((F.when(F.col(f"{out_prefix}{i}").isNotNull(), 1).otherwise(0))
