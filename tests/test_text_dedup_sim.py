@@ -684,3 +684,44 @@ def test_resolve_clusters_tiny_frontier_threshold_bails_and_converges(spark):
         for j in range(30):
             root = 1000 + 4 * j
             assert all(labels[root + k] == root for k in (0, 1, 2, 3)), thresh
+
+
+def test_hof_builders_tokenize_exactly_once(spark):
+    """Regression tripwire for the bind_once fixes: Catalyst inlines
+    captured expressions into HOF lambda bodies, so an unbound builder
+    shows split() once PER ELEMENT reference in the analyzed plan
+    (O(tokens²) re-tokenize per doc at runtime). Every token-array
+    builder must show exactly ONE split() per consumed text column."""
+    from pyspark.sql import functions as F
+
+    from azuredataengineering_deeplearning_spark.operators.text import (
+        chunk_text_overlap, chunk_tokens, word_ngrams, word_shingles,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+
+    def split_count(frame):
+        return frame._jdf.queryExecution().analyzed().toString().count("split(")
+
+    for expr in (
+        word_shingles("text", 3),
+        word_ngrams("text", 2),
+        chunk_tokens("text", 2),
+    ):
+        assert split_count(df.select(expr.alias("x"))) == 1
+    assert split_count(chunk_text_overlap(df, "doc_id", "text", size=3, overlap=1)) == 1
+
+    # funnel steps: each step's time is bound once per row before the
+    # next step's filter references it — the binding idiom must appear
+    from azuredataengineering_deeplearning_spark.operators.windows import (
+        funnel_steps,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c")], "u long, ts long, e string"
+    )
+    fp = funnel_steps(ev, "u", "ts", "e", ["a", "b", "c"])
+    plan = fp._jdf.queryExecution().analyzed().toString()
+    assert "transform(array(" in plan  # bind_once marker on steps 1+
+    rows = {r.u: r for r in fp.collect()}
+    assert rows[1].steps_completed == 3
