@@ -467,3 +467,80 @@ def kql_lookup_dim(spark, sf_dir):
         " | project user_id, value, c_mktsegment",
     )
     return out
+
+
+@query(
+    "kql_mv_apply",
+    """
+    SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS long_toks
+    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    WHERE len(tok) > 6
+    GROUP BY doc_id, lang
+    """,
+)
+def kql_mv_apply(spark, sf_dir):
+    """KQL ``mv-apply`` — per-record array processing (the next
+    construct a ported dashboard hits after summarize/arg_max): expand
+    each document's token array, filter inside the per-record subtable,
+    and aggregate back to one row per document. The engine correlates
+    per-record stages on a pre-explode row id; summarize keeps the
+    record's other columns (Kusto behavior)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t,
+        """
+        documents
+        | project doc_id, lang, tok = split(text, ' ')
+        | mv-apply tok on (where strlen(tok) > 6 | summarize long_toks = count())
+        """,
+    )
+
+
+@query(
+    "kql_parse_where",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '^(.*?)slow fast (.*?) (.*)$', 2) AS nxt
+    FROM documents
+    WHERE regexp_matches(text, '^(.*?)slow fast (.*?) (.*)$')
+    """,
+)
+def kql_parse_where(spark, sf_dir):
+    """KQL ``parse-where`` — pattern extraction that DROPS non-matching
+    rows (plain ``parse`` keeps them with empty captures): the word
+    following the first 'slow fast' bigram, only for documents that
+    contain it."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t,
+        """
+        documents
+        | parse-where text with head 'slow fast ' nxt ' ' rest
+        | project doc_id, nxt
+        """,
+    )
+
+
+@query(
+    "kql_materialize",
+    """
+    SELECT event_type, CAST(2 * COUNT(*) AS BIGINT) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def kql_materialize(spark, sf_dir):
+    """KQL ``let M = materialize(...)`` — evaluate a sub-pipe once and
+    reuse it across references (here: M unioned with itself). The
+    engine pins the sub-pipe with an eager localCheckpoint, so neither
+    reference recomputes the aggregate."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        """
+        let M = materialize(events | summarize n = count() by event_type);
+        M
+        | union (M)
+        | summarize total = sum(n) by event_type
+        """,
+    )

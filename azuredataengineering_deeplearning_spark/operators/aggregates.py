@@ -205,7 +205,12 @@ def quantile_buckets(
     (deterministic-bounds buckets + literal offsets; lazy tiling) — never an
     unpartitioned ``ntile`` window, which would sort the whole frame
     through one task. :func:`bucket_by_bounds` (map-only at fixed
-    boundaries) remains the cheapest path when approximate edges do."""
+    boundaries) remains the cheapest path when approximate edges do.
+
+    The no-keys path inherits :func:`global_row_number`'s DETERMINISM
+    PRECONDITION: a nondeterministic input plan (``rand()``/``sample``/
+    un-ordered ``limit``) must be pinned with ``localCheckpoint`` first
+    — the kernel's eager count jobs and lazy tiling scan it twice."""
     if keys:
         w = Window.partitionBy(*keys).orderBy(column, *tiebreak)
         return df.withColumn(out, F.ntile(n_buckets).over(w))

@@ -294,7 +294,14 @@ def quantile_transform(
     )
     total = tot["__c"]
     ranks = cum.select(
-        F.col("__v").alias(value),
+        "__v",
         ((F.col("__cum___c") - F.col("__c")) / F.lit(max(total - 1, 1.0))).alias(out),
     )
-    return df.join(ranks, [value], "left")
+    # Null-safe equi-join: a plain join on `value` would drop the NULL
+    # group (NULL never equals NULL in a join key), leaving NULL ranks
+    # for null inputs while the keyed percent_rank path ranks NULLs
+    # first — eqNullSafe attaches the null group's computed cum rank so
+    # both paths agree.
+    return df.join(
+        ranks, F.col(value).eqNullSafe(F.col("__v")), "left"
+    ).drop("__v")

@@ -82,7 +82,14 @@ def with_surrogate_key(
     ordinary lineage fault tolerance). Two cheap O(buckets)-result jobs
     run at call time (bounds sample + per-bucket counts); the numbering
     itself is LAZY and runs at the caller's action. Persist the input
-    upstream if it is expensive to recompute across those scans."""
+    upstream if it is expensive to recompute across those scans.
+
+    DETERMINISM PRECONDITION: the input plan must be deterministic —
+    the eager count jobs and the lazy numbering evaluate it separately,
+    so a plan containing ``rand()``/``sample``/un-ordered ``limit`` can
+    disagree between the two scans, producing wrong offsets or
+    duplicate keys. ``localCheckpoint(eager=True)`` such inputs first
+    to pin one materialization."""
     from azuredataengineering_deeplearning_spark.operators.windows import (
         _global_row_number_total,
     )

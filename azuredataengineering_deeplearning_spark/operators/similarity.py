@@ -216,6 +216,7 @@ def numpy_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_collect: int = 1_000_000,
 ) -> DataFrame:
     """Exact top-k via the broadcast-index ``mapInPandas`` pattern (D10;
     the reference broadcasts a FAISS index — here the "index" is the
@@ -229,6 +230,12 @@ def numpy_topk(
     import pandas as pd
 
     spark = vectors.sparkSession
+    _assert_collect_bounded(
+        queries,
+        max_collect,
+        "numpy_topk query set",
+        "lsh_ann_topk / ivf_topk (pruned, never collected)",
+    )
     qrows = queries.select(id_col, vec_col).collect()  # queries are small
     qids = [r[0] for r in qrows]
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -266,11 +273,26 @@ def numpy_topk(
     )
 
 
+def _assert_collect_bounded(df: DataFrame, cap: int, what: str, alternatives: str):
+    """Guard a documented bounded-side driver collect: one cheap
+    ``limit(cap+1).count()`` probe (never a full count at scale) that
+    fails FAST with the scale-path alternatives named, instead of
+    letting a billion-row corpus OOM the driver."""
+    n = df.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"{what} exceeds the bounded-side cap ({cap} rows) — this "
+            f"operator collects that side to the driver by design. For "
+            f"unbounded inputs use {alternatives}."
+        )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    max_collect: int = 5_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs → (id_a, id_b, cos ≥ threshold).
     All-pairs here (exact, small-input/oracle path); at scale compose
@@ -289,21 +311,42 @@ def embedding_near_duplicates(
     the loosened screen cannot drop a true ≥-threshold pair — output is
     identical to the single-phase column-expression form, ~30x faster
     at 5k vectors. Zero-norm vectors screen to NaN and verify to NULL
-    (``try_divide``), so they never pair — same as the column form."""
+    (``try_divide``), so they never pair — same as the column form.
+
+    Ids may be ANY orderable type (the output pair is ordered
+    ``id_a < id_b`` by VALUE): the GEMM screens on positional row
+    indices and maps back to the collected id values at emit time, so
+    string doc ids work the same as long ids. ``max_collect`` enforces
+    the bounded-side contract with a cheap ``limit(cap+1).count()``
+    probe (never a full count) — calling this on an unbounded corpus
+    fails fast naming the scale paths instead of OOMing the driver."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import StructField, StructType
 
     spark = vectors.sparkSession
+    _assert_collect_bounded(
+        vectors,
+        max_collect,
+        "embedding_near_duplicates corpus",
+        "lsh_ann_topk / semantic_dedup (LSH-bucketed, never collected)",
+    )
     rows = vectors.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    ids_arr = np.asarray([r[0] for r in rows])
+    pos = {v: i for i, v in enumerate(ids_arr.tolist())}
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0.0] = np.nan
-    bc = spark.sparkContext.broadcast((ids, mat / norms))
+    bc = spark.sparkContext.broadcast((pos, ids_arr, mat / norms))
     screen_thr = threshold - 1e-9
+    id_type = vectors.schema[id_col].dataType
+    cand_schema = StructType(
+        [StructField("id_a", id_type), StructField("id_b", id_type)]
+    )
 
     def screen(batches):
-        cids, cm = bc.value
+        cpos, cids, cm = bc.value
+        corpus_idx = np.arange(cm.shape[0])
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -312,13 +355,22 @@ def embedding_near_duplicates(
             n[n == 0.0] = np.nan
             vm = vm / n
             sims = vm @ cm.T  # (batch, corpus)
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            bpos = pdf[id_col].map(cpos).to_numpy(dtype=np.int64)
             with np.errstate(invalid="ignore"):
-                mask = (sims >= screen_thr) & (bids[:, None] < cids[None, :])
+                # positional dedup: every unordered pair survives exactly
+                # once (never the self pair) for any id type
+                mask = (sims >= screen_thr) & (bpos[:, None] < corpus_idx[None, :])
             bi, cj = np.nonzero(mask)
-            yield pd.DataFrame({"id_a": bids[bi], "id_b": cids[cj]})
+            a, b = cids[bpos[bi]], cids[cj]
+            # np.where, not np.minimum: the ufunc has no loop for
+            # unicode dtypes, while elementwise > works for any
+            # orderable numpy dtype
+            swap = a > b
+            yield pd.DataFrame(
+                {"id_a": np.where(swap, b, a), "id_b": np.where(swap, a, b)}
+            )
 
-    cand = vectors.select(id_col, vec_col).mapInPandas(screen, "id_a long, id_b long")
+    cand = vectors.select(id_col, vec_col).mapInPandas(screen, cand_schema)
     norm = F.sqrt(_exact_dot(F.col(vec_col), F.col(vec_col)).cast("double"))
     a = vectors.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), norm.alias("__na")

@@ -614,7 +614,16 @@ def global_row_number(
 
     Contract note: the bounds/counts jobs run at call time (two cheap
     scans of the input — persist upstream if it is expensive to
-    recompute); the numbering itself runs at the caller's action."""
+    recompute); the numbering itself runs at the caller's action.
+
+    DETERMINISM PRECONDITION: the input plan must be deterministic.
+    The eager counts and the lazy numbering evaluate the input
+    SEPARATELY; a plan containing ``rand()``/``sample``/un-ordered
+    ``limit`` can produce different rows per scan, yielding wrong
+    offsets or duplicated/skipped numbers. Pin such inputs with
+    ``localCheckpoint(eager=True)`` before calling (applies equally to
+    ``global_ntile``, ``with_surrogate_key`` and ``quantile_buckets``,
+    which build on this kernel)."""
     result, _ = _global_row_number_total(df, order, out, num_partitions)
     return result
 
@@ -674,7 +683,9 @@ def global_ntile(
     first), so oracle parity holds for any ``T``/``n``.
 
     ``order`` must be a total order (add a unique tiebreak) for the
-    tiles to be deterministic."""
+    tiles to be deterministic, and the input plan must itself be
+    deterministic (see :func:`global_row_number`'s precondition — the
+    count jobs and the lazy tiling scan the input separately)."""
     numbered, total = _global_row_number_total(df, order, "__gnt_rn", num_partitions)
     base, rem = divmod(total, n_tiles)
     rn = F.col("__gnt_rn")

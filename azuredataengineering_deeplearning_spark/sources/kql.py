@@ -15,8 +15,14 @@ Supported pipe operators:
 ``count`` ``getschema`` ``arg_max(col, *)`` ``countif`` ``sumif``
 ``dcountif``/``avgif``/``minif``/``maxif`` ``percentile``/``percentiles``
 ``make_list``/``make_set`` (sorted; inside summarize)
-``let`` (scalar substitution AND tabular sub-pipes) ``serialize`` with
-``row_number()``/``prev()``/``next()`` over the pinned sort order.
+``let`` (scalar substitution AND tabular sub-pipes, incl.
+``materialize(...)`` — evaluated once via eager localCheckpoint)
+``serialize`` with ``row_number()``/``prev()``/``next()`` over the
+pinned sort order (prev/next pin the numbering once, so tied sort keys
+pair consistently), ``mv-apply col on ( where | extend | project-away
+| summarize | top )`` (per-record array processing, correlated on a
+pre-explode row id), ``parse-where`` (pattern extraction dropping
+non-matching rows).
 Scalars also include ``todynamic``/``parse_json`` dotted access (→
 ``get_json_object``), ``case()``, ``between (a .. b)``,
 ``todouble/tolong/toint/tobool/todatetime``,
@@ -185,7 +191,18 @@ def kql_to_df(
         if not m:
             break
         name, body = m.group(1), m.group(2).strip()
-        head = body.split("|")[0].strip()
+        mm = re.match(r"^materialize\s*\((.+)\)\s*$", body, re.S)
+        if mm:
+            # KQL materialize(): evaluate the sub-pipe ONCE and reuse the
+            # result across every reference. Spark twin: localCheckpoint
+            # pins one materialization, so multi-consumer plans neither
+            # recompute the sub-pipe nor diverge on nondeterminism.
+            tables[name] = kql_to_df(tables, mm.group(1).strip(), now).localCheckpoint(
+                eager=True
+            )
+            q = q[m.end():]
+            continue
+        head = _split_pipe(body)[0].strip()
         if head in tables or re.match(r"^range\s", head):
             tables[name] = kql_to_df(tables, body, now)
         else:  # scalar let: parenthesized textual substitution
@@ -193,7 +210,7 @@ def kql_to_df(
             q = re.sub(rf"\b{name}\b", f"({body})", q)
             continue
         q = q[m.end():]
-    stages = [p.strip() for p in q.split("|")]
+    stages = _split_pipe(q)
     if not stages:
         raise ValueError("empty KQL query")
     src = re.match(
@@ -261,9 +278,13 @@ def kql_to_df(
             df = df.drop(*[c.strip() for c in _split_csv(rest)])
         elif op == "parse":
             df = _parse(df, rest)
+        elif op == "parse-where":
+            df = _parse(df, rest, where=True)
         elif op == "mv-expand":
             col = rest.strip()
             df = df.withColumn(col, F.explode(F.col(col)))
+        elif op == "mv-apply":
+            df = _mv_apply(df, rest, now)
         elif op == "make-series":
             df = _make_series(df, rest)
         elif op == "top-nested":
@@ -351,11 +372,90 @@ def _join(df: DataFrame, tables: dict[str, DataFrame], rest: str) -> DataFrame:
     return df.join(right, cond, _JOIN_KINDS[kind])
 
 
-def _parse(df: DataFrame, rest: str) -> DataFrame:
+def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
+    """``mv-apply Col [to typeof(T)] on ( <sub-pipe> )``: expand the
+    array column to one row per element, run the parenthesized sub-pipe
+    over each ORIGINAL record's subtable, and emit the union — Kusto's
+    per-record array processing operator (the construct ported
+    dashboards hit right after the summarize/arg_max family).
+
+    Spark shape: one ``explode`` (rows with empty/null arrays drop,
+    matching Kusto), then the sub-pipe stages. Row-local stages
+    (``where``/``extend``/``project-away``) apply directly — the
+    per-record subtable union of a row-local stage IS the flat stage.
+    Per-record stages correlate on a row id minted BEFORE the explode:
+    ``summarize`` groups by (row id + the record's other columns) so
+    aggregates are per original record with the source columns retained
+    (Kusto behavior); ``top N by c`` becomes a row_number window
+    partitioned by the row id — per-record top-k, never a global sort.
+    The id is consumed linearly inside this one plan (explode →
+    group/window), so monotonically_increasing_id's
+    recompute-instability can't split a record across branches."""
+    m = re.match(
+        r"^(\w+)(?:\s+to\s+typeof\(\s*\w+\s*\))?\s+on\s*\((.+)\)\s*$",
+        rest.strip(),
+        re.S,
+    )
+    if not m:
+        raise ValueError(f"mv-apply needs 'col [to typeof(T)] on (pipe)': {rest!r}")
+    col, sub = m.group(1), m.group(2).strip()
+    rid = "__mvap_rid"
+    out = df.withColumn(rid, F.monotonically_increasing_id()).withColumn(
+        col, F.explode(F.col(col))
+    )
+    for stage in [s for s in _split_pipe(sub) if s]:
+        sop, _, srest = stage.partition(" ")
+        srest = srest.strip()
+        if sop == "where":
+            out = out.filter(F.expr(_expr(srest, now)))
+        elif sop == "extend":
+            for part in _split_csv(srest):
+                em = re.match(r"^(\w+)\s*=\s*(.+)$", part)
+                if not em:
+                    raise ValueError(f"extend needs name=expr: {part!r}")
+                out = out.withColumn(
+                    em.group(1), F.expr(_expr(em.group(2).strip(), now))
+                )
+        elif sop == "project-away":
+            out = out.drop(*[c.strip() for c in _split_csv(srest)])
+        elif sop == "summarize":
+            # per-record aggregate: group by the row id plus every other
+            # source column, so the output keeps the record's columns
+            keep = [c for c in out.columns if c != col and c != rid]
+            agg_part, _, by_part = srest.partition(" by ")
+            by_keys = ([k.strip() for k in _split_csv(by_part)] if by_part else [])
+            keys = [rid] + keep + [k for k in by_keys if k not in keep]
+            out = _summarize(
+                out, agg_part + " by " + ", ".join(keys), now
+            )
+        elif sop == "top":
+            tm = re.match(r"^(\d+)\s+by\s+(.+)$", srest)
+            if not tm:
+                raise ValueError(f"top needs 'N by col': {srest!r}")
+            w = Window.partitionBy(rid).orderBy(*_order_cols(tm.group(2)))
+            out = (
+                out.withColumn("__mvap_rk", F.row_number().over(w))
+                .filter(F.col("__mvap_rk") <= int(tm.group(1)))
+                .drop("__mvap_rk")
+            )
+        else:
+            raise ValueError(
+                f"unsupported stage inside mv-apply: {sop!r} "
+                "(supported: where, extend, project-away, summarize, top)"
+            )
+    return out.drop(rid)
+
+
+def _parse(df: DataFrame, rest: str, where: bool = False) -> DataFrame:
     """``parse <col> with 'lit' Name 'lit' Name ...``: KQL's simple-mode
     pattern extraction. Literals anchor the pattern; each bare Name
     becomes a capture (non-greedy except the last). Translated to one
-    ``regexp_extract`` per captured column — JVM-side, no UDF."""
+    ``regexp_extract`` per captured column — JVM-side, no UDF.
+
+    ``where=True`` is ``parse-where``: rows that do NOT match the
+    pattern are dropped (plain ``parse`` keeps them with empty
+    captures) — one ``rlike`` filter on the same anchored regex, pushed
+    ahead of the extracts so non-matching rows never pay them."""
     m = re.match(r"^(\w+)\s+with\s+(.+)$", rest, re.S)
     if not m:
         raise ValueError(f"parse needs '<col> with <pattern>': {rest!r}")
@@ -372,6 +472,8 @@ def _parse(df: DataFrame, rest: str) -> DataFrame:
     if last_cap >= 0:  # last capture is greedy (KQL simple-mode semantics)
         segs[last_cap] = "(.*)"
     regex = "".join(segs)
+    if where:
+        df = df.filter(F.col(src).rlike(regex))
     for i, name in enumerate(names, start=1):
         df = df.withColumn(name, F.regexp_extract(F.col(src), regex, i))
     return df
@@ -515,6 +617,16 @@ def _extend_one(
 
         body = re.sub(r"\bprev\(([^()]*)\)", _shift_repl(+1), body)
         body = re.sub(r"\bnext\(([^()]*)\)", _shift_repl(-1), body)
+        if joins:
+            # prev/next self-join evaluates `base` in two plan branches.
+            # KQL `serialize` does not require unique sort keys, and
+            # row_number over tied keys is free to break ties either
+            # way — so the shifted branch could number tied rows
+            # differently from the main branch and pair a row with the
+            # wrong neighbor. Materialize the numbering ONCE so both
+            # branches read the same assignment (row_number alone has a
+            # single branch and needs no pinning).
+            base = base.localCheckpoint(eager=True)
         out = base
         for alias, col_expr, off in joins:
             shifted = base.select(
@@ -525,6 +637,25 @@ def _extend_one(
         out = out.withColumn(name, F.expr(_expr(body, now)))
         return out.drop("__kqlrn", *[a for a, _, _ in joins])
     return df.withColumn(name, F.expr(_expr(body, now)))
+
+
+def _split_pipe(s: str) -> list[str]:
+    """Split a KQL pipe on ``|`` at paren depth 0 and outside quotes —
+    sub-pipes inside ``mv-apply ... on ( ... | ... )`` and
+    ``materialize( ... | ... )`` stay intact."""
+    out, depth, cur, quote = [], 0, "", False
+    for ch in s:
+        if ch == "'":
+            quote = not quote
+        if not quote:
+            depth += (ch == "(") - (ch == ")")
+        if ch == "|" and depth == 0 and not quote:
+            out.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    out.append(cur.strip())
+    return out
 
 
 def _split_csv(s: str) -> list[str]:

@@ -363,3 +363,70 @@ def test_serialized_prev_next_offsets(spark):
         assert r.value == vals[i]
         assert r.p2 == (vals[i - 2] if i >= 2 else None)
         assert r.nx == (vals[i + 1] if i + 1 < len(vals) else None)
+
+
+# ---------------------------------------------------------------------------
+# round 7: mv-apply / materialize() / parse-where
+# ---------------------------------------------------------------------------
+
+
+def test_kql_mv_apply_where_extend(spark):
+    T = spark.createDataFrame(
+        [(1, [1, 3, 5, 7]), (2, [2, 4]), (3, [])], "k long, xs array<int>"
+    )
+    out = kql_to_df(
+        {"T": T}, "T | mv-apply xs on (where xs > 3 | extend y = xs * 10)"
+    )
+    rows = sorted((r["k"], r["xs"], r["y"]) for r in out.collect())
+    assert rows == [(1, 5, 50), (1, 7, 70), (2, 4, 40)]  # empty array drops
+
+
+def test_kql_mv_apply_summarize_per_record(spark):
+    T = spark.createDataFrame(
+        [(1, [1, 3, 5, 7]), (2, [2, 4])], "k long, xs array<int>"
+    )
+    out = kql_to_df(
+        {"T": T}, "T | mv-apply xs on (summarize mx = max(xs), s = sum(xs))"
+    )
+    rows = sorted((r["k"], r["mx"], r["s"]) for r in out.collect())
+    assert rows == [(1, 7, 16), (2, 4, 6)]  # per ORIGINAL record, k kept
+
+
+def test_kql_mv_apply_top_per_record(spark):
+    T = spark.createDataFrame(
+        [(1, [1, 3, 5, 7]), (2, [2, 4])], "k long, xs array<int>"
+    )
+    out = kql_to_df({"T": T}, "T | mv-apply xs on (top 2 by xs desc)")
+    rows = sorted((r["k"], r["xs"]) for r in out.collect())
+    assert rows == [(1, 5), (1, 7), (2, 2), (2, 4)]
+
+
+def test_kql_parse_where_drops_nonmatching(spark):
+    L = spark.createDataFrame(
+        [("dur=15 ms",), ("garbage",), ("dur=7 ms",)], "line string"
+    )
+    kept = kql_to_df({"L": L}, "L | parse-where line with 'dur=' d ' ms'")
+    assert sorted(r["d"] for r in kept.collect()) == ["15", "7"]
+    # plain parse keeps all rows (empty captures on non-matches)
+    allr = kql_to_df({"L": L}, "L | parse line with 'dur=' d ' ms'")
+    assert allr.count() == 3
+
+
+def test_kql_materialize_let(spark):
+    T = spark.createDataFrame(
+        [(1, [1, 3, 5, 7]), (2, [2, 4]), (3, [])], "k long, xs array<int>"
+    )
+    out = kql_to_df(
+        {"T": T},
+        "let M = materialize(T | mv-expand xs | summarize c = count() by k);"
+        " M | union (M) | summarize t = sum(c) by k",
+    )
+    rows = sorted((r["k"], r["t"]) for r in out.collect())
+    assert rows == [(1, 8), (2, 4)]
+
+
+def test_kql_pipe_split_respects_parens_and_quotes(spark):
+    # a quoted '|' must not split the pipe
+    L = spark.createDataFrame([("a|b",), ("c",)], "line string")
+    out = kql_to_df({"L": L}, "L | where line contains '|'")
+    assert [r["line"] for r in out.collect()] == ["a|b"]

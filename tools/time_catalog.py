@@ -1,4 +1,5 @@
-"""Spark-side timing sweep of EVERY catalog query — the outlier finder.
+"""Spark-side timing sweep of EVERY catalog query — the outlier finder,
+now also the PERF GATE.
 
 Runs each `queries()` entry at the given sf dir (default sf0.1), counts
 once cold and once warm, and prints one JSON line per query plus a
@@ -8,9 +9,30 @@ minutes (the oracle-joined gate is tools/check_correctness.py).
 This sweep found the round-6 outliers the headline bench never sees:
 the AQE byte-coalescing serialization of grouped-python panels, the
 HOF expression-inlining quadratic re-tokenize, and the interpreted
-all-pairs embedding screen (SCALING.md has the write-ups).
+all-pairs embedding screen (SCALING.md has the write-ups). Round 7
+froze that win: per-query warm budgets live in
+``tools/catalog_budgets.json`` and ``--check`` fails any query that
+runs slower than ``BUDGET_FACTOR x`` its budget (above a jitter floor),
+so the next AQE/HOF-class regression is caught mechanically instead of
+by a hand sweep.
 
-Usage: python tools/time_catalog.py [sf_dir] [top_n]
+Usage:
+    python tools/time_catalog.py [sf_dir] [top_n]     # plain sweep
+    python tools/time_catalog.py --check [sf_dir]     # gate vs budgets
+    python tools/time_catalog.py --write-budgets [sf_dir]
+                                                      # (re)write ALL budgets
+    python tools/time_catalog.py --update-budgets [sf_dir]
+                                                      # add budgets for NEW
+                                                      # queries only
+
+Gate rules (--check):
+  * FAIL if warm > BUDGET_FACTOR (2x) x budget AND warm >= JITTER_FLOOR
+    (0.35 s — below that, local[32] scheduling noise dominates).
+  * FAIL if a query errors.
+  * FAIL if a query has no budget (run --update-budgets after adding a
+    catalog row; it never loosens an existing budget).
+  * Queries REMOVED from the catalog but still budgeted are reported,
+    not failed (stale entries are cleaned by --write-budgets).
 """
 
 from __future__ import annotations
@@ -22,11 +44,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+BUDGETS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "catalog_budgets.json")
+BUDGET_FACTOR = 2.0
+JITTER_FLOOR = 0.35  # seconds — under this, scheduler noise dominates
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 15
 
+def _sweep(sf_dir: str):
     import __spark_entry__ as E
     from azuredataengineering_deeplearning_spark import get_spark
 
@@ -48,6 +71,47 @@ def main() -> int:
             errs[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(json.dumps({"q": name, "err": errs[name]}), flush=True)
         spark.catalog.clearCache()
+    spark.stop()
+    return out, errs
+
+
+def _load_budgets() -> dict[str, float]:
+    if not os.path.exists(BUDGETS_PATH):
+        return {}
+    with open(BUDGETS_PATH) as f:
+        doc = json.load(f)
+    return {k: float(v) for k, v in doc.get("budgets_warm_s", {}).items()}
+
+
+def _save_budgets(budgets: dict[str, float], sf_dir: str) -> None:
+    doc = {
+        "_comment": (
+            "Per-query WARM-run budgets (seconds) from tools/time_catalog.py "
+            f"at {sf_dir} on local[32]. --check fails any query above "
+            f"{BUDGET_FACTOR}x its budget (jitter floor {JITTER_FLOOR}s). "
+            "Regenerate with --write-budgets only after verifying a slowdown "
+            "is intentional; --update-budgets adds new queries without "
+            "loosening existing entries."
+        ),
+        "sf_dir": sf_dir,
+        "budgets_warm_s": dict(sorted(budgets.items())),
+    }
+    with open(BUDGETS_PATH, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    mode = "sweep"
+    for flag, m in (("--check", "check"), ("--write-budgets", "write"), ("--update-budgets", "update")):
+        if flag in args:
+            mode = m
+            args.remove(flag)
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    top_n = int(args[1]) if len(args) > 1 else 15
+
+    out, errs = _sweep(sf_dir)
 
     total = sum(w for _, w in out.values())
     print(f"\n{len(out)} timed, {len(errs)} errored; total warm {total:.1f}s")
@@ -55,7 +119,44 @@ def main() -> int:
         print(f"{name:40s} cold {cold:7.2f}  warm {warm:7.2f}")
     for name, e in errs.items():
         print(f"ERROR {name}: {e}")
-    spark.stop()
+
+    if mode == "write":
+        _save_budgets({k: w for k, (_, w) in out.items()}, sf_dir)
+        print(f"wrote {len(out)} budgets -> {BUDGETS_PATH}")
+        return 1 if errs else 0
+
+    if mode == "update":
+        budgets = _load_budgets()
+        new = {k: w for k, (_, w) in out.items() if k not in budgets}
+        budgets.update(new)
+        _save_budgets(budgets, sf_dir)
+        print(f"added {len(new)} new budgets ({len(budgets)} total) -> {BUDGETS_PATH}")
+        return 1 if errs else 0
+
+    if mode == "check":
+        budgets = _load_budgets()
+        if not budgets:
+            print(f"NO BUDGET FILE at {BUDGETS_PATH} — run --write-budgets first")
+            return 1
+        over, missing = [], []
+        for name, (_, warm) in out.items():
+            b = budgets.get(name)
+            if b is None:
+                missing.append(name)
+            elif warm >= JITTER_FLOOR and warm > BUDGET_FACTOR * max(b, JITTER_FLOOR / BUDGET_FACTOR):
+                over.append((name, warm, b))
+        stale = sorted(set(budgets) - set(out) - set(errs))
+        print(f"\n--check vs {len(budgets)} budgets: "
+              f"{len(over)} over-budget, {len(missing)} unbudgeted, "
+              f"{len(errs)} errored, {len(stale)} stale-budget")
+        for name, warm, b in sorted(over, key=lambda t: -(t[1] / t[2])):
+            print(f"OVER   {name:40s} warm {warm:7.2f}s  budget {b:7.2f}s  ({warm/b:.1f}x)")
+        for name in missing:
+            print(f"NOBUDGET {name} — run --update-budgets")
+        for name in stale:
+            print(f"stale budget (query gone): {name}")
+        return 1 if (over or missing or errs) else 0
+
     return 1 if errs else 0
 
 
