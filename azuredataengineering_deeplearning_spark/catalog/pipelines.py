@@ -133,13 +133,11 @@ def pipeline_corpus_prep(spark, sf_dir):
         "doc_id", "lang", collapse_whitespace(F.col("text")).alias("cleaned")
     )
     feats = cleaned.withColumn("n_tokens", T.token_count("cleaned"))
-    dups = DD.exact_duplicates(feats, "doc_id", "cleaned")
-    out = (
-        feats.join(dups.select("doc_id", "is_duplicate"), "doc_id")
-        .filter(
-            (F.col("is_duplicate") == 0)
-            & F.col("n_tokens").between(20, 1000)
-        )
+    # exact_canonical (window form): one evaluation of the clean+md5
+    # lineage instead of three — see pipeline_pretraining_batches
+    out = DD.exact_canonical(feats, "doc_id", "cleaned").filter(
+        (F.col("doc_id") == F.col("canonical_id"))
+        & F.col("n_tokens").between(20, 1000)
     )
     return out.select("doc_id", "lang", "n_tokens")
 
@@ -346,10 +344,17 @@ def pipeline_pretraining_batches(spark, sf_dir):
         "doc_id", "lang", collapse_whitespace(F.col("text")).alias("cleaned")
     )
     feats = cleaned.withColumn("n_tokens", T.token_count("cleaned"))
-    dups = DD.exact_duplicates(feats, "doc_id", "cleaned")
+    # single-pass canonical dedup (exact_canonical): MIN(id) OVER
+    # (PARTITION BY fingerprint) — the join-back form via
+    # exact_duplicates evaluated the scan→clean→md5 lineage three times
+    # (groupBy branch + join-back branch + feats), 0.61 s vs 0.43 s at
+    # sf0.1; the window form is one shuffle, one lineage evaluation
     survivors = (
-        feats.join(dups.select("doc_id", "is_duplicate"), "doc_id")
-        .filter((F.col("is_duplicate") == 0) & F.col("n_tokens").between(20, 1000))
+        DD.exact_canonical(feats, "doc_id", "cleaned")
+        .filter(
+            (F.col("doc_id") == F.col("canonical_id"))
+            & F.col("n_tokens").between(20, 1000)
+        )
         .select("doc_id", "lang", "n_tokens")
     )
     train = U.hash_sample(survivors, "doc_id", 0.9)

@@ -191,3 +191,54 @@ def test_numpy_topk_query_cap_guard(spark):
     )
     with pytest.raises(ValueError, match="ivf_topk"):
         SIM.numpy_topk(df, df, max_collect=2)
+
+
+def test_resolve_clusters_bail_trigger_observed(spark):
+    # whitebox: the hub graph must actually take the engage -> bail ->
+    # re-resolve path (not just produce right answers by luck), and the
+    # collected candidate set is bounded by frontier_threshold + 1 rows
+    # regardless of hub degree (the limit() caps the driver collect).
+    events: list = []
+    pairs = spark.createDataFrame(BAIL_LOLLIPOP, "id_a long, id_b long")
+    got = {
+        r.node: r.cluster_id
+        for r in DD.resolve_clusters(
+            pairs,
+            max_iter=60,
+            jump_from=100,
+            frontier_threshold=2,
+            debug_events=events,
+        ).collect()
+    }
+    assert "tail_engage" in events and "tail_bail" in events
+    assert got == _union_find(BAIL_LOLLIPOP)
+
+
+def test_resolve_clusters_hub_star_bails_and_resolves(spark):
+    # a 200-spoke hub star fed by a chain: the tail gear engages on the
+    # chain crawl, converges it driver-side, then the hub's spokes blow
+    # the candidate set (spokes all carry the hub's id as label) -> bail
+    # -> distributed rounds finish. Exactly the adversarial-hub shape
+    # SCALING.md's driver-tail bound is about.
+    hub = 100
+    spokes = [(hub, 200_000 + i) for i in range(200)]
+    chain = [(0, 300_000)] + [
+        (300_000 + i, 300_001 + i) for i in range(30)
+    ] + [(300_030, hub)]
+    edges = spokes + chain
+    events: list = []
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.cluster_id
+        for r in DD.resolve_clusters(
+            pairs,
+            max_iter=80,
+            jump_from=2,
+            frontier_threshold=50,
+            debug_events=events,
+        ).collect()
+    }
+    assert got == _union_find(edges)
+    assert all(v == 0 for v in got.values())  # one component, min id 0
+    assert "tail_engage" in events
+    assert "tail_bail" in events

@@ -725,3 +725,31 @@ def test_hof_builders_tokenize_exactly_once(spark):
     assert "transform(array(" in plan  # bind_once marker on steps 1+
     rows = {r.u: r for r in fp.collect()}
     assert rows[1].steps_completed == 3
+
+
+def test_exact_canonical_matches_exact_duplicates(spark):
+    # the single-pass window twin must agree with the groupBy+join form
+    from azuredataengineering_deeplearning_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text"),
+            (2, "same text"),
+            (3, "unique"),
+            (4, "same text"),
+            (5, "other dup"),
+            (6, "other dup"),
+        ],
+        "doc_id long, text string",
+    )
+    via_window = {
+        (r["doc_id"], r["canonical_id"])
+        for r in DD.exact_canonical(df, "doc_id", "text").collect()
+    }
+    via_join = {
+        (r["doc_id"], r["canonical_id"])
+        for r in DD.exact_duplicates(df, "doc_id", "text").collect()
+    }
+    assert via_window == via_join == {
+        (1, 1), (2, 1), (3, 3), (4, 1), (5, 5), (6, 5),
+    }

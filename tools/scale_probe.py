@@ -217,6 +217,54 @@ def main() -> None:
             )
         )
 
+        # ---- adversarial hub: driver-tail bail path -------------------
+        # A 100k-degree hub fed by a slow chain: the tail gear engages
+        # on the chain crawl, then the hub's spokes (all labeled with
+        # the hub's id) blow the candidate set -> bail -> overlay flush
+        # -> distributed finish. Measures the bail path end-to-end and
+        # pins its driver-memory bound: every tail collect is
+        # limit(frontier_threshold+1), so the worst case is ~50k rows
+        # (~1 MB) REGARDLESS of hub degree — the hub never lands on the
+        # driver as 100k candidate rows.
+        hub_deg = 100_000
+        hub_id = 10_000_000
+        spokes = spark.range(hub_deg).select(
+            F.lit(hub_id).alias("id_a"),
+            (F.col("id") + hub_id + 1).alias("id_b"),
+        )
+        chain_len = 2_000
+        chain = spark.range(chain_len).select(
+            F.when(F.col("id") == 0, F.lit(0))
+            .otherwise(F.col("id") + 20_000_000)
+            .alias("id_a"),
+            F.when(F.col("id") == chain_len - 1, F.lit(hub_id))
+            .otherwise(F.col("id") + 20_000_001)
+            .alias("id_b"),
+        )
+        hub_pairs = spokes.union(chain)
+        events: list = []
+        t, labels = timed(
+            lambda: DD.resolve_clusters(
+                hub_pairs, max_iter=60, debug_events=events
+            )
+            .agg(F.max("cluster_id").alias("mx"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        results["cluster_hub_bail"] = t
+        assert labels["mx"] == 0, f"hub component mislabeled: max={labels['mx']}"
+        print(
+            json.dumps(
+                {
+                    "probe": "cluster_hub_bail",
+                    "hub_degree": hub_deg,
+                    "chain": chain_len,
+                    "nodes": labels["n"],
+                    "gear_events": events,
+                    "sec": t,
+                }
+            )
+        )
+
         # ---- contamination sweep over synthetic corpus ----------------
         docs_path = f"{tmp}/docs"
         (
