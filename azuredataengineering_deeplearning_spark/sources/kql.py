@@ -19,10 +19,12 @@ Supported pipe operators:
 ``materialize(...)`` — evaluated once via eager localCheckpoint)
 ``serialize`` with ``row_number()``/``prev()``/``next()`` over the
 pinned sort order (prev/next pin the numbering once, so tied sort keys
-pair consistently), ``mv-apply col on ( where | extend | project-away
-| summarize | top )`` (per-record array processing, correlated on a
-pre-explode row id), ``parse-where`` (pattern extraction dropping
-non-matching rows).
+pair consistently), ``mv-apply col [to typeof(T)] on ( where | extend |
+project-away | summarize | top )`` (per-record array processing,
+correlated on a pre-explode row id), ``parse-where`` (pattern
+extraction dropping non-matching rows), ``datatable (...) [...]``
+literal sources, and the membership variants ``!in`` / ``in~``
+(case-insensitive) / ``has_any``.
 Scalars also include ``todynamic``/``parse_json`` dotted access (→
 ``get_json_object``), ``case()``, ``between (a .. b)``,
 ``todouble/tolong/toint/tobool/todatetime``,
@@ -61,6 +63,17 @@ _AGG_FNS = {
 
 
 _TIMESPAN_SECONDS = {"d": 86400, "h": 3600, "m": 60, "s": 1}
+
+_KQL_TYPES = {
+    "int": "int",
+    "long": "bigint",
+    "real": "double",
+    "double": "double",
+    "string": "string",
+    "bool": "boolean",
+    "boolean": "boolean",
+    "datetime": "timestamp",
+}
 
 
 def _timespan_s(n: str, unit: str) -> int:
@@ -139,6 +152,24 @@ def _expr(kql: str, now: str | None = None) -> str:
         r"\1 BETWEEN \2 AND \3",
         s,
     )
+    # membership variants: !in -> NOT IN; in~ -> case-insensitive IN
+    s = re.sub(r"\s+!in\s*\(", " NOT IN (", s)
+    s = re.sub(
+        r"(\w+)\s+in~\s*\(([^()]*)\)",
+        lambda m: "lower({}) IN ({})".format(
+            m.group(1),
+            ", ".join(f"lower({a.strip()})" for a in m.group(2).split(",")),
+        ),
+        s,
+    )
+    # has_any (t1, t2, ...): whole-term match on ANY of the terms
+    def _has_any(m):
+        col = m.group(1)
+        terms = [t.strip().strip("'") for t in m.group(2).split(",")]
+        alt = "|".join(re.escape(t) for t in terms)
+        return f"{col} RLIKE '(?i)\\\\b({alt})\\\\b'"
+
+    s = re.sub(r"(\w+)\s+has_any\s*\(([^()]*)\)", _has_any, s)
     s = _rewrite_case(s)
     s = re.sub(r"==", "=", s)
     s = re.sub(r"\bdatetime\(([^)]+)\)", r"timestamp'\1'", s)
@@ -203,7 +234,7 @@ def kql_to_df(
             q = q[m.end():]
             continue
         head = _split_pipe(body)[0].strip()
-        if head in tables or re.match(r"^range\s", head):
+        if head in tables or re.match(r"^(range\s|datatable\s*\()", head):
             tables[name] = kql_to_df(tables, body, now)
         else:  # scalar let: parenthesized textual substitution
             q = q[m.end():]
@@ -223,6 +254,10 @@ def kql_to_df(
         spark = next(iter(tables.values())).sparkSession
         name, lo, hi, step = src.group(1), int(src.group(2)), int(src.group(3)), int(src.group(4))
         df = spark.range(lo, hi + 1, step).select(F.col("id").alias(name))
+    elif re.match(r"^datatable\s*\(", stages[0]):
+        if not tables:
+            raise ValueError("datatable source needs at least one table for a session")
+        df = _datatable(next(iter(tables.values())).sparkSession, stages[0])
     elif stages[0] in tables:
         df = tables[stages[0]]
     else:
@@ -372,6 +407,51 @@ def _join(df: DataFrame, tables: dict[str, DataFrame], rest: str) -> DataFrame:
     return df.join(right, cond, _JOIN_KINDS[kind])
 
 
+def _datatable(spark: SparkSession, text: str) -> DataFrame:
+    """``datatable (a: int, b: string) [1, 'x', 2, 'y']`` — KQL's
+    inline literal table (ubiquitous in lets/tests/enrichment stubs).
+    Values are a flat row-major list; types map via ``_KQL_TYPES``."""
+    m = re.match(r"^datatable\s*\(([^)]*)\)\s*\[(.*)\]\s*$", text.strip(), re.S)
+    if not m:
+        raise ValueError(f"unsupported datatable syntax: {text!r}")
+    cols = []
+    for part in _split_csv(m.group(1)):
+        nm, _, ty = part.partition(":")
+        cols.append((nm.strip(), _KQL_TYPES[ty.strip().lower()]))
+    raw = _split_csv(m.group(2))
+    if not raw or len(raw) % len(cols):
+        raise ValueError(
+            f"datatable values ({len(raw)}) not a multiple of arity {len(cols)}"
+        )
+
+    def _lit(v: str, ty: str):
+        v = v.strip()
+        if v.lower() in ("null", ""):
+            return None
+        dm = re.match(r"^datetime\(([^)]+)\)$", v)
+        if dm:
+            from datetime import datetime
+
+            return datetime.fromisoformat(dm.group(1).strip())
+        if v.startswith("'") and v.endswith("'"):
+            return v[1:-1]
+        if ty in ("int", "bigint"):
+            return int(v)
+        if ty == "double":
+            return float(v)
+        if ty == "boolean":
+            return v.lower() == "true"
+        return v
+
+    n = len(cols)
+    rows = [
+        tuple(_lit(raw[i + j], cols[j][1]) for j in range(n))
+        for i in range(0, len(raw), n)
+    ]
+    schema = ", ".join(f"{nm} {ty}" for nm, ty in cols)
+    return spark.createDataFrame(rows, schema)
+
+
 def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
     """``mv-apply Col [to typeof(T)] on ( <sub-pipe> )``: expand the
     array column to one row per element, run the parenthesized sub-pipe
@@ -392,17 +472,19 @@ def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
     group/window), so monotonically_increasing_id's
     recompute-instability can't split a record across branches."""
     m = re.match(
-        r"^(\w+)(?:\s+to\s+typeof\(\s*\w+\s*\))?\s+on\s*\((.+)\)\s*$",
+        r"^(\w+)(?:\s+to\s+typeof\(\s*(\w+)\s*\))?\s+on\s*\((.+)\)\s*$",
         rest.strip(),
         re.S,
     )
     if not m:
         raise ValueError(f"mv-apply needs 'col [to typeof(T)] on (pipe)': {rest!r}")
-    col, sub = m.group(1), m.group(2).strip()
+    col, totype, sub = m.group(1), m.group(2), m.group(3).strip()
     rid = "__mvap_rid"
     out = df.withColumn(rid, F.monotonically_increasing_id()).withColumn(
         col, F.explode(F.col(col))
     )
+    if totype:
+        out = out.withColumn(col, F.col(col).cast(_KQL_TYPES[totype.lower()]))
     for stage in [s for s in _split_pipe(sub) if s]:
         sop, _, srest = stage.partition(" ")
         srest = srest.strip()

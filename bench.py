@@ -72,6 +72,8 @@ HEADLINE = [
     # row to catch a perf regression — now first-class headline rows
     "ml_classification_report",
     "lm_token_f1",
+    # KQL per-record array processing (round 7)
+    "kql_mv_apply",
 ]
 
 

@@ -430,3 +430,54 @@ def test_kql_pipe_split_respects_parens_and_quotes(spark):
     L = spark.createDataFrame([("a|b",), ("c",)], "line string")
     out = kql_to_df({"L": L}, "L | where line contains '|'")
     assert [r["line"] for r in out.collect()] == ["a|b"]
+
+
+def test_kql_mv_apply_to_typeof_cast(spark):
+    T = spark.createDataFrame(
+        [("a", ["1", "2", "30"]), ("b", ["4"])], "k string, xs array<string>"
+    )
+    r = kql_to_df(
+        {"T": T}, "T | mv-apply xs to typeof(long) on (where xs > 3)"
+    ).collect()
+    assert sorted((x["k"], x["xs"]) for x in r) == [("a", 30), ("b", 4)]
+
+
+def test_kql_datatable_source_and_let(spark):
+    T = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    out = kql_to_df(
+        {"T": T},
+        """
+        let D = datatable (k: string, w: long) ['a', 10, 'b', 20, 'c', 30];
+        T | join kind=inner (D) on k | project k, v, w
+        """,
+    )
+    assert sorted((x["k"], x["v"], x["w"]) for x in out.collect()) == [
+        ("a", 1, 10), ("b", 2, 20),
+    ]
+    # bare datatable pipe head, with datetime + null literals
+    out2 = kql_to_df(
+        {"T": T},
+        "datatable (ts: datetime, n: int)"
+        " [datetime(2024-01-01 00:00:00), 5, datetime(2024-01-02 00:00:00), null]"
+        " | where n > 0 | count",
+    )
+    assert out2.collect()[0]["Count"] == 1
+
+
+def test_kql_membership_operators(spark):
+    K = spark.createDataFrame([("a",), ("B",), ("c",)], "v string")
+    assert sorted(
+        x["v"] for x in kql_to_df({"K": K}, "K | where v in~ ('A', 'b')").collect()
+    ) == ["B", "a"]
+    assert [
+        x["v"] for x in kql_to_df({"K": K}, "K | where v !in ('a', 'c')").collect()
+    ] == ["B"]
+    E = spark.createDataFrame(
+        [("Alpha beta",), ("gamma",), ("delta x",)], "t string"
+    )
+    assert sorted(
+        x["t"]
+        for x in kql_to_df(
+            {"E": E}, "E | where t has_any ('alpha', 'delta')"
+        ).collect()
+    ) == ["Alpha beta", "delta x"]
