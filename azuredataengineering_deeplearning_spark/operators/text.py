@@ -97,6 +97,29 @@ def word_shingles(col: Column | str, k: int = 3, sep: str = TOKEN_SPLIT) -> Colu
     return bind_once(tokens(col, sep), build)
 
 
+def gram_hashes(col: Column | str, k: int = 3, sep: str = TOKEN_SPLIT) -> Column:
+    """Distinct k-word shingles as 64-bit HASHES (array<bigint>) —
+    ``xxhash64`` of the token SLICE directly, never materializing the
+    joined shingle string. ~2x cheaper per document than
+    :func:`word_shingles` (no array_join string building), for
+    consumers that only compare shingles for equality (exact-jaccard
+    gram joins, blocking). Keep :func:`word_shingles` where the string
+    itself is consumed (minhash md5 oracle parity, forensics)."""
+
+    def build(w: Column) -> Column:
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - k + 1),
+                lambda i: F.xxhash64(F.slice(w, i, k)),
+            )
+        )
+        return F.when(F.size(w) >= k, sh).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    return bind_once(tokens(col, sep), build)
+
+
 def stopword_ratio(col: Column | str, stopwords: Sequence[str]) -> Column:
     """Share of tokens that are stopwords (quality/lang-ID feature)."""
     w = tokens(col)

@@ -753,3 +753,55 @@ def test_exact_canonical_matches_exact_duplicates(spark):
     assert via_window == via_join == {
         (1, 1), (2, 1), (3, 3), (4, 1), (5, 5), (6, 5),
     }
+
+
+def test_gram_hashes_matches_word_shingles_cardinality(spark):
+    # hash-slice shingles must be a bijective image of the string
+    # shingles per doc (same count, same cross-doc equality structure)
+    from azuredataengineering_deeplearning_spark.operators.text import (
+        gram_hashes, word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),        # identical -> identical hash sets
+            (3, "b c d e f"),         # overlaps 1 by two 3-shingles
+            (4, "x y"),               # shorter than k -> empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        F.size(word_shingles("text", 3)).alias("ns"),
+        F.size(gram_hashes("text", 3)).alias("nh"),
+        gram_hashes("text", 3).alias("h"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert r["ns"] == r["nh"]
+    assert sorted(by_id[1]["h"]) == sorted(by_id[2]["h"])
+    shared = set(by_id[1]["h"]) & set(by_id[3]["h"])
+    assert len(shared) == 2  # 'b c d' and 'c d e'
+    assert by_id[4]["nh"] == 0
+
+
+def test_ngram_jaccard_size_ratio_prune_is_exact(spark):
+    # a pair exactly at the threshold with UNEQUAL sizes must survive
+    # the size-ratio prune (jaccard >= t ⟹ min/max >= t, tight case)
+    from azuredataengineering_deeplearning_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # 4 distinct 3-shingles
+            (2, "a b c d e f g h"),      # 6 shingles, shares 4 -> j = 4/6
+            (3, "p q r s t u"),          # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(df, "doc_id", "text", threshold=4 / 6).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert abs(got[(1, 2)] - 4 / 6) < 1e-12
