@@ -544,3 +544,32 @@ def kql_materialize(spark, sf_dir):
         | summarize total = sum(n) by event_type
         """,
     )
+
+
+@query(
+    "kql_datatable_enrich",
+    """
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d.weight) AS BIGINT) AS weighted
+    FROM events e
+    JOIN (VALUES ('click', 1), ('purchase', 10), ('signup', 5))
+         AS d(event_type, weight)
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def kql_datatable_enrich(spark, sf_dir):
+    """KQL ``datatable`` literal source as an enrichment dim — the
+    inline lookup-table idiom (weights/allowlists defined in the query
+    text, joined against lake data)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        """
+        let W = datatable (event_type: string, weight: long)
+            ['click', 1, 'purchase', 10, 'signup', 5];
+        events
+        | join kind=inner (W) on event_type
+        | summarize n = count(), weighted = sum(weight) by event_type
+        """,
+    )

@@ -23,8 +23,8 @@ pair consistently), ``mv-apply col [to typeof(T)] on ( where | extend |
 project-away | summarize | top )`` (per-record array processing,
 correlated on a pre-explode row id), ``parse-where`` (pattern
 extraction dropping non-matching rows), ``datatable (...) [...]``
-literal sources, and the membership variants ``!in`` / ``in~``
-(case-insensitive) / ``has_any``.
+literal sources, multi-table ``union``, ``project-reorder``, and the
+membership variants ``!in`` / ``in~`` (case-insensitive) / ``has_any``.
 Scalars also include ``todynamic``/``parse_json`` dotted access (→
 ``get_json_object``), ``case()``, ``between (a .. b)``,
 ``todouble/tolong/toint/tobool/todatetime``,
@@ -353,10 +353,17 @@ def kql_to_df(
                 df, tables, f"kind=leftouter ({m.group(1)}) on {m.group(2)}"
             )
         elif op == "union":
-            name = rest.strip().strip("()")
-            if name not in tables:
-                raise ValueError(f"union: unknown table {name!r}")
-            df = df.unionByName(tables[name], allowMissingColumns=True)
+            # `union T` / `union (T)` / `union T1, T2, ...` — columns
+            # align by name, sides may differ in schema (KQL fills
+            # missing columns with null; so does allowMissingColumns)
+            for name in _split_csv(rest):
+                name = name.strip().strip("()").strip()
+                if name not in tables:
+                    raise ValueError(f"union: unknown table {name!r}")
+                df = df.unionByName(tables[name], allowMissingColumns=True)
+        elif op == "project-reorder":
+            want = [c.strip() for c in _split_csv(rest)]
+            df = df.select(*want, *[c for c in df.columns if c not in want])
         else:
             raise ValueError(f"unsupported KQL operator: {op!r}")
     return df

@@ -481,3 +481,14 @@ def test_kql_membership_operators(spark):
             {"E": E}, "E | where t has_any ('alpha', 'delta')"
         ).collect()
     ) == ["Alpha beta", "delta x"]
+
+
+def test_kql_union_multiple_and_project_reorder(spark):
+    A = spark.createDataFrame([(1, "a")], "k long, v string")
+    B = spark.createDataFrame([(2,)], "k long")
+    C = spark.createDataFrame([(3, "c")], "k long, v string")
+    out = kql_to_df({"A": A, "B": B, "C": C}, "A | union B, C | sort by k asc")
+    rows = [(r["k"], r["v"]) for r in out.collect()]
+    assert rows == [(1, "a"), (2, None), (3, "c")]  # missing col -> null
+    re_out = kql_to_df({"A": A}, "A | project-reorder v")
+    assert re_out.columns == ["v", "k"]

@@ -805,3 +805,24 @@ def test_ngram_jaccard_size_ratio_prune_is_exact(spark):
     }
     assert set(got) == {(1, 2)}
     assert abs(got[(1, 2)] - 4 / 6) < 1e-12
+
+
+def test_fuzzy_pairs_length_prefilter_is_exact(spark):
+    # boundary: a pair whose length difference EQUALS max_dist must
+    # survive the prefilter (|len diff| <= dist is necessary, not <)
+    from azuredataengineering_deeplearning_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, "smith"), (2, "smithe"), (3, "smythes"), (4, "jones")],
+        "id long, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in DD.fuzzy_pairs(
+            df, "id", "name", F.substring("name", 1, 2), max_dist=1
+        ).collect()
+    }
+    # smith/smithe: dist 1, len diff 1 (boundary) — must be present;
+    # smithe/smythes: len diff 1 but dist 2 — dropped by levenshtein;
+    # smith/smythes: len diff 2 — pruned before the DP
+    assert got == {(1, 2): 1}
