@@ -1,0 +1,91 @@
+"""EXAMPLES.md is executable documentation: every fenced python block
+runs here against sf0.001, with the fixtures its free variables
+promise. If an example drifts from the real API (renamed function,
+changed signature), this file fails — "validated" stays mechanically
+true instead of aspirational."""
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "EXAMPLES.md")
+
+
+def _blocks():
+    text = open(EXAMPLES).read()
+    return re.findall(r"```python\n(.*?)```", text, re.S)
+
+
+def test_examples_md_has_five_blocks():
+    assert len(_blocks()) == 5
+
+
+def _ns_common(spark, sf_dir):
+    return {"spark": spark, "sf": sf_dir, "F": F}
+
+
+def test_example_1_sql_analyst(spark, sf_dir):
+    exec(_blocks()[0], _ns_common(spark, sf_dir))
+
+
+def test_example_2_kql_analyst(spark, sf_dir):
+    exec(_blocks()[1], _ns_common(spark, sf_dir))
+
+
+def test_example_3_lakehouse_engineer(spark, sf_dir, tmp_path):
+    ns = _ns_common(spark, sf_dir)
+    ns["table"] = str(tmp_path / "tx")
+    ns["staging_copy"] = str(tmp_path / "staging")
+    ns["bronze_df"] = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-02 00:00:00", 2.0)],
+        "event_id long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ns["changeset"] = spark.createDataFrame(
+        [(2, "2024-01-03 00:00:00", 5.0), (3, "2024-01-04 00:00:00", 3.0)],
+        "event_id long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    exec(_blocks()[2], ns)
+    # the example's `changes` binding is real change-data-feed output
+    assert ns["changes"].count() > 0
+
+
+def test_example_4_ml_engineer(spark, sf_dir):
+    ns = _ns_common(spark, sf_dir)
+    rows = [(float(i % 2), float(i % 7), 1.0 if i % 2 else 0.0) for i in range(200)]
+    data = spark.createDataFrame(rows, "f1 double, f2 double, label double")
+    ns["train"], ns["test"] = data, data
+    ns["feats"] = ["f1", "f2"]
+    ns["probs"] = spark.createDataFrame(
+        [(1.0, 0.9), (0.0, 0.2), (1.0, 0.7), (0.0, 0.4)], "y double, score double"
+    )
+    ns["slates"] = spark.createDataFrame(
+        [("q1", 0.9, 2.0, 1), ("q1", 0.5, 1.0, 2), ("q1", 0.1, 0.0, 3)],
+        "query string, score double, rel double, item_id long",
+    )
+    exec(_blocks()[3], ns)
+
+
+def test_example_5_llm_data_engineer(spark, sf_dir):
+    ns = _ns_common(spark, sf_dir)
+    ns["docs"] = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3} epsilon zeta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    ns["qa"] = spark.createDataFrame(
+        [("what is spark", "a distributed engine"), ("what is duckdb", "an olap db")],
+        "question string, answer string",
+    )
+    ns["SCHEMA"] = "array<struct<Action:string,ChimeraType:string>>"
+    ns["ALLOWED"] = {"Action": ["Replace", "Reboot"], "ChimeraType": ["DIMM", "GPU"]}
+    ns["preds"] = spark.createDataFrame(
+        [
+            ("d1", '[{"Action":"Replace","ChimeraType":"DIMM"}]',
+             '[{"Action":"Replace","ChimeraType":"DIMM"}]'),
+            ("d1", '[{"Action":"Reboot"', '[{"Action":"Reboot","ChimeraType":"GPU"}]'),
+        ],
+        "day string, pred string, gold string",
+    )
+    exec(_blocks()[4], ns)
+    assert ns["split"].count() == 30
