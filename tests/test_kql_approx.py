@@ -492,3 +492,41 @@ def test_kql_union_multiple_and_project_reorder(spark):
     assert rows == [(1, "a"), (2, None), (3, "c")]  # missing col -> null
     re_out = kql_to_df({"A": A}, "A | project-reorder v")
     assert re_out.columns == ["v", "k"]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.lists(st.integers(-10, 10), max_size=6),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    thr=st.integers(-5, 5),
+)
+def test_kql_mv_apply_matches_python_model(spark, rows, thr):
+    # mv-apply (where …| summarize …) against a pure-Python model:
+    # empty arrays drop the record; summarize is per ORIGINAL record
+    data = [(i, k, xs) for i, (k, xs) in enumerate(rows)]
+    T = spark.createDataFrame(data, "rid long, k long, xs array<int>")
+    out = kql_to_df(
+        {"T": T},
+        f"T | mv-apply xs on (where xs > {thr} | summarize mx = max(xs), c = count())",
+    ).collect()
+    got = {(r["rid"], r["k"]): (r["mx"], r["c"]) for r in out}
+    want = {}
+    for i, (k, xs) in enumerate(rows):
+        surv = [x for x in xs if x > thr]
+        if surv:
+            want[(i, k)] = (max(surv), len(surv))
+    assert got == want
