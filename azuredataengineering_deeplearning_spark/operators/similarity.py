@@ -242,7 +242,18 @@ def numpy_topk(
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((qids, qmat))
 
-    schema = "query_id long, neighbor_id long, cos double"
+    # ids keep their input type (long, string, ...) — schema follows
+    # the id column, same generic contract as embedding_near_duplicates
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    idt = vectors.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("query_id", idt),
+            StructField("neighbor_id", idt),
+            StructField("cos", DoubleType()),
+        ]
+    )
 
     def score(batches):
         ids, qm = bc.value
@@ -260,7 +271,7 @@ def numpy_topk(
                 idx = np.argpartition(-col, take - 1)[:take]
                 for i in idx:
                     if nids[i] != qid:
-                        out.append((qid, int(nids[i]), float(col[i])))
+                        out.append((qid, nids[i].item() if hasattr(nids[i], "item") else nids[i], float(col[i])))
             yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos"])
 
     candidates = vectors.select(id_col, vec_col).mapInPandas(score, schema)
@@ -355,7 +366,16 @@ def embedding_near_duplicates(
             n[n == 0.0] = np.nan
             vm = vm / n
             sims = vm @ cm.T  # (batch, corpus)
-            bpos = pdf[id_col].map(cpos).to_numpy(dtype=np.int64)
+            mapped = pdf[id_col].map(cpos)
+            if mapped.isna().any():
+                raise ValueError(
+                    "embedding_near_duplicates rescan saw an id absent "
+                    "from the collected corpus — the input plan is "
+                    "nondeterministic (rand/sample/unordered limit). "
+                    "Pin it with localCheckpoint(eager=True) first "
+                    "(same precondition as global_row_number)."
+                )
+            bpos = mapped.to_numpy(dtype=np.int64)
             with np.errstate(invalid="ignore"):
                 # positional dedup: every unordered pair survives exactly
                 # once (never the self pair) for any id type

@@ -158,15 +158,20 @@ def _expr(kql: str, now: str | None = None) -> str:
         r"(\w+)\s+in~\s*\(([^()]*)\)",
         lambda m: "lower({}) IN ({})".format(
             m.group(1),
-            ", ".join(f"lower({a.strip()})" for a in m.group(2).split(",")),
+            ", ".join(f"lower({a.strip()})" for a in _split_csv(m.group(2))),
         ),
         s,
     )
-    # has_any (t1, t2, ...): whole-term match on ANY of the terms
+    # has_any (t1, t2, ...): whole-term match on ANY of the terms.
+    # Escaping is two-layered: re.escape guards regex metachars, then
+    # every backslash is DOUBLED because the pattern travels through a
+    # Spark SQL string literal whose unescaping strips one layer —
+    # without the doubling, '1.2.3.4' reaches the regex engine as
+    # 1.2.3.4 (any-char dots) and matches 1x2x3x4.
     def _has_any(m):
         col = m.group(1)
-        terms = [t.strip().strip("'") for t in m.group(2).split(",")]
-        alt = "|".join(re.escape(t) for t in terms)
+        terms = [t.strip().strip("'") for t in _split_csv(m.group(2))]
+        alt = "|".join(re.escape(t) for t in terms).replace("\\", "\\\\")
         return f"{col} RLIKE '(?i)\\\\b({alt})\\\\b'"
 
     s = re.sub(r"(\w+)\s+has_any\s*\(([^()]*)\)", _has_any, s)
@@ -487,6 +492,11 @@ def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
         raise ValueError(f"mv-apply needs 'col [to typeof(T)] on (pipe)': {rest!r}")
     col, totype, sub = m.group(1), m.group(2), m.group(3).strip()
     rid = "__mvap_rid"
+    # the record's identity is its ORIGINAL columns, captured BEFORE any
+    # sub-pipe stage runs: an extend-derived column is per-ELEMENT and
+    # must never become a summarize group key (it would fracture the
+    # per-record aggregate into one row per distinct derived value)
+    record_cols = [c for c in df.columns if c != col]
     out = df.withColumn(rid, F.monotonically_increasing_id()).withColumn(
         col, F.explode(F.col(col))
     )
@@ -495,22 +505,14 @@ def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
     for stage in [s for s in _split_pipe(sub) if s]:
         sop, _, srest = stage.partition(" ")
         srest = srest.strip()
-        if sop == "where":
-            out = out.filter(F.expr(_expr(srest, now)))
-        elif sop == "extend":
-            for part in _split_csv(srest):
-                em = re.match(r"^(\w+)\s*=\s*(.+)$", part)
-                if not em:
-                    raise ValueError(f"extend needs name=expr: {part!r}")
-                out = out.withColumn(
-                    em.group(1), F.expr(_expr(em.group(2).strip(), now))
-                )
-        elif sop == "project-away":
-            out = out.drop(*[c.strip() for c in _split_csv(srest)])
+        handled = _row_local_stage(out, sop, srest, now)
+        if handled is not None:
+            out = handled
         elif sop == "summarize":
-            # per-record aggregate: group by the row id plus every other
-            # source column, so the output keeps the record's columns
-            keep = [c for c in out.columns if c != col and c != rid]
+            # per-record aggregate: group by the row id plus the
+            # record's surviving ORIGINAL columns (never per-element
+            # extend outputs), so the output keeps the record's columns
+            keep = [c for c in record_cols if c in out.columns]
             agg_part, _, by_part = srest.partition(" by ")
             by_keys = ([k.strip() for k in _split_csv(by_part)] if by_part else [])
             keys = [rid] + keep + [k for k in by_keys if k not in keep]
@@ -533,6 +535,27 @@ def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
                 "(supported: where, extend, project-away, summarize, top)"
             )
     return out.drop(rid)
+
+
+def _row_local_stage(df: DataFrame, op: str, rest: str, now: str | None):
+    """Row-local stage handler (``where``/``extend``/``project-away``)
+    for ``mv-apply`` sub-pipes. ``where``/``project-away`` mirror the
+    top-level dispatcher exactly; ``extend`` is the windowless form
+    (the top level routes extend through ``_extend_one`` because only
+    there can ``serialize`` row_number/prev/next appear). Returns the
+    transformed frame, or None when ``op`` is not row-local."""
+    if op == "where":
+        return df.filter(F.expr(_expr(rest, now)))
+    if op == "extend":
+        for part in _split_csv(rest):
+            em = re.match(r"^(\w+)\s*=\s*(.+)$", part)
+            if not em:
+                raise ValueError(f"extend needs name=expr: {part!r}")
+            df = df.withColumn(em.group(1), F.expr(_expr(em.group(2).strip(), now)))
+        return df
+    if op == "project-away":
+        return df.drop(*[c.strip() for c in _split_csv(rest)])
+    return None
 
 
 def _parse(df: DataFrame, rest: str, where: bool = False) -> DataFrame:

@@ -242,3 +242,30 @@ def test_resolve_clusters_hub_star_bails_and_resolves(spark):
     assert all(v == 0 for v in got.values())  # one component, min id 0
     assert "tail_engage" in events
     assert "tail_bail" in events
+
+
+def test_numpy_topk_string_ids(spark):
+    # generic-id contract now consistent with embedding_near_duplicates
+    df = spark.createDataFrame(
+        _vec_rows(), "vec_id string, embedding array<double>"
+    )
+    got = SIM.numpy_topk(df, df, k=1).collect()
+    assert all(isinstance(r["query_id"], str) for r in got)
+    by_q = {r["query_id"]: r["neighbor_id"] for r in got}
+    assert by_q["doc-a"] == "doc-b" and by_q["doc-b"] == "doc-a"
+
+
+def test_exact_canonical_null_text_grouping(spark):
+    # pinned divergence: window form groups NULL fingerprints; the
+    # min-id null-text doc is its own canonical (survives), the other
+    # null-text docs are its duplicates
+    from azuredataengineering_deeplearning_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in DD.exact_canonical(df, "doc_id", "text").collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 1}

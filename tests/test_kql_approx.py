@@ -530,3 +530,24 @@ def test_kql_mv_apply_matches_python_model(spark, rows, thr):
         if surv:
             want[(i, k)] = (max(surv), len(surv))
     assert got == want
+
+
+def test_kql_mv_apply_extend_then_summarize_one_row_per_record(spark):
+    # regression: an extend-derived per-element column must not become a
+    # summarize group key (it would fracture the per-record aggregate)
+    T = spark.createDataFrame([(1, [1, 2, 3, 4]), (2, [5])], "k long, xs array<int>")
+    r = kql_to_df(
+        {"T": T}, "T | mv-apply xs on (extend y = xs % 2 | summarize c = count())"
+    ).collect()
+    assert sorted((x["k"], x["c"]) for x in r) == [(1, 4), (2, 1)]
+
+
+def test_kql_has_any_and_in_tilde_edge_literals(spark):
+    # regex metachars in has_any terms stay literal through the SQL
+    # string layer; in~ handles quoted commas via the csv splitter
+    E = spark.createDataFrame([("ip 1.2.3.4 ok",), ("ip 1x2x3x4 bad",)], "t string")
+    got = kql_to_df({"E": E}, "E | where t has_any ('1.2.3.4', '9.9.9.9')").collect()
+    assert [x["t"] for x in got] == ["ip 1.2.3.4 ok"]
+    K = spark.createDataFrame([("a,b",), ("C",)], "v string")
+    got2 = kql_to_df({"K": K}, "K | where v in~ ('A,B', 'z')").collect()
+    assert [x["v"] for x in got2] == ["a,b"]

@@ -130,8 +130,11 @@ def test_upsert_txlog_crash_before_commit_record(spark, tmp_path, monkeypatch):
     q2 = stream_upsert_txlog(_stream(spark, landing), table, ["k"], ckpt)
     with pytest.raises(Exception):
         q2.processAllAvailable()
-        raise RuntimeError("query should have failed")
     q2.stop()
+    # the injection must actually have fired — otherwise the raises
+    # block proved nothing (a sentinel raise INSIDE pytest.raises is
+    # swallowed and makes the assertion vacuous)
+    assert not boom["armed"], "injected crash never fired"
 
     # half-written attempt is invisible: same versions, same content
     assert TX._versions(table) == versions_b1
@@ -256,8 +259,8 @@ def test_rollup_crash_between_swap_and_publish(spark, tmp_path, monkeypatch):
     q2 = start()
     with pytest.raises(Exception):
         q2.processAllAvailable()
-        raise RuntimeError("query should have failed")
     q2.stop()
+    assert not boom["armed"], "injected crash never fired"
     monkeypatch.setattr(R.os, "rename", real_rename)
 
     q3 = start()
