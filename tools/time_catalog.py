@@ -108,6 +108,11 @@ def main() -> int:
         if flag in args:
             mode = m
             args.remove(flag)
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     top_n = int(args[1]) if len(args) > 1 else 15
 
@@ -155,7 +160,31 @@ def main() -> int:
             print(f"NOBUDGET {name} — run --update-budgets")
         for name in stale:
             print(f"stale budget (query gone): {name}")
-        return 1 if (over or missing or errs) else 0
+        ok = not (over or missing or errs)
+        if json_out:
+            with open(json_out, "w") as f:
+                json.dump(
+                    {
+                        "sf_dir": sf_dir,
+                        "n_queries": len(out),
+                        "total_warm_s": round(total, 1),
+                        "budget_factor": BUDGET_FACTOR,
+                        "jitter_floor_s": JITTER_FLOOR,
+                        "pass": ok,
+                        "over_budget": [
+                            {"q": n, "warm": w, "budget": b} for n, w, b in over
+                        ],
+                        "unbudgeted": missing,
+                        "errored": sorted(errs),
+                        "stale_budgets": stale,
+                        "warm_s": {k: w for k, (_, w) in sorted(out.items())},
+                    },
+                    f,
+                    indent=1,
+                )
+                f.write("\n")
+            print(f"wrote {json_out}")
+        return 0 if ok else 1
 
     return 1 if errs else 0
 
