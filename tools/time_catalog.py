@@ -26,8 +26,16 @@ Usage:
                                                       # queries only
 
 Gate rules (--check):
-  * FAIL if warm > BUDGET_FACTOR (2x) x budget AND warm >= JITTER_FLOOR
-    (0.35 s — below that, local[32] scheduling noise dominates).
+  * FAIL if warm > BUDGET_FACTOR (2x) x drift x budget AND warm >=
+    JITTER_FLOOR x drift (0.35 s base — below that, local[32]
+    scheduling noise dominates). ``drift`` = the median warm/budget
+    ratio over the whole catalog, clamped >= 1: the same box can run
+    everything 1.5-2x slower hours later (thermal/cache state), which
+    would false-flag untouched queries; a REAL regression moves one
+    query's ratio, not the median, so normalizing by the median keeps
+    the gate sharp while ignoring uniform machine drift. (Observed
+    live in round 7: two untouched queries flagged 2-3x over; an A/B
+    at the last-clean commit timed identically — pure machine state.)
   * FAIL if a query errors.
   * FAIL if a query has no budget (run --update-budgets after adding a
     catalog row; it never loosens an existing budget).
@@ -143,15 +151,30 @@ def main() -> int:
         if not budgets:
             print(f"NO BUDGET FILE at {BUDGETS_PATH} — run --write-budgets first")
             return 1
+        # MACHINE-DRIFT NORMALIZATION: budgets were recorded under one
+        # machine state; hours later the same box can run every query
+        # 1.5-2x slower (thermal/cache/cgroup), which would false-flag
+        # untouched queries. The median warm/budget ratio across the
+        # catalog estimates that uniform drift (a real regression moves
+        # ONE query, not the median); thresholds scale by max(1, drift).
+        ratios = sorted(
+            out[n][1] / b
+            for n, b in budgets.items()
+            if n in out and b > 0 and out[n][1] >= JITTER_FLOOR / 2
+        )
+        drift = max(1.0, ratios[len(ratios) // 2] if ratios else 1.0)
         over, missing = [], []
         for name, (_, warm) in out.items():
             b = budgets.get(name)
             if b is None:
                 missing.append(name)
-            elif warm >= JITTER_FLOOR and warm > BUDGET_FACTOR * max(b, JITTER_FLOOR / BUDGET_FACTOR):
+            elif warm >= JITTER_FLOOR * drift and warm > BUDGET_FACTOR * drift * max(
+                b, JITTER_FLOOR / BUDGET_FACTOR
+            ):
                 over.append((name, warm, b))
         stale = sorted(set(budgets) - set(out) - set(errs))
-        print(f"\n--check vs {len(budgets)} budgets: "
+        print(f"\n--check vs {len(budgets)} budgets "
+              f"(machine drift x{drift:.2f}): "
               f"{len(over)} over-budget, {len(missing)} unbudgeted, "
               f"{len(errs)} errored, {len(stale)} stale-budget")
         for name, warm, b in sorted(over, key=lambda t: -(t[1] / t[2])):
@@ -170,6 +193,7 @@ def main() -> int:
                         "total_warm_s": round(total, 1),
                         "budget_factor": BUDGET_FACTOR,
                         "jitter_floor_s": JITTER_FLOOR,
+                        "machine_drift": round(drift, 3),
                         "pass": ok,
                         "over_budget": [
                             {"q": n, "warm": w, "budget": b} for n, w, b in over
