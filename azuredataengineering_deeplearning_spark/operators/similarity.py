@@ -246,11 +246,12 @@ def numpy_topk(
     # the id column, same generic contract as embedding_near_duplicates
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    idt = vectors.schema[id_col].dataType
     schema = StructType(
         [
-            StructField("query_id", idt),
-            StructField("neighbor_id", idt),
+            # each id field follows ITS OWN frame's type — the query and
+            # corpus frames may legitimately differ
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("neighbor_id", vectors.schema[id_col].dataType),
             StructField("cos", DoubleType()),
         ]
     )

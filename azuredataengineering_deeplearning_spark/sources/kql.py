@@ -99,10 +99,15 @@ def _expr(kql: str, now: str | None = None) -> str:
         ),
         s,
     )
-    # `has`: case-insensitive whole-term match (KQL's indexed term search)
+    # `has`: case-insensitive whole-term match (KQL's indexed term
+    # search). Same two-layer escaping as has_any below: re.escape's
+    # backslashes are doubled so they survive the SQL string-literal
+    # unescape — otherwise '1.2.3.4' reaches the regex as any-char dots.
     s = re.sub(
         r"(\w+)\s+has\s+'([^']*)'",
-        lambda m: f"{m.group(1)} RLIKE '(?i)\\\\b{re.escape(m.group(2))}\\\\b'",
+        lambda m: "{} RLIKE '(?i)\\\\b{}\\\\b'".format(
+            m.group(1), re.escape(m.group(2)).replace(chr(92), chr(92) * 2)
+        ),
         s,
     )
     # scalar function surface: KQL name → Spark SQL equivalent
@@ -117,9 +122,34 @@ def _expr(kql: str, now: str | None = None) -> str:
         r"regexp_extract(\3, '\1', \2)",
         s,
     )
-    s = re.sub(r"\bcontains\s+('[^']*')", r" LIKE concat('%', \1, '%')", s)
-    s = re.sub(r"\bstartswith\s+('[^']*')", r" LIKE concat(\1, '%')", s)
-    s = re.sub(r"\bendswith\s+('[^']*')", r" LIKE concat('%', \1)", s)
+    # contains/startswith/endswith: LIKE wildcards in the TERM must be
+    # literal — escape %/_/backslash and pin ESCAPE. Layering: in the
+    # final LIKE pattern (post SQL-literal unescape) the term needs
+    # percent -> BS+percent, underscore -> BS+underscore, BS -> BS+BS;
+    # each pattern backslash is written doubled in the SQL text.
+
+    def _like_term(m):
+        c = m.group(1)
+        c = c.replace(chr(92), chr(92) * 4)
+        c = c.replace("%", chr(92) * 2 + "%").replace("_", chr(92) * 2 + "_")
+        return c
+
+    _esc = f" ESCAPE '{chr(92) * 2}'"
+    s = re.sub(
+        r"\bcontains\s+'([^']*)'",
+        lambda m: f" LIKE concat('%', '{_like_term(m)}', '%'){_esc}",
+        s,
+    )
+    s = re.sub(
+        r"\bstartswith\s+'([^']*)'",
+        lambda m: f" LIKE concat('{_like_term(m)}', '%'){_esc}",
+        s,
+    )
+    s = re.sub(
+        r"\bendswith\s+'([^']*)'",
+        lambda m: f" LIKE concat('%', '{_like_term(m)}'){_esc}",
+        s,
+    )
     # dynamic access FIRST (so casts below see its output): todynamic(
     # col).a.b / parse_json(col).a.b → get_json_object (string-typed
     # values, the cross-engine-checkable form; DuckDB twin:
@@ -272,8 +302,10 @@ def kql_to_df(
     for stage in stages[1:]:
         op, _, rest = stage.partition(" ")
         rest = rest.strip()
-        if op == "where":
-            df = df.filter(F.expr(_expr(rest, now)))
+        if op in ("where", "project-away"):
+            # shared with mv-apply sub-pipes via _row_local_stage, so
+            # the two dispatch sites cannot drift
+            df = _row_local_stage(df, op, rest, now)
         elif op == "project":
             cols = []
             for part in _split_csv(rest):
@@ -314,8 +346,6 @@ def kql_to_df(
             df = _summarize(df, rest, now)
         elif op == "join":
             df = _join(df, tables, rest)
-        elif op == "project-away":
-            df = df.drop(*[c.strip() for c in _split_csv(rest)])
         elif op == "parse":
             df = _parse(df, rest)
         elif op == "parse-where":
@@ -497,12 +527,28 @@ def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
     # must never become a summarize group key (it would fracture the
     # per-record aggregate into one row per distinct derived value)
     record_cols = [c for c in df.columns if c != col]
-    out = df.withColumn(rid, F.monotonically_increasing_id()).withColumn(
-        col, F.explode(F.col(col))
-    )
+    stages = [s for s in _split_pipe(sub) if s]
+    # identity by VALUE, not name: a sub-pipe extend may OVERWRITE a
+    # record column (Kusto's extend replaces), turning it per-element —
+    # snapshot exactly those columns pre-explode as hidden copies, group
+    # on the copies, and rename them back after the aggregate so the
+    # output carries the ORIGINAL record values (Kusto behavior)
+    overwritten = {
+        em.group(1)
+        for st in stages
+        if st.partition(" ")[0] == "extend"
+        for part in _split_csv(st.partition(" ")[2].strip())
+        for em in [re.match(r"^(\w+)\s*=", part)]
+        if em and em.group(1) in record_cols
+    }
+    snap = {c: f"__mvap_snap_{i}" for i, c in enumerate(sorted(overwritten))}
+    out = df.withColumn(rid, F.monotonically_increasing_id())
+    for c, h in snap.items():
+        out = out.withColumn(h, F.col(c))
+    out = out.withColumn(col, F.explode(F.col(col)))
     if totype:
         out = out.withColumn(col, F.col(col).cast(_KQL_TYPES[totype.lower()]))
-    for stage in [s for s in _split_pipe(sub) if s]:
+    for stage in stages:
         sop, _, srest = stage.partition(" ")
         srest = srest.strip()
         handled = _row_local_stage(out, sop, srest, now)
@@ -511,14 +557,24 @@ def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
         elif sop == "summarize":
             # per-record aggregate: group by the row id plus the
             # record's surviving ORIGINAL columns (never per-element
-            # extend outputs), so the output keeps the record's columns
-            keep = [c for c in record_cols if c in out.columns]
+            # extend outputs; overwritten originals group on their
+            # hidden pre-explode snapshots), keeping the record's values
+            keep = [
+                snap.get(c, c)
+                for c in record_cols
+                if c in out.columns or c in snap
+            ]
             agg_part, _, by_part = srest.partition(" by ")
             by_keys = ([k.strip() for k in _split_csv(by_part)] if by_part else [])
             keys = [rid] + keep + [k for k in by_keys if k not in keep]
             out = _summarize(
                 out, agg_part + " by " + ", ".join(keys), now
             )
+            # the aggregate dropped the per-element overwrite; surface
+            # the snapshots under their original names again
+            for c, h in snap.items():
+                if h in out.columns and c not in out.columns:
+                    out = out.withColumnRenamed(h, c)
         elif sop == "top":
             tm = re.match(r"^(\d+)\s+by\s+(.+)$", srest)
             if not tm:
@@ -534,7 +590,7 @@ def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
                 f"unsupported stage inside mv-apply: {sop!r} "
                 "(supported: where, extend, project-away, summarize, top)"
             )
-    return out.drop(rid)
+    return out.drop(rid, *snap.values())
 
 
 def _row_local_stage(df: DataFrame, op: str, rest: str, now: str | None):

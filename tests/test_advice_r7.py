@@ -269,3 +269,18 @@ def test_exact_canonical_null_text_grouping(spark):
         for r in DD.exact_canonical(df, "doc_id", "text").collect()
     }
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_numpy_topk_mixed_id_types(spark):
+    # query_id follows the QUERIES frame's id type, neighbor_id the
+    # corpus frame's — the two may differ
+    corpus = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(_vec_rows())],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        _vec_rows()[:2], "vec_id string, embedding array<double>"
+    )
+    got = SIM.numpy_topk(corpus, queries, k=1).collect()
+    assert all(isinstance(r["query_id"], str) for r in got)
+    assert all(isinstance(r["neighbor_id"], int) for r in got)

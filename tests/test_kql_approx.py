@@ -551,3 +551,44 @@ def test_kql_has_any_and_in_tilde_edge_literals(spark):
     K = spark.createDataFrame([("a,b",), ("C",)], "v string")
     got2 = kql_to_df({"K": K}, "K | where v in~ ('A,B', 'z')").collect()
     assert [x["v"] for x in got2] == ["a,b"]
+
+
+def test_kql_has_and_contains_literal_metachars(spark):
+    E = spark.createDataFrame(
+        [("ip 1.2.3.4 here",), ("ip 1x2x3x4 no",), ("a_b inside",),
+         ("aXb not",), ("100% sure",), ("100g unsure",)],
+        "t string",
+    )
+    # `has`: regex metachars stay literal through the SQL string layer
+    r = kql_to_df({"E": E}, "E | where t has '1.2.3.4'").collect()
+    assert [x["t"] for x in r] == ["ip 1.2.3.4 here"]
+    # contains/startswith/endswith: LIKE wildcards in the term are literal
+    assert [
+        x["t"] for x in kql_to_df({"E": E}, "E | where t contains 'a_b'").collect()
+    ] == ["a_b inside"]
+    assert [
+        x["t"] for x in kql_to_df({"E": E}, "E | where t contains '100%'").collect()
+    ] == ["100% sure"]
+    assert [
+        x["t"]
+        for x in kql_to_df({"E": E}, "E | where t startswith 'ip 1.2'").collect()
+    ] == ["ip 1.2.3.4 here"]
+    assert sorted(
+        x["t"] for x in kql_to_df({"E": E}, "E | where t endswith 'sure'").collect()
+    ) == ["100% sure", "100g unsure"]
+
+
+def test_kql_mv_apply_extend_overwriting_record_column(spark):
+    # Kusto's extend REPLACES an existing column; the per-record
+    # summarize must still group on the ORIGINAL record value (hidden
+    # pre-explode snapshot), not the per-element overwrite
+    T = spark.createDataFrame([(1, [1, 2, 3, 4]), (2, [5])], "k long, xs array<int>")
+    r = kql_to_df(
+        {"T": T}, "T | mv-apply xs on (extend k = xs % 2 | summarize c = count())"
+    ).collect()
+    assert sorted((x["k"], x["c"]) for x in r) == [(1, 4), (2, 1)]
+    # without summarize, the overwritten per-element k IS the output
+    r2 = kql_to_df(
+        {"T": T}, "T | mv-apply xs on (extend k = xs % 2 | where xs > 2)"
+    ).collect()
+    assert sorted((x["k"], x["xs"]) for x in r2) == [(0, 4), (1, 3), (1, 5)]

@@ -55,6 +55,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BUDGETS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "catalog_budgets.json")
 BUDGET_FACTOR = 2.0
 JITTER_FLOOR = 0.35  # seconds — under this, scheduler noise dominates
+DRIFT_CAP = 1.5  # above this, the gate refuses to normalize (see --check)
 
 
 def _sweep(sf_dir: str):
@@ -119,10 +120,16 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("--json needs a file path")
+            return 2
         json_out = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     top_n = int(args[1]) if len(args) > 1 else 15
+    if json_out and mode != "check":
+        print("--json only applies to --check; ignoring")
+        json_out = None
 
     out, errs = _sweep(sf_dir)
 
@@ -162,7 +169,43 @@ def main() -> int:
             for n, b in budgets.items()
             if n in out and b > 0 and out[n][1] >= JITTER_FLOOR / 2
         )
-        drift = max(1.0, ratios[len(ratios) // 2] if ratios else 1.0)
+        if ratios:
+            mid = len(ratios) // 2
+            med = (
+                ratios[mid]
+                if len(ratios) % 2
+                else (ratios[mid - 1] + ratios[mid]) / 2
+            )
+        else:
+            med = 1.0
+        drift = max(1.0, med)
+        if drift > DRIFT_CAP:
+            # refusing to normalize: either the box is in a severely
+            # slow window (re-run when quiet) or a shared-kernel
+            # regression moved MOST of the catalog — normalizing here
+            # would let a catalog-wide 2x slowdown pass the gate.
+            print(
+                f"\nDRIFT {drift:.2f} EXCEEDS CAP {DRIFT_CAP} — not "
+                "normalizing. Re-run on a quiet machine; if drift "
+                "persists, suspect a shared-kernel regression (A/B at "
+                "the last-clean commit via a git worktree)."
+            )
+            if json_out:
+                with open(json_out, "w") as f:
+                    json.dump(
+                        {
+                            "sf_dir": sf_dir,
+                            "pass": False,
+                            "machine_drift": round(drift, 3),
+                            "drift_exceeded": True,
+                            "warm_s": {k: w for k, (_, w) in sorted(out.items())},
+                        },
+                        f,
+                        indent=1,
+                    )
+                    f.write("\n")
+                print(f"wrote {json_out}")
+            return 1
         over, missing = [], []
         for name, (_, warm) in out.items():
             b = budgets.get(name)
