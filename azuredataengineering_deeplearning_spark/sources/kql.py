@@ -81,7 +81,18 @@ def _timespan_s(n: str, unit: str) -> int:
 
 
 def _expr(kql: str, now: str | None = None) -> str:
-    """KQL scalar/boolean expression → Spark SQL text."""
+    """KQL scalar/boolean expression → Spark SQL text.
+
+    Two-phase rewrite: the operators that INTERPRET quoted terms
+    (``has``/``has_any``/``contains``/``startswith``/``endswith``/
+    ``extract``) run first on the raw text; every remaining string
+    literal is then MASKED behind a placeholder so the literal-agnostic
+    rewrites (``==`` → ``=``, scalar-function renames, ``datetime(...)``
+    → timestamp, casts, case()) can never corrupt literal CONTENTS —
+    ``contains '=='`` must keep its ``==``, and a term that happens to
+    contain ``strcat(`` or ``datetime(`` must stay verbatim. Literals
+    are restored at the end (including the ones the phase-1 rewrites
+    produced, which the mask equally protects)."""
     s = kql
     now_sql = f"timestamp'{now}'" if now else "current_timestamp()"
     s = re.sub(
@@ -99,9 +110,10 @@ def _expr(kql: str, now: str | None = None) -> str:
         ),
         s,
     )
+    # ---- phase 1: rewrites that interpret quoted TERM contents -------
     # `has`: case-insensitive whole-term match (KQL's indexed term
-    # search). Same two-layer escaping as has_any below: re.escape's
-    # backslashes are doubled so they survive the SQL string-literal
+    # search). Two-layer escaping: re.escape guards regex metachars,
+    # then every backslash is DOUBLED to survive the SQL string-literal
     # unescape — otherwise '1.2.3.4' reaches the regex as any-char dots.
     s = re.sub(
         r"(\w+)\s+has\s+'([^']*)'",
@@ -110,13 +122,14 @@ def _expr(kql: str, now: str | None = None) -> str:
         ),
         s,
     )
-    # scalar function surface: KQL name → Spark SQL equivalent
-    s = re.sub(r"\biff\(", "if(", s)
-    s = re.sub(r"\bstrcat\(", "concat(", s)
-    s = re.sub(r"\btolower\(", "lower(", s)
-    s = re.sub(r"\btoupper\(", "upper(", s)
-    s = re.sub(r"\bstrlen\(", "length(", s)
-    s = re.sub(r"\btostring\(([^()]*)\)", r"cast(\1 as string)", s)
+    # has_any (t1, t2, ...): whole-term match on ANY of the terms
+    def _has_any(m):
+        col = m.group(1)
+        terms = [t.strip().strip("'") for t in _split_csv(m.group(2))]
+        alt = "|".join(re.escape(t) for t in terms).replace(chr(92), chr(92) * 2)
+        return f"{col} RLIKE '(?i)\\\\b({alt})\\\\b'"
+
+    s = re.sub(r"(\w+)\s+has_any\s*\(([^()]*)\)", _has_any, s)
     s = re.sub(
         r"\bextract\(\s*'([^']*)'\s*,\s*(\d+)\s*,\s*(\w+)\s*\)",
         r"regexp_extract(\3, '\1', \2)",
@@ -150,6 +163,21 @@ def _expr(kql: str, now: str | None = None) -> str:
         lambda m: f" LIKE concat('%', '{_like_term(m)}'){_esc}",
         s,
     )
+    # ---- mask every remaining literal -------------------------------
+    lits: list[str] = []
+
+    def _mask(m):
+        lits.append(m.group(0))
+        return f"{chr(0)}L{len(lits) - 1}{chr(0)}"
+
+    s = re.sub(r"'[^']*'", _mask, s)
+    # ---- phase 2: literal-agnostic rewrites (placeholders inert) ----
+    s = re.sub(r"\biff\(", "if(", s)
+    s = re.sub(r"\bstrcat\(", "concat(", s)
+    s = re.sub(r"\btolower\(", "lower(", s)
+    s = re.sub(r"\btoupper\(", "upper(", s)
+    s = re.sub(r"\bstrlen\(", "length(", s)
+    s = re.sub(r"\btostring\(([^()]*)\)", r"cast(\1 as string)", s)
     # dynamic access FIRST (so casts below see its output): todynamic(
     # col).a.b / parse_json(col).a.b → get_json_object (string-typed
     # values, the cross-engine-checkable form; DuckDB twin:
@@ -192,22 +220,11 @@ def _expr(kql: str, now: str | None = None) -> str:
         ),
         s,
     )
-    # has_any (t1, t2, ...): whole-term match on ANY of the terms.
-    # Escaping is two-layered: re.escape guards regex metachars, then
-    # every backslash is DOUBLED because the pattern travels through a
-    # Spark SQL string literal whose unescaping strips one layer —
-    # without the doubling, '1.2.3.4' reaches the regex engine as
-    # 1.2.3.4 (any-char dots) and matches 1x2x3x4.
-    def _has_any(m):
-        col = m.group(1)
-        terms = [t.strip().strip("'") for t in _split_csv(m.group(2))]
-        alt = "|".join(re.escape(t) for t in terms).replace("\\", "\\\\")
-        return f"{col} RLIKE '(?i)\\\\b({alt})\\\\b'"
-
-    s = re.sub(r"(\w+)\s+has_any\s*\(([^()]*)\)", _has_any, s)
     s = _rewrite_case(s)
     s = re.sub(r"==", "=", s)
     s = re.sub(r"\bdatetime\(([^)]+)\)", r"timestamp'\1'", s)
+    # ---- restore literals --------------------------------------------
+    s = re.sub(rf"{chr(0)}L(\d+){chr(0)}", lambda m: lits[int(m.group(1))], s)
     return s
 
 
@@ -551,6 +568,12 @@ def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
     for stage in stages:
         sop, _, srest = stage.partition(" ")
         srest = srest.strip()
+        if sop == "project-away":
+            # a dropped record column must stay dropped: forget its
+            # snapshot too, or summarize would resurrect it
+            for c in [x.strip() for x in _split_csv(srest)]:
+                if c in snap:
+                    out = out.drop(snap.pop(c))
         handled = _row_local_stage(out, sop, srest, now)
         if handled is not None:
             out = handled
@@ -571,10 +594,13 @@ def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
                 out, agg_part + " by " + ", ".join(keys), now
             )
             # the aggregate dropped the per-element overwrite; surface
-            # the snapshots under their original names again
-            for c, h in snap.items():
+            # the snapshots under their original names again and FORGET
+            # them (a second summarize groups on the restored column,
+            # which now carries the original record values)
+            for c, h in list(snap.items()):
                 if h in out.columns and c not in out.columns:
                     out = out.withColumnRenamed(h, c)
+                del snap[c]
         elif sop == "top":
             tm = re.match(r"^(\d+)\s+by\s+(.+)$", srest)
             if not tm:

@@ -592,3 +592,33 @@ def test_kql_mv_apply_extend_overwriting_record_column(spark):
         {"T": T}, "T | mv-apply xs on (extend k = xs % 2 | where xs > 2)"
     ).collect()
     assert sorted((x["k"], x["xs"]) for x in r2) == [(0, 4), (1, 3), (1, 5)]
+
+
+def test_kql_expr_rewrites_never_touch_literal_contents(spark):
+    # phase-2 rewrites (==, scalar renames, datetime) run on MASKED
+    # literals: term contents survive verbatim
+    E = spark.createDataFrame(
+        [("a==b",), ("a=b",), ("call strcat(x) here",), ("plain",)], "t string"
+    )
+    got = kql_to_df({"E": E}, "E | where t contains '=='").collect()
+    assert [x["t"] for x in got] == ["a==b"]
+    got2 = kql_to_df({"E": E}, "E | where t contains 'strcat(x)'").collect()
+    assert [x["t"] for x in got2] == ["call strcat(x) here"]
+
+
+def test_kql_mv_apply_snapshot_lifecycle(spark):
+    T = spark.createDataFrame([(1, [1, 2, 3, 4]), (2, [5])], "k long, xs array<int>")
+    # project-away of an overwritten record column stays dropped
+    r = kql_to_df(
+        {"T": T},
+        "T | mv-apply xs on (extend k = xs % 2 | project-away k | summarize c = count())",
+    ).collect()
+    assert sorted(r[0].asDict().keys()) == ["c"]
+    assert sorted(x["c"] for x in r) == [1, 4]
+    # a second summarize groups on the RESTORED original column
+    r2 = kql_to_df(
+        {"T": T},
+        "T | mv-apply xs on (extend k = xs % 2 | summarize c = count()"
+        " | summarize s = sum(c) by k)",
+    ).collect()
+    assert sorted((x["k"], x["s"]) for x in r2) == [(1, 4), (2, 1)]

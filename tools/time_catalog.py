@@ -36,6 +36,14 @@ Gate rules (--check):
     the gate sharp while ignoring uniform machine drift. (Observed
     live in round 7: two untouched queries flagged 2-3x over; an A/B
     at the last-clean commit timed identically — pure machine state.)
+  * Normalization is CAPPED at DRIFT_CAP (1.5x): above it the gate
+    FAILS CLOSED without normalizing — it cannot distinguish a severe
+    machine window from a shared-kernel regression that slowed most of
+    the catalog, and normalizing would mask the latter. The failure
+    message says so; the remedy is a quiet-machine re-run, then a git
+    worktree A/B at the last-clean commit if drift persists. The JSON
+    payload keeps the normal schema with drift_exceeded=true (errored
+    queries stay visible).
   * FAIL if a query errors.
   * FAIL if a query has no budget (run --update-budgets after adding a
     catalog row; it never loosens an existing budget).
@@ -191,13 +199,24 @@ def main() -> int:
                 "the last-clean commit via a git worktree)."
             )
             if json_out:
+                stale = sorted(set(budgets) - set(out) - set(errs))
                 with open(json_out, "w") as f:
                     json.dump(
                         {
                             "sf_dir": sf_dir,
-                            "pass": False,
+                            "n_queries": len(out),
+                            "total_warm_s": round(total, 1),
+                            "budget_factor": BUDGET_FACTOR,
+                            "jitter_floor_s": JITTER_FLOOR,
                             "machine_drift": round(drift, 3),
                             "drift_exceeded": True,
+                            "pass": False,
+                            "over_budget": [],
+                            "unbudgeted": sorted(
+                                n for n in out if n not in budgets
+                            ),
+                            "errored": sorted(errs),
+                            "stale_budgets": stale,
                             "warm_s": {k: w for k, (_, w) in sorted(out.items())},
                         },
                         f,
@@ -237,6 +256,7 @@ def main() -> int:
                         "budget_factor": BUDGET_FACTOR,
                         "jitter_floor_s": JITTER_FLOOR,
                         "machine_drift": round(drift, 3),
+                        "drift_exceeded": False,
                         "pass": ok,
                         "over_budget": [
                             {"q": n, "warm": w, "budget": b} for n, w, b in over
