@@ -122,11 +122,21 @@ def _expr(kql: str, now: str | None = None) -> str:
         ),
         s,
     )
-    # has_any (t1, t2, ...): whole-term match on ANY of the terms
+    # has_any (t1, t2, ...): whole-term match on ANY of the terms.
+    # Every argument must be a quoted literal — a bare identifier
+    # (column or dynamic array) would silently be matched as the
+    # literal identifier TEXT, so reject it loudly instead.
     def _has_any(m):
         col = m.group(1)
-        terms = [t.strip().strip("'") for t in _split_csv(m.group(2))]
-        alt = "|".join(re.escape(t) for t in terms).replace(chr(92), chr(92) * 2)
+        terms = [t.strip() for t in _split_csv(m.group(2))]
+        bad = [t for t in terms if not re.fullmatch(r"'[^']*'", t)]
+        if bad:
+            raise ValueError(
+                f"has_any supports quoted string literals only, got {bad[0]!r}"
+                " (a column or dynamic-array argument would match the"
+                " identifier text itself, not its values)"
+            )
+        alt = "|".join(re.escape(t[1:-1]) for t in terms).replace(chr(92), chr(92) * 2)
         return f"{col} RLIKE '(?i)\\\\b({alt})\\\\b'"
 
     s = re.sub(r"(\w+)\s+has_any\s*\(([^()]*)\)", _has_any, s)
@@ -570,10 +580,16 @@ def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
         srest = srest.strip()
         if sop == "project-away":
             # a dropped record column must stay dropped: forget its
-            # snapshot too, or summarize would resurrect it
+            # snapshot too, or summarize would resurrect it — and drop
+            # it from the record identity, so a LATER extend that
+            # recreates the name is per-element derived (one aggregate
+            # row per record), not a resurrected group key (Kusto: a
+            # dropped record column is no longer record identity)
             for c in [x.strip() for x in _split_csv(srest)]:
                 if c in snap:
                     out = out.drop(snap.pop(c))
+                if c in record_cols:
+                    record_cols.remove(c)
         handled = _row_local_stage(out, sop, srest, now)
         if handled is not None:
             out = handled
@@ -598,8 +614,16 @@ def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
             # them (a second summarize groups on the restored column,
             # which now carries the original record values)
             for c, h in list(snap.items()):
-                if h in out.columns and c not in out.columns:
-                    out = out.withColumnRenamed(h, c)
+                if h in out.columns:
+                    if c not in out.columns:
+                        out = out.withColumnRenamed(h, c)
+                    else:
+                        # the per-element value survived the aggregate
+                        # under the original name (it was a `by` key) —
+                        # the snapshot has no name to return to; drop
+                        # it NOW so the internal column never leaks
+                        # into the output schema
+                        out = out.drop(h)
                 del snap[c]
         elif sop == "top":
             tm = re.match(r"^(\d+)\s+by\s+(.+)$", srest)
