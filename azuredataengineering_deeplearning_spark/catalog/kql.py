@@ -573,3 +573,278 @@ def kql_datatable_enrich(spark, sf_dir):
         | summarize n = count(), weighted = sum(weight) by event_type
         """,
     )
+
+
+@query(
+    "kql_partition_top",
+    """
+    SELECT event_type, event_id, user_id FROM (
+      SELECT event_type, event_id, user_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def kql_partition_top(spark, sf_dir):
+    """KQL ``partition by Col ( sub-pipe )`` — per-partition-value
+    sub-pipes. The engine compiles the whole construct to ONE
+    distributed plan (top N inside a partition = one row_number window
+    partitioned by the column), so unlike Kusto's native strategy there
+    is no 64-partition cap and no per-partition dispatch."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        """
+        events
+        | partition by event_type (top 3 by event_id asc)
+        | project event_type, event_id, user_id
+        """,
+    )
+
+
+@query(
+    "kql_evaluate_pivot",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def kql_evaluate_pivot(spark, sf_dir):
+    """KQL ``evaluate pivot(PivotCol)`` — distinct pivot values become
+    columns, remaining columns group. Spark groupBy().pivot(); count()
+    cells with no rows render 0 (the conditional-count shape the oracle
+    spells out)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        """
+        events
+        | project user_bucket = user_id % 10, event_type
+        | evaluate pivot(event_type)
+        """,
+    )
+
+
+# shared binned-count spine for the series-function oracles: daily event
+# counts per type over Jan 2024, zero-filled across all 31 bins — the
+# relational twin of the engine's make-series output
+_SERIES_COUNT_CTE = """
+    WITH w AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400)
+                  AS BIGINT) AS i
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    ),
+    b AS (SELECT event_type, i, COUNT(*) AS n FROM w GROUP BY 1, 2),
+    spine AS (SELECT event_type, r.i
+              FROM (SELECT DISTINCT event_type FROM b) t CROSS JOIN range(31) r(i)),
+    s AS (SELECT spine.event_type, spine.i, CAST(COALESCE(b.n, 0) AS DOUBLE) AS y
+          FROM spine LEFT JOIN b USING (event_type, i))
+"""
+
+
+@query(
+    "kql_series_fit_line",
+    _SERIES_COUNT_CTE
+    + """
+    SELECT event_type, regr_slope(y, i) AS slope,
+           regr_intercept(y, i) AS interception, regr_r2(y, i) AS rsquare
+    FROM s GROUP BY event_type
+    """,
+)
+def kql_series_fit_line(spark, sf_dir):
+    """KQL ``series_fit_line_dynamic`` over make-series output — the
+    Kusto trend-detection idiom (daily_eval-style dashboards fit every
+    series before alerting). Pure higher-order array SQL per row: the
+    moment sums are one pass over each array, zero extra shuffles; the
+    oracle recomputes the fit relationally with DuckDB's regr_* family."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend f = series_fit_line_dynamic(n)
+        | project event_type, slope = f.slope, interception = f.interception,
+                  rsquare = f.rsquare
+        """,
+    )
+
+
+@query(
+    "kql_series_stats",
+    _SERIES_COUNT_CTE
+    + """,
+    agg AS (
+      SELECT event_type, MIN(y) AS s_min, MAX(y) AS s_max, AVG(y) AS s_avg,
+             stddev_samp(y) AS s_stdev, SUM(y) AS s_sum,
+             CAST(COUNT(*) AS BIGINT) AS s_len
+      FROM s GROUP BY 1)
+    SELECT a.event_type, a.s_min,
+           MIN(CASE WHEN s.y = a.s_min THEN s.i END) AS s_minidx,
+           a.s_max,
+           MIN(CASE WHEN s.y = a.s_max THEN s.i END) AS s_maxidx,
+           a.s_avg, a.s_stdev, a.s_sum, a.s_len
+    FROM s JOIN agg a USING (event_type)
+    GROUP BY a.event_type, a.s_min, a.s_max, a.s_avg, a.s_stdev, a.s_sum, a.s_len
+    """,
+)
+def kql_series_stats(spark, sf_dir):
+    """KQL ``series_stats_dynamic`` — per-series descriptive stats as a
+    struct (sample variance, first-index extrema; decimal-accumulated
+    sums so the hash matches the oracle's summation order)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend st = series_stats_dynamic(n)
+        | project event_type, s_min = st.min, s_minidx = st.min_idx,
+                  s_max = st.max, s_maxidx = st.max_idx, s_avg = st.avg,
+                  s_stdev = st.stdev, s_sum = st.sum, s_len = st.len
+        """,
+    )
+
+
+@query(
+    "kql_series_fill_linear",
+    """
+    WITH w AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400)
+                  AS BIGINT) AS i,
+             value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        AND value >= 300
+    ),
+    b AS (SELECT event_type, i,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+          FROM w GROUP BY 1, 2),
+    spine AS (SELECT event_type, r.i
+              FROM (SELECT DISTINCT event_type FROM b) t CROSS JOIN range(31) r(i)),
+    s AS (SELECT spine.event_type, spine.i, b.v AS y
+          FROM spine LEFT JOIN b USING (event_type, i)),
+    win AS (
+      SELECT event_type, i, y,
+        last_value(CASE WHEN y IS NOT NULL THEN struct_pack(i := i, v := y) END
+                   IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        first_value(CASE WHEN y IS NOT NULL THEN struct_pack(i := i, v := y) END
+                    IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM s),
+    f AS (
+      SELECT event_type, i,
+        CASE WHEN y IS NOT NULL THEN y
+             WHEN pv IS NULL AND nv IS NULL THEN NULL
+             WHEN pv IS NULL THEN nv.v
+             WHEN nv IS NULL THEN pv.v
+             ELSE pv.v + (nv.v - pv.v) * (i - pv.i) / (nv.i - pv.i) END AS yf
+      FROM win)
+    SELECT event_type, string_agg(printf('%.6f', yf), ',' ORDER BY i) AS filled_csv
+    FROM f GROUP BY event_type
+    """,
+)
+def kql_series_fill_linear(spark, sf_dir):
+    """KQL ``make-series default=null`` + ``series_fill_linear`` — gap
+    marking then per-series linear interpolation (edge gaps take the
+    nearest value). A sparse high-value sum series guarantees real
+    interior AND edge gaps at every sf; the oracle interpolates
+    relationally with IGNORE-NULLS window scans. The engine side is one
+    higher-order array expression per row — no shuffle beyond the
+    make-series aggregate itself."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | where value >= 300
+        | make-series v=sum(value) default=null on ts
+            from datetime(2024-01-01) to datetime(2024-02-01) step 1d
+            by event_type
+        | extend vf = series_fill_linear(v)
+        """,
+    )
+    return df.select(
+        "event_type",
+        F.array_join(
+            F.transform(F.col("vf"), lambda x: F.format_string("%.6f", x)), ","
+        ).alias("filled_csv"),
+    )
+
+
+@query(
+    "kql_bag_unpack",
+    """
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k') AS k
+    FROM events
+    """,
+)
+def kql_bag_unpack(spark, sf_dir):
+    """KQL ``evaluate bag_unpack(DynCol)`` — property-bag expansion into
+    real columns. The key set comes from ONE bounded job (distinct
+    json_object_keys — bounded by bag schema width); each key is a
+    get_json_object projection, string-typed (cast downstream)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        """
+        events
+        | project event_id, event_type, props
+        | evaluate bag_unpack(props)
+        """,
+    )
+
+
+@query(
+    "kql_row_cumsum",
+    """
+    WITH p AS (
+      SELECT event_id, value,
+             SUM(CASE WHEN value > 95 THEN 1 ELSE 0 END)
+               OVER (ORDER BY event_id) AS seg
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (ORDER BY event_id) AS DOUBLE) AS cum,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY seg ORDER BY event_id) AS DOUBLE) AS cum_r
+    FROM p
+    """,
+)
+def kql_row_cumsum(spark, sf_dir):
+    """KQL ``row_cumsum(term [, restart])`` over a serialized pipe —
+    running totals in the pinned sort order, with the restart form
+    resetting at flagged rows. The engine never runs an unpartitioned
+    window: ``windows.global_cumsum`` buckets on deterministic bounds,
+    collects O(buckets) decimal partials, and adds literal prefix
+    offsets to parallel within-bucket windows (restart adds one
+    segment-id join). The oracle is the single-reducer SQL the kernel
+    replaces."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        """
+        events
+        | where event_type == 'purchase'
+        | sort by event_id asc
+        | extend cum = row_cumsum(value), cum_r = row_cumsum(value, value > 95)
+        | project event_id, cum, cum_r
+        """,
+    )

@@ -240,7 +240,7 @@ def make_series(
     step_seconds: int,
     agg: str = "count",
     value_col: str | None = None,
-    default: float = 0.0,
+    default: float | None = 0.0,
     out: str = "series",
     out_bins: str = "bins",
 ) -> DataFrame:
@@ -250,14 +250,19 @@ def make_series(
 
     Bins are aligned to ``start`` (KQL semantics), rows outside
     ``[start, stop)`` are dropped, and every key present in the window
-    gets the full array with ``default`` in empty bins. ``agg`` is one of
-    count/sum/avg/min/max (values cast to double).
+    gets the full array with ``default`` in empty bins (``default=None``
+    keeps empty bins NULL — the KQL ``default=double(null)`` form that
+    feeds ``series_fill_linear``/``series_fill_const``). ``agg`` is one
+    of count/sum/avg/min/max (values cast to double).
 
-    Plan shape: one (keys, bin) aggregate over the filtered scan, a
-    spine generated as ``explode(sequence)`` per distinct key (no driver
-    loop), one join on the shared (keys, bin) shuffle, then a bounded
-    ``collect_list`` — per-key state is exactly ``n_bins`` structs, so
-    memory is capped by the requested window, not the data.
+    Plan shape (round 8): one (keys, bin) aggregate over the filtered
+    scan, then one (keys) aggregate that builds a bin→value map and a
+    ``transform(sequence(...))`` lookup densifies it — ONE pass over the
+    fact table, no spine join, no explode (the previous
+    distinct-keys × sequence spine re-scanned the source for the key
+    set and paid a broadcast join). Per-key state is exactly ``n_bins``
+    map entries, so memory is capped by the requested window, not the
+    data.
     """
     import datetime as _dt
 
@@ -290,25 +295,25 @@ def make_series(
         .groupBy(*keys, "__idx")
         .agg(aggs[agg]().alias("__v"))
     )
-    all_bins = F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("__idx")
-    if keys:
-        spine = binned.select(*keys).distinct().select(*keys, all_bins)
-    else:
-        spine = df.sparkSession.range(1).select(all_bins)
-    filled = spine.join(binned, [*keys, "__idx"], "left").withColumn(
-        "__v", F.coalesce(F.col("__v"), F.lit(float(default)))
-    )
+    def _fill(i):
+        # try_element_at: ANSI-safe null on missing bin (element_at throws)
+        v = F.try_element_at(F.col("__m"), i.cast("long"))
+        return v if default is None else F.coalesce(v, F.lit(float(default)))
+
     bins_expr = F.transform(
         F.sequence(F.lit(0), F.lit(n_bins - 1)),
         lambda i: F.timestamp_micros(F.lit(start_us) + i.cast("long") * F.lit(step_us)),
     )
     return (
-        filled.groupBy(*keys)
+        binned.groupBy(*keys)
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__idx", "__v"))),
-                lambda x: x["__v"],
-            ).alias(out)
+            F.map_from_entries(F.collect_list(F.struct("__idx", "__v"))).alias(
+                "__m"
+            )
+        )
+        .select(
+            *keys,
+            F.transform(F.sequence(F.lit(0), F.lit(n_bins - 1)), _fill).alias(out),
         )
         .withColumn(out_bins, bins_expr)
     )
@@ -377,6 +382,218 @@ def series_outliers(
         )
     )
     return df.withColumn(out, F.filter(idx, is_out))
+
+
+# ---------------------------------------------------------------------------
+# KQL series_* scalar SQL builders
+#
+# Each builder returns Spark-SQL TEXT over an array argument given as SQL
+# text, so the same expression serves the KQL translator (F.expr over the
+# rewritten pipe) and the operator-level wrappers below. The argument is
+# bound ONCE as a lambda variable via a one-element transform — Catalyst
+# inlines captured expressions per element inside higher-order lambdas
+# (the round-6 ``bind_once`` lesson), so splicing the raw argument into
+# every element_at would re-evaluate it O(n) times per row.
+# ---------------------------------------------------------------------------
+
+
+def _bind1(arg_sql: str, var: str, body_sql: str) -> str:
+    """Bind ``arg_sql`` once as lambda variable ``var`` inside ``body``."""
+    return f"element_at(transform(array(({arg_sql})), {var} -> {body_sql}), 1)"
+
+
+def _as_double_array(y_sql: str) -> str:
+    return f"transform(({y_sql}), __v -> CAST(__v AS DOUBLE))"
+
+
+_FIT_STRUCT_T = (
+    "STRUCT<rsquare: DOUBLE, slope: DOUBLE, variance: DOUBLE,"
+    " rvariance: DOUBLE, interception: DOUBLE, line_fit: ARRAY<DOUBLE>>"
+)
+
+
+def series_fit_line_sql(y_sql: str) -> str:
+    """KQL ``series_fit_line_dynamic(series)``: least-squares line over
+    x = 0..n-1 → struct(rsquare, slope, variance, rvariance,
+    interception, line_fit). Expects a FILLED series (null elements
+    propagate to null fields, like Kusto on unfilled input); variance
+    and rvariance are population moments (their ratio — rsquare — is
+    ddof-invariant). Empty series → null struct. One pass for the
+    moment sums (Σx/Σx² use the closed forms for 0..n-1), one pass for
+    the residual variance: O(n) per row, zero shuffles."""
+    # L2: data-dependent moment sums over the bound array
+    moments = (
+        "named_struct("
+        "'n', CAST(size(__y) AS DOUBLE), "
+        "'sy', aggregate(__y, CAST(0 AS DOUBLE), (a, v) -> a + v), "
+        "'syy', aggregate(__y, CAST(0 AS DOUBLE), (a, v) -> a + v * v), "
+        "'sxy', aggregate(sequence(0, size(__y) - 1), CAST(0 AS DOUBLE), "
+        "(a, i) -> a + CAST(i AS DOUBLE) * element_at(__y, i + 1)))"
+    )
+    # L3: slope + population variance (sx = n(n-1)/2, sxx = n(n-1)(2n-1)/6)
+    sx = "(__m.n * (__m.n - 1) / 2)"
+    sxx = "(__m.n * (__m.n - 1) * (2 * __m.n - 1) / 6)"
+    denom = f"(__m.n * {sxx} - {sx} * {sx})"
+    slope = (
+        f"CASE WHEN {denom} > 0 "
+        f"THEN (__m.n * __m.sxy - {sx} * __m.sy) / {denom} "
+        "ELSE CAST(0 AS DOUBLE) END"
+    )
+    fit1 = (
+        f"named_struct('n', __m.n, 'sy', __m.sy, 'slope', {slope}, "
+        "'variance', greatest(__m.syy / __m.n - (__m.sy / __m.n) * (__m.sy / __m.n),"
+        " CAST(0 AS DOUBLE)))"
+    )
+    # L4: interception (needs slope)
+    fit2 = (
+        "named_struct('n', __f1.n, 'slope', __f1.slope, "
+        "'variance', __f1.variance, "
+        "'b', (__f1.sy - __f1.slope * (__f1.n * (__f1.n - 1) / 2)) / __f1.n)"
+    )
+    # L5: residual variance (needs slope + interception + the array)
+    rvar = (
+        "greatest(aggregate(sequence(0, size(__y) - 1), CAST(0 AS DOUBLE), "
+        "(a, i) -> a + pow(element_at(__y, i + 1)"
+        " - (__f2.b + __f2.slope * CAST(i AS DOUBLE)), 2)) / __f2.n,"
+        " CAST(0 AS DOUBLE))"
+    )
+    final = (
+        "named_struct("
+        "'rsquare', CASE WHEN __f2.variance > 0 "
+        "THEN greatest(CAST(0 AS DOUBLE), 1 - __r / __f2.variance) "
+        "ELSE CAST(1 AS DOUBLE) END, "
+        "'slope', __f2.slope, "
+        "'variance', __f2.variance, "
+        "'rvariance', __r, "
+        "'interception', __f2.b, "
+        "'line_fit', transform(sequence(0, size(__y) - 1), "
+        "i -> __f2.b + __f2.slope * CAST(i AS DOUBLE)))"
+    )
+    body = _bind1(
+        moments,
+        "__m",
+        _bind1(fit1, "__f1", _bind1(fit2, "__f2", _bind1(rvar, "__r", final))),
+    )
+    guarded = (
+        f"CASE WHEN size(__y) = 0 THEN CAST(NULL AS {_FIT_STRUCT_T}) "
+        f"ELSE {body} END"
+    )
+    return _bind1(_as_double_array(y_sql), "__y", guarded)
+
+
+_STATS_STRUCT_T = (
+    "STRUCT<min: DOUBLE, min_idx: BIGINT, max: DOUBLE, max_idx: BIGINT,"
+    " avg: DOUBLE, stdev: DOUBLE, variance: DOUBLE, sum: DOUBLE, len: BIGINT>"
+)
+
+
+def series_stats_dynamic_sql(y_sql: str) -> str:
+    """KQL ``series_stats_dynamic(series)`` → struct(min, min_idx, max,
+    max_idx, avg, stdev, variance, sum, len). Variance/stdev are SAMPLE
+    moments (Kusto convention; the :func:`series_stats` operator keeps
+    its population form). ``*_idx`` is the FIRST index attaining the
+    extremum. Sums accumulate in DECIMAL(28,6) so the result is
+    element-order- and engine-independent at 6 decimals (same caveat as
+    :func:`series_stats`). Empty series → null struct."""
+    dec_sum = (
+        "CAST(aggregate(__y, CAST(0 AS DECIMAL(28,6)), (a, v) -> "
+        "CAST(a + CAST(v AS DECIMAL(18,6)) AS DECIMAL(28,6))) AS DOUBLE)"
+    )
+    dec_sum_sq = (
+        "CAST(aggregate(__y, CAST(0 AS DECIMAL(28,6)), (a, v) -> "
+        "CAST(a + CAST(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6))"
+        " AS DECIMAL(28,6)) AS DECIMAL(28,6))) AS DOUBLE)"
+    )
+    moments = (
+        "named_struct("
+        "'n', CAST(size(__y) AS DOUBLE), "
+        f"'s', {dec_sum}, "
+        f"'ss', {dec_sum_sq}, "
+        "'mn', array_min(__y), 'mx', array_max(__y))"
+    )
+    var = (
+        "CASE WHEN __m.n > 1 THEN "
+        "greatest((__m.ss - __m.s * __m.s / __m.n) / (__m.n - 1),"
+        " CAST(0 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END"
+    )
+    final = (
+        "named_struct("
+        "'min', __m.mn, "
+        "'min_idx', CAST(array_position(__y, __m.mn) - 1 AS BIGINT), "
+        "'max', __m.mx, "
+        "'max_idx', CAST(array_position(__y, __m.mx) - 1 AS BIGINT), "
+        "'avg', __m.s / __m.n, "
+        "'stdev', sqrt(__s2), "
+        "'variance', __s2, "
+        "'sum', __m.s, "
+        "'len', CAST(size(__y) AS BIGINT))"
+    )
+    body = _bind1(moments, "__m", _bind1(var, "__s2", final))
+    guarded = (
+        f"CASE WHEN size(__y) = 0 THEN CAST(NULL AS {_STATS_STRUCT_T}) "
+        f"ELSE {body} END"
+    )
+    return _bind1(_as_double_array(y_sql), "__y", guarded)
+
+
+def series_fill_const_sql(y_sql: str, const_sql: str = "0.0") -> str:
+    """KQL ``series_fill_const(series, c)``: null elements → c."""
+    return (
+        f"transform(({y_sql}), __v -> "
+        f"coalesce(CAST(__v AS DOUBLE), CAST(({const_sql}) AS DOUBLE)))"
+    )
+
+
+def series_fill_linear_sql(y_sql: str) -> str:
+    """KQL ``series_fill_linear(series)``: interior nulls are linearly
+    interpolated between the nearest non-null neighbors; edge nulls take
+    the nearest non-null value (Kusto's default edge behavior); all-null
+    series stay null. Per element the neighbor scan is O(n), so a row
+    costs O(n · null_count) — bins are O(100s) in make-series output, so
+    this stays trivially cheap and shuffle-free."""
+    pq = (
+        "named_struct("
+        "'p', aggregate(sequence(0, __i), CAST(NULL AS INT), "
+        "(a, j) -> IF(element_at(__y, j + 1) IS NOT NULL, CAST(j AS INT), a)), "
+        "'q', aggregate(sequence(__i, size(__y) - 1), CAST(NULL AS INT), "
+        "(a, j) -> IF(a IS NULL AND element_at(__y, j + 1) IS NOT NULL,"
+        " CAST(j AS INT), a)))"
+    )
+    fill = (
+        "CASE "
+        "WHEN __pq.p IS NULL AND __pq.q IS NULL THEN CAST(NULL AS DOUBLE) "
+        "WHEN __pq.p IS NULL THEN element_at(__y, __pq.q + 1) "
+        "WHEN __pq.q IS NULL THEN element_at(__y, __pq.p + 1) "
+        "ELSE element_at(__y, __pq.p + 1) "
+        "+ (element_at(__y, __pq.q + 1) - element_at(__y, __pq.p + 1)) "
+        "* CAST(__i - __pq.p AS DOUBLE) / CAST(__pq.q - __pq.p AS DOUBLE) END"
+    )
+    per_elem = (
+        "CASE WHEN element_at(__y, __i + 1) IS NOT NULL "
+        "THEN element_at(__y, __i + 1) "
+        f"ELSE {_bind1(pq, '__pq', fill)} END"
+    )
+    body = (
+        "CASE WHEN size(__y) = 0 THEN __y "
+        f"ELSE transform(sequence(0, size(__y) - 1), __i -> {per_elem}) END"
+    )
+    return _bind1(_as_double_array(y_sql), "__y", body)
+
+
+def series_fit_line(df: DataFrame, series_col: str, out: str = "fit") -> DataFrame:
+    """Operator twin of KQL ``series_fit_line_dynamic``: adds a struct
+    column with the per-row line fit of ``series_col``."""
+    return df.withColumn(out, F.expr(series_fit_line_sql(series_col)))
+
+
+def series_fill_linear(
+    df: DataFrame, series_col: str, out: str | None = None
+) -> DataFrame:
+    """Operator twin of KQL ``series_fill_linear``: null bins linearly
+    interpolated (edges take the nearest value). In-place by default."""
+    return df.withColumn(
+        out or series_col, F.expr(series_fill_linear_sql(series_col))
+    )
 
 
 def linear_trend(

@@ -700,6 +700,111 @@ def global_ntile(
     return numbered.withColumn(out, tile.cast("int")).drop("__gnt_rn")
 
 
+def global_cumsum(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    value_col: str,
+    out: str = "cumsum",
+    restart_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total over a TOTAL order WITHOUT the single-reducer
+    global window (``Window.orderBy`` with no partition key funnels
+    100 TB through one task) — the prefix-scan twin of
+    :func:`global_row_number`, and the engine behind KQL
+    ``row_cumsum``:
+
+    1. deterministic-bounds buckets on the leading order column (same
+       kernel as the numbering: bucket id is a pure function of the
+       value — recompute-stable, ordinary lineage fault tolerance);
+    2. one O(buckets) aggregate collects per-bucket DECIMAL sums;
+       exclusive prefix sums (computed exactly in Python ``Decimal``)
+       become literal offsets;
+    3. the result is LAZY: a within-bucket running decimal sum
+       (parallel windows partitioned by ``__rb``) plus the bucket's
+       literal offset. Output cast to double.
+
+    ``restart_col`` (KQL ``row_cumsum(term, restart)`` semantics): a
+    true row RESETS the running total to its own term. Implemented as
+    segment arithmetic on top of the same scan — segment id = running
+    count of restart flags (one extra within-bucket window over the
+    same bucketing, same literal-offset trick), then one per-segment
+    aggregate join subtracts the prefix before each segment's first
+    row. Everything stays distributed; the extra join shuffles on
+    segment id.
+
+    ``order`` must be a total order (unique tiebreak) and the input
+    plan deterministic — same preconditions as
+    :func:`global_row_number`."""
+    from decimal import Decimal
+
+    specs = _order_specs(order)
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    first, first_asc = specs[0]
+    bounds = _bucket_bounds(df, first, n)
+    bucketed = _with_bucket(df, first, bounds)
+    flag = (
+        F.when(F.col(restart_col).cast("boolean"), 1).otherwise(0)
+        if restart_col
+        else None
+    )
+    aggs = [F.sum(dec(value_col)).alias("__s")]
+    if flag is not None:
+        aggs.append(F.sum(flag).alias("__f"))
+    per_bucket = {
+        int(r["__rb"]): r
+        for r in bucketed.groupBy("__rb").agg(*aggs).collect()
+    }
+    n_b = len(bounds) + 1
+    sum_off = [Decimal(0)] * n_b
+    flag_off = [0] * n_b
+    acc_s, acc_f = Decimal(0), 0
+    walk = range(n_b) if first_asc else reversed(range(n_b))
+    for b in walk:
+        sum_off[b], flag_off[b] = acc_s, acc_f
+        r = per_bucket.get(b)
+        if r is not None:
+            acc_s += r["__s"] if r["__s"] is not None else Decimal(0)
+            acc_f += r["__f"] if flag is not None else 0
+    s_arr = F.array(*[F.lit(str(v)).cast("decimal(28,6)") for v in sum_off])
+    w = (
+        Window.partitionBy("__rb")
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(dec(value_col)).over(w) + F.element_at(s_arr, F.col("__rb") + 1)
+    if flag is None:
+        return bucketed.withColumn(out, run.cast("double")).drop("__rb")
+    f_arr = F.array(*[F.lit(v) for v in flag_off])
+    seg = (F.sum(flag).over(w) + F.element_at(f_arr, F.col("__rb") + 1)).cast(
+        "long"
+    )
+    with_seg = (
+        bucketed.withColumn("__gcs_c", run)
+        .withColumn("__gcs_seg", seg)
+        .drop("__rb")
+    )
+    # each segment s >= 1 starts at its UNIQUE restart row (the flag
+    # increments the segment id there), so the prefix to subtract is
+    # (inclusive cum - own term) AT that row — no ordering needed to
+    # find it, works for negative terms; segment 0 subtracts nothing
+    seg_base = with_seg.filter(F.col(restart_col).cast("boolean")).select(
+        "__gcs_seg", (F.col("__gcs_c") - dec(value_col)).alias("__gcs_p")
+    )
+    return (
+        with_seg.join(seg_base, "__gcs_seg", "left")
+        .withColumn(
+            out,
+            (
+                F.col("__gcs_c")
+                - F.coalesce(F.col("__gcs_p"), F.lit(0).cast("decimal(28,6)"))
+            ).cast("double"),
+        )
+        .drop("__gcs_seg", "__gcs_c", "__gcs_p")
+    )
+
+
 def funnel_progress(
     df: DataFrame,
     user_col: str,

@@ -23,8 +23,15 @@ pair consistently), ``mv-apply col [to typeof(T)] on ( where | extend |
 project-away | summarize | top )`` (per-record array processing,
 correlated on a pre-explode row id), ``parse-where`` (pattern
 extraction dropping non-matching rows), ``datatable (...) [...]``
-literal sources, multi-table ``union``, ``project-reorder``, and the
-membership variants ``!in`` / ``in~`` (case-insensitive) / ``has_any``.
+literal sources, multi-table ``union``, ``project-reorder``,
+``partition by Col ( ... )`` (per-partition-value sub-pipes compiled to
+one distributed plan), ``evaluate pivot(...)``, and the membership
+variants ``!in`` / ``in~`` (case-insensitive) / ``has_any``.
+Series functions over ``make-series`` arrays (incl.
+``default=null``/``default=double(null)`` gap marking):
+``series_fit_line_dynamic`` ``series_stats_dynamic``
+``series_fill_linear`` ``series_fill_const`` — pure higher-order array
+SQL, zero extra shuffles (operators/timeseries.py builders).
 Scalars also include ``todynamic``/``parse_json`` dotted access (→
 ``get_json_object``), ``case()``, ``between (a .. b)``,
 ``todouble/tolong/toint/tobool/todatetime``,
@@ -47,6 +54,13 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.operators.timeseries import (
+    series_fill_const_sql,
+    series_fill_linear_sql,
+    series_fit_line_sql,
+    series_stats_dynamic_sql,
+)
 
 _AGG_FNS = {
     "count": lambda arg: F.count(F.lit(1)),
@@ -230,12 +244,48 @@ def _expr(kql: str, now: str | None = None) -> str:
         ),
         s,
     )
+    # series_* scalar functions over make-series arrays → pure
+    # higher-order array SQL (operators/timeseries.py builders); each
+    # pass handles nested same-name calls, the pass SEQUENCE handles
+    # cross-name nesting (an inner call spliced verbatim by an earlier
+    # pass is rewritten by its own later pass)
+    s = _rewrite_call(s, "series_fit_line_dynamic", series_fit_line_sql)
+    s = _rewrite_call(s, "series_stats_dynamic", series_stats_dynamic_sql)
+    s = _rewrite_call(s, "series_fill_linear", series_fill_linear_sql)
+    s = _rewrite_call(s, "series_fill_const", series_fill_const_sql)
     s = _rewrite_case(s)
     s = re.sub(r"==", "=", s)
     s = re.sub(r"\bdatetime\(([^)]+)\)", r"timestamp'\1'", s)
     # ---- restore literals --------------------------------------------
     s = re.sub(rf"{chr(0)}L(\d+){chr(0)}", lambda m: lits[int(m.group(1))], s)
     return s
+
+
+def _rewrite_call(s: str, name: str, build) -> str:
+    """Rewrite every ``name(args...)`` call in ``s`` via ``build(*args)``.
+    Balanced-paren scan (args may contain nested calls); each argument
+    is recursively rewritten first so same-name nesting resolves
+    inside-out."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = re.search(rf"\b{name}\s*\(", s[i:])
+        if not m:
+            out.append(s[i:])
+            break
+        start = i + m.start()
+        out.append(s[i:start])
+        j, depth = i + m.end(), 1
+        while j < len(s) and depth:
+            depth += (s[j] == "(") - (s[j] == ")")
+            j += 1
+        args = [
+            _rewrite_call(a, name, build).strip()
+            for a in _split_csv(s[i + m.end() : j - 1])
+        ]
+        out.append(f"({build(*args)})")
+        i = j
+    return "".join(out)
 
 
 def _rewrite_case(s: str) -> str:
@@ -382,6 +432,10 @@ def kql_to_df(
             df = df.withColumn(col, F.explode(F.col(col)))
         elif op == "mv-apply":
             df = _mv_apply(df, rest, now)
+        elif op == "partition":
+            df = _partition_by(df, rest, now)
+        elif op == "evaluate":
+            df = _evaluate(df, rest, now)
         elif op == "make-series":
             df = _make_series(df, rest)
         elif op == "top-nested":
@@ -643,6 +697,120 @@ def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
     return out.drop(rid, *snap.values())
 
 
+def _partition_by(df: DataFrame, rest: str, now: str | None) -> DataFrame:
+    """``partition [hint.strategy=X] by Col ( sub-pipe )``: run the
+    parenthesized sub-pipe once per distinct value of Col and union the
+    results — Kusto's partition operator.
+
+    Spark shape: NO per-partition dispatch loop. Every supported
+    sub-stage has an all-partitions-at-once equivalent, so the operator
+    compiles to a single distributed plan regardless of partition-value
+    cardinality (Kusto's native strategy caps at 64 partitions; this
+    has no cap): ``where``/``extend``/``project-away`` are row-local,
+    ``summarize`` groups by Col + the sub-pipe's own keys, and
+    ``top N by X`` is one ``row_number`` window partitioned by Col.
+    Hint prefixes are accepted and ignored (strategy is Spark's
+    concern)."""
+    m = re.match(
+        r"^(?:hint\.\w+\s*=\s*\w+\s+)?by\s+(\w+)\s*\((.+)\)\s*$",
+        rest.strip(),
+        re.S,
+    )
+    if not m:
+        raise ValueError(f"partition needs 'by Col ( pipe )': {rest!r}")
+    col, sub = m.group(1), m.group(2).strip()
+    if col not in df.columns:
+        raise ValueError(f"partition column {col!r} not in {df.columns}")
+    out = df
+    for stage in [s for s in _split_pipe(sub) if s]:
+        sop, _, srest = stage.partition(" ")
+        srest = srest.strip()
+        handled = _row_local_stage(out, sop, srest, now)
+        if handled is not None:
+            out = handled
+        elif sop == "summarize":
+            agg_part, _, by_part = srest.partition(" by ")
+            by_keys = (
+                [k.strip() for k in _split_csv(by_part)] if by_part else []
+            )
+            keys = [col] + [k for k in by_keys if k != col]
+            out = _summarize(out, agg_part + " by " + ", ".join(keys), now)
+        elif sop == "top":
+            tm = re.match(r"^(\d+)\s+by\s+(.+)$", srest)
+            if not tm:
+                raise ValueError(f"top needs 'N by col': {srest!r}")
+            w = Window.partitionBy(col).orderBy(*_order_cols(tm.group(2)))
+            out = (
+                out.withColumn("__part_rk", F.row_number().over(w))
+                .filter(F.col("__part_rk") <= int(tm.group(1)))
+                .drop("__part_rk")
+            )
+        else:
+            raise ValueError(
+                f"unsupported stage inside partition: {sop!r} "
+                "(supported: where, extend, project-away, summarize, top)"
+            )
+    return out
+
+
+def _evaluate(df: DataFrame, rest: str, now: str | None) -> DataFrame:
+    """``evaluate pivot(PivotCol [, agg(Col) [, keep1, keep2, ...]])`` —
+    Kusto's pivot plugin. Distinct PivotCol values become columns; the
+    remaining columns (or the explicit keep-list) are group keys.
+
+    Spark shape: ``groupBy().pivot().agg()`` — one job to collect the
+    distinct pivot values (driver-bounded: pivot column cardinality must
+    be small, which is inherent to pivoting), one aggregate. Dialect
+    note: count() cells with no rows render 0 (conditional-count
+    semantics); other aggregates leave absent cells null.
+
+    ``evaluate bag_unpack(Col [, 'prefix'])`` — expand a JSON property
+    bag column into one column per distinct key. One bounded job
+    collects the key set (``json_object_keys`` explode + distinct —
+    driver-bounded by the bag SCHEMA width, not the row count), then
+    every key is a ``get_json_object`` projection. Dialect note: values
+    come out string-typed (Kusto infers types; the engine keeps the
+    cross-engine-checkable string form — cast downstream)."""
+    bm = re.match(
+        r"^bag_unpack\s*\((\w+)(?:\s*,\s*'([^']*)')?\)\s*$", rest.strip()
+    )
+    if bm:
+        col, prefix = bm.group(1), bm.group(2) or ""
+        keys = sorted(
+            r[0]
+            for r in df.select(
+                F.explode(F.json_object_keys(F.col(col))).alias("__k")
+            )
+            .distinct()
+            .collect()
+        )
+        for k in keys:
+            df = df.withColumn(
+                f"{prefix}{k}", F.get_json_object(F.col(col), f"$.{k}")
+            )
+        return df.drop(col)
+    m = re.match(r"^pivot\s*\((.+)\)\s*$", rest.strip(), re.S)
+    if not m:
+        raise ValueError(f"unsupported evaluate plugin: {rest!r}")
+    args = [a.strip() for a in _split_csv(m.group(1))]
+    pivot_col = args[0]
+    agg_txt = args[1] if len(args) > 1 else "count()"
+    am = re.match(r"^(\w+)\s*\(\s*([\w.]*)\s*\)$", agg_txt)
+    if not am or am.group(1) not in _AGG_FNS:
+        raise ValueError(
+            f"pivot aggregate must be one of {sorted(_AGG_FNS)}: {agg_txt!r}"
+        )
+    fn, arg = am.group(1), am.group(2).strip() or None
+    if len(args) > 2:
+        keys = args[2:]
+    else:
+        keys = [c for c in df.columns if c != pivot_col and c != arg]
+    out = df.groupBy(*keys).pivot(pivot_col).agg(_AGG_FNS[fn](arg))
+    if fn in ("count", "dcount"):
+        out = out.fillna(0, subset=[c for c in out.columns if c not in keys])
+    return out
+
+
 def _row_local_stage(df: DataFrame, op: str, rest: str, now: str | None):
     """Row-local stage handler (``where``/``extend``/``project-away``)
     for ``mv-apply`` sub-pipes. ``where``/``project-away`` mirror the
@@ -706,7 +874,7 @@ def _make_series(df: DataFrame, rest: str) -> DataFrame:
 
     m = re.match(
         r"^(?:(\w+)\s*=\s*)?(\w+)\(\s*([\w.]*)\s*\)"
-        r"(?:\s+default\s*=\s*([-\d.]+))?"
+        r"(?:\s+default\s*=\s*([-\d.]+|null|double\(null\)))?"
         r"\s+on\s+(\w+)"
         r"\s+from\s+datetime\(([^)]+)\)\s+to\s+datetime\(([^)]+)\)"
         r"\s+step\s+(\d+)([dhms])"
@@ -717,6 +885,9 @@ def _make_series(df: DataFrame, rest: str) -> DataFrame:
     if not m:
         raise ValueError(f"unsupported make-series syntax: {rest!r}")
     alias, fn, arg, default, ts_col, t0, t1, n, unit, by = m.groups()
+    # default=null / default=double(null): empty bins stay NULL so the
+    # series_fill_* functions have something to interpolate
+    null_default = default in ("null", "double(null)")
     return make_series(
         df,
         keys=[c.strip() for c in _split_csv(by)] if by else [],
@@ -726,7 +897,7 @@ def _make_series(df: DataFrame, rest: str) -> DataFrame:
         step_seconds=_timespan_s(n, unit),
         agg=fn,
         value_col=arg or None,
-        default=float(default) if default else 0.0,
+        default=None if null_default else (float(default) if default else 0.0),
         out=alias or f"{fn}_{arg or 'all'}",
         out_bins=ts_col,
     )
@@ -808,6 +979,46 @@ def _extend_one(
     number — a hash-partitioned join, never a single-task sort. The
     row number is deterministic for a fixed sort key, so repeated
     serialized extends in one pipe agree with each other."""
+    if re.search(r"\brow_cumsum\s*\(", body):
+        # row_cumsum(term [, restart]): running total in the serialized
+        # order, restart=true resets at that row. Distributed via
+        # windows.global_cumsum (deterministic-bounds buckets + literal
+        # prefix offsets — never an unpartitioned window); each call
+        # materializes into a hidden column and the call text becomes a
+        # reference, so row_cumsum composes inside larger expressions.
+        if order_spec is None:
+            raise ValueError(
+                f"row_cumsum in {body!r} needs a preceding 'sort by' "
+                "(KQL serialize semantics)"
+            )
+        from azuredataengineering_deeplearning_spark.operators.windows import (
+            global_cumsum,
+        )
+
+        calls: list[tuple[str, list[str]]] = []
+
+        def _take(*args):
+            alias = f"__kqlcs{len(calls)}"
+            calls.append((alias, list(args)))
+            return alias
+
+        body = _rewrite_call(body, "row_cumsum", _take)
+        for alias, args in calls:
+            restart = args[1] if len(args) > 1 else None
+            work = df.withColumn("__kqlcs_v", F.expr(_expr(args[0], now)))
+            if restart:
+                work = work.withColumn(
+                    "__kqlcs_r", F.expr(_expr(restart, now))
+                )
+            df = global_cumsum(
+                work,
+                _order_cols(order_spec),
+                "__kqlcs_v",
+                out=alias,
+                restart_col="__kqlcs_r" if restart else None,
+            ).drop("__kqlcs_v", "__kqlcs_r")
+        out = df.withColumn(name, F.expr(_expr(body, now)))
+        return out.drop(*[a for a, _ in calls])
     if re.search(r"\b(row_number|prev|next)\s*\(", body):
         if order_spec is None:
             raise ValueError(

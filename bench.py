@@ -74,6 +74,9 @@ HEADLINE = [
     "lm_token_f1",
     # KQL per-record array processing (round 7)
     "kql_mv_apply",
+    # KQL series trend fit over make-series arrays (round 8): the
+    # higher-order-function eval path with the bind-once kernel
+    "kql_series_fit_line",
 ]
 
 

@@ -1,0 +1,350 @@
+"""KQL round-8 surface: partition by, evaluate pivot, series_* scalar
+functions (fit line / stats / fill). The catalog rows cover the
+oracle-checked happy paths; these tests pin edge semantics the oracles
+can't reach (empty/single-element/all-null series, unsupported stages,
+numpy parity on irregular data)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.operators.timeseries import (
+    series_fill_linear,
+    series_fit_line,
+)
+from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+
+def _arr_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, y array<double>")
+
+
+# ---------------------------------------------------------------------------
+# series_fit_line_dynamic
+# ---------------------------------------------------------------------------
+
+
+def test_fit_line_exact_line(spark):
+    df = _arr_df(spark, [(1, [3.0, 5.0, 7.0, 9.0])])
+    (r,) = kql_to_df(
+        {"T": df}, "T | extend f = series_fit_line_dynamic(y)"
+    ).collect()
+    f = r["f"]
+    assert f["slope"] == pytest.approx(2.0)
+    assert f["interception"] == pytest.approx(3.0)
+    assert f["rsquare"] == pytest.approx(1.0)
+    assert f["rvariance"] == pytest.approx(0.0)
+    assert f["line_fit"] == pytest.approx([3.0, 5.0, 7.0, 9.0])
+
+
+def test_fit_line_matches_numpy(spark):
+    np = pytest.importorskip("numpy")
+    ys = [1.0, 4.0, 2.0, 8.0, 5.0, 7.0, 3.0]
+    df = _arr_df(spark, [(1, ys)])
+    (r,) = kql_to_df(
+        {"T": df}, "T | extend f = series_fit_line_dynamic(y)"
+    ).collect()
+    slope, intercept = np.polyfit(range(len(ys)), ys, 1)
+    assert r["f"]["slope"] == pytest.approx(slope)
+    assert r["f"]["interception"] == pytest.approx(intercept)
+    resid = [y - (intercept + slope * i) for i, y in enumerate(ys)]
+    assert r["f"]["rvariance"] == pytest.approx(
+        sum(v * v for v in resid) / len(ys)
+    )
+
+
+@pytest.mark.parametrize(
+    "ys,slope,b,r2",
+    [
+        ([5.0], 0.0, 5.0, 1.0),  # single point: flat fit, perfect r2
+        ([2.0, 2.0, 2.0], 0.0, 2.0, 1.0),  # constant: variance 0 -> r2 1
+    ],
+)
+def test_fit_line_degenerate(spark, ys, slope, b, r2):
+    df = _arr_df(spark, [(1, ys)])
+    (r,) = kql_to_df(
+        {"T": df}, "T | extend f = series_fit_line_dynamic(y)"
+    ).collect()
+    assert r["f"]["slope"] == pytest.approx(slope)
+    assert r["f"]["interception"] == pytest.approx(b)
+    assert r["f"]["rsquare"] == pytest.approx(r2)
+
+
+def test_fit_line_empty_is_null(spark):
+    df = _arr_df(spark, [(1, [])])
+    (r,) = kql_to_df(
+        {"T": df}, "T | extend f = series_fit_line_dynamic(y)"
+    ).collect()
+    assert r["f"] is None
+
+
+# ---------------------------------------------------------------------------
+# series_stats_dynamic
+# ---------------------------------------------------------------------------
+
+
+def test_stats_dynamic_known_values(spark):
+    df = _arr_df(spark, [(1, [3.0, 1.0, 4.0, 1.0, 5.0])])
+    (r,) = kql_to_df(
+        {"T": df}, "T | extend s = series_stats_dynamic(y)"
+    ).collect()
+    s = r["s"]
+    assert (s["min"], s["max"]) == (1.0, 5.0)
+    assert (s["min_idx"], s["max_idx"]) == (1, 4)  # FIRST index of the min
+    assert s["avg"] == pytest.approx(2.8)
+    assert s["sum"] == pytest.approx(14.0)
+    assert s["len"] == 5
+    # sample variance: (9+1+16+1+25 - 196/5) / 4 = 3.2
+    assert s["variance"] == pytest.approx(3.2)
+    assert s["stdev"] == pytest.approx(math.sqrt(3.2))
+
+
+def test_stats_dynamic_single_and_empty(spark):
+    df = _arr_df(spark, [(1, [7.0]), (2, [])])
+    got = {
+        r["id"]: r["s"]
+        for r in kql_to_df(
+            {"T": df}, "T | extend s = series_stats_dynamic(y)"
+        ).collect()
+    }
+    assert got[2] is None
+    assert got[1]["variance"] == 0.0 and got[1]["stdev"] == 0.0
+    assert got[1]["len"] == 1 and got[1]["sum"] == 7.0
+
+
+# ---------------------------------------------------------------------------
+# series_fill_linear / series_fill_const
+# ---------------------------------------------------------------------------
+
+
+def test_fill_linear_interior_and_edges(spark):
+    df = _arr_df(spark, [(1, [None, 1.0, None, None, 4.0, None])])
+    (r,) = kql_to_df(
+        {"T": df}, "T | extend z = series_fill_linear(y)"
+    ).collect()
+    assert r["z"] == pytest.approx([1.0, 1.0, 2.0, 3.0, 4.0, 4.0])
+
+
+def test_fill_linear_all_null_stays_null(spark):
+    df = _arr_df(spark, [(1, [None, None])])
+    (r,) = kql_to_df(
+        {"T": df}, "T | extend z = series_fill_linear(y)"
+    ).collect()
+    assert r["z"] == [None, None]
+
+
+def test_fill_linear_no_nulls_identity_and_empty(spark):
+    df = _arr_df(spark, [(1, [2.0, 9.0]), (2, [])])
+    got = {
+        r["id"]: r["z"]
+        for r in kql_to_df(
+            {"T": df}, "T | extend z = series_fill_linear(y)"
+        ).collect()
+    }
+    assert got[1] == [2.0, 9.0]
+    assert got[2] == []
+
+
+def test_fill_const_and_nesting(spark):
+    df = _arr_df(spark, [(1, [None, 3.0])])
+    (r,) = kql_to_df(
+        {"T": df},
+        "T | extend a = series_fill_const(y, -1.0), "
+        "b = series_fill_const(series_fill_linear(y), -1.0)",
+    ).collect()
+    assert r["a"] == [-1.0, 3.0]
+    assert r["b"] == [3.0, 3.0]  # linear edge-fill wins before const
+
+
+def test_make_series_default_null_marks_gaps(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 4.0),
+        (2, "2024-01-03 10:00:00", 6.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string, v double").withColumn(
+        "t", F.to_timestamp("t")
+    )
+    out = kql_to_df(
+        {"T": df},
+        "T | make-series s=sum(v) default=null on t "
+        "from datetime(2024-01-01) to datetime(2024-01-04) step 1d",
+    )
+    (r,) = out.collect()
+    assert r["s"] == [4.0, None, 6.0]
+
+
+# ---------------------------------------------------------------------------
+# partition by
+# ---------------------------------------------------------------------------
+
+
+def _evt(spark):
+    rows = [
+        (1, "a", 10.0), (2, "a", 20.0), (3, "a", 5.0),
+        (4, "b", 7.0), (5, "b", 9.0), (6, "c", 1.0),
+    ]
+    return spark.createDataFrame(rows, "id long, k string, v double")
+
+
+def test_partition_top_per_value(spark):
+    got = kql_to_df(
+        {"E": _evt(spark)}, "E | partition by k (top 2 by v desc)"
+    ).collect()
+    assert sorted(r["id"] for r in got) == [1, 2, 4, 5, 6]
+
+
+def test_partition_where_summarize(spark):
+    got = {
+        (r["k"], r["n"])
+        for r in kql_to_df(
+            {"E": _evt(spark)},
+            "E | partition by k (where v > 5 | summarize n = count())",
+        ).collect()
+    }
+    assert got == {("a", 2), ("b", 2)}  # k=c filtered away entirely
+
+
+def test_partition_summarize_extra_keys_and_hint(spark):
+    out = kql_to_df(
+        {"E": _evt(spark)},
+        "E | partition hint.strategy=native by k "
+        "(extend hi = v > 8 | summarize n = count() by hi)",
+    )
+    got = {(r["k"], r["hi"], r["n"]) for r in out.collect()}
+    assert got == {
+        ("a", True, 2), ("a", False, 1),
+        ("b", False, 1), ("b", True, 1),
+        ("c", False, 1),
+    }
+
+
+def test_partition_unknown_column_and_stage_raise(spark):
+    with pytest.raises(ValueError, match="partition column"):
+        kql_to_df({"E": _evt(spark)}, "E | partition by nope (top 1 by v)")
+    with pytest.raises(ValueError, match="unsupported stage"):
+        kql_to_df({"E": _evt(spark)}, "E | partition by k (sort by v)")
+
+
+# ---------------------------------------------------------------------------
+# evaluate pivot
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_count_fills_zero(spark):
+    out = kql_to_df(
+        {"E": _evt(spark)},
+        "E | project bucket = id % 2, k | evaluate pivot(k)",
+    )
+    got = {r["bucket"]: (r["a"], r["b"], r["c"]) for r in out.collect()}
+    assert got == {0: (1, 1, 1), 1: (2, 1, 0)}
+
+
+def test_pivot_sum_keeps_null_cells(spark):
+    out = kql_to_df(
+        {"E": _evt(spark)}, "E | evaluate pivot(k, sum(v), id)"
+    )
+    row = {r["id"]: r for r in out.collect()}
+    assert row[1]["a"] == 10.0 and row[1]["b"] is None
+    assert set(out.columns) == {"id", "a", "b", "c"}
+
+
+def test_pivot_rejects_unknown_plugin_and_agg(spark):
+    with pytest.raises(ValueError, match="evaluate plugin"):
+        kql_to_df({"E": _evt(spark)}, "E | evaluate narrow()")
+    with pytest.raises(ValueError, match="pivot aggregate"):
+        kql_to_df({"E": _evt(spark)}, "E | evaluate pivot(k, median(v))")
+
+
+# ---------------------------------------------------------------------------
+# operator twins
+# ---------------------------------------------------------------------------
+
+
+def test_operator_twins_match_translator(spark):
+    df = _arr_df(spark, [(1, [None, 1.0, None, 5.0])])
+    op = series_fill_linear(df, "y", out="z").collect()[0]["z"]
+    kq = kql_to_df({"T": df}, "T | extend z = series_fill_linear(y)").collect()[
+        0
+    ]["z"]
+    assert op == kq
+    fit = series_fit_line(
+        _arr_df(spark, [(1, [1.0, 2.0, 3.0])]), "y"
+    ).collect()[0]["fit"]
+    assert fit["slope"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# evaluate bag_unpack
+# ---------------------------------------------------------------------------
+
+
+def test_bag_unpack_multi_key_union_of_schemas(spark):
+    rows = [
+        (1, '{"a": 1, "b": "x"}'),
+        (2, '{"b": "y", "c": 2.5}'),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, bag string")
+    out = kql_to_df({"T": df}, "T | evaluate bag_unpack(bag)")
+    assert set(out.columns) == {"id", "a", "b", "c"}  # union of keys, bag gone
+    got = {r["id"]: (r["a"], r["b"], r["c"]) for r in out.collect()}
+    assert got == {
+        1: ("1", "x", None),
+        2: (None, "y", "2.5"),
+        3: (None, None, None),  # null bag survives with all-null keys
+    }
+
+
+def test_bag_unpack_prefix(spark):
+    df = spark.createDataFrame([(1, '{"k": 7}')], "id long, bag string")
+    out = kql_to_df({"T": df}, "T | evaluate bag_unpack(bag, 'p_')")
+    assert set(out.columns) == {"id", "p_k"}
+    assert out.collect()[0]["p_k"] == "7"
+
+
+# ---------------------------------------------------------------------------
+# row_cumsum / global_cumsum
+# ---------------------------------------------------------------------------
+
+
+def test_row_cumsum_requires_sort(spark):
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    with pytest.raises(ValueError, match="row_cumsum"):
+        kql_to_df({"T": df}, "T | extend c = row_cumsum(v)")
+
+
+def test_row_cumsum_desc_order_and_restart(spark):
+    rows = [(1, 10.0, False), (2, 20.0, True), (3, 5.0, False)]
+    df = spark.createDataFrame(rows, "id long, v double, r boolean")
+    out = {
+        x["id"]: (x["c"], x["cr"])
+        for x in kql_to_df(
+            {"T": df},
+            "T | sort by id desc | extend c = row_cumsum(v), cr = row_cumsum(v, r)",
+        ).collect()
+    }
+    # desc order: 3 -> 2 -> 1; restart at id=2 resets to 20, id=1 adds
+    assert out[3] == (5.0, 5.0)
+    assert out[2] == (25.0, 20.0)
+    assert out[1] == (35.0, 30.0)
+
+
+def test_global_cumsum_matches_single_window(spark):
+    from azuredataengineering_deeplearning_spark.operators.windows import (
+        global_cumsum,
+    )
+    from pyspark.sql import Window
+
+    rows = [(i, float((i * 37) % 13) - 6.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+    got = {
+        r["id"]: r["c"]
+        for r in global_cumsum(df, ["id"], "v", out="c").collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["c"]
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    assert all(abs(got[i] - want[i]) < 1e-9 for i in want)
