@@ -329,6 +329,15 @@ def kql_to_df(
     exactly Kusto's evaluation model for constant lets."""
     tables = dict(tables)
     q = query.strip()
+    # leading `set option[=value];` statements (daily_eval.py:147-149
+    # pins Kusto engine memory options this way) — engine-side knobs
+    # with no Spark analog; accepted and ignored so reference queries
+    # run verbatim
+    while True:
+        m = re.match(r"^set\s+[\w.]+\s*(?:=\s*\S+)?\s*;\s*", q)
+        if not m:
+            break
+        q = q[m.end():]
     while True:
         m = re.match(r"^let\s+(\w+)\s*=\s*([^;]+);\s*", q, re.S)
         if not m:
@@ -356,6 +365,14 @@ def kql_to_df(
     stages = _split_pipe(q)
     if not stages:
         raise ValueError("empty KQL query")
+    # cluster('url').database('db').Table addressing (daily_eval.py:151)
+    # → the bare table name; locally every table resolves through the
+    # session's table map regardless of its Kusto home
+    cm = re.match(
+        r"^cluster\('[^']*'\)\.database\('[^']*'\)\.(\w+)$", stages[0].strip()
+    )
+    if cm:
+        stages[0] = cm.group(1)
     src = re.match(
         r"^range\s+(\w+)\s+from\s+(-?\d+)\s+to\s+(-?\d+)\s+step\s+(\d+)$",
         stages[0],

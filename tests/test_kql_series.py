@@ -348,3 +348,49 @@ def test_global_cumsum_matches_single_window(spark):
         for r in df.withColumn("c", F.sum("v").over(w)).collect()
     }
     assert all(abs(got[i] - want[i]) < 1e-9 for i in want)
+
+
+# ---------------------------------------------------------------------------
+# reference-query verbatim parity (daily_eval.py:147-159)
+# ---------------------------------------------------------------------------
+
+
+def test_reference_daily_eval_query_runs_verbatim(spark):
+    """The reference's production Kusto query (set options + cluster/
+    database addressing + project/where/ago/arg_max) must run through
+    the translator UNCHANGED — only the cluster URL's table is bound
+    locally."""
+    rows = [
+        # TicketId, Rev, CreatedDate, WorkEndDate, DeviceOperationalState,
+        # State, ResolutionDetails, ResolutionsJson
+        (1, 1, "2024-01-10", "2024-01-25", "Production", "Resolved", "fixed", "{}"),
+        (1, 2, "2024-01-10", "2024-01-26", "Production", "Resolved", "refixed", "{}"),
+        (2, 1, "2024-01-02", "2024-01-05", "Production", "Resolved", "old", "{}"),  # outside ago(14d)
+        (3, 1, "2024-01-20", "2024-01-24", "Staging", "Resolved", "wrong env", "{}"),
+        (4, 1, "2024-01-20", "2024-01-24", "Production", "Active", "not resolved", "{}"),
+        (5, 1, "2024-01-20", "2024-01-24", "Production", "Resolved", "", "{}"),  # empty details
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "TicketId long, Rev long, CreatedDate string, WorkEndDate string,"
+        " DeviceOperationalState string, State string,"
+        " ResolutionDetails string, ResolutionsJson string",
+    ).withColumn("WorkEndDate", F.to_timestamp("WorkEndDate"))
+    build_query = """
+set maxmemoryconsumptionperiterator=68719476736;
+set max_memory_consumption_per_query_per_node=68719476736;
+set notruncation;
+cluster('https://example.invalid').database('COIDG').TicketRevisions
+| project TicketId, Rev, CreatedDate, WorkEndDate, DeviceOperationalState, State,
+            ResolutionDetails, ResolutionsJson
+| where State == 'Resolved'
+| where DeviceOperationalState == 'Production'
+| where WorkEndDate > ago(14d)
+| where ResolutionDetails != ''
+| summarize arg_max(Rev,*) by TicketId
+"""
+    out = kql_to_df(
+        {"TicketRevisions": df}, build_query, now="2024-01-30 00:00:00"
+    )
+    got = {(r["TicketId"], r["Rev"]) for r in out.collect()}
+    assert got == {(1, 2)}  # latest rev of the one surviving ticket

@@ -700,6 +700,75 @@ def main() -> None:
         print(json.dumps({"probe": "pack_global_window",
                           "docs": args.scores, "sec_cold": t, "sec": t2}))
 
+    # ---- global prefix scan (row_cumsum kernel) vs the single-reducer
+    # window it replaces; + restart segmentation overhead ---------------
+    from pyspark.sql import Window
+
+    from azuredataengineering_deeplearning_spark.operators.windows import (
+        global_cumsum,
+    )
+
+    seq = spark.range(args.scores).select(
+        F.col("id"),
+        ((F.col("id") * 37 % 997).cast("double") - 450.0).alias("v"),
+        (F.col("id") % 101 == 0).alias("r"),
+    )
+
+    def _cumsum_distributed():
+        c = global_cumsum(seq, ["id"], "v", out="c")
+        return c.agg(F.sum(F.hash("id", "c"))).collect()
+
+    t, _ = timed(_cumsum_distributed)
+    t2, _ = timed(_cumsum_distributed)
+    results["global_cumsum_distributed"] = t2
+    print(json.dumps({"probe": "global_cumsum_distributed",
+                      "rows": args.scores, "sec_cold": t, "sec": t2}))
+
+    def _cumsum_single_window():
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        c = seq.withColumn("c", F.sum("v").over(w))
+        return c.agg(F.sum(F.hash("id", "c"))).collect()
+
+    t, _ = timed(_cumsum_single_window)
+    results["global_cumsum_single_window"] = t
+    print(json.dumps({"probe": "global_cumsum_single_window",
+                      "rows": args.scores, "sec": t}))
+
+    def _cumsum_restart():
+        c = global_cumsum(seq, ["id"], "v", out="c", restart_col="r")
+        return c.agg(F.sum(F.hash("id", "c"))).collect()
+
+    t, _ = timed(_cumsum_restart)
+    results["global_cumsum_restart"] = t
+    print(json.dumps({"probe": "global_cumsum_restart",
+                      "rows": args.scores, "sec": t}))
+
+    # ---- make-series map-densify at panel scale ----------------------
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        make_series,
+    )
+
+    ev_series = spark.range(args.rows).select(
+        (F.col("id") % 100_000).alias("k"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") * 7919) % (30 * 86400)
+        ).alias("ts"),
+        F.lit(1.0).alias("v"),
+    )
+
+    def _make_series_panel():
+        s = make_series(
+            ev_series, ["k"], "ts", "2024-01-01", "2024-01-31", 86400,
+            agg="sum", value_col="v",
+        )
+        return s.agg(F.sum(F.size("series"))).collect()
+
+    t, _ = timed(_make_series_panel)
+    t2, _ = timed(_make_series_panel)
+    results["make_series_panel"] = t2
+    print(json.dumps({"probe": "make_series_panel", "rows": args.rows,
+                      "keys": 100_000, "bins": 30, "sec_cold": t, "sec": t2}))
+
     print(
         json.dumps(
             {
