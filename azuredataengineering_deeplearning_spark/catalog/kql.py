@@ -848,3 +848,88 @@ def kql_row_cumsum(spark, sf_dir):
         | project event_id, cum, cum_r
         """,
     )
+
+
+@query(
+    "kql_series_pearson",
+    _SERIES_COUNT_CTE
+    + """,
+    b2 AS (SELECT event_type,
+                  CAST(FLOOR((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400)
+                       AS BIGINT) AS i,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+           GROUP BY 1, 2),
+    s2 AS (SELECT s.event_type, s.i, s.y AS y1, COALESCE(b2.v, 0) AS y2
+           FROM s LEFT JOIN b2 USING (event_type, i))
+    SELECT event_type, corr(y1, y2) AS c FROM s2 GROUP BY event_type
+    """,
+)
+def kql_series_pearson(spark, sf_dir):
+    """KQL ``series_pearson_correlation`` across two make-series outputs
+    joined per key (daily count vs daily revenue co-movement) — one
+    zipped moment pass per row, zero extra shuffles; the oracle is
+    DuckDB's relational ``corr`` over the same spine."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        """
+        let A = events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type;
+        let B = events
+        | make-series v=sum(value) on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type;
+        A
+        | join kind=inner (B) on event_type
+        | extend c = series_pearson_correlation(n, v)
+        | project event_type, c
+        """,
+    )
+
+
+@query(
+    "kql_series_anomalies",
+    _SERIES_COUNT_CTE
+    + """,
+    fit AS (SELECT event_type, regr_slope(y, i) AS m, regr_intercept(y, i) AS b
+            FROM s GROUP BY 1),
+    r AS (SELECT s.event_type, s.i, s.y - (f.b + f.m * s.i) AS resid
+          FROM s JOIN fit f USING (event_type)),
+    q AS (SELECT event_type,
+                 quantile_cont(resid, 0.25) AS q1,
+                 quantile_cont(resid, 0.75) AS q3
+          FROM r GROUP BY 1)
+    SELECT r.event_type,
+           string_agg(CASE WHEN resid > q3 + 1.5 * (q3 - q1) THEN '1'
+                           WHEN resid < q1 - 1.5 * (q3 - q1) THEN '-1'
+                           ELSE '0' END, ',' ORDER BY i) AS anoms_csv
+    FROM r JOIN q USING (event_type) GROUP BY r.event_type
+    """,
+)
+def kql_series_anomalies(spark, sf_dir):
+    """KQL ``series_decompose_anomalies`` (trend-baseline form): per-bin
+    −1/0/+1 anomaly flags from Tukey fences on the residuals of the
+    per-series line fit. The engine computes everything as one
+    higher-order array expression per row; the oracle rebuilds it
+    relationally (regr_* fit + quantile_cont fences — the same
+    linear-interpolated quantile convention the array kernel uses)."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend d = series_decompose_anomalies(n, 1.5)
+        """,
+    )
+    return df.select(
+        "event_type",
+        F.array_join(
+            F.transform(F.col("d.anomalies"), lambda x: x.cast("string")), ","
+        ).alias("anoms_csv"),
+    )

@@ -475,8 +475,11 @@ def series_fit_line_sql(y_sql: str) -> str:
         _bind1(fit1, "__f1", _bind1(fit2, "__f2", _bind1(rvar, "__r", final))),
     )
     guarded = (
-        f"CASE WHEN size(__y) = 0 THEN CAST(NULL AS {_FIT_STRUCT_T}) "
-        f"ELSE {body} END"
+        # NULL input must short-circuit BEFORE the moment math: with a
+        # null array, size() is NULL, every CASE predicate falls to its
+        # ELSE, and the fit would fabricate slope=0/rsquare=1
+        f"CASE WHEN __y IS NULL OR size(__y) = 0 "
+        f"THEN CAST(NULL AS {_FIT_STRUCT_T}) ELSE {body} END"
     )
     return _bind1(_as_double_array(y_sql), "__y", guarded)
 
@@ -530,8 +533,8 @@ def series_stats_dynamic_sql(y_sql: str) -> str:
     )
     body = _bind1(moments, "__m", _bind1(var, "__s2", final))
     guarded = (
-        f"CASE WHEN size(__y) = 0 THEN CAST(NULL AS {_STATS_STRUCT_T}) "
-        f"ELSE {body} END"
+        f"CASE WHEN __y IS NULL OR size(__y) = 0 "
+        f"THEN CAST(NULL AS {_STATS_STRUCT_T}) ELSE {body} END"
     )
     return _bind1(_as_double_array(y_sql), "__y", guarded)
 
@@ -574,10 +577,114 @@ def series_fill_linear_sql(y_sql: str) -> str:
         f"ELSE {_bind1(pq, '__pq', fill)} END"
     )
     body = (
-        "CASE WHEN size(__y) = 0 THEN __y "
+        "CASE WHEN __y IS NULL OR size(__y) = 0 THEN __y "
         f"ELSE transform(sequence(0, size(__y) - 1), __i -> {per_elem}) END"
     )
     return _bind1(_as_double_array(y_sql), "__y", body)
+
+
+def series_pearson_correlation_sql(y1_sql: str, y2_sql: str) -> str:
+    """KQL ``series_pearson_correlation(s1, s2)`` → double. Both arrays
+    bound once; one zipped moment pass (n, Σa, Σb, Σab, Σa², Σb²) and
+    the closed form. Arrays must be equal length (Kusto contract; the
+    shorter length wins here). Zero variance on either side → 0.0;
+    empty → null."""
+    moments = (
+        "named_struct("
+        "'n', CAST(least(size(__a), size(__b)) AS DOUBLE), "
+        "'sa', aggregate(sequence(0, least(size(__a), size(__b)) - 1),"
+        " CAST(0 AS DOUBLE), (x, i) -> x + element_at(__a, i + 1)), "
+        "'sb', aggregate(sequence(0, least(size(__a), size(__b)) - 1),"
+        " CAST(0 AS DOUBLE), (x, i) -> x + element_at(__b, i + 1)), "
+        "'sab', aggregate(sequence(0, least(size(__a), size(__b)) - 1),"
+        " CAST(0 AS DOUBLE), (x, i) -> x + element_at(__a, i + 1) * element_at(__b, i + 1)), "
+        "'saa', aggregate(sequence(0, least(size(__a), size(__b)) - 1),"
+        " CAST(0 AS DOUBLE), (x, i) -> x + element_at(__a, i + 1) * element_at(__a, i + 1)), "
+        "'sbb', aggregate(sequence(0, least(size(__a), size(__b)) - 1),"
+        " CAST(0 AS DOUBLE), (x, i) -> x + element_at(__b, i + 1) * element_at(__b, i + 1)))"
+    )
+    var_a = "(__m.n * __m.saa - __m.sa * __m.sa)"
+    var_b = "(__m.n * __m.sbb - __m.sb * __m.sb)"
+    corr = (
+        f"CASE WHEN {var_a} > 0 AND {var_b} > 0 "
+        f"THEN (__m.n * __m.sab - __m.sa * __m.sb) / sqrt({var_a} * {var_b}) "
+        "ELSE CAST(0 AS DOUBLE) END"
+    )
+    body = (
+        "CASE WHEN __a IS NULL OR __b IS NULL "
+        "OR least(size(__a), size(__b)) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE {_bind1(moments, '__m', corr)} END"
+    )
+    return _bind1(
+        _as_double_array(y1_sql),
+        "__a",
+        _bind1(_as_double_array(y2_sql), "__b", body),
+    )
+
+
+_DECOMP_STRUCT_T = (
+    "STRUCT<anomalies: ARRAY<INT>, score: ARRAY<DOUBLE>,"
+    " baseline: ARRAY<DOUBLE>>"
+)
+
+
+def series_decompose_anomalies_sql(y_sql: str, k_sql: str = "1.5") -> str:
+    """KQL ``series_decompose_anomalies(series [, threshold])`` —
+    TREND-BASELINE form: baseline = least-squares line over x = 0..n-1
+    (Kusto additionally auto-detects seasonality; regrain/make-series at
+    the right grain is this engine's seasonal path — documented
+    deviation), residuals scored by Tukey fences at ``k`` IQRs beyond
+    the residual quartiles (linear-interpolated, the quantile_cont
+    convention so a DuckDB oracle reproduces it bit-for-bit on coarse
+    data). Returns struct(anomalies −1/0/+1 per bin, score =
+    residual/IQR (0 when IQR = 0), baseline). Zero-shuffle array SQL;
+    expects a filled series; empty → null struct."""
+    # residuals from the shared fit-line builder: bind the fit struct,
+    # derive residual array, then quartiles from its sorted copy
+    fit = series_fit_line_sql("__y0")
+    resid = (
+        "transform(sequence(0, size(__y0) - 1), i -> "
+        "element_at(__y0, i + 1) - element_at(__fd.line_fit, i + 1))"
+    )
+    # linear-interpolated quantile of a SORTED array s at fraction p:
+    # pos = (n-1)p, v = s[lo]*(1-frac) + s[lo+1]*frac
+    def _q(p: str) -> str:
+        pos = f"(CAST(size(__s) - 1 AS DOUBLE) * {p})"
+        lo = f"CAST(floor({pos}) AS INT)"
+        return (
+            f"(element_at(__s, {lo} + 1) * (1 - ({pos} - {lo}))"
+            f" + element_at(__s, least({lo} + 2, size(__s))) * ({pos} - {lo}))"
+        )
+
+    fences = (
+        f"named_struct('q1', {_q('0.25')}, 'q3', {_q('0.75')}, "
+        f"'iqr', {_q('0.75')} - {_q('0.25')})"
+    )
+    final = (
+        "named_struct("
+        "'anomalies', transform(__r, v -> CASE "
+        f"WHEN v > __f.q3 + ({k_sql}) * __f.iqr THEN 1 "
+        f"WHEN v < __f.q1 - ({k_sql}) * __f.iqr THEN -1 ELSE 0 END), "
+        "'score', transform(__r, v -> "
+        "CASE WHEN __f.iqr > 0 THEN v / __f.iqr ELSE CAST(0 AS DOUBLE) END), "
+        "'baseline', __fd.line_fit)"
+    )
+    body = _bind1(
+        fit,
+        "__fd",
+        _bind1(
+            resid,
+            "__r",
+            _bind1(
+                "array_sort(__r)", "__s", _bind1(fences, "__f", final)
+            ),
+        ),
+    )
+    guarded = (
+        f"CASE WHEN __y0 IS NULL OR size(__y0) = 0 "
+        f"THEN CAST(NULL AS {_DECOMP_STRUCT_T}) ELSE {body} END"
+    )
+    return _bind1(_as_double_array(y_sql), "__y0", guarded)
 
 
 def series_fit_line(df: DataFrame, series_col: str, out: str = "fit") -> DataFrame:

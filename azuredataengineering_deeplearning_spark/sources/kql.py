@@ -56,9 +56,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azuredataengineering_deeplearning_spark.operators.timeseries import (
+    series_decompose_anomalies_sql,
     series_fill_const_sql,
     series_fill_linear_sql,
     series_fit_line_sql,
+    series_pearson_correlation_sql,
     series_stats_dynamic_sql,
 )
 
@@ -249,6 +251,12 @@ def _expr(kql: str, now: str | None = None) -> str:
     # pass handles nested same-name calls, the pass SEQUENCE handles
     # cross-name nesting (an inner call spliced verbatim by an earlier
     # pass is rewritten by its own later pass)
+    s = _rewrite_call(
+        s, "series_decompose_anomalies", series_decompose_anomalies_sql
+    )
+    s = _rewrite_call(
+        s, "series_pearson_correlation", series_pearson_correlation_sql
+    )
     s = _rewrite_call(s, "series_fit_line_dynamic", series_fit_line_sql)
     s = _rewrite_call(s, "series_stats_dynamic", series_stats_dynamic_sql)
     s = _rewrite_call(s, "series_fill_linear", series_fill_linear_sql)

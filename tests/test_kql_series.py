@@ -394,3 +394,81 @@ cluster('https://example.invalid').database('COIDG').TicketRevisions
     )
     got = {(r["TicketId"], r["Rev"]) for r in out.collect()}
     assert got == {(1, 2)}  # latest rev of the one surviving ticket
+
+
+# ---------------------------------------------------------------------------
+# series_pearson_correlation / series_decompose_anomalies
+# ---------------------------------------------------------------------------
+
+
+def test_pearson_matches_numpy_and_degenerates(spark):
+    np = pytest.importorskip("numpy")
+    a = [1.0, 2.0, 3.0, 4.0, 10.0]
+    b = [2.0, 4.1, 5.9, 8.0, 19.5]
+    df = spark.createDataFrame(
+        [(1, a, b), (2, [5.0, 5.0], [1.0, 2.0]), (3, [], [])],
+        "id long, x array<double>, y array<double>",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in kql_to_df(
+            {"T": df}, "T | extend c = series_pearson_correlation(x, y)"
+        ).collect()
+    }
+    assert got[1] == pytest.approx(float(np.corrcoef(a, b)[0, 1]))
+    assert got[2] == 0.0  # zero variance side -> 0, not NaN
+    assert got[3] is None
+
+
+def test_decompose_anomalies_flags_spike_and_dip(spark):
+    ys = [10.0] * 20
+    ys[7], ys[13] = 50.0, -30.0
+    df = spark.createDataFrame([(1, ys)], "id long, y array<double>")
+    (r,) = kql_to_df(
+        {"T": df}, "T | extend d = series_decompose_anomalies(y, 1.5)"
+    ).collect()
+    d = r["d"]
+    assert d["anomalies"][7] == 1 and d["anomalies"][13] == -1
+    assert sum(1 for v in d["anomalies"] if v != 0) == 2
+    assert len(d["baseline"]) == len(ys)
+    # scores share the flags' sign at the flagged bins
+    assert d["score"][7] > 0 and d["score"][13] < 0
+
+
+def test_decompose_anomalies_constant_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, [5.0, 5.0, 5.0]), (2, [])], "id long, y array<double>"
+    )
+    got = {
+        r["id"]: r["d"]
+        for r in kql_to_df(
+            {"T": df}, "T | extend d = series_decompose_anomalies(y)"
+        ).collect()
+    }
+    assert got[2] is None
+    assert got[1]["anomalies"] == [0, 0, 0]
+    assert got[1]["score"] == [0.0, 0.0, 0.0]  # iqr 0 -> score 0, not NaN
+
+
+def test_decompose_anomalies_clean_trend_no_flags(spark):
+    ys = [float(3 + 2 * i) for i in range(15)]
+    df = spark.createDataFrame([(1, ys)], "id long, y array<double>")
+    (r,) = kql_to_df(
+        {"T": df}, "T | extend d = series_decompose_anomalies(y)"
+    ).collect()
+    assert all(v == 0 for v in r["d"]["anomalies"])
+    assert r["d"]["baseline"] == pytest.approx(ys)
+
+
+def test_series_functions_null_array_yields_null(spark):
+    # SQL NULL series (not empty): every series function must emit NULL,
+    # never a fabricated flat fit / zero stats
+    df = spark.createDataFrame([(1, None)], "id long, y array<double>")
+    (r,) = kql_to_df(
+        {"T": df},
+        "T | extend f = series_fit_line_dynamic(y), s = series_stats_dynamic(y),"
+        " d = series_decompose_anomalies(y), z = series_fill_linear(y),"
+        " c = series_fill_const(y, 0.0), p = series_pearson_correlation(y, y)",
+    ).collect()
+    assert r["f"] is None and r["s"] is None and r["d"] is None
+    assert r["z"] is None and r["c"] is None and r["p"] is None
