@@ -733,6 +733,14 @@ def global_cumsum(
     row. Everything stays distributed; the extra join shuffles on
     segment id.
 
+    Null terms follow SQL SUM-OVER semantics: they add nothing, and the
+    output is NULL only before the first non-null term in the total
+    order (verified bucket-boundary-independent). Restart-form nuance:
+    a segment opened by a null-term restart row starts at 0 rather than
+    the NULL a per-segment SUM OVER would emit until the segment's
+    first value — the reset is the point of the flag, so the empty
+    total is 0 by design.
+
     ``order`` must be a total order (unique tiebreak) and the input
     plan deterministic — same preconditions as
     :func:`global_row_number`."""
@@ -749,7 +757,10 @@ def global_cumsum(
         if restart_col
         else None
     )
-    aggs = [F.sum(dec(value_col)).alias("__s")]
+    aggs = [
+        F.sum(dec(value_col)).alias("__s"),
+        F.count(value_col).alias("__c"),
+    ]
     if flag is not None:
         aggs.append(F.sum(flag).alias("__f"))
     per_bucket = {
@@ -758,22 +769,36 @@ def global_cumsum(
     }
     n_b = len(bounds) + 1
     sum_off = [Decimal(0)] * n_b
+    cnt_off = [0] * n_b
     flag_off = [0] * n_b
-    acc_s, acc_f = Decimal(0), 0
+    acc_s, acc_c, acc_f = Decimal(0), 0, 0
     walk = range(n_b) if first_asc else reversed(range(n_b))
     for b in walk:
-        sum_off[b], flag_off[b] = acc_s, acc_f
+        sum_off[b], cnt_off[b], flag_off[b] = acc_s, acc_c, acc_f
         r = per_bucket.get(b)
         if r is not None:
             acc_s += r["__s"] if r["__s"] is not None else Decimal(0)
+            acc_c += r["__c"]
             acc_f += r["__f"] if flag is not None else 0
     s_arr = F.array(*[F.lit(str(v)).cast("decimal(28,6)") for v in sum_off])
+    c_arr = F.array(*[F.lit(v) for v in cnt_off])
     w = (
         Window.partitionBy("__rb")
         .orderBy(*ocols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = F.sum(dec(value_col)).over(w) + F.element_at(s_arr, F.col("__rb") + 1)
+    # SQL SUM-OVER semantics independent of where bucket boundaries
+    # fall: NULL only while NO non-null term has occurred yet globally
+    # (within-bucket window NULL *and* zero values in earlier buckets);
+    # otherwise nulls add nothing and the total carries forward.
+    wsum = F.sum(dec(value_col)).over(w)
+    run = F.when(
+        wsum.isNull() & (F.element_at(c_arr, F.col("__rb") + 1) == 0),
+        F.lit(None).cast("decimal(29,6)"),
+    ).otherwise(
+        F.coalesce(wsum, F.lit(0).cast("decimal(28,6)"))
+        + F.element_at(s_arr, F.col("__rb") + 1)
+    )
     if flag is None:
         return bucketed.withColumn(out, run.cast("double")).drop("__rb")
     f_arr = F.array(*[F.lit(v) for v in flag_off])
@@ -788,9 +813,19 @@ def global_cumsum(
     # each segment s >= 1 starts at its UNIQUE restart row (the flag
     # increments the segment id there), so the prefix to subtract is
     # (inclusive cum - own term) AT that row — no ordering needed to
-    # find it, works for negative terms; segment 0 subtracts nothing
+    # find it, works for negative terms; segment 0 subtracts nothing.
+    # Null-safe on BOTH operands: a restart row with a NULL term (SUM
+    # skips it, so inclusive cum = the prefix itself) or sitting before
+    # any non-null value (cum still NULL = empty prefix) must not
+    # poison the segment's prefix into NULL -> coalesce(0) -> unreset
+    # global sums downstream.
+    zero = F.lit(0).cast("decimal(28,6)")
     seg_base = with_seg.filter(F.col(restart_col).cast("boolean")).select(
-        "__gcs_seg", (F.col("__gcs_c") - dec(value_col)).alias("__gcs_p")
+        "__gcs_seg",
+        (
+            F.coalesce(F.col("__gcs_c"), zero)
+            - F.coalesce(dec(value_col), zero)
+        ).alias("__gcs_p"),
     )
     return (
         with_seg.join(seg_base, "__gcs_seg", "left")

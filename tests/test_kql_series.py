@@ -472,3 +472,52 @@ def test_series_functions_null_array_yields_null(spark):
     ).collect()
     assert r["f"] is None and r["s"] is None and r["d"] is None
     assert r["z"] is None and r["c"] is None and r["p"] is None
+
+
+def test_global_cumsum_null_terms_and_null_restart_row(spark):
+    from azuredataengineering_deeplearning_spark.operators.windows import (
+        global_cumsum,
+    )
+
+    rows = [
+        (1, 5.0, False),
+        (2, None, False),   # null term: SUM semantics, cum carries 5.0
+        (3, 2.0, False),
+        (4, None, True),    # restart row with NULL term: segment prefix
+                            # is everything before it (7.0), not NULL/0
+        (5, 3.0, False),
+        (6, 4.0, True),     # normal restart
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, r boolean")
+    got = {
+        x["id"]: (x["c"], x["cr"])
+        for x in (
+            global_cumsum(df, ["id"], "v", out="c")
+            .transform(
+                lambda d: global_cumsum(d, ["id"], "v", out="cr", restart_col="r")
+            )
+            .collect()
+        )
+    }
+    assert got[1] == (5.0, 5.0)
+    assert got[2] == (5.0, 5.0)  # null adds nothing
+    assert got[3] == (7.0, 7.0)
+    assert got[4] == (7.0, 0.0)  # reset at a null-term row -> sum restarts empty
+    assert got[5] == (10.0, 3.0)
+    assert got[6] == (14.0, 4.0)
+
+
+def test_global_cumsum_leading_null_restart_row(spark):
+    from azuredataengineering_deeplearning_spark.operators.windows import (
+        global_cumsum,
+    )
+
+    rows = [(1, None, True), (2, 2.0, False), (3, 1.0, False)]
+    df = spark.createDataFrame(rows, "id long, v double, r boolean")
+    got = {
+        x["id"]: x["cr"]
+        for x in global_cumsum(
+            df, ["id"], "v", out="cr", restart_col="r"
+        ).collect()
+    }
+    assert got[2] == 2.0 and got[3] == 3.0  # empty prefix, not NULL-poisoned
