@@ -71,6 +71,9 @@ _AGG_FNS = {
     "min": lambda arg: F.min(arg),
     "max": lambda arg: F.max(arg),
     "dcount": lambda arg: F.countDistinct(arg),
+    # Kusto stdev/variance are SAMPLE moments
+    "stdev": lambda arg: F.stddev_samp(arg),
+    "variance": lambda arg: F.var_samp(arg),
     # deviation from KQL: both emit SORTED arrays — Spark's collect_list
     # order is partition-dependent, so we pin a deterministic order
     "make_list": lambda arg: F.sort_array(F.collect_list(arg)),
@@ -453,8 +456,31 @@ def kql_to_df(
         elif op == "parse-where":
             df = _parse(df, rest, where=True)
         elif op == "mv-expand":
-            col = rest.strip()
-            df = df.withColumn(col, F.explode(F.col(col)))
+            # mv-expand [with_itemindex=Name] Col [to typeof(T)] —
+            # with_itemindex → posexplode (0-based, Kusto convention)
+            em = re.match(
+                r"^(?:with_itemindex\s*=\s*(\w+)\s+)?(\w+)"
+                r"(?:\s+to\s+typeof\(\s*(\w+)\s*\))?$",
+                rest.strip(),
+            )
+            if not em:
+                raise ValueError(
+                    f"mv-expand needs '[with_itemindex=I] col [to typeof(T)]':"
+                    f" {rest!r}"
+                )
+            idx, col, totype = em.groups()
+            if idx:
+                df = (
+                    df.select("*", F.posexplode(F.col(col)).alias(idx, "__mvex"))
+                    .drop(col)
+                    .withColumnRenamed("__mvex", col)
+                )
+            else:
+                df = df.withColumn(col, F.explode(F.col(col)))
+            if totype:
+                df = df.withColumn(
+                    col, F.col(col).cast(_KQL_TYPES[totype.lower()])
+                )
         elif op == "mv-apply":
             df = _mv_apply(df, rest, now)
         elif op == "partition":

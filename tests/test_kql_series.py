@@ -521,3 +521,41 @@ def test_global_cumsum_leading_null_restart_row(spark):
         ).collect()
     }
     assert got[2] == 2.0 and got[3] == 3.0  # empty prefix, not NULL-poisoned
+
+
+# ---------------------------------------------------------------------------
+# mv-expand extensions + stdev/variance aggregates
+# ---------------------------------------------------------------------------
+
+
+def test_mv_expand_with_itemindex_and_typeof(spark):
+    df = spark.createDataFrame(
+        [(1, ["7", "8"]), (2, ["9"])], "id long, xs array<string>"
+    )
+    out = kql_to_df(
+        {"T": df}, "T | mv-expand with_itemindex=pos xs to typeof(long)"
+    )
+    got = {(r["id"], r["pos"], r["xs"]) for r in out.collect()}
+    assert got == {(1, 0, 7), (1, 1, 8), (2, 0, 9)}  # 0-based index, cast long
+    assert dict(out.dtypes)["xs"] == "bigint"
+
+
+def test_mv_expand_bare_still_works(spark):
+    df = spark.createDataFrame([(1, [4, 5])], "id long, xs array<int>")
+    out = kql_to_df({"T": df}, "T | mv-expand xs")
+    assert sorted(r["xs"] for r in out.collect()) == [4, 5]
+
+
+def test_summarize_stdev_variance_sample(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 4.0), ("a", 7.0), ("b", 2.0)], "k string, v double"
+    )
+    got = {
+        r["k"]: (r["sd"], r["vr"])
+        for r in kql_to_df(
+            {"T": df}, "T | summarize sd = stdev(v), vr = variance(v) by k"
+        ).collect()
+    }
+    assert got["a"][1] == pytest.approx(9.0)  # sample variance of 1,4,7
+    assert got["a"][0] == pytest.approx(3.0)
+    assert got["b"][1] is None  # n=1 -> sample variance undefined
