@@ -26,7 +26,11 @@ extraction dropping non-matching rows), ``datatable (...) [...]``
 literal sources, multi-table ``union``, ``project-reorder``,
 ``partition by Col ( ... )`` (per-partition-value sub-pipes compiled to
 one distributed plan), ``evaluate pivot(...)``, and the membership
-variants ``!in`` / ``in~`` (case-insensitive) / ``has_any``.
+variants ``!in`` / ``in~`` (case-insensitive) / ``has_any``,
+the term-operator family ``has``/``!has``/``has_cs``/``contains``/
+``!contains``/``startswith``/``!startswith``/``endswith``/``!endswith``/
+``matches regex``, and TRUE ``innerunique`` joins (left keys deduped
+with a deterministic pick).
 Series functions over ``make-series`` arrays (incl.
 ``default=null``/``default=double(null)`` gap marking):
 ``series_fit_line_dynamic`` ``series_stats_dynamic``
@@ -134,10 +138,27 @@ def _expr(kql: str, now: str | None = None) -> str:
     # search). Two-layer escaping: re.escape guards regex metachars,
     # then every backslash is DOUBLED to survive the SQL string-literal
     # unescape — otherwise '1.2.3.4' reaches the regex as any-char dots.
+    # Negated (!has) and case-sensitive (has_cs) forms run FIRST so the
+    # bare-`has` pattern never fires inside them.
+    def _term_match(m, neg=False, ci=True):
+        esc = re.escape(m.group(2)).replace(chr(92), chr(92) * 2)
+        flags = "(?i)" if ci else ""
+        e = f"{m.group(1)} RLIKE '{flags}\\\\b{esc}\\\\b'"
+        return f"NOT ({e})" if neg else e
+
     s = re.sub(
-        r"(\w+)\s+has\s+'([^']*)'",
-        lambda m: "{} RLIKE '(?i)\\\\b{}\\\\b'".format(
-            m.group(1), re.escape(m.group(2)).replace(chr(92), chr(92) * 2)
+        r"(\w+)\s+!has\s+'([^']*)'", lambda m: _term_match(m, neg=True), s
+    )
+    s = re.sub(
+        r"(\w+)\s+has_cs\s+'([^']*)'", lambda m: _term_match(m, ci=False), s
+    )
+    s = re.sub(r"(\w+)\s+has\s+'([^']*)'", _term_match, s)
+    # `matches regex 'p'`: the term IS a regex — pass it through
+    # verbatim (backslashes doubled only for the SQL literal layer)
+    s = re.sub(
+        r"(\w+)\s+matches\s+regex\s+'([^']*)'",
+        lambda m: "{} RLIKE '{}'".format(
+            m.group(1), m.group(2).replace(chr(92), chr(92) * 2)
         ),
         s,
     )
@@ -177,6 +198,23 @@ def _expr(kql: str, now: str | None = None) -> str:
         return c
 
     _esc = f" ESCAPE '{chr(92) * 2}'"
+    # negated LIKE forms first: `\bcontains` would otherwise match the
+    # tail of `!contains` (`!` is a word boundary) and strand the `!`
+    s = re.sub(
+        r"!contains\s+'([^']*)'",
+        lambda m: f" NOT LIKE concat('%', '{_like_term(m)}', '%'){_esc}",
+        s,
+    )
+    s = re.sub(
+        r"!startswith\s+'([^']*)'",
+        lambda m: f" NOT LIKE concat('{_like_term(m)}', '%'){_esc}",
+        s,
+    )
+    s = re.sub(
+        r"!endswith\s+'([^']*)'",
+        lambda m: f" NOT LIKE concat('%', '{_like_term(m)}'){_esc}",
+        s,
+    )
     s = re.sub(
         r"\bcontains\s+'([^']*)'",
         lambda m: f" LIKE concat('%', '{_like_term(m)}', '%'){_esc}",
@@ -538,9 +576,10 @@ def kql_to_df(
 
 _JOIN_KINDS = {
     "inner": "inner",
-    # KQL's default innerunique dedups left keys before joining; we map
-    # it to plain inner (documented deviation — dedup explicitly with
-    # `distinct` if the left side carries duplicate keys)
+    # KQL's default innerunique dedups LEFT keys before joining (one
+    # arbitrary row per key in Kusto; here the pick is DETERMINISTIC —
+    # smallest over the left side's atomic columns — so results are
+    # reproducible and oracle-checkable). Handled in _join.
     "innerunique": "inner",
     "leftouter": "left",
     "rightouter": "right",
@@ -564,21 +603,51 @@ def _join(df: DataFrame, tables: dict[str, DataFrame], rest: str) -> DataFrame:
         raise ValueError(f"join: unknown table {name!r}")
     right = tables[name]
     on_cols: list[str] = []
+    left_keys: list[str] = []
+    right_keys: list[str] = []
     conds = []
     for part in _split_csv(m.group(3)):
         mm = re.match(r"^\$left\.(\w+)\s*==\s*\$right\.(\w+)$", part.strip())
         if mm:
+            left_keys.append(mm.group(1))
+            right_keys.append(mm.group(2))
             conds.append(df[mm.group(1)] == right[mm.group(2)])
         else:
             on_cols.append(part.strip())
     if conds and on_cols:
         raise ValueError("mixing bare keys and $left/$right terms is unsupported")
+    if kind == "innerunique":
+        df = _dedup_left(df, on_cols or left_keys)
     if on_cols:
         return df.join(right, on_cols, _JOIN_KINDS[kind])
+    # $left/$right conds were built against the PRE-dedup df; rebuild
+    conds = [
+        df[a] == right[b] for a, b in zip(left_keys, right_keys)
+    ] or conds
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c
     return df.join(right, cond, _JOIN_KINDS[kind])
+
+
+def _dedup_left(df: DataFrame, keys: list[str]) -> DataFrame:
+    """innerunique's left-side key dedup with a DETERMINISTIC pick:
+    smallest row over the non-key atomic columns (Kusto picks an
+    arbitrary row; a pinned pick keeps results reproducible). Falls
+    back to dropDuplicates when no orderable column exists."""
+    atomic = [
+        c
+        for c, t in df.dtypes
+        if c not in keys and not t.startswith(("array", "map", "struct"))
+    ]
+    if not atomic:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in atomic])
+    return (
+        df.withColumn("__ju", F.row_number().over(w))
+        .filter(F.col("__ju") == 1)
+        .drop("__ju")
+    )
 
 
 def _datatable(spark: SparkSession, text: str) -> DataFrame:

@@ -559,3 +559,62 @@ def test_summarize_stdev_variance_sample(spark):
     assert got["a"][1] == pytest.approx(9.0)  # sample variance of 1,4,7
     assert got["a"][0] == pytest.approx(3.0)
     assert got["b"][1] is None  # n=1 -> sample variance undefined
+
+
+# ---------------------------------------------------------------------------
+# string-operator widening + true innerunique
+# ---------------------------------------------------------------------------
+
+
+def _strs(spark):
+    return spark.createDataFrame(
+        [("alpha beta",), ("the Alphabet",), ("x1.2.3.4y",), ("1.2.3.4 seen",)],
+        "t string",
+    )
+
+
+def test_negated_and_cs_term_operators(spark):
+    q = lambda s: sorted(
+        r["t"] for r in kql_to_df({"E": _strs(spark)}, s).collect()
+    )
+    # !has: whole-term, case-insensitive, negated ('Alphabet' is NOT the
+    # term 'alpha', so it survives)
+    assert q("E | where t !has 'alpha'") == [
+        "1.2.3.4 seen", "the Alphabet", "x1.2.3.4y",
+    ]
+    assert q("E | where t has_cs 'Alphabet'") == ["the Alphabet"]
+    assert q("E | where t has_cs 'alphabet'") == []
+    # regex passes through VERBATIM (no escaping of metachars)
+    assert q("E | where t matches regex '^[a-z]+ b'") == ["alpha beta"]
+    # negated LIKE forms keep the literal-term escaping ('.' stays a dot)
+    assert q("E | where t !contains '1.2'") == ["alpha beta", "the Alphabet"]
+    assert q("E | where t !startswith 'the'") == [
+        "1.2.3.4 seen", "alpha beta", "x1.2.3.4y",
+    ]
+    assert q("E | where t !endswith 'seen'") == [
+        "alpha beta", "the Alphabet", "x1.2.3.4y",
+    ]
+
+
+def test_innerunique_dedups_left_keys(spark):
+    L = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], "k long, tag string")
+    R = spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 30.0)], "k long, v double")
+    # default kind IS innerunique: one (deterministic-min) left row per
+    # key, ALL right matches — 3 rows, always tag 'x' for k=1
+    got = sorted(
+        (r["k"], r["tag"], r["v"])
+        for r in kql_to_df({"L": L, "R": R}, "L | join (R) on k").collect()
+    )
+    assert got == [(1, "x", 10.0), (1, "x", 20.0), (2, "z", 30.0)]
+    # explicit inner keeps every pair
+    assert len(
+        kql_to_df({"L": L, "R": R}, "L | join kind=inner (R) on k").collect()
+    ) == 5
+    # $left/$right form dedups too
+    got2 = sorted(
+        (r["k"], r["tag"])
+        for r in kql_to_df(
+            {"L": L, "R": R}, "L | join (R) on $left.k == $right.k"
+        ).collect()
+    )
+    assert got2 == [(1, "x"), (1, "x"), (2, "z")]
