@@ -933,3 +933,45 @@ def kql_series_anomalies(spark, sf_dir):
             F.transform(F.col("d.anomalies"), lambda x: x.cast("string")), ","
         ).alias("anoms_csv"),
     )
+
+
+@query(
+    "kql_scalar_extras",
+    """
+    SELECT event_id,
+           (event_type IS NULL OR event_type = '') AS e,
+           substr(event_type, 2, 3) AS sub,
+           CAST(strpos(event_type, 'ick') - 1 AS INT) AS idx,
+           replace(event_type, 'ck', 'x') AS rep,
+           CAST(year(ts) AS INT) AS yr,
+           CAST(date_diff('day', ts, TIMESTAMP '2024-02-01') AS BIGINT) AS dd,
+           CAST(to_timestamp(FLOOR((epoch(ts) - epoch(TIMESTAMP '2024-01-01 06:00:00')) / 86400) * 86400
+                + epoch(TIMESTAMP '2024-01-01 06:00:00')) AS TIMESTAMP) AS b
+    FROM events
+    """,
+)
+def kql_scalar_extras(spark, sf_dir):
+    """Round-8 Kusto scalar family: isempty, 0-based substring/indexof,
+    replace_string, getyear, datetime_diff (period-BOUNDARY counting,
+    the Kusto/DuckDB date_diff convention — not elapsed units), and
+    bin_at (bins aligned to an arbitrary anchor instead of the epoch)."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    out = kql_to_df(
+        t,
+        """
+        events
+        | extend e = isempty(event_type),
+                 sub = substring(event_type, 1, 3),
+                 idx = indexof(event_type, 'ick'),
+                 rep = replace_string(event_type, 'ck', 'x'),
+                 yr = getyear(ts),
+                 dd = datetime_diff('day', datetime(2024-02-01), ts),
+                 b = bin_at(ts, 1d, datetime(2024-01-01 06:00:00))
+        | project event_id, e, sub, idx, rep, yr, dd, b
+        """,
+    )
+    return out.withColumn("idx", F.col("idx").cast("int")).withColumn(
+        "yr", F.col("yr").cast("int")
+    )

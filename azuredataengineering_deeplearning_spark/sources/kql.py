@@ -302,6 +302,61 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = _rewrite_call(s, "series_stats_dynamic", series_stats_dynamic_sql)
     s = _rewrite_call(s, "series_fill_linear", series_fill_linear_sql)
     s = _rewrite_call(s, "series_fill_const", series_fill_const_sql)
+    # common Kusto scalar family (balanced-paren rewrites; string
+    # literals are masked placeholders here, inert in the templates).
+    # KQL string indexing is 0-BASED: substring/indexof shift by one
+    # against Spark's 1-based substr/instr (instr's 0-means-absent
+    # becomes KQL's -1 for free).
+    s = _rewrite_call(
+        s, "replace_string", lambda a, b, c: f"replace({a}, {b}, {c})"
+    )
+    s = _rewrite_call(
+        s,
+        "substring",
+        lambda a, b, c=None: (
+            f"substr({a}, CAST({b} AS INT) + 1"
+            + (f", CAST({c} AS INT))" if c is not None else ")")
+        ),
+    )
+    s = _rewrite_call(s, "indexof", lambda a, b: f"(instr({a}, {b}) - 1)")
+    s = _rewrite_call(s, "isnotempty", lambda a: f"({a} IS NOT NULL AND {a} != '')")
+    s = _rewrite_call(s, "isempty", lambda a: f"({a} IS NULL OR {a} = '')")
+    s = _rewrite_call(s, "isnotnull", lambda a: f"({a} IS NOT NULL)")
+    s = _rewrite_call(s, "isnull", lambda a: f"({a} IS NULL)")
+    s = _rewrite_call(s, "getyear", lambda a: f"year({a})")
+    s = _rewrite_call(s, "getmonth", lambda a: f"month({a})")
+    s = _rewrite_call(s, "hourofday", lambda a: f"hour({a})")
+    s = _rewrite_call(s, "startofyear", lambda a: f"date_trunc('YEAR', {a})")
+    # datetime_diff counts period BOUNDARIES crossed (Kusto/DuckDB
+    # date_diff convention, NOT elapsed units): truncate both operands
+    # to the period before differencing. Unit arrives masked — look it
+    # up. Weeks are ISO-Monday here (Kusto weeks start Sunday).
+    def _dt_diff(unit, a, b):
+        u = unit
+        mm = re.match(rf"^{chr(0)}L(\d+){chr(0)}$", unit.strip())
+        if mm:
+            u = lits[int(mm.group(1))]
+        u = u.strip().strip("'").upper()
+        return (
+            f"timestampdiff({u}, date_trunc('{u}', {b}),"
+            f" date_trunc('{u}', {a}))"
+        )
+
+    s = _rewrite_call(s, "datetime_diff", _dt_diff)
+    # bin_at(x, 1h, anchor): bin aligned to an arbitrary fixed point
+    # rather than the epoch
+    def _bin_at(x, size, anchor):
+        bm = re.match(r"^(\d+)([dhms])$", size.strip())
+        if not bm:
+            raise ValueError(f"bin_at needs a timespan size: {size!r}")
+        sec = _timespan_s(bm.group(1), bm.group(2))
+        a = f"unix_timestamp({anchor})"
+        return (
+            f"timestamp_seconds(floor((unix_timestamp({x}) - {a})"
+            f" / {sec}) * {sec} + {a})"
+        )
+
+    s = _rewrite_call(s, "bin_at", _bin_at)
     s = _rewrite_case(s)
     s = re.sub(r"==", "=", s)
     s = re.sub(r"\bdatetime\(([^)]+)\)", r"timestamp'\1'", s)

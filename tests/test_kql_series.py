@@ -618,3 +618,58 @@ def test_innerunique_dedups_left_keys(spark):
         ).collect()
     )
     assert got2 == [(1, "x"), (1, "x"), (2, "z")]
+
+
+def test_scalar_extras_edges(spark):
+    rows = [(1, "click"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "id long, et string")
+    out = {
+        r["id"]: r
+        for r in kql_to_df(
+            {"T": df},
+            "T | extend e = isempty(et), ne = isnotempty(et),"
+            " nn = isnotnull(et), nu = isnull(et),"
+            " sub = substring(et, 1, 3), idx = indexof(et, 'ick'),"
+            " rep = replace_string(et, 'ck', 'x')",
+        ).collect()
+    }
+    assert (out[1]["e"], out[2]["e"], out[3]["e"]) == (False, True, True)
+    assert (out[1]["ne"], out[2]["ne"], out[3]["ne"]) == (True, False, False)
+    assert (out[3]["nn"], out[3]["nu"]) == (False, True)
+    assert out[1]["sub"] == "lic"  # 0-based start
+    assert out[1]["idx"] == 2 and out[2]["idx"] == -1  # 0-based, -1 absent
+    assert out[1]["rep"] == "clix"
+
+
+def test_datetime_diff_counts_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, "2023-12-31 23:59:59"), (2, "2024-01-01 00:00:01")],
+        "id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["id"]: (r["dd"], r["mm"], r["yy"])
+        for r in kql_to_df(
+            {"T": df},
+            "T | extend dd = datetime_diff('day', datetime(2024-01-01), ts),"
+            " mm = datetime_diff('month', datetime(2024-01-01), ts),"
+            " yy = datetime_diff('year', datetime(2024-01-01), ts)",
+        ).collect()
+    }
+    # one second apart across midnight = a FULL boundary in every unit
+    assert out[1] == (1, 1, 1)
+    assert out[2] == (0, 0, 0)
+
+
+def test_bin_at_anchor_alignment(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-15 05:59:00"), (2, "2024-01-15 06:01:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        str(r["b"]): r["id"]
+        for r in kql_to_df(
+            {"T": df},
+            "T | extend b = bin_at(ts, 1d, datetime(2024-01-01 06:00:00))",
+        ).collect()
+    }
+    assert set(out) == {"2024-01-14 06:00:00", "2024-01-15 06:00:00"}
