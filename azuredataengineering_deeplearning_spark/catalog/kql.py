@@ -975,3 +975,41 @@ def kql_scalar_extras(spark, sf_dir):
     return out.withColumn("idx", F.col("idx").cast("int")).withColumn(
         "yr", F.col("yr").cast("int")
     )
+
+
+@query(
+    "kql_series_moving_avg",
+    _SERIES_COUNT_CTE
+    + """
+    SELECT event_type,
+           string_agg(printf('%.6f', ma), ',' ORDER BY i) AS ma_csv
+    FROM (SELECT event_type, i,
+                 AVG(y) OVER (PARTITION BY event_type ORDER BY i
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma
+          FROM s)
+    GROUP BY event_type
+    """,
+)
+def kql_series_moving_avg(spark, sf_dir):
+    """KQL-style ``series_moving_avg(series, 7)`` — 7-day smoothing of
+    the daily count series with partial edge windows, matching SQL's
+    ``AVG OVER (ROWS 6 PRECEDING)`` exactly (the oracle IS that window).
+    Zero-shuffle array SQL per row."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend ma = series_moving_avg(n, 7)
+        """,
+    )
+    return df.select(
+        "event_type",
+        F.array_join(
+            F.transform(F.col("ma"), lambda x: F.format_string("%.6f", x)), ","
+        ).alias("ma_csv"),
+    )

@@ -687,6 +687,37 @@ def series_decompose_anomalies_sql(y_sql: str, k_sql: str = "1.5") -> str:
     return _bind1(_as_double_array(y_sql), "__y0", guarded)
 
 
+def series_moving_avg_sql(
+    y_sql: str, k_sql: str = "3", center_sql: str = "false"
+) -> str:
+    """KQL-style ``series_moving_avg(series, k [, center])`` — k-point
+    moving average with PARTIAL edge windows (window truncates at the
+    series bounds, so output[0] of a causal average is just y[0] —
+    exactly SQL's ``AVG OVER (ROWS k-1 PRECEDING)``, which is what the
+    oracle uses). ``center=true`` places the window symmetrically
+    (back = (k-1)//2). Expects a filled series: null elements poison
+    their windows (fill first). Empty/null series pass through."""
+    k = int(k_sql)
+    if k < 1:
+        raise ValueError(f"series_moving_avg needs k >= 1, got {k}")
+    center = center_sql.strip().lower() == "true"
+    back = (k - 1) // 2 if center else k - 1
+    fwd = (k - 1) - back if center else 0
+    lo = f"greatest(0, __i - {back})"
+    hi = f"least(size(__y) - 1, __i + {fwd})"
+    win = f"slice(__y, ({lo}) + 1, ({hi}) - ({lo}) + 1)"
+    per_elem = _bind1(
+        win,
+        "__w",
+        "aggregate(__w, CAST(0 AS DOUBLE), (a, v) -> a + v) / size(__w)",
+    )
+    body = (
+        "CASE WHEN __y IS NULL OR size(__y) = 0 THEN __y "
+        f"ELSE transform(sequence(0, size(__y) - 1), __i -> {per_elem}) END"
+    )
+    return _bind1(_as_double_array(y_sql), "__y", body)
+
+
 def series_fit_line(df: DataFrame, series_col: str, out: str = "fit") -> DataFrame:
     """Operator twin of KQL ``series_fit_line_dynamic``: adds a struct
     column with the per-row line fit of ``series_col``."""

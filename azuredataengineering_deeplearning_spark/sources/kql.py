@@ -64,6 +64,7 @@ from azuredataengineering_deeplearning_spark.operators.timeseries import (
     series_fill_const_sql,
     series_fill_linear_sql,
     series_fit_line_sql,
+    series_moving_avg_sql,
     series_pearson_correlation_sql,
     series_stats_dynamic_sql,
 )
@@ -302,6 +303,7 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = _rewrite_call(s, "series_stats_dynamic", series_stats_dynamic_sql)
     s = _rewrite_call(s, "series_fill_linear", series_fill_linear_sql)
     s = _rewrite_call(s, "series_fill_const", series_fill_const_sql)
+    s = _rewrite_call(s, "series_moving_avg", series_moving_avg_sql)
     # common Kusto scalar family (balanced-paren rewrites; string
     # literals are masked placeholders here, inert in the templates).
     # KQL string indexing is 0-BASED: substring/indexof shift by one

@@ -673,3 +673,34 @@ def test_bin_at_anchor_alignment(spark):
         ).collect()
     }
     assert set(out) == {"2024-01-14 06:00:00", "2024-01-15 06:00:00"}
+
+
+def test_series_moving_avg_causal_center_and_edges(spark):
+    df = spark.createDataFrame(
+        [(1, [2.0, 4.0, 6.0, 8.0]), (2, []), (3, None)],
+        "id long, y array<double>",
+    )
+    got = {
+        r["id"]: (r["c"], r["m"])
+        for r in kql_to_df(
+            {"T": df},
+            "T | extend c = series_moving_avg(y, 3),"
+            " m = series_moving_avg(y, 3, true)",
+        ).collect()
+    }
+    # causal: partial head windows
+    assert got[1][0] == pytest.approx([2.0, 3.0, 4.0, 6.0])
+    # centered (back 1, fwd 1): partial at both edges
+    assert got[1][1] == pytest.approx([3.0, 4.0, 6.0, 7.0])
+    assert got[2] == ([], [])
+    assert got[3] == (None, None)
+
+
+def test_series_moving_avg_k1_identity_and_k_validation(spark):
+    df = spark.createDataFrame([(1, [5.0, 7.0])], "id long, y array<double>")
+    (r,) = kql_to_df(
+        {"T": df}, "T | extend m = series_moving_avg(y, 1)"
+    ).collect()
+    assert r["m"] == [5.0, 7.0]
+    with pytest.raises(ValueError, match="k >= 1"):
+        kql_to_df({"T": df}, "T | extend m = series_moving_avg(y, 0)")
