@@ -483,12 +483,45 @@ def kql_to_df(
         r"^range\s+(\w+)\s+from\s+(-?\d+)\s+to\s+(-?\d+)\s+step\s+(\d+)$",
         stages[0],
     )
+    dt_src = re.match(
+        r"^range\s+(\w+)\s+from\s+(datetime\([^)]+\))\s+to\s+(datetime\([^)]+\))"
+        r"\s+step\s+(\d+)([dhms])$",
+        stages[0],
+    )
+    prn = re.match(r"^print\s+(.+)$", stages[0], re.S)
     if src:
         if not tables:
             raise ValueError("range source needs at least one table for a session")
         spark = next(iter(tables.values())).sparkSession
         name, lo, hi, step = src.group(1), int(src.group(2)), int(src.group(3)), int(src.group(4))
         df = spark.range(lo, hi + 1, step).select(F.col("id").alias(name))
+    elif dt_src:
+        # datetime range: the KQL spine generator (`range d from
+        # datetime(a) to datetime(b) step 1d`) — inclusive of the stop
+        # bound like the numeric form; one distributed explode
+        if not tables:
+            raise ValueError("range source needs at least one table for a session")
+        spark = next(iter(tables.values())).sparkSession
+        name, lo, hi, n, unit = dt_src.groups()
+        step = f"interval {_timespan_s(n, unit)} second"
+        df = spark.range(1).select(
+            F.explode(
+                F.sequence(
+                    F.expr(_expr(lo, now)), F.expr(_expr(hi, now)), F.expr(step)
+                )
+            ).alias(name)
+        )
+    elif prn:
+        # `print a = expr [, b = expr ...]`: one-row computed table
+        if not tables:
+            raise ValueError("print source needs at least one table for a session")
+        spark = next(iter(tables.values())).sparkSession
+        cols = []
+        for i, part in enumerate(_split_csv(prn.group(1))):
+            pm = re.match(r"^(\w+)\s*=\s*(.+)$", part.strip(), re.S)
+            nm, ex = (pm.group(1), pm.group(2)) if pm else (f"print_{i}", part)
+            cols.append(F.expr(_expr(ex.strip(), now)).alias(nm))
+        df = spark.range(1).select(*cols)
     elif re.match(r"^datatable\s*\(", stages[0]):
         if not tables:
             raise ValueError("datatable source needs at least one table for a session")
@@ -529,6 +562,12 @@ def kql_to_df(
                 df = _extend_one(df, m.group(1), m.group(2).strip(), now, order_spec)
         elif op in ("take", "limit"):
             df = df.limit(int(rest))
+        elif op == "sample":
+            # dialect: DETERMINISTIC sample — Kusto's sample is
+            # nondeterministic; here rows are ranked by a hash of the
+            # whole row, so reruns and oracles agree. Top-k plan
+            # (TakeOrderedAndProject), never a global sort.
+            df = df.orderBy(F.xxhash64(*df.columns)).limit(int(rest))
         elif op == "sort" or op == "order":
             rest = re.sub(r"^by\s+", "", rest)
             order_spec = rest
@@ -615,14 +654,25 @@ def kql_to_df(
                 df, tables, f"kind=leftouter ({m.group(1)}) on {m.group(2)}"
             )
         elif op == "union":
-            # `union T` / `union (T)` / `union T1, T2, ...` — columns
-            # align by name, sides may differ in schema (KQL fills
-            # missing columns with null; so does allowMissingColumns)
-            for name in _split_csv(rest):
+            # `union [withsource=Col] T` / `union (T)` / `union T1, T2`
+            # — columns align by name, sides may differ in schema (KQL
+            # fills missing columns with null; so does
+            # allowMissingColumns). withsource labels every row with
+            # the table it came from (the current pipe gets its source
+            # table's name).
+            ws = re.match(r"^withsource\s*=\s*(\w+)\s+(.+)$", rest, re.S)
+            src_col = ws.group(1) if ws else None
+            rest_names = ws.group(2) if ws else rest
+            if src_col:
+                df = df.withColumn(src_col, F.lit(stages[0].strip()))
+            for name in _split_csv(rest_names):
                 name = name.strip().strip("()").strip()
                 if name not in tables:
                     raise ValueError(f"union: unknown table {name!r}")
-                df = df.unionByName(tables[name], allowMissingColumns=True)
+                side = tables[name]
+                if src_col:
+                    side = side.withColumn(src_col, F.lit(name))
+                df = df.unionByName(side, allowMissingColumns=True)
         elif op == "project-reorder":
             want = [c.strip() for c in _split_csv(rest)]
             df = df.select(*want, *[c for c in df.columns if c not in want])

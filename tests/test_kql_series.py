@@ -704,3 +704,48 @@ def test_series_moving_avg_k1_identity_and_k_validation(spark):
     assert r["m"] == [5.0, 7.0]
     with pytest.raises(ValueError, match="k >= 1"):
         kql_to_df({"T": df}, "T | extend m = series_moving_avg(y, 0)")
+
+
+# ---------------------------------------------------------------------------
+# print / datetime range / union withsource / sample
+# ---------------------------------------------------------------------------
+
+
+def test_print_source_one_row(spark):
+    anchor = spark.createDataFrame([(1,)], "x long")  # session table
+    out = kql_to_df(
+        {"T": anchor}, "print a = 1 + 1, b = strcat('x', 'y'), c = 2.5"
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["a"], out[0]["b"], out[0]["c"]) == (2, "xy", 2.5)
+
+
+def test_range_datetime_spine(spark):
+    anchor = spark.createDataFrame([(1,)], "x long")
+    out = kql_to_df(
+        {"T": anchor},
+        "range d from datetime(2024-01-01) to datetime(2024-01-04) step 1d",
+    ).collect()
+    days = sorted(str(r["d"])[:10] for r in out)
+    # INCLUSIVE stop bound, like the numeric form
+    assert days == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+
+
+def test_union_withsource_labels_rows(spark):
+    A = spark.createDataFrame([(1,)], "v long")
+    B = spark.createDataFrame([(2,), (3,)], "v long")
+    got = sorted(
+        (r["Src"], r["v"])
+        for r in kql_to_df(
+            {"A": A, "B": B}, "A | union withsource=Src B"
+        ).collect()
+    )
+    assert got == [("A", 1), ("B", 2), ("B", 3)]
+
+
+def test_sample_deterministic_subset(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    a = sorted(r["id"] for r in kql_to_df({"T": df}, "T | sample 10").collect())
+    b = sorted(r["id"] for r in kql_to_df({"T": df}, "T | sample 10").collect())
+    assert a == b and len(a) == 10
+    assert set(a) <= set(range(100))
