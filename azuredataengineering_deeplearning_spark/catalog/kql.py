@@ -1013,3 +1013,29 @@ def kql_series_moving_avg(spark, sf_dir):
             F.transform(F.col("ma"), lambda x: F.format_string("%.6f", x)), ","
         ).alias("ma_csv"),
     )
+
+
+@query(
+    "kql_top_nested_others",
+    """
+    WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    t AS (SELECT * FROM g ORDER BY n DESC, event_type LIMIT 2)
+    SELECT event_type, n FROM t
+    UNION ALL
+    SELECT 'Other' AS event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type NOT IN (SELECT event_type FROM t)
+    """,
+)
+def kql_top_nested_others(spark, sf_dir):
+    """``top-nested N of col with others='label'`` — top-k plus one
+    "everything else" row, the pie-chart/report idiom. The others
+    aggregate is recomputed from SOURCE rows behind a broadcast
+    anti-join on the tiny top-key set (exact for avg/dcount, not a
+    re-fold of per-key aggregates)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | top-nested 2 of event_type with others='Other' by n=count()",
+    )

@@ -1131,19 +1131,30 @@ def _make_series(df: DataFrame, rest: str) -> DataFrame:
 
 
 def _top_nested(df: DataFrame, rest: str) -> DataFrame:
-    """``top-nested N of col by [Name=]agg(arg) [, top-nested ...]``:
-    hierarchical top-k. Level 1 keeps the global top-N keys; each deeper
-    level keeps the top-N within every surviving key combination
-    (window rank over the parent keys). The fact table is semi-joined to
-    the shrinking key set between levels, so deeper aggregates scan only
-    surviving branches; every level's aggregate column appears in the
-    result (KQL behavior). Sums accumulate in decimal (order-independent
-    vs the oracle). Ties break deterministically on the key value."""
+    """``top-nested N of col [with others='label'] by [Name=]agg(arg)
+    [, top-nested ...]``: hierarchical top-k. Level 1 keeps the global
+    top-N keys; each deeper level keeps the top-N within every
+    surviving key combination (window rank over the parent keys). The
+    fact table is semi-joined to the shrinking key set between levels,
+    so deeper aggregates scan only surviving branches; every level's
+    aggregate column appears in the result (KQL behavior). Sums
+    accumulate in decimal (order-independent vs the oracle). Ties break
+    deterministically on the key value.
+
+    ``with others='label'``: one extra row per surviving parent branch
+    carrying the aggregate of all NON-top keys under the label,
+    recomputed from source rows (exact for avg/dcount too). Dialect
+    notes: others rows do not descend — deeper-level key and aggregate
+    columns are NULL on them (Kusto recursively aggregates an others
+    branch; the flat form is what top-k + "everything else" reports
+    consume) — and a branch whose keys ALL made the top set emits no
+    others row."""
     segs = re.split(r",\s*top-nested\s+", rest.strip())
     parsed = []
     for seg in segs:
         m = re.match(
-            r"^(\d+)\s+of\s+(\w+)\s+by\s+(?:(\w+)\s*=\s*)?(\w+)\(\s*([\w.]*)\s*\)$",
+            r"^(\d+)\s+of\s+(\w+)(?:\s+with\s+others\s*=\s*'([^']*)')?"
+            r"\s+by\s+(?:(\w+)\s*=\s*)?(\w+)\(\s*([\w.]*)\s*\)$",
             seg.strip(),
         )
         if not m:
@@ -1164,7 +1175,8 @@ def _top_nested(df: DataFrame, rest: str) -> DataFrame:
     keys: list[str] = []
     current = df
     tops: list[DataFrame] = []
-    for n_s, col, alias, fn, arg in parsed:
+    others: list[DataFrame | None] = []
+    for n_s, col, label, alias, fn, arg in parsed:
         n, out_name = int(n_s), alias or f"agg_{col}"
         grouped = current.groupBy(*keys, col).agg(agg_col(fn, arg, out_name))
         order = [F.col(out_name).desc(), F.col(col).asc()]
@@ -1177,16 +1189,44 @@ def _top_nested(df: DataFrame, rest: str) -> DataFrame:
                 .filter(F.col("__rn") <= n)
                 .drop("__rn")
             )
+        if label is not None:
+            # aggregate of everything NOT in the top set, per parent
+            # branch, recomputed from the SOURCE rows (per-key aggs
+            # can't be re-folded for avg/dcount) via an anti-join on
+            # the tiny broadcast top-key set
+            rest_src = current.join(
+                F.broadcast(top.select(*keys, col)), [*keys, col], "left_anti"
+            )
+            lab = (
+                rest_src.groupBy(*keys)
+                .agg(agg_col(fn, arg, out_name))
+                .withColumn(col, F.lit(label).cast(dict(grouped.dtypes)[col]))
+            )
+            others.append(lab)
+        else:
+            others.append(None)
         current = current.join(
             F.broadcast(top.select(*keys, col)), [*keys, col], "left_semi"
         )
         keys.append(col)
         tops.append(top)
-    # join level frames on their shared prefix keys to surface every agg
-    out = tops[-1]
-    for i in range(len(tops) - 2, -1, -1):
-        prefix = [p[1] for p in parsed[: i + 1]]
-        out = out.join(F.broadcast(tops[i]), prefix, "inner")
+    # forward fold: F_i carries every aggregate up to level i
+    folded: list[DataFrame] = [tops[0]]
+    for i in range(1, len(tops)):
+        prefix = [p[1] for p in parsed[:i]]
+        folded.append(tops[i].join(F.broadcast(folded[i - 1]), prefix, "inner"))
+    out = folded[-1]
+    for i, lab in enumerate(others):
+        if lab is None:
+            continue
+        row = (
+            lab
+            if i == 0
+            else lab.join(
+                F.broadcast(folded[i - 1]), [p[1] for p in parsed[:i]], "inner"
+            )
+        )
+        out = out.unionByName(row, allowMissingColumns=True)
     return out
 
 

@@ -749,3 +749,41 @@ def test_sample_deterministic_subset(spark):
     b = sorted(r["id"] for r in kql_to_df({"T": df}, "T | sample 10").collect())
     assert a == b and len(a) == 10
     assert set(a) <= set(range(100))
+
+
+def test_top_nested_with_others_levels(spark):
+    rows = [
+        ("a", "u1", 10.0), ("a", "u2", 5.0), ("b", "u1", 8.0),
+        ("c", "u3", 2.0), ("d", "u4", 1.0),
+    ]
+    E = spark.createDataFrame(rows, "et string, u string, v double")
+    one = {
+        (r["et"], r["s"])
+        for r in kql_to_df(
+            {"E": E}, "E | top-nested 2 of et with others='Other' by s=sum(v)"
+        ).collect()
+    }
+    assert one == {("a", 15.0), ("b", 8.0), ("Other", 3.0)}
+    nested = {
+        (r["et"], r["u"], r["sv"], r["s"])
+        for r in kql_to_df(
+            {"E": E},
+            "E | top-nested 2 of et with others='OtherE' by s=sum(v),"
+            " top-nested 1 of u with others='OtherU' by sv=sum(v)",
+        ).collect()
+    }
+    assert nested == {
+        ("a", "u1", 10.0, 15.0),
+        ("b", "u1", 8.0, 8.0),
+        ("a", "OtherU", 5.0, 15.0),   # per-branch others, parent agg kept
+        ("OtherE", None, None, 3.0),  # level-1 others never descends
+    }
+    # branch b had only one user -> no OtherU row for it (pinned above
+    # by exact set equality); others with avg recomputes from source
+    avg = {
+        (r["et"], round(r["m"], 6))
+        for r in kql_to_df(
+            {"E": E}, "E | top-nested 2 of et with others='O' by m=avg(v)"
+        ).collect()
+    }
+    assert avg == {("a", 7.5), ("b", 8.0), ("O", 1.5)}  # avg(2,1), not avg of avgs
