@@ -25,17 +25,30 @@ correlated on a pre-explode row id), ``parse-where`` (pattern
 extraction dropping non-matching rows), ``datatable (...) [...]``
 literal sources, multi-table ``union``, ``project-reorder``,
 ``partition by Col ( ... )`` (per-partition-value sub-pipes compiled to
-one distributed plan), ``evaluate pivot(...)``, and the membership
+one distributed plan), ``evaluate pivot(...)`` / ``bag_unpack(...)``,
+``top-nested ... with others=``, ``union [withsource=]``, ``print``
+one-row sources, datetime ``range`` spines, deterministic ``sample N``,
+leading ``set option;`` statements and
+``cluster('...').database('...').Table`` addressing (the reference's
+daily_eval query runs verbatim), and the membership
 variants ``!in`` / ``in~`` (case-insensitive) / ``has_any``,
 the term-operator family ``has``/``!has``/``has_cs``/``contains``/
 ``!contains``/``startswith``/``!startswith``/``endswith``/``!endswith``/
 ``matches regex``, and TRUE ``innerunique`` joins (left keys deduped
-with a deterministic pick).
+with a deterministic pick). ``row_cumsum [, restart]`` runs on the
+distributed prefix-scan kernel (windows.global_cumsum).
 Series functions over ``make-series`` arrays (incl.
 ``default=null``/``default=double(null)`` gap marking):
 ``series_fit_line_dynamic`` ``series_stats_dynamic``
-``series_fill_linear`` ``series_fill_const`` — pure higher-order array
+``series_fill_linear`` ``series_fill_const``
+``series_pearson_correlation`` ``series_decompose_anomalies``
+``series_moving_avg`` — pure higher-order array
 SQL, zero extra shuffles (operators/timeseries.py builders).
+Scalar family: ``isempty/isnotempty/isnull/isnotnull``, 0-based
+``substring``/``indexof``, ``replace_string``,
+``getyear/getmonth/hourofday/startofyear``, ``datetime_diff``
+(period-boundary counting), ``bin_at`` (anchored binning), plus
+``stdev``/``variance`` (sample) in summarize.
 Scalars also include ``todynamic``/``parse_json`` dotted access (→
 ``get_json_object``), ``case()``, ``between (a .. b)``,
 ``todouble/tolong/toint/tobool/todatetime``,
