@@ -283,12 +283,17 @@ def pipeline_curate_corpus(spark, sf_dir):
         .persist()
     )
 
-    pairs = DD.minhash_near_duplicates(sub, "doc_id", "text", threshold=0.8)
-    losers = (
-        DD.resolve_clusters(pairs)
-        .filter(F.col("node") != F.col("cluster_id"))
-        .select(F.col("node").alias("doc_id"))
-    )
+    # cache_scope: minhash persists shingle/signature frames; they are
+    # only needed until resolve_clusters eagerly checkpoints the pair
+    # edge list (its first statement), so release them at block exit —
+    # the pipeline holds zero tracked sketch caches after this stage
+    with DD.cache_scope():
+        pairs = DD.minhash_near_duplicates(sub, "doc_id", "text", threshold=0.8)
+        losers = (
+            DD.resolve_clusters(pairs)
+            .filter(F.col("node") != F.col("cluster_id"))
+            .select(F.col("node").alias("doc_id"))
+        )
     # plain left_anti, NOT a forced broadcast: the loser/contaminated id
     # sets grow with the corpus duplication rate — at 100 TB they are
     # billions of ids and a forced broadcast OOMs. AQE turns these into

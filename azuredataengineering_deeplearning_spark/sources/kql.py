@@ -33,7 +33,11 @@ leading ``set option;`` statements and
 daily_eval query runs verbatim), and the membership
 variants ``!in`` / ``in~`` (case-insensitive) / ``has_any``,
 the term-operator family ``has``/``!has``/``has_cs``/``contains``/
-``!contains``/``startswith``/``!startswith``/``endswith``/``!endswith``/
+``!contains``/``startswith``/``!startswith``/``endswith``/``!endswith``
+(plain forms case-INsensitive per Kusto; ``contains_cs``/
+``startswith_cs``/``endswith_cs`` and their ``!`` negations are the
+case-sensitive variants; all negations are null-safe — a null column
+does not match, so ``!has``/``!contains`` KEEP null rows)/
 ``matches regex``, and TRUE ``innerunique`` joins (left keys deduped
 with a deterministic pick). ``row_cumsum [, restart]`` runs on the
 distributed prefix-scan kernel (windows.global_cumsum).
@@ -56,6 +60,12 @@ Scalars also include ``todynamic``/``parse_json`` dotted access (→
 (``synapse_sql_pool_dynamic_scaler.py:21``, ``daily_eval.py:156``) and
 ``bin(ts, 1h)`` epoch-aligned bucketing; pass ``now=`` for a
 deterministic clock in tests/backfills.
+
+Ordering defaults: ``top N by X`` with no direction is DESCENDING
+(Kusto's top default) in every context (main pipe, mv-apply,
+partition-by sub-pipes); ``sort by``/``order by`` default ascending —
+a documented deviation from Kusto's descending sort default (write the
+direction explicitly for portable queries).
 
 Expression translation is textual (KQL ``==``/``!=``/``and``/``or``/
 ``contains``/``startswith``/``endswith``/``in`` → Spark SQL) and routed
@@ -158,7 +168,10 @@ def _expr(kql: str, now: str | None = None) -> str:
         esc = re.escape(m.group(2)).replace(chr(92), chr(92) * 2)
         flags = "(?i)" if ci else ""
         e = f"{m.group(1)} RLIKE '{flags}\\\\b{esc}\\\\b'"
-        return f"NOT ({e})" if neg else e
+        # Negations are null-safe: Kusto treats a null column as "does
+        # not match", so `!has` KEEPS null rows. NOT(NULL) is NULL in
+        # SQL (row dropped) — IS NOT TRUE maps NULL -> true instead.
+        return f"(({e}) IS NOT TRUE)" if neg else e
 
     s = re.sub(
         r"(\w+)\s+!has\s+'([^']*)'", lambda m: _term_match(m, neg=True), s
@@ -204,46 +217,53 @@ def _expr(kql: str, now: str | None = None) -> str:
     # final LIKE pattern (post SQL-literal unescape) the term needs
     # percent -> BS+percent, underscore -> BS+underscore, BS -> BS+BS;
     # each pattern backslash is written doubled in the SQL text.
+    # Kusto dialect: the PLAIN forms are case-INsensitive (only the
+    # `_cs` variants compare case-sensitively), so the plain forms
+    # lower() both the column and the term. Negations are null-safe
+    # (IS NOT TRUE): Kusto keeps null rows under `!contains` etc.
 
-    def _like_term(m):
-        c = m.group(1)
+    def _like_term(m, g=2):
+        c = m.group(g)
         c = c.replace(chr(92), chr(92) * 4)
         c = c.replace("%", chr(92) * 2 + "%").replace("_", chr(92) * 2 + "_")
         return c
 
     _esc = f" ESCAPE '{chr(92) * 2}'"
-    # negated LIKE forms first: `\bcontains` would otherwise match the
-    # tail of `!contains` (`!` is a word boundary) and strand the `!`
-    s = re.sub(
-        r"!contains\s+'([^']*)'",
-        lambda m: f" NOT LIKE concat('%', '{_like_term(m)}', '%'){_esc}",
-        s,
-    )
-    s = re.sub(
-        r"!startswith\s+'([^']*)'",
-        lambda m: f" NOT LIKE concat('{_like_term(m)}', '%'){_esc}",
-        s,
-    )
-    s = re.sub(
-        r"!endswith\s+'([^']*)'",
-        lambda m: f" NOT LIKE concat('%', '{_like_term(m)}'){_esc}",
-        s,
-    )
-    s = re.sub(
-        r"\bcontains\s+'([^']*)'",
-        lambda m: f" LIKE concat('%', '{_like_term(m)}', '%'){_esc}",
-        s,
-    )
-    s = re.sub(
-        r"\bstartswith\s+'([^']*)'",
-        lambda m: f" LIKE concat('{_like_term(m)}', '%'){_esc}",
-        s,
-    )
-    s = re.sub(
-        r"\bendswith\s+'([^']*)'",
-        lambda m: f" LIKE concat('%', '{_like_term(m)}'){_esc}",
-        s,
-    )
+
+    def _like(m, pre, post, neg=False, ci=True):
+        col = f"lower({m.group(1)})" if ci else m.group(1)
+        pat = f"lower('{_like_term(m)}')" if ci else f"'{_like_term(m)}'"
+        e = f"{col} LIKE concat({pre}{pat}{post}){_esc}"
+        return f"(({e}) IS NOT TRUE)" if neg else e
+
+    # ordering: negated and _cs forms first. `\bcontains\s` cannot fire
+    # inside `contains_cs` (the next char is `_`, not whitespace), and
+    # `!contains` is handled before `\bcontains` would strand the `!`.
+    for op, pre, post in (
+        ("contains", "'%', ", ", '%'"),
+        ("startswith", "", ", '%'"),
+        ("endswith", "'%', ", ""),
+    ):
+        s = re.sub(
+            rf"(\w+)\s+!{op}_cs\s+'([^']*)'",
+            lambda m, p=pre, q=post: _like(m, p, q, neg=True, ci=False),
+            s,
+        )
+        s = re.sub(
+            rf"(\w+)\s+{op}_cs\s+'([^']*)'",
+            lambda m, p=pre, q=post: _like(m, p, q, ci=False),
+            s,
+        )
+        s = re.sub(
+            rf"(\w+)\s+!{op}\s+'([^']*)'",
+            lambda m, p=pre, q=post: _like(m, p, q, neg=True),
+            s,
+        )
+        s = re.sub(
+            rf"(\w+)\s+{op}\s+'([^']*)'",
+            lambda m, p=pre, q=post: _like(m, p, q),
+            s,
+        )
     # ---- mask every remaining literal -------------------------------
     lits: list[str] = []
 
@@ -589,7 +609,9 @@ def kql_to_df(
             m = re.match(r"^(\d+)\s+by\s+(.+)$", rest)
             if not m:
                 raise ValueError(f"top needs 'N by col': {rest!r}")
-            df = df.orderBy(*_order_cols(m.group(2))).limit(int(m.group(1)))
+            df = df.orderBy(
+                *_order_cols(m.group(2), default_desc=True)
+            ).limit(int(m.group(1)))
         elif op == "distinct":
             df = df.select(*[c.strip() for c in _split_csv(rest)]).distinct()
         elif op == "count":
@@ -923,7 +945,9 @@ def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:
             tm = re.match(r"^(\d+)\s+by\s+(.+)$", srest)
             if not tm:
                 raise ValueError(f"top needs 'N by col': {srest!r}")
-            w = Window.partitionBy(rid).orderBy(*_order_cols(tm.group(2)))
+            w = Window.partitionBy(rid).orderBy(
+                *_order_cols(tm.group(2), default_desc=True)
+            )
             out = (
                 out.withColumn("__mvap_rk", F.row_number().over(w))
                 .filter(F.col("__mvap_rk") <= int(tm.group(1)))
@@ -979,7 +1003,9 @@ def _partition_by(df: DataFrame, rest: str, now: str | None) -> DataFrame:
             tm = re.match(r"^(\d+)\s+by\s+(.+)$", srest)
             if not tm:
                 raise ValueError(f"top needs 'N by col': {srest!r}")
-            w = Window.partitionBy(col).orderBy(*_order_cols(tm.group(2)))
+            w = Window.partitionBy(col).orderBy(
+                *_order_cols(tm.group(2), default_desc=True)
+            )
             out = (
                 out.withColumn("__part_rk", F.row_number().over(w))
                 .filter(F.col("__part_rk") <= int(tm.group(1)))
@@ -1207,13 +1233,31 @@ def _top_nested(df: DataFrame, rest: str) -> DataFrame:
             # branch, recomputed from the SOURCE rows (per-key aggs
             # can't be re-folded for avg/dcount) via an anti-join on
             # the tiny broadcast top-key set
+            key_type = dict(grouped.dtypes)[col]
+            if key_type not in ("string", "varchar"):
+                # a string label cast to a numeric/temporal key type is
+                # silently NULL — the 'Other' marker would vanish
+                raise ValueError(
+                    f"top-nested with others=: key column {col!r} is "
+                    f"{key_type}; the others label {label!r} cannot be "
+                    "represented in that type. Cast the key to string "
+                    "(extend) before top-nested, or drop others=."
+                )
             rest_src = current.join(
                 F.broadcast(top.select(*keys, col)), [*keys, col], "left_anti"
             )
             lab = (
                 rest_src.groupBy(*keys)
-                .agg(agg_col(fn, arg, out_name))
-                .withColumn(col, F.lit(label).cast(dict(grouped.dtypes)[col]))
+                # count rows alongside: at level 0 (no keys) groupBy()
+                # on an EMPTY rest set still yields one global row
+                # (count=0/sum=NULL) — a spurious 'Other'; filter it
+                .agg(
+                    agg_col(fn, arg, out_name),
+                    F.count(F.lit(1)).alias("__others_n"),
+                )
+                .filter(F.col("__others_n") > 0)
+                .drop("__others_n")
+                .withColumn(col, F.lit(label).cast(key_type))
             )
             others.append(lab)
         else:
@@ -1384,12 +1428,18 @@ def _split_csv(s: str) -> list[str]:
     return out
 
 
-def _order_cols(spec: str):
+def _order_cols(spec: str, default_desc: bool = False):
+    """Parse ``col [asc|desc], ...``. ``default_desc=True`` is the
+    ``top`` contexts' Kusto default (``top N by X`` means descending);
+    ``sort by`` keeps ascending as a documented dialect deviation."""
     cols = []
     for part in _split_csv(spec):
         toks = part.split()
         c = F.col(toks[0])
-        cols.append(c.desc() if len(toks) > 1 and toks[1].lower() == "desc" else c.asc())
+        if len(toks) > 1:
+            cols.append(c.desc() if toks[1].lower() == "desc" else c.asc())
+        else:
+            cols.append(c.desc() if default_desc else c.asc())
     return cols
 
 

@@ -29,6 +29,16 @@ Gate rules (--check):
   * FAIL if warm > BUDGET_FACTOR (2x) x drift x budget AND warm >=
     JITTER_FLOOR x drift (0.35 s base — below that, local[32]
     scheduling noise dominates). ``drift`` = the median warm/budget
+  * TWO-STRIKE (round 9): a query that trips the threshold is RE-TIMED
+    at the end of the sweep (same JVM, still warm, fresh DataFrame) and
+    fails only if the re-time trips it AGAIN. Evidence: back-to-back
+    clean-code sweeps in round 8 flagged four DIFFERENT sub-second
+    queries (ts_ewma_bands 2.6x, then a_histogram_quantiles 2.5x /
+    a_hll_cardinality 2.3x / dq_ref_integrity 2.1x) — all disjoint,
+    all noise. A single sub-second sample on local[32] is not a
+    measurement; two independent trips of the same 2x bar are. Cleared
+    flags are reported (and recorded in --json as first_strike_cleared)
+    so a chronically-flaky query is still visible.
     ratio over the whole catalog, clamped >= 1: the same box can run
     everything 1.5-2x slower hours later (thermal/cache state), which
     would false-flag untouched queries; a REAL regression moves one
@@ -66,7 +76,7 @@ JITTER_FLOOR = 0.35  # seconds — under this, scheduler noise dominates
 DRIFT_CAP = 1.5  # above this, the gate refuses to normalize (see --check)
 
 
-def _sweep(sf_dir: str):
+def _sweep(sf_dir: str, keep_session: bool = False):
     import __spark_entry__ as E
     from azuredataengineering_deeplearning_spark import get_spark
 
@@ -88,8 +98,67 @@ def _sweep(sf_dir: str):
             errs[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(json.dumps({"q": name, "err": errs[name]}), flush=True)
         spark.catalog.clearCache()
+    if keep_session:
+        return out, errs, spark
     spark.stop()
-    return out, errs
+    return out, errs, None
+
+
+def _retime(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    """Second strike: re-time each flagged query in the SAME still-warm
+    JVM, fresh DataFrame (cold count populates internal persists, warm
+    count is the measurement — same protocol as the sweep)."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    res: dict[str, float] = {}
+    for name in names:
+        try:
+            df = qs[name](spark, sf_dir)
+            df.count()
+            t0 = time.time()
+            df.count()
+            res[name] = round(time.time() - t0, 3)
+        except Exception:
+            res[name] = float("inf")
+        spark.catalog.clearCache()
+    return res
+
+
+def _flagged(
+    out_warm: dict[str, float], budgets: dict[str, float], drift: float
+) -> tuple[list[tuple[str, float, float]], list[str]]:
+    """Pure gate predicate: (over-budget [(name, warm, budget)],
+    unbudgeted [name]) at the given machine-drift factor. Extracted so
+    the two-strike logic is unit-testable without Spark."""
+    over, missing = [], []
+    for name, warm in out_warm.items():
+        b = budgets.get(name)
+        if b is None:
+            missing.append(name)
+        elif warm >= JITTER_FLOOR * drift and warm > BUDGET_FACTOR * drift * max(
+            b, JITTER_FLOOR / BUDGET_FACTOR
+        ):
+            over.append((name, warm, b))
+    return over, missing
+
+
+def two_strike(
+    first_over: list[tuple[str, float, float]],
+    retimes: dict[str, float],
+    budgets: dict[str, float],
+    drift: float,
+) -> tuple[list[tuple[str, float, float, float]], list[tuple[str, float, float, float]]]:
+    """Split first-strike flags into (confirmed, cleared) using the
+    re-timed warm values: a flag is CONFIRMED only if the re-time trips
+    the same threshold again. Entries are (name, warm1, warm2, budget)."""
+    second, _ = _flagged({n: retimes.get(n, float("inf")) for n, _, _ in first_over}, budgets, drift)
+    confirmed_names = {n for n, _, _ in second}
+    confirmed, cleared = [], []
+    for name, warm1, b in first_over:
+        rec = (name, warm1, retimes.get(name, float("inf")), b)
+        (confirmed if name in confirmed_names else cleared).append(rec)
+    return confirmed, cleared
 
 
 def _load_budgets() -> dict[str, float]:
@@ -139,7 +208,7 @@ def main() -> int:
         print("--json only applies to --check; ignoring")
         json_out = None
 
-    out, errs = _sweep(sf_dir)
+    out, errs, spark = _sweep(sf_dir, keep_session=(mode == "check"))
 
     total = sum(w for _, w in out.values())
     print(f"\n{len(out)} timed, {len(errs)} errored; total warm {total:.1f}s")
@@ -165,6 +234,8 @@ def main() -> int:
         budgets = _load_budgets()
         if not budgets:
             print(f"NO BUDGET FILE at {BUDGETS_PATH} — run --write-budgets first")
+            if spark is not None:
+                spark.stop()
             return 1
         # MACHINE-DRIFT NORMALIZATION: budgets were recorded under one
         # machine state; hours later the same box can run every query
@@ -187,6 +258,9 @@ def main() -> int:
         else:
             med = 1.0
         drift = max(1.0, med)
+        if drift > DRIFT_CAP and spark is not None:
+            spark.stop()
+            spark = None
         if drift > DRIFT_CAP:
             # refusing to normalize: either the box is in a severely
             # slow window (re-run when quiet) or a shared-kernel
@@ -225,27 +299,36 @@ def main() -> int:
                     f.write("\n")
                 print(f"wrote {json_out}")
             return 1
-        over, missing = [], []
-        for name, (_, warm) in out.items():
-            b = budgets.get(name)
-            if b is None:
-                missing.append(name)
-            elif warm >= JITTER_FLOOR * drift and warm > BUDGET_FACTOR * drift * max(
-                b, JITTER_FLOOR / BUDGET_FACTOR
-            ):
-                over.append((name, warm, b))
+        first_over, missing = _flagged(
+            {k: w for k, (_, w) in out.items()}, budgets, drift
+        )
+        confirmed, cleared = [], []
+        if first_over:
+            # second strike: re-time only the flagged queries while the
+            # JVM is still warm; fail only flags that reproduce
+            names = [n for n, _, _ in first_over]
+            print(f"\nfirst strike: {len(names)} flagged — re-timing {names}")
+            retimes = _retime(spark, sf_dir, names)
+            confirmed, cleared = two_strike(first_over, retimes, budgets, drift)
+        if spark is not None:
+            spark.stop()
         stale = sorted(set(budgets) - set(out) - set(errs))
         print(f"\n--check vs {len(budgets)} budgets "
               f"(machine drift x{drift:.2f}): "
-              f"{len(over)} over-budget, {len(missing)} unbudgeted, "
+              f"{len(confirmed)} over-budget (two-strike confirmed), "
+              f"{len(cleared)} flake-cleared, {len(missing)} unbudgeted, "
               f"{len(errs)} errored, {len(stale)} stale-budget")
-        for name, warm, b in sorted(over, key=lambda t: -(t[1] / t[2])):
-            print(f"OVER   {name:40s} warm {warm:7.2f}s  budget {b:7.2f}s  ({warm/b:.1f}x)")
+        for name, w1, w2, b in sorted(confirmed, key=lambda t: -(t[2] / t[3])):
+            print(f"OVER   {name:40s} warm {w1:7.2f}s retime {w2:7.2f}s "
+                  f"budget {b:7.2f}s  ({w2/b:.1f}x)")
+        for name, w1, w2, b in cleared:
+            print(f"cleared {name:39s} warm {w1:7.2f}s retime {w2:7.2f}s "
+                  f"budget {b:7.2f}s (first strike only — noise)")
         for name in missing:
             print(f"NOBUDGET {name} — run --update-budgets")
         for name in stale:
             print(f"stale budget (query gone): {name}")
-        ok = not (over or missing or errs)
+        ok = not (confirmed or missing or errs)
         if json_out:
             with open(json_out, "w") as f:
                 json.dump(
@@ -259,7 +342,12 @@ def main() -> int:
                         "drift_exceeded": False,
                         "pass": ok,
                         "over_budget": [
-                            {"q": n, "warm": w, "budget": b} for n, w, b in over
+                            {"q": n, "warm": w1, "retime": w2, "budget": b}
+                            for n, w1, w2, b in confirmed
+                        ],
+                        "first_strike_cleared": [
+                            {"q": n, "warm": w1, "retime": w2, "budget": b}
+                            for n, w1, w2, b in cleared
                         ],
                         "unbudgeted": missing,
                         "errored": sorted(errs),
