@@ -1039,3 +1039,57 @@ def kql_top_nested_others(spark, sf_dir):
         t,
         "events | top-nested 2 of event_type with others='Other' by n=count()",
     )
+
+
+@query(
+    "kql_join_hint_broadcast",
+    """
+    SELECT e.event_type, c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def kql_join_hint_broadcast(spark, sf_dir):
+    """``join kind=inner hint.strategy=broadcast`` — Kusto's broadcast
+    join hint mapped to ``F.broadcast`` on the dimension side (the
+    ``daily_eval.py:118-158``-class repeated dim-join idiom). The 100x
+    plan: the customer dim broadcasts, the fact never shuffles for the
+    join; the only exchange is the summarize. kind=inner (not the
+    innerunique default) so every fact row survives — the oracle is a
+    plain SQL join."""
+    t = load_tables(spark, sf_dir, ["events", "customer"])
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = kql_to_df(
+        {"events": t["events"], "dim": dim},
+        """
+        events
+        | join kind=inner hint.strategy=broadcast (dim) on user_id
+        | summarize n = count(), total = sum(value) by event_type, c_mktsegment
+        """,
+    )
+    return out.select("event_type", "c_mktsegment", "n", "total")
+
+
+@query(
+    "kql_facet_by",
+    """
+    SELECT 'event_type' AS facet_column, event_type AS facet_value,
+           CAST(COUNT(*) AS BIGINT) AS count_
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'user_id', CAST(user_id AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+    FROM events GROUP BY 2
+    """,
+)
+def kql_facet_by(spark, sf_dir):
+    """``facet by c1, c2`` — Kusto's multi-breakdown readout flattened
+    to one long-form frame (facet_column, facet_value, count_). ONE
+    scan + ONE shuffle via GROUPING SETS — an N-column facet costs one
+    aggregate, not N jobs (the oracle unions per-column GROUP BYs; the
+    engine plan is a single Expand)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(t, "events | facet by event_type, user_id")

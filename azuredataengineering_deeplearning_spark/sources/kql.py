@@ -39,7 +39,12 @@ the term-operator family ``has``/``!has``/``has_cs``/``contains``/
 case-sensitive variants; all negations are null-safe — a null column
 does not match, so ``!has``/``!contains`` KEEP null rows)/
 ``matches regex``, and TRUE ``innerunique`` joins (left keys deduped
-with a deterministic pick). ``row_cumsum [, restart]`` runs on the
+with a deterministic pick). Joins accept ``hint.strategy=broadcast``
+(→ ``F.broadcast`` on the parenthesized side) / ``hint.strategy=
+shuffle`` / ``hint.shufflekey=col`` (→ Spark ``shuffle_hash``).
+``facet by c1, c2`` flattens Kusto's per-column result tables into one
+long-form frame via a single GROUPING SETS aggregate (one scan, one
+shuffle). ``row_cumsum [, restart]`` runs on the
 distributed prefix-scan kernel (windows.global_cumsum).
 Series functions over ``make-series`` arrays (incl.
 ``default=null``/``default=double(null)`` gap marking):
@@ -618,6 +623,8 @@ def kql_to_df(
             df = df.agg(F.count(F.lit(1)).alias("Count"))
         elif op == "summarize":
             df = _summarize(df, rest, now)
+        elif op == "facet":
+            df = _facet(df, rest)
         elif op == "join":
             df = _join(df, tables, rest)
         elif op == "parse":
@@ -733,22 +740,53 @@ _JOIN_KINDS = {
 
 
 def _join(df: DataFrame, tables: dict[str, DataFrame], rest: str) -> DataFrame:
-    """``join kind=<kind> (<table>) on <key>`` / ``on $left.a == $right.b``."""
-    m = re.match(r"^(?:kind\s*=\s*(\w+)\s+)?\((\w+)\)\s+on\s+(.+)$", rest, re.S)
+    """``join [kind=<kind>] [hint.strategy=<s>] (<table>) on <key>`` /
+    ``on $left.a == $right.b``.
+
+    ``hint.strategy=broadcast`` maps to ``F.broadcast`` on the right
+    side (Kusto broadcasts the LEFT of its join; this translator keeps
+    Spark's convention of hinting the table in parentheses — the
+    dimension side in the reference's ``daily_eval.py``-class queries).
+    ``hint.strategy=shuffle`` maps to Spark's ``shuffle_hash`` hint
+    (hash-partition both sides on the key — Kusto's shuffle join).
+    ``hint.shufflekey=<col>`` is accepted and treated as shuffle (Spark
+    shuffles on the equi-join key regardless). Other hints error."""
+    kind, strategy = "innerunique", None
+    s = rest
+    while True:
+        mm = re.match(r"^(kind|hint\.\w+)\s*=\s*(\w+)\s+", s)
+        if not mm:
+            break
+        k, v = mm.group(1), mm.group(2).lower()
+        if k == "kind":
+            kind = v
+        elif k == "hint.strategy":
+            if v not in ("broadcast", "shuffle"):
+                raise ValueError(f"unsupported join hint.strategy {v!r}")
+            strategy = v
+        elif k == "hint.shufflekey":
+            strategy = "shuffle"
+        else:
+            raise ValueError(f"unsupported join hint {k!r}")
+        s = s[mm.end():]
+    m = re.match(r"^\((\w+)\)\s+on\s+(.+)$", s, re.S)
     if not m:
         raise ValueError(f"join needs 'kind=k (table) on keys': {rest!r}")
-    kind = (m.group(1) or "innerunique").lower()
     if kind not in _JOIN_KINDS:
         raise ValueError(f"unsupported join kind {kind!r}")
-    name = m.group(2)
+    name = m.group(1)
     if name not in tables:
         raise ValueError(f"join: unknown table {name!r}")
     right = tables[name]
+    if strategy == "broadcast":
+        right = F.broadcast(right)
+    elif strategy == "shuffle":
+        right = right.hint("shuffle_hash")
     on_cols: list[str] = []
     left_keys: list[str] = []
     right_keys: list[str] = []
     conds = []
-    for part in _split_csv(m.group(3)):
+    for part in _split_csv(m.group(2)):
         mm = re.match(r"^\$left\.(\w+)\s*==\s*\$right\.(\w+)$", part.strip())
         if mm:
             left_keys.append(mm.group(1))
@@ -770,6 +808,50 @@ def _join(df: DataFrame, tables: dict[str, DataFrame], rest: str) -> DataFrame:
     for c in conds[1:]:
         cond = cond & c
     return df.join(right, cond, _JOIN_KINDS[kind])
+
+
+def _facet(df: DataFrame, rest: str) -> DataFrame:
+    """``facet by Col1, Col2, ...`` — Kusto returns one table per facet
+    column (value -> count). A translator returns ONE DataFrame, so the
+    standard long-form flattening is used: columns ``facet_column``
+    (which facet), ``facet_value`` (the value, cast to string so
+    heterogeneous column types union cleanly) and ``count_``.
+
+    Scale shape: ONE scan + ONE shuffle via GROUPING SETS
+    ((c1),(c2),...) — never one groupBy job per column. At 100 TB an
+    N-column facet costs the same as a single aggregate; the expansion
+    factor is N rows per input row pre-combine, and partial (map-side)
+    aggregation collapses those before the exchange."""
+    m = re.match(r"^by\s+(.+)$", rest.strip(), re.S)
+    if not m:
+        raise ValueError(f"facet needs 'by col1, col2, ...': {rest!r}")
+    cols = [c.strip() for c in _split_csv(m.group(1))]
+    bad = [c for c in cols if c not in df.columns]
+    if bad:
+        raise ValueError(f"facet: unknown column(s) {bad} in {df.columns}")
+    # grouping(c)==0 identifies which set a row belongs to (computed in
+    # the agg — Catalyst only resolves grouping() there); NULL data
+    # values stay distinguishable from "not this facet" through it
+    grouped = df.groupingSets(
+        [[c] for c in cols], *[F.col(c) for c in cols]
+    ).agg(
+        F.count(F.lit(1)).alias("count_"),
+        *[F.grouping(c).alias(f"__g_{c}") for c in cols],
+    )
+    facet_col = F.when(F.col(f"__g_{cols[0]}") == 0, F.lit(cols[0]))
+    for c in cols[1:]:
+        facet_col = facet_col.when(F.col(f"__g_{c}") == 0, F.lit(c))
+    facet_val = F.coalesce(
+        *[
+            F.when(F.col(f"__g_{c}") == 0, F.col(c).cast("string"))
+            for c in cols
+        ]
+    )
+    return grouped.select(
+        facet_col.alias("facet_column"),
+        facet_val.alias("facet_value"),
+        F.col("count_"),
+    )
 
 
 def _dedup_left(df: DataFrame, keys: list[str]) -> DataFrame:
