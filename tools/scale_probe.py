@@ -769,6 +769,88 @@ def main() -> None:
     print(json.dumps({"probe": "make_series_panel", "rows": args.rows,
                       "keys": 100_000, "bins": 30, "sec_cold": t, "sec": t2}))
 
+    # ---- KQL partition-by: 100k partition values, ONE plan ----------
+    # Kusto's partition operator caps at 64 partitions (legacy) /
+    # spreads sub-queries; the translator compiles the sub-pipe into a
+    # single distributed plan (row_number window partitioned on the
+    # key), so the partition-value cardinality is a shuffle width, not
+    # a plan count. Mirrors stats_forecast_predict.py:513-525's 396-way
+    # per-id fan-out shape, at 250x that cardinality.
+    from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+    part_src = spark.range(args.rows // 10).select(
+        F.concat(F.lit("p"), (F.col("id") % 100_000).cast("string")).alias("k"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+
+    def _kql_partition_by():
+        out = kql_to_df(
+            {"T": part_src}, "T | partition by k (top 1 by v)"
+        )
+        return out.count()
+
+    t, n = timed(_kql_partition_by)
+    t2, _ = timed(_kql_partition_by)
+    results["kql_partition_by_100k"] = t2
+    print(json.dumps({"probe": "kql_partition_by_100k",
+                      "rows": args.rows // 10, "partitions": 100_000,
+                      "rows_out": n, "sec_cold": t, "sec": t2}))
+
+    # ---- KQL top-nested with others=: per-level extra scan ----------
+    # 2 levels x 1M rows: each others= level adds ONE broadcast
+    # anti-join scan over the (shrinking) source — constant per level,
+    # independent of key cardinality beyond the top set.
+    tn_src = spark.range(args.docs).select(
+        F.concat(F.lit("a"), (F.col("id") % 1000).cast("string")).alias("k1"),
+        F.concat(F.lit("b"), (F.col("id") % 97).cast("string")).alias("k2"),
+        (F.col("id") % 31).cast("double").alias("v"),
+    )
+
+    def _kql_top_nested_others():
+        out = kql_to_df(
+            {"T": tn_src},
+            "T | top-nested 5 of k1 with others='O' by s1 = sum(v), "
+            "top-nested 3 of k2 with others='O' by s2 = sum(v)",
+        )
+        return out.count()
+
+    t, n = timed(_kql_top_nested_others)
+    t2, _ = timed(_kql_top_nested_others)
+    results["kql_top_nested_others_2level"] = t2
+    print(json.dumps({"probe": "kql_top_nested_others_2level",
+                      "rows": args.docs, "keys_l1": 1000, "keys_l2": 97,
+                      "rows_out": n, "sec_cold": t, "sec": t2}))
+
+    # ---- KQL bag_unpack: key discovery is schema-bounded ------------
+    # 1M rows, 6-key bags: the key-set job aggregates to O(distinct
+    # keys) — driver memory scales with bag WIDTH, not row count; the
+    # unpack itself is a projection (no shuffle).
+    bag_src = spark.range(args.docs).select(
+        F.to_json(
+            F.struct(
+                (F.col("id") % 13).alias("a"),
+                (F.col("id") % 7).alias("b"),
+                (F.col("id") % 5).alias("c"),
+                (F.col("id") % 3).alias("d"),
+                (F.col("id") % 11).alias("e"),
+                (F.col("id") % 17).alias("f"),
+            )
+        ).alias("props")
+    )
+
+    def _kql_bag_unpack():
+        out = kql_to_df(
+            {"T": bag_src}, "T | evaluate bag_unpack(props)"
+        )
+        return out.agg(F.count(F.lit(1))).collect()[0][0]
+
+    t, n = timed(_kql_bag_unpack)
+    t2, _ = timed(_kql_bag_unpack)
+    results["kql_bag_unpack_1m"] = t2
+    print(json.dumps({"probe": "kql_bag_unpack_1m", "rows": args.docs,
+                      "bag_keys": 6, "rows_out": n, "sec_cold": t,
+                      "sec": t2}))
+
     print(
         json.dumps(
             {
