@@ -26,6 +26,41 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Schema contracts for the rows-only queries (no DuckDB oracle by
+# design — seeded Spark RNG / model-bound / recall-bound). The sweep
+# still asserts the exact output schema (name -> Spark dtype) and a
+# non-empty result, so SELFCHECK records more than `rows_only: true`
+# for them (r8 verdict ask #4). Row COUNTS are sf-dependent and stay
+# with the per-query pytest invariants.
+ROWS_ONLY_CONTRACTS: dict[str, dict[str, str]] = {
+    "d11_cluster_assign": {"vec_id": "bigint", "cluster": "int", "strength": "double"},
+    "d2_embed_pandas_udf": {
+        "doc_id": "bigint", "dim": "int", "l2_norm": "double",
+        "comp_sum": "double", "comp_max": "double",
+    },
+    "ml_rf_train_score": {"predicted_label": "string", "n": "bigint"},
+    "sim_ann_ivf_topk": {
+        "query_id": "bigint", "neighbor_id": "bigint", "cos": "double", "rank": "int",
+    },
+    "sim_ann_lsh_topk": {
+        "query_id": "bigint", "neighbor_id": "bigint", "cos": "double", "rank": "int",
+    },
+    "sim_ivfpq_topk": {
+        "query_id": "bigint", "neighbor_id": "bigint", "adc_score": "double",
+    },
+    "sim_pq_adc_topk": {
+        "query_id": "bigint", "neighbor_id": "bigint", "adc_score": "double",
+    },
+    "sim_semantic_dedup": {
+        "vec_id": "bigint", "cluster_rep": "bigint", "is_semantic_dup": "int",
+    },
+    "u4_sample_fraction": {"o_orderkey": "bigint"},
+    "u5_mixture_sample": {"o_orderkey": "bigint", "o_orderstatus": "string"},
+    "u7_rand_fold": {"o_orderkey": "bigint", "fold": "int"},
+    "u9_group_split": {"event_id": "bigint", "user_id": "bigint", "split": "int"},
+    "u_stratified_sample": {"doc_id": "bigint", "lang": "string"},
+}
+
 
 def canon_cell(v) -> str:
     import datetime
@@ -87,7 +122,9 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf_spark = fn(spark, sf_dir)
+            spark_dtypes = dict(sdf_spark.dtypes)
+            sdf = sdf_spark.toPandas()
         except Exception as e:
             failed.append((name, f"spark error: {str(e)[:400]}"))
             report[name] = {"err": f"spark error: {str(e)[:200]}"}
@@ -95,8 +132,28 @@ def main() -> int:
             continue
         if name not in oracles:
             rows_only += 1
-            report[name] = {"rows_only": True, "spark_rows": len(sdf), "err": None}
-            print(f"rows-only {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            contract = ROWS_ONLY_CONTRACTS.get(name)
+            entry = {"rows_only": True, "spark_rows": len(sdf), "err": None}
+            if contract is not None:
+                schema_ok = spark_dtypes == contract
+                entry["schema_contract_match"] = schema_ok
+                entry["nonempty"] = len(sdf) > 0
+                if not schema_ok:
+                    failed.append(
+                        (name, f"schema contract {spark_dtypes} != {contract}")
+                    )
+                    print(f"FAIL {name}: schema contract mismatch "
+                          f"got={spark_dtypes} want={contract}")
+                elif len(sdf) == 0:
+                    failed.append((name, "rows-only query returned 0 rows"))
+                    print(f"FAIL {name}: rows-only query returned 0 rows")
+                else:
+                    print(f"rows-only {name}: {len(sdf)} rows, schema ok "
+                          f"({time.time()-t0:.1f}s)")
+            else:
+                print(f"rows-only {name}: {len(sdf)} rows (NO CONTRACT — "
+                      f"add to ROWS_ONLY_CONTRACTS)  ({time.time()-t0:.1f}s)")
+            report[name] = entry
             continue
         try:
             odf = con.execute(oracles[name]).df()
