@@ -1093,3 +1093,87 @@ def kql_facet_by(spark, sf_dir):
     engine plan is a single Expand)."""
     t = load_tables(spark, sf_dir, ["events"])
     return kql_to_df(t, "events | facet by event_type, user_id")
+
+
+@query(
+    "kql_scalar_extras2",
+    r"""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS first_word,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           concat_ws('-', lang, source) AS tag,
+           CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT)
+             AS n_e,
+           regexp_replace(text, '^(?:[a-z]+ )+', '') AS headless,
+           strlen(lang) AS lang_bytes,
+           reverse(lang) AS gnal,
+           lower(to_hex(doc_id)) AS hx
+    FROM documents
+    """,
+)
+def kql_scalar_extras2(spark, sf_dir):
+    """Round-9 scalar widening: ``split(col,'d')[i]`` (0-based, plain-
+    string delimiter escaped into Spark's regex split),
+    ``array_length``, ``strcat_delim``, ``countof`` (length-difference
+    identity), ``trim_start`` (REGEX trim, Kusto semantics),
+    ``string_size`` (bytes), ``reverse``, ``tohex`` (lowercase). All
+    textual rewrites to built-in JVM expressions — zero UDFs, zero
+    shuffles."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t,
+        """
+        documents
+        | extend first_word = split(text, ' ')[0],
+                 n_words = array_length(split(text, ' ')),
+                 tag = strcat_delim('-', lang, source),
+                 n_e = countof(text, 'e'),
+                 headless = trim_start('[a-z]+ ', text),
+                 lang_bytes = string_size(lang),
+                 gnal = reverse(lang),
+                 hx = tohex(doc_id)
+        | project doc_id, first_word, n_words, tag, n_e, headless,
+                  lang_bytes, gnal, hx
+        """,
+    )
+
+
+@query(
+    "kql_datetime_extras",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(dayofweek(ts) AS BIGINT) AS dow,
+           date_trunc('day', ts) + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND
+             AS eod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS d,
+           MIN(event_type) AS any_et
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def kql_datetime_extras(spark, sf_dir):
+    """Round-9 datetime + aggregate widening: ``format_datetime`` (→
+    date_format), ``dayofweek`` (int days since Sunday, 0=Sun),
+    ``endofday`` (last micro-grain instant), ``take_any`` (pinned
+    deterministic MIN — any pick is a valid Kusto take_any), and
+    ``dcount(col, accuracy)`` (accuracy knob accepted; exact count —
+    a strict accuracy upgrade). One aggregate, group keys computed
+    inline — no pre-shuffle projection stage."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    out = kql_to_df(
+        t,
+        """
+        events
+        | extend day = format_datetime(ts, 'yyyy-MM-dd'),
+                 dow = dayofweek(ts),
+                 eod = endofday(ts)
+        | summarize n = count(), d = dcount(user_id, 3),
+                    any_et = take_any(event_type) by day, dow, eod
+        """,
+    )
+    return out.select(
+        "day", F.col("dow").cast("long").alias("dow"), "eod", "n", "d", "any_et"
+    )

@@ -58,6 +58,17 @@ Scalar family: ``isempty/isnotempty/isnull/isnotnull``, 0-based
 ``getyear/getmonth/hourofday/startofyear``, ``datetime_diff``
 (period-boundary counting), ``bin_at`` (anchored binning), plus
 ``stdev``/``variance`` (sample) in summarize.
+Round-9 scalar widening: ``split(col,'d')[i]`` (plain-string delimiter
+escaped into Spark's regex split; 0-based indexing passes through),
+``array_length`` ``strcat_delim`` ``countof`` (length-difference
+identity) ``trim``/``trim_start``/``trim_end`` (REGEX trim, Kusto
+semantics) ``extract_all`` (group-1 array) ``string_size`` (bytes)
+``reverse`` ``tohex`` (lowercase) ``hash(x[, mod])`` (→ xxhash64 —
+same family, different seed than Kusto; documented deviation)
+``format_datetime`` (→ date_format) ``dayofweek`` (int days, 0=Sun)
+``dayofmonth`` ``endofday``/``endofmonth`` (last micro-grain instant);
+aggregates ``take_any``/``any`` (pinned deterministic MIN) and
+``dcount(col, accuracy)`` (knob accepted, exact count).
 Scalars also include ``todynamic``/``parse_json`` dotted access (→
 ``get_json_object``), ``case()``, ``between (a .. b)``,
 ``todouble/tolong/toint/tobool/todatetime``,
@@ -111,6 +122,11 @@ _AGG_FNS = {
     # order is partition-dependent, so we pin a deterministic order
     "make_list": lambda arg: F.sort_array(F.collect_list(arg)),
     "make_set": lambda arg: F.sort_array(F.collect_set(arg)),
+    # take_any/any: Kusto picks an ARBITRARY non-null value; a pinned
+    # MIN keeps results reproducible and oracle-checkable (deviation
+    # documented — any deterministic pick is a valid take_any)
+    "take_any": lambda arg: F.min(arg),
+    "any": lambda arg: F.min(arg),
 }
 
 
@@ -215,6 +231,63 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = re.sub(
         r"\bextract\(\s*'([^']*)'\s*,\s*(\d+)\s*,\s*(\w+)\s*\)",
         r"regexp_extract(\3, '\1', \2)",
+        s,
+    )
+    # extract_all('(re)', col): all capture-group matches as an array.
+    # The regex passes verbatim (backslashes doubled for the SQL
+    # literal layer, like `matches regex`); Kusto's common one-group
+    # form maps to group 1.
+    s = re.sub(
+        r"\bextract_all\(\s*'([^']*)'\s*,\s*(\w+)\s*\)",
+        lambda m: "regexp_extract_all({}, '{}', 1)".format(
+            m.group(2), m.group(1).replace(chr(92), chr(92) * 2)
+        ),
+        s,
+    )
+    # split(col, 'delim'): the KQL delimiter is a PLAIN string; Spark's
+    # split takes a regex — escape it (two-layer, as for `has`). KQL
+    # dynamic indexing split(...)[0] is 0-based and so is Spark SQL's
+    # array [] operator, so indexing passes through unchanged.
+    s = re.sub(
+        r"\bsplit\((\w+)\s*,\s*'([^']*)'\)",
+        lambda m: "split({}, '{}', -1)".format(
+            m.group(1),
+            re.escape(m.group(2)).replace(chr(92), chr(92) * 2),
+        ),
+        s,
+    )
+    # trim / trim_start / trim_end: Kusto trims a REGEX match from the
+    # ends (not a character set) — regexp_replace anchored at the ends;
+    # the regex passes verbatim (SQL-literal backslash doubling only)
+    def _trim(m, head=True, tail=True):
+        pat = m.group(1).replace(chr(92), chr(92) * 2)
+        parts = []
+        if head:
+            parts.append(f"^(?:{pat})+")
+        if tail:
+            parts.append(f"(?:{pat})+$")
+        return f"regexp_replace({m.group(2)}, '{'|'.join(parts)}', '')"
+
+    s = re.sub(
+        r"\btrim_start\(\s*'([^']*)'\s*,\s*(\w+)\s*\)",
+        lambda m: _trim(m, tail=False),
+        s,
+    )
+    s = re.sub(
+        r"\btrim_end\(\s*'([^']*)'\s*,\s*(\w+)\s*\)",
+        lambda m: _trim(m, head=False),
+        s,
+    )
+    s = re.sub(r"\btrim\(\s*'([^']*)'\s*,\s*(\w+)\s*\)", _trim, s)
+    # countof(col, 'term'): non-overlapping occurrence count via the
+    # length-difference identity (pure string ops, no regex)
+    s = re.sub(
+        r"\bcountof\((\w+)\s*,\s*'([^']*)'\)",
+        lambda m: (
+            f"CAST((length({m.group(1)}) - "
+            f"length(replace({m.group(1)}, '{m.group(2)}', ''))) "
+            f"/ length('{m.group(2)}') AS BIGINT)"
+        ),
         s,
     )
     # contains/startswith/endswith: LIKE wildcards in the TERM must be
@@ -359,6 +432,46 @@ def _expr(kql: str, now: str | None = None) -> str:
         ),
     )
     s = _rewrite_call(s, "indexof", lambda a, b: f"(instr({a}, {b}) - 1)")
+    s = re.sub(r"\bstrcat_delim\(", "concat_ws(", s)
+    s = re.sub(r"\bformat_datetime\(", "date_format(", s)
+    # string_size = BYTES (length() is characters in both engines)
+    s = re.sub(r"\bstring_size\(", "octet_length(", s)
+    s = _rewrite_call(
+        s, "array_length", lambda a: f"cast(size({a}) as bigint)"
+    )
+    # tohex: Kusto emits lowercase; Spark hex() is uppercase
+    s = _rewrite_call(s, "tohex", lambda a: f"lower(hex({a}))")
+    # hash(x[, mod]): Kusto's xxhash64-based scalar hash — mapped to
+    # Spark's xxhash64 (same family, DIFFERENT seed/values than Kusto;
+    # stable within the engine, documented dialect deviation). `\bhash`
+    # cannot match inside xxhash64 ('x' is a word char).
+    s = _rewrite_call(
+        s,
+        "hash",
+        lambda a, m=None: (
+            f"pmod(xxhash64({a}), {m})" if m is not None else f"xxhash64({a})"
+        ),
+    )
+    # dayofweek: Kusto returns a timespan of whole days since Sunday
+    # (0=Sun..6=Sat); the int-days form is what queries consume
+    s = _rewrite_call(s, "dayofweek", lambda a: f"(dayofweek({a}) - 1)")
+    # endofday/endofmonth: last representable instant (micro grain)
+    s = _rewrite_call(
+        s,
+        "endofday",
+        lambda a: (
+            f"(date_trunc('DAY', {a}) + interval 1 day"
+            " - interval 1 microsecond)"
+        ),
+    )
+    s = _rewrite_call(
+        s,
+        "endofmonth",
+        lambda a: (
+            f"(cast(last_day({a}) as timestamp) + interval 1 day"
+            " - interval 1 microsecond)"
+        ),
+    )
     s = _rewrite_call(s, "isnotempty", lambda a: f"({a} IS NOT NULL AND {a} != '')")
     s = _rewrite_call(s, "isempty", lambda a: f"({a} IS NULL OR {a} = '')")
     s = _rewrite_call(s, "isnotnull", lambda a: f"({a} IS NOT NULL)")
@@ -1583,6 +1696,18 @@ def _summarize(df: DataFrame, rest: str, now: str | None = None) -> DataFrame:
                 "maxif": lambda: F.max(guarded),
             }[fn]()
             aggs.append(col.alias(alias or f"{fn}_{arg}"))
+            continue
+        m = re.match(r"^dcount\(([\w.]+)\s*,\s*\d+\)$", body)
+        if m:
+            # dcount(col, accuracy): the accuracy knob tunes Kusto's
+            # HLL error; this engine computes the EXACT distinct count
+            # (a strict accuracy upgrade), so the knob is accepted and
+            # ignored. approx variant: a_hll_cardinality in the catalog.
+            aggs.append(
+                F.countDistinct(m.group(1)).alias(
+                    alias or f"dcount_{m.group(1)}"
+                )
+            )
             continue
         m = re.match(r"^percentile\(([\w.]+)\s*,\s*(\d+(?:\.\d+)?)\)$", body)
         if m:  # KQL percentile takes 0-100

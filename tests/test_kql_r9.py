@@ -77,3 +77,55 @@ def test_facet_single_scan_single_shuffle(fact):
 def test_facet_unknown_column_raises(fact):
     with pytest.raises(ValueError, match="unknown column"):
         kql_to_df({"T": fact}, "T | facet by nope")
+
+
+def test_scalar_extras2_family(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [("a.b.c", "  xx hello xx", "abab",
+          datetime.datetime(2024, 1, 7, 13, 30), "g1")],
+        "path string, msg string, rep string, ts timestamp, g string",
+    )
+    r = kql_to_df(
+        {"T": df},
+        "T | extend first = split(path, '.')[0],"
+        " nparts = array_length(split(path, '.')),"
+        " joined = strcat_delim('-', g, path),"
+        " nab = countof(rep, 'ab'),"
+        " trimmed = trim('x| ', msg),"
+        " day = format_datetime(ts, 'yyyy-MM-dd'),"
+        " dow = dayofweek(ts),"
+        " eod = endofday(ts),"
+        " eom = endofmonth(ts),"
+        " hx = tohex(5910),"
+        " nbytes = string_size(path),"
+        " caps = extract_all('([a-z])\\.', path),"
+        " h = hash(g, 100)",
+    ).collect()[0]
+    assert r["first"] == "a" and r["nparts"] == 3
+    assert r["joined"] == "g1-a.b.c" and r["nab"] == 2
+    assert r["trimmed"] == "hello"  # regex trim: x OR space, both ends
+    assert r["day"] == "2024-01-07" and r["dow"] == 0  # Sunday
+    assert str(r["eod"]) == "2024-01-07 23:59:59.999999"
+    assert str(r["eom"]) == "2024-01-31 23:59:59.999999"
+    assert r["hx"] == "1716" and r["nbytes"] == 5
+    assert r["caps"] == ["a", "b"]
+    assert 0 <= r["h"] < 100
+
+
+def test_take_any_and_dcount_accuracy(spark):
+    df = spark.createDataFrame(
+        [("g1", "x", 1.5), ("g1", "y", 2.5), ("g2", "z", 3.5)],
+        "g string, s string, v double",
+    )
+    rows = {
+        r["g"]: (r["a"], r["d"])
+        for r in kql_to_df(
+            {"T": df},
+            "T | summarize a = take_any(v), d = dcount(s, 4) by g",
+        ).collect()
+    }
+    # take_any is the pinned deterministic MIN; dcount ignores the
+    # accuracy knob and counts exactly
+    assert rows == {"g1": (1.5, 2), "g2": (3.5, 1)}
