@@ -829,3 +829,39 @@ def a_behavior_entropy(spark, sf_dir):
     the A7 entropy operator applied at user grain."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return A.entropy(ev, ["user_id"], "event_type")
+
+
+@query(
+    "a_weighted_percentile",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS k, l_quantity AS v, l_extendedprice AS w
+      FROM lineitem
+    ), c AS (
+      SELECT k, v,
+             SUM(w) OVER (PARTITION BY k ORDER BY v
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / SUM(w) OVER (PARTITION BY k) AS cdf
+      FROM s
+    )
+    SELECT k AS l_returnflag,
+           MIN(CASE WHEN cdf >= 0.5 THEN v END) AS wp50_l_quantity,
+           MIN(CASE WHEN cdf >= 0.95 THEN v END) AS wp95_l_quantity
+    FROM c GROUP BY 1
+    """,
+)
+def a_weighted_percentile(spark, sf_dir):
+    """Weighted percentiles (Kusto ``percentilew``): smallest value
+    whose cumulative weight reaches p of the group total (lower
+    weighted-CDF inverse). One window pass + one aggregate — two
+    shuffles for ANY number of probs; the global (ungrouped) form
+    routes through the distributed prefix-scan kernel instead of an
+    unpartitioned window. Weights accumulate in decimal."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return A.weighted_percentile(
+        t["lineitem"],
+        "l_quantity",
+        "l_extendedprice",
+        [0.5, 0.95],
+        keys=["l_returnflag"],
+    )

@@ -1177,3 +1177,83 @@ def kql_datetime_extras(spark, sf_dir):
     return out.select(
         "day", F.col("dow").cast("long").alias("dow"), "eod", "n", "d", "any_et"
     )
+
+
+@query(
+    "kql_search",
+    r"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE regexp_matches(text, '(?i)\bmodel\b')
+       OR regexp_matches(lang, '(?i)\bmodel\b')
+       OR regexp_matches(source, '(?i)\bmodel\b')
+    """,
+)
+def kql_search(spark, sf_dir):
+    """``search 'term'`` — Kusto's cross-column term search: ANY string
+    column has the whole term, case-insensitive (``kind=
+    case_sensitive`` for exact case; leading/trailing ``*`` for
+    hassuffix/hasprefix). One OR of per-column RLIKEs — single scan,
+    no UDFs."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t, "documents | search 'model' | project doc_id, lang, source"
+    )
+
+
+@query(
+    "kql_narrow",
+    """
+    WITH r AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1 AS Row,
+             r_regionkey, r_name
+      FROM region
+    )
+    SELECT Row, 'r_regionkey' AS Column, CAST(r_regionkey AS VARCHAR) AS Value
+    FROM r
+    UNION ALL SELECT Row, 'r_name', r_name FROM r
+    """,
+)
+def kql_narrow(spark, sf_dir):
+    """``evaluate narrow()`` — transpose to (Row, Column, Value) long
+    form, values stringified. Row numbering is pinned by the preceding
+    sort and runs on the distributed global_row_number kernel (never an
+    unpartitioned window); the transpose is one ``stack`` projection,
+    zero extra shuffles."""
+    t = load_tables(spark, sf_dir, ["region"])
+    return kql_to_df(
+        t, "region | sort by r_regionkey asc | evaluate narrow()"
+    )
+
+
+@query(
+    "kql_percentilew",
+    """
+    WITH c AS (
+      SELECT event_type,
+             value AS v,
+             SUM(CAST(user_id AS DOUBLE) + 1) OVER (
+               PARTITION BY event_type ORDER BY value
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / SUM(CAST(user_id AS DOUBLE) + 1) OVER (PARTITION BY event_type)
+               AS cdf
+      FROM events
+    )
+    SELECT event_type, MIN(CASE WHEN cdf >= 0.5 THEN v END) AS p50
+    FROM c GROUP BY 1
+    """,
+)
+def kql_percentilew(spark, sf_dir):
+    """``summarize p50 = percentilew(value, w, 50) by event_type`` —
+    Kusto's weighted percentile, routed to the two-shuffle
+    weighted-CDF operator (operators/aggregates.weighted_percentile)."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].withColumn(
+        "w", F.col("user_id").cast("double") + 1
+    )
+    return kql_to_df(
+        {"events": ev},
+        "events | summarize p50 = percentilew(value, w, 50) by event_type",
+    )

@@ -165,6 +165,80 @@ def weighted_mean(
     )
 
 
+def weighted_percentile(
+    df: DataFrame,
+    value: str,
+    weight: str,
+    probs: Sequence[float],
+    keys: Sequence[str] = (),
+    prefix: str = "wp",
+) -> DataFrame:
+    """Weighted percentiles per group (Kusto ``percentilew``): the
+    smallest ``value`` whose cumulative ``weight`` (in value order)
+    reaches ``p`` of the group's total weight — the lower weighted
+    empirical-CDF inverse. One row per group, one column per prob
+    (``{prefix}{p*100}_{value}``).
+
+    Plan shape: ONE window pass ordered by ``value`` inside each group
+    (cumulative weight; total via the same window unbounded), then a
+    conditional-min aggregate per prob — two shuffles total (window +
+    groupBy), no per-prob jobs, no collect. Weights accumulate in
+    decimal so the crossing point is order-independent (ties in
+    ``value`` share a cumulative weight: the window frame is
+    RANGE-by-value via rank, so equal values are one CDF step — the
+    math a per-row ROWS frame would get wrong on duplicate values)."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    keys = list(keys)
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(F.col(value).asc())
+        wd = dec(F.col(weight))
+        # the DEFAULT ordered-window frame is RANGE UNBOUNDED
+        # PRECEDING .. CURRENT ROW: duplicate values share one
+        # cumulative-weight step (ties can't split a CDF step; for the
+        # min-crossing pick below a ROWS frame would land on the same
+        # value, but per-row CDFs stay meaningful this way)
+        cum = F.sum(wd).over(w)
+        tot = F.sum(wd).over(
+            Window.partitionBy(*keys).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        staged = df.select(
+            *keys,
+            F.col(value).alias("__v"),
+            (cum / tot).alias("__cdf"),
+        )
+    else:
+        # GLOBAL percentile: never an unpartitioned window — the
+        # distributed prefix-scan kernel (deterministic-bounds buckets)
+        # computes the cumulative weight; the scalar total broadcasts.
+        # A ROWS-style prefix over ties picks the same crossing value
+        # (all tied rows carry the same __v).
+        from azuredataengineering_deeplearning_spark.operators.windows import (
+            global_cumsum,
+        )
+
+        staged = global_cumsum(
+            df.select(F.col(value).alias("__v"), F.col(weight).alias("__w")),
+            ["__v"],
+            "__w",
+            out="__cum",
+        )
+        tot = staged.agg(F.sum(dec(F.col("__w"))).alias("__tot"))
+        staged = staged.crossJoin(F.broadcast(tot)).select(
+            "__v",
+            (dec(F.col("__cum")) / F.col("__tot")).alias("__cdf"),
+        )
+    aggs = [
+        F.min(F.when(F.col("__cdf") >= p, F.col("__v"))).alias(
+            f"{prefix}{str(round(p * 100, 4)).rstrip('0').rstrip('.')}_{value}"
+        )
+        for p in probs
+    ]
+    return staged.groupBy(*keys).agg(*aggs) if keys else staged.agg(*aggs)
+
+
 def topk_per_group(
     df: DataFrame,
     keys: Sequence[str],

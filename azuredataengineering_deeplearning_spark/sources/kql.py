@@ -67,8 +67,15 @@ semantics) ``extract_all`` (group-1 array) ``string_size`` (bytes)
 same family, different seed than Kusto; documented deviation)
 ``format_datetime`` (→ date_format) ``dayofweek`` (int days, 0=Sun)
 ``dayofmonth`` ``endofday``/``endofmonth`` (last micro-grain instant);
-aggregates ``take_any``/``any`` (pinned deterministic MIN) and
-``dcount(col, accuracy)`` (knob accepted, exact count).
+aggregates ``take_any``/``any`` (pinned deterministic MIN),
+``dcount(col, accuracy)`` (knob accepted, exact count) and
+``percentilew``/``percentilesw`` (weighted percentiles — two-shuffle
+weighted-CDF operator; the global form runs on the distributed prefix
+scan). Operators added r9: ``search [kind=case_sensitive] 'term'``
+(cross-column whole-term match, ``*`` prefix/suffix wildcards; one OR
+of per-column RLIKEs) and ``evaluate narrow()`` (transpose to
+(Row, Column, Value), Row pinned by the preceding sort on the
+global_row_number kernel).
 Scalars also include ``todynamic``/``parse_json`` dotted access (→
 ``get_json_object``), ``case()``, ``between (a .. b)``,
 ``todouble/tolong/toint/tobool/todatetime``,
@@ -775,7 +782,9 @@ def kql_to_df(
         elif op == "partition":
             df = _partition_by(df, rest, now)
         elif op == "evaluate":
-            df = _evaluate(df, rest, now)
+            df = _evaluate(df, rest, now, order_spec)
+        elif op == "search":
+            df = _search(df, rest)
         elif op == "make-series":
             df = _make_series(df, rest)
         elif op == "top-nested":
@@ -921,6 +930,37 @@ def _join(df: DataFrame, tables: dict[str, DataFrame], rest: str) -> DataFrame:
     for c in conds[1:]:
         cond = cond & c
     return df.join(right, cond, _JOIN_KINDS[kind])
+
+
+def _search(df: DataFrame, rest: str) -> DataFrame:
+    """``search [kind=case_sensitive] 'term'`` — Kusto's cross-column
+    term search: keep rows where ANY string column has the whole term
+    (``has`` semantics, case-insensitive unless kind=case_sensitive).
+    Wildcard forms: a trailing ``*`` means term-prefix, a leading ``*``
+    term-suffix (hasprefix/hassuffix).
+
+    Plan shape: one OR of per-column RLIKEs — a single scan, pushdown-
+    friendly, no UDFs; cost is O(string columns) regexes per row."""
+    m = re.match(
+        r"^(?:kind\s*=\s*(\w+)\s+)?['\"]([^'\"]*)['\"]\s*$", rest.strip()
+    )
+    if not m:
+        raise ValueError(f"search needs [kind=...] 'term': {rest!r}")
+    kind, term = (m.group(1) or "default").lower(), m.group(2)
+    if kind not in ("default", "case_sensitive"):
+        raise ValueError(f"unsupported search kind {kind!r}")
+    lead = "" if term.startswith("*") else "\\b"
+    trail = "" if term.endswith("*") else "\\b"
+    core = re.escape(term.strip("*"))
+    flags = "" if kind == "case_sensitive" else "(?i)"
+    pat = f"{flags}{lead}{core}{trail}"
+    scols = [c for c, t in df.dtypes if t in ("string", "varchar")]
+    if not scols:
+        raise ValueError("search: no string columns to search")
+    cond = F.col(scols[0]).rlike(pat)
+    for c in scols[1:]:
+        cond = cond | F.col(c).rlike(pat)
+    return df.filter(cond)
 
 
 def _facet(df: DataFrame, rest: str) -> DataFrame:
@@ -1214,7 +1254,9 @@ def _partition_by(df: DataFrame, rest: str, now: str | None) -> DataFrame:
     return out
 
 
-def _evaluate(df: DataFrame, rest: str, now: str | None) -> DataFrame:
+def _evaluate(
+    df: DataFrame, rest: str, now: str | None, order_spec: str | None = None
+) -> DataFrame:
     """``evaluate pivot(PivotCol [, agg(Col) [, keep1, keep2, ...]])`` —
     Kusto's pivot plugin. Distinct PivotCol values become columns; the
     remaining columns (or the explicit keep-list) are group keys.
@@ -1231,7 +1273,31 @@ def _evaluate(df: DataFrame, rest: str, now: str | None) -> DataFrame:
     driver-bounded by the bag SCHEMA width, not the row count), then
     every key is a ``get_json_object`` projection. Dialect note: values
     come out string-typed (Kusto infers types; the engine keeps the
-    cross-engine-checkable string form — cast downstream)."""
+    cross-engine-checkable string form — cast downstream).
+
+    ``evaluate narrow()`` — transpose each row into (Row, Column,
+    Value) long form, values stringified (Kusto narrow). Needs a
+    preceding ``sort by`` to pin Row numbering, which runs on the
+    distributed global_row_number kernel (never an unpartitioned
+    window); the transpose itself is one ``stack`` projection — zero
+    extra shuffles, output is ncols x nrows."""
+    if re.match(r"^narrow\s*\(\s*\)\s*$", rest.strip()):
+        if order_spec is None:
+            raise ValueError(
+                "evaluate narrow() needs a preceding 'sort by' to pin "
+                "Row numbering (KQL serialize semantics)"
+            )
+        from azuredataengineering_deeplearning_spark.operators.windows import (
+            global_row_number,
+        )
+
+        cols = df.columns
+        base = global_row_number(df, _order_cols(order_spec), out="__nrw")
+        pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+        return base.selectExpr(
+            "(__nrw - 1) as Row",
+            f"stack({len(cols)}, {pairs}) as (Column, Value)",
+        )
     bm = re.match(
         r"^bag_unpack\s*\((\w+)(?:\s*,\s*'([^']*)')?\)\s*$", rest.strip()
     )
@@ -1666,6 +1732,33 @@ def _summarize(df: DataFrame, rest: str, now: str | None = None) -> DataFrame:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+
+    # percentilew/percentilesw(col, weight, p...): weighted percentile
+    # — routed to the dedicated two-shuffle operator (window CDF +
+    # conditional-min aggregate; distributed prefix scan when global)
+    m = re.match(
+        r"^(?:(\w+)\s*=\s*)?percentiles?w\(([\w.]+)\s*,\s*([\w.]+)"
+        r"\s*,\s*([\d.,\s]+)\)$",
+        agg_part.strip(),
+    )
+    if m:
+        alias, val, wgt, ps = m.groups()
+        names = [k for k in keys if isinstance(k, str)]
+        if len(names) != len(keys):
+            raise ValueError(
+                "percentilew supports plain column names as by-keys "
+                "(extend the expression first)"
+            )
+        from azuredataengineering_deeplearning_spark.operators.aggregates import (
+            weighted_percentile,
+        )
+
+        probs = [float(x) / 100 for x in ps.split(",") if x.strip()]
+        out = weighted_percentile(df, val, wgt, probs, keys=names)
+        if alias and len(probs) == 1:
+            old = [c for c in out.columns if c not in names][0]
+            out = out.withColumnRenamed(old, alias)
+        return out
 
     aggs = []
     for part in _split_csv(agg_part):

@@ -129,3 +129,52 @@ def test_take_any_and_dcount_accuracy(spark):
     # take_any is the pinned deterministic MIN; dcount ignores the
     # accuracy knob and counts exactly
     assert rows == {"g1": (1.5, 2), "g2": (3.5, 1)}
+
+
+def test_search_operator(spark):
+    df = spark.createDataFrame(
+        [("Error in pipeline", "alpha"), ("all good", "beta"),
+         ("ERRORS everywhere", "error")],
+        "msg string, tag string",
+    )
+    q = lambda s: sorted(
+        r["tag"] for r in kql_to_df({"T": df}, s).collect()
+    )
+    # whole-term, case-insensitive, ANY string column
+    assert q("T | search 'error'") == ["alpha", "error"]
+    assert q("T | search kind=case_sensitive 'Error'") == ["alpha"]
+    assert q("T | search 'error*'") == ["alpha", "error"]  # hasprefix
+    with pytest.raises(ValueError, match="search kind"):
+        kql_to_df({"T": df}, "T | search kind=regex 'x'")
+
+
+def test_evaluate_narrow(spark):
+    df = spark.createDataFrame([(2, "b"), (1, "a")], "k int, s string")
+    rows = sorted(
+        (r["Row"], r["Column"], r["Value"])
+        for r in kql_to_df(
+            {"T": df}, "T | sort by k asc | evaluate narrow()"
+        ).collect()
+    )
+    assert rows == [
+        (0, "k", "1"), (0, "s", "a"), (1, "k", "2"), (1, "s", "b"),
+    ]
+    with pytest.raises(ValueError, match="sort"):
+        kql_to_df({"T": df}, "T | evaluate narrow()")
+
+
+def test_percentilew_weighted_cdf(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 8.0)],
+        "k string, v double, w double",
+    )
+    got = kql_to_df(
+        {"T": df},
+        "T | summarize p50 = percentilew(v, w, 50) by k",
+    ).collect()
+    assert [(r["k"], r["p50"]) for r in got] == [("g", 3.0)]
+    # multi-prob form keeps the generated wpNN_ names
+    got2 = kql_to_df(
+        {"T": df}, "T | summarize percentilesw(v, w, 20, 90) by k"
+    ).collect()[0]
+    assert got2["wp20_v"] == 2.0 and got2["wp90_v"] == 3.0
