@@ -1257,3 +1257,54 @@ def kql_percentilew(spark, sf_dir):
         {"events": ev},
         "events | summarize p50 = percentilew(value, w, 50) by event_type",
     )
+
+
+@query(
+    "kql_scalar_extras3",
+    """
+    SELECT doc_id,
+           CAST(least(n_chars, 1000) AS BIGINT) AS lo,
+           CAST(ceil(n_chars / 7.0) AS BIGINT) AS c,
+           CAST(floor(n_chars / 100) * 100 AS BIGINT) AS b,
+           (string_split(text, ' '))[1:3] AS sl,
+           CAST(list_position(string_split(text, ' '), 'the') - 1 AS BIGINT)
+             AS ix,
+           to_json({'lang': lang, 'n': n_chars}) AS pj,
+           isfinite(CAST(n_chars AS DOUBLE)) AS fin
+    FROM documents
+    """,
+)
+def kql_scalar_extras3(spark, sf_dir):
+    """Round-9 scalar batch 2: ``min_of``/``max_of`` (→least/greatest),
+    ``ceiling``, numeric ``bin``/``floor`` (round down to a multiple),
+    ``array_slice`` (end-inclusive 0-based → Spark slice),
+    ``array_index_of`` (0-based, -1 absent), ``pack`` (property bag as
+    JSON — ``bag_unpack``'s inverse), ``isfinite``. All JVM built-ins,
+    zero UDFs."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = kql_to_df(
+        t,
+        """
+        documents
+        | extend lo = min_of(n_chars, 1000),
+                 c = ceiling(n_chars / 7.0),
+                 b = bin(n_chars, 100),
+                 sl = array_slice(split(text, ' '), 0, 2),
+                 ix = array_index_of(split(text, ' '), 'the'),
+                 pj = pack('lang', lang, 'n', n_chars),
+                 fin = isfinite(todouble(n_chars))
+        | project doc_id, lo, c, b, sl, ix, pj, fin
+        """,
+    )
+    return out.select(
+        "doc_id",
+        F.col("lo").cast("long").alias("lo"),
+        F.col("c").cast("long").alias("c"),
+        F.col("b").cast("long").alias("b"),
+        "sl",
+        F.col("ix").cast("long").alias("ix"),
+        "pj",
+        "fin",
+    )

@@ -75,7 +75,12 @@ scan). Operators added r9: ``search [kind=case_sensitive] 'term'``
 (cross-column whole-term match, ``*`` prefix/suffix wildcards; one OR
 of per-column RLIKEs) and ``evaluate narrow()`` (transpose to
 (Row, Column, Value), Row pinned by the preceding sort on the
-global_row_number kernel).
+global_row_number kernel). Scalar batch 2: ``min_of``/``max_of``
+(→least/greatest), ``ceiling``, numeric ``bin``/``floor`` (round down
+to a multiple of size), ``array_concat``/``array_slice``
+(end-inclusive 0-based)/``array_index_of`` (0-based, -1 absent),
+``pack``/``pack_all`` (property bag as JSON — bag_unpack's inverse),
+``isfinite``/``isinf``, ``todecimal``.
 Scalars also include ``todynamic``/``parse_json`` dotted access (→
 ``get_json_object``), ``case()``, ``between (a .. b)``,
 ``todouble/tolong/toint/tobool/todatetime``,
@@ -440,6 +445,53 @@ def _expr(kql: str, now: str | None = None) -> str:
     )
     s = _rewrite_call(s, "indexof", lambda a, b: f"(instr({a}, {b}) - 1)")
     s = re.sub(r"\bstrcat_delim\(", "concat_ws(", s)
+    s = re.sub(r"\bmin_of\(", "least(", s)
+    s = re.sub(r"\bmax_of\(", "greatest(", s)
+    s = re.sub(r"\bceiling\(", "ceil(", s)
+    s = re.sub(r"\barray_concat\(", "concat(", s)
+    # array_slice(arr, start, end): Kusto END-INCLUSIVE 0-based ->
+    # Spark slice(arr, start+1, length)
+    s = _rewrite_call(
+        s,
+        "array_slice",
+        lambda a, b, c: (
+            f"slice({a}, CAST({b} AS INT) + 1,"
+            f" CAST({c} AS INT) - CAST({b} AS INT) + 1)"
+        ),
+    )
+    # array_index_of: 0-based position, -1 absent (array_position is
+    # 1-based, 0 absent)
+    s = _rewrite_call(
+        s, "array_index_of", lambda a, b: f"(array_position({a}, {b}) - 1)"
+    )
+    # pack('k1', v1, ...)/pack_all(): property bag -> JSON string (the
+    # engine's bag representation everywhere — bag_unpack reverses it)
+    s = _rewrite_call(
+        s,
+        "pack",
+        lambda *args: f"to_json(named_struct({', '.join(args)}))",
+    )
+    s = re.sub(r"\bpack_all\(\s*\)", "to_json(struct(*))", s)
+    s = _rewrite_call(
+        s,
+        "isfinite",
+        lambda a: f"(NOT isnan({a}) AND abs({a}) != double('Infinity'))",
+    )
+    s = _rewrite_call(s, "isinf", lambda a: f"(abs({a}) = double('Infinity'))")
+    s = _rewrite_call(s, "todecimal", lambda a: f"cast({a} as decimal(38,18))")
+    # numeric bin(x, size) / floor(x, size): Kusto floor IS bin — round
+    # down to a multiple of size (the datetime form was rewritten in
+    # phase 1; anything still here is numeric)
+    for _fn in ("bin", "floor"):
+        s = _rewrite_call(
+            s,
+            _fn,
+            lambda *a: (
+                f"(floor({a[0]} / {a[1]}) * {a[1]})"
+                if len(a) == 2
+                else f"floor({a[0]})"
+            ),
+        )
     s = re.sub(r"\bformat_datetime\(", "date_format(", s)
     # string_size = BYTES (length() is characters in both engines)
     s = re.sub(r"\bstring_size\(", "octet_length(", s)

@@ -178,3 +178,24 @@ def test_percentilew_weighted_cdf(spark):
         {"T": df}, "T | summarize percentilesw(v, w, 20, 90) by k"
     ).collect()[0]
     assert got2["wp20_v"] == 2.0 and got2["wp90_v"] == 3.0
+
+
+def test_scalar_extras3_family(spark):
+    df = spark.createDataFrame([("a", 3.7, 12.0)], "k string, v double, w double")
+    r = kql_to_df(
+        {"T": df},
+        "T | extend lo = min_of(v, w, 2.5), hi = max_of(v, w),"
+        " c = ceiling(v), b = bin(w, 5), f = floor(w, 5),"
+        " fin = isfinite(v), inf = isinf(todouble('Infinity')),"
+        " sl = array_slice(split('a,b,c,d', ','), 1, 2),"
+        " ix = array_index_of(split('a,b,c', ','), 'b'),"
+        " miss = array_index_of(split('a,b', ','), 'z'),"
+        " pj = pack('x', k) | extend pa = pack_all()",
+    ).collect()[0]
+    assert r["lo"] == 2.5 and r["hi"] == 12.0
+    assert r["c"] == 4 and r["b"] == 10 and r["f"] == 10
+    assert r["fin"] is True and r["inf"] is True
+    assert r["sl"] == ["b", "c"]  # end-INCLUSIVE 0-based
+    assert r["ix"] == 1 and r["miss"] == -1
+    assert r["pj"] == '{"x":"a"}'
+    assert '"k":"a"' in r["pa"] and '"v":3.7' in r["pa"]
