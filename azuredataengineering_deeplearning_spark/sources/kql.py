@@ -385,6 +385,11 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = re.sub(rf"\btoint\({_arg}\)", r"cast(\1 as int)", s)
     s = re.sub(rf"\btobool\({_arg}\)", r"cast(\1 as boolean)", s)
     s = re.sub(rf"\btodatetime\({_arg}\)", r"cast(\1 as timestamp)", s)
+    # dayofweek: Kusto returns a timespan of whole days since Sunday
+    # (0=Sun..6=Sat); the int-days form is what queries consume. Runs
+    # BEFORE the calendar truncations — startofweek's template emits a
+    # SPARK dayofweek() that must not be re-interpreted as Kusto's.
+    s = _rewrite_call(s, "dayofweek", lambda a: f"(dayofweek({a}) - 1)")
     # calendar truncation (KQL weeks start Sunday — dayofweek: Sun=1)
     s = re.sub(r"\bstartofday\(([^()]*)\)", r"date_trunc('DAY', \1)", s)
     s = re.sub(r"\bstartofmonth\(([^()]*)\)", r"date_trunc('MONTH', \1)", s)
@@ -511,9 +516,6 @@ def _expr(kql: str, now: str | None = None) -> str:
             f"pmod(xxhash64({a}), {m})" if m is not None else f"xxhash64({a})"
         ),
     )
-    # dayofweek: Kusto returns a timespan of whole days since Sunday
-    # (0=Sun..6=Sat); the int-days form is what queries consume
-    s = _rewrite_call(s, "dayofweek", lambda a: f"(dayofweek({a}) - 1)")
     # endofday/endofmonth: last representable instant (micro grain)
     s = _rewrite_call(
         s,
@@ -790,7 +792,12 @@ def kql_to_df(
                 *_order_cols(m.group(2), default_desc=True)
             ).limit(int(m.group(1)))
         elif op == "distinct":
-            df = df.select(*[c.strip() for c in _split_csv(rest)]).distinct()
+            if rest.strip() == "*":
+                df = df.distinct()
+            else:
+                df = df.select(
+                    *[c.strip() for c in _split_csv(rest)]
+                ).distinct()
         elif op == "count":
             df = df.agg(F.count(F.lit(1)).alias("Count"))
         elif op == "summarize":
@@ -870,17 +877,22 @@ def kql_to_df(
                 df, tables, f"kind=leftouter ({m.group(1)}) on {m.group(2)}"
             )
         elif op == "union":
-            # `union [withsource=Col] T` / `union (T)` / `union T1, T2`
-            # — columns align by name, sides may differ in schema (KQL
-            # fills missing columns with null; so does
-            # allowMissingColumns). withsource labels every row with
-            # the table it came from (the current pipe gets its source
-            # table's name).
-            ws = re.match(r"^withsource\s*=\s*(\w+)\s+(.+)$", rest, re.S)
+            # `union [kind=inner|outer] [withsource=Col] T` /
+            # `union (T)` / `union T1, T2` — columns align by name,
+            # sides may differ in schema. kind=outer (default) fills
+            # missing columns with null (allowMissingColumns);
+            # kind=inner keeps only columns common to EVERY side.
+            # withsource labels every row with the table it came from
+            # (the current pipe gets its source table's name).
+            km = re.match(r"^kind\s*=\s*(\w+)\s+(.+)$", rest, re.S)
+            ukind = km.group(1).lower() if km else "outer"
+            if ukind not in ("inner", "outer"):
+                raise ValueError(f"unsupported union kind {ukind!r}")
+            rest_k = km.group(2) if km else rest
+            ws = re.match(r"^withsource\s*=\s*(\w+)\s+(.+)$", rest_k, re.S)
             src_col = ws.group(1) if ws else None
-            rest_names = ws.group(2) if ws else rest
-            if src_col:
-                df = df.withColumn(src_col, F.lit(stages[0].strip()))
+            rest_names = ws.group(2) if ws else rest_k
+            sides = []
             for name in _split_csv(rest_names):
                 name = name.strip().strip("()").strip()
                 if name not in tables:
@@ -888,7 +900,25 @@ def kql_to_df(
                 side = tables[name]
                 if src_col:
                     side = side.withColumn(src_col, F.lit(name))
+                sides.append(side)
+            if src_col:
+                df = df.withColumn(src_col, F.lit(stages[0].strip()))
+            if ukind == "inner":
+                common = [
+                    c
+                    for c in df.columns
+                    if all(c in s.columns for s in sides)
+                ]
+                if not common:
+                    raise ValueError("union kind=inner: no common columns")
+                df = df.select(*common)
+                sides = [s.select(*common) for s in sides]
+            for side in sides:
                 df = df.unionByName(side, allowMissingColumns=True)
+        elif op == "project-keep":
+            # keep matching columns (wildcards), original order
+            keep = _wildcard_cols(df.columns, rest)
+            df = df.select(*keep)
         elif op == "project-reorder":
             want = [c.strip() for c in _split_csv(rest)]
             df = df.select(*want, *[c for c in df.columns if c not in want])
@@ -1407,8 +1437,26 @@ def _row_local_stage(df: DataFrame, op: str, rest: str, now: str | None):
             df = df.withColumn(em.group(1), F.expr(_expr(em.group(2).strip(), now)))
         return df
     if op == "project-away":
-        return df.drop(*[c.strip() for c in _split_csv(rest)])
+        return df.drop(*_wildcard_cols(df.columns, rest))
     return None
+
+
+def _wildcard_cols(columns: list[str], spec: str) -> list[str]:
+    """Expand a KQL column list that may contain ``*`` wildcards
+    (project-away / project-keep) against the live schema, preserving
+    schema order. Unknown plain names raise (Kusto errors too)."""
+    import fnmatch
+
+    pats = [c.strip() for c in _split_csv(spec)]
+    plain = [p for p in pats if "*" not in p]
+    missing = [p for p in plain if p not in columns]
+    if missing:
+        raise ValueError(f"unknown column(s) {missing}; have {columns}")
+    out = [
+        c for c in columns
+        if any(fnmatch.fnmatchcase(c, p) for p in pats)
+    ]
+    return out
 
 
 def _parse(df: DataFrame, rest: str, where: bool = False) -> DataFrame:
@@ -1747,12 +1795,23 @@ def _order_cols(spec: str, default_desc: bool = False):
     ``sort by`` keeps ascending as a documented dialect deviation."""
     cols = []
     for part in _split_csv(spec):
-        toks = part.split()
-        c = F.col(toks[0])
-        if len(toks) > 1:
-            cols.append(c.desc() if toks[1].lower() == "desc" else c.asc())
+        toks = part.lower().split()
+        c = F.col(part.split()[0])
+        desc = default_desc
+        if len(toks) > 1 and toks[1] in ("asc", "desc"):
+            desc = toks[1] == "desc"
+        nf = "nulls first" in " ".join(toks[1:])
+        nl = "nulls last" in " ".join(toks[1:])
+        if desc:
+            cols.append(
+                c.desc_nulls_first() if nf
+                else c.desc_nulls_last() if nl else c.desc()
+            )
         else:
-            cols.append(c.desc() if default_desc else c.asc())
+            cols.append(
+                c.asc_nulls_first() if nf
+                else c.asc_nulls_last() if nl else c.asc()
+            )
     return cols
 
 

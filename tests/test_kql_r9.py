@@ -199,3 +199,30 @@ def test_scalar_extras3_family(spark):
     assert r["ix"] == 1 and r["miss"] == -1
     assert r["pj"] == '{"x":"a"}'
     assert '"k":"a"' in r["pa"] and '"v":3.7' in r["pa"]
+
+
+def test_union_kinds_distinct_star_wildcards_null_order(spark):
+    A = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "a", 2.0)], "k int, s string, v double"
+    )
+    B = spark.createDataFrame([(2, 9.9)], "k int, w double")
+    inner = kql_to_df({"A": A, "B": B}, "A | union kind=inner (B)")
+    assert inner.columns == ["k"] and inner.count() == 3
+    outer = kql_to_df({"A": A, "B": B}, "A | union kind=outer B")
+    assert sorted(outer.columns) == ["k", "s", "v", "w"]
+    with pytest.raises(ValueError, match="union kind"):
+        kql_to_df({"A": A, "B": B}, "A | union kind=banana B")
+    assert kql_to_df({"A": A}, "A | distinct *").count() == 1
+    assert kql_to_df({"A": A}, "A | project-keep s*, k").columns == ["k", "s"]
+    assert kql_to_df({"A": A}, "A | project-away v*").columns == ["k", "s"]
+    with pytest.raises(ValueError, match="unknown column"):
+        kql_to_df({"A": A}, "A | project-away nope")
+    N = spark.createDataFrame([(None,), (2,), (1,)], "x int")
+    assert [
+        r["x"]
+        for r in kql_to_df({"A": N}, "A | sort by x desc nulls last").collect()
+    ] == [2, 1, None]
+    assert [
+        r["x"]
+        for r in kql_to_df({"A": N}, "A | sort by x asc nulls first").collect()
+    ] == [None, 1, 2]
