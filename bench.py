@@ -77,6 +77,10 @@ HEADLINE = [
     # KQL series trend fit over make-series arrays (round 8): the
     # higher-order-function eval path with the bind-once kernel
     "kql_series_fit_line",
+    # round 9: single-plan GROUPING SETS facet + the weighted-CDF
+    # percentile operator (window + conditional-min aggregate)
+    "kql_facet_by",
+    "a_weighted_percentile",
 ]
 
 
