@@ -1308,3 +1308,65 @@ def kql_scalar_extras3(spark, sf_dir):
         "pj",
         "fin",
     )
+
+
+@query(
+    "kql_series_arith",
+    """
+    WITH w AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400)
+                  AS BIGINT) AS i,
+             value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    ),
+    b AS (SELECT event_type, i, COUNT(*) AS n,
+                 SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          FROM w GROUP BY 1, 2),
+    spine AS (SELECT event_type, r.i
+              FROM (SELECT DISTINCT event_type FROM b) t
+              CROSS JOIN range(31) r(i)),
+    s AS (SELECT spine.event_type, spine.i,
+                 CAST(COALESCE(b.n, 0) AS DOUBLE) AS n,
+                 CAST(COALESCE(b.sv, 0) AS DOUBLE) AS sv
+          FROM spine LEFT JOIN b USING (event_type, i))
+    SELECT event_type, i,
+           CASE WHEN n = 0 THEN NULL ELSE sv / n END AS avg_,
+           abs(sv - n) AS dev
+    FROM s
+    """,
+)
+def kql_series_arith(spark, sf_dir):
+    """Elementwise series arithmetic over MULTI-AGGREGATE make-series
+    arrays (``series_divide``/``series_subtract``/``series_abs``): the
+    per-bin mean as sum-series / count-series (try_divide: empty bins
+    → null, matching Kusto) and |sum - count|. Both series come from
+    ONE single-pass make-series plan (one (keys, bin) aggregate, two
+    map columns); the arithmetic is pure zip_with/transform — zero
+    extra shuffles. Compared per-bin as NUMBERS (the CSV-format twin
+    hit a Java-vs-DuckDB %.6f half-point formatter divergence on a
+    bit-identical double)."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count(), sv=sum(value) on ts
+            from datetime(2024-01-01) to datetime(2024-02-01) step 1d
+            by event_type
+        | extend avg_ = series_divide(sv, n),
+                 dev = series_abs(series_subtract(sv, n))
+        """,
+    )
+    return df.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("avg_", "dev")).alias("i", "z"),
+    ).select(
+        "event_type",
+        F.col("i").cast("long").alias("i"),
+        F.col("z.avg_").alias("avg_"),
+        F.col("z.dev").alias("dev"),
+    )

@@ -243,6 +243,7 @@ def make_series(
     default: float | None = 0.0,
     out: str = "series",
     out_bins: str = "bins",
+    specs: list[dict] | None = None,
 ) -> DataFrame:
     """KQL ``make-series`` analog: per-key gap-filled arrays of an
     aggregate over start-aligned time bins (``daily_eval.py``-style Kusto
@@ -263,6 +264,13 @@ def make_series(
     set and paid a broadcast join). Per-key state is exactly ``n_bins``
     map entries, so memory is capped by the requested window, not the
     data.
+
+    ``specs``: multi-aggregate form (KQL ``make-series a=sum(x),
+    b=count() on ...``) — a list of ``{"agg", "value_col", "default",
+    "out"}`` dicts computed in the SAME single pass (one (keys, bin)
+    aggregate with one column per series; per-key state is
+    ``n_bins x len(specs)`` map entries). When given, the scalar
+    ``agg``/``value_col``/``default``/``out`` parameters are ignored.
     """
     import datetime as _dt
 
@@ -276,29 +284,51 @@ def make_series(
     step_us = step_seconds * 1_000_000
     n_bins = -(-(stop_us - start_us) // step_us)  # ceil
 
-    aggs = {
-        "count": lambda: F.count(F.lit(1)).cast("double"),
-        "sum": lambda: F.sum(dec(value_col)).cast("double"),
-        "avg": lambda: (F.sum(dec(value_col)).cast("double") / F.count(value_col)),
-        "min": lambda: F.min(value_col).cast("double"),
-        "max": lambda: F.max(value_col).cast("double"),
-    }
-    if agg not in aggs:
-        raise ValueError(f"unsupported make_series aggregate {agg!r}")
-    if agg != "count" and value_col is None:
-        raise ValueError(f"make_series agg {agg!r} needs value_col")
+    def _agg_col(a: str, vc: str | None):
+        fns = {
+            "count": lambda: F.count(F.lit(1)).cast("double"),
+            "sum": lambda: F.sum(dec(vc)).cast("double"),
+            "avg": lambda: (F.sum(dec(vc)).cast("double") / F.count(vc)),
+            "min": lambda: F.min(vc).cast("double"),
+            "max": lambda: F.max(vc).cast("double"),
+        }
+        if a not in fns:
+            raise ValueError(f"unsupported make_series aggregate {a!r}")
+        if a != "count" and vc is None:
+            raise ValueError(f"make_series agg {a!r} needs value_col")
+        return fns[a]()
+
+    if specs is None:
+        specs = [
+            {"agg": agg, "value_col": value_col, "default": default, "out": out}
+        ]
+    if len({sp["out"] for sp in specs}) != len(specs):
+        raise ValueError("make_series specs need distinct out names")
 
     idx = F.floor((F.unix_micros(F.col(ts_col)) - F.lit(start_us)) / F.lit(step_us))
     binned = (
         df.withColumn("__idx", idx)
         .filter((F.col("__idx") >= 0) & (F.col("__idx") < n_bins))
         .groupBy(*keys, "__idx")
-        .agg(aggs[agg]().alias("__v"))
+        .agg(
+            *[
+                _agg_col(sp["agg"], sp.get("value_col")).alias(f"__v{i}")
+                for i, sp in enumerate(specs)
+            ]
+        )
     )
-    def _fill(i):
-        # try_element_at: ANSI-safe null on missing bin (element_at throws)
-        v = F.try_element_at(F.col("__m"), i.cast("long"))
-        return v if default is None else F.coalesce(v, F.lit(float(default)))
+
+    def _mk_fill(m: str, d):
+        # returns a STRICTLY 1-arg lambda: F.transform inspects the
+        # callable's arity, and default-arg params would make it pass
+        # the element index into them
+        def _fill(i):
+            # try_element_at: ANSI-safe null on missing bin
+            # (element_at throws)
+            v = F.try_element_at(F.col(m), i.cast("long"))
+            return v if d is None else F.coalesce(v, F.lit(float(d)))
+
+        return _fill
 
     bins_expr = F.transform(
         F.sequence(F.lit(0), F.lit(n_bins - 1)),
@@ -307,13 +337,22 @@ def make_series(
     return (
         binned.groupBy(*keys)
         .agg(
-            F.map_from_entries(F.collect_list(F.struct("__idx", "__v"))).alias(
-                "__m"
-            )
+            *[
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("__idx"), F.col(f"__v{i}")))
+                ).alias(f"__m{i}")
+                for i in range(len(specs))
+            ]
         )
         .select(
             *keys,
-            F.transform(F.sequence(F.lit(0), F.lit(n_bins - 1)), _fill).alias(out),
+            *[
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bins - 1)),
+                    _mk_fill(f"__m{j}", sp.get("default", 0.0)),
+                ).alias(sp["out"])
+                for j, sp in enumerate(specs)
+            ],
         )
         .withColumn(out_bins, bins_expr)
     )

@@ -432,6 +432,37 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = _rewrite_call(s, "series_fill_linear", series_fill_linear_sql)
     s = _rewrite_call(s, "series_fill_const", series_fill_const_sql)
     s = _rewrite_call(s, "series_moving_avg", series_moving_avg_sql)
+    # elementwise series arithmetic: pure transform/zip_with — O(n) per
+    # row, zero shuffles. Operands are arrays of equal length (Kusto);
+    # divide uses try_divide so a zero element yields null, not an
+    # ANSI error. Cast to double so int series and double series mix.
+    for _sf, _ex in (
+        ("series_abs", "abs(__x)"),
+        ("series_exp", "exp(__x)"),
+        ("series_log", "ln(__x)"),
+        ("series_sign", "sign(cast(__x as double))"),
+        ("series_not", "cast(NOT cast(__x as boolean) as double)"),
+    ):
+        s = _rewrite_call(
+            s,
+            _sf,
+            lambda a, t=_ex: (
+                f"transform({a}, __x -> cast({t} as double))"
+            ),
+        )
+    for _sf, _ex in (
+        ("series_add", "cast(__x as double) + cast(__y as double)"),
+        ("series_subtract", "cast(__x as double) - cast(__y as double)"),
+        ("series_multiply", "cast(__x as double) * cast(__y as double)"),
+        ("series_divide", "try_divide(cast(__x as double), cast(__y as double))"),
+    ):
+        s = _rewrite_call(
+            s,
+            _sf,
+            lambda a, b, t=_ex: (
+                f"zip_with({a}, {b}, (__x, __y) -> cast({t} as double))"
+            ),
+        )
     # common Kusto scalar family (balanced-paren rewrites; string
     # literals are masked placeholders here, inert in the templates).
     # KQL string indexing is 0-BASED: substring/indexof shift by one
@@ -469,6 +500,7 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = _rewrite_call(
         s, "array_index_of", lambda a, b: f"(array_position({a}, {b}) - 1)"
     )
+    s = re.sub(r"\bpack_array\(", "array(", s)
     # pack('k1', v1, ...)/pack_all(): property bag -> JSON string (the
     # engine's bag representation everywhere — bag_unpack reverses it)
     s = _rewrite_call(
@@ -1493,16 +1525,16 @@ def _parse(df: DataFrame, rest: str, where: bool = False) -> DataFrame:
 
 
 def _make_series(df: DataFrame, rest: str) -> DataFrame:
-    """``make-series [Name=]agg(col) [default=D] on ts from datetime(a)
-    to datetime(b) step Nu [by keys]`` → gap-filled per-key arrays via
-    :func:`operators.timeseries.make_series`. The binned time axis comes
-    back under the ``on`` column's name (KQL behavior)."""
+    """``make-series [Name=]agg(col) [default=D][, more aggs] on ts
+    from datetime(a) to datetime(b) step Nu [by keys]`` → gap-filled
+    per-key arrays via :func:`operators.timeseries.make_series`. The
+    binned time axis comes back under the ``on`` column's name (KQL
+    behavior). Multiple aggregates compute in the SAME single pass
+    (one (keys, bin) aggregate with one column per series)."""
     from azuredataengineering_deeplearning_spark.operators.timeseries import make_series
 
     m = re.match(
-        r"^(?:(\w+)\s*=\s*)?(\w+)\(\s*([\w.]*)\s*\)"
-        r"(?:\s+default\s*=\s*([-\d.]+|null|double\(null\)))?"
-        r"\s+on\s+(\w+)"
+        r"^(.+?)\s+on\s+(\w+)"
         r"\s+from\s+datetime\(([^)]+)\)\s+to\s+datetime\(([^)]+)\)"
         r"\s+step\s+(\d+)([dhms])"
         r"(?:\s+by\s+(.+))?$",
@@ -1511,10 +1543,33 @@ def _make_series(df: DataFrame, rest: str) -> DataFrame:
     )
     if not m:
         raise ValueError(f"unsupported make-series syntax: {rest!r}")
-    alias, fn, arg, default, ts_col, t0, t1, n, unit, by = m.groups()
-    # default=null / default=double(null): empty bins stay NULL so the
-    # series_fill_* functions have something to interpolate
-    null_default = default in ("null", "double(null)")
+    agg_part, ts_col, t0, t1, n, unit, by = m.groups()
+    specs = []
+    for seg in _split_csv(agg_part):
+        sm = re.match(
+            r"^(?:(\w+)\s*=\s*)?(\w+)\(\s*([\w.]*)\s*\)"
+            r"(?:\s+default\s*=\s*([-\d.]+|null|double\(null\)))?$",
+            seg.strip(),
+            re.S,
+        )
+        if not sm:
+            raise ValueError(f"unsupported make-series aggregate: {seg!r}")
+        alias, fn, arg, default = sm.groups()
+        # default=null / default=double(null): empty bins stay NULL so
+        # the series_fill_* functions have something to interpolate
+        null_default = default in ("null", "double(null)")
+        specs.append(
+            {
+                "agg": fn,
+                "value_col": arg or None,
+                "default": (
+                    None
+                    if null_default
+                    else (float(default) if default else 0.0)
+                ),
+                "out": alias or f"{fn}_{arg or 'all'}",
+            }
+        )
     return make_series(
         df,
         keys=[c.strip() for c in _split_csv(by)] if by else [],
@@ -1522,10 +1577,7 @@ def _make_series(df: DataFrame, rest: str) -> DataFrame:
         start=t0.strip(),
         stop=t1.strip(),
         step_seconds=_timespan_s(n, unit),
-        agg=fn,
-        value_col=arg or None,
-        default=None if null_default else (float(default) if default else 0.0),
-        out=alias or f"{fn}_{arg or 'all'}",
+        specs=specs,
         out_bins=ts_col,
     )
 
