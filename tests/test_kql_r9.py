@@ -226,3 +226,42 @@ def test_union_kinds_distinct_star_wildcards_null_order(spark):
         r["x"]
         for r in kql_to_df({"A": N}, "A | sort by x asc nulls first").collect()
     ] == [None, 1, 2]
+
+
+def test_make_series_multi_aggregate_single_pass(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1, 5), 10.0),
+         ("a", datetime.datetime(2024, 1, 1, 7), 20.0),
+         ("a", datetime.datetime(2024, 1, 3, 1), 6.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = kql_to_df(
+        {"T": df},
+        "T | make-series n=count(), sv=sum(v) on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-04) step 1d by k",
+    )
+    r = out.collect()[0]
+    assert r["n"] == [2.0, 0.0, 1.0]
+    assert r["sv"] == [30.0, 0.0, 6.0]
+    # one pass: a single (keys, bin) aggregate feeds both series — no
+    # second scan of the fact table (use the optimized LOGICAL plan;
+    # AdaptiveSparkPlan.toString prints initial+final physical plans,
+    # double-counting scans textually)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+
+
+def test_series_elementwise_arithmetic(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql_to_df(
+        {"T": df},
+        "T | extend a = pack_array(1, 2, 0), b = pack_array(4.0, 5.0, 6.0)"
+        " | extend s = series_add(a, b), d = series_divide(b, a),"
+        " m = series_multiply(a, b), ab = series_abs(series_subtract(a, b))",
+    ).collect()[0]
+    assert r["s"] == [5.0, 7.0, 6.0]
+    assert r["d"] == [4.0, 2.5, None]  # zero divisor -> null, not error
+    assert r["m"] == [4.0, 10.0, 0.0]
+    assert r["ab"] == [3.0, 3.0, 6.0]
