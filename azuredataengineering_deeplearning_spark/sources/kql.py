@@ -31,7 +31,8 @@ one-row sources, datetime ``range`` spines, deterministic ``sample N``,
 leading ``set option;`` statements and
 ``cluster('...').database('...').Table`` addressing (the reference's
 daily_eval query runs verbatim), and the membership
-variants ``!in`` / ``in~`` (case-insensitive) / ``has_any``,
+variants ``!in`` / ``in~`` / ``!in~`` (case-insensitive) /
+``!between`` / ``has_any`` / ``has_all``,
 the term-operator family ``has``/``!has``/``has_cs``/``contains``/
 ``!contains``/``startswith``/``!startswith``/``endswith``/``!endswith``
 (plain forms case-INsensitive per Kusto; ``contains_cs``/
@@ -226,20 +227,32 @@ def _expr(kql: str, now: str | None = None) -> str:
     # Every argument must be a quoted literal — a bare identifier
     # (column or dynamic array) would silently be matched as the
     # literal identifier TEXT, so reject it loudly instead.
-    def _has_any(m):
+    def _has_multi(m, mode="any"):
         col = m.group(1)
         terms = [t.strip() for t in _split_csv(m.group(2))]
         bad = [t for t in terms if not re.fullmatch(r"'[^']*'", t)]
         if bad:
             raise ValueError(
-                f"has_any supports quoted string literals only, got {bad[0]!r}"
-                " (a column or dynamic-array argument would match the"
-                " identifier text itself, not its values)"
+                f"has_{mode} supports quoted string literals only, got"
+                f" {bad[0]!r} (a column or dynamic-array argument would"
+                " match the identifier text itself, not its values)"
             )
-        alt = "|".join(re.escape(t[1:-1]) for t in terms).replace(chr(92), chr(92) * 2)
-        return f"{col} RLIKE '(?i)\\\\b({alt})\\\\b'"
+        def term_re(t):
+            return re.escape(t[1:-1]).replace(chr(92), chr(92) * 2)
+        if mode == "any":
+            alt = "|".join(term_re(t) for t in terms)
+            return f"{col} RLIKE '(?i)\\\\b({alt})\\\\b'"
+        # has_all: EVERY term must appear — AND of per-term matches
+        return "(" + " AND ".join(
+            f"{col} RLIKE '(?i)\\\\b{term_re(t)}\\\\b'" for t in terms
+        ) + ")"
 
-    s = re.sub(r"(\w+)\s+has_any\s*\(([^()]*)\)", _has_any, s)
+    s = re.sub(
+        r"(\w+)\s+has_all\s*\(([^()]*)\)",
+        lambda m: _has_multi(m, "all"),
+        s,
+    )
+    s = re.sub(r"(\w+)\s+has_any\s*\(([^()]*)\)", _has_multi, s)
     s = re.sub(
         r"\bextract\(\s*'([^']*)'\s*,\s*(\d+)\s*,\s*(\w+)\s*\)",
         r"regexp_extract(\3, '\1', \2)",
@@ -406,14 +419,26 @@ def _expr(kql: str, now: str | None = None) -> str:
         r"\1 BETWEEN \2 AND \3",
         s,
     )
-    # membership variants: !in -> NOT IN; in~ -> case-insensitive IN
-    s = re.sub(r"\s+!in\s*\(", " NOT IN (", s)
-    s = re.sub(
-        r"(\w+)\s+in~\s*\(([^()]*)\)",
-        lambda m: "lower({}) IN ({})".format(
+    # membership variants: !in -> NOT IN; in~/!in~ -> case-insensitive
+    def _ci_in(m, neg=False):
+        body = "lower({}) {} ({})".format(
             m.group(1),
+            "NOT IN" if neg else "IN",
             ", ".join(f"lower({a.strip()})" for a in _split_csv(m.group(2))),
-        ),
+        )
+        return body
+
+    s = re.sub(
+        r"(\w+)\s+!in~\s*\(([^()]*)\)",
+        lambda m: _ci_in(m, neg=True),
+        s,
+    )
+    s = re.sub(r"\s+!in\s*\(", " NOT IN (", s)
+    s = re.sub(r"(\w+)\s+in~\s*\(([^()]*)\)", _ci_in, s)
+    # !between (a .. b) -> NOT BETWEEN
+    s = re.sub(
+        rf"(\w+)\s+!between\s*\(\s*{_operand}\s*\.\.\s*{_operand}\s*\)",
+        r"\1 NOT BETWEEN \2 AND \3",
         s,
     )
     # series_* scalar functions over make-series arrays → pure

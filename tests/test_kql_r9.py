@@ -265,3 +265,17 @@ def test_series_elementwise_arithmetic(spark):
     assert r["d"] == [4.0, 2.5, None]  # zero divisor -> null, not error
     assert r["m"] == [4.0, 10.0, 0.0]
     assert r["ab"] == [3.0, 3.0, 6.0]
+
+
+def test_has_all_negated_membership_and_between(spark):
+    df = spark.createDataFrame(
+        [("alpha beta", "A", 1), ("beta gamma", "B", 5), ("alpha", "a", 9)],
+        "t string, g string, n int",
+    )
+    q = lambda s: sorted(r["n"] for r in kql_to_df({"T": df}, s).collect())
+    assert q("T | where t has_all ('alpha', 'beta')") == [1]
+    assert q("T | where t has_any ('gamma', 'alpha')") == [1, 5, 9]
+    assert q("T | where g !in~ ('a')") == [5]  # case-insensitive NOT IN
+    assert q("T | where n !between (2 .. 8)") == [1, 9]
+    with pytest.raises(ValueError, match="has_all"):
+        kql_to_df({"T": df}, "T | where t has_all (g)")
