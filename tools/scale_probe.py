@@ -851,6 +851,57 @@ def main() -> None:
                       "bag_keys": 6, "rows_out": n, "sec_cold": t,
                       "sec": t2}))
 
+    # ---- facet: N-column breakdown in ONE grouping-sets pass --------
+    facet_src = spark.range(args.rows // 4).select(
+        F.concat(F.lit("u"), (F.col("id") % 50_000).cast("string")).alias("u"),
+        F.concat(F.lit("e"), (F.col("id") % 17).cast("string")).alias("e"),
+        F.concat(F.lit("s"), (F.col("id") % 211).cast("string")).alias("s"),
+    )
+
+    def _kql_facet():
+        out = kql_to_df({"T": facet_src}, "T | facet by u, e, s")
+        return out.count()
+
+    t, n = timed(_kql_facet)
+    t2, _ = timed(_kql_facet)
+    results["kql_facet_3col_50k"] = t2
+    print(json.dumps({"probe": "kql_facet_3col_50k",
+                      "rows": args.rows // 4, "facet_values": n,
+                      "sec_cold": t, "sec": t2}))
+
+    # ---- weighted percentile: window CDF at 20M rows -----------------
+    from azuredataengineering_deeplearning_spark.operators.aggregates import (
+        weighted_percentile,
+    )
+
+    wp_src = spark.range(args.rows).select(
+        (F.col("id") % 1000).alias("g"),
+        ((F.col("id") * 7919) % 100_000).cast("double").alias("v"),
+        ((F.col("id") % 97) + 1).cast("double").alias("w"),
+    )
+
+    def _wp():
+        return weighted_percentile(
+            wp_src, "v", "w", [0.5, 0.95, 0.99], keys=["g"]
+        ).count()
+
+    t, n = timed(_wp)
+    t2, _ = timed(_wp)
+    results["weighted_percentile_grouped"] = t2
+    print(json.dumps({"probe": "weighted_percentile_grouped",
+                      "rows": args.rows, "groups": 1000, "probs": 3,
+                      "sec_cold": t, "sec": t2}))
+
+    def _wp_global():
+        return weighted_percentile(wp_src, "v", "w", [0.5, 0.99]).count()
+
+    t, n = timed(_wp_global)
+    t2, _ = timed(_wp_global)
+    results["weighted_percentile_global"] = t2
+    print(json.dumps({"probe": "weighted_percentile_global",
+                      "rows": args.rows, "probs": 2,
+                      "sec_cold": t, "sec": t2}))
+
     print(
         json.dumps(
             {
