@@ -1266,7 +1266,7 @@ def kql_percentilew(spark, sf_dir):
            CAST(least(n_chars, 1000) AS BIGINT) AS lo,
            CAST(ceil(n_chars / 7.0) AS BIGINT) AS c,
            CAST(floor(n_chars / 100) * 100 AS BIGINT) AS b,
-           (string_split(text, ' '))[1:3] AS sl,
+           array_to_string((string_split(text, ' '))[1:3], ',') AS sl,
            CAST(list_position(string_split(text, ' '), 'the') - 1 AS BIGINT)
              AS ix,
            to_json({'lang': lang, 'n': n_chars}) AS pj,
@@ -1303,7 +1303,9 @@ def kql_scalar_extras3(spark, sf_dir):
         F.col("lo").cast("long").alias("lo"),
         F.col("c").cast("long").alias("c"),
         F.col("b").cast("long").alias("b"),
-        "sl",
+        # CSV-join: the driver's hash harness canonicalizes scalar
+        # cells only (catalog-wide output contract)
+        F.array_join(F.col("sl"), ",").alias("sl"),
         F.col("ix").cast("long").alias("ix"),
         "pj",
         "fin",
