@@ -81,7 +81,10 @@ global_row_number kernel). Scalar batch 2: ``min_of``/``max_of``
 to a multiple of size), ``array_concat``/``array_slice``
 (end-inclusive 0-based)/``array_index_of`` (0-based, -1 absent),
 ``pack``/``pack_all`` (property bag as JSON — bag_unpack's inverse),
-``isfinite``/``isinf``, ``todecimal``.
+``isfinite``/``isinf``, ``todecimal``, ``dynamic([...])`` array and
+``dynamic({...})`` bag literals, and PARALLEL multi-column
+``mv-expand a, b`` (positional zip, shorter arrays pad null — one
+generator, never a cross product).
 Scalars also include ``todynamic``/``parse_json`` dotted access (→
 ``get_json_object``), ``case()``, ``between (a .. b)``,
 ``todouble/tolong/toint/tobool/todatetime``,
@@ -526,6 +529,13 @@ def _expr(kql: str, now: str | None = None) -> str:
         s, "array_index_of", lambda a, b: f"(array_position({a}, {b}) - 1)"
     )
     s = re.sub(r"\bpack_array\(", "array(", s)
+    # dynamic literals: dynamic([...]) is an array literal -> array();
+    # dynamic({...}) is a property bag -> the engine's JSON-string bag
+    # form (same representation pack()/bag_unpack use). Scalars inside
+    # arrive masked/quoted already; the bag form keeps one level of
+    # braces (nested bags stay inside the JSON text).
+    s = re.sub(r"\bdynamic\(\s*\[([^\]]*)\]\s*\)", r"array(\1)", s)
+    s = re.sub(r"\bdynamic\(\s*(\{.*?\})\s*\)", r"'\1'", s)
     # pack('k1', v1, ...)/pack_all(): property bag -> JSON string (the
     # engine's bag representation everywhere — bag_unpack reverses it)
     s = _rewrite_call(
@@ -868,31 +878,57 @@ def kql_to_df(
         elif op == "parse-where":
             df = _parse(df, rest, where=True)
         elif op == "mv-expand":
-            # mv-expand [with_itemindex=Name] Col [to typeof(T)] —
-            # with_itemindex → posexplode (0-based, Kusto convention)
-            em = re.match(
-                r"^(?:with_itemindex\s*=\s*(\w+)\s+)?(\w+)"
-                r"(?:\s+to\s+typeof\(\s*(\w+)\s*\))?$",
-                rest.strip(),
-            )
-            if not em:
-                raise ValueError(
-                    f"mv-expand needs '[with_itemindex=I] col [to typeof(T)]':"
-                    f" {rest!r}"
+            # mv-expand [with_itemindex=Name] Col [to typeof(T)]
+            # [, Col2 ...] — with_itemindex → posexplode (0-based,
+            # Kusto convention). MULTIPLE columns expand in PARALLEL
+            # (Kusto zips them positionally, padding the shorter with
+            # null): one posexplode over the longest index range +
+            # try_element_at per column — still a single generator,
+            # never a cross product.
+            parts = [p.strip() for p in _split_csv(rest)]
+            em0 = re.match(r"^with_itemindex\s*=\s*(\w+)\s+(.+)$", parts[0])
+            idx = em0.group(1) if em0 else None
+            if em0:
+                parts[0] = em0.group(2).strip()
+            cols, types = [], {}
+            for p in parts:
+                em = re.match(
+                    r"^(\w+)(?:\s+to\s+typeof\(\s*(\w+)\s*\))?$", p
                 )
-            idx, col, totype = em.groups()
-            if idx:
-                df = (
-                    df.select("*", F.posexplode(F.col(col)).alias(idx, "__mvex"))
-                    .drop(col)
-                    .withColumnRenamed("__mvex", col)
-                )
-            else:
+                if not em:
+                    raise ValueError(
+                        "mv-expand needs '[with_itemindex=I] col"
+                        f" [to typeof(T)][, col2 ...]': {rest!r}"
+                    )
+                cols.append(em.group(1))
+                if em.group(2):
+                    types[em.group(1)] = em.group(2)
+            if len(cols) == 1 and not idx:
+                col = cols[0]
                 df = df.withColumn(col, F.explode(F.col(col)))
-            if totype:
-                df = df.withColumn(
-                    col, F.col(col).cast(_KQL_TYPES[totype.lower()])
-                )
+            else:
+                longest = F.greatest(
+                    *[F.size(F.col(c)) for c in cols]
+                ) if len(cols) > 1 else F.size(F.col(cols[0]))
+                pos_name = idx or "__mvidx"
+                df = df.select(
+                    "*",
+                    F.posexplode(
+                        F.sequence(F.lit(0), longest - 1)
+                    ).alias(pos_name, "__mvseq"),
+                ).drop("__mvseq")
+                for c in cols:
+                    # try_element_at is 1-based; shorter arrays pad null
+                    df = df.withColumn(
+                        c,
+                        F.try_element_at(
+                            F.col(c), F.col(pos_name).cast("int") + 1
+                        ),
+                    )
+                if not idx:
+                    df = df.drop(pos_name)
+            for c, t in types.items():
+                df = df.withColumn(c, F.col(c).cast(_KQL_TYPES[t.lower()]))
         elif op == "mv-apply":
             df = _mv_apply(df, rest, now)
         elif op == "partition":

@@ -279,3 +279,31 @@ def test_has_all_negated_membership_and_between(spark):
     assert q("T | where n !between (2 .. 8)") == [1, 9]
     with pytest.raises(ValueError, match="has_all"):
         kql_to_df({"T": df}, "T | where t has_all (g)")
+
+
+def test_dynamic_literals(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql_to_df(
+        {"T": df},
+        'T | extend a = dynamic([1, 2, 3]), sa = dynamic([\'x\', \'y\']),'
+        ' bag = dynamic({"k": 7, "s": "hi"})'
+        " | extend n = array_length(a), second = sa[1],"
+        " kv = toint(todynamic(bag).k)",
+    ).collect()[0]
+    assert r["a"] == [1, 2, 3] and r["sa"] == ["x", "y"]
+    assert r["n"] == 3 and r["second"] == "y" and r["kv"] == 7
+
+
+def test_mv_expand_parallel_multicolumn(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    out = kql_to_df(
+        {"T": df},
+        "T | extend a = dynamic([1, 2, 3]), b = dynamic(['x', 'y'])"
+        " | mv-expand with_itemindex=i a to typeof(long), b",
+    )
+    rows = sorted((r["i"], r["a"], r["b"]) for r in out.collect())
+    # Kusto zips positionally; the shorter array pads with null
+    assert rows == [(0, 1, "x"), (1, 2, "y"), (2, 3, None)]
+    # single-column form unchanged
+    out2 = kql_to_df({"T": df}, "T | extend a = dynamic([5, 6]) | mv-expand a")
+    assert sorted(r["a"] for r in out2.collect()) == [5, 6]
