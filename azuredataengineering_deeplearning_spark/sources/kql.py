@@ -1838,6 +1838,10 @@ def _extend_one(
                 off = int(args[1]) if len(args) > 1 and args[1].strip() else 1
                 alias = f"__kqlw{len(joins)}"
                 joins.append((alias, col_expr, sign * off))
+                if len(args) > 2 and args[2].strip():
+                    # prev/next(col, n, default): rows with no neighbor
+                    # get the default instead of null (Kusto 3-arg form)
+                    return f"coalesce({alias}, {args[2].strip()})"
                 return alias
 
             return _r

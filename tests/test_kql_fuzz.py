@@ -49,7 +49,26 @@ def _mkdata(spark):
 
 
 def _g_where(rng, cols):
-    kind = rng.choice(["cmp", "contains", "has", "between", "eq", "compound"])
+    kind = rng.choice(
+        ["cmp", "contains", "has", "between", "eq", "compound",
+         "has_all", "notbetween"]
+    )
+    if kind == "has_all" and "s" in cols:
+        t1, t2 = rng.sample(TERMS, 2)
+        p1 = "(?i)\\b" + re.escape(t1) + "\\b"
+        p2 = "(?i)\\b" + re.escape(t2) + "\\b"
+        return (
+            f"where s has_all ('{t1}', '{t2}')",
+            lambda df: df.filter(
+                F.col("s").rlike(p1) & F.col("s").rlike(p2)
+            ),
+        )
+    if kind == "notbetween" and "n" in cols:
+        a, b = sorted(rng.sample(range(7), 2))
+        return (
+            f"where n !between ({a} .. {b})",
+            lambda df: df.filter(~((F.col("n") >= a) & (F.col("n") <= b))),
+        )
     if kind == "compound" and "v" in cols and "s" in cols:
         # boolean nesting + a literal that LOOKS like more predicate
         t = rng.choice([6.0, 11.0])
@@ -198,9 +217,46 @@ def _one_case(rng, spark, base):
             t, fn = _g_top(rng, "sv")
             stages.append(t)
             twins.append(fn)
-    keep = sorted(rng.sample(sorted(cols), rng.randint(1, len(cols))))
-    stages.append("project " + ", ".join(keep))
-    twins.append(lambda df, keep=keep: df.select(*keep))
+    # terminal stage: project (usual), or one of the r9 whole-table
+    # operators (facet / search) exercised against hand-built twins
+    roll = rng.random()
+    if roll < 0.12 and {"k"} <= cols and len(cols) > 1:
+        other = rng.choice(sorted(cols - {"k"}))
+        stages.append(f"facet by k, {other}")
+
+        def _facet_twin(df, other=other):
+            a = df.groupBy("k").agg(F.count(F.lit(1)).alias("count_")).select(
+                F.lit("k").alias("facet_column"),
+                F.col("k").cast("string").alias("facet_value"),
+                "count_",
+            )
+            b = df.groupBy(other).agg(
+                F.count(F.lit(1)).alias("count_")
+            ).select(
+                F.lit(other).alias("facet_column"),
+                F.col(other).cast("string").alias("facet_value"),
+                "count_",
+            )
+            return a.unionByName(b)
+
+        twins.append(_facet_twin)
+    elif roll < 0.22 and "s" in cols:
+        term = rng.choice(TERMS)
+        pat = "(?i)\\b" + re.escape(term) + "\\b"
+        stages.append(f"search '{term}'")
+
+        def _search_twin(df, pat=pat):
+            scols = [c for c, t in df.dtypes if t == "string"]
+            cond = F.col(scols[0]).rlike(pat)
+            for c in scols[1:]:
+                cond = cond | F.col(c).rlike(pat)
+            return df.filter(cond)
+
+        twins.append(_search_twin)
+    else:
+        keep = sorted(rng.sample(sorted(cols), rng.randint(1, len(cols))))
+        stages.append("project " + ", ".join(keep))
+        twins.append(lambda df, keep=keep: df.select(*keep))
 
     q = "T | " + " | ".join(stages)
     got = kql_to_df({"T": base}, q)

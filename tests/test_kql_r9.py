@@ -307,3 +307,15 @@ def test_mv_expand_parallel_multicolumn(spark):
     # single-column form unchanged
     out2 = kql_to_df({"T": df}, "T | extend a = dynamic([5, 6]) | mv-expand a")
     assert sorted(r["a"] for r in out2.collect()) == [5, 6]
+
+
+def test_prev_next_default_third_arg(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double")
+    r = kql_to_df(
+        {"T": df},
+        "T | sort by k asc | extend d = v - prev(v, 1, 0.0)"
+        " | project k, d",
+    )
+    assert sorted((x["k"], x["d"]) for x in r.collect()) == [
+        (1, 10.0), (2, 10.0), (3, 10.0),
+    ]
