@@ -1257,3 +1257,40 @@ def dedup_contamination_hashed(spark, sf_dir):
     return DD.contamination_flags(
         corpus, bench, "doc_id", "text", n=5, hash_grams=True
     )
+
+
+@query(
+    "dedup_paragraphs",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS para,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), k AS (
+      SELECT doc_id, pos, para,
+             (length(trim(para)) < 1) OR
+             (ROW_NUMBER() OVER (PARTITION BY lower(trim(para))
+                                 ORDER BY doc_id, pos) = 1) AS keep
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN para END, ' '
+                               ORDER BY pos), '') AS text_deduped
+    FROM k GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Sub-document (paragraph/sentence) dedup — first occurrence of a
+    normalized paragraph wins GLOBALLY, each document keeps its
+    survivors in original order (kills the cross-page boilerplate that
+    document-level dedup can't see). One posexplode + one window on the
+    normalized-paragraph hash + one reassembling groupBy — two
+    shuffles, no joins. TOKEN granularity here (the synthetic corpus
+    has no paragraph breaks; ~60 units/doc exercises the same
+    explode→window→reassemble machinery) — the separator is a
+    parameter, '\n\n' in real corpora."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return DD.paragraph_dedup(d, "doc_id", "text", sep=" ")

@@ -52,3 +52,46 @@ def test_curate_pipeline_holds_no_tracked_caches(spark, sf_dir):
     # result is still correct after the release (recompute-from-lineage
     # safety): re-count agrees
     assert out.count() == n
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "HEADER\n\nunique one\n\nFOOTER"),
+            (2, "HEADER\n\nunique two\n\nFOOTER"),
+            (3, "header\n\nunique three"),  # case-insensitive dup
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_deduped"])
+        for r in DD.paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert rows[1] == (3, 3, "HEADER\n\nunique one\n\nFOOTER")
+    assert rows[2] == (3, 1, "unique two")
+    assert rows[3] == (2, 1, "unique three")
+
+
+def test_paragraph_dedup_short_paragraphs_kept(spark):
+    df = spark.createDataFrame(
+        [(1, "Yes.\n\nlong paragraph"), (2, "Yes.\n\nother text")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["text_deduped"]
+        for r in DD.paragraph_dedup(
+            df, "doc_id", "text", min_chars=10
+        ).collect()
+    }
+    # "Yes." is under min_chars -> kept verbatim in BOTH docs
+    assert rows[1] == "Yes.\n\nlong paragraph"
+    assert rows[2] == "Yes.\n\nother text"
+
+
+def test_paragraph_dedup_regex_separator_is_literal(spark):
+    df = spark.createDataFrame([(1, "a. b. a. c")], "doc_id long, text string")
+    r = DD.paragraph_dedup(df, "doc_id", "text", sep=". ").collect()[0]
+    # '. ' must split literally (F.split takes a regex; '.' would match
+    # any char) — 4 units, the repeated 'a' deduped
+    assert r["n_paras"] == 4 and r["n_kept"] == 3
+    assert r["text_deduped"] == "a. b. c"
