@@ -99,6 +99,12 @@ partition-by sub-pipes); ``sort by``/``order by`` default ascending —
 a documented deviation from Kusto's descending sort default (write the
 direction explicitly for portable queries).
 
+STREAMING: the translator emits plain Catalyst expressions, so
+stateless stages (where/extend/project/parse/term operators) and
+binned/windowed summarize run unchanged on a ``readStream`` DataFrame
+(tests/test_kql_streaming.py) — a Kusto-shaped pipeline pointed at a
+live feed.
+
 Expression translation is textual (KQL ``==``/``!=``/``and``/``or``/
 ``contains``/``startswith``/``endswith``/``in`` → Spark SQL) and routed
 through ``F.expr`` — Catalyst parses/optimizes; the translator never
