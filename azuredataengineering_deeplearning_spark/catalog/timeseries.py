@@ -1026,3 +1026,34 @@ def ts_mann_kendall(spark, sf_dir):
     self-join."""
     daily = _daily(spark, sf_dir)
     return TS.mann_kendall_trend(daily, ["user_id"], "d", "y")
+
+
+@query(
+    "ts_rolling_active_users",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), spine AS (SELECT DISTINCT day FROM days)
+    SELECT s.day,
+           CAST((SELECT COUNT(DISTINCT d.user_id) FROM days d
+                 WHERE d.day <= s.day
+                   AND d.day > s.day - INTERVAL 7 DAY) AS BIGINT)
+             AS active_7d
+    FROM spine s
+    """,
+)
+def ts_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day distinct users per observed day (the WAU/MAU
+    primitive). No engine computes COUNT(DISTINCT) over a sliding
+    frame without quadratic state — the scalable shape is the
+    contribution explode: dedup to (user, day) pairs, explode each
+    onto the window_days it keeps the user active, ONE (day) distinct
+    aggregate. Cost = window × deduped pairs, independent of raw event
+    volume (the oracle's correlated subquery is the NON-scalable twin,
+    fine at sf0.01)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    out = TS.rolling_active_users(t["events"], "ts", "user_id", 7)
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("active_7d").cast("long").alias("active_7d"),
+    )

@@ -231,6 +231,72 @@ def cohort_retention(
     )
 
 
+def rolling_active_users(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    window_days: int = 28,
+    out: str | None = None,
+) -> DataFrame:
+    """Rolling distinct users per day (the MAU/WAU primitive; Kusto's
+    ``activity_engagement`` family computes DAU/MAU from two of
+    these). For each observed day: the count of distinct users active
+    in the trailing ``window_days`` window ending that day.
+
+    Why not a window function: no engine computes COUNT(DISTINCT) over
+    a sliding frame without quadratic state. The scalable shape is the
+    CONTRIBUTION EXPLODE: dedup to (user, active-day) pairs, explode
+    each pair onto the ``window_days`` future days it makes the user
+    "active" for, then one (day) aggregate of distinct users. Cost is
+    ``window_days ×`` the DEDUPED (user, day) pair count — independent
+    of raw event volume, the right trade at 100 TB where events/day >>
+    users×window. Emitted days are restricted to days actually
+    observed in the data (a trailing window past the last event is a
+    forecast, not a measurement)."""
+    out = out or f"active_{window_days}d"
+    days = df.select(
+        F.to_date(F.col(ts_col)).alias("__day"),
+        F.col(user_col).alias("__u"),
+    ).distinct()
+    observed = days.select("__day").distinct()
+    contrib = days.select(
+        "__u",
+        F.explode(
+            F.sequence(
+                F.col("__day"), F.date_add(F.col("__day"), window_days - 1)
+            )
+        ).alias("__d"),
+    )
+    return (
+        contrib.join(
+            observed.withColumnRenamed("__day", "__d"), "__d", "left_semi"
+        )
+        .groupBy(F.col("__d").alias("day"))
+        .agg(F.countDistinct("__u").alias(out))
+    )
+
+
+def engagement_ratio(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    short_days: int = 1,
+    long_days: int = 28,
+) -> DataFrame:
+    """DAU/MAU-style stickiness: rolling ``short_days``-distinct over
+    rolling ``long_days``-distinct users per day (Kusto
+    ``activity_engagement``). Two contribution-explode aggregates
+    joined on day; ratio in double."""
+    short = rolling_active_users(df, ts_col, user_col, short_days, out="__s")
+    long_ = rolling_active_users(df, ts_col, user_col, long_days, out="__l")
+    return short.join(long_, "day").select(
+        "day",
+        F.col("__s").alias(f"active_{short_days}d"),
+        F.col("__l").alias(f"active_{long_days}d"),
+        (F.col("__s") / F.col("__l")).alias("engagement"),
+    )
+
+
 def make_series(
     df: DataFrame,
     keys: list[str],

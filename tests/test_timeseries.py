@@ -428,3 +428,31 @@ def test_grouped_apply_packed_contract(spark):
     # pinned fan-out: partitions = defaultParallelism, not AQE-coalesced
     n = grouped_apply_packed(df, ["k"], fn, schema).rdd.getNumPartitions()
     assert n == spark.sparkContext.defaultParallelism
+
+
+def test_rolling_active_users_and_engagement(spark):
+    import datetime as dt
+
+    rows = []
+    # u1 active days 1,2; u2 active day 2; u3 active day 5
+    for u, d in [(1, 1), (1, 1), (1, 2), (2, 2), (3, 5)]:
+        rows.append((u, dt.datetime(2024, 1, d, 12)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        engagement_ratio,
+        rolling_active_users,
+    )
+
+    got = {
+        str(r["day"]): r["active_3d"]
+        for r in rolling_active_users(df, "ts", "user_id", 3).collect()
+    }
+    # only OBSERVED days emitted; day2 window covers days -1..2 -> u1,u2
+    assert got == {"2024-01-01": 1, "2024-01-02": 2, "2024-01-05": 1}
+
+    er = {
+        str(r["day"]): (r["active_1d"], r["active_3d"], r["engagement"])
+        for r in engagement_ratio(df, "ts", "user_id", 1, 3).collect()
+    }
+    assert er["2024-01-02"] == (2, 2, 1.0)
+    assert er["2024-01-05"] == (1, 1, 1.0)
