@@ -902,6 +902,56 @@ def main() -> None:
                       "rows": args.rows, "probs": 2,
                       "sec_cold": t, "sec": t2}))
 
+    # ---- paragraph dedup: explode → hash window → reassemble ---------
+    from azuredataengineering_deeplearning_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    pd_docs = spark.range(args.docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n\n",
+            F.lit("COMMON HEADER"),
+            F.concat(F.lit("body "), F.col("id").cast("string")),
+            F.concat(F.lit("shared "), (F.col("id") % 5000).cast("string")),
+            F.lit("COMMON FOOTER"),
+        ).alias("text"),
+    )
+
+    def _para_dedup():
+        return paragraph_dedup(pd_docs, "doc_id", "text").agg(
+            F.sum("n_kept")
+        ).collect()[0][0]
+
+    t, n = timed(_para_dedup)
+    t2, _ = timed(_para_dedup)
+    results["paragraph_dedup_1m_docs"] = t2
+    print(json.dumps({"probe": "paragraph_dedup_1m_docs",
+                      "docs": args.docs, "paras": args.docs * 4,
+                      "kept": int(n), "sec_cold": t, "sec": t2}))
+
+    # ---- rolling distinct users: interval-merge sweep ----------------
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        rolling_active_users,
+    )
+
+    rau_ev = spark.range(args.rows).select(
+        (F.col("id") % 500_000).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") * 7919) % (90 * 86400)
+        ).alias("ts"),
+    )
+
+    def _rau():
+        return rolling_active_users(rau_ev, "ts", "user_id", 28).count()
+
+    t, n = timed(_rau)
+    t2, _ = timed(_rau)
+    results["rolling_active_users_28d"] = t2
+    print(json.dumps({"probe": "rolling_active_users_28d",
+                      "events": args.rows, "users": 500_000,
+                      "days_out": n, "sec_cold": t, "sec": t2}))
+
     print(
         json.dumps(
             {
