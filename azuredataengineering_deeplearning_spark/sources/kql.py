@@ -314,16 +314,18 @@ def _expr(kql: str, now: str | None = None) -> str:
     )
     s = re.sub(r"\btrim\(\s*'([^']*)'\s*,\s*(\w+)\s*\)", _trim, s)
     # countof(col, 'term'): non-overlapping occurrence count via the
-    # length-difference identity (pure string ops, no regex)
-    s = re.sub(
-        r"\bcountof\((\w+)\s*,\s*'([^']*)'\)",
-        lambda m: (
+    # length-difference identity (pure string ops, no regex). An empty
+    # term would divide by zero under ANSI — reject it loudly.
+    def _countof(m):
+        if not m.group(2):
+            raise ValueError("countof needs a non-empty search term")
+        return (
             f"CAST((length({m.group(1)}) - "
             f"length(replace({m.group(1)}, '{m.group(2)}', ''))) "
             f"/ length('{m.group(2)}') AS BIGINT)"
-        ),
-        s,
-    )
+        )
+
+    s = re.sub(r"\bcountof\((\w+)\s*,\s*'([^']*)'\)", _countof, s)
     # contains/startswith/endswith: LIKE wildcards in the TERM must be
     # literal — escape %/_/backslash and pin ESCAPE. Layering: in the
     # final LIKE pattern (post SQL-literal unescape) the term needs
