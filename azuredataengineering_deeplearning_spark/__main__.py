@@ -1,0 +1,100 @@
+"""Command-line front door: run a KQL pipe or a SQL statement against
+a testdata directory's star schema and print the result.
+
+    python -m azuredataengineering_deeplearning_spark "events | take 5"
+    python -m azuredataengineering_deeplearning_spark \
+        --sql "SELECT count(*) FROM orders" --sf /root/testdata/sf0.01
+    python -m azuredataengineering_deeplearning_spark --list-queries
+
+KQL is the default dialect (the reference's ``kusto_query.py`` /
+``daily_eval.py`` entry shape); ``--sql`` switches to Spark SQL over
+the registered views. ``--query NAME`` runs a catalog query by name.
+Output: ``--show`` (default, truncated table), ``--csv`` (full, to
+stdout), ``--json`` (one JSON object per line)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m azuredataengineering_deeplearning_spark",
+        description="Run a KQL pipe / SQL statement / catalog query "
+        "against a testdata star schema.",
+    )
+    ap.add_argument("pipe", nargs="?", help="KQL pipe (tables by name)")
+    ap.add_argument("--sql", help="Spark SQL over the registered views")
+    ap.add_argument("--query", help="catalog query name (see --list-queries)")
+    ap.add_argument(
+        "--sf", default="/root/testdata/sf0.01", help="testdata directory"
+    )
+    ap.add_argument("--limit", type=int, default=20, help="--show row cap")
+    ap.add_argument("--csv", action="store_true", help="full CSV to stdout")
+    ap.add_argument("--json", action="store_true", help="JSON lines to stdout")
+    ap.add_argument(
+        "--list-queries", action="store_true", help="list catalog queries"
+    )
+    args = ap.parse_args(argv)
+
+    if args.list_queries:
+        from azuredataengineering_deeplearning_spark.catalog import QUERIES
+
+        # import the registry modules for side effects
+        import __spark_entry__ as E  # noqa: F401
+
+        for name in sorted(E.queries()):
+            print(name)
+        return 0
+
+    modes = sum(x is not None for x in (args.pipe, args.sql, args.query))
+    if modes != 1:
+        ap.error("give exactly one of: a KQL pipe, --sql, or --query NAME")
+
+    from azuredataengineering_deeplearning_spark import get_spark
+    from azuredataengineering_deeplearning_spark.sources.readers import (
+        load_tables,
+        register_views,
+    )
+
+    spark = get_spark(app_name="ades-cli")
+    try:
+        if args.query:
+            import __spark_entry__ as E
+
+            qs = E.queries()
+            if args.query not in qs:
+                print(f"unknown catalog query {args.query!r}", file=sys.stderr)
+                return 2
+            df = qs[args.query](spark, args.sf)
+        elif args.sql:
+            register_views(spark, args.sf)
+            df = spark.sql(args.sql)
+        else:
+            from azuredataengineering_deeplearning_spark.sources.kql import (
+                kql_to_df,
+            )
+
+            df = kql_to_df(load_tables(spark, args.sf), args.pipe)
+        if args.csv:
+            import csv
+
+            w = csv.writer(sys.stdout)
+            w.writerow(df.columns)
+            for row in df.toLocalIterator():
+                w.writerow(list(row))
+        elif args.json:
+            import json
+
+            for row in df.toLocalIterator():
+                print(json.dumps(row.asDict(), default=str))
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -319,3 +319,20 @@ def test_prev_next_default_third_arg(spark):
     assert sorted((x["k"], x["d"]) for x in r.collect()) == [
         (1, 10.0), (2, 10.0), (3, 10.0),
     ]
+
+
+def test_cli_entrypoint_kql_and_sql(spark, sf_dir, capsys):
+    # the CLI owns its own SparkSession; run it in-process against the
+    # module API (getOrCreate reuses the test session, stop() is safe
+    # at the end of each invocation — create a throwaway run last)
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "azuredataengineering_deeplearning_spark",
+         "--list-queries"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0
+    names = out.stdout.split()
+    assert "q1_pricing_summary" in names and "kql_facet_by" in names
