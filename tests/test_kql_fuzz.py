@@ -182,10 +182,22 @@ def _canon(df):
     return sorted(map(repr, rows)), sorted(df.columns)
 
 
+def _g_extend_chained(rng, prev_name, i):
+    # extend referencing a PREVIOUS extend's column — composition the
+    # rewriter must not fracture
+    name = f"e{i}"
+    return (
+        f"extend {name} = strlen({prev_name})",
+        lambda df: df.withColumn(name, F.length(F.col(prev_name))),
+        name,
+    )
+
+
 def _one_case(rng, spark, base):
     stages, twins = [], []
     cols = {"k", "s", "v", "n"}
-    n_mid = rng.randint(1, 3)
+    n_mid = rng.randint(1, 5)
+    last_str_extend = None
     for i in range(n_mid):
         pick = rng.random()
         if pick < 0.45:
@@ -193,7 +205,13 @@ def _one_case(rng, spark, base):
             stages.append(t)
             twins.append(fn)
         elif pick < 0.75:
-            t, fn, name = _g_extend(rng, cols, i)
+            if last_str_extend and rng.random() < 0.35:
+                t, fn, name = _g_extend_chained(rng, last_str_extend, i)
+                last_str_extend = None
+            else:
+                t, fn, name = _g_extend(rng, cols, i)
+                if "strcat" in t or "iff" in t:
+                    last_str_extend = name
             stages.append(t)
             twins.append(fn)
             cols.add(name)
@@ -213,6 +231,11 @@ def _one_case(rng, spark, base):
             )
         )
         cols = {"k", "c", "sv"}
+        if rng.random() < 0.4:
+            # post-summarize WHERE on an aggregate column (HAVING shape)
+            t = rng.choice([1, 2, 3])
+            stages.append(f"where c >= {t}")
+            twins.append(lambda df, t=t: df.filter(F.col("c") >= t))
         if rng.random() < 0.5:
             t, fn = _g_top(rng, "sv")
             stages.append(t)
