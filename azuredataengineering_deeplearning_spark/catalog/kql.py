@@ -1372,3 +1372,32 @@ def kql_series_arith(spark, sf_dir):
         F.col("z.avg_").alias("avg_"),
         F.col("z.dev").alias("dev"),
     )
+
+
+@query(
+    "kql_basket",
+    """
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS count_,
+             GROUPING(lang) AS gl, GROUPING(source) AS gs
+      FROM documents
+      GROUP BY GROUPING SETS ((), (lang), (source), (lang, source))
+    ), tot AS (SELECT count_ AS total FROM g WHERE gl = 1 AND gs = 1)
+    SELECT CASE WHEN gl = 0 THEN lang END AS lang,
+           CASE WHEN gs = 0 THEN source END AS source,
+           CAST(count_ AS BIGINT) AS count_,
+           count_ * 100.0 / total AS percent
+    FROM g, tot
+    WHERE (gl = 0 OR gs = 0) AND count_ >= total * 0.1
+    """,
+)
+def kql_basket(spark, sf_dir):
+    """``evaluate basket(threshold)`` — Kusto's frequent-pattern
+    plugin: attribute-value combinations covering >= threshold of the
+    rows, wildcards as NULL (Kusto's output shape). ONE GROUPING SETS
+    pass (the facet plan generalized to multi-column itemsets); the
+    grand-total set broadcasts back as the denominator."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t, "documents | project lang, source | evaluate basket(0.1)"
+    )

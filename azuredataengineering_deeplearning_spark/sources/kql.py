@@ -26,7 +26,9 @@ extraction dropping non-matching rows), ``datatable (...) [...]``
 literal sources, multi-table ``union``, ``project-reorder``,
 ``partition by Col ( ... )`` (per-partition-value sub-pipes compiled to
 one distributed plan), ``evaluate pivot(...)`` / ``bag_unpack(...)``,
-``top-nested ... with others=``, ``union [withsource=]``, ``print``
+``top-nested ... with others=``, ``evaluate basket(threshold)``
+(frequent attribute combinations — one GROUPING SETS pass, wildcards
+as NULL), ``union [withsource=]``, ``print``
 one-row sources, datetime ``range`` spines, deterministic ``sample N``,
 leading ``set option;`` statements and
 ``cluster('...').database('...').Table`` addressing (the reference's
@@ -1115,6 +1117,66 @@ def _join(df: DataFrame, tables: dict[str, DataFrame], rest: str) -> DataFrame:
     return df.join(right, cond, _JOIN_KINDS[kind])
 
 
+def _basket(df: DataFrame, arg: str) -> DataFrame:
+    """``evaluate basket([threshold])`` — Kusto's frequent-pattern
+    plugin: attribute-value combinations covering at least
+    ``threshold`` (default 0.05) of the rows. Dialect subset: string
+    columns only, itemsets up to size 3 (Kusto's defaults cover the
+    same readout), output is the original columns (null = wildcard,
+    Kusto's shape) + ``count_`` + ``percent``, largest first.
+
+    Scale shape: ONE GROUPING SETS pass over all size-1..3 column
+    combinations — a single Expand + partial aggregate + one exchange
+    (the facet plan generalized); the combination count is
+    C(n,1)+C(n,2)+C(n,3) over the n string columns (code guards
+    n <= 8), and map-side combine collapses each task to distinct
+    (combination, values) before the shuffle. The row total is the
+    grand-total grouping set, broadcast back onto the itemset rows (a
+    1-row build side; the two plan branches each scan the source once
+    — never an unpartitioned window over the itemset frame)."""
+    thr = float(arg.strip()) if arg.strip() else 0.05
+    scols = [c for c, t in df.dtypes if t in ("string", "varchar")]
+    if not scols:
+        raise ValueError("basket: no string columns")
+    if len(scols) > 8:
+        raise ValueError(
+            f"basket supports up to 8 string columns, got {len(scols)} "
+            "(project the attribute columns first)"
+        )
+    from itertools import combinations
+
+    sets: list[list[str]] = [[]]  # grand total rides along
+    for r in (1, 2, 3):
+        sets.extend(list(c) for c in combinations(scols, r))
+    grouped = df.groupingSets(
+        sets, *[F.col(c) for c in scols]
+    ).agg(
+        F.count(F.lit(1)).alias("count_"),
+        *[F.grouping(c).alias(f"__g_{c}") for c in scols],
+    )
+    wild = [F.col(f"__g_{c}") for c in scols]
+    n_fixed = 1 - wild[0]
+    for _w in wild[1:]:
+        n_fixed = n_fixed + (1 - _w)
+    tot = grouped.filter(n_fixed == 0).select(
+        F.col("count_").alias("__total")
+    )
+    out = (
+        grouped.filter(n_fixed > 0)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("count_") >= F.col("__total") * F.lit(thr))
+        .select(
+            *[
+                F.when(F.col(f"__g_{c}") == 0, F.col(c)).alias(c)
+                for c in scols
+            ],
+            "count_",
+            (F.col("count_") / F.col("__total") * 100).alias("percent"),
+        )
+    )
+    return out.orderBy(F.col("count_").desc(), *scols)
+
+
 def _search(df: DataFrame, rest: str) -> DataFrame:
     """``search [kind=case_sensitive] 'term'`` — Kusto's cross-column
     term search: keep rows where ANY string column has the whole term
@@ -1481,6 +1543,9 @@ def _evaluate(
             "(__nrw - 1) as Row",
             f"stack({len(cols)}, {pairs}) as (Column, Value)",
         )
+    bm = re.match(r"^basket\s*\(([^)]*)\)\s*$", rest.strip())
+    if bm:
+        return _basket(df, bm.group(1))
     bm = re.match(
         r"^bag_unpack\s*\((\w+)(?:\s*,\s*'([^']*)')?\)\s*$", rest.strip()
     )

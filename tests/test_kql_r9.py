@@ -336,3 +336,26 @@ def test_cli_entrypoint_kql_and_sql(spark, sf_dir, capsys):
     assert out.returncode == 0
     names = out.stdout.split()
     assert "q1_pricing_summary" in names and "kql_facet_by" in names
+
+
+def test_evaluate_basket(spark):
+    rows = [("us", "web", "err")] * 6 + [("us", "app", "ok")] * 3 + [
+        ("eu", "web", "ok")
+    ]
+    df = spark.createDataFrame(rows, "region string, channel string, status string")
+    got = {
+        (r["region"], r["channel"], r["status"]): (r["count_"], r["percent"])
+        for r in kql_to_df({"T": df}, "T | evaluate basket(0.5)").collect()
+    }
+    # only itemsets covering >= 50% of 10 rows; NULL = wildcard
+    assert got == {
+        ("us", None, None): (9, 90.0),
+        (None, "web", None): (7, 70.0),
+        (None, None, "err"): (6, 60.0),
+        ("us", "web", None): (6, 60.0),
+        ("us", None, "err"): (6, 60.0),
+        (None, "web", "err"): (6, 60.0),
+        ("us", "web", "err"): (6, 60.0),
+    }
+    with pytest.raises(ValueError, match="string columns"):
+        kql_to_df({"T": spark.range(3)}, "T | evaluate basket(0.1)")
