@@ -31,6 +31,7 @@ WHITELIST = {
     "a_histogram_quantiles": ("BroadcastNestedLoopJoin", "O(bins) histogram x O(probs) range join"),
     "a_grouped_histogram_quantiles": ("BroadcastNestedLoopJoin", "O(groups*bins) x O(probs)"),
     "a_cramers_v": ("BroadcastNestedLoopJoin", "contingency marginals x 1-row total"),
+    "kql_basket": ("BroadcastNestedLoopJoin", "O(itemsets) frame x 1-row grand-total denominator"),
     "a_ks_two_sample": ("BroadcastNestedLoopJoin", "two O(distinct-value) CDF frames"),
     "a_mutual_information": ("BroadcastNestedLoopJoin", "contingency x marginal frames"),
     "dedup_simhash_pairs": ("BroadcastNestedLoopJoin", "prefix-blocked sketch table, bounded bands"),
