@@ -15,10 +15,13 @@ stdout), ``--json`` (one JSON object per line)."""
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI entry. ``spark``: inject an existing SparkSession (tests);
+    when injected the session is NOT stopped on exit."""
     ap = argparse.ArgumentParser(
         prog="python -m azuredataengineering_deeplearning_spark",
         description="Run a KQL pipe / SQL statement / catalog query "
@@ -28,7 +31,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sql", help="Spark SQL over the registered views")
     ap.add_argument("--query", help="catalog query name (see --list-queries)")
     ap.add_argument(
-        "--sf", default="/root/testdata/sf0.01", help="testdata directory"
+        "--sf",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR"),
+        help="testdata directory (default: $SPARK_GRAFT_SF_DIR)",
     )
     ap.add_argument("--limit", type=int, default=20, help="--show row cap")
     ap.add_argument("--csv", action="store_true", help="full CSV to stdout")
@@ -39,10 +44,7 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.list_queries:
-        from azuredataengineering_deeplearning_spark.catalog import QUERIES
-
-        # import the registry modules for side effects
-        import __spark_entry__ as E  # noqa: F401
+        import __spark_entry__ as E
 
         for name in sorted(E.queries()):
             print(name)
@@ -51,6 +53,8 @@ def main(argv: list[str] | None = None) -> int:
     modes = sum(x is not None for x in (args.pipe, args.sql, args.query))
     if modes != 1:
         ap.error("give exactly one of: a KQL pipe, --sql, or --query NAME")
+    if not args.sf:
+        ap.error("--sf is required (or set $SPARK_GRAFT_SF_DIR)")
 
     from azuredataengineering_deeplearning_spark import get_spark
     from azuredataengineering_deeplearning_spark.sources.readers import (
@@ -58,7 +62,9 @@ def main(argv: list[str] | None = None) -> int:
         register_views,
     )
 
-    spark = get_spark(app_name="ades-cli")
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app_name="ades-cli")
     try:
         if args.query:
             import __spark_entry__ as E
@@ -76,7 +82,11 @@ def main(argv: list[str] | None = None) -> int:
                 kql_to_df,
             )
 
-            df = kql_to_df(load_tables(spark, args.sf), args.pipe)
+            try:
+                df = kql_to_df(load_tables(spark, args.sf), args.pipe)
+            except (ValueError, KeyError) as e:
+                print(f"KQL error: {e}", file=sys.stderr)
+                return 2
         if args.csv:
             import csv
 
@@ -93,7 +103,8 @@ def main(argv: list[str] | None = None) -> int:
             df.show(args.limit, truncate=False)
         return 0
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -1046,11 +1046,13 @@ def ts_rolling_active_users(spark, sf_dir):
     """Rolling 7-day distinct users per observed day (the WAU/MAU
     primitive). No engine computes COUNT(DISTINCT) over a sliding
     frame without quadratic state — the scalable shape is the
-    contribution explode: dedup to (user, day) pairs, explode each
-    onto the window_days it keeps the user active, ONE (day) distinct
-    aggregate. Cost = window × deduped pairs, independent of raw event
-    volume (the oracle's correlated subquery is the NON-scalable twin,
-    fine at sf0.01)."""
+    INTERVAL-MERGE SWEEP (timeseries.py:rolling_active_users): per
+    user, merge consecutive active days whose coverage windows touch
+    into intervals (one lag window over the user's deduped days),
+    emit +1/-1 deltas at interval bounds, distributed prefix-sum over
+    the O(days) delta table. Cost = one user-shuffle + O(days) scan,
+    independent of window width AND raw event volume (the oracle's
+    correlated subquery is the NON-scalable twin, fine at sf0.01)."""
     t = load_tables(spark, sf_dir, ["events"])
     out = TS.rolling_active_users(t["events"], "ts", "user_id", 7)
     return out.select(

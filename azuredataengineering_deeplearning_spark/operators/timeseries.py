@@ -264,6 +264,20 @@ def rolling_active_users(
     Emitted days are restricted to days actually observed in the data
     (a trailing window past the last event is a forecast, not a
     measurement)."""
+    days = df.select(
+        F.to_date(F.col(ts_col)).alias("__day"),
+        F.col(user_col).alias("__u"),
+    ).distinct()
+    return _rolling_from_days(days, window_days, out)
+
+
+def _rolling_from_days(
+    days: DataFrame, window_days: int, out: str | None = None
+) -> DataFrame:
+    """Interval-merge sweep over a pre-deduped (__u, __day) frame —
+    shared by :func:`rolling_active_users` (one consumer) and
+    :func:`engagement_ratio` (two consumers over ONE distinct frame,
+    deduplicated physically via Spark's ReusedExchange)."""
     from pyspark.sql import Window
 
     from azuredataengineering_deeplearning_spark.operators.windows import (
@@ -271,10 +285,6 @@ def rolling_active_users(
     )
 
     out = out or f"active_{window_days}d"
-    days = df.select(
-        F.to_date(F.col(ts_col)).alias("__day"),
-        F.col(user_col).alias("__u"),
-    ).distinct()
     w = Window.partitionBy("__u").orderBy("__day")
     # coverage of day d is [d, d+w-1]; a successor day d2 leaves a gap
     # iff d2 > d + window_days (adjacent coverage merges — only count
@@ -323,10 +333,18 @@ def engagement_ratio(
 ) -> DataFrame:
     """DAU/MAU-style stickiness: rolling ``short_days``-distinct over
     rolling ``long_days``-distinct users per day (Kusto
-    ``activity_engagement``). Two contribution-explode aggregates
-    joined on day; ratio in double."""
-    short = rolling_active_users(df, ts_col, user_col, short_days, out="__s")
-    long_ = rolling_active_users(df, ts_col, user_col, long_days, out="__l")
+    ``activity_engagement``). Both rolling counts ride the
+    interval-merge sweep (:func:`rolling_active_users`: per-user lag →
+    merged coverage intervals → ±1 day-deltas → distributed prefix
+    scan), fed from ONE shared (user, day) distinct frame — the two
+    sweeps reference the same subtree, so Spark's ReuseExchange scans
+    and dedupes the events once; joined on day, ratio in double."""
+    days = df.select(
+        F.to_date(F.col(ts_col)).alias("__day"),
+        F.col(user_col).alias("__u"),
+    ).distinct()
+    short = _rolling_from_days(days, short_days, out="__s")
+    long_ = _rolling_from_days(days, long_days, out="__l")
     return short.join(long_, "day").select(
         "day",
         F.col("__s").alias(f"active_{short_days}d"),

@@ -321,10 +321,15 @@ def _expr(kql: str, now: str | None = None) -> str:
     def _countof(m):
         if not m.group(2):
             raise ValueError("countof needs a non-empty search term")
+        # Double backslashes for the SQL string-literal layer (same
+        # discipline as the has/split/trim rewrites): a term like '\\'
+        # or '\n' must reach replace()/length() verbatim, not be
+        # re-interpreted by Spark's escaped string-literal parsing.
+        term = m.group(2).replace(chr(92), chr(92) * 2)
         return (
             f"CAST((length({m.group(1)}) - "
-            f"length(replace({m.group(1)}, '{m.group(2)}', ''))) "
-            f"/ length('{m.group(2)}') AS BIGINT)"
+            f"length(replace({m.group(1)}, '{term}', ''))) "
+            f"/ length('{term}') AS BIGINT)"
         )
 
     s = re.sub(r"\bcountof\((\w+)\s*,\s*'([^']*)'\)", _countof, s)
@@ -921,10 +926,18 @@ def kql_to_df(
                     *[F.size(F.col(c)) for c in cols]
                 ) if len(cols) > 1 else F.size(F.col(cols[0]))
                 pos_name = idx or "__mvidx"
+                # Guard the spine: sequence(0, -1) yields [0, -1] when
+                # every array is empty (Spark defaults step to -1 when
+                # start > stop), which would emit 2 spurious null rows.
+                # posexplode of NULL drops the row — matching Kusto,
+                # which drops rows whose arrays are all empty/null.
                 df = df.select(
                     "*",
                     F.posexplode(
-                        F.sequence(F.lit(0), longest - 1)
+                        F.when(
+                            longest >= 1,
+                            F.sequence(F.lit(0), longest - 1),
+                        )
                     ).alias(pos_name, "__mvseq"),
                 ).drop("__mvseq")
                 for c in cols:

@@ -930,6 +930,41 @@ def main() -> None:
                       "docs": args.docs, "paras": args.docs * 4,
                       "kept": int(n), "sec_cold": t, "sec": t2}))
 
+    # ---- paragraph dedup EXTREME skew: one paragraph in 60% of 5M
+    # docs. The r9 window kernel funnels the 3M-copy group through ONE
+    # task; the r10 skew-safe kernel (groupBy(min) map-side combine +
+    # AQE-split join back) bounds max-task time. Both measured.
+    skew_n = args.docs * 5
+    skew_docs = spark.range(skew_n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n\n",
+            F.when(
+                F.col("id") % 5 < 3, F.lit("SAME LICENSE HEADER EVERYWHERE")
+            ).otherwise(F.concat(F.lit("rare head "), (F.col("id") % 97).cast("string"))),
+            F.concat(F.lit("body "), F.col("id").cast("string")),
+        ).alias("text"),
+    )
+
+    def _para_skew(flag):
+        return lambda: paragraph_dedup(
+            skew_docs, "doc_id", "text", skew_safe=flag
+        ).agg(F.sum("n_kept")).collect()[0][0]
+
+    t, n = timed(_para_skew(False))
+    t2, _ = timed(_para_skew(False))
+    results["paragraph_dedup_extreme_skew_window"] = t2
+    print(json.dumps({"probe": "paragraph_dedup_extreme_skew_window",
+                      "docs": skew_n, "hot_copies": skew_n * 3 // 5,
+                      "kept": int(n), "sec_cold": t, "sec": t2}))
+
+    t, n = timed(_para_skew(True))
+    t2, _ = timed(_para_skew(True))
+    results["paragraph_dedup_extreme_skew_safe"] = t2
+    print(json.dumps({"probe": "paragraph_dedup_extreme_skew_safe",
+                      "docs": skew_n, "hot_copies": skew_n * 3 // 5,
+                      "kept": int(n), "sec_cold": t, "sec": t2}))
+
     # ---- rolling distinct users: interval-merge sweep ----------------
     from azuredataengineering_deeplearning_spark.operators.timeseries import (
         rolling_active_users,
