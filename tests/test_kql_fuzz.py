@@ -1,4 +1,5 @@
-"""Seeded grammar fuzzer for the KQL rewriter (verdict r9 item #3).
+"""Seeded grammar fuzzer for the KQL rewriter (verdict r9 item #3,
+widened per verdict r10 item #2 with an INDEPENDENT DuckDB oracle).
 
 pkg/sources/kql.py is ~1.6k lines of regex-driven rewriting with
 string-literal masking; its failure class is SILENT MISPARSE on
@@ -6,22 +7,37 @@ nesting/precedence — exactly what hand review caught twice (has_any
 matching identifier text, mv-apply snapshot leak). This fuzzer
 generates >=200 random pipes from the supported grammar, with quoted
 literals deliberately containing pipes, parens, keywords, LIKE
-wildcards and operator text, and asserts EQUIVALENCE against a
-DataFrame twin built stage-by-stage with native ops. A silently
-dropped or mangled stage shows up as a row/value mismatch; there is no
-"close enough".
+wildcards and operator text, and asserts EQUIVALENCE against:
 
-A second pass feeds malformed constructs and asserts a LOUD error
-(never a silent pass-through).
+1. a DataFrame twin built stage-by-stage with native ops (all 200
+   cases), and
+2. a DuckDB SQL twin (every case whose stages are all
+   SQL-expressible — asserted >= 140 of the 200). The DataFrame twin
+   shares Spark's expression semantics with the engine, so a SHARED
+   misconception (e.g. the r8 case-sensitivity class) passes both
+   sides; DuckDB is a foreign engine and catches that class. Hashing
+   reuses tools/check_correctness.py's canonicalization (doubles
+   rounded to 6 decimals, order-insensitive).
+
+A silently dropped or mangled stage shows up as a row/value mismatch;
+there is no "close enough". A second pass feeds malformed constructs
+and asserts a LOUD error (never a silent pass-through).
 """
 
+import os
 import random
 import re
+import sys
 
 import pytest
 from pyspark.sql import functions as F
 
 from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+)
+from check_correctness import frame_hash  # noqa: E402
 
 # literals chosen to collide with the rewriter's own syntax: pipe
 # separators, parens, keywords, comparison text, LIKE wildcards,
@@ -33,6 +49,13 @@ LITS = [
 TERMS = ["alpha", "BETA", "a.b", "100%", "x1"]  # for has (term search)
 
 
+def _sq(s: str) -> str:
+    """SQL string literal (standard quoting; DuckDB does not process
+    backslash escapes in plain '...' literals, so regex patterns with
+    backslashes embed verbatim)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _mkdata(spark):
     rows = []
     for i in range(24):
@@ -42,10 +65,12 @@ def _mkdata(spark):
     return spark.createDataFrame(rows, "k string, s string, v double, n int")
 
 
-# ---- stage generators: (kql_text, twin_fn, post_summarize_ok) -------
+# ---- stage generators: (kql_text, twin_fn, sql_fn) -------------------
 # each returns (kql stage string, fn(df) -> df applying the same
-# semantics natively). Twins use ONLY native column ops, never the
-# rewriter, so agreement is evidence of a correct parse.
+# semantics natively, fn(sql) -> sql wrapping the same semantics in
+# DuckDB SQL — or None when not SQL-expressible). Twins use ONLY
+# native column ops / foreign SQL, never the rewriter, so agreement is
+# evidence of a correct parse.
 
 
 def _g_where(rng, cols):
@@ -62,12 +87,15 @@ def _g_where(rng, cols):
             lambda df: df.filter(
                 F.col("s").rlike(p1) & F.col("s").rlike(p2)
             ),
+            lambda q: f"SELECT * FROM ({q}) WHERE "
+            f"regexp_matches(s, {_sq(p1)}) AND regexp_matches(s, {_sq(p2)})",
         )
     if kind == "notbetween" and "n" in cols:
         a, b = sorted(rng.sample(range(7), 2))
         return (
             f"where n !between ({a} .. {b})",
             lambda df: df.filter(~((F.col("n") >= a) & (F.col("n") <= b))),
+            lambda q: f"SELECT * FROM ({q}) WHERE NOT (n BETWEEN {a} AND {b})",
         )
     if kind == "compound" and "v" in cols and "s" in cols:
         # boolean nesting + a literal that LOOKS like more predicate
@@ -82,15 +110,22 @@ def _g_where(rng, cols):
                 )
                 | (F.col("k") == "gamma")
             ),
+            lambda q: f"SELECT * FROM ({q}) WHERE (v > {t} AND "
+            f"contains(lower(s), {_sq(lit.lower())})) OR k = 'gamma'",
         )
     if kind == "cmp" and "v" in cols:
         t = rng.choice([5.0, 10.0, 15.0])
-        return f"where v > {t}", lambda df: df.filter(F.col("v") > t)
+        return (
+            f"where v > {t}",
+            lambda df: df.filter(F.col("v") > t),
+            lambda q: f"SELECT * FROM ({q}) WHERE v > {t}",
+        )
     if kind == "between" and "n" in cols:
         a, b = sorted(rng.sample(range(7), 2))
         return (
             f"where n between ({a} .. {b})",
             lambda df: df.filter((F.col("n") >= a) & (F.col("n") <= b)),
+            lambda q: f"SELECT * FROM ({q}) WHERE n BETWEEN {a} AND {b}",
         )
     if kind == "contains" and "s" in cols:
         lit = rng.choice(LITS)
@@ -99,15 +134,24 @@ def _g_where(rng, cols):
             lambda df: df.filter(
                 F.lower(F.col("s")).contains(lit.lower())
             ),
+            lambda q: f"SELECT * FROM ({q}) WHERE "
+            f"contains(lower(s), {_sq(lit.lower())})",
         )
     if kind == "has" and "s" in cols:
         term = rng.choice(TERMS)
         pat = "(?i)\\b" + re.escape(term) + "\\b"
-        return f"where s has '{term}'", lambda df: df.filter(
-            F.col("s").rlike(pat)
+        return (
+            f"where s has '{term}'",
+            lambda df: df.filter(F.col("s").rlike(pat)),
+            lambda q: f"SELECT * FROM ({q}) WHERE "
+            f"regexp_matches(s, {_sq(pat)})",
         )
     key = rng.choice(["alpha", "beta", "gamma"])
-    return f"where k == '{key}'", lambda df: df.filter(F.col("k") == key)
+    return (
+        f"where k == '{key}'",
+        lambda df: df.filter(F.col("k") == key),
+        lambda q: f"SELECT * FROM ({q}) WHERE k = '{key}'",
+    )
 
 
 def _g_extend(rng, cols, i):
@@ -117,6 +161,7 @@ def _g_extend(rng, cols, i):
         return (
             f"extend {name} = v * 2 + 1",
             lambda df: df.withColumn(name, F.col("v") * 2 + 1),
+            lambda q: f"SELECT *, v * 2 + 1 AS {name} FROM ({q})",
             name,
         )
     if kind == "strcat":
@@ -124,6 +169,7 @@ def _g_extend(rng, cols, i):
         return (
             f"extend {name} = strcat(k, '{lit}')",
             lambda df: df.withColumn(name, F.concat(F.col("k"), F.lit(lit))),
+            lambda q: f"SELECT *, concat(k, {_sq(lit)}) AS {name} FROM ({q})",
             name,
         )
     a, b = rng.sample(LITS, 2)
@@ -140,6 +186,8 @@ def _g_extend(rng, cols, i):
                     F.col(col) > t, F.concat(F.col("k"), F.lit(a))
                 ).otherwise(F.lit(b)),
             ),
+            lambda q: f"SELECT *, CASE WHEN {col} > {t} THEN "
+            f"concat(k, {_sq(a)}) ELSE {_sq(b)} END AS {name} FROM ({q})",
             name,
         )
     return (
@@ -147,6 +195,8 @@ def _g_extend(rng, cols, i):
         lambda df: df.withColumn(
             name, F.when(F.col(col) > t, F.lit(a)).otherwise(F.lit(b))
         ),
+        lambda q: f"SELECT *, CASE WHEN {col} > {t} THEN {_sq(a)} "
+        f"ELSE {_sq(b)} END AS {name} FROM ({q})",
         name,
     )
 
@@ -158,16 +208,26 @@ def _g_sorttake(rng, order_col):
     return (
         f"sort by {order_col} {d} | take {nn}",
         lambda df: df.orderBy(col).limit(nn),
+        lambda q: f"SELECT * FROM ({q}) ORDER BY {order_col} "
+        f"{d.upper()} LIMIT {nn}",
     )
 
 
 def _g_top(rng, order_col):
     nn = rng.randint(2, 8)
     d = rng.choice(["", " asc", " desc"])  # bare = Kusto desc default
+
     def twin(df):
         c = F.col(order_col).asc() if d == " asc" else F.col(order_col).desc()
         return df.orderBy(c).limit(nn)
-    return f"top {nn} by {order_col}{d}", twin
+
+    sql_dir = "ASC" if d == " asc" else "DESC"
+    return (
+        f"top {nn} by {order_col}{d}",
+        twin,
+        lambda q: f"SELECT * FROM ({q}) ORDER BY {order_col} "
+        f"{sql_dir} LIMIT {nn}",
+    )
 
 
 def _canon(df):
@@ -189,40 +249,47 @@ def _g_extend_chained(rng, prev_name, i):
     return (
         f"extend {name} = strlen({prev_name})",
         lambda df: df.withColumn(name, F.length(F.col(prev_name))),
+        lambda q: f"SELECT *, CAST(length({prev_name}) AS INT) "
+        f"AS {name} FROM ({q})",
         name,
     )
 
 
-def _one_case(rng, spark, base):
-    stages, twins = [], []
+def _one_case(rng, spark, base, duck):
+    """Returns True when the case carried a DuckDB twin."""
+    stages, twins, sqls = [], [], []
     cols = {"k", "s", "v", "n"}
     n_mid = rng.randint(1, 5)
     last_str_extend = None
     for i in range(n_mid):
         pick = rng.random()
         if pick < 0.45:
-            t, fn = _g_where(rng, cols)
+            t, fn, sq = _g_where(rng, cols)
             stages.append(t)
             twins.append(fn)
+            sqls.append(sq)
         elif pick < 0.75:
             if last_str_extend and rng.random() < 0.35:
-                t, fn, name = _g_extend_chained(rng, last_str_extend, i)
+                t, fn, sq, name = _g_extend_chained(rng, last_str_extend, i)
                 last_str_extend = None
             else:
-                t, fn, name = _g_extend(rng, cols, i)
+                t, fn, sq, name = _g_extend(rng, cols, i)
                 if "strcat" in t or "iff" in t:
                     last_str_extend = name
             stages.append(t)
             twins.append(fn)
+            sqls.append(sq)
             cols.add(name)
         elif pick < 0.9:
-            t, fn = _g_sorttake(rng, "v")
+            t, fn, sq = _g_sorttake(rng, "v")
             stages.append(t)
             twins.append(fn)
+            sqls.append(sq)
         else:
-            t, fn = _g_top(rng, "v")
+            t, fn, sq = _g_top(rng, "v")
             stages.append(t)
             twins.append(fn)
+            sqls.append(sq)
     if rng.random() < 0.5:
         stages.append("summarize c = count(), sv = sum(v) by k")
         twins.append(
@@ -230,16 +297,22 @@ def _one_case(rng, spark, base):
                 F.count(F.lit(1)).alias("c"), F.sum("v").alias("sv")
             )
         )
+        sqls.append(
+            lambda q: f"SELECT k, CAST(COUNT(*) AS BIGINT) AS c, "
+            f"SUM(v) AS sv FROM ({q}) GROUP BY k"
+        )
         cols = {"k", "c", "sv"}
         if rng.random() < 0.4:
             # post-summarize WHERE on an aggregate column (HAVING shape)
             t = rng.choice([1, 2, 3])
             stages.append(f"where c >= {t}")
             twins.append(lambda df, t=t: df.filter(F.col("c") >= t))
+            sqls.append(lambda q, t=t: f"SELECT * FROM ({q}) WHERE c >= {t}")
         if rng.random() < 0.5:
-            t, fn = _g_top(rng, "sv")
+            t, fn, sq = _g_top(rng, "sv")
             stages.append(t)
             twins.append(fn)
+            sqls.append(sq)
     # terminal stage: project (usual), or one of the r9 whole-table
     # operators (facet / search) exercised against hand-built twins
     roll = rng.random()
@@ -263,6 +336,11 @@ def _one_case(rng, spark, base):
             return a.unionByName(b)
 
         twins.append(_facet_twin)
+        # facet_value stringification of DOUBLEs differs between
+        # engines (Spark '13.5' vs DuckDB '13.5' agree, but trailing
+        # representations of computed doubles may not) — SQL twin only
+        # for string/int facet columns
+        sqls.append(None)
     elif roll < 0.22 and "s" in cols:
         term = rng.choice(TERMS)
         pat = "(?i)\\b" + re.escape(term) + "\\b"
@@ -276,10 +354,16 @@ def _one_case(rng, spark, base):
             return df.filter(cond)
 
         twins.append(_search_twin)
+        # SQL twin would need column-type tracking across the pipe to
+        # enumerate string columns — skipped (DataFrame twin covers it)
+        sqls.append(None)
     else:
         keep = sorted(rng.sample(sorted(cols), rng.randint(1, len(cols))))
         stages.append("project " + ", ".join(keep))
         twins.append(lambda df, keep=keep: df.select(*keep))
+        sqls.append(
+            lambda q, keep=keep: f"SELECT {', '.join(keep)} FROM ({q})"
+        )
 
     q = "T | " + " | ".join(stages)
     got = kql_to_df({"T": base}, q)
@@ -289,14 +373,33 @@ def _one_case(rng, spark, base):
     g, w = _canon(got), _canon(want)
     assert g == w, f"MISMATCH for {q!r}:\n got {g}\nwant {w}"
 
+    if any(sq is None for sq in sqls):
+        return False
+    sql = "SELECT * FROM T"
+    for sq in sqls:
+        sql = sq(sql)
+    duck_pdf = duck.sql(sql).df()
+    got_pdf = got.toPandas()
+    gh, dh = frame_hash(got_pdf), frame_hash(duck_pdf)
+    assert gh == dh, (
+        f"DUCKDB MISMATCH for {q!r}\n sql: {sql}\n spark {gh}\n duck {dh}"
+    )
+    return True
+
 
 def test_fuzz_200_random_pipes_match_dataframe_twin(spark):
+    import duckdb
+
     base = _mkdata(spark).cache()
     base.count()
+    duck = duckdb.connect()
+    duck.register("T", base.toPandas())
     rng = random.Random(20260815)
-    for case in range(200):
-        _one_case(rng, spark, base)
+    n_duck = sum(_one_case(rng, spark, base, duck) for _ in range(200))
     base.unpersist()
+    # the independent-oracle coverage bar (verdict r10 #2): >= 140 of
+    # the 200 pipes must carry a full DuckDB twin
+    assert n_duck >= 140, f"only {n_duck}/200 cases had a DuckDB twin"
 
 
 MALFORMED = [
