@@ -716,6 +716,18 @@ def _rewrite_case(s: str) -> str:
     return "".join(out)
 
 
+# stages with no streaming-legal plan: global sorts/top-k need a total
+# order (Spark allows sorting only in complete-mode output, which the
+# translator cannot see), partition/evaluate/top-nested/top-hitters/
+# sample build windows or driver-side snapshots. summarize arg_max gets
+# a dedicated streaming face (max_by aggregate) instead of its batch
+# row_number window — see _summarize.
+_STREAM_UNSUPPORTED = frozenset(
+    {"sort", "order", "top", "top-nested", "top-hitters", "partition",
+     "evaluate", "sample"}
+)
+
+
 def kql_to_df(
     tables: dict[str, DataFrame], query: str, now: str | None = None
 ) -> DataFrame:
@@ -829,6 +841,16 @@ def kql_to_df(
     for stage in stages[1:]:
         op, _, rest = stage.partition(" ")
         rest = rest.strip()
+        if df.isStreaming and (
+            op in _STREAM_UNSUPPORTED or (op == "serialize" and rest)
+        ):
+            raise ValueError(
+                f"KQL stage {op!r} is not supported on a STREAMING input: "
+                "it needs a total order or a bounded snapshot "
+                f"(unsupported on streams: {sorted(_STREAM_UNSUPPORTED)}, "
+                "plus serialize-with-assignments). Run it per micro-batch "
+                "in foreachBatch, or on the batch table."
+            )
         if op in ("where", "project-away"):
             # shared with mv-apply sub-pipes via _row_local_stage, so
             # the two dispatch sites cannot drift
@@ -2038,6 +2060,21 @@ def _summarize(df: DataFrame, rest: str, now: str | None = None) -> DataFrame:
     )
     if m:
         order = F.col(m.group(3))
+        if df.isStreaming:
+            # streaming face of `summarize arg_max(Rev, *) by Key`
+            # (daily_eval.py:158): the batch row_number window is not
+            # streaming-legal, but max_by/min_by ARE declarative
+            # aggregates — one streaming groupBy keeps each key's
+            # extreme row as state (update/complete output mode; add a
+            # watermark + window key upstream for append mode). Output
+            # = the full original row, matching the batch plan.
+            pick = F.max_by if m.group(2) == "max" else F.min_by
+            row = F.struct(*[F.col(c) for c in df.columns])
+            return (
+                df.groupBy(*keys)
+                .agg(pick(row, order).alias("__row"))
+                .select("__row.*")
+            )
         w = Window.partitionBy(*keys).orderBy(
             order.desc() if m.group(2) == "max" else order.asc()
         )
