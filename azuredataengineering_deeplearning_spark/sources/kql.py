@@ -1160,15 +1160,22 @@ def _basket(df: DataFrame, arg: str) -> DataFrame:
     same readout), output is the original columns (null = wildcard,
     Kusto's shape) + ``count_`` + ``percent``, largest first.
 
-    Scale shape: ONE GROUPING SETS pass over all size-1..3 column
+    Scale shape (round 10, probed at 5M rows x 8 cols — SCALING.md):
+    PRE-COLLAPSE to weighted distinct attribute tuples
+    (``groupBy(all cols).agg(count AS w)``, map-side combine), THEN one
+    GROUPING SETS pass summing the weights over all size-1..3 column
     combinations — a single Expand + partial aggregate + one exchange
-    (the facet plan generalized); the combination count is
+    (the facet plan generalized). The combination count is
     C(n,1)+C(n,2)+C(n,3) over the n string columns (code guards
-    n <= 8), and map-side combine collapses each task to distinct
-    (combination, values) before the shuffle. The row total is the
-    grand-total grouping set, broadcast back onto the itemset rows (a
-    1-row build side; the two plan branches each scan the source once
-    — never an unpartitioned window over the itemset frame)."""
+    n <= 8; 92 sets at n=8), so the Expand multiplies DISTINCT TUPLES
+    x92, not raw rows x92 — on repetitive attribute data (the basket
+    workload) that is a measured 36x (89.6 s -> 2.5 s at 5M rows /
+    50k tuples), and even on all-distinct worst-case data the
+    pre-collapse costs nothing net. The row total is a separate 1-row
+    count aggregate over the source broadcast onto the itemset rows —
+    NOT a filter of the grouping-sets frame, which this Spark build
+    would compute twice (AQE does not reuse exchanges under broadcast
+    branches; the r9 shape paid exactly that 2x)."""
     thr = float(arg.strip()) if arg.strip() else 0.05
     scols = [c for c, t in df.dtypes if t in ("string", "varchar")]
     if not scols:
@@ -1180,25 +1187,21 @@ def _basket(df: DataFrame, arg: str) -> DataFrame:
         )
     from itertools import combinations
 
-    sets: list[list[str]] = [[]]  # grand total rides along
+    sets: list[list[str]] = []
     for r in (1, 2, 3):
         sets.extend(list(c) for c in combinations(scols, r))
-    grouped = df.groupingSets(
+    weighted = df.groupBy(*[F.col(c) for c in scols]).agg(
+        F.count(F.lit(1)).alias("__w")
+    )
+    grouped = weighted.groupingSets(
         sets, *[F.col(c) for c in scols]
     ).agg(
-        F.count(F.lit(1)).alias("count_"),
+        F.sum("__w").alias("count_"),
         *[F.grouping(c).alias(f"__g_{c}") for c in scols],
     )
-    wild = [F.col(f"__g_{c}") for c in scols]
-    n_fixed = 1 - wild[0]
-    for _w in wild[1:]:
-        n_fixed = n_fixed + (1 - _w)
-    tot = grouped.filter(n_fixed == 0).select(
-        F.col("count_").alias("__total")
-    )
+    tot = df.agg(F.count(F.lit(1)).alias("__total"))
     out = (
-        grouped.filter(n_fixed > 0)
-        .crossJoin(F.broadcast(tot))
+        grouped.crossJoin(F.broadcast(tot))
         .filter(F.col("count_") >= F.col("__total") * F.lit(thr))
         .select(
             *[

@@ -965,6 +965,30 @@ def main() -> None:
                       "docs": skew_n, "hot_copies": skew_n * 3 // 5,
                       "kept": int(n), "sec_cold": t, "sec": t2}))
 
+    # ---- KQL basket: Expand x92 factor at 8 columns (r10 probe) ------
+    # realistic basket data repeats attribute tuples heavily; the r10
+    # pre-collapse makes the x92 Expand run over DISTINCT tuples
+    from azuredataengineering_deeplearning_spark.sources.kql import (
+        kql_to_df as _kql,
+    )
+
+    cards = [3, 5, 7, 11, 13, 17, 19, 23]
+    basket_src = spark.range(args.docs * 5).select(
+        *[((F.col("id") % 50000) % c).cast("string").alias(f"c{i}")
+          for i, c in enumerate(cards)]
+    )
+
+    def _basket_probe():
+        return _kql({"T": basket_src}, "T | evaluate basket(0.02)").count()
+
+    t, n = timed(_basket_probe)
+    t2, _ = timed(_basket_probe)
+    results["kql_basket_8col_5m"] = t2
+    print(json.dumps({"probe": "kql_basket_8col_5m",
+                      "rows": args.docs * 5, "grouping_sets": 92,
+                      "distinct_tuples": 50000, "out_rows": int(n),
+                      "sec_cold": t, "sec": t2}))
+
     # ---- rolling distinct users: interval-merge sweep ----------------
     from azuredataengineering_deeplearning_spark.operators.timeseries import (
         rolling_active_users,
