@@ -1401,3 +1401,66 @@ def kql_basket(spark, sf_dir):
     return kql_to_df(
         t, "documents | project lang, source | evaluate basket(0.1)"
     )
+
+
+@query(
+    "kql_scan_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    b AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER w AS pts,
+             lag(event_id) OVER w AS pid
+      FROM e WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pr AS (
+      SELECT b.user_id, b.event_id AS b_id, b.ts AS b_ts,
+             (SELECT a.event_id FROM e a
+               WHERE a.user_id = b.user_id AND a.event_type = 'view'
+                 AND (b.pts IS NULL OR (a.ts, a.event_id) > (b.pts, b.pid))
+                 AND (a.ts, a.event_id) < (b.ts, b.event_id)
+               ORDER BY a.ts, a.event_id LIMIT 1) AS a_id
+      FROM b
+    ),
+    mt AS (
+      SELECT user_id, a_id, b_id,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY b_ts, b_id) - 1 AS BIGINT)
+               AS match_id
+      FROM pr WHERE a_id IS NOT NULL
+    )
+    SELECT user_id, a_id AS event_id,
+           'view' AS event_type, match_id FROM mt
+    UNION ALL
+    SELECT user_id, b_id AS event_id,
+           'purchase' AS event_type, match_id FROM mt
+    """,
+)
+def kql_scan_funnel(spark, sf_dir):
+    """Kusto ``scan`` (round-10 dialect subset, operators/scan.py):
+    greedy single-active view->purchase sequence detection per user,
+    matched rows out with a per-user 0-based match id. The state
+    machine runs per key group (one hash shuffle, packed Arrow
+    batches); predicates compile JVM-side. The DuckDB oracle exploits
+    the K=2 closed form: any step-2 row forces the machine idle, so a
+    purchase matches exactly the FIRST view after the previous
+    purchase (lag + first-in-gap, decorrelated subquery)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    out = kql_to_df(
+        t,
+        "events | where event_type in ('view', 'purchase')"
+        " | sort by ts asc, event_id asc"
+        " | scan by user_id with_match_id=match_id with"
+        " (step s1: event_type == 'view';"
+        "  step s2: event_type == 'purchase')",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("match_id").cast("long").alias("match_id"),
+    )

@@ -209,6 +209,10 @@ def q11_important_stock(spark, sf_dir):
         )
         .groupBy(F.col("l_partkey").alias("pk"))
         .agg(F.sum(dec("l_extendedprice")).alias("part_value_dec"))
+        # probe + broadcast-threshold branch both consume this agg;
+        # AQE won't reuse the exchange under the broadcast branch —
+        # pin the O(#parts) frame so lineitem aggregates ONCE
+        .localCheckpoint(eager=True)
     )
     total = value.agg(
         (F.lit(0.001) * F.sum("part_value_dec").cast("double")).alias("threshold")
@@ -291,6 +295,11 @@ def q15_top_supplier(spark, sf_dir):
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_revenue()).alias("total_rev_dec"))
+        # both the probe and the broadcast MAX branch consume this
+        # aggregate, and this Spark build's AQE does not reuse
+        # exchanges under broadcast branches — pin the small
+        # O(#suppliers) frame so the lineitem scan+agg runs ONCE
+        .localCheckpoint(eager=True)
     )
     top = revenue.agg(F.max("total_rev_dec").alias("max_rev"))
     return (

@@ -225,7 +225,12 @@ def weighted_percentile(
             "__w",
             out="__cum",
         )
-        tot = staged.agg(F.sum(dec(F.col("__w"))).alias("__tot"))
+        # total weight from the SOURCE, not from the cumsum output:
+        # `staged` rides the distributed prefix-scan kernel, and a
+        # broadcast branch over it would recompute the whole kernel
+        # (AQE does not reuse exchanges under broadcast branches) —
+        # sum(weights) needs only one plain scan of df
+        tot = df.agg(F.sum(dec(F.col(weight))).alias("__tot"))
         staged = staged.crossJoin(F.broadcast(tot)).select(
             "__v",
             (dec(F.col("__cum")) / F.col("__tot")).alias("__cdf"),
@@ -400,7 +405,11 @@ def rfm_segments(
             "recency_days", F.datediff(F.lit(asof).cast("date"), F.col("__last"))
         )
     else:
-        mx = per.agg(F.max("__last").alias("__mx"))
+        # derive the as-of anchor from the SOURCE, not from `per`:
+        # a broadcast branch over the per-key aggregate would recompute
+        # its groupBy (no AQE exchange reuse under broadcast branches);
+        # max(date) needs only a plain scan
+        mx = df.agg(F.max(F.col(ts_col).cast("date")).alias("__mx"))
         per = per.crossJoin(F.broadcast(mx)).withColumn(
             "recency_days", F.datediff(F.col("__mx"), F.col("__last"))
         ).drop("__mx")

@@ -1012,10 +1012,12 @@ def bm25_topk(
     :func:`tfidf_topk` used to pull topic-relevant training slices and
     to build retrieval-eval sets from the corpus itself.
 
-    One explode + ONE (doc, term) shuffle for the whole corpus; the
-    query-term filter prunes the scored frame to |terms| × matching
-    docs BEFORE any join; document frequencies and the (N, avgdl)
-    stats row are tiny aggregates broadcast back. Per-(doc, term)
+    The corpus tokenize runs exactly TWICE (once into the doc-length
+    frame, once into the query-term-filtered tf frame — both pinned
+    with localCheckpoint so their broadcast consumers don't recompute
+    the explode); the query-term filter prunes the scored frame to
+    |terms| × matching docs BEFORE any join; document frequencies and
+    the (N, avgdl) stats row are tiny aggregates broadcast back. Per-(doc, term)
     scores are rounded into ``decimal(28,8)`` before the per-doc sum,
     so the total is exact-decimal — independent of partition order and
     bit-identical across engines — and the (score desc, id asc) top-k
@@ -1026,7 +1028,17 @@ def bm25_topk(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("term"),
     ).filter(F.col("term") != "")
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # dl and tf are each consumed by TWO branches (dl by the stats
+    # broadcast + the scoring join; tf by the dfreq broadcast + the
+    # probe), and this Spark build's AQE does not reuse exchanges
+    # under broadcast branches — unpinned, the corpus tokenize runs
+    # FOUR times. Pin both reduced frames (O(docs) and
+    # O(|terms| x matching docs)) so it runs twice: once per frame.
+    dl = (
+        toks.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint(eager=True)
+    )
     stats = F.broadcast(
         dl.agg(
             F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
@@ -1036,6 +1048,7 @@ def bm25_topk(
         toks.filter(F.col("term").isin(list(terms)))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     scored = (

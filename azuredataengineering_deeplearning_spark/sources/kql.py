@@ -724,7 +724,7 @@ def _rewrite_case(s: str) -> str:
 # row_number window — see _summarize.
 _STREAM_UNSUPPORTED = frozenset(
     {"sort", "order", "top", "top-nested", "top-hitters", "partition",
-     "evaluate", "sample"}
+     "evaluate", "sample", "scan"}
 )
 
 
@@ -974,6 +974,8 @@ def kql_to_df(
                     df = df.drop(pos_name)
             for c, t in types.items():
                 df = df.withColumn(c, F.col(c).cast(_KQL_TYPES[t.lower()]))
+        elif op == "scan":
+            df = _scan_kql(df, rest, now, order_spec)
         elif op == "mv-apply":
             df = _mv_apply(df, rest, now)
         elif op == "partition":
@@ -2014,6 +2016,83 @@ def _split_csv(s: str) -> list[str]:
             cur += ch
     if cur.strip():
         out.append(cur.strip())
+    return out
+
+
+def _scan_kql(
+    df: DataFrame, rest: str, now: str | None, order_spec: str | None
+) -> DataFrame:
+    """``scan [by keys] [with_match_id=Name] with (step s1: cond; ...)``
+    — sequential pattern matching (operators/scan.py does the work).
+
+    Dialect subset of Kusto ``scan`` (daily_eval-adjacent telemetry
+    sequence detection): greedy single-active non-overlapping matching,
+    each step matches exactly one row, no ``declare``/assignments, and
+    matched rows are emitted with a per-key 0-based match id. The
+    ``by keys`` clause is a dialect EXTENSION: Kusto shards a scan by
+    composing ``partition by key (scan ...)``; accepting ``by`` here
+    compiles straight to the keyed distributed form (one hash shuffle)
+    instead of a partition loop. Requires a preceding ``sort by`` —
+    the serialized order, exactly like row_cumsum/prev/next."""
+    if order_spec is None:
+        raise ValueError(
+            "scan needs a preceding 'sort by' (KQL serialize semantics)"
+        )
+    m = re.match(
+        r"^(?:by\s+(?P<keys>[\w\s,]+?)\s+)?"
+        r"(?:with_match_id\s*=\s*(?P<mid>\w+)\s+)?"
+        r"with\s*\((?P<steps>.+)\)\s*$",
+        rest,
+        re.S,
+    )
+    if not m:
+        raise ValueError(
+            "scan needs '[by keys] [with_match_id=Name] "
+            f"with (step name: cond; ...)': {rest!r}"
+        )
+    keys = (
+        [k.strip() for k in m.group("keys").split(",")]
+        if m.group("keys")
+        else []
+    )
+    steps = []
+    for part in _split_semi(m.group("steps")):
+        part = part.strip()
+        if not part:
+            continue
+        sm = re.match(r"^step\s+\w+\s*:\s*(.+)$", part, re.S)
+        if not sm:
+            raise ValueError(f"scan step needs 'step name: cond': {part!r}")
+        steps.append(F.expr(_expr(sm.group(1).strip(), now)))
+    if not steps:
+        raise ValueError("scan needs at least one step")
+    order_by = []
+    for part in _split_csv(order_spec):
+        toks = part.split()
+        order_by.append(
+            (toks[0], not (len(toks) > 1 and toks[1].lower() == "desc"))
+        )
+    from azuredataengineering_deeplearning_spark.operators.scan import (
+        scan_steps,
+    )
+
+    return scan_steps(
+        df, keys, order_by, steps, match_col=m.group("mid") or "match_id"
+    )
+
+
+def _split_semi(s: str) -> list[str]:
+    """Split on ``;`` outside single-quoted literals."""
+    out, cur, quote = [], "", False
+    for ch in s:
+        if ch == "'":
+            quote = not quote
+        if ch == ";" and not quote:
+            out.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    out.append(cur)
     return out
 
 

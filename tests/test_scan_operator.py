@@ -1,0 +1,181 @@
+"""KQL ``scan`` operator (dialect subset) — operator semantics, the
+KQL front-end, and a property test against a pure-Python reference of
+the documented state machine (greedy, single-active, non-overlapping,
+one row per step)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.operators.scan import scan_steps
+from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+
+def _py_reference(events, k_steps):
+    """events: list of step-index-or-None per row (visit order).
+    Returns match_id per row (-1 = unmatched)."""
+    mid = [-1] * len(events)
+    nxt, m, cur = 0, 0, []
+    for i, levels in enumerate(events):
+        if nxt in levels:
+            cur.append(i)
+            if nxt == k_steps - 1:
+                for r in cur:
+                    mid[r] = m
+                m += 1
+                cur, nxt = [], 0
+            else:
+                nxt += 1
+    return mid
+
+
+@pytest.fixture(scope="module")
+def ab(spark):
+    # B1 A1 B2 B3 A2 B4 per key: matches (A1,B2) and (A2,B4)
+    rows = [
+        (1, 1, "B"), (1, 2, "A"), (1, 3, "B"),
+        (1, 4, "B"), (1, 5, "A"), (1, 6, "B"),
+        (2, 1, "A"), (2, 2, "A"), (2, 3, "B"), (2, 4, "B"),
+        (3, 1, "B"), (3, 2, "C"),  # no match
+    ]
+    return spark.createDataFrame(rows, "k int, seq int, ev string")
+
+
+def test_scan_two_step_greedy(ab):
+    out = scan_steps(
+        ab,
+        ["k"],
+        [("seq", True)],
+        [F.col("ev") == "A", F.col("ev") == "B"],
+    )
+    got = sorted((r.k, r.seq, r.ev, r.match_id) for r in out.collect())
+    assert got == [
+        (1, 2, "A", 0), (1, 3, "B", 0),
+        (1, 5, "A", 1), (1, 6, "B", 1),
+        (2, 1, "A", 0), (2, 3, "B", 0),
+    ]
+
+
+def test_scan_three_step(spark):
+    rows = [(1, i, ev) for i, ev in enumerate("ACBABCABC")]
+    df = spark.createDataFrame(rows, "k int, seq int, ev string")
+    out = scan_steps(
+        df,
+        ["k"],
+        [("seq", True)],
+        [F.col("ev") == "A", F.col("ev") == "B", F.col("ev") == "C"],
+    )
+    got = sorted((r.seq, r.ev, r.match_id) for r in out.collect())
+    # A(0) C. B(2) A. B. C(5) -> match 0 = rows 0,2,5; then A(6) B(7) C(8)
+    assert got == [
+        (0, "A", 0), (2, "B", 0), (5, "C", 0),
+        (6, "A", 1), (7, "B", 1), (8, "C", 1),
+    ]
+
+
+def test_scan_descending_order(spark):
+    df = spark.createDataFrame(
+        [(1, 3, "A"), (1, 2, "B"), (1, 1, "C")], "k int, seq int, ev string"
+    )
+    out = scan_steps(
+        df, ["k"], [("seq", False)],
+        [F.col("ev") == "A", F.col("ev") == "B"],
+    )
+    got = sorted((r.seq, r.match_id) for r in out.collect())
+    assert got == [(2, 0), (3, 0)]
+
+
+def test_scan_no_keys_single_stream(spark):
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "A"), (4, "B")], "seq int, ev string"
+    )
+    out = scan_steps(
+        df, [], [("seq", True)], [F.col("ev") == "A", F.col("ev") == "B"]
+    )
+    assert out.count() == 4
+    assert set(out.columns) == {"seq", "ev", "match_id"}
+
+
+def test_scan_null_predicate_is_nonmatch(spark):
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, "A"), (1, 3, "B")], "k int, seq int, ev string"
+    )
+    out = scan_steps(
+        df, ["k"], [("seq", True)],
+        [F.col("ev") == "A", F.col("ev") == "B"],
+    )
+    assert sorted(r.seq for r in out.collect()) == [2, 3]
+
+
+def test_scan_property_vs_python_reference(spark):
+    rng = random.Random(7)
+    rows, expected_rows = [], []
+    for key in range(30):
+        evs = [rng.choice("ABCX") for _ in range(rng.randint(0, 40))]
+        levels = [
+            {0} if e == "A" else {1} if e == "B" else {2} if e == "C" else set()
+            for e in evs
+        ]
+        mids = _py_reference(levels, 3)
+        for i, (e, m) in enumerate(zip(evs, mids)):
+            rows.append((key, i, e))
+            if m >= 0:
+                expected_rows.append((key, i, e, m))
+    df = spark.createDataFrame(rows, "k int, seq int, ev string")
+    out = scan_steps(
+        df, ["k"], [("seq", True)],
+        [F.col("ev") == "A", F.col("ev") == "B", F.col("ev") == "C"],
+    )
+    got = sorted((r.k, r.seq, r.ev, r.match_id) for r in out.collect())
+    assert got == sorted(expected_rows)
+
+
+def test_kql_scan_front_end(ab):
+    out = kql_to_df(
+        {"T": ab},
+        "T | sort by seq asc"
+        " | scan by k with_match_id=m with"
+        " (step s1: ev == 'A'; step s2: ev == 'B')",
+    )
+    got = sorted((r.k, r.seq, r.m) for r in out.collect())
+    assert got == [(1, 2, 0), (1, 3, 0), (1, 5, 1), (1, 6, 1),
+                   (2, 1, 0), (2, 3, 0)]
+    assert "m" in out.columns
+
+
+def test_kql_scan_semicolon_in_literal(ab):
+    out = kql_to_df(
+        {"T": ab},
+        "T | sort by seq asc | scan by k with"
+        " (step s1: ev == ';'; step s2: ev == 'B')",
+    )
+    assert out.count() == 0
+
+
+def test_kql_scan_requires_sort(ab):
+    with pytest.raises(ValueError, match="sort"):
+        kql_to_df({"T": ab}, "T | scan by k with (step s1: ev == 'A')")
+
+
+def test_kql_scan_malformed(ab):
+    with pytest.raises(ValueError, match="scan"):
+        kql_to_df({"T": ab}, "T | sort by seq asc | scan by k with (frob)")
+
+
+def test_kql_scan_streaming_gated(spark, tmp_path):
+    import os
+
+    os.makedirs(tmp_path / "in", exist_ok=True)
+    (tmp_path / "in" / "a.csv").write_text("k,seq,ev\n1,1,A\n")
+    stream = (
+        spark.readStream.format("csv")
+        .schema("k int, seq int, ev string")
+        .option("header", "true")
+        .load(str(tmp_path / "in"))
+    )
+    with pytest.raises(ValueError, match="STREAMING"):
+        kql_to_df(
+            {"T": stream},
+            "T | scan by k with (step s1: ev == 'A')",
+        )
