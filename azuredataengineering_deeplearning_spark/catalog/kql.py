@@ -1464,3 +1464,54 @@ def kql_scan_funnel(spark, sf_dir):
         "event_type",
         F.col("match_id").cast("long").alias("match_id"),
     )
+
+
+@query(
+    "kql_diffpatterns",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS tier,
+             'u' || CAST(user_id % 3 AS VARCHAR) AS ub
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    g AS (
+      SELECT tier, ub,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS count_a,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS count_b,
+             GROUPING(tier) AS gt, GROUPING(ub) AS gu
+      FROM e
+      GROUP BY GROUPING SETS ((tier), (ub), (tier, ub))
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ta,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS tb
+      FROM e
+    )
+    SELECT CASE WHEN gt = 0 THEN tier END AS tier,
+           CASE WHEN gu = 0 THEN ub END AS ub,
+           CAST(count_a AS BIGINT) AS count_a,
+           CAST(count_b AS BIGINT) AS count_b,
+           count_a * 100.0 / ta AS percent_a,
+           count_b * 100.0 / tb AS percent_b,
+           count_a * 100.0 / ta - count_b * 100.0 / tb AS percent_diff_ab
+    FROM g, tot
+    WHERE ABS(count_a * 100.0 / ta - count_b * 100.0 / tb) >= 0.5
+    """,
+)
+def kql_diffpatterns(spark, sf_dir):
+    """``evaluate diffpatterns(split, 'A', 'B' [, min_diff])`` —
+    Kusto's cohort differ as a deterministic dialect: EVERY attribute
+    pattern up to size 3 scored exactly in one grouping-sets pass over
+    pre-collapsed per-tuple split counts; split totals are a 1-row
+    broadcast from the source (the basket kernel — Expand multiplies
+    distinct tuples, not rows)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | where event_type in ('click', 'error')"
+        " | extend tier = iff(value > 50, 'high', 'low'),"
+        " ub = strcat('u', tostring(user_id % 3))"
+        " | project event_type, tier, ub"
+        " | evaluate diffpatterns(event_type, 'click', 'error', 0.005)",
+    )

@@ -1217,6 +1217,85 @@ def _basket(df: DataFrame, arg: str) -> DataFrame:
     return out.orderBy(F.col("count_").desc(), *scols)
 
 
+def _diffpatterns(
+    df: DataFrame, split_col: str, a_val: str, b_val: str, min_diff: float
+) -> DataFrame:
+    """``evaluate diffpatterns(SplitCol, 'A', 'B' [, min_diff])`` —
+    Kusto's cohort-differ: attribute patterns (size-1..3 combinations
+    of the OTHER string columns, null = wildcard) whose share differs
+    between the two splits. Deterministic dialect of the Kusto plugin
+    (which seeds an internal heuristic): EVERY pattern up to size 3 is
+    scored exactly, and those with ``|PercentA - PercentB| >=
+    min_diff*100`` (default 5 points) are returned sorted by absolute
+    difference, largest first.
+
+    Output shape follows Kusto: the attribute columns (null wildcard),
+    ``count_a count_b percent_a percent_b percent_diff_ab``.
+
+    Scale shape: the basket kernel — pre-collapse to per-tuple split
+    counts (one aggregate with map-side combine; the split flags are
+    conditional sums, so the collapse also removes the split column),
+    ONE GROUPING SETS pass summing both counts (Expand multiplies
+    distinct tuples, not rows), split totals as a 1-row broadcast
+    computed straight from the source. Never two passes over the
+    grouping-sets frame."""
+    scols = [
+        c for c, t in df.dtypes
+        if t in ("string", "varchar") and c != split_col
+    ]
+    if not scols:
+        raise ValueError("diffpatterns: no string attribute columns")
+    if len(scols) > 8:
+        raise ValueError(
+            f"diffpatterns supports up to 8 attribute columns, got "
+            f"{len(scols)} (project the attribute columns first)"
+        )
+    from itertools import combinations
+
+    sets: list[list[str]] = []
+    for r in (1, 2, 3):
+        sets.extend(list(c) for c in combinations(scols, r))
+    is_a = F.col(split_col) == a_val
+    is_b = F.col(split_col) == b_val
+    weighted = (
+        df.filter(is_a | is_b)
+        .groupBy(*[F.col(c) for c in scols])
+        .agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).alias("__wa"),
+            F.sum(F.when(is_b, 1).otherwise(0)).alias("__wb"),
+        )
+    )
+    grouped = weighted.groupingSets(
+        sets, *[F.col(c) for c in scols]
+    ).agg(
+        F.sum("__wa").alias("count_a"),
+        F.sum("__wb").alias("count_b"),
+        *[F.grouping(c).alias(f"__g_{c}") for c in scols],
+    )
+    tot = df.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("__ta"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("__tb"),
+    )
+    pa = F.col("count_a") * 100.0 / F.col("__ta")
+    pb = F.col("count_b") * 100.0 / F.col("__tb")
+    out = (
+        grouped.crossJoin(F.broadcast(tot))
+        .select(
+            *[
+                F.when(F.col(f"__g_{c}") == 0, F.col(c)).alias(c)
+                for c in scols
+            ],
+            F.col("count_a").cast("long").alias("count_a"),
+            F.col("count_b").cast("long").alias("count_b"),
+            pa.alias("percent_a"),
+            pb.alias("percent_b"),
+            (pa - pb).alias("percent_diff_ab"),
+        )
+        .filter(F.abs(F.col("percent_diff_ab")) >= min_diff * 100.0)
+    )
+    return out.orderBy(F.abs(F.col("percent_diff_ab")).desc(), *scols)
+
+
 def _search(df: DataFrame, rest: str) -> DataFrame:
     """``search [kind=case_sensitive] 'term'`` — Kusto's cross-column
     term search: keep rows where ANY string column has the whole term
@@ -1586,6 +1665,16 @@ def _evaluate(
     bm = re.match(r"^basket\s*\(([^)]*)\)\s*$", rest.strip())
     if bm:
         return _basket(df, bm.group(1))
+    bm = re.match(
+        r"^diffpatterns\s*\(\s*(\w+)\s*,\s*'([^']*)'\s*,\s*'([^']*)'"
+        r"(?:\s*,\s*([\d.]+))?\s*\)\s*$",
+        rest.strip(),
+    )
+    if bm:
+        return _diffpatterns(
+            df, bm.group(1), bm.group(2), bm.group(3),
+            float(bm.group(4)) if bm.group(4) else 0.05,
+        )
     bm = re.match(
         r"^bag_unpack\s*\((\w+)(?:\s*,\s*'([^']*)')?\)\s*$", rest.strip()
     )
