@@ -27,8 +27,15 @@ literal sources, multi-table ``union``, ``project-reorder``,
 ``partition by Col ( ... )`` (per-partition-value sub-pipes compiled to
 one distributed plan), ``evaluate pivot(...)`` / ``bag_unpack(...)``,
 ``top-nested ... with others=``, ``evaluate basket(threshold)``
-(frequent attribute combinations — one GROUPING SETS pass, wildcards
-as NULL), ``union [withsource=]``, ``print``
+(frequent attribute combinations — one GROUPING SETS pass over
+pre-collapsed weighted tuples, wildcards as NULL),
+``evaluate diffpatterns(split, 'A', 'B' [, min_diff])`` (deterministic
+cohort differ on the same kernel),
+``scan [by keys] [with_match_id=N] with (step s: cond; ...)``
+(greedy single-active sequence matching — operators/scan.py;
+``by`` is a dialect extension compiling Kusto's ``partition by key
+(scan ...)`` composition to one keyed distributed pass),
+``union [withsource=]``, ``print``
 one-row sources, datetime ``range`` spines, deterministic ``sample N``,
 leading ``set option;`` statements and
 ``cluster('...').database('...').Table`` addressing (the reference's

@@ -81,6 +81,10 @@ HEADLINE = [
     # percentile operator (window + conditional-min aggregate)
     "kql_facet_by",
     "a_weighted_percentile",
+    # round 10: sequential pattern matching (grouped-Arrow state
+    # machine) + the pre-collapsed grouping-sets cohort differ
+    "kql_scan_funnel",
+    "kql_diffpatterns",
 ]
 
 
