@@ -1515,3 +1515,30 @@ def kql_diffpatterns(spark, sf_dir):
         " | project event_type, tier, ub"
         " | evaluate diffpatterns(event_type, 'click', 'error', 0.005)",
     )
+
+
+@query(
+    "kql_as_self_join",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT a.event_type, a.n, b.n AS n1
+    FROM g a JOIN g b USING (event_type)
+    """,
+)
+def kql_as_self_join(spark, sf_dir):
+    """``| as Name`` (round 10): binds the in-flight frame into the
+    session table map for later join/union targets — Kusto's scoping.
+    The binding re-aliases every column (fresh attribute ids), and
+    joins rename colliding RIGHT columns to name1/name2/... (Kusto's
+    duplicate-column convention), so a pipe can self-join against its
+    own binding without AMBIGUOUS_REFERENCE."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | summarize n = count() by event_type | as ByType"
+        " | join kind=inner (ByType) on event_type"
+        " | project event_type, n, n1",
+    )

@@ -1059,3 +1059,41 @@ def ts_rolling_active_users(spark, sf_dir):
         F.col("day").cast("timestamp").alias("day"),
         F.col("active_7d").cast("long").alias("active_7d"),
     )
+
+
+@query(
+    "ts_engagement_ratio",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), spine AS (SELECT DISTINCT day FROM days)
+    SELECT CAST(s.day AS TIMESTAMP) AS day,
+           CAST((SELECT COUNT(DISTINCT d.user_id) FROM days d
+                 WHERE d.day = s.day) AS BIGINT) AS active_1d,
+           CAST((SELECT COUNT(DISTINCT d.user_id) FROM days d
+                 WHERE d.day <= s.day
+                   AND d.day > s.day - INTERVAL 7 DAY) AS BIGINT)
+             AS active_7d,
+           CAST((SELECT COUNT(DISTINCT d.user_id) FROM days d
+                 WHERE d.day = s.day) AS DOUBLE)
+             / (SELECT COUNT(DISTINCT d.user_id) FROM days d
+                 WHERE d.day <= s.day
+                   AND d.day > s.day - INTERVAL 7 DAY) AS engagement
+    FROM spine s
+    """,
+)
+def ts_engagement_ratio(spark, sf_dir):
+    """DAU/WAU stickiness (Kusto ``activity_engagement`` shape): both
+    rolling distinct counts ride the interval-merge sweep fed from ONE
+    shared (user, day) distinct frame — the two sweeps reference the
+    same subtree, so ReuseExchange scans and dedupes the events once
+    (pinned in tests/test_advice_r10.py). The oracle's correlated
+    subqueries are the non-scalable twin, fine at sf0.01."""
+    t = load_tables(spark, sf_dir, ["events"])
+    out = TS.engagement_ratio(t["events"], "ts", "user_id", 1, 7)
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("active_1d").cast("long").alias("active_1d"),
+        F.col("active_7d").cast("long").alias("active_7d"),
+        F.col("engagement").cast("double").alias("engagement"),
+    )

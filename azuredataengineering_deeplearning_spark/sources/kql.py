@@ -981,6 +981,31 @@ def kql_to_df(
                     df = df.drop(pos_name)
             for c, t in types.items():
                 df = df.withColumn(c, F.col(c).cast(_KQL_TYPES[t.lower()]))
+        elif op == "as":
+            # `| as Name [hint.materialized=true]` — bind the current
+            # frame for later stages (join/union/lookup targets resolve
+            # through the session table map, exactly Kusto's scoping).
+            # hint.materialized pins one evaluation (localCheckpoint,
+            # the materialize() kernel) so a multi-consumer pipe does
+            # not recompute the prefix per reference.
+            am = re.match(
+                r"^(?:hint\.materialized\s*=\s*(true|false)\s+)?(\w+)$",
+                rest.strip(),
+            )
+            if not am:
+                raise ValueError(
+                    f"as needs '[hint.materialized=true|false] Name': {rest!r}"
+                )
+            if am.group(1) == "true":
+                df = df.localCheckpoint(eager=True)
+            # bind through a re-aliasing projection: each Alias mints a
+            # fresh attribute id, so a later SELF-join of the pipe with
+            # its own `as` binding is not AMBIGUOUS_REFERENCE (the bound
+            # frame would otherwise share every attribute with the
+            # continuing pipe)
+            tables[am.group(2)] = df.select(
+                *[F.col(c).alias(c) for c in df.columns]
+            )
         elif op == "scan":
             df = _scan_kql(df, rest, now, order_spec)
         elif op == "mv-apply":
@@ -1129,32 +1154,49 @@ def _join(df: DataFrame, tables: dict[str, DataFrame], rest: str) -> DataFrame:
     if name not in tables:
         raise ValueError(f"join: unknown table {name!r}")
     right = tables[name]
-    if strategy == "broadcast":
-        right = F.broadcast(right)
-    elif strategy == "shuffle":
-        right = right.hint("shuffle_hash")
     on_cols: list[str] = []
     left_keys: list[str] = []
     right_keys: list[str] = []
-    conds = []
     for part in _split_csv(m.group(2)):
         mm = re.match(r"^\$left\.(\w+)\s*==\s*\$right\.(\w+)$", part.strip())
         if mm:
             left_keys.append(mm.group(1))
             right_keys.append(mm.group(2))
-            conds.append(df[mm.group(1)] == right[mm.group(2)])
         else:
             on_cols.append(part.strip())
-    if conds and on_cols:
+    if left_keys and on_cols:
         raise ValueError("mixing bare keys and $left/$right terms is unsupported")
+    # Kusto renames RIGHT-side columns that collide with left ones to
+    # name1 (name2, ... if taken); bare equi-join keys merge instead.
+    # Rename BEFORE the join so a pipe self-joined against its own
+    # `as`/let binding never hits AMBIGUOUS_REFERENCE.
+    taken = set(df.columns) | set(right.columns)
+    renames: dict[str, str] = {}
+    for c in right.columns:
+        if c in df.columns and c not in on_cols:
+            new = c
+            i = 0
+            while new in taken:
+                i += 1
+                new = f"{c}{i}"
+            taken.add(new)
+            renames[c] = new
+    if renames:
+        right = right.select(
+            *[F.col(c).alias(renames.get(c, c)) for c in right.columns]
+        )
+    if strategy == "broadcast":
+        right = F.broadcast(right)
+    elif strategy == "shuffle":
+        right = right.hint("shuffle_hash")
     if kind == "innerunique":
         df = _dedup_left(df, on_cols or left_keys)
     if on_cols:
         return df.join(right, on_cols, _JOIN_KINDS[kind])
-    # $left/$right conds were built against the PRE-dedup df; rebuild
     conds = [
-        df[a] == right[b] for a, b in zip(left_keys, right_keys)
-    ] or conds
+        df[a] == right[renames.get(b, b)]
+        for a, b in zip(left_keys, right_keys)
+    ]
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c

@@ -67,3 +67,33 @@ def test_diffpatterns_no_attribute_columns_raises(spark):
 def test_diffpatterns_malformed_raises(cohorts):
     with pytest.raises(ValueError, match="evaluate"):
         kql_to_df({"T": cohorts}, "T | evaluate diffpatterns(grp)")
+
+
+def test_as_operator_binds_intermediate(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "k string, v int"
+    )
+    out = kql_to_df(
+        {"T": df},
+        "T | summarize s = sum(v) by k | as Totals"
+        " | join kind=inner (Totals) on k"
+        " | project k, s, s1",
+    )
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [("a", 3, 3), ("b", 5, 5)]
+
+
+def test_as_operator_materialized_hint(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    out = kql_to_df(
+        {"T": df},
+        "T | extend v2 = v * 2 | as hint.materialized=true Snap"
+        " | union (Snap)",
+    )
+    assert out.count() == 2
+
+
+def test_as_operator_malformed(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError, match="as needs"):
+        kql_to_df({"T": df}, "T | as two words")
