@@ -61,8 +61,62 @@ def _mkdata(spark):
     for i in range(24):
         k = ["alpha", "beta", "gamma"][i % 3]
         s = f"{LITS[i % len(LITS)]} {TERMS[i % len(TERMS)]} tail{i}"
-        rows.append((k, s, i + 0.5, i % 7))
-    return spark.createDataFrame(rows, "k string, s string, v double, n int")
+        # arrays with empty/null/unequal lengths — the mv-expand
+        # edge surface (the r10 ADVICE empty-array regression class)
+        arr = None if i % 5 == 0 else list(range(i % 4))
+        arr2 = None if i % 7 == 0 else [10 + j for j in range(i % 3)]
+        rows.append((k, s, i + 0.5, i % 7, arr, arr2))
+    return spark.createDataFrame(
+        rows,
+        "k string, s string, v double, n int,"
+        " arr array<int>, arr2 array<int>",
+    )
+
+
+def _g_mvexpand(rng):
+    """Parallel multi-column mv-expand (posexplode-spine path), with or
+    without with_itemindex. Twins: arrays_zip+posexplode (Spark-native,
+    independent of the rewriter's spine) and DuckDB parallel unnest
+    (zips to longest, NULL-pads, drops all-empty rows — the exact
+    Kusto semantics the r10 fix pinned)."""
+    with_ix = rng.random() < 0.5
+    kql = (
+        "mv-expand with_itemindex=ix arr, arr2"
+        if with_ix
+        else "mv-expand arr, arr2"
+    )
+
+    def twin(df, with_ix=with_ix):
+        t = df.withColumn(
+            "__a", F.coalesce(F.col("arr"), F.array().cast("array<int>"))
+        ).withColumn(
+            "__b", F.coalesce(F.col("arr2"), F.array().cast("array<int>"))
+        )
+        t = t.select(
+            "*", F.posexplode(F.arrays_zip("__a", "__b")).alias("ix", "__z")
+        )
+        t = (
+            t.withColumn("arr", F.col("__z.__a"))
+            .withColumn("arr2", F.col("__z.__b"))
+            .drop("__a", "__b", "__z")
+        )
+        return t if with_ix else t.drop("ix")
+
+    ix_sql = (
+        ", unnest(range(greatest(coalesce(len(arr), 0),"
+        " coalesce(len(arr2), 0)))) AS ix"
+        if with_ix
+        else ""
+    )
+
+    def sql(q):
+        return (
+            f"SELECT k, s, v, n, unnest(arr) AS arr,"
+            f" unnest(arr2) AS arr2{ix_sql} FROM ({q})"
+        )
+
+    newcols = {"arr", "arr2"} | ({"ix"} if with_ix else set())
+    return kql, twin, sql, newcols
 
 
 # ---- stage generators: (kql_text, twin_fn, sql_fn) -------------------
@@ -201,32 +255,46 @@ def _g_extend(rng, cols, i):
     )
 
 
-def _g_sorttake(rng, order_col):
+def _g_sorttake(rng, order_col, tiebreak=None):
+    """tiebreak: extra ascending column appended to the sort so the
+    take boundary never splits a tie group (needed post-mv-expand,
+    where ``v`` repeats across exploded rows and Spark vs DuckDB
+    would otherwise pick different tie rows). Also exercises the
+    rewriter's multi-key ``sort by``."""
     nn = rng.randint(2, 8)
     d = rng.choice(["asc", "desc"])
     col = F.col(order_col).asc() if d == "asc" else F.col(order_col).desc()
+    order = [col]
+    kql_keys = f"{order_col} {d}"
+    sql_keys = f"{order_col} {d.upper()}"
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+        kql_keys += f", {tiebreak} asc"
+        sql_keys += f", {tiebreak} ASC"
     return (
-        f"sort by {order_col} {d} | take {nn}",
-        lambda df: df.orderBy(col).limit(nn),
-        lambda q: f"SELECT * FROM ({q}) ORDER BY {order_col} "
-        f"{d.upper()} LIMIT {nn}",
+        f"sort by {kql_keys} | take {nn}",
+        lambda df: df.orderBy(*order).limit(nn),
+        lambda q: f"SELECT * FROM ({q}) ORDER BY {sql_keys} LIMIT {nn}",
     )
 
 
-def _g_top(rng, order_col):
+def _g_top(rng, order_col, tiebreak=None):
     nn = rng.randint(2, 8)
     d = rng.choice(["", " asc", " desc"])  # bare = Kusto desc default
 
     def twin(df):
         c = F.col(order_col).asc() if d == " asc" else F.col(order_col).desc()
-        return df.orderBy(c).limit(nn)
+        order = [c] + ([F.col(tiebreak).asc()] if tiebreak else [])
+        return df.orderBy(*order).limit(nn)
 
     sql_dir = "ASC" if d == " asc" else "DESC"
+    kql_tb = f", {tiebreak} asc" if tiebreak else ""
+    sql_tb = f", {tiebreak} ASC" if tiebreak else ""
     return (
-        f"top {nn} by {order_col}{d}",
+        f"top {nn} by {order_col}{d}{kql_tb}",
         twin,
         lambda q: f"SELECT * FROM ({q}) ORDER BY {order_col} "
-        f"{sql_dir} LIMIT {nn}",
+        f"{sql_dir}{sql_tb} LIMIT {nn}",
     )
 
 
@@ -259,6 +327,14 @@ def _one_case(rng, spark, base, duck):
     """Returns True when the case carried a DuckDB twin."""
     stages, twins, sqls = [], [], []
     cols = {"k", "s", "v", "n"}
+    expanded = False
+    if rng.random() < 0.35:
+        t, fn, sq, newcols = _g_mvexpand(rng)
+        stages.append(t)
+        twins.append(fn)
+        sqls.append(sq)
+        cols |= newcols
+        expanded = True
     n_mid = rng.randint(1, 5)
     last_str_extend = None
     for i in range(n_mid):
@@ -281,12 +357,27 @@ def _one_case(rng, spark, base, duck):
             sqls.append(sq)
             cols.add(name)
         elif pick < 0.9:
-            t, fn, sq = _g_sorttake(rng, "v")
+            # post-mv-expand v repeats across exploded rows: a bare
+            # sort-by-v take would cut tie groups differently in each
+            # engine. With an ix column, (v, ix) is unique again —
+            # sort on both (multi-key coverage); without ix, reroute
+            # to a deterministic where stage.
+            if expanded and "ix" not in cols:
+                t, fn, sq = _g_where(rng, cols)
+            else:
+                t, fn, sq = _g_sorttake(
+                    rng, "v", tiebreak="ix" if expanded else None
+                )
             stages.append(t)
             twins.append(fn)
             sqls.append(sq)
         else:
-            t, fn, sq = _g_top(rng, "v")
+            if expanded and "ix" not in cols:
+                t, fn, sq = _g_where(rng, cols)
+            else:
+                t, fn, sq = _g_top(
+                    rng, "v", tiebreak="ix" if expanded else None
+                )
             stages.append(t)
             twins.append(fn)
             sqls.append(sq)
