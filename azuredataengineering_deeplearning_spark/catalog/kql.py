@@ -1542,3 +1542,141 @@ def kql_as_self_join(spark, sf_dir):
         " | join kind=inner (ByType) on event_type"
         " | project event_type, n, n1",
     )
+
+
+@query(
+    "kql_sliding_window_counts",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+                    TIMESTAMP '2024-01-20', INTERVAL 1 DAY)) AS t
+    ),
+    b AS (
+      SELECT user_id, date_trunc('day', ts) AS bt FROM events
+      WHERE ts > TIMESTAMP '2024-01-05' - INTERVAL 3 DAY
+        AND ts < TIMESTAMP '2024-01-21'
+    )
+    SELECT t AS Timeline,
+           CAST(COUNT(b.user_id) AS BIGINT) AS Count,
+           CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS Dcount
+    FROM spine LEFT JOIN b
+      ON b.bt > t - INTERVAL 3 DAY AND b.bt <= t
+    GROUP BY t
+    """,
+)
+def kql_sliding_window_counts(spark, sf_dir):
+    """``evaluate sliding_window_counts(Id, Timeline, Start, End,
+    Lookback, Bin)`` (round 10) — sliding count + distinct count per
+    spine bin. Two delta sweeps over the O(bins) boundary table
+    (counts: +-c at bin edges; dcount: the interval-merge sweep from
+    rolling_active_users), each finished by the distributed prefix
+    scan — no explode, no sliding COUNT(DISTINCT), no range join."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | evaluate sliding_window_counts(user_id, ts,"
+        " datetime(2024-01-05), datetime(2024-01-20), 3d, 1d)",
+    )
+
+
+@query(
+    "kql_activity_counts_metrics",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+                    TIMESTAMP '2024-01-20', INTERVAL 1 DAY)) AS t
+    ),
+    b AS (
+      SELECT user_id, date_trunc('day', ts) AS bt FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-21'
+    ),
+    per AS (
+      SELECT bt, COUNT(*) AS c, COUNT(DISTINCT user_id) AS dc
+      FROM b GROUP BY bt
+    ),
+    f AS (SELECT user_id, MIN(bt) AS fb FROM b GROUP BY user_id),
+    nw AS (SELECT fb, COUNT(*) AS n FROM f GROUP BY fb)
+    SELECT t AS Timeline,
+           CAST(COALESCE(per.c, 0) AS BIGINT) AS count_,
+           CAST(COALESCE(per.dc, 0) AS BIGINT) AS dcount,
+           CAST(COALESCE(nw.n, 0) AS BIGINT) AS new_dcount,
+           CAST(SUM(COALESCE(nw.n, 0)) OVER (ORDER BY t) AS BIGINT)
+             AS aggregated_dcount
+    FROM spine LEFT JOIN per ON per.bt = t LEFT JOIN nw ON nw.fb = t
+    """,
+)
+def kql_activity_counts_metrics(spark, sf_dir):
+    """``evaluate activity_counts_metrics(Id, Timeline, Start, End,
+    Step)`` (round 10) — per bin: rows, distinct ids, FIRST-seen ids,
+    and running distinct total. One (bin) aggregate + one (id)
+    first-seen aggregate + a distributed prefix scan over the O(bins)
+    spine for the cumulative column."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | evaluate activity_counts_metrics(user_id, ts,"
+        " datetime(2024-01-05), datetime(2024-01-20), 1d)",
+    )
+
+
+@query(
+    "kql_activity_engagement",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    i AS (SELECT day, COUNT(DISTINCT user_id) AS n FROM du GROUP BY day),
+    o AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS n
+      FROM days d JOIN du u
+        ON u.day <= d.day AND u.day > d.day - 7
+      GROUP BY d.day
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS Timeline,
+           CAST(i.n AS BIGINT) AS dcount_activities_inner,
+           CAST(o.n AS BIGINT) AS dcount_activities_outer,
+           CAST(i.n AS DOUBLE) / o.n AS activity_ratio
+    FROM days d JOIN i ON i.day = d.day JOIN o ON o.day = d.day
+    """,
+)
+def kql_activity_engagement(spark, sf_dir):
+    """``evaluate activity_engagement(Id, Timeline, 1d, 7d)`` (round
+    10) — DAU/WAU stickiness per observed day, routed onto
+    engagement_ratio's shared-distinct-frame interval-merge sweep (two
+    prefix scans over ONE (user, day) distinct subtree; ReuseExchange
+    dedupes the scan)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t, "events | evaluate activity_engagement(user_id, ts, 1d, 7d)"
+    )
+
+
+@query(
+    "kql_rows_near",
+    """
+    WITH b AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (ORDER BY event_id) AS rn
+      FROM events
+    ),
+    f AS (SELECT rn FROM b WHERE event_type = 'error')
+    SELECT event_id, event_type, value FROM b
+    WHERE EXISTS (SELECT 1 FROM f
+                  WHERE b.rn BETWEEN f.rn - 2 AND f.rn + 2)
+    """,
+)
+def kql_rows_near(spark, sf_dir):
+    """``evaluate rows_near(Condition, NumRows)`` (round 10) — rows
+    within N of any matching row in the serialized order. Global row
+    numbers from the bucket kernel, +-1 deltas at each match's
+    coverage edges, one distributed prefix scan marks covered rows —
+    O(n + 2m) scan rows, no self-join, no range join, never an
+    unpartitioned window."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | project event_id, event_type, value"
+        " | sort by event_id asc"
+        " | evaluate rows_near(event_type == 'error', 2)",
+    )

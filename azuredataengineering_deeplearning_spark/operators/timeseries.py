@@ -271,56 +271,87 @@ def rolling_active_users(
     return _rolling_from_days(days, window_days, out)
 
 
+def _interval_sweep(
+    units: DataFrame,
+    window: int,
+    out: str,
+    spine: DataFrame | None = None,
+) -> DataFrame:
+    """Rolling DISTINCT-entity count over a trailing ``window`` of
+    integer index units — the interval-merge sweep on its natural
+    domain. ``units`` is a pre-deduped ``(__u, __idx)`` frame (entity,
+    active index); index ``i``'s result counts entities with an active
+    index in ``[i - window + 1, i]`` (an active index ``b`` covers
+    outputs ``[b, b + window - 1]``).
+
+    Per entity: consecutive active indexes whose coverage touches
+    (gap <= window) merge into one interval (one lag + running segment
+    id — the window partition is one entity's active indexes, bounded
+    by the spine length, not the corpus), each interval emits ``+1``
+    at its start and ``-1`` after its end, and a distributed prefix
+    sum (:func:`global_cumsum`, never an unpartitioned window) over
+    the O(spine) delta table is the rolling distinct count.
+
+    ``spine`` (optional, one ``__idx`` column): indexes to evaluate
+    at — they ride along as 0-deltas so the scan carries the running
+    count through indexes with no boundary, and the result is
+    semi-joined back to exactly the spine. Default: observed indexes.
+    Shared by :func:`rolling_active_users` / :func:`engagement_ratio`
+    (day indexes) and KQL ``evaluate sliding_window_counts`` /
+    ``activity_engagement`` (arbitrary time bins)."""
+    from azuredataengineering_deeplearning_spark.operators.windows import (
+        global_cumsum,
+    )
+
+    w = Window.partitionBy("__u").orderBy("__idx")
+    gap = F.col("__idx") - F.lag("__idx").over(w)
+    seg = units.withColumn(
+        "__new", F.when(gap.isNull() | (gap > window), 1).otherwise(0)
+    ).withColumn("__seg", F.sum("__new").over(w))
+    ivals = seg.groupBy("__u", "__seg").agg(
+        F.min("__idx").alias("__start"),
+        (F.max("__idx") + window).alias("__stop"),
+    )
+    obs = (
+        spine if spine is not None else units.select("__idx")
+    ).select("__idx").distinct()
+    deltas = (
+        ivals.select(F.col("__start").alias("__idx"), F.lit(1).alias("__d"))
+        .unionAll(
+            ivals.select(F.col("__stop").alias("__idx"), F.lit(-1).alias("__d"))
+        )
+        .unionAll(obs.select("__idx", F.lit(0).alias("__d")))
+        .groupBy("__idx")
+        .agg(F.sum("__d").alias("__delta"))
+    )
+    swept = global_cumsum(deltas, ["__idx"], "__delta", out=out)
+    return swept.join(obs, "__idx", "left_semi").select(
+        "__idx", F.col(out).cast("long").alias(out)
+    )
+
+
+_EPOCH = "1970-01-01"
+
+
 def _rolling_from_days(
     days: DataFrame, window_days: int, out: str | None = None
 ) -> DataFrame:
     """Interval-merge sweep over a pre-deduped (__u, __day) frame —
     shared by :func:`rolling_active_users` (one consumer) and
     :func:`engagement_ratio` (two consumers over ONE distinct frame,
-    deduplicated physically via Spark's ReusedExchange)."""
-    from pyspark.sql import Window
-
-    from azuredataengineering_deeplearning_spark.operators.windows import (
-        global_cumsum,
-    )
-
+    deduplicated physically via Spark's ReusedExchange). Thin
+    date<->index adapter over :func:`_interval_sweep`."""
     out = out or f"active_{window_days}d"
-    w = Window.partitionBy("__u").orderBy("__day")
-    # coverage of day d is [d, d+w-1]; a successor day d2 leaves a gap
-    # iff d2 > d + window_days (adjacent coverage merges — only count
-    # CHANGES matter for the sweep)
-    seg = days.withColumn(
-        "__new",
-        F.when(
-            F.datediff(
-                F.col("__day"), F.lag("__day").over(w)
-            ).isNull()
-            | (
-                F.datediff(F.col("__day"), F.lag("__day").over(w))
-                > window_days
-            ),
-            1,
-        ).otherwise(0),
-    ).withColumn("__seg", F.sum("__new").over(w))
-    ivals = seg.groupBy("__u", "__seg").agg(
-        F.min("__day").alias("__start"),
-        F.date_add(F.max("__day"), window_days).alias("__stop"),
+    units = days.select(
+        "__u",
+        F.datediff(F.col("__day"), F.to_date(F.lit(_EPOCH))).alias("__idx"),
     )
-    observed = days.select(F.col("__day").alias("day")).distinct()
-    # observed days ride along as 0-deltas so the prefix sum carries
-    # the running count THROUGH days between interval boundaries
-    deltas = (
-        ivals.select(F.col("__start").alias("day"), F.lit(1).alias("__d"))
-        .unionAll(
-            ivals.select(F.col("__stop").alias("day"), F.lit(-1).alias("__d"))
-        )
-        .unionAll(observed.select("day", F.lit(0).alias("__d")))
-        .groupBy("day")
-        .agg(F.sum("__d").alias("__delta"))
-    )
-    swept = global_cumsum(deltas, ["day"], "__delta", out=out)
-    return swept.join(observed, "day", "left_semi").select(
-        "day", F.col(out).cast("long").alias(out)
+    swept = _interval_sweep(units, window_days, out)
+    return swept.select(
+        F.date_add(F.to_date(F.lit(_EPOCH)), F.col("__idx").cast("int")).alias(
+            "day"
+        ),
+        out,
     )
 
 
@@ -351,6 +382,173 @@ def engagement_ratio(
         F.col("__l").alias(f"active_{long_days}d"),
         (F.col("__s") / F.col("__l")).alias("engagement"),
     )
+
+
+def sliding_window_counts(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    start: str,
+    end: str,
+    lookback_s: int,
+    bin_s: int,
+) -> DataFrame:
+    """Kusto ``evaluate sliding_window_counts(Id, Timeline, Start, End,
+    LookbackWindow, Bin)``: for every bin timestamp ``t`` in
+    ``[Start, End]`` step ``Bin``, the count of rows and the distinct
+    count of ids whose (binned) timeline falls in the trailing
+    ``LookbackWindow`` ending at ``t``. Output ``(Timeline, Count,
+    Dcount)`` — one row per spine bin, zeros where nothing is in
+    range.
+
+    Scale shape — two delta sweeps, no explode, no sliding distinct:
+
+    * **Count**: per-source-bin counts (one aggregate), each bin ``b``
+      contributes ``+c`` at ``b`` and ``-c`` at ``b + wb`` (``wb`` =
+      lookback/bin), and a distributed prefix sum over the O(bins)
+      delta table is the sliding count.
+    * **Dcount**: the interval-merge sweep (:func:`_interval_sweep`) —
+      per id, active bins merge into coverage intervals, ±1 deltas,
+      same prefix-scan kernel. Never COUNT(DISTINCT) over a frame.
+
+    Rows earlier than ``Start - LookbackWindow`` can't reach any spine
+    bin and are filtered at the scan (pushed predicate); rows after
+    the last bin are dropped likewise."""
+    from azuredataengineering_deeplearning_spark.operators.windows import (
+        global_cumsum,
+    )
+
+    if lookback_s % bin_s:
+        raise ValueError(
+            f"sliding_window_counts: lookback ({lookback_s}s) must be a "
+            f"multiple of bin ({bin_s}s)"
+        )
+    wb = lookback_s // bin_s
+    spark = df.sparkSession
+    start_e = _to_epoch(spark, start)
+    end_e = _to_epoch(spark, end)
+    n_bins = (end_e - start_e) // bin_s + 1
+    spine = spark.range(n_bins).select(F.col("id").alias("__idx"))
+    ts_e = F.col(ts_col).cast("timestamp").cast("long")  # NTZ-safe (session UTC)
+    binned = df.where(
+        (ts_e > F.lit(start_e - lookback_s))
+        & (ts_e < F.lit(start_e + n_bins * bin_s))
+    ).select(
+        F.col(id_col).alias("__u"),
+        F.floor((ts_e - F.lit(start_e)) / F.lit(bin_s)).alias("__idx"),
+    )
+    # Count sweep: per-bin counts -> +c / -c deltas -> prefix scan
+    cnt = binned.groupBy("__idx").agg(F.count(F.lit(1)).alias("__c"))
+    cdeltas = (
+        cnt.select("__idx", F.col("__c").alias("__d"))
+        .unionAll(
+            cnt.select(
+                (F.col("__idx") + wb).alias("__idx"), (-F.col("__c")).alias("__d")
+            )
+        )
+        .unionAll(spine.select("__idx", F.lit(0).cast("long").alias("__d")))
+        .groupBy("__idx")
+        .agg(F.sum("__d").alias("__delta"))
+    )
+    counts = (
+        global_cumsum(cdeltas, ["__idx"], "__delta", out="Count")
+        .join(spine, "__idx", "left_semi")
+        .select("__idx", F.col("Count").cast("long").alias("Count"))
+    )
+    dcounts = _interval_sweep(
+        binned.distinct(), wb, out="Dcount", spine=spine
+    )
+    return (
+        counts.join(dcounts, "__idx")
+        .select(
+            F.timestamp_seconds(
+                F.lit(start_e) + F.col("__idx") * F.lit(bin_s)
+            ).alias("Timeline"),
+            "Count",
+            "Dcount",
+        )
+    )
+
+
+def activity_counts_metrics(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    start: str,
+    end: str,
+    step_s: int,
+) -> DataFrame:
+    """Kusto ``evaluate activity_counts_metrics(Id, Timeline, Start,
+    End, Step)``: per time bin — total rows (``count_``), distinct ids
+    (``dcount``), ids FIRST seen in that bin (``new_dcount``), and the
+    running distinct-id total through that bin
+    (``aggregated_dcount``). Output one row per spine bin in
+    ``[Start, End]`` step ``Step``, zero-filled.
+
+    Plan: one (bin) aggregate for count/dcount, one (id) aggregate for
+    first-seen bins -> per-bin new_dcount, and ``aggregated_dcount`` =
+    distributed prefix sum of new_dcount over the O(bins) spine
+    (:func:`global_cumsum` — equal to dcount-so-far because first-seen
+    bins partition the ids). Dialect note: Kusto's ``count`` column is
+    emitted as ``count_`` (bare ``count`` needs quoting in most SQL
+    engines, which breaks cross-engine checks)."""
+    from azuredataengineering_deeplearning_spark.operators.windows import (
+        global_cumsum,
+    )
+
+    spark = df.sparkSession
+    start_e = _to_epoch(spark, start)
+    end_e = _to_epoch(spark, end)
+    n_bins = (end_e - start_e) // step_s + 1
+    spine = spark.range(n_bins).select(F.col("id").alias("__idx"))
+    ts_e = F.col(ts_col).cast("timestamp").cast("long")  # NTZ-safe (session UTC)
+    binned = df.where(
+        (ts_e >= F.lit(start_e)) & (ts_e < F.lit(start_e + n_bins * step_s))
+    ).select(
+        F.col(id_col).alias("__u"),
+        F.floor((ts_e - F.lit(start_e)) / F.lit(step_s)).alias("__idx"),
+    )
+    per_bin = binned.groupBy("__idx").agg(
+        F.count(F.lit(1)).alias("count_"),
+        F.countDistinct("__u").alias("dcount"),
+    )
+    firsts = (
+        binned.groupBy("__u")
+        .agg(F.min("__idx").alias("__idx"))
+        .groupBy("__idx")
+        .agg(F.count(F.lit(1)).alias("new_dcount"))
+    )
+    filled = (
+        spine.join(per_bin, "__idx", "left")
+        .join(firsts, "__idx", "left")
+        .fillna(0, subset=["count_", "dcount", "new_dcount"])
+    )
+    out = global_cumsum(
+        filled, ["__idx"], "new_dcount", out="aggregated_dcount"
+    )
+    return out.select(
+        F.timestamp_seconds(
+            F.lit(start_e) + F.col("__idx") * F.lit(step_s)
+        ).alias("Timeline"),
+        F.col("count_").cast("long").alias("count_"),
+        F.col("dcount").cast("long").alias("dcount"),
+        F.col("new_dcount").cast("long").alias("new_dcount"),
+        F.col("aggregated_dcount").cast("long").alias("aggregated_dcount"),
+    ).orderBy("Timeline")
+
+
+def _to_epoch(spark: SparkSession, dt: str) -> int:
+    """ISO datetime/date string -> unix seconds (session UTC; driver-side
+    arithmetic on two literals, no job)."""
+    import datetime as _dt
+
+    try:
+        d = _dt.datetime.fromisoformat(dt.strip())
+    except ValueError as e:
+        raise ValueError(f"unparseable datetime literal: {dt!r}") from e
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    return int(d.timestamp())
 
 
 def make_series(

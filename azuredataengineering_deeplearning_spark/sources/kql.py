@@ -1667,6 +1667,150 @@ def _partition_by(df: DataFrame, rest: str, now: str | None) -> DataFrame:
     return out
 
 
+def _dt_lit(txt: str) -> str:
+    """``datetime(2024-01-05 12:00:00)`` (or a bare ISO string) ->
+    the inner literal."""
+    m = re.match(r"^datetime\s*\(([^)]+)\)$", txt.strip())
+    return (m.group(1) if m else txt).strip().strip("'\"")
+
+
+def _span_lit(txt: str) -> int:
+    """Timespan literal (``3d``/``12h``/``30m``/``45s`` or
+    ``time(...)`` of the same) -> seconds."""
+    t = txt.strip()
+    m = re.match(r"^time\s*\(([^)]+)\)$", t)
+    if m:
+        t = m.group(1).strip()
+    m = re.match(r"^(\d+)\s*(d|h|m|s)$", t)
+    if not m:
+        raise ValueError(f"unparseable timespan literal: {txt!r}")
+    return _timespan_s(m.group(1), m.group(2))
+
+
+def _activity_plugin(df: DataFrame, name: str, args_txt: str) -> DataFrame:
+    """Kusto's activity-analytics plugin family, routed onto the
+    interval-merge / prefix-scan kernels in operators/timeseries.py
+    (never a sliding COUNT(DISTINCT) or an unpartitioned window):
+
+    * ``sliding_window_counts(Id, Timeline, Start, End, Lookback,
+      Bin)`` -> (Timeline, Count, Dcount) per spine bin;
+    * ``activity_counts_metrics(Id, Timeline, Start, End, Step)`` ->
+      (Timeline, count_, dcount, new_dcount, aggregated_dcount);
+    * ``activity_engagement(Id, Timeline, InnerWindow, OuterWindow)``
+      -> (Timeline, dcount_activities_inner, dcount_activities_outer,
+      activity_ratio) — the DAU/MAU shape (reference's engagement
+      dashboards); windows must be whole days, evaluated at observed
+      days (a trailing window past the last event is a forecast, not
+      a measurement)."""
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        activity_counts_metrics,
+        engagement_ratio,
+        sliding_window_counts,
+    )
+
+    a = [x.strip() for x in _split_csv(args_txt)]
+    if name == "sliding_window_counts":
+        if len(a) != 6:
+            raise ValueError(
+                "sliding_window_counts(Id, Timeline, Start, End, "
+                f"Lookback, Bin) takes 6 args, got {len(a)}"
+            )
+        return sliding_window_counts(
+            df, a[0], a[1], _dt_lit(a[2]), _dt_lit(a[3]),
+            _span_lit(a[4]), _span_lit(a[5]),
+        )
+    if name == "activity_counts_metrics":
+        if len(a) != 5:
+            raise ValueError(
+                "activity_counts_metrics(Id, Timeline, Start, End, "
+                f"Step) takes 5 args, got {len(a)}"
+            )
+        return activity_counts_metrics(
+            df, a[0], a[1], _dt_lit(a[2]), _dt_lit(a[3]), _span_lit(a[4])
+        )
+    if len(a) != 4:
+        raise ValueError(
+            "activity_engagement(Id, Timeline, InnerWindow, OuterWindow) "
+            f"takes 4 args, got {len(a)}"
+        )
+    inner_s, outer_s = _span_lit(a[2]), _span_lit(a[3])
+    if inner_s % 86400 or outer_s % 86400:
+        raise ValueError(
+            "activity_engagement windows must be whole days "
+            f"({a[2]!r}, {a[3]!r})"
+        )
+    i_d, o_d = inner_s // 86400, outer_s // 86400
+    eng = engagement_ratio(df, a[1], a[0], i_d, o_d)
+    return eng.select(
+        F.col("day").cast("timestamp").alias("Timeline"),
+        F.col(f"active_{i_d}d").alias("dcount_activities_inner"),
+        F.col(f"active_{o_d}d").alias("dcount_activities_outer"),
+        F.col("engagement").alias("activity_ratio"),
+    )
+
+
+def _rows_near(
+    df: DataFrame, args_txt: str, now: str | None, order_spec: str | None
+) -> DataFrame:
+    """``evaluate rows_near(Condition, NumRows [, NumRowsAfter])`` —
+    keep rows within NumRows before (and NumRowsAfter after, default
+    = NumRows) any row matching Condition, in the serialized order
+    (requires a preceding ``sort by``, like ``narrow``/``scan``).
+
+    Distributed shape — never an unpartitioned window: global row
+    numbers via the bucket kernel (:func:`global_row_number`), each
+    matching row emits a ``+1`` delta at ``rn - before`` and ``-1`` at
+    ``rn + after + 1``, boundary rows sort BEFORE data rows at the
+    same index, and one distributed prefix scan
+    (:func:`global_cumsum`) marks covered data rows. O(n + 2m) scan
+    rows, no self-join, no range join."""
+    if order_spec is None:
+        raise ValueError(
+            "evaluate rows_near needs a preceding 'sort by' to pin row "
+            "order (KQL serialize semantics)"
+        )
+    from azuredataengineering_deeplearning_spark.operators.windows import (
+        global_cumsum,
+        global_row_number,
+    )
+
+    a = [x.strip() for x in _split_csv(args_txt)]
+    if len(a) not in (2, 3):
+        raise ValueError(
+            f"rows_near(Condition, NumRows [, NumRowsAfter]): got {len(a)} args"
+        )
+    before = int(a[1])
+    after = int(a[2]) if len(a) == 3 else before
+    cols = df.columns
+    base = global_row_number(df, _order_cols(order_spec), out="__rn")
+    data = base.withColumn("__d", F.lit(0)).withColumn("__isd", F.lit(1))
+    flagged = base.where(F.expr(_expr(a[0], now)))
+    nulls = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in df.schema.fields
+    ]
+    starts = flagged.select(
+        (F.col("__rn") - before).alias("__rn"),
+        F.lit(1).alias("__d"),
+        F.lit(0).alias("__isd"),
+        *nulls,
+    )
+    stops = flagged.select(
+        (F.col("__rn") + after + 1).alias("__rn"),
+        F.lit(-1).alias("__d"),
+        F.lit(0).alias("__isd"),
+        *nulls,
+    )
+    combined = data.select("__rn", "__d", "__isd", *cols).unionByName(
+        starts
+    ).unionByName(stops)
+    swept = global_cumsum(combined, ["__rn", "__isd"], "__d", out="__cov")
+    return (
+        swept.where((F.col("__isd") == 1) & (F.col("__cov") > 0))
+        .select(*cols)
+    )
+
+
 def _evaluate(
     df: DataFrame, rest: str, now: str | None, order_spec: str | None = None
 ) -> DataFrame:
@@ -1711,6 +1855,17 @@ def _evaluate(
             "(__nrw - 1) as Row",
             f"stack({len(cols)}, {pairs}) as (Column, Value)",
         )
+    bm = re.match(
+        r"^(sliding_window_counts|activity_counts_metrics"
+        r"|activity_engagement)\s*\((.+)\)\s*$",
+        rest.strip(),
+        re.S,
+    )
+    if bm:
+        return _activity_plugin(df, bm.group(1), bm.group(2))
+    bm = re.match(r"^rows_near\s*\((.+)\)\s*$", rest.strip(), re.S)
+    if bm:
+        return _rows_near(df, bm.group(1), now, order_spec)
     bm = re.match(r"^basket\s*\(([^)]*)\)\s*$", rest.strip())
     if bm:
         return _basket(df, bm.group(1))

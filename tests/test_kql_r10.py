@@ -97,3 +97,147 @@ def test_as_operator_malformed(spark):
     df = spark.createDataFrame([("a", 1)], "k string, v int")
     with pytest.raises(ValueError, match="as needs"):
         kql_to_df({"T": df}, "T | as two words")
+
+
+# ---- activity-analytics plugin family + rows_near (round 10) --------
+
+
+@pytest.fixture(scope="module")
+def activity(spark):
+    # 3 users; u1 active days 1,2; u2 day 2 only; u3 days 1 and 5
+    # (gap > lookback exercises interval splitting)
+    rows = [
+        (1, "2024-03-01 10:00:00"),
+        (1, "2024-03-02 11:00:00"),
+        (2, "2024-03-02 09:00:00"),
+        (2, "2024-03-02 09:30:00"),
+        (3, "2024-03-01 23:00:00"),
+        (3, "2024-03-05 01:00:00"),
+    ]
+    return spark.createDataFrame(rows, "uid long, ts string").select(
+        "uid", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+
+def test_sliding_window_counts_values(activity):
+    out = kql_to_df(
+        {"T": activity},
+        "T | evaluate sliding_window_counts(uid, ts,"
+        " datetime(2024-03-01), datetime(2024-03-06), 2d, 1d)",
+    )
+    got = {
+        r["Timeline"].strftime("%d"): (r["Count"], r["Dcount"])
+        for r in out.collect()
+    }
+    # day: rows in (d-2d, d], distinct uids in same window
+    assert got == {
+        "01": (2, 2),          # u1d1, u3d1
+        "02": (5, 3),          # + u1d2, u2 x2
+        "03": (3, 2),          # u1d2, u2 x2 (day-1 aged out? no: (1,3])
+        "04": (0, 0),          # days 3,4 empty
+        "05": (1, 1),          # u3d5
+        "06": (1, 1),          # u3d5 still in window
+    }
+
+
+def test_sliding_window_counts_lookback_not_multiple_raises(activity):
+    with pytest.raises(Exception, match="multiple"):
+        kql_to_df(
+            {"T": activity},
+            "T | evaluate sliding_window_counts(uid, ts,"
+            " datetime(2024-03-01), datetime(2024-03-06), 5h, 2h)",
+        )
+
+
+def test_sliding_window_counts_arity(activity):
+    with pytest.raises(Exception, match="6 args"):
+        kql_to_df(
+            {"T": activity},
+            "T | evaluate sliding_window_counts(uid, ts, 1d)",
+        )
+
+
+def test_activity_counts_metrics_values(activity):
+    out = kql_to_df(
+        {"T": activity},
+        "T | evaluate activity_counts_metrics(uid, ts,"
+        " datetime(2024-03-01), datetime(2024-03-05), 1d)",
+    )
+    got = {
+        r["Timeline"].strftime("%d"): (
+            r["count_"], r["dcount"], r["new_dcount"], r["aggregated_dcount"]
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        "01": (2, 2, 2, 2),    # u1, u3 first seen
+        "02": (3, 2, 1, 3),    # u1 again + u2 (new) x2
+        "03": (0, 0, 0, 3),
+        "04": (0, 0, 0, 3),
+        "05": (1, 1, 0, 3),    # u3 returns — not new
+    }
+
+
+def test_activity_engagement_ratio(activity):
+    out = kql_to_df(
+        {"T": activity},
+        "T | evaluate activity_engagement(uid, ts, 1d, 3d)",
+    )
+    got = {
+        r["Timeline"].strftime("%d"): (
+            r["dcount_activities_inner"],
+            r["dcount_activities_outer"],
+            round(r["activity_ratio"], 6),
+        )
+        for r in out.collect()
+    }
+    # observed days only (01, 02, 05); day 02: u1+u2 active that day,
+    # u1+u2+u3 in the trailing 3d window
+    assert got == {
+        "01": (2, 2, 1.0),
+        "02": (2, 3, 0.666667),
+        "05": (1, 1, 1.0),
+    }
+
+
+def test_activity_engagement_subday_window_raises(activity):
+    with pytest.raises(Exception, match="whole days"):
+        kql_to_df(
+            {"T": activity},
+            "T | evaluate activity_engagement(uid, ts, 12h, 3d)",
+        )
+
+
+def test_rows_near_window_and_boundaries(spark):
+    rows = [(i, "hit" if i in (3, 9) else "x") for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "i int, tag string")
+    out = kql_to_df(
+        {"T": df},
+        "T | sort by i asc | evaluate rows_near(tag == 'hit', 1)",
+    )
+    assert sorted(r["i"] for r in out.collect()) == [2, 3, 4, 8, 9, 10]
+    # asymmetric form: 0 before, 2 after
+    out2 = kql_to_df(
+        {"T": df},
+        "T | sort by i asc | evaluate rows_near(tag == 'hit', 0, 2)",
+    )
+    assert sorted(r["i"] for r in out2.collect()) == [3, 4, 5, 9, 10]
+
+
+def test_rows_near_overlapping_matches_dedupe(spark):
+    df = spark.createDataFrame(
+        [(i, "hit" if i in (4, 5) else "x") for i in range(1, 9)],
+        "i int, tag string",
+    )
+    out = kql_to_df(
+        {"T": df},
+        "T | sort by i asc | evaluate rows_near(tag == 'hit', 2)",
+    )
+    # coverage [2,7] from both hits — each row exactly once
+    assert sorted(r["i"] for r in out.collect()) == [2, 3, 4, 5, 6, 7]
+
+
+def test_rows_near_requires_sort(spark):
+    df = spark.createDataFrame([(1, "x")], "i int, tag string")
+    with pytest.raises(Exception, match="sort by"):
+        kql_to_df({"T": df}, "T | evaluate rows_near(tag == 'x', 1)")
