@@ -1680,3 +1680,99 @@ def kql_rows_near(spark, sf_dir):
         " | sort by event_id asc"
         " | evaluate rows_near(event_type == 'error', 2)",
     )
+
+
+@query(
+    "kql_find",
+    """
+    WITH c AS (
+      SELECT 'Clicks' AS src, event_id, value FROM events
+      WHERE event_type = 'click'
+    ),
+    e AS (
+      SELECT 'Errors' AS src, event_id, value FROM events
+      WHERE event_type = 'error'
+    )
+    SELECT * FROM (SELECT * FROM c UNION ALL SELECT * FROM e)
+    WHERE value > 90
+    """,
+)
+def kql_find(spark, sf_dir):
+    """``find withsource= in (T1, T2) where Pred project ...``
+    (round 10) — cross-table search. One union of per-table filtered
+    projections; the predicate applies per table BEFORE projection
+    (absent columns read as typed nulls, Kusto semantics) and pushes
+    down to each scan."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "let Clicks = events | where event_type == 'click'"
+        " | project event_id, value;"
+        " let Errors = events | where event_type == 'error'"
+        " | project event_id, value;"
+        " find withsource=src in (Clicks, Errors) where value > 90"
+        " project event_id, value",
+    )
+
+
+@query(
+    "kql_sample_distinct",
+    "SELECT DISTINCT event_type FROM events",
+)
+def kql_sample_distinct(spark, sf_dir):
+    """``sample-distinct N of Col`` (round 10) — deterministic dialect
+    (values ranked by xxhash64; Kusto's is nondeterministic). With N
+    at or above the column's cardinality the result is exactly the
+    distinct set, which is what the oracle pins; the N-below-cardinality
+    determinism is pinned in pytest. Distinct aggregate + top-k plan
+    (TakeOrderedAndProject), never a global sort."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(t, "events | sample-distinct 10 of event_type")
+
+
+@query(
+    "kql_parse_kv",
+    """
+    SELECT event_id, user_id AS u, event_type AS t FROM events
+    WHERE value > 95
+    """,
+)
+def kql_parse_kv(spark, sf_dir):
+    """``parse-kv Expr as (k: type, ...) with (pair_delimiter=...,
+    kv_delimiter=...)`` (round 10) — typed key/value extraction via one
+    ``str_to_map`` projection (JVM codegen, regex-escaped delimiter
+    literals). The row builds the kv string from typed columns and the
+    oracle pins the exact round-trip."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | where value > 95"
+        " | extend s = strcat('u=', tostring(user_id), ' t=', event_type)"
+        " | parse-kv s as (u: long, t: string)"
+        " | project event_id, u, t",
+    )
+
+
+@query(
+    "kql_invoke_lambda",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(value) AS peak
+    FROM events WHERE value > 50 GROUP BY event_type
+    """,
+)
+def kql_invoke_lambda(spark, sf_dir):
+    """``let f = (t:(*), cut:real) { ... }; T | invoke f(50.0)``
+    (round 10) — Kusto tabular functions: the body pipe runs with the
+    tabular parameter bound to the in-flight frame and scalar
+    parameters substituted (constant-fold model, scalar-let
+    discipline). Lambdas do not propagate into the nested run, so a
+    self-referencing body fails loudly instead of recursing."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "let hi = (t:(*), cut:real) { t | where value > cut"
+        " | summarize n = count(), peak = max(value) by event_type };"
+        " events | invoke hi(50.0)",
+    )

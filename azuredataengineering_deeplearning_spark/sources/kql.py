@@ -731,7 +731,7 @@ def _rewrite_case(s: str) -> str:
 # row_number window — see _summarize.
 _STREAM_UNSUPPORTED = frozenset(
     {"sort", "order", "top", "top-nested", "top-hitters", "partition",
-     "evaluate", "sample", "scan"}
+     "evaluate", "sample", "sample-distinct", "scan"}
 )
 
 
@@ -757,11 +757,33 @@ def kql_to_df(
         if not m:
             break
         q = q[m.end():]
+    lambdas: dict[str, tuple[str, list[str], str]] = {}
     while True:
         m = re.match(r"^let\s+(\w+)\s*=\s*([^;]+);\s*", q, re.S)
         if not m:
             break
         name, body = m.group(1), m.group(2).strip()
+        lm = re.match(
+            r"^\(\s*(\w+)\s*:\s*\(\s*\*\s*\)\s*"
+            r"((?:,\s*\w+\s*:\s*\w+\s*)*)\)\s*\{(.+)\}\s*$",
+            body,
+            re.S,
+        )
+        if lm:
+            # KQL tabular function: `let f = (t:(*) [, k:long ...])
+            # { t | ... };` — stored for `| invoke f(...)`. The body is
+            # a full pipe whose source is the tabular parameter; scalar
+            # parameters substitute textually at invoke time (Kusto's
+            # constant-fold evaluation model, same as scalar lets).
+            # Restriction: no ';' inside the body.
+            scalars = [
+                p.partition(":")[0].strip()
+                for p in lm.group(2).split(",")
+                if p.strip()
+            ]
+            lambdas[name] = (lm.group(1), scalars, lm.group(3).strip())
+            q = q[m.end():]
+            continue
         mm = re.match(r"^materialize\s*\((.+)\)\s*$", body, re.S)
         if mm:
             # KQL materialize(): evaluate the sub-pipe ONCE and reuse the
@@ -839,6 +861,8 @@ def kql_to_df(
         if not tables:
             raise ValueError("datatable source needs at least one table for a session")
         df = _datatable(next(iter(tables.values())).sparkSession, stages[0])
+    elif re.match(r"^find(\s|$)", stages[0]):
+        df = _find(tables, stages[0], now)
     elif stages[0] in tables:
         df = tables[stages[0]]
     else:
@@ -891,6 +915,55 @@ def kql_to_df(
             # whole row, so reruns and oracles agree. Top-k plan
             # (TakeOrderedAndProject), never a global sort.
             df = df.orderBy(F.xxhash64(*df.columns)).limit(int(rest))
+        elif op == "sample-distinct":
+            # dialect: DETERMINISTIC — the N distinct values ranked by
+            # xxhash64 of the value (Kusto's sample-distinct is
+            # nondeterministic). Distinct aggregate + top-k plan.
+            sm = re.match(r"^(\d+)\s+of\s+(\w+)$", rest)
+            if not sm:
+                raise ValueError(f"sample-distinct needs 'N of Col': {rest!r}")
+            df = (
+                df.select(sm.group(2))
+                .distinct()
+                .orderBy(F.xxhash64(F.col(sm.group(2))))
+                .limit(int(sm.group(1)))
+            )
+        elif op == "parse-kv":
+            df = _parse_kv(df, rest, now)
+        elif op == "invoke":
+            im = re.match(r"^(\w+)\s*\((.*)\)\s*$", rest, re.S)
+            if not im or im.group(1) not in lambdas:
+                raise ValueError(
+                    f"invoke needs a let-bound tabular function: {rest!r} "
+                    f"(have {sorted(lambdas)})"
+                )
+            pname, scalars, lbody = lambdas[im.group(1)]
+            args = (
+                [x.strip() for x in _split_csv(im.group(2))]
+                if im.group(2).strip()
+                else []
+            )
+            if len(args) != len(scalars):
+                raise ValueError(
+                    f"invoke {im.group(1)}: expected {len(scalars)} scalar "
+                    f"args {scalars}, got {len(args)}"
+                )
+            sub = lbody
+            for s, a in zip(scalars, args):
+                # simple literals substitute bare (so `take n` still
+                # sees an integer); compound expressions parenthesize
+                # to keep precedence (scalar-let discipline)
+                rep = (
+                    a
+                    if re.match(r"^(-?[\d.]+|'[^']*'|\w+)$", a)
+                    else f"({a})"
+                )
+                sub = re.sub(rf"\b{s}\b", rep.replace(chr(92), chr(92) * 2), sub)
+            # the body is a pipe whose source is the tabular parameter;
+            # run it with the parameter bound to the in-flight frame
+            # (lambdas are NOT passed down: a self-referencing body
+            # fails loudly instead of recursing)
+            df = kql_to_df({**tables, pname: df}, sub, now)
         elif op == "sort" or op == "order":
             rest = re.sub(r"^by\s+", "", rest)
             order_spec = rest
@@ -1438,6 +1511,116 @@ def _dedup_left(df: DataFrame, keys: list[str]) -> DataFrame:
         .filter(F.col("__ju") == 1)
         .drop("__ju")
     )
+
+
+def _find(
+    tables: dict[str, DataFrame], text: str, now: str | None
+) -> DataFrame:
+    """``find [withsource=Col] in (T1, T2, ...) where Pred
+    [project c1, c2, ...]`` — cross-table search (Kusto's find
+    operator). One union of per-table projections + one filter; the
+    predicate pushes down through the union to each scan (Catalyst),
+    so every table is read once with the filter applied.
+
+    Dialect: the output columns are the explicit ``project`` list, or
+    the columns COMMON to all listed tables (Kusto's pack_all() spill
+    of non-common columns is not reproduced — project what you need).
+    A projected column missing from a table reads as a typed null
+    there (Kusto's semantics); the source label column defaults to
+    ``source_``."""
+    m = re.match(
+        r"^find(?:\s+withsource\s*=\s*(\w+))?\s+in\s*\(([^)]+)\)\s+"
+        r"where\s+(.+?)(?:\s+project\s+([\w\s,]+))?$",
+        text.strip(),
+        re.S,
+    )
+    if not m:
+        raise ValueError(f"unsupported find syntax: {text!r}")
+    srccol = m.group(1) or "source_"
+    names = [t.strip() for t in m.group(2).split(",")]
+    missing = [n for n in names if n not in tables]
+    if missing:
+        raise ValueError(f"find: unknown tables {missing}; have {sorted(tables)}")
+    frames = [tables[n] for n in names]
+    if m.group(4):
+        cols = [c.strip() for c in m.group(4).split(",") if c.strip()]
+    else:
+        cols = [
+            c
+            for c in frames[0].columns
+            if all(c in f.columns for f in frames[1:])
+        ]
+        if not cols:
+            raise ValueError(
+                "find: the listed tables share no columns — give an "
+                "explicit 'project' list"
+            )
+    types: dict[str, object] = {}
+    for f in frames:
+        for fld in f.schema.fields:
+            types.setdefault(fld.name, fld.dataType)
+    unknown = [c for c in cols if c not in types]
+    if unknown:
+        raise ValueError(f"find: projected columns {unknown} exist in no table")
+    pred = F.expr(_expr(m.group(3).strip(), now))
+    out = None
+    for n, f in zip(names, frames):
+        # the predicate evaluates against each table's own columns
+        # (Kusto: a column absent from a table reads as null there, so
+        # rows of that table drop out of null-strict comparisons) —
+        # widen with typed nulls, filter PER TABLE (pushes to each
+        # scan), then project
+        wide = f
+        for c, ty in types.items():
+            if c not in f.columns:
+                wide = wide.withColumn(c, F.lit(None).cast(ty))
+        part = wide.where(pred).select(
+            F.lit(n).alias(srccol), *[F.col(c) for c in cols]
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _parse_kv(df: DataFrame, rest: str, now: str | None) -> DataFrame:
+    """``parse-kv Expr as (k1: type1, k2: type2) with
+    (pair_delimiter=' ', kv_delimiter='=')`` — extract typed key/value
+    pairs from a delimited string (Kusto parse-kv, regex-less mode).
+    One ``str_to_map`` projection (JVM, codegen) + one ``element_at`` +
+    cast per requested key; appends to the existing columns like
+    Kusto. Absent keys yield typed nulls."""
+    m = re.match(
+        r"^(.+?)\s+as\s*\(([^)]*)\)\s*(?:with\s*\((.*)\))?\s*$",
+        rest.strip(),
+        re.S,
+    )
+    if not m:
+        raise ValueError(f"unsupported parse-kv syntax: {rest!r}")
+    pair_d, kv_d = " ", "="
+    if m.group(3):
+        for om in re.finditer(r"(\w+)\s*=\s*'([^']*)'", m.group(3)):
+            if om.group(1) == "pair_delimiter":
+                pair_d = om.group(2)
+            elif om.group(1) == "kv_delimiter":
+                kv_d = om.group(2)
+            else:
+                raise ValueError(f"parse-kv: unknown option {om.group(1)!r}")
+    src = _expr(m.group(1).strip(), now)
+    # str_to_map delimiters are regexes — escape for the literal layer
+    # (chr(92) doubling for Spark's escaped string-literal parsing,
+    # same discipline as _countof)
+    def _relit(s: str) -> str:
+        return re.escape(s).replace(chr(92), chr(92) * 2).replace("'", r"\'")
+
+    mp = F.expr(f"str_to_map({src}, '{_relit(pair_d)}', '{_relit(kv_d)}')")
+    for part in _split_csv(m.group(2)):
+        nm, _, ty = part.partition(":")
+        nm, ty = nm.strip(), ty.strip().lower()
+        if ty not in _KQL_TYPES:
+            raise ValueError(f"parse-kv: unknown type {ty!r} for {nm!r}")
+        df = df.withColumn(
+            nm, F.element_at(mp, F.lit(nm)).cast(_KQL_TYPES[ty])
+        )
+    return df
 
 
 def _datatable(spark: SparkSession, text: str) -> DataFrame:

@@ -241,3 +241,138 @@ def test_rows_near_requires_sort(spark):
     df = spark.createDataFrame([(1, "x")], "i int, tag string")
     with pytest.raises(Exception, match="sort by"):
         kql_to_df({"T": df}, "T | evaluate rows_near(tag == 'x', 1)")
+
+
+# ---- find / sample-distinct / parse-kv / invoke (round 10) -----------
+
+
+@pytest.fixture(scope="module")
+def two_tables(spark):
+    a = spark.createDataFrame(
+        [(1, "click", 10.0), (2, "error", 95.0), (3, "view", 50.0),
+         (4, "error", 20.0)],
+        "id long, et string, v double",
+    )
+    b = spark.createDataFrame(
+        [(10, "purchase", 99.0), (11, "error", 1.0)],
+        "id long, et string, v double",
+    )
+    c = spark.createDataFrame([(7, "error")], "id long, et string")
+    return {"A": a, "B": b, "C": c}
+
+
+def test_find_common_columns_default(two_tables):
+    out = kql_to_df(
+        two_tables, "find in (A, B) where et == 'error' | sort by id asc"
+    )
+    assert out.columns == ["source_", "id", "et", "v"]
+    assert [(r["source_"], r["id"]) for r in out.collect()] == [
+        ("A", 2), ("A", 4), ("B", 11)
+    ]
+
+
+def test_find_project_missing_column_typed_null(two_tables):
+    out = kql_to_df(
+        two_tables,
+        "find withsource=tbl in (A, C) where et == 'error' project id, v",
+    )
+    rows = {r["id"]: (r["tbl"], r["v"]) for r in out.collect()}
+    assert rows == {2: ("A", 95.0), 4: ("A", 20.0), 7: ("C", None)}
+
+
+def test_find_predicate_on_absent_column_drops_table(two_tables):
+    # C has no v column: null > 15 is never true, so C contributes 0 rows
+    out = kql_to_df(two_tables, "find in (A, C) where v > 15 project id")
+    assert sorted(r["id"] for r in out.collect()) == [2, 3, 4]
+
+
+def test_find_errors(two_tables):
+    with pytest.raises(ValueError, match="unknown tables"):
+        kql_to_df(two_tables, "find in (A, Zed) where et == 'x'")
+    d = two_tables["A"].selectExpr("id as other")
+    with pytest.raises(ValueError, match="share no columns"):
+        kql_to_df(
+            {"A": two_tables["A"].select("et"), "D": d},
+            "find in (A, D) where et == 'x'",
+        )
+
+
+def test_sample_distinct_deterministic_and_complete(two_tables):
+    full = kql_to_df(two_tables, "A | sample-distinct 10 of et")
+    assert sorted(r["et"] for r in full.collect()) == [
+        "click", "error", "view"
+    ]
+    two1 = sorted(
+        r["et"]
+        for r in kql_to_df(two_tables, "A | sample-distinct 2 of et").collect()
+    )
+    two2 = sorted(
+        r["et"]
+        for r in kql_to_df(two_tables, "A | sample-distinct 2 of et").collect()
+    )
+    assert len(two1) == 2 and two1 == two2
+    with pytest.raises(ValueError, match="N of Col"):
+        kql_to_df(two_tables, "A | sample-distinct et")
+
+
+def test_parse_kv_types_and_absent_keys(spark):
+    kv = spark.createDataFrame([("a=1 b=x c=2.5",), ("b=y",)], "s string")
+    out = kql_to_df(
+        {"T": kv}, "T | parse-kv s as (a: long, b: string, c: real)"
+    )
+    assert [(r["a"], r["b"], r["c"]) for r in out.collect()] == [
+        (1, "x", 2.5), (None, "y", None)
+    ]
+
+
+def test_parse_kv_regex_metachar_delimiters(spark):
+    kv = spark.createDataFrame([("a:1|b:z.z",)], "s string")
+    out = kql_to_df(
+        {"T": kv},
+        "T | parse-kv s as (a: int, b: string)"
+        " with (pair_delimiter='|', kv_delimiter=':')",
+    )
+    r = out.collect()[0]
+    assert (r["a"], r["b"]) == (1, "z.z")
+
+
+def test_parse_kv_errors(spark):
+    kv = spark.createDataFrame([("a=1",)], "s string")
+    with pytest.raises(ValueError, match="unknown type"):
+        kql_to_df({"T": kv}, "T | parse-kv s as (a: decimal)")
+    with pytest.raises(ValueError, match="unknown option"):
+        kql_to_df(
+            {"T": kv}, "T | parse-kv s as (a: int) with (quote='x')"
+        )
+
+
+def test_invoke_lambda_with_scalar_args(two_tables):
+    q = (
+        "let topv = (t:(*), n:long) { t | sort by v desc | take n };"
+        " A | where et != 'view' | invoke topv(2) | project id, v"
+    )
+    got = sorted((r["id"], r["v"]) for r in kql_to_df(two_tables, q).collect())
+    assert got == [(2, 95.0), (4, 20.0)]
+    q2 = (
+        "let above = (t:(*), cut:real) { t | where v > cut };"
+        " A | invoke above(40.0) | project id"
+    )
+    assert sorted(
+        r["id"] for r in kql_to_df(two_tables, q2).collect()
+    ) == [2, 3]
+
+
+def test_invoke_errors(two_tables):
+    with pytest.raises(ValueError, match="let-bound tabular function"):
+        kql_to_df(two_tables, "A | invoke nosuch()")
+    with pytest.raises(ValueError, match="expected 1 scalar"):
+        kql_to_df(
+            two_tables,
+            "let f = (t:(*), k:long) { t | take k }; A | invoke f()",
+        )
+    # self-referencing lambda fails loudly (lambdas don't propagate)
+    with pytest.raises(ValueError, match="let-bound tabular function"):
+        kql_to_df(
+            two_tables,
+            "let bad = (t:(*)) { t | invoke bad() }; A | invoke bad()",
+        )
