@@ -1776,3 +1776,288 @@ def kql_invoke_lambda(spark, sf_dir):
         " | summarize n = count(), peak = max(value) by event_type };"
         " events | invoke hi(50.0)",
     )
+
+
+@query(
+    "kql_activity_metrics",
+    """
+    WITH b AS (
+      SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS bt
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+    ),
+    m AS (
+      SELECT bt,
+             CASE WHEN lag(bt) OVER (PARTITION BY u ORDER BY bt)
+                       = bt - INTERVAL 1 DAY THEN 1 ELSE 0 END AS ret,
+             CASE WHEN row_number() OVER (PARTITION BY u ORDER BY bt) = 1
+                  THEN 1 ELSE 0 END AS nw
+      FROM b
+    ),
+    per AS (
+      SELECT bt, COUNT(*) AS dc, SUM(nw) AS nw, SUM(ret) AS ret
+      FROM m GROUP BY bt
+    ),
+    spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                    TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS t
+    )
+    SELECT t AS Timeline,
+           CAST(COALESCE(cur.dc, 0) AS BIGINT) AS dcount_values,
+           CAST(COALESCE(cur.nw, 0) AS BIGINT) AS dcount_newvalues,
+           CASE WHEN COALESCE(prv.dc, 0) > 0
+                THEN COALESCE(cur.ret, 0) / CAST(prv.dc AS DOUBLE)
+                ELSE 0.0 END AS retention_rate,
+           CASE WHEN COALESCE(prv.dc, 0) > 0
+                THEN (prv.dc - COALESCE(cur.ret, 0)) / CAST(prv.dc AS DOUBLE)
+                ELSE 0.0 END AS churn_rate
+    FROM spine
+    LEFT JOIN per cur ON cur.bt = t
+    LEFT JOIN per prv ON prv.bt = t - INTERVAL 1 DAY
+    """,
+)
+def kql_activity_metrics(spark, sf_dir):
+    """``evaluate activity_metrics(Id, Timeline, Start, End, Window)``
+    (round 10) — period-over-period dcount / new / retention / churn.
+    One id-key shuffle total: a per-id lag window marks bin-over-bin
+    retention and first appearances on the SAME distinct (id, bin)
+    frame; everything downstream is O(bins) spine arithmetic (no
+    event-table self-join)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | evaluate activity_metrics(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-30), 1d)",
+    )
+
+
+@query(
+    "kql_new_activity_metrics",
+    """
+    WITH b AS (
+      SELECT DISTINCT user_id AS u,
+        CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 604800)
+             AS BIGINT) AS idx
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-05'
+    ),
+    lab AS (
+      SELECT u, idx, MIN(idx) OVER (PARTITION BY u) AS c FROM b
+    ),
+    ret AS (SELECT c, idx, COUNT(*) AS r FROM lab GROUP BY c, idx),
+    sz AS (SELECT c, r AS s FROM ret WHERE idx = c),
+    pairs AS (
+      SELECT a.range AS c, b2.range AS idx
+      FROM range(5) a JOIN range(5) b2 ON a.range <= b2.range
+    )
+    SELECT TIMESTAMP '2024-01-01' + c * INTERVAL 7 DAY AS FromTimeline,
+           TIMESTAMP '2024-01-01' + idx * INTERVAL 7 DAY AS ToTimeline,
+           CAST(COALESCE(sz.s, 0) AS BIGINT) AS dcount_new_values,
+           CAST(COALESCE(ret.r, 0) AS BIGINT) AS dcount_retained_values,
+           CAST(COALESCE(sz.s, 0) - COALESCE(ret.r, 0) AS BIGINT)
+             AS dcount_churn_values,
+           CASE WHEN COALESCE(sz.s, 0) > 0
+                THEN COALESCE(ret.r, 0) / CAST(sz.s AS DOUBLE)
+                ELSE 0.0 END AS retention_rate,
+           CASE WHEN COALESCE(sz.s, 0) > 0
+                THEN (sz.s - COALESCE(ret.r, 0)) / CAST(sz.s AS DOUBLE)
+                ELSE 0.0 END AS churn_rate
+    FROM pairs LEFT JOIN ret USING (c, idx) LEFT JOIN sz USING (c)
+    """,
+)
+def kql_new_activity_metrics(spark, sf_dir):
+    """``evaluate new_activity_metrics(Id, Timeline, Start, End,
+    Window)`` (round 10) — cohort retention matrix: ids keyed by
+    first-seen window, re-measured at every later window. The cohort
+    label rides the id partitioning of the distinct (id, bin) frame
+    (one shuffle); the (cohort, bin) aggregate IS the matrix; the
+    zero-fill spine is O(bins^2) driver-tiny pairs."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | evaluate new_activity_metrics(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-30), 7d)",
+    )
+
+
+@query(
+    "kql_session_count",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-03',
+                    TIMESTAMP '2024-01-28', INTERVAL 1 DAY)) AS t
+    ),
+    b AS (
+      SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS bt
+      FROM events
+      WHERE ts > TIMESTAMP '2024-01-03' - INTERVAL 2 DAY
+        AND ts < TIMESTAMP '2024-01-29'
+    )
+    SELECT t AS Timeline, CAST(COUNT(DISTINCT b.u) AS BIGINT) AS count_
+    FROM spine LEFT JOIN b ON b.bt > t - INTERVAL 2 DAY AND b.bt <= t
+    GROUP BY t
+    """,
+)
+def kql_session_count(spark, sf_dir):
+    """``evaluate session_count(Id, Timeline, Start, End, Bin,
+    LookBackWindow)`` (round 10) — active sessions per bin (id alive
+    if it acted within the trailing lookback). Rides the
+    sliding_window_counts interval-merge sweep verbatim: per-id
+    coverage intervals -> boundary deltas -> one distributed prefix
+    scan; the oracle's range join is exactly the shape the engine
+    avoids."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | evaluate session_count(user_id, ts,"
+        " datetime(2024-01-03), datetime(2024-01-28), 1d, 2d)",
+    )
+
+
+@query(
+    "kql_funnel_completion",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, event_type AS s, epoch(ts) AS t FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-05'
+    ),
+    c1 AS (
+      SELECT DISTINCT u, t AS t1,
+        CAST(floor((t - epoch(TIMESTAMP '2024-01-01')) / 604800)
+             AS BIGINT) AS per
+      FROM ev WHERE s = 'signup'
+    ),
+    c2 AS (
+      SELECT c1.u, c1.t1, c1.per, MIN(ev.t) AS tk
+      FROM c1 JOIN ev ON ev.u = c1.u AND ev.s = 'view' AND ev.t > c1.t1
+      GROUP BY c1.u, c1.t1, c1.per
+      HAVING MIN(ev.t) - c1.t1 <= 43200
+    ),
+    c3 AS (
+      SELECT c2.u, c2.t1, c2.per, MIN(ev.t) AS tk
+      FROM c2 JOIN ev ON ev.u = c2.u AND ev.s = 'purchase'
+                     AND ev.t > c2.tk
+      GROUP BY c2.u, c2.t1, c2.per
+      HAVING MIN(ev.t) - c2.t1 <= 86400
+    ),
+    spine AS (SELECT range AS per FROM range(5)),
+    d1 AS (SELECT per, COUNT(DISTINCT u) AS n FROM c1 GROUP BY per),
+    d2 AS (SELECT per, COUNT(DISTINCT u) AS n FROM c2 GROUP BY per),
+    d3 AS (SELECT per, COUNT(DISTINCT u) AS n FROM c3 GROUP BY per)
+    SELECT TIMESTAMP '2024-01-01' + per * INTERVAL 7 DAY AS Period,
+           'signup' AS StateSequence,
+           CAST(COALESCE(d1.n, 0) AS BIGINT) AS dcount
+    FROM spine LEFT JOIN d1 USING (per)
+    UNION ALL
+    SELECT TIMESTAMP '2024-01-01' + per * INTERVAL 7 DAY,
+           'signup>view', CAST(COALESCE(d2.n, 0) AS BIGINT)
+    FROM spine LEFT JOIN d2 USING (per)
+    UNION ALL
+    SELECT TIMESTAMP '2024-01-01' + per * INTERVAL 7 DAY,
+           'signup>view>purchase', CAST(COALESCE(d3.n, 0) AS BIGINT)
+    FROM spine LEFT JOIN d3 USING (per)
+    """,
+)
+def kql_funnel_completion(spark, sf_dir):
+    """``evaluate funnel_sequence_completion(...)`` (round 10) —
+    funnel completion by period: ids completing each sequence prefix
+    within its max window, chained greedily (earliest-next occurrence,
+    provably optimal per start) over ALL starts — a later start can
+    complete inside a window an earlier one misses. len(sequence) - 1
+    id-key joins, each against a pushdown-filtered single-state
+    slice; no explode, no per-id collect."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | evaluate funnel_sequence_completion(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-30), 7d, event_type,"
+        " dynamic(['signup', 'view', 'purchase']),"
+        " dynamic([1d, 12h, 1d]))",
+    )
+
+
+@query(
+    "kql_reduce_by",
+    """
+    WITH src AS (
+      SELECT concat('u/', CAST(user_id AS VARCHAR), '/', event_type,
+                    '/', CAST(event_id AS VARCHAR)) AS p
+      FROM events
+    )
+    SELECT regexp_replace(regexp_replace(p, '\\b[0-9a-fA-F]{8,}\\b',
+                                         '*', 'g'),
+                          '[0-9]+', '*', 'g') AS Pattern,
+           CAST(COUNT(*) AS BIGINT) AS Count_,
+           MIN(p) AS Representative
+    FROM src GROUP BY 1
+    """,
+)
+def kql_reduce_by(spark, sf_dir):
+    """``reduce by Col`` (round 10) — group similar strings into
+    patterns. Kusto's reducer is fuzzy; this engine pins a
+    DETERMINISTIC reduction (hex runs >= 8 chars, then digit runs,
+    each -> `*`) so results are reproducible and cross-engine
+    checkable, with the lexicographic-min exemplar standing in for
+    Kusto's arbitrary Representative. One projection + one aggregate:
+    zero joins, zero UDFs, map-side combine on the pattern key."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events"
+        " | extend p = strcat('u/', tostring(user_id), '/', event_type,"
+        " '/', tostring(event_id))"
+        " | reduce by p",
+    )
+
+
+@query(
+    "kql_scalar_extras4",
+    """
+    SELECT doc_id,
+           to_base64(CAST(lang AS BLOB)) AS b64,
+           CAST(from_base64(to_base64(CAST(source AS BLOB))) AS VARCHAR)
+             AS rt,
+           replace(replace(concat(lang, ' ', source, '/x'), ' ', '+'),
+                   '/', '%2F') AS ue,
+           translate(text, 'aeiou', '*****') AS tr,
+           CAST(month(TIMESTAMP '2024-03-05') AS INT) AS m,
+           CAST(weekofyear(TIMESTAMP '2024-01-04') AS INT) AS w,
+           TIMESTAMP '2024-01-01' + INTERVAL 3 DAY AS d2,
+           TIMESTAMP '2024-01-01' - INTERVAL 2 HOUR AS h2,
+           array_to_string(
+             list_transform(
+               list_concat(string_split('1.10.2', '.'),
+                           ['0', '0', '0'])[1:4],
+               x -> lpad(x, 8, '0')), '.') AS pv
+    FROM documents
+    """,
+)
+def kql_scalar_extras4(spark, sf_dir):
+    """Round-10 scalar widening: ``base64_encode_tostring``/
+    ``base64_decode_tostring`` (string <-> base64 via binary cast),
+    ``url_encode``/``url_decode`` (form encoding — Kusto's semantics ==
+    Spark's URLEncoder, space -> '+'), ``translate`` (Kusto arg order
+    (from, to, text) reordered to Spark's (text, from, to)),
+    ``monthofyear``/``week_of_year`` (both ISO 8601),
+    ``datetime_add('period', n, ts)`` (-> timestampadd, period literal
+    validated pre-mask, loud on unknown units), and ``parse_version``
+    (order-equivalent canonical string: 4 dot segments zero-padded to
+    8 — documented deviation from Kusto's decimal). All textual
+    rewrites to built-in JVM expressions — zero UDFs, zero shuffles."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t,
+        """
+        documents
+        | extend b64 = base64_encode_tostring(lang),
+                 rt = base64_decode_tostring(base64_encode_tostring(source)),
+                 ue = url_encode(strcat(lang, ' ', source, '/x')),
+                 tr = translate('aeiou', '*****', text),
+                 m = monthofyear(datetime(2024-03-05)),
+                 w = week_of_year(datetime(2024-01-04)),
+                 d2 = datetime_add('day', 3, datetime(2024-01-01)),
+                 h2 = datetime_add('hour', -2, datetime(2024-01-01)),
+                 pv = parse_version('1.10.2')
+        | project doc_id, b64, rt, ue, tr, m, w, d2, h2, pv
+        """,
+    )

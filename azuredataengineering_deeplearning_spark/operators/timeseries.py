@@ -537,6 +537,303 @@ def activity_counts_metrics(
     ).orderBy("Timeline")
 
 
+def _binned_ids(
+    df: DataFrame, id_col: str, ts_col: str, start_e: int, n_bins: int,
+    step_s: int,
+) -> DataFrame:
+    """Distinct (``__u``, ``__idx``) frame of ids per time bin inside
+    the ``[start, start + n_bins*step)`` range — the shared front end
+    of the period-over-period activity plugins. One pushed range
+    filter + one distinct (the only stage carrying per-event rows)."""
+    ts_e = F.col(ts_col).cast("timestamp").cast("long")  # NTZ-safe
+    return (
+        df.where(
+            (ts_e >= F.lit(start_e))
+            & (ts_e < F.lit(start_e + n_bins * step_s))
+        )
+        .select(
+            F.col(id_col).alias("__u"),
+            F.floor((ts_e - F.lit(start_e)) / F.lit(step_s)).alias("__idx"),
+        )
+        .distinct()
+    )
+
+
+def activity_metrics(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    start: str,
+    end: str,
+    step_s: int,
+) -> DataFrame:
+    """Kusto ``evaluate activity_metrics(Id, Timeline, Start, End,
+    Window)``: period-over-period engagement. Per window bin —
+    distinct ids (``dcount_values``), ids first EVER seen in the bin
+    (``dcount_newvalues``), ``retention_rate`` = ids active in BOTH
+    this bin and the previous one / previous bin's dcount, and
+    ``churn_rate`` = previous-bin ids NOT active in this bin /
+    previous bin's dcount (retention + churn = 1 when the previous bin
+    is non-empty). One row per spine bin, zero-filled; an empty
+    previous bin renders both rates 0.0 (Kusto renders NaN — 0.0 is
+    the cross-engine-checkable form, documented deviation).
+
+    Plan — no bin-to-bin self-join on the event table: the distinct
+    (id, bin) frame is shuffled ONCE on id; a per-id ``lag`` window
+    (partition = one id's active bins, bounded by the calendar) marks
+    a bin "retained" when the id was also active in ``bin - 1``; the
+    same id partition yields first-seen bins via ``min``. Everything
+    after is O(bins) arithmetic on the spine. Parity:
+    reference activity dashboards (``daily_eval.py`` rollups)."""
+    spark = df.sparkSession
+    start_e, end_e = _to_epoch(spark, start), _to_epoch(spark, end)
+    n_bins = (end_e - start_e) // step_s + 1
+    spine = spark.range(n_bins).select(F.col("id").alias("__idx"))
+    binned = _binned_ids(df, id_col, ts_col, start_e, n_bins, step_s)
+    w = Window.partitionBy("__u").orderBy("__idx")
+    marked = binned.select(
+        "__idx",
+        F.when(F.lag("__idx").over(w) == F.col("__idx") - 1, 1)
+        .otherwise(0)
+        .alias("__ret"),
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("__new"),
+    )
+    per_bin = marked.groupBy("__idx").agg(
+        F.count(F.lit(1)).alias("dcount_values"),
+        F.sum("__new").alias("dcount_newvalues"),
+        F.sum("__ret").alias("__retained"),
+    )
+    prev = per_bin.select(
+        (F.col("__idx") + 1).alias("__idx"),
+        F.col("dcount_values").alias("__prev_dcount"),
+    )
+    filled = (
+        spine.join(per_bin, "__idx", "left")
+        .join(prev, "__idx", "left")
+        .fillna(
+            0,
+            subset=[
+                "dcount_values", "dcount_newvalues", "__retained",
+                "__prev_dcount",
+            ],
+        )
+    )
+    safe_prev = F.when(F.col("__prev_dcount") > 0, F.col("__prev_dcount"))
+    return filled.select(
+        F.timestamp_seconds(
+            F.lit(start_e) + F.col("__idx") * F.lit(step_s)
+        ).alias("Timeline"),
+        F.col("dcount_values").cast("long").alias("dcount_values"),
+        F.col("dcount_newvalues").cast("long").alias("dcount_newvalues"),
+        F.coalesce(
+            F.col("__retained") / safe_prev, F.lit(0.0)
+        ).alias("retention_rate"),
+        F.coalesce(
+            (F.col("__prev_dcount") - F.col("__retained")) / safe_prev,
+            F.lit(0.0),
+        ).alias("churn_rate"),
+    ).orderBy("Timeline")
+
+
+def new_activity_metrics(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    start: str,
+    end: str,
+    step_s: int,
+) -> DataFrame:
+    """Kusto ``evaluate new_activity_metrics(Id, Timeline, Start, End,
+    Window)``: COHORT retention. Ids are assigned to the window of
+    their first appearance (``FromTimeline``); for every later window
+    ``ToTimeline`` the cohort is re-measured — ``dcount_new_values``
+    (cohort size), ``dcount_retained_values`` (cohort ids active in
+    the To window), ``dcount_churn_values`` (cohort ids NOT active),
+    and the two rates (denominator = cohort size; an empty cohort
+    renders 0.0). One row per (From, To) pair with From <= To,
+    zero-filled over the O(bins^2) spine (bins are a calendar — the
+    spine is driver-tiny regardless of corpus size).
+
+    Plan: the distinct (id, bin) frame is shuffled once on id; the
+    per-id ``min`` bin labels the cohort, rides back on the SAME id
+    partitioning (no extra exchange), and one (cohort, bin) aggregate
+    is the retention matrix. Generalizes
+    :func:`cohort_retention` to Kusto's exact output contract."""
+    spark = df.sparkSession
+    start_e, end_e = _to_epoch(spark, start), _to_epoch(spark, end)
+    n_bins = (end_e - start_e) // step_s + 1
+    binned = _binned_ids(df, id_col, ts_col, start_e, n_bins, step_s)
+    wu = Window.partitionBy("__u")
+    labeled = binned.withColumn("__cohort", F.min("__idx").over(wu))
+    retained = labeled.groupBy("__cohort", "__idx").agg(
+        F.count(F.lit(1)).alias("__retained")
+    )
+    sizes = retained.where(F.col("__idx") == F.col("__cohort")).select(
+        "__cohort", F.col("__retained").alias("__size")
+    )
+    b = spark.range(n_bins).select(F.col("id").alias("__idx"))
+    pairs = (
+        spark.range(n_bins)
+        .select(F.col("id").alias("__cohort"))
+        .join(b, F.col("__cohort") <= F.col("__idx"))
+    )
+    filled = (
+        pairs.join(retained, ["__cohort", "__idx"], "left")
+        .join(sizes, "__cohort", "left")
+        .fillna(0, subset=["__retained", "__size"])
+    )
+    safe = F.when(F.col("__size") > 0, F.col("__size"))
+    ts_of = lambda c: F.timestamp_seconds(  # noqa: E731
+        F.lit(start_e) + F.col(c) * F.lit(step_s)
+    )
+    return filled.select(
+        ts_of("__cohort").alias("FromTimeline"),
+        ts_of("__idx").alias("ToTimeline"),
+        F.col("__size").cast("long").alias("dcount_new_values"),
+        F.col("__retained").cast("long").alias("dcount_retained_values"),
+        (F.col("__size") - F.col("__retained"))
+        .cast("long")
+        .alias("dcount_churn_values"),
+        F.coalesce(F.col("__retained") / safe, F.lit(0.0)).alias(
+            "retention_rate"
+        ),
+        F.coalesce(
+            (F.col("__size") - F.col("__retained")) / safe, F.lit(0.0)
+        ).alias("churn_rate"),
+    ).orderBy("FromTimeline", "ToTimeline")
+
+
+def session_count(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    start: str,
+    end: str,
+    bin_s: int,
+    lookback_s: int,
+) -> DataFrame:
+    """Kusto ``evaluate session_count(Id, Timeline, Start, End, Bin,
+    LookBackWindow)``: active sessions per bin, where an id's session
+    is alive at bin ``t`` if the id had any activity in the trailing
+    ``LookBackWindow`` ending at ``t`` — exactly the sliding distinct
+    count, so this rides :func:`sliding_window_counts`' interval-merge
+    sweep verbatim (per-id coverage intervals -> ±1 deltas -> one
+    distributed prefix scan; never a sliding COUNT(DISTINCT)). Output
+    ``(Timeline, count_)``, one row per spine bin, zero-filled.
+    LookBackWindow must be a whole multiple of Bin (inherited
+    constraint, loud error)."""
+    return sliding_window_counts(
+        df, id_col, ts_col, start, end, lookback_s, bin_s
+    ).select("Timeline", F.col("Dcount").alias("count_"))
+
+
+def funnel_sequence_completion(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    state_col: str,
+    start: str,
+    end: str,
+    bin_s: int,
+    states: list[str],
+    windows_s: list[int],
+) -> DataFrame:
+    """Kusto ``evaluate funnel_sequence_completion(Id, Timeline, Start,
+    End, Period, State, Sequence, MaxSequenceWindows)``: funnel
+    completion by period. A sequence START is any event whose state is
+    ``states[0]`` inside ``[Start, End]``; the start's period is its
+    bin. An id completes step ``k`` (1-based) in a period if ANY of
+    its starts in that period extends to a chain
+    ``t1 < t2 < ... < tk`` through ``states[:k]`` with
+    ``tk - t1 <= windows_s[k-1]``. Output one row per (Period, step):
+    ``(Period, StateSequence, dcount)``, zero-filled over the period
+    spine. ``StateSequence`` is the '>'-joined prefix (Kusto emits a
+    dynamic array; the flat string is the cross-engine-checkable
+    form, documented deviation).
+
+    Plan — per-start GREEDY chains, which are optimal (taking the
+    earliest next-state occurrence after the previous step minimizes
+    every suffix completion time, so a start completes within the
+    window iff its greedy chain does), over ALL starts (the earliest
+    start is NOT always the completing one — a later start can finish
+    inside a window an earlier start misses, pinned in tests). Each
+    step is one join on id between the surviving starts and that
+    step's (pushdown-filtered) state events plus a min-aggregate —
+    ``len(states) - 1`` id-key shuffles total, no explode, no
+    per-id collect."""
+    if len(windows_s) != len(states):
+        raise ValueError(
+            "funnel_sequence_completion: MaxSequenceWindows must have one "
+            f"entry per sequence state ({len(states)} states, "
+            f"{len(windows_s)} windows)"
+        )
+    if not states:
+        raise ValueError("funnel_sequence_completion: empty sequence")
+    spark = df.sparkSession
+    start_e, end_e = _to_epoch(spark, start), _to_epoch(spark, end)
+    n_bins = (end_e - start_e) // bin_s + 1
+    ts_e = F.col(ts_col).cast("timestamp").cast("double")
+    events = df.where(
+        (ts_e >= F.lit(start_e)) & (ts_e < F.lit(start_e + n_bins * bin_s))
+    ).select(
+        F.col(id_col).alias("__u"),
+        F.col(state_col).alias("__s"),
+        ts_e.alias("__t"),
+    )
+    cur = (
+        events.where(F.col("__s") == states[0])
+        .select(
+            "__u",
+            F.col("__t").alias("__t1"),
+            F.floor((F.col("__t") - F.lit(start_e)) / F.lit(bin_s))
+            .alias("__per"),
+        )
+        .distinct()
+        .withColumn("__tk", F.col("__t1"))
+    )
+    spine = spark.range(n_bins).select(F.col("id").alias("__per"))
+    step_counts = []
+    for k, state in enumerate(states):
+        if k > 0:
+            nxt = events.where(F.col("__s") == state).select(
+                "__u", F.col("__t").alias("__tn")
+            )
+            cur = (
+                cur.join(nxt, "__u")
+                .where(F.col("__tn") > F.col("__tk"))
+                .groupBy("__u", "__t1", "__per")
+                .agg(F.min("__tn").alias("__tk"))
+                .where(F.col("__tk") - F.col("__t1") <= F.lit(windows_s[k]))
+            )
+        label = ">".join(states[: k + 1])
+        per_step = (
+            cur.select("__per", "__u")
+            .distinct()
+            .groupBy("__per")
+            .agg(F.count(F.lit(1)).alias("dcount"))
+        )
+        step_counts.append(
+            spine.join(per_step, "__per", "left")
+            .fillna(0, subset=["dcount"])
+            .select(
+                "__per",
+                F.lit(k + 1).alias("__step"),
+                F.lit(label).alias("StateSequence"),
+                F.col("dcount").cast("long").alias("dcount"),
+            )
+        )
+    out = step_counts[0]
+    for sc in step_counts[1:]:
+        out = out.unionByName(sc)
+    return out.select(
+        F.timestamp_seconds(
+            F.lit(start_e) + F.col("__per") * F.lit(bin_s)
+        ).alias("Period"),
+        "StateSequence",
+        "dcount",
+    ).orderBy("Period", F.length("StateSequence"), "StateSequence")
+
+
 def _to_epoch(spark: SparkSession, dt: str) -> int:
     """ISO datetime/date string -> unix seconds (session UTC; driver-side
     arithmetic on two literals, no job)."""

@@ -94,6 +94,20 @@ to a multiple of size), ``array_concat``/``array_slice``
 ``dynamic({...})`` bag literals, and PARALLEL multi-column
 ``mv-expand a, b`` (positional zip, shorter arrays pad null — one
 generator, never a cross product).
+Round-10 analytics plugins: ``evaluate sliding_window_counts`` /
+``activity_counts_metrics`` / ``activity_engagement`` /
+``activity_metrics`` (period-over-period retention/churn) /
+``new_activity_metrics`` (cohort retention matrix) /
+``session_count`` — all on the interval-merge / prefix-scan kernels
+(operators/timeseries.py, never a sliding COUNT(DISTINCT));
+``evaluate funnel_sequence_completion(...)`` (greedy-chain funnel,
+len(sequence)-1 id-key joins); ``evaluate rows_near(...)``;
+``reduce by Col [with threshold=x]`` (deterministic pattern
+reduction — hex/digit runs → ``*``; documented deviation from Kusto's
+fuzzy reducer); and the HLL sketch family ``hll(col [, accuracy])`` /
+``hll_merge`` (aggregate + 2-arg scalar) / ``dcount_hll`` on Spark's
+mergeable Datasketches aggregates (estimates are approximate by
+design → pytest-toleranced, not DuckDB-hashed).
 Scalars also include ``todynamic``/``parse_json`` dotted access (→
 ``get_json_object``), ``case()``, ``between (a .. b)``,
 ``todouble/tolong/toint/tobool/todatetime``,
@@ -392,6 +406,21 @@ def _expr(kql: str, now: str | None = None) -> str:
             lambda m, p=pre, q=post: _like(m, p, q),
             s,
         )
+    # datetime_add('period', n, ts) -> timestampadd(PERIOD, n, ts):
+    # interprets its quoted period literal, so it must run before
+    # masking (like has/contains). Spark's timestampadd takes the unit
+    # as an IDENTIFIER keyword; unknown periods fail loudly here
+    # rather than as an opaque Catalyst parse error.
+    def _dt_add(m):
+        unit = m.group(1).lower()
+        if unit not in (
+            "year", "quarter", "month", "week", "day",
+            "hour", "minute", "second",
+        ):
+            raise ValueError(f"datetime_add: unsupported period {unit!r}")
+        return f"timestampadd({unit.upper()},"
+
+    s = re.sub(r"\bdatetime_add\(\s*'(\w+)'\s*,", _dt_add, s)
     # ---- mask every remaining literal -------------------------------
     lits: list[str] = []
 
@@ -406,6 +435,36 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = re.sub(r"\btolower\(", "lower(", s)
     s = re.sub(r"\btoupper\(", "upper(", s)
     s = re.sub(r"\bstrlen\(", "length(", s)
+    # HLL sketch scalars (pair with summarize hll()/hll_merge()):
+    # dcount_hll(sketch) -> estimate; 2-arg hll_merge(a, b) -> union
+    s = re.sub(r"\bdcount_hll\(", "hll_sketch_estimate(", s)
+    s = re.sub(r"\bhll_merge\(", "hll_union(", s)
+    # round-10 scalar batch: encodings + calendar + version ordering.
+    # url_encode/url_decode keep their names (Kusto's form-encoding ==
+    # Spark's java.net.URLEncoder semantics, space -> '+').
+    s = _rewrite_call(
+        s, "base64_encode_tostring", lambda a: f"base64(cast({a} as binary))"
+    )
+    s = _rewrite_call(
+        s, "base64_decode_tostring", lambda a: f"cast(unbase64({a}) as string)"
+    )
+    # Kusto translate(searchList, replacementList, text) — Spark wants
+    # (text, from, to): reorder the arguments
+    s = _rewrite_call(s, "translate", lambda a, b, c: f"translate({c}, {a}, {b})")
+    s = re.sub(r"\bmonthofyear\(", "month(", s)
+    s = re.sub(r"\bweek_of_year\(", "weekofyear(", s)  # both ISO 8601
+    # parse_version: Kusto emits a comparable decimal; this engine emits
+    # the ORDER-EQUIVALENT canonical string (each of 4 dot segments
+    # zero-padded to 8, missing segments = 0) — cross-engine checkable,
+    # sorts identically (documented deviation)
+    s = _rewrite_call(
+        s,
+        "parse_version",
+        lambda a: (
+            "array_join(transform(slice(concat(split(" + a + ", '\\\\.'),"
+            " array('0', '0', '0')), 1, 4), __x -> lpad(__x, 8, '0')), '.')"
+        ),
+    )
     s = re.sub(r"\btostring\(([^()]*)\)", r"cast(\1 as string)", s)
     # dynamic access FIRST (so casts below see its output): todynamic(
     # col).a.b / parse_json(col).a.b → get_json_object (string-typed
@@ -984,6 +1043,52 @@ def kql_to_df(
                 ).distinct()
         elif op == "count":
             df = df.agg(F.count(F.lit(1)).alias("Count"))
+        elif op == "render":
+            # `| render timechart [with (...)]` — a CLIENT-side
+            # visualization directive with no tabular effect (Kusto
+            # returns the rows unchanged and the chart kind as result
+            # metadata). Accepted and ignored so dashboard queries run
+            # verbatim; malformed directives still fail loudly.
+            if not re.match(
+                r"^[\w-]+(\s+with\s*\(.*\))?\s*$", rest.strip(), re.S
+            ):
+                raise ValueError(f"render: unparseable directive {rest!r}")
+        elif op == "reduce":
+            # `reduce by Col [with threshold=0.x]` — group similar
+            # strings into patterns. Kusto's reducer is a fuzzy
+            # heuristic; this engine uses a DETERMINISTIC reduction
+            # (documented deviation, cross-engine checkable): every
+            # maximal digit run and every hex-ish token of >= 8 chars
+            # becomes `*`. Output (Pattern, Count_, Representative)
+            # with Representative = the lexicographically-min source
+            # string (Kusto picks an arbitrary exemplar — a pinned min
+            # keeps results reproducible). The threshold knob tunes
+            # Kusto's merge aggressiveness and is accepted + ignored.
+            # One projection + one aggregate — zero joins, zero UDFs.
+            rm = re.match(
+                r"^by\s+(\w+)(?:\s+with\s+threshold\s*=\s*[\d.]+)?\s*$",
+                rest.strip(),
+            )
+            if not rm:
+                raise ValueError(
+                    f"reduce needs 'by Column [with threshold=x]': {rest!r}"
+                )
+            rcol = rm.group(1)
+            pat = F.regexp_replace(
+                F.regexp_replace(
+                    F.col(rcol), F.lit(r"\b[0-9a-fA-F]{8,}\b"), F.lit("*")
+                ),
+                F.lit("[0-9]+"),
+                F.lit("*"),
+            )
+            df = (
+                df.select(pat.alias("Pattern"), F.col(rcol).alias("__src"))
+                .groupBy("Pattern")
+                .agg(
+                    F.count(F.lit(1)).alias("Count_"),
+                    F.min("__src").alias("Representative"),
+                )
+            )
         elif op == "summarize":
             df = _summarize(df, rest, now)
         elif op == "facet":
@@ -1884,14 +1989,45 @@ def _activity_plugin(df: DataFrame, name: str, args_txt: str) -> DataFrame:
       activity_ratio) — the DAU/MAU shape (reference's engagement
       dashboards); windows must be whole days, evaluated at observed
       days (a trailing window past the last event is a forecast, not
-      a measurement)."""
+      a measurement);
+    * ``activity_metrics(Id, Timeline, Start, End, Window)`` ->
+      period-over-period dcount / new / retention_rate / churn_rate;
+    * ``new_activity_metrics(Id, Timeline, Start, End, Window)`` ->
+      cohort retention matrix (From, To, new/retained/churn + rates);
+    * ``session_count(Id, Timeline, Start, End, Bin, LookBack)`` ->
+      (Timeline, count_) — sliding distinct sessions."""
     from azuredataengineering_deeplearning_spark.operators.timeseries import (
         activity_counts_metrics,
+        activity_metrics,
         engagement_ratio,
+        new_activity_metrics,
+        session_count,
         sliding_window_counts,
     )
 
     a = [x.strip() for x in _split_csv(args_txt)]
+    if name in ("activity_metrics", "new_activity_metrics"):
+        if len(a) != 5:
+            raise ValueError(
+                f"{name}(Id, Timeline, Start, End, Window) takes 5 args, "
+                f"got {len(a)}"
+            )
+        fn = (
+            activity_metrics
+            if name == "activity_metrics"
+            else new_activity_metrics
+        )
+        return fn(df, a[0], a[1], _dt_lit(a[2]), _dt_lit(a[3]), _span_lit(a[4]))
+    if name == "session_count":
+        if len(a) != 6:
+            raise ValueError(
+                "session_count(Id, Timeline, Start, End, Bin, "
+                f"LookBackWindow) takes 6 args, got {len(a)}"
+            )
+        return session_count(
+            df, a[0], a[1], _dt_lit(a[2]), _dt_lit(a[3]),
+            _span_lit(a[4]), _span_lit(a[5]),
+        )
     if name == "sliding_window_counts":
         if len(a) != 6:
             raise ValueError(
@@ -1994,6 +2130,49 @@ def _rows_near(
     )
 
 
+def _funnel_completion(df: DataFrame, args_txt: str) -> DataFrame:
+    """``evaluate funnel_sequence_completion(Id, Timeline, Start, End,
+    Period, State, dynamic(['s1', ...]), dynamic([w1, ...]))`` —
+    argument parsing for
+    :func:`operators.timeseries.funnel_sequence_completion` (see its
+    docstring for semantics + plan shape). The two dynamic arrays must
+    be literal: quoted states and timespan literals, one window per
+    state."""
+
+    def _dyn_items(txt: str, what: str) -> list[str]:
+        m = re.match(r"^dynamic\s*\(\s*\[(.*)\]\s*\)$", txt.strip(), re.S)
+        if not m:
+            raise ValueError(
+                f"funnel_sequence_completion: {what} must be a literal "
+                f"dynamic([...]) array, got {txt!r}"
+            )
+        return [x.strip() for x in _split_csv(m.group(1)) if x.strip()]
+
+    a = [x.strip() for x in _split_csv(args_txt)]
+    if len(a) != 8:
+        raise ValueError(
+            "funnel_sequence_completion(Id, Timeline, Start, End, Period, "
+            f"State, Sequence, MaxSequenceWindows) takes 8 args, got {len(a)}"
+        )
+    states = []
+    for s in _dyn_items(a[6], "Sequence"):
+        if not re.fullmatch(r"'[^']*'", s):
+            raise ValueError(
+                f"funnel_sequence_completion: sequence state {s!r} must be "
+                "a quoted string literal"
+            )
+        states.append(s[1:-1])
+    windows = [_span_lit(w) for w in _dyn_items(a[7], "MaxSequenceWindows")]
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        funnel_sequence_completion,
+    )
+
+    return funnel_sequence_completion(
+        df, a[0], a[1], a[5], _dt_lit(a[2]), _dt_lit(a[3]),
+        _span_lit(a[4]), states, windows,
+    )
+
+
 def _evaluate(
     df: DataFrame, rest: str, now: str | None, order_spec: str | None = None
 ) -> DataFrame:
@@ -2040,12 +2219,18 @@ def _evaluate(
         )
     bm = re.match(
         r"^(sliding_window_counts|activity_counts_metrics"
-        r"|activity_engagement)\s*\((.+)\)\s*$",
+        r"|activity_engagement|activity_metrics|new_activity_metrics"
+        r"|session_count)\s*\((.+)\)\s*$",
         rest.strip(),
         re.S,
     )
     if bm:
         return _activity_plugin(df, bm.group(1), bm.group(2))
+    bm = re.match(
+        r"^funnel_sequence_completion\s*\((.+)\)\s*$", rest.strip(), re.S
+    )
+    if bm:
+        return _funnel_completion(df, bm.group(1))
     bm = re.match(r"^rows_near\s*\((.+)\)\s*$", rest.strip(), re.S)
     if bm:
         return _rows_near(df, bm.group(1), now, order_spec)
@@ -2708,6 +2893,51 @@ def _summarize(df: DataFrame, rest: str, now: str | None = None) -> DataFrame:
             aggs.append(
                 F.countDistinct(m.group(1)).alias(
                     alias or f"dcount_{m.group(1)}"
+                )
+            )
+            continue
+        m = re.match(
+            r"^dcount_hll\(hll\(([\w.]+)(?:\s*,\s*([1-4]))?\)\)$", body
+        )
+        if m:
+            # composed estimate-of-sketch in one aggregate
+            lgk = {None: 12, "1": 12, "2": 14, "3": 16, "4": 18}[m.group(2)]
+            aggs.append(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg(F.col(m.group(1)), F.lit(lgk))
+                ).alias(alias or f"dcount_hll_{m.group(1)}")
+            )
+            continue
+        m = re.match(r"^dcount_hll\(hll_merge\(([\w.]+)\)\)$", body)
+        if m:
+            aggs.append(
+                F.hll_sketch_estimate(F.hll_union_agg(F.col(m.group(1))))
+                .alias(alias or f"dcount_hll_{m.group(1)}")
+            )
+            continue
+        m = re.match(r"^hll\(([\w.]+)(?:\s*,\s*([1-4]))?\)$", body)
+        if m:
+            # hll(col [, accuracy]): a MERGEABLE Datasketches HLL
+            # sketch (Spark's hll_sketch_agg) — the incremental /
+            # shard-union face of dcount. Kusto's accuracy 1..4 maps
+            # onto lgConfigK 12/14/16/18 (larger = tighter estimate,
+            # bigger sketch). Combine with hll_merge(...) re-aggregation
+            # and the dcount_hll(...) scalar; estimates are approximate
+            # by design, so rows using them are pytest-toleranced, not
+            # DuckDB-hashed.
+            lgk = {None: 12, "1": 12, "2": 14, "3": 16, "4": 18}[m.group(2)]
+            aggs.append(
+                F.hll_sketch_agg(F.col(m.group(1)), F.lit(lgk)).alias(
+                    alias or f"hll_{m.group(1)}"
+                )
+            )
+            continue
+        m = re.match(r"^hll_merge\(([\w.]+)\)$", body)
+        if m:
+            # aggregate form: union sketches produced by hll() upstream
+            aggs.append(
+                F.hll_union_agg(F.col(m.group(1))).alias(
+                    alias or f"hll_merge_{m.group(1)}"
                 )
             )
             continue

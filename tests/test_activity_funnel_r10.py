@@ -1,0 +1,317 @@
+"""Round-10 additions: Kusto activity_metrics / new_activity_metrics /
+session_count / funnel_sequence_completion / reduce-by / HLL sketch
+functions. Hand-built frames pin the dialect edge cases the sf-level
+DuckDB oracles can't isolate (gap bins, non-greedy funnel starts,
+loud-error contracts)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.operators.timeseries import (
+    activity_metrics,
+    funnel_sequence_completion,
+    new_activity_metrics,
+    session_count,
+)
+from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(day, hour=0, minute=0, second=0):
+    return dt.datetime(2024, 1, day, hour, minute, second)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "u string, ts timestamp")
+
+
+def test_activity_metrics_gap_bin_zero_rates(spark):
+    # users active day 1 and day 3, nobody day 2: day-2 churn = 1.0
+    # (vs day 1), day-3 rates = 0.0 (empty previous bin renders 0.0)
+    df = _events(
+        spark,
+        [("a", _ts(1)), ("b", _ts(1)), ("a", _ts(3)), ("b", _ts(3))],
+    )
+    out = {
+        r["Timeline"].day: r
+        for r in activity_metrics(
+            df, "u", "ts", "2024-01-01", "2024-01-03", 86400
+        ).collect()
+    }
+    assert out[1]["dcount_values"] == 2 and out[1]["dcount_newvalues"] == 2
+    assert out[1]["retention_rate"] == 0.0  # no previous bin
+    assert out[2]["dcount_values"] == 0
+    assert out[2]["churn_rate"] == 1.0 and out[2]["retention_rate"] == 0.0
+    # day 3 follows an EMPTY bin: both rates 0.0, nothing is "new"
+    assert out[3]["dcount_values"] == 2 and out[3]["dcount_newvalues"] == 0
+    assert out[3]["retention_rate"] == 0.0 and out[3]["churn_rate"] == 0.0
+
+
+def test_activity_metrics_partial_retention(spark):
+    df = _events(
+        spark,
+        [("a", _ts(1)), ("b", _ts(1)), ("a", _ts(2)), ("c", _ts(2))],
+    )
+    out = {
+        r["Timeline"].day: r
+        for r in activity_metrics(
+            df, "u", "ts", "2024-01-01", "2024-01-02", 86400
+        ).collect()
+    }
+    # of day-1's {a, b}: a retained -> retention 1/2, churn 1/2; c is new
+    assert out[2]["dcount_values"] == 2 and out[2]["dcount_newvalues"] == 1
+    assert out[2]["retention_rate"] == 0.5 and out[2]["churn_rate"] == 0.5
+
+
+def test_new_activity_metrics_cohorts(spark):
+    df = _events(
+        spark,
+        [
+            ("a", _ts(1)), ("b", _ts(1)),          # cohort day1
+            ("a", _ts(2)), ("c", _ts(2)),          # c joins day2
+            ("b", _ts(3)), ("c", _ts(3)),
+        ],
+    )
+    out = {
+        (r["FromTimeline"].day, r["ToTimeline"].day): r
+        for r in new_activity_metrics(
+            df, "u", "ts", "2024-01-01", "2024-01-03", 86400
+        ).collect()
+    }
+    assert len(out) == 6  # 3 + 2 + 1 (From <= To pairs)
+    assert out[(1, 1)]["dcount_new_values"] == 2
+    assert out[(1, 1)]["retention_rate"] == 1.0
+    assert out[(1, 2)]["dcount_retained_values"] == 1  # only a
+    assert out[(1, 2)]["churn_rate"] == 0.5
+    assert out[(1, 3)]["dcount_retained_values"] == 1  # only b
+    assert out[(2, 2)]["dcount_new_values"] == 1  # c
+    assert out[(2, 3)]["dcount_retained_values"] == 1
+    # empty cohort day 3: all zeros, rates 0.0
+    assert out[(3, 3)]["dcount_new_values"] == 0
+    assert out[(3, 3)]["retention_rate"] == 0.0
+
+
+def test_session_count_rejects_non_multiple_lookback(spark):
+    df = _events(spark, [("a", _ts(1))])
+    with pytest.raises(ValueError, match="multiple"):
+        session_count(
+            df, "u", "ts", "2024-01-01", "2024-01-03", 86400, 90000
+        ).collect()
+
+
+def test_funnel_later_start_completes(spark):
+    # a has starts at 00:00 and 00:05; the only s2 event is 01:40 after
+    # the FIRST start but within the 98-minute window of the SECOND —
+    # greedy-over-ALL-starts must count a (the earliest-start-only
+    # shortcut would miss it)
+    df = spark.createDataFrame(
+        [
+            ("a", "s1", _ts(1, 0, 0)),
+            ("a", "s1", _ts(1, 0, 5)),
+            ("a", "s2", _ts(1, 1, 40)),
+        ],
+        "u string, st string, ts timestamp",
+    )
+    out = funnel_sequence_completion(
+        df, "u", "ts", "st", "2024-01-01", "2024-01-01", 86400,
+        ["s1", "s2"], [86400, 98 * 60],
+    ).collect()
+    got = {r["StateSequence"]: r["dcount"] for r in out}
+    assert got == {"s1": 1, "s1>s2": 1}
+    # tighten the window below 95 min: no start's chain fits
+    out2 = funnel_sequence_completion(
+        df, "u", "ts", "st", "2024-01-01", "2024-01-01", 86400,
+        ["s1", "s2"], [86400, 90 * 60],
+    ).collect()
+    assert {r["StateSequence"]: r["dcount"] for r in out2} == {
+        "s1": 1, "s1>s2": 0,
+    }
+
+
+def test_funnel_strict_order_and_window_from_start(spark):
+    # chain must be strictly increasing in time, and windows measure
+    # from the sequence START (not the previous step)
+    df = spark.createDataFrame(
+        [
+            ("a", "s1", _ts(1, 0)),
+            ("a", "s2", _ts(1, 1)),
+            ("a", "s3", _ts(1, 5)),
+            ("b", "s2", _ts(2, 0)),  # s2 BEFORE s1: no chain
+            ("b", "s1", _ts(2, 1)),
+            ("b", "s3", _ts(2, 2)),
+        ],
+        "u string, st string, ts timestamp",
+    )
+    out = funnel_sequence_completion(
+        df, "u", "ts", "st", "2024-01-01", "2024-01-02", 86400,
+        ["s1", "s2", "s3"], [86400, 2 * 3600, 4 * 3600],
+    ).collect()
+    got = {
+        (r["Period"].day, r["StateSequence"]): r["dcount"] for r in out
+    }
+    assert got[(1, "s1>s2")] == 1
+    # s3 is 5h after a's start > 4h window
+    assert got[(1, "s1>s2>s3")] == 0
+    assert got[(2, "s1>s2")] == 0  # b's s2 precedes its s1
+
+
+def test_funnel_arg_validation(spark):
+    df = _events(spark, [("a", _ts(1))])
+    with pytest.raises(ValueError, match="one .* per sequence state"):
+        funnel_sequence_completion(
+            df, "u", "ts", "u", "2024-01-01", "2024-01-02", 86400,
+            ["s1", "s2"], [60],
+        )
+    with pytest.raises(ValueError, match="empty sequence"):
+        funnel_sequence_completion(
+            df, "u", "ts", "u", "2024-01-01", "2024-01-02", 86400, [], []
+        )
+
+
+def test_kql_funnel_parse_errors(spark):
+    t = {"events": spark.read.parquet(f"{SF}/events.parquet")}
+    with pytest.raises(ValueError, match="literal"):
+        kql_to_df(
+            t,
+            "events | evaluate funnel_sequence_completion(user_id, ts,"
+            " datetime(2024-01-01), datetime(2024-01-02), 1d, event_type,"
+            " some_column, dynamic([1d]))",
+        )
+    with pytest.raises(ValueError, match="quoted string literal"):
+        kql_to_df(
+            t,
+            "events | evaluate funnel_sequence_completion(user_id, ts,"
+            " datetime(2024-01-01), datetime(2024-01-02), 1d, event_type,"
+            " dynamic([view]), dynamic([1d]))",
+        )
+    with pytest.raises(ValueError, match="takes 8 args"):
+        kql_to_df(
+            t,
+            "events | evaluate funnel_sequence_completion(user_id, ts)",
+        )
+
+
+def test_reduce_by_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            ("req 12 from host7",),
+            ("req 9000 from host1",),
+            ("token deadbeef00 ok",),
+            ("token cafebabe11 ok",),
+        ],
+        "msg string",
+    )
+    out = {
+        r["Pattern"]: r
+        for r in kql_to_df({"t": df}, "t | reduce by msg").collect()
+    }
+    assert out["req * from host*"]["Count_"] == 2
+    assert out["req * from host*"]["Representative"] == "req 12 from host7"
+    # >= 8 hex chars collapse as one token (not digit-run fragments)
+    assert out["token * ok"]["Count_"] == 2
+    # threshold knob accepted + ignored; malformed rest is loud
+    kql_to_df({"t": df}, "t | reduce by msg with threshold=0.2").collect()
+    with pytest.raises(ValueError, match="reduce needs"):
+        kql_to_df({"t": df}, "t | reduce msg")
+
+
+def test_hll_family_estimate_and_merge(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    t = {"events": ev}
+    exact = ev.select("user_id").distinct().count()
+    est = kql_to_df(
+        t, "events | summarize d = dcount_hll(hll(user_id))"
+    ).collect()[0]["d"]
+    assert abs(est - exact) <= max(1, 0.05 * exact)
+    # shard sketches re-merged == global sketch estimate (mergeability
+    # is the point of hll over dcount)
+    merged = kql_to_df(
+        t,
+        "events | summarize h = hll(user_id) by event_type"
+        " | summarize m = hll_merge(h) | project d = dcount_hll(m)",
+    ).collect()[0]["d"]
+    assert merged == est
+    # accuracy knob maps to a larger sketch and stays close to exact
+    est4 = kql_to_df(
+        t, "events | summarize d = dcount_hll(hll(user_id, 4))"
+    ).collect()[0]["d"]
+    assert abs(est4 - exact) <= max(1, 0.05 * exact)
+
+
+def test_hll_scalar_two_arg_merge(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    t = {"events": ev}
+    # split-by-predicate sketches unioned via the SCALAR hll_merge
+    out = (
+        ev.agg(
+            F.hll_sketch_agg(
+                F.when(F.col("value") < 50, F.col("user_id")), F.lit(12)
+            ).alias("h1"),
+            F.hll_sketch_agg(
+                F.when(F.col("value") >= 50, F.col("user_id")), F.lit(12)
+            ).alias("h2"),
+        )
+    )
+    merged = kql_to_df(
+        {"t": out}, "t | project d = dcount_hll(hll_merge(h1, h2))"
+    ).collect()[0]["d"]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) <= max(1, 0.05 * exact)
+
+
+def test_kql_activity_metrics_plugin_args(spark):
+    t = {"events": spark.read.parquet(f"{SF}/events.parquet")}
+    with pytest.raises(ValueError, match="takes 5 args"):
+        kql_to_df(
+            t,
+            "events | evaluate activity_metrics(user_id, ts,"
+            " datetime(2024-01-01), datetime(2024-01-30))",
+        )
+    with pytest.raises(ValueError, match="takes 6 args"):
+        kql_to_df(
+            t,
+            "events | evaluate session_count(user_id, ts,"
+            " datetime(2024-01-01), datetime(2024-01-30), 1d)",
+        )
+
+
+def test_render_noop_and_loud(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t = {"documents": docs}
+    out = kql_to_df(
+        t,
+        "documents | summarize n = count() by lang"
+        " | render barchart with (title='by lang')",
+    )
+    base = kql_to_df(t, "documents | summarize n = count() by lang")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    with pytest.raises(ValueError, match="render"):
+        kql_to_df(t, "documents | render ???").collect()
+
+
+def test_scalar_batch4_semantics(spark):
+    t = {"documents": spark.read.parquet(f"{SF}/documents.parquet")}
+    row = kql_to_df(
+        t,
+        "documents"
+        " | extend ud = url_decode(url_encode('a b/c')),"
+        " v1 = parse_version('1.2'), v2 = parse_version('1.10'),"
+        " tr = translate('abc', 'xyz', 'aabbcc'),"
+        " d = datetime_add('month', -1, datetime(2024-03-31))"
+        " | project ud, v1, v2, tr, d | take 1",
+    ).collect()[0]
+    assert row["ud"] == "a b/c"  # encode/decode round-trips
+    assert row["v1"] < row["v2"]  # 1.2 < 1.10 (numeric, not lexicographic)
+    assert row["tr"] == "xxyyzz"  # Kusto (from, to, text) arg order
+    assert row["d"].month == 2  # calendar-aware month step
+    with pytest.raises(ValueError, match="unsupported period"):
+        kql_to_df(
+            t,
+            "documents | extend x ="
+            " datetime_add('decade', 1, datetime(2024-01-01))",
+        )
