@@ -2061,3 +2061,140 @@ def kql_scalar_extras4(spark, sf_dir):
         | project doc_id, b64, rt, ue, tr, m, w, d2, h2, pv
         """,
     )
+
+
+@query(
+    "kql_autocluster",
+    """
+    WITH src AS (
+      SELECT lang, source,
+             CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END
+               AS size_tier
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM src),
+    g AS (
+      SELECT lang, source, size_tier, COUNT(*) AS count_,
+             GROUPING(lang) AS gl, GROUPING(source) AS gs,
+             GROUPING(size_tier) AS gt
+      FROM src
+      GROUP BY GROUPING SETS ((lang), (source), (size_tier),
+        (lang, source), (lang, size_tier), (source, size_tier),
+        (lang, source, size_tier))
+    ),
+    cand AS (
+      SELECT CASE WHEN gl = 0 THEN lang END AS lang,
+             CASE WHEN gs = 0 THEN source END AS source,
+             CASE WHEN gt = 0 THEN size_tier END AS size_tier,
+             count_, count_ * 100.0 / total AS percent,
+             (1 - gl) + (1 - gs) + (1 - gt) AS n
+      FROM g, tot WHERE count_ >= total * 0.08
+    ),
+    pruned AS (
+      SELECT p.* FROM cand p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cand q
+        WHERE q.n < p.n AND q.count_ = p.count_
+          AND (q.lang IS NULL OR q.lang IS NOT DISTINCT FROM p.lang)
+          AND (q.source IS NULL OR q.source IS NOT DISTINCT FROM p.source)
+          AND (q.size_tier IS NULL
+               OR q.size_tier IS NOT DISTINCT FROM p.size_tier)
+      )
+    ),
+    topk AS (
+      SELECT * FROM pruned
+      ORDER BY count_ DESC, n ASC, lang ASC NULLS LAST,
+               source ASC NULLS LAST, size_tier ASC NULLS LAST
+      LIMIT 10
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY count_ DESC, n ASC, lang ASC NULLS LAST,
+                      source ASC NULLS LAST, size_tier ASC NULLS LAST)
+             - 1 AS BIGINT) AS SegmentId,
+           CAST(count_ AS BIGINT) AS count_, percent,
+           lang, source, size_tier
+    FROM topk
+    """,
+)
+def kql_autocluster(spark, sf_dir):
+    """``evaluate autocluster(MinPercent, K)`` (round 10) — Kusto's
+    segment finder as a deterministic dialect: basket-kernel
+    candidates (one GROUPING SETS pass over pre-collapsed weighted
+    tuples) >= MinPercent coverage, CLOSED-pattern pruned (a
+    specialization whose generalization has the same count adds no
+    information — SizeWeight's role made exact), top-K by
+    integer-exact order. The prune self-join broadcasts the bounded
+    candidate set; SegmentId rides the distributed global_row_number
+    kernel over the <= K survivors."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t,
+        "documents"
+        " | extend size_tier = iff(n_chars > 300, 'long', 'short')"
+        " | project lang, source, size_tier"
+        " | evaluate autocluster(8.0, 10)",
+    )
+
+
+@query(
+    "kql_ipv4_geo",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             concat('10.', CAST(doc_id % 200 AS VARCHAR), '.',
+                    CAST(doc_id % 256 AS VARCHAR), '.7') AS ip
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, ip,
+        CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+        + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+        + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+        + CAST(string_split(ip, '.')[4] AS BIGINT) AS num
+      FROM src
+    )
+    SELECT doc_id, ip,
+           num AS n,
+           num & 4294967040 AS masked,
+           CAST(16 AS INT) AS sfx,
+           (num & 4286578688) = (167772160 & 4286578688) AS inr,
+           (num & 4278190080) = (167772160 & 4278190080) AS mt,
+           CAST(-1 AS INT) AS cmp,
+           concat_ws('.',
+             CAST((num & 4294967040) >> 24 & 255 AS VARCHAR),
+             CAST((num & 4294967040) >> 16 & 255 AS VARCHAR),
+             CAST((num & 4294967040) >> 8 & 255 AS VARCHAR),
+             CAST((num & 4294967040) & 255 AS VARCHAR)) AS fmt,
+           (2 * 6371008.8 * asin(sqrt(
+             pow(sin((radians(37.786) - radians(37.788)) / 2), 2)
+             + cos(radians(37.788)) * cos(radians(37.786))
+             * pow(sin((radians(-122.406) - radians(-122.407)) / 2), 2))))
+             AS dist
+    FROM n
+    """,
+)
+def kql_ipv4_geo(spark, sf_dir):
+    """IPv4 + geo scalar family (round 10): ``parse_ipv4`` (optional
+    '/suffix' zeroes bits beyond the prefix), ``ipv4_is_in_range``,
+    ``ipv4_is_match`` (minimal-prefix semantics via numeric least() of
+    the masks), ``ipv4_compare``, ``ipv4_netmask_suffix``,
+    ``format_ipv4``, and ``geo_distance_2points`` (spherical haversine
+    on the IUGG mean radius — Kusto computes WGS84 geodesic, sub-0.5%
+    deviation documented). All pure bigint/double arithmetic emitted
+    textually — zero UDFs, zero shuffles, whole-stage codegen."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t,
+        "documents"
+        " | extend ip = strcat('10.', tostring(doc_id % 200), '.',"
+        " tostring(doc_id % 256), '.7')"
+        " | extend n = parse_ipv4(ip),"
+        " masked = parse_ipv4(strcat(ip, '/24')),"
+        " sfx = ipv4_netmask_suffix(strcat(ip, '/16')),"
+        " inr = ipv4_is_in_range(ip, '10.0.0.0/9'),"
+        " mt = ipv4_is_match(ip, '10.0.0.0', 8),"
+        " cmp = ipv4_compare('10.0.0.1', '10.0.0.2'),"
+        " fmt = format_ipv4(strcat(ip, '/24')),"
+        " dist = geo_distance_2points(-122.407, 37.788, -122.406, 37.786)"
+        " | project doc_id, ip, n, masked, sfx, inr, mt, cmp, fmt, dist",
+    )

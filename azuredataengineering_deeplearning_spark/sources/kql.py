@@ -107,7 +107,14 @@ reduction — hex/digit runs → ``*``; documented deviation from Kusto's
 fuzzy reducer); and the HLL sketch family ``hll(col [, accuracy])`` /
 ``hll_merge`` (aggregate + 2-arg scalar) / ``dcount_hll`` on Spark's
 mergeable Datasketches aggregates (estimates are approximate by
-design → pytest-toleranced, not DuckDB-hashed).
+design → pytest-toleranced, not DuckDB-hashed);
+``evaluate autocluster([MinPercent [, K]])`` (deterministic segment
+finder: basket-kernel candidates, closed-pattern prune, integer-exact
+top-K); the IPv4 family ``parse_ipv4`` / ``ipv4_is_in_range`` /
+``ipv4_is_match`` / ``ipv4_compare`` / ``ipv4_netmask_suffix`` /
+``format_ipv4`` (pure bigint arithmetic) and ``geo_distance_2points``
+(haversine, IUGG radius); and ``render <chart> [with (...)]`` accepted
+as a no-op client directive.
 Scalars also include ``todynamic``/``parse_json`` dotted access (→
 ``get_json_object``), ``case()``, ``between (a .. b)``,
 ``todouble/tolong/toint/tobool/todatetime``,
@@ -439,6 +446,99 @@ def _expr(kql: str, now: str | None = None) -> str:
     # dcount_hll(sketch) -> estimate; 2-arg hll_merge(a, b) -> union
     s = re.sub(r"\bdcount_hll\(", "hll_sketch_estimate(", s)
     s = re.sub(r"\bhll_merge\(", "hll_union(", s)
+    # IPv4 family (round 10): pure bigint arithmetic over the dotted
+    # quad — zero UDFs. parse_ipv4 honors an optional '/suffix' (bits
+    # beyond the prefix zeroed, Kusto semantics); is_match/compare use
+    # the MINIMAL of the operands' prefixes (+ the optional extra
+    # prefix arg), which is the numeric least() of the masks (a
+    # shorter prefix is a numerically smaller mask). format_ipv4 takes
+    # the STRING form (documented dialect: Kusto also accepts longs).
+    def _ip_num(a):
+        return (
+            "aggregate(transform(split(element_at(split(" + a + ", '/'),"
+            " 1), '\\\\.'), __s -> cast(__s as bigint)),"
+            " cast(0 as bigint), (__ac, __v) -> __ac * 256 + __v)"
+        )
+
+    def _ip_mask(a):
+        return (
+            "(case when size(split(" + a + ", '/')) > 1 then"
+            " shiftleft(cast(-1 as bigint), 32 - cast(element_at(split("
+            + a + ", '/'), 2) as int)) & cast(4294967295 as bigint)"
+            " else cast(4294967295 as bigint) end)"
+        )
+
+    def _pfx_mask(p):
+        return (
+            "(shiftleft(cast(-1 as bigint), 32 - cast(" + p + " as int))"
+            " & cast(4294967295 as bigint))"
+        )
+
+    s = _rewrite_call(
+        s, "ipv4_is_in_range",
+        lambda ip, rng: (
+            f"(({_ip_num(ip)} & {_ip_mask(rng)}) ="
+            f" ({_ip_num(rng)} & {_ip_mask(rng)}))"
+        ),
+    )
+    s = _rewrite_call(
+        s, "ipv4_is_match",
+        lambda a, b, p=None: (
+            lambda m: f"(({_ip_num(a)} & {m}) = ({_ip_num(b)} & {m}))"
+        )(
+            f"least({_ip_mask(a)}, {_ip_mask(b)})"
+            if p is None
+            else f"least({_ip_mask(a)}, {_ip_mask(b)}, {_pfx_mask(p)})"
+        ),
+    )
+    s = _rewrite_call(
+        s, "ipv4_compare",
+        lambda a, b: (
+            lambda m: (
+                f"cast(sign(({_ip_num(a)} & {m}) - ({_ip_num(b)} & {m}))"
+                " as int)"
+            )
+        )(f"least({_ip_mask(a)}, {_ip_mask(b)})"),
+    )
+    s = _rewrite_call(
+        s, "ipv4_netmask_suffix",
+        lambda a: (
+            "(case when size(split(" + a + ", '/')) > 1 then"
+            " cast(element_at(split(" + a + ", '/'), 2) as int)"
+            " else 32 end)"
+        ),
+    )
+    s = _rewrite_call(
+        s, "format_ipv4",
+        lambda a, p=None: (
+            lambda num: (
+                "concat_ws('.', cast(shiftright(" + num + ", 24) & 255"
+                " as string), cast(shiftright(" + num + ", 16) & 255"
+                " as string), cast(shiftright(" + num + ", 8) & 255"
+                " as string), cast(" + num + " & 255 as string))"
+            )
+        )(
+            f"({_ip_num(a)} & {_ip_mask(a)})"
+            if p is None
+            else f"({_ip_num(a)} & {_pfx_mask(p)})"
+        ),
+    )
+    s = _rewrite_call(
+        s, "parse_ipv4", lambda a: f"({_ip_num(a)} & {_ip_mask(a)})"
+    )
+    # geo_distance_2points(lon1, lat1, lon2, lat2) -> meters. Spherical
+    # haversine on the IUGG mean radius (Kusto computes WGS84 geodesic
+    # — sub-0.5% deviation, documented; cross-engine exact because both
+    # sides run the same formula)
+    s = _rewrite_call(
+        s, "geo_distance_2points",
+        lambda lo1, la1, lo2, la2: (
+            "(2 * 6371008.8 * asin(sqrt("
+            f"pow(sin((radians({la2}) - radians({la1})) / 2), 2)"
+            f" + cos(radians({la1})) * cos(radians({la2}))"
+            f" * pow(sin((radians({lo2}) - radians({lo1})) / 2), 2))))"
+        ),
+    )
     # round-10 scalar batch: encodings + calendar + version ordering.
     # url_encode/url_decode keep their names (Kusto's form-encoding ==
     # Spark's java.net.URLEncoder semantics, space -> '+').
@@ -2130,6 +2230,109 @@ def _rows_near(
     )
 
 
+def _autocluster(df: DataFrame, arg: str) -> DataFrame:
+    """``evaluate autocluster([MinPercent [, K]])`` — Kusto's segment
+    finder: a small set of attribute segments each covering a
+    significant share of the rows (wildcard = NULL, Kusto's shape).
+    Kusto's plugin is a seeded heuristic (SizeWeight/NumSeeds); this
+    engine pins a DETERMINISTIC dialect (documented deviation, fully
+    cross-engine checkable):
+
+    1. candidate segments = every size-1..3 attribute assignment
+       covering >= MinPercent (default 5.0) of the rows — the basket
+       kernel (pre-collapse to weighted distinct tuples, ONE GROUPING
+       SETS pass, 1-row broadcast total);
+    2. CLOSED-pattern prune: drop any segment whose strict
+       generalization (fewer set attributes, same values) has the SAME
+       count — the extra attribute splits nothing, so the segment adds
+       no information (the informativeness role of Kusto's
+       SizeWeight, made exact);
+    3. top K (default 16) by count desc, then fewer attributes, then
+       attribute values (nulls last) — integer-exact ordering, no
+       float score to diverge across engines. ``SegmentId`` numbers
+       the result 0-based in that order (via the distributed
+       global_row_number kernel — the frame is <= K rows, but never an
+       unpartitioned window).
+
+    The prune self-join runs against the CANDIDATE set (bounded by
+    itemsets x 100/MinPercent, driver-independent) broadcast — every
+    generalization of a candidate is itself a candidate (superset
+    rows => count >= the specialization's >= threshold), so closure
+    never needs the full tuple frame."""
+    a = [x.strip() for x in _split_csv(arg)] if arg.strip() else []
+    min_pct = float(a[0]) if a else 5.0
+    k = int(a[1]) if len(a) > 1 else 16
+    scols = [c for c, t in df.dtypes if t in ("string", "varchar")]
+    if not scols:
+        raise ValueError("autocluster: no string columns")
+    if len(scols) > 8:
+        raise ValueError(
+            f"autocluster supports up to 8 string columns, got "
+            f"{len(scols)} (project the attribute columns first)"
+        )
+    from itertools import combinations
+
+    sets: list[list[str]] = []
+    for r in (1, 2, 3):
+        sets.extend(list(c) for c in combinations(scols, r))
+    weighted = df.groupBy(*[F.col(c) for c in scols]).agg(
+        F.count(F.lit(1)).alias("__w")
+    )
+    grouped = weighted.groupingSets(
+        sets, *[F.col(c) for c in scols]
+    ).agg(
+        F.sum("__w").alias("count_"),
+        *[F.grouping(c).alias(f"__g_{c}") for c in scols],
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("__total"))
+    n_attrs = sum(
+        (F.lit(1) - F.col(f"__g_{c}")) for c in scols
+    )
+    cand = (
+        grouped.crossJoin(F.broadcast(tot))
+        .filter(F.col("count_") >= F.col("__total") * F.lit(min_pct / 100))
+        .select(
+            *[
+                F.when(F.col(f"__g_{c}") == 0, F.col(c)).alias(c)
+                for c in scols
+            ],
+            "count_",
+            (F.col("count_") / F.col("__total") * 100).alias("percent"),
+            n_attrs.alias("__n"),
+        )
+    )
+    gen = cand.select(
+        *[F.col(c).alias(f"__gen_{c}") for c in scols],
+        F.col("count_").alias("__gen_count"),
+        F.col("__n").alias("__gen_n"),
+    )
+    is_gen = (F.col("__gen_n") < F.col("__n")) & (
+        F.col("__gen_count") == F.col("count_")
+    )
+    for c in scols:
+        is_gen = is_gen & (
+            F.col(f"__gen_{c}").isNull()
+            | F.col(f"__gen_{c}").eqNullSafe(F.col(c))
+        )
+    pruned = cand.join(F.broadcast(gen), is_gen, "left_anti")
+    order = [
+        F.col("count_").desc(),
+        F.col("__n").asc(),
+        *[F.col(c).asc_nulls_last() for c in scols],
+    ]
+    topk = pruned.orderBy(*order).limit(k)
+    from azuredataengineering_deeplearning_spark.operators.windows import (
+        global_row_number,
+    )
+
+    return global_row_number(topk, order, out="SegmentId").select(
+        (F.col("SegmentId") - 1).cast("long").alias("SegmentId"),
+        "count_",
+        "percent",
+        *scols,
+    )
+
+
 def _funnel_completion(df: DataFrame, args_txt: str) -> DataFrame:
     """``evaluate funnel_sequence_completion(Id, Timeline, Start, End,
     Period, State, dynamic(['s1', ...]), dynamic([w1, ...]))`` —
@@ -2237,6 +2440,9 @@ def _evaluate(
     bm = re.match(r"^basket\s*\(([^)]*)\)\s*$", rest.strip())
     if bm:
         return _basket(df, bm.group(1))
+    bm = re.match(r"^autocluster\s*\(([^)]*)\)\s*$", rest.strip())
+    if bm:
+        return _autocluster(df, bm.group(1))
     bm = re.match(
         r"^diffpatterns\s*\(\s*(\w+)\s*,\s*'([^']*)'\s*,\s*'([^']*)'"
         r"(?:\s*,\s*([\d.]+))?\s*\)\s*$",

@@ -315,3 +315,54 @@ def test_scalar_batch4_semantics(spark):
             "documents | extend x ="
             " datetime_add('decade', 1, datetime(2024-01-01))",
         )
+
+
+def test_autocluster_closed_prune_and_order(spark):
+    # 'x' always co-occurs with a=1 tier: the (a1, x) specialization has
+    # the SAME count as (a1, null) -> pruned; (a1, null) survives
+    df = spark.createDataFrame(
+        [("a1", "x")] * 6 + [("a2", "y")] * 3 + [("a2", "z")] * 1,
+        "a string, b string",
+    )
+    out = kql_to_df({"t": df}, "t | evaluate autocluster(20.0, 10)").collect()
+    segs = {
+        (r["a"], r["b"]): (r["SegmentId"], r["count_"]) for r in out
+    }
+    assert ("a1", None) in segs and segs[("a1", None)][1] == 6
+    assert ("a1", "x") not in segs  # closed-pattern pruned
+    # (None, 'x') is size-1: its only generalization is the (absent)
+    # grand total, so it stays — size-1 segments never prune each other
+    assert segs[(None, "x")][1] == 6
+    # ordering: count desc, ties by attribute values nulls-last ->
+    # ('a1', None) sorts before (None, 'x') at equal count
+    assert segs[("a1", None)][0] == 0 and segs[(None, "x")][0] == 1
+    # ('a2', None) at 40% kept; ('a2', 'y') pruned — y only co-occurs
+    # with a2, so (None, 'y') is a same-count generalization
+    assert segs[("a2", None)][1] == 4 and segs[(None, "y")][1] == 3
+    assert ("a2", "y") not in segs
+    with pytest.raises(ValueError, match="no string columns"):
+        kql_to_df(
+            {"n": df.select(F.length("a").alias("l"))},
+            "n | evaluate autocluster()",
+        )
+
+
+def test_ipv4_known_values(spark):
+    df = spark.range(1).selectExpr("'x' as s")
+    row = kql_to_df(
+        {"t": df},
+        "t | extend a = parse_ipv4('192.168.1.1'),"
+        " z = parse_ipv4('192.168.1.1/0'),"
+        " eq = ipv4_compare('10.0.0.1', '10.0.0.1'),"
+        " gt = ipv4_compare('10.0.0.2', '10.0.0.1'),"
+        " m1 = ipv4_is_match('10.1.2.3/16', '10.1.9.9'),"
+        " m2 = ipv4_is_match('10.1.2.3', '10.2.2.3'),"
+        " outr = ipv4_is_in_range('11.0.0.1', '10.0.0.0/8')"
+        " | project a, z, eq, gt, m1, m2, outr",
+    ).collect()[0]
+    assert row["a"] == 3232235777
+    assert row["z"] == 0  # /0 masks everything
+    assert row["eq"] == 0 and row["gt"] == 1
+    assert row["m1"] is True  # operand's /16 governs the match
+    assert row["m2"] is False
+    assert row["outr"] is False

@@ -1011,6 +1011,68 @@ def main() -> None:
                       "events": args.rows, "users": 500_000,
                       "days_out": n, "sec_cold": t, "sec": t2}))
 
+    # ---- r10b: activity_metrics / new_activity_metrics / funnel ------
+    # same 20M-event / 500k-user / 90-day panel as the rolling probe;
+    # the retention kernels add one per-id lag window on the distinct
+    # (id, bin) frame — cost should track the (user, day) dedup, not
+    # the event count
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        activity_metrics,
+        funnel_sequence_completion,
+        new_activity_metrics,
+    )
+
+    def _am():
+        return activity_metrics(
+            rau_ev, "user_id", "ts", "2024-01-01", "2024-03-30", 86400
+        ).count()
+
+    t, n = timed(_am)
+    t2, _ = timed(_am)
+    results["activity_metrics_90d"] = t2
+    print(json.dumps({"probe": "activity_metrics_90d",
+                      "events": args.rows, "users": 500_000,
+                      "bins": n, "sec_cold": t, "sec": t2}))
+
+    def _nam():
+        return new_activity_metrics(
+            rau_ev, "user_id", "ts", "2024-01-01", "2024-03-30",
+            7 * 86400,
+        ).count()
+
+    t, n = timed(_nam)
+    t2, _ = timed(_nam)
+    results["new_activity_metrics_13w"] = t2
+    print(json.dumps({"probe": "new_activity_metrics_13w",
+                      "events": args.rows, "users": 500_000,
+                      "pairs": n, "sec_cold": t, "sec": t2}))
+
+    # funnel: 3-state sequence over the same panel; states assigned
+    # deterministically so each state slice is ~1/3 of the events.
+    # Cost model: 2 id-key joins between surviving starts and the
+    # filtered state slices + per-(start) min-aggregates.
+    fun_ev = rau_ev.withColumn(
+        "state",
+        F.element_at(
+            F.array(F.lit("s1"), F.lit("s2"), F.lit("s3")),
+            ((F.xxhash64("ts") % 3 + 3) % 3 + 1).cast("int"),
+        ),
+    )
+
+    def _fun():
+        return funnel_sequence_completion(
+            fun_ev, "user_id", "ts", "state", "2024-01-01", "2024-03-30",
+            7 * 86400, ["s1", "s2", "s3"],
+            [86400, 2 * 86400, 4 * 86400],
+        ).count()
+
+    t, n = timed(_fun)
+    t2, _ = timed(_fun)
+    results["funnel_completion_3step"] = t2
+    print(json.dumps({"probe": "funnel_completion_3step",
+                      "events": args.rows, "users": 500_000,
+                      "rows_out": n, "sec_cold": t, "sec": t2}))
+
     print(
         json.dumps(
             {
