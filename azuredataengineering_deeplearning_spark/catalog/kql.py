@@ -2198,3 +2198,77 @@ def kql_ipv4_geo(spark, sf_dir):
         " dist = geo_distance_2points(-122.407, 37.788, -122.406, 37.786)"
         " | project doc_id, ip, n, masked, sfx, inr, mt, cmp, fmt, dist",
     )
+
+
+@query(
+    "kql_graph_match",
+    """
+    WITH e1 AS (
+      SELECT concat('s', CAST(s_suppkey AS VARCHAR)) AS src,
+             concat('n', CAST(s_nationkey AS VARCHAR)) AS dst,
+             s_acctbal AS w
+      FROM supplier
+    ),
+    e2 AS (
+      SELECT concat('n', CAST(n_nationkey AS VARCHAR)) AS src,
+             concat('r', CAST(n_regionkey AS VARCHAR)) AS dst
+      FROM nation
+    ),
+    names AS (
+      SELECT concat('r', CAST(r_regionkey AS VARCHAR)) AS nid,
+             r_name AS name
+      FROM region
+    )
+    SELECT names.name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_sup,
+           CAST(SUM(CAST(e1.w AS DECIMAL(18, 2))) AS DOUBLE)
+             AS total_bal
+    FROM e1 JOIN e2 ON e1.dst = e2.src
+            JOIN names ON e2.dst = names.nid
+    WHERE e1.w > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def kql_graph_match(spark, sf_dir):
+    """``make-graph Src --> Dst with Nodes on Id`` + ``graph-match``
+    (round 10) — Kusto graph patterns compiled to relational joins
+    (sources/kql_graph.py): a 2-hop supplier->nation->region chain
+    with node-property decoration, filtered and aggregated downstream.
+    Every hop is one equi-join on an edge endpoint (AQE broadcasts the
+    small side); the pattern is a static join tree — no iteration, no
+    per-path state. The oracle is the same join tree in plain SQL."""
+    t = load_tables(spark, sf_dir, ["supplier", "nation", "region"])
+    sup, nat, reg = t["supplier"], t["nation"], t["region"]
+    edges = sup.selectExpr(
+        "concat('s', s_suppkey) as src",
+        "concat('n', s_nationkey) as dst",
+        "'in_nation' as kind",
+        "cast(s_acctbal as double) as w",
+    ).unionByName(
+        nat.selectExpr(
+            "concat('n', n_nationkey) as src",
+            "concat('r', n_regionkey) as dst",
+            "'in_region' as kind",
+            "cast(0.0 as double) as w",
+        )
+    )
+    nodes = nat.selectExpr(
+        "concat('n', n_nationkey) as nid", "n_name as name"
+    ).unionByName(
+        reg.selectExpr("concat('r', r_regionkey) as nid", "r_name as name")
+    )
+    return kql_to_df(
+        {"edges": edges, "nodes": nodes},
+        """
+        edges
+        | make-graph src --> dst with nodes on nid
+        | graph-match (s)-[e1]->(n)-[e2]->(r)
+          where e1.kind == 'in_nation' and e2.kind == 'in_region'
+                and e1.w > 0
+          project region = r.name, bal = todecimal(e1.w)
+        | summarize n_sup = count(), tb = sum(bal) by region
+        | extend total_bal = todouble(tb)
+        | project region, n_sup, total_bal
+        | sort by region asc
+        """,
+    )

@@ -671,11 +671,15 @@ def new_activity_metrics(
     sizes = retained.where(F.col("__idx") == F.col("__cohort")).select(
         "__cohort", F.col("__retained").alias("__size")
     )
-    b = spark.range(n_bins).select(F.col("id").alias("__idx"))
-    pairs = (
-        spark.range(n_bins)
-        .select(F.col("id").alias("__cohort"))
-        .join(b, F.col("__cohort") <= F.col("__idx"))
+    # (cohort, bin) zero-fill spine with cohort <= bin: one sequence
+    # generator per cohort row — no non-equi join (a range x range
+    # BNLJ would lint as a scale anti-pattern even though both sides
+    # are calendar-bounded)
+    pairs = spark.range(n_bins).select(
+        F.col("id").alias("__cohort"),
+        F.explode(
+            F.sequence(F.col("id"), F.lit(n_bins - 1))
+        ).alias("__idx"),
     )
     filled = (
         pairs.join(retained, ["__cohort", "__idx"], "left")

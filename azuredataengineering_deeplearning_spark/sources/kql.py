@@ -114,7 +114,11 @@ top-K); the IPv4 family ``parse_ipv4`` / ``ipv4_is_in_range`` /
 ``ipv4_is_match`` / ``ipv4_compare`` / ``ipv4_netmask_suffix`` /
 ``format_ipv4`` (pure bigint arithmetic) and ``geo_distance_2points``
 (haversine, IUGG radius); and ``render <chart> [with (...)]`` accepted
-as a no-op client directive.
+as a no-op client directive. Graph operators: ``make-graph Src -->
+Dst [with Nodes on Id]`` + ``graph-match <pattern> [where ...]
+project ...`` — fixed-length patterns (chains / stars / cycles via
+shared variables, ``<-``/``-->``/``--`` directions) compiled to a
+static join tree; see sources/kql_graph.py.
 Scalars also include ``todynamic``/``parse_json`` dotted access (→
 ``get_json_object``), ``case()``, ``between (a .. b)``,
 ``todouble/tolong/toint/tobool/todatetime``,
@@ -1028,9 +1032,14 @@ def kql_to_df(
         raise ValueError(f"unknown table {stages[0]!r}; have {sorted(tables)}")
 
     order_spec: str | None = None  # set by sort/order; used by serialize ops
+    graph_ctx: tuple | None = None
     for stage in stages[1:]:
         op, _, rest = stage.partition(" ")
         rest = rest.strip()
+        if graph_ctx is not None and op != "graph-match":
+            raise ValueError(
+                f"after make-graph only graph-match may follow, got {op!r}"
+            )
         if df.isStreaming and (
             op in _STREAM_UNSUPPORTED or (op == "serialize" and rest)
         ):
@@ -1143,6 +1152,61 @@ def kql_to_df(
                 ).distinct()
         elif op == "count":
             df = df.agg(F.count(F.lit(1)).alias("Count"))
+        elif op == "make-graph":
+            # `| make-graph Src --> Dst [with Nodes on IdCol]`: bind
+            # the in-flight frame as the directed edge table (+ node
+            # properties from the session table map) for the next
+            # graph-match stage. See sources/kql_graph.py for the
+            # join-compilation model and 100-TB notes.
+            gm = re.match(
+                r"^(\w+)\s*-->\s*(\w+)"
+                r"(?:\s+with\s+(\w+)\s+on\s+(\w+))?\s*$",
+                rest,
+            )
+            if not gm:
+                raise ValueError(
+                    "make-graph needs 'Src --> Dst [with Nodes on Id]':"
+                    f" {rest!r}"
+                )
+            gsrc, gdst, ntab, nid = gm.groups()
+            for c in (gsrc, gdst):
+                if c not in df.columns:
+                    raise ValueError(f"make-graph: no edge column {c!r}")
+            ndf = None
+            if ntab:
+                if ntab not in tables:
+                    raise ValueError(f"make-graph: unknown table {ntab!r}")
+                ndf = tables[ntab]
+                if nid not in ndf.columns:
+                    raise ValueError(
+                        f"make-graph: nodes table {ntab!r} has no column"
+                        f" {nid!r}"
+                    )
+            graph_ctx = (df, gsrc, gdst, ndf, nid)
+        elif op == "graph-match":
+            if graph_ctx is None:
+                raise ValueError("graph-match needs a preceding make-graph")
+            mm = re.match(
+                r"^(.*?)(?:\bwhere\b(.*?))?\bproject\b(.+)$", rest, re.S
+            )
+            if not mm:
+                raise ValueError(
+                    "graph-match needs '<pattern> [where <pred>] "
+                    f"project <cols>': {rest!r}"
+                )
+            from azuredataengineering_deeplearning_spark.sources.kql_graph import (
+                graph_match,
+            )
+
+            gdf, gsrc, gdst, ndf, nid = graph_ctx
+            df = graph_match(
+                gdf, gsrc, gdst, ndf, nid,
+                mm.group(1).strip(),
+                mm.group(2).strip() if mm.group(2) else None,
+                mm.group(3).strip(),
+                lambda t: _expr(t, now),
+            )
+            graph_ctx = None
         elif op == "render":
             # `| render timechart [with (...)]` — a CLIENT-side
             # visualization directive with no tabular effect (Kusto

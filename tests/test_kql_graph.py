@@ -1,0 +1,152 @@
+"""Kusto make-graph / graph-match (round 10): pattern compilation to
+joins — chains, cycles, shared variables, any-direction edges, node
+decoration, and the loud-error contract."""
+
+import pytest
+
+from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+from azuredataengineering_deeplearning_spark.sources.kql_graph import (
+    parse_pattern,
+)
+
+
+@pytest.fixture()
+def tri(spark):
+    return spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 3.0), ("a", "c", 4.0)],
+        "s string, d string, w double",
+    )
+
+
+@pytest.fixture()
+def nodes(spark):
+    return spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta"), ("c", "gamma")],
+        "nid string, label string",
+    )
+
+
+def test_two_hop_chain(spark, tri):
+    out = kql_to_df(
+        {"t": tri},
+        "t | make-graph s --> d"
+        " | graph-match (x)-[p]->(y)-[q]->(z)"
+        " project x = x.id, z = z.id, tw = p.w + q.w",
+    ).collect()
+    got = {(r["x"], r["z"]): r["tw"] for r in out}
+    # a->b->c (1+2), b->c->a (2+3), c->a->b (3+1), c->a->c (3+4),
+    # a->c->a (4+3)
+    assert got[("a", "c")] == 3.0 and got[("b", "a")] == 5.0
+    assert got[("c", "b")] == 4.0
+    assert got[("c", "c")] == 7.0 and got[("a", "a")] == 7.0
+    assert len(out) == 5
+
+
+def test_triangle_cycle_shared_vars(spark, tri):
+    out = kql_to_df(
+        {"t": tri},
+        "t | make-graph s --> d"
+        " | graph-match (x)-[p]->(y)-[q]->(z), (z)-[r]->(x)"
+        " project x = x.id, y = y.id, z = z.id",
+    ).collect()
+    rows = sorted((r["x"], r["y"], r["z"]) for r in out)
+    assert rows == [("a", "b", "c"), ("b", "c", "a"), ("c", "a", "b")]
+
+
+def test_self_loop_var(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b")], "s string, d string"
+    )
+    out = kql_to_df(
+        {"t": df},
+        "t | make-graph s --> d | graph-match (x)-[e]->(x) project x = x.id",
+    ).collect()
+    assert [r["x"] for r in out] == ["a"]
+
+
+def test_any_direction_and_reverse(spark, tri):
+    rev = kql_to_df(
+        {"t": tri},
+        "t | make-graph s --> d"
+        " | graph-match (x)<-[e]-(y) where x.id == 'c' project y = y.id",
+    ).collect()
+    assert sorted(r["y"] for r in rev) == ["a", "b"]  # b->c, a->c
+    anyd = kql_to_df(
+        {"t": tri},
+        "t | make-graph s --> d"
+        " | graph-match (x)-[e]-(y) where y.id == 'b' project x = x.id",
+    ).collect()
+    assert sorted(r["x"] for r in anyd) == ["a", "c"]  # a->b fwd, b->c rev
+
+
+def test_node_decoration_left_join(spark, tri, nodes):
+    # node 'c' removed from the table: structure still matches, label null
+    out = kql_to_df(
+        {"t": tri, "nd": nodes.where("nid != 'c'")},
+        "t | make-graph s --> d with nd on nid"
+        " | graph-match (x)-[e]->(y)"
+        " project x = x.label, y = y.label, yid = y.id",
+    ).collect()
+    by_yid = {(r["x"], r["yid"]): r["y"] for r in out}
+    assert by_yid[("alpha", "b")] == "beta"
+    assert by_yid[("alpha", "c")] is None  # decoration is LEFT, not filter
+
+
+def test_pipe_continues_after_graph_match(spark, tri):
+    out = kql_to_df(
+        {"t": tri},
+        "t | make-graph s --> d"
+        " | graph-match (x)-[e]->(y) project x = x.id, w = e.w"
+        " | summarize n = count(), tw = sum(w) by x | sort by x asc",
+    ).collect()
+    assert [(r["x"], r["n"], r["tw"]) for r in out] == [
+        ("a", 2, 5.0), ("b", 1, 2.0), ("c", 1, 3.0),
+    ]
+
+
+def test_parse_pattern_shapes():
+    hops, order = parse_pattern("(a)-[e]->(b)<-[f]-(c)")
+    assert hops == [("a", "e", "b", "fwd"), ("c", "f", "b", "fwd")]
+    assert order == ["a", "b", "c"]
+    hops, _ = parse_pattern("(a)-->(b)")
+    assert hops[0][3] == "fwd" and hops[0][1].startswith("__e")
+    hops, _ = parse_pattern("(a)--(b)")
+    assert hops[0][3] == "any"
+
+
+def test_graph_errors(spark, tri):
+    t = {"t": tri}
+    with pytest.raises(ValueError, match="needs a preceding make-graph"):
+        kql_to_df(t, "t | graph-match (a)-[e]->(b) project a = a.id")
+    with pytest.raises(ValueError, match="only graph-match may follow"):
+        kql_to_df(t, "t | make-graph s --> d | where w > 1")
+    with pytest.raises(ValueError, match="no edge column"):
+        kql_to_df(t, "t | make-graph s --> nope")
+    with pytest.raises(ValueError, match="unknown table"):
+        kql_to_df(t, "t | make-graph s --> d with missing on nid")
+    with pytest.raises(ValueError, match="used twice"):
+        kql_to_df(
+            t,
+            "t | make-graph s --> d"
+            " | graph-match (a)-[e]->(b), (b)-[e]->(c) project a = a.id",
+        )
+    with pytest.raises(ValueError, match="shares no variable"):
+        kql_to_df(
+            t,
+            "t | make-graph s --> d"
+            " | graph-match (a)-[e]->(b), (x)-[f]->(y) project a = a.id",
+        )
+    with pytest.raises(ValueError, match="unparseable pattern"):
+        parse_pattern("(a)-[e]->(b)(c)-[f]->(d)")
+
+
+def test_anonymous_middle_node(spark, tri):
+    # () mints ONE name shared by both hops — a 2-hop reach query
+    out = kql_to_df(
+        {"t": tri},
+        "t | make-graph s --> d"
+        " | graph-match (x)-->()-->(z) project x = x.id, z = z.id",
+    ).collect()
+    assert sorted((r["x"], r["z"]) for r in out) == [
+        ("a", "a"), ("a", "c"), ("b", "a"), ("c", "b"), ("c", "c"),
+    ]
