@@ -10,11 +10,14 @@ query text here. Dialect subset (documented):
   in-flight frame as the EDGE table (directed ``Src -> Dst``) and an
   optional node-property table from the session table map.
 * ``graph-match (a)-[e]->(b)[, (b)-[f]->(c), ...] where <pred>
-  project <cols>`` — FIXED-length patterns only (no ``*1..n``
-  variable-length paths yet); chains may share node variables (paths,
-  stars, triangles/cycles all work — a repeated variable becomes an
-  equality constraint). ``<-`` reverses a hop; ``-->`` / ``--``
-  (anonymous / any-direction edges) are supported.
+  project <cols>`` — chains may share node variables (paths, stars,
+  triangles/cycles all work — a repeated variable becomes an equality
+  constraint). ``<-`` reverses a hop; ``-->`` / ``--`` (anonymous /
+  any-direction edges) are supported. Variable-length hops
+  ``-[e*1..3]->`` expand to a UNION of fixed-length branches (bounded
+  at 8 — still one static plan); the edge variable binds an array of
+  structs, queried with ``array_length(e)`` / ``map(e, col)`` /
+  ``all(e, pred)`` / ``any(e, pred)`` (-> transform/forall/exists).
 
 Compilation — pure joins, no iteration, no UDFs: every hop is one
 inner join of the (column-prefixed) edge table against the frame
@@ -45,7 +48,8 @@ from pyspark.sql import functions as F
 
 _HOP = re.compile(
     r"\(\s*(\w*)\s*\)\s*"              # tail node var (may be anonymous)
-    r"(<?)-(?:\[\s*(\w*)\s*\])?-(>?)"  # <-[e]- / -[e]-> / --> / <-- / --
+    # <-[e]- / -[e]-> / --> / <-- / -- , optionally -[e*1..3]->
+    r"(<?)-(?:\[\s*(\w*)\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\])?-(>?)"
     r"\s*(?=\()"
 )
 
@@ -60,6 +64,7 @@ def parse_pattern(text: str) -> tuple[list[tuple[str, str, str, str]], list[str]
     anonymous naming."""
     hops: list[tuple[str, str, str, str]] = []
     node_order: list[str] = []
+    varlen: dict[str, tuple[int, int]] = {}
     anon = [0]
 
     def _name(v: str, kind: str) -> str:
@@ -75,8 +80,9 @@ def parse_pattern(text: str) -> tuple[list[tuple[str, str, str, str]], list[str]
         while pos < len(chain):
             m = _HOP.match(chain, pos)
             if m:
-                tail, left, evar, right = (
-                    m.group(1), m.group(2), m.group(3) or "", m.group(4),
+                tail, left, evar, lo, hi, right = (
+                    m.group(1), m.group(2), m.group(3) or "",
+                    m.group(4), m.group(5), m.group(6),
                 )
                 # tail re-reads the previous hop's head node (the hop
                 # regex only LOOKS AHEAD at its head), so a continuing
@@ -97,6 +103,24 @@ def parse_pattern(text: str) -> tuple[list[tuple[str, str, str, str]], list[str]
                     raise ValueError(
                         f"graph-match: edge {ev!r} is both <- and ->"
                     )
+                if lo is not None:
+                    lo_i, hi_i = int(lo), int(hi)
+                    if lo_i < 1 or hi_i < lo_i:
+                        raise ValueError(
+                            f"graph-match: bad path bounds *{lo}..{hi} "
+                            f"on {ev!r} (need 1 <= min <= max)"
+                        )
+                    if hi_i - lo_i > 7:
+                        raise ValueError(
+                            f"graph-match: *{lo}..{hi} expands to "
+                            f"{hi_i - lo_i + 1} branches (max 8)"
+                        )
+                    if not (left or right):
+                        raise ValueError(
+                            "graph-match: variable-length edges need a "
+                            f"direction (-[{ev}*{lo}..{hi}]-> or <-...-)"
+                        )
+                    varlen[ev] = (lo_i, hi_i)
                 if left:
                     hops.append((head, ev, tail, "fwd"))
                 elif right:
@@ -126,7 +150,7 @@ def parse_pattern(text: str) -> tuple[list[tuple[str, str, str, str]], list[str]
                 f"graph-match: edge variable {ev!r} used twice"
             )
         seen.add(ev)
-    return hops, node_order
+    return hops, node_order, varlen
 
 
 def _split_top_commas(text: str) -> list[str]:
@@ -155,6 +179,39 @@ def rewrite_dots(txt: str, variables: list[str]) -> str:
     return re.sub(pat, r"\1_\2", txt)
 
 
+def _expand_varlen(
+    hops: list, varlen: dict
+) -> list[tuple[list, dict[str, list[str]]]]:
+    """Expand variable-length hops into concrete branches — one branch
+    per combination of lengths. Returns [(concrete_hops, arrays)] where
+    ``arrays`` maps each var-length edge name to its branch's per-hop
+    edge names (for the array-of-structs binding)."""
+    from itertools import product
+
+    ve = [(ev, rng) for ev, rng in varlen.items()]
+    branches = []
+    for lengths in product(*[range(lo, hi + 1) for _, (lo, hi) in ve]):
+        ln = dict(zip([ev for ev, _ in ve], lengths))
+        concrete: list = []
+        arrays: dict[str, list[str]] = {}
+        k = [0]
+        for u, ev, v, direction in hops:
+            if ev not in ln:
+                concrete.append((u, ev, v, direction))
+                continue
+            parts, prev = [], u
+            for i in range(ln[ev]):
+                k[0] += 1
+                he = f"__ve{k[0]}"
+                head = v if i == ln[ev] - 1 else f"__vn{k[0]}"
+                parts.append((prev, he, head, direction))
+                prev = head
+            concrete.extend(parts)
+            arrays[ev] = [p[1] for p in parts]
+        branches.append((concrete, arrays))
+    return branches
+
+
 def graph_match(
     edges: DataFrame,
     src: str,
@@ -167,8 +224,50 @@ def graph_match(
     expr_fn,
 ) -> DataFrame:
     """Compile one graph-match over the bound graph. ``expr_fn`` is
-    the KQL scalar translator (injected to avoid a circular import)."""
-    hops, node_order = parse_pattern(pattern)
+    the KQL scalar translator (injected to avoid a circular import).
+
+    Variable-length hops (``-[e*1..3]->``) expand to a UNION of
+    fixed-length branches — still a static plan (at most 8 branches,
+    each a join tree); the edge variable binds an ARRAY OF STRUCTS of
+    the branch's hops, so ``array_length(e)``, ``map(e, col)``,
+    ``all(e, pred)`` / ``any(e, pred)`` work uniformly across branches
+    (the path functions rewrite to transform/forall/exists with bare
+    edge-column names bound to the lambda element)."""
+    hops, node_order, varlen = parse_pattern(pattern)
+    branches = (
+        _expand_varlen(hops, varlen) if varlen else [(hops, {})]
+    )
+    variables = [v for v in node_order if not v.startswith("__")] + [
+        ev for _, ev, _, _ in hops if not ev.startswith("__")
+    ]
+    results = []
+    for concrete, arrays in branches:
+        frame = _build_branch(
+            edges, src, dst, nodes, node_id, concrete, node_order,
+            arrays,
+        )
+        results.append(
+            _finish(
+                frame, variables, list(varlen), edges.columns,
+                where_txt, project_txt, expr_fn,
+            )
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _build_branch(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    nodes: DataFrame | None,
+    node_id: str,
+    hops: list,
+    node_order: list[str],
+    arrays: dict[str, list[str]],
+) -> DataFrame:
     bound: dict[str, str] = {}  # node var -> physical id column
     cur: DataFrame | None = None
     for u, ev, v, direction in hops:
@@ -215,9 +314,26 @@ def graph_match(
             bound[u] = esrc
         if v not in bound:
             bound[v] = edst
-    # expose var.id for every node var
+    # expose var.id for every NAMED node var
     for var in node_order:
         cur = cur.withColumn(f"{var}_id", F.col(bound[var]))
+    # variable-length edge vars bind an array of structs over their
+    # branch's concrete hops (uniform schema across branches)
+    for ev, hop_evs in arrays.items():
+        cur = cur.withColumn(
+            ev,
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.col(f"{he}_{c}").alias(c)
+                            for c in edges.columns
+                        ]
+                    )
+                    for he in hop_evs
+                ]
+            ),
+        )
     # node-property decoration (LEFT join per referenced variable)
     if nodes is not None:
         for var in node_order:
@@ -234,13 +350,58 @@ def graph_match(
             cur = cur.join(
                 nd, F.col(f"{var}_id") == F.col(f"__j_{var}"), "left"
             ).drop(f"__j_{var}")
-    variables = [v for v in node_order if not v.startswith("__")] + [
-        ev for _, ev, _, _ in hops if not ev.startswith("__")
-    ]
-    if where_txt:
-        cur = cur.filter(
-            F.expr(expr_fn(rewrite_dots(where_txt, variables)))
+    return cur
+
+
+def _rewrite_path_fns(txt: str, path_vars: list[str], edge_cols: list[str]):
+    """``map(e, expr)`` / ``all(e, pred)`` / ``any(e, pred)`` over a
+    variable-length edge -> transform/forall/exists with bare edge
+    column names bound to the lambda element."""
+    if not path_vars:
+        return txt
+    from azuredataengineering_deeplearning_spark.sources.kql import (
+        _rewrite_call,
+    )
+
+    colpat = r"\b(" + "|".join(re.escape(c) for c in edge_cols) + r")\b"
+
+    def _bind(body: str) -> str:
+        return re.sub(colpat, r"__x.\1", body)
+
+    for name, hof in (("map", "transform"), ("all", "forall"),
+                      ("any", "exists")):
+        txt = _rewrite_call(
+            txt,
+            name,
+            lambda a, b=None, n=name, h=hof: (
+                f"{n}({a})" if b is None
+                else (
+                    f"{h}({a}, __x -> {_bind(b)})"
+                    if a.strip() in path_vars
+                    else f"{n}({a}, {b})"
+                )
+            ),
         )
+    return txt
+
+
+def _finish(
+    cur: DataFrame,
+    variables: list[str],
+    path_vars: list[str],
+    edge_cols: list[str],
+    where_txt: str | None,
+    project_txt: str,
+    expr_fn,
+) -> DataFrame:
+    def _tx(txt: str) -> str:
+        return expr_fn(
+            rewrite_dots(_rewrite_path_fns(txt, path_vars, edge_cols),
+                         variables)
+        )
+
+    if where_txt:
+        cur = cur.filter(F.expr(_tx(where_txt)))
     outs = []
     for item in _split_top_commas(project_txt):
         item = item.strip()
@@ -255,7 +416,5 @@ def graph_match(
                     f"or 'var.col': {item!r}"
                 )
             alias, body = f"{dm.group(1)}_{dm.group(2)}", item
-        outs.append(
-            F.expr(expr_fn(rewrite_dots(body, variables))).alias(alias)
-        )
+        outs.append(F.expr(_tx(body)).alias(alias))
     return cur.select(*outs)

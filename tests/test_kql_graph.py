@@ -105,13 +105,15 @@ def test_pipe_continues_after_graph_match(spark, tri):
 
 
 def test_parse_pattern_shapes():
-    hops, order = parse_pattern("(a)-[e]->(b)<-[f]-(c)")
+    hops, order, varlen = parse_pattern("(a)-[e]->(b)<-[f]-(c)")
     assert hops == [("a", "e", "b", "fwd"), ("c", "f", "b", "fwd")]
-    assert order == ["a", "b", "c"]
-    hops, _ = parse_pattern("(a)-->(b)")
+    assert order == ["a", "b", "c"] and varlen == {}
+    hops, _, _ = parse_pattern("(a)-->(b)")
     assert hops[0][3] == "fwd" and hops[0][1].startswith("__e")
-    hops, _ = parse_pattern("(a)--(b)")
+    hops, _, _ = parse_pattern("(a)--(b)")
     assert hops[0][3] == "any"
+    hops, _, varlen = parse_pattern("(a)-[p*1..3]->(b)")
+    assert varlen == {"p": (1, 3)}
 
 
 def test_graph_errors(spark, tri):
@@ -150,3 +152,44 @@ def test_anonymous_middle_node(spark, tri):
     assert sorted((r["x"], r["z"]) for r in out) == [
         ("a", "a"), ("a", "c"), ("b", "a"), ("c", "b"), ("c", "c"),
     ]
+
+
+def test_varlen_path_reachability(spark, tri):
+    # paths a ->*1..2 ? : length-1 (4 edges) + length-2 (5 chains)
+    out = kql_to_df(
+        {"t": tri},
+        "t | make-graph s --> d"
+        " | graph-match (x)-[p*1..2]->(z)"
+        " project x = x.id, z = z.id, n = array_length(p)",
+    ).collect()
+    assert len(out) == 9
+    assert sorted(
+        (r["x"], r["z"]) for r in out if r["n"] == 1
+    ) == [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")]
+
+
+def test_varlen_path_functions(spark, tri):
+    # map/all/any over the edge array; path cost via array arithmetic
+    out = kql_to_df(
+        {"t": tri},
+        "t | make-graph s --> d"
+        " | graph-match (x)-[p*2..2]->(z)"
+        " where all(p, w < 4.0) and any(p, w > 2.0)"
+        " project x = x.id, z = z.id, ws = map(p, w)",
+    ).collect()
+    got = {(r["x"], r["z"]): r["ws"] for r in out}
+    # survivors: b->c->a ([2,3]) and c->a->b ([3,1]); a->b->c ([1,2])
+    # fails any(w > 2.0) (strict), chains through a->c fail all(w < 4.0)
+    assert got[("b", "a")] == [2.0, 3.0]
+    assert got[("c", "b")] == [3.0, 1.0]
+    assert ("a", "c") not in got
+    assert len(out) == 2
+
+
+def test_varlen_validation():
+    with pytest.raises(ValueError, match="need 1 <= min <= max"):
+        parse_pattern("(a)-[p*0..2]->(b)")
+    with pytest.raises(ValueError, match="need 1 <= min <= max"):
+        parse_pattern("(a)-[p*3..2]->(b)")
+    with pytest.raises(ValueError, match="max 8"):
+        parse_pattern("(a)-[p*1..20]->(b)")
