@@ -2272,3 +2272,51 @@ def kql_graph_match(spark, sf_dir):
         | sort by region asc
         """,
     )
+
+
+@query(
+    "kql_sequence_detect",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, epoch_us(ts) AS t, event_type FROM events
+    ),
+    c1 AS (
+      SELECT DISTINCT u, t AS t1 FROM ev WHERE event_type = 'signup'
+    ),
+    c2 AS (
+      SELECT c1.u, c1.t1, MIN(ev.t) AS t2
+      FROM c1 JOIN ev ON ev.u = c1.u AND ev.event_type = 'view'
+        AND ev.t > c1.t1 AND ev.t - c1.t1 <= 43200000000
+      GROUP BY c1.u, c1.t1
+    ),
+    c3 AS (
+      SELECT c2.u, c2.t1, c2.t2, MIN(ev.t) AS t3
+      FROM c2 JOIN ev ON ev.u = c2.u AND ev.event_type = 'purchase'
+        AND ev.t > c2.t2 AND ev.t - c2.t2 <= 43200000000
+      GROUP BY c2.u, c2.t1, c2.t2
+    )
+    SELECT u AS user_id,
+           make_timestamp(t1) AS is_signup,
+           make_timestamp(t2) AS is_view,
+           make_timestamp(t3) AS is_buy
+    FROM c3 WHERE t3 - t1 <= 86400000000
+    """,
+)
+def kql_sequence_detect(spark, sf_dir):
+    """``evaluate sequence_detect(Timeline, StepWindow, Span, Expr...,
+    Id)`` (round 10) — per-STEP-window chain detection (vs
+    funnel_sequence_completion's from-start windows) on the same
+    len(flags)-1 id-key join kernel, in exact integer MICROSECOND
+    arithmetic so emitted chain timestamps round-trip bit-identically.
+    Greedy canonical-chain dialect (one chain per start; documented —
+    the scan operator carries Kusto's full stateful semantics)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events"
+        " | extend is_signup = event_type == 'signup',"
+        " is_view = event_type == 'view',"
+        " is_buy = event_type == 'purchase'"
+        " | evaluate sequence_detect(ts, 12h, 1d,"
+        " is_signup, is_view, is_buy, user_id)",
+    )

@@ -838,6 +838,89 @@ def funnel_sequence_completion(
     ).orderBy("Period", F.length("StateSequence"), "StateSequence")
 
 
+def sequence_detect(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    step_window_s: int,
+    span_s: int,
+    flag_cols: list[str],
+) -> DataFrame:
+    """Kusto ``evaluate sequence_detect(Timeline, MaxSequenceStepWindow,
+    MaxSequenceSpan, Expr1, Expr2, ..., IdColumn)``: per id, detected
+    occurrences of the boolean-flag sequence — each step within
+    ``MaxSequenceStepWindow`` of the PREVIOUS step (funnel_completion
+    windows measure from the start instead) and the whole chain within
+    ``MaxSequenceSpan``. Output one row per detected chain:
+    ``(id, <flag1>, <flag2>, ...)`` with each flag column carrying that
+    step's timestamp.
+
+    Deterministic dialect (documented): ONE canonical chain per step-1
+    event, extended GREEDILY (earliest qualifying next-step event
+    after the previous step). Unlike funnel_sequence_completion's
+    from-start windows (where greedy is provably complete), per-step
+    windows make greedy a CANONICAL-chain rule, not an existence
+    test — a later step-k event can open a later deadline that greedy
+    forgoes (pinned in tests). Both engines apply the identical rule,
+    so results stay cross-engine exact; use the ``scan`` operator for
+    Kusto's full stateful-match semantics.
+
+    Plan: ``len(flags) - 1`` id-key joins, each against the
+    pushdown-filtered single-flag slice, with a min-aggregate keyed on
+    the chain prefix (bounded by the start count). No explode, no
+    per-id collect, no window funnel — the same 100x shape as
+    funnel_sequence_completion."""
+    if len(flag_cols) < 2:
+        raise ValueError("sequence_detect needs at least 2 step flags")
+    for c in flag_cols:
+        if c not in df.columns:
+            raise ValueError(f"sequence_detect: no flag column {c!r}")
+    # integer MICROSECOND arithmetic — exact, so emitted chain
+    # timestamps round-trip bit-identically (a double epoch loses
+    # sub-microsecond precision at 2024 magnitudes)
+    ts_e = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    events = df.select(
+        F.col(id_col).alias("__u"),
+        ts_e.alias("__t"),
+        *[F.col(c).cast("boolean").alias(c) for c in flag_cols],
+    )
+    cur = (
+        events.where(F.col(flag_cols[0]))
+        .select("__u", F.col("__t").alias("__t1"))
+        .distinct()
+    )
+    keys = ["__u", "__t1"]
+    for k, flag in enumerate(flag_cols[1:], start=2):
+        nxt = events.where(F.col(flag)).select(
+            "__u", F.col("__t").alias("__tn")
+        )
+        prev_t = F.col(f"__t{k - 1}")
+        cur = (
+            cur.join(nxt, "__u")
+            .where(
+                (F.col("__tn") > prev_t)
+                & (
+                    F.col("__tn") - prev_t
+                    <= F.lit(step_window_s * 1_000_000)
+                )
+            )
+            .groupBy(*keys)
+            .agg(F.min("__tn").alias(f"__t{k}"))
+        )
+        keys.append(f"__t{k}")
+    cur = cur.where(
+        F.col(f"__t{len(flag_cols)}") - F.col("__t1")
+        <= F.lit(span_s * 1_000_000)
+    )
+    return cur.select(
+        F.col("__u").alias(id_col),
+        *[
+            F.timestamp_micros(F.col(f"__t{i + 1}")).alias(c)
+            for i, c in enumerate(flag_cols)
+        ],
+    ).orderBy(id_col, *flag_cols)
+
+
 def _to_epoch(spark: SparkSession, dt: str) -> int:
     """ISO datetime/date string -> unix seconds (session UTC; driver-side
     arithmetic on two literals, no job)."""

@@ -2498,6 +2498,58 @@ def _evaluate(
     )
     if bm:
         return _funnel_completion(df, bm.group(1))
+    bm = re.match(r"^sequence_detect\s*\((.+)\)\s*$", rest.strip(), re.S)
+    if bm:
+        # sequence_detect(Timeline, StepWindow, Span, Flag1, Flag2,
+        # ..., IdColumn) — per-step-window chain detection on the
+        # funnel join kernel (greedy canonical-chain dialect; see
+        # operators/timeseries.py:sequence_detect)
+        a = [x.strip() for x in _split_csv(bm.group(1))]
+        if len(a) < 6:
+            raise ValueError(
+                "sequence_detect(Timeline, MaxSequenceStepWindow, "
+                "MaxSequenceSpan, Expr1, Expr2, ..., IdColumn) takes "
+                f">= 6 args, got {len(a)}"
+            )
+        from azuredataengineering_deeplearning_spark.operators.timeseries import (
+            sequence_detect,
+        )
+
+        return sequence_detect(
+            df, a[0], a[-1], _span_lit(a[1]), _span_lit(a[2]), a[3:-1]
+        )
+    bm = re.match(
+        r"^dcount_intersect\s*\((\w+)\s*,\s*(\w+)(?:\s*,\s*(\w+))?\)\s*$",
+        rest.strip(),
+    )
+    if bm:
+        # dcount_intersect(hll1, hll2 [, hll3]) — progressive
+        # intersection estimates via inclusion-exclusion over the
+        # MERGEABLE sketches (hll_union/hll_sketch_estimate): s0 =
+        # |A|, s1 = |A n B|, s2 = |A n B n C|. Pure projections over
+        # sketch columns — zero shuffles; estimates approximate by
+        # design (pytest-toleranced).
+        h1, h2, h3 = bm.group(1), bm.group(2), bm.group(3)
+        est = "hll_sketch_estimate"
+        df = df.withColumn("s0", F.expr(f"{est}({h1})")).withColumn(
+            "s1",
+            F.expr(
+                f"{est}({h1}) + {est}({h2})"
+                f" - {est}(hll_union({h1}, {h2}))"
+            ),
+        )
+        if h3:
+            df = df.withColumn(
+                "s2",
+                F.expr(
+                    f"{est}({h1}) + {est}({h2}) + {est}({h3})"
+                    f" - {est}(hll_union({h1}, {h2}))"
+                    f" - {est}(hll_union({h1}, {h3}))"
+                    f" - {est}(hll_union({h2}, {h3}))"
+                    f" + {est}(hll_union(hll_union({h1}, {h2}), {h3}))"
+                ),
+            )
+        return df
     bm = re.match(r"^rows_near\s*\((.+)\)\s*$", rest.strip(), re.S)
     if bm:
         return _rows_near(df, bm.group(1), now, order_spec)

@@ -366,3 +366,73 @@ def test_ipv4_known_values(spark):
     assert row["m1"] is True  # operand's /16 governs the match
     assert row["m2"] is False
     assert row["outr"] is False
+
+
+def test_sequence_detect_per_step_windows(spark):
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        sequence_detect,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # u1: A@0, B@+5min, C@+5min after B -> detected
+            ("u1", _ts(1, 0, 0), True, False, False),
+            ("u1", _ts(1, 0, 5), False, True, False),
+            ("u1", _ts(1, 0, 10), False, False, True),
+            # u2: B arrives 2h after A -> step window (1h) kills it
+            ("u2", _ts(1, 0, 0), True, False, False),
+            ("u2", _ts(1, 2, 0), False, True, False),
+            ("u2", _ts(1, 2, 5), False, False, True),
+        ],
+        "u string, ts timestamp, fa boolean, fb boolean, fc boolean",
+    )
+    out = sequence_detect(df, "ts", "u", 3600, 86400, ["fa", "fb", "fc"])
+    rows = out.collect()
+    assert [r["u"] for r in rows] == ["u1"]
+    assert rows[0]["fa"] == _ts(1, 0, 0) and rows[0]["fc"] == _ts(1, 0, 10)
+
+
+def test_sequence_detect_greedy_canonical_chain(spark):
+    # the documented dialect: greedy takes B@+1min; C@+15min is then
+    # outside B@+1min's 10-minute window, so NO row — even though the
+    # chain through B@+9min would qualify. Pins the canonical-chain
+    # rule (both engines share it).
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        sequence_detect,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("u", _ts(1, 0, 0), True, False),
+            ("u", _ts(1, 0, 1), False, True),
+            ("u", _ts(1, 0, 9), False, True),
+        ],
+        "u string, ts timestamp, fa boolean, fb boolean",
+    )
+    # fb-only chain first: greedy B = +1min
+    out = sequence_detect(df, "ts", "u", 600, 86400, ["fa", "fb"])
+    assert out.collect()[0]["fb"] == _ts(1, 0, 1)
+    with pytest.raises(ValueError, match="at least 2"):
+        sequence_detect(df, "ts", "u", 600, 86400, ["fa"])
+    with pytest.raises(ValueError, match="no flag column"):
+        sequence_detect(df, "ts", "u", 600, 86400, ["fa", "nope"])
+
+
+def test_dcount_intersect_estimates(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    # A = users with value < 50, B = all users, C = users with value < 10
+    t = {"events": ev}
+    row = kql_to_df(
+        t,
+        "events"
+        " | extend ua = iff(value < 50.0, user_id, tolong(-1)),"
+        " uc = iff(value < 10.0, user_id, tolong(-1))"
+        " | summarize h1 = hll(ua), h2 = hll(user_id), h3 = hll(uc)"
+        " | evaluate dcount_intersect(h1, h2, h3)"
+        " | project s0, s1, s2",
+    ).collect()[0]
+    # A subset of B (modulo the -1 sentinel), C subset of A
+    assert row["s1"] >= row["s2"] >= 1
+    assert abs(row["s1"] - row["s0"]) <= max(1, 0.1 * row["s0"])
+    with pytest.raises(ValueError, match="unsupported evaluate"):
+        kql_to_df(t, "events | evaluate dcount_intersect(h1)")
