@@ -432,7 +432,42 @@ def _one_case(rng, spark, base, duck):
         # representations of computed doubles may not) — SQL twin only
         # for string/int facet columns
         sqls.append(None)
-    elif roll < 0.22 and "s" in cols:
+    elif roll < 0.20 and "s" in cols:
+        # r10 `reduce by` — deterministic pattern reduction; both twins
+        # re-apply the documented hex-then-digit rules independently
+        stages.append("reduce by s")
+
+        def _reduce_twin(df):
+            pat = F.regexp_replace(
+                F.regexp_replace(
+                    F.col("s"),
+                    F.lit(r"\b[0-9a-fA-F]{8,}\b"),
+                    F.lit("*"),
+                ),
+                F.lit("[0-9]+"),
+                F.lit("*"),
+            )
+            return (
+                df.select(pat.alias("Pattern"), F.col("s").alias("__src"))
+                .groupBy("Pattern")
+                .agg(
+                    F.count(F.lit(1)).alias("Count_"),
+                    F.min("__src").alias("Representative"),
+                )
+            )
+
+        twins.append(_reduce_twin)
+        sqls.append(
+            lambda q: (
+                "SELECT regexp_replace(regexp_replace(s,"
+                " '\\b[0-9a-fA-F]{8,}\\b', '*', 'g'),"
+                " '[0-9]+', '*', 'g') AS Pattern,"
+                " CAST(COUNT(*) AS BIGINT) AS Count_,"
+                " MIN(s) AS Representative"
+                f" FROM ({q}) GROUP BY 1"
+            )
+        )
+    elif roll < 0.30 and "s" in cols:
         term = rng.choice(TERMS)
         pat = "(?i)\\b" + re.escape(term) + "\\b"
         stages.append(f"search '{term}'")

@@ -1073,6 +1073,51 @@ def main() -> None:
                       "events": args.rows, "users": 500_000,
                       "rows_out": n, "sec_cold": t, "sec": t2}))
 
+    # ---- r10c: graph-match join compilation at 2M edges --------------
+    from azuredataengineering_deeplearning_spark.sources.kql import (
+        kql_to_df,
+    )
+
+    g_edges = spark.range(args.edges).select(
+        (F.col("id") % 100_000).alias("gsrc"),
+        ((F.col("id") * 7919) % 100_000).alias("gdst"),
+        (F.rand(11)).alias("gw"),
+    )
+
+    def _gm2():
+        return kql_to_df(
+            {"edges": g_edges},
+            "edges | make-graph gsrc --> gdst"
+            " | graph-match (x)-[p]->(y)-[q]->(z)"
+            " where p.gw < 0.05 and q.gw < 0.05"
+            " project x = x.id, z = z.id"
+            " | summarize n = count()",
+        ).collect()[0]["n"]
+
+    t, n = timed(_gm2)
+    t2, _ = timed(_gm2)
+    results["graph_match_2hop_2m_edges"] = t2
+    print(json.dumps({"probe": "graph_match_2hop_2m_edges",
+                      "edges": args.edges, "paths": n,
+                      "sec_cold": t, "sec": t2}))
+
+    def _gmv():
+        return kql_to_df(
+            {"edges": g_edges},
+            "edges | make-graph gsrc --> gdst"
+            " | graph-match (x)-[p*1..2]->(z)"
+            " where all(p, gw < 0.02)"
+            " project x = x.id, n = array_length(p)"
+            " | summarize n = count()",
+        ).collect()[0]["n"]
+
+    t, n = timed(_gmv)
+    t2, _ = timed(_gmv)
+    results["graph_match_varlen_2m_edges"] = t2
+    print(json.dumps({"probe": "graph_match_varlen_2m_edges",
+                      "edges": args.edges, "paths": n,
+                      "sec_cold": t, "sec": t2}))
+
     print(
         json.dumps(
             {
