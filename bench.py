@@ -85,6 +85,11 @@ HEADLINE = [
     # machine) + the pre-collapsed grouping-sets cohort differ
     "kql_scan_funnel",
     "kql_diffpatterns",
+    # round 10 (second/third batch): period-over-period retention on
+    # the interval-merge kernel family + graph patterns compiled to
+    # join trees
+    "kql_activity_metrics",
+    "kql_graph_match",
 ]
 
 
