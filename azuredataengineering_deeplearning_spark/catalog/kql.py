@@ -2320,3 +2320,48 @@ def kql_sequence_detect(spark, sf_dir):
         " | evaluate sequence_detect(ts, 12h, 1d,"
         " is_signup, is_view, is_buy, user_id)",
     )
+
+
+@query(
+    "kql_parse_url",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             concat('https://u', CAST(doc_id AS VARCHAR), ':pw@h',
+                    CAST(doc_id % 20 AS VARCHAR), '.example.com:',
+                    CAST(8000 + doc_id % 100 AS VARCHAR), '/d/', lang,
+                    '?q=', source, '#s', CAST(doc_id % 5 AS VARCHAR))
+               AS u
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(u, '://(?:[^/@]*@)?([^:/?#]+)', 1) AS host,
+           regexp_extract(u, '://(?:[^/@]*@)?[^:/?#]+:([0-9]+)', 1)
+             AS port,
+           regexp_extract(u, '://[^/?#]*(/[^?#]*)', 1) AS path,
+           regexp_extract(u, '://([^:/@?#]+):[^@/?#]*@', 1) AS username,
+           regexp_extract(u, '#(.*)$', 1) AS frag
+    FROM src
+    """,
+)
+def kql_parse_url(spark, sf_dir):
+    """``parse_url(x)`` (round 10) — Kusto's URL bag (Scheme / Host /
+    Port / Path / Username / Password / Query Parameters / Fragment)
+    emitted as a JSON string over Spark's built-in part extractor;
+    dotted field access rides the todynamic() rewrite. Pure JVM
+    expressions, zero UDFs; the oracle re-derives the parts with
+    regexes."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t,
+        "documents"
+        " | extend u = strcat('https://u', tostring(doc_id), ':pw@h',"
+        " tostring(doc_id % 20), '.example.com:',"
+        " tostring(8000 + doc_id % 100), '/d/', lang,"
+        " '?q=', source, '#s', tostring(doc_id % 5))"
+        " | extend b = parse_url(u)"
+        " | extend host = todynamic(b).Host, port = todynamic(b).Port,"
+        " path = todynamic(b).Path, username = todynamic(b).Username,"
+        " frag = todynamic(b).Fragment"
+        " | project doc_id, host, port, path, username, frag",
+    )

@@ -543,6 +543,36 @@ def _expr(kql: str, now: str | None = None) -> str:
             f" * pow(sin((radians({lo2}) - radians({lo1})) / 2), 2))))"
         ),
     )
+    # parse_url(x) -> Kusto's URL bag as a JSON string (keys Scheme /
+    # Host / Port / Path / Username / Password / Query Parameters /
+    # Fragment, exactly Kusto's, absent parts ''). Built on Spark's
+    # 2-arg parse_url part extractor (which keeps its own name: a
+    # 2-arg call passes through untouched); dotted access rides the
+    # existing todynamic() rewrite; the nested Query Parameters bag
+    # needs a bracket JSON path (space in the Kusto key name).
+    def _parse_url_bag(*args):
+        if len(args) != 1:
+            return f"parse_url({', '.join(args)})"
+        x = args[0]
+        ui = f"parse_url({x}, 'USERINFO')"
+        return (
+            "to_json(named_struct("
+            f"'Scheme', coalesce(parse_url({x}, 'PROTOCOL'), ''), "
+            f"'Host', coalesce(parse_url({x}, 'HOST'), ''), "
+            f"'Port', coalesce(regexp_extract(parse_url({x}, "
+            "'AUTHORITY'), ':([0-9]+)$', 1), ''), "
+            f"'Path', coalesce(parse_url({x}, 'PATH'), ''), "
+            f"'Username', coalesce(split_part({ui}, ':', 1), ''), "
+            f"'Password', coalesce(split_part({ui}, ':', 2), ''), "
+            # str_to_map('') yields {'': null} — render absent/empty
+            # query strings as the empty bag Kusto emits
+            "'Query Parameters', if(coalesce(parse_url("
+            f"{x}, 'QUERY'), '') = '', map(), str_to_map(parse_url("
+            f"{x}, 'QUERY'), '&', '=')), "
+            f"'Fragment', coalesce(parse_url({x}, 'REF'), '')))"
+        )
+
+    s = _rewrite_call(s, "parse_url", _parse_url_bag)
     # round-10 scalar batch: encodings + calendar + version ordering.
     # url_encode/url_decode keep their names (Kusto's form-encoding ==
     # Spark's java.net.URLEncoder semantics, space -> '+').
@@ -894,7 +924,11 @@ def _rewrite_case(s: str) -> str:
 # row_number window — see _summarize.
 _STREAM_UNSUPPORTED = frozenset(
     {"sort", "order", "top", "top-nested", "top-hitters", "partition",
-     "evaluate", "sample", "sample-distinct", "scan"}
+     "evaluate", "sample", "sample-distinct", "scan",
+     # graph compilation self-joins the edge frame — not expressible
+     # as an incremental stream join ("reduce" stays allowed: it
+     # compiles to a plain streaming-legal aggregate)
+     "make-graph", "graph-match"}
 )
 
 

@@ -436,3 +436,38 @@ def test_dcount_intersect_estimates(spark):
     assert abs(row["s1"] - row["s0"]) <= max(1, 0.1 * row["s0"])
     with pytest.raises(ValueError, match="unsupported evaluate"):
         kql_to_df(t, "events | evaluate dcount_intersect(h1)")
+
+
+def test_parse_url_bag_and_2arg_passthrough(spark):
+    df = spark.range(1).selectExpr(
+        "'https://user:pw@example.com:8080/a/b?x=1&y=2#frag' as u",
+        "'http://plain.org/p' as v",
+    )
+    row = kql_to_df(
+        {"t": df},
+        "t | extend b = parse_url(u), c = parse_url(v)"
+        " | extend qx = todynamic(b).Host, pw = todynamic(b).Password"
+        " | project b, c, qx, pw",
+    ).collect()[0]
+    import json
+
+    bag = json.loads(row["b"])
+    assert bag["Scheme"] == "https" and bag["Port"] == "8080"
+    assert bag["Query Parameters"] == {"x": "1", "y": "2"}
+    assert row["pw"] == "pw" and row["qx"] == "example.com"
+    # absent parts render '' (Kusto), nested bag empty
+    bag2 = json.loads(row["c"])
+    assert bag2["Port"] == "" and bag2["Username"] == ""
+    assert bag2["Fragment"] == "" and bag2["Query Parameters"] == {}
+
+
+def test_graph_ops_rejected_on_streams(spark, tmp_path):
+    src = spark.readStream.format("rate").option(
+        "rowsPerSecond", 1
+    ).load()
+    with pytest.raises(ValueError, match="STREAMING"):
+        kql_to_df(
+            {"t": src},
+            "t | make-graph value --> value"
+            " | graph-match (a)-[e]->(b) project a = a.id",
+        )
