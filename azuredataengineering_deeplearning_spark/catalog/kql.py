@@ -2365,3 +2365,62 @@ def kql_parse_url(spark, sf_dir):
         " frag = todynamic(b).Fragment"
         " | project doc_id, host, port, path, username, frag",
     )
+
+
+@query(
+    "kql_funnel_sequence",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, epoch_us(ts) AS t, event_type AS s
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-05'
+    ),
+    nbr AS (
+      SELECT u, t, lag(s) OVER w AS prev, lead(s) OVER w AS next
+      FROM ev WINDOW w AS (PARTITION BY u ORDER BY t)
+    ),
+    c1 AS (SELECT DISTINCT u, t AS t1 FROM ev WHERE s = 'signup'),
+    c2 AS (
+      SELECT c1.u, c1.t1, MIN(ev.t) AS t2
+      FROM c1 JOIN ev ON ev.u = c1.u AND ev.s = 'view'
+        AND ev.t > c1.t1 AND ev.t - c1.t1 <= 43200000000
+      GROUP BY c1.u, c1.t1
+    ),
+    dec AS (
+      SELECT c2.u,
+        CAST(floor((c2.t1 - epoch_us(TIMESTAMP '2024-01-01'))
+             / 604800000000) AS BIGINT) AS per,
+        p.prev, n.next
+      FROM c2
+      JOIN nbr p ON p.u = c2.u AND p.t = c2.t1
+      JOIN nbr n ON n.u = c2.u AND n.t = c2.t2
+    )
+    SELECT TIMESTAMP '2024-01-01' + per * INTERVAL 7 DAY AS Period,
+           'seq' AS kind, CAST(NULL AS VARCHAR) AS state,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS dcount
+    FROM dec GROUP BY per
+    UNION ALL
+    SELECT TIMESTAMP '2024-01-01' + per * INTERVAL 7 DAY, 'prev', prev,
+           CAST(COUNT(DISTINCT u) AS BIGINT)
+    FROM dec GROUP BY per, prev
+    UNION ALL
+    SELECT TIMESTAMP '2024-01-01' + per * INTERVAL 7 DAY, 'next', next,
+           CAST(COUNT(DISTINCT u) AS BIGINT)
+    FROM dec GROUP BY per, next
+    """,
+)
+def kql_funnel_sequence(spark, sf_dir):
+    """``evaluate funnel_sequence(...)`` (round 10) — what happened
+    AROUND completed sequences: Kusto's three result tables flattened
+    to one (Period, kind, state, dcount) long frame (documented
+    dialect). One per-id lag/lead window computes every event's
+    neighbors once; the sequence_detect chain kernel (integer-
+    microsecond exact) joins back on (id, t) to fetch boundary
+    states — all stages share the id partitioning."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | evaluate funnel_sequence(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-30), 12h, 7d,"
+        " event_type, dynamic(['signup', 'view']))",
+    )

@@ -921,6 +921,119 @@ def sequence_detect(
     ).orderBy(id_col, *flag_cols)
 
 
+def funnel_sequence(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    state_col: str,
+    start: str,
+    end: str,
+    step_window_s: int,
+    bin_s: int,
+    states: list[str],
+) -> DataFrame:
+    """Kusto ``evaluate funnel_sequence(Id, Timeline, Start, End,
+    MaxSequenceStepWindow, Step, State, Sequence)``: for ids that
+    COMPLETE the state sequence (each step within
+    ``MaxSequenceStepWindow`` of the previous — the sequence_detect
+    chain rule, greedy canonical dialect), what happened around it.
+    Kusto returns THREE result tables (sequence counts, previous
+    states, next states); this engine flattens them into ONE long
+    frame (documented dialect): ``(Period, kind, state, dcount)`` with
+    ``kind`` in ('seq', 'prev', 'next') — 'seq' rows carry a null
+    state and the per-period dcount of completing ids; 'prev'/'next'
+    rows break those ids down by the state immediately before the
+    chain's first step / after its last (null state = the chain is at
+    the stream's edge). Periods bin the chain START.
+
+    Plan: one per-id lag/lead window over the (id, time)-ordered
+    events computes every event's neighbors ONCE; completed chains
+    (the sequence_detect join kernel, integer-microsecond exact) then
+    join back on (id, t) to fetch the boundary states — all stages
+    share the id-key partitioning; dcounts are per (period, state)
+    aggregates. No explode, no per-id collect."""
+    spark = df.sparkSession
+    start_e, end_e = _to_epoch(spark, start), _to_epoch(spark, end)
+    n_bins = (end_e - start_e) // bin_s + 1
+    ts_e = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lo, hi = start_e * 1_000_000, (start_e + n_bins * bin_s) * 1_000_000
+    events = df.select(
+        F.col(id_col).alias("__u"),
+        ts_e.alias("__t"),
+        F.col(state_col).alias("__s"),
+    ).where((F.col("__t") >= lo) & (F.col("__t") < hi))
+    w = Window.partitionBy("__u").orderBy("__t")
+    nbr = events.select(
+        "__u", "__t",
+        F.lag("__s").over(w).alias("__prev"),
+        F.lead("__s").over(w).alias("__next"),
+    )
+    cur = (
+        events.where(F.col("__s") == states[0])
+        .select("__u", F.col("__t").alias("__t1"))
+        .distinct()
+    )
+    keys = ["__u", "__t1"]
+    for k, state in enumerate(states[1:], start=2):
+        nxt = events.where(F.col("__s") == state).select(
+            "__u", F.col("__t").alias("__tn")
+        )
+        prev_t = F.col(f"__t{k - 1}")
+        cur = (
+            cur.join(nxt, "__u")
+            .where(
+                (F.col("__tn") > prev_t)
+                & (
+                    F.col("__tn") - prev_t
+                    <= F.lit(step_window_s * 1_000_000)
+                )
+            )
+            .groupBy(*keys)
+            .agg(F.min("__tn").alias(f"__t{k}"))
+        )
+        keys.append(f"__t{k}")
+    tk = f"__t{len(states)}"
+    chains = cur.withColumn(
+        "__per",
+        F.floor(
+            (F.col("__t1") - F.lit(lo)) / F.lit(bin_s * 1_000_000)
+        ),
+    )
+    decorated = (
+        chains.join(
+            nbr.select("__u", F.col("__t").alias("__t1"), "__prev"),
+            ["__u", "__t1"],
+        )
+        .join(
+            nbr.select("__u", F.col("__t").alias(tk), "__next"),
+            ["__u", tk],
+        )
+    )
+    per_ts = F.timestamp_seconds(
+        F.lit(start_e) + F.col("__per") * F.lit(bin_s)
+    )
+
+    def _slice(kind: str, state_col_):
+        frame = decorated.select(
+            "__per", state_col_.alias("__st"), "__u"
+        ).distinct()
+        return frame.groupBy("__per", "__st").agg(
+            F.count(F.lit(1)).alias("dcount")
+        ).select(
+            per_ts.alias("Period"),
+            F.lit(kind).alias("kind"),
+            F.col("__st").alias("state"),
+            F.col("dcount").cast("long").alias("dcount"),
+        )
+
+    seq = _slice("seq", F.lit(None).cast("string"))
+    prev = _slice("prev", F.col("__prev"))
+    nxt_out = _slice("next", F.col("__next"))
+    return seq.unionByName(prev).unionByName(nxt_out).orderBy(
+        "Period", "kind", "state"
+    )
+
+
 def _to_epoch(spark: SparkSession, dt: str) -> int:
     """ISO datetime/date string -> unix seconds (session UTC; driver-side
     arithmetic on two literals, no job)."""

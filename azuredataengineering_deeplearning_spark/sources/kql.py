@@ -2532,6 +2532,44 @@ def _evaluate(
     )
     if bm:
         return _funnel_completion(df, bm.group(1))
+    bm = re.match(r"^funnel_sequence\s*\((.+)\)\s*$", rest.strip(), re.S)
+    if bm:
+        # funnel_sequence(Id, Timeline, Start, End, StepWindow, Step,
+        # State, Sequence): Kusto's three result tables flattened to
+        # one (Period, kind, state, dcount) long frame — see
+        # operators/timeseries.py:funnel_sequence
+        a = [x.strip() for x in _split_csv(bm.group(1))]
+        if len(a) != 8:
+            raise ValueError(
+                "funnel_sequence(Id, Timeline, Start, End, "
+                "MaxSequenceStepWindow, Step, State, Sequence) takes "
+                f"8 args, got {len(a)}"
+            )
+        m2 = re.match(r"^dynamic\s*\(\s*\[(.*)\]\s*\)$", a[7], re.S)
+        if not m2:
+            raise ValueError(
+                "funnel_sequence: Sequence must be a literal "
+                f"dynamic([...]) array, got {a[7]!r}"
+            )
+        states = []
+        for x in _split_csv(m2.group(1)):
+            x = x.strip()
+            if not re.fullmatch(r"'[^']*'", x):
+                raise ValueError(
+                    f"funnel_sequence: sequence state {x!r} must be a "
+                    "quoted string literal"
+                )
+            states.append(x[1:-1])
+        if len(states) < 2:
+            raise ValueError("funnel_sequence needs >= 2 states")
+        from azuredataengineering_deeplearning_spark.operators.timeseries import (
+            funnel_sequence,
+        )
+
+        return funnel_sequence(
+            df, a[0], a[1], a[6], _dt_lit(a[2]), _dt_lit(a[3]),
+            _span_lit(a[4]), _span_lit(a[5]), states,
+        )
     bm = re.match(r"^sequence_detect\s*\((.+)\)\s*$", rest.strip(), re.S)
     if bm:
         # sequence_detect(Timeline, StepWindow, Span, Flag1, Flag2,

@@ -471,3 +471,31 @@ def test_graph_ops_rejected_on_streams(spark, tmp_path):
             "t | make-graph value --> value"
             " | graph-match (a)-[e]->(b) project a = a.id",
         )
+
+
+def test_funnel_sequence_prev_next(spark):
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        funnel_sequence,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "browse", _ts(1, 0)),   # prev of the chain
+            ("u1", "s1", _ts(1, 1)),
+            ("u1", "s2", _ts(1, 2)),
+            ("u1", "buy", _ts(1, 3)),      # next after the chain
+            ("u2", "s1", _ts(1, 4)),       # chain at the stream edge
+            ("u2", "s2", _ts(1, 5)),
+        ],
+        "u string, st string, ts timestamp",
+    )
+    out = funnel_sequence(
+        df, "u", "ts", "st", "2024-01-01", "2024-01-01", 3600 * 2,
+        86400, ["s1", "s2"],
+    ).collect()
+    got = {(r["kind"], r["state"]): r["dcount"] for r in out}
+    assert got[("seq", None)] == 2
+    assert got[("prev", "browse")] == 1
+    assert got[("prev", None)] == 1   # u2's chain starts the stream
+    assert got[("next", "buy")] == 1
+    assert got[("next", None)] == 1   # u2's chain ends the stream
