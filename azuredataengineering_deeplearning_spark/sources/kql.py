@@ -101,7 +101,14 @@ Round-10 analytics plugins: ``evaluate sliding_window_counts`` /
 ``session_count`` — all on the interval-merge / prefix-scan kernels
 (operators/timeseries.py, never a sliding COUNT(DISTINCT));
 ``evaluate funnel_sequence_completion(...)`` (greedy-chain funnel,
-len(sequence)-1 id-key joins); ``evaluate rows_near(...)``;
+len(sequence)-1 id-key joins); ``evaluate sequence_detect(...)``
+(per-STEP windows, integer-microsecond exact, greedy canonical-chain
+dialect); ``evaluate funnel_sequence(...)`` (prev/next states around
+completed chains — Kusto's three result tables flattened to one
+(Period, kind, state, dcount) frame); ``evaluate
+dcount_intersect(...)`` (sketch inclusion–exclusion);
+``parse_url(x)`` (Kusto's URL bag as JSON; 2-arg form passes
+through); ``evaluate rows_near(...)``;
 ``reduce by Col [with threshold=x]`` (deterministic pattern
 reduction — hex/digit runs → ``*``; documented deviation from Kusto's
 fuzzy reducer); and the HLL sketch family ``hll(col [, accuracy])`` /

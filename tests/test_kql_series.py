@@ -250,9 +250,10 @@ def test_pivot_sum_keeps_null_cells(spark):
 
 
 def test_pivot_rejects_unknown_plugin_and_agg(spark):
-    # narrow() became a supported plugin in r9 — use a real unknown
+    # narrow()/autocluster() became supported plugins in r9/r10 — use
+    # a real unknown
     with pytest.raises(ValueError, match="evaluate plugin"):
-        kql_to_df({"E": _evt(spark)}, "E | evaluate autocluster()")
+        kql_to_df({"E": _evt(spark)}, "E | evaluate frobnicate()")
     with pytest.raises(ValueError, match="pivot aggregate"):
         kql_to_df({"E": _evt(spark)}, "E | evaluate pivot(k, median(v))")
 
