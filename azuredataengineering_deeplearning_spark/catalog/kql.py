@@ -2424,3 +2424,45 @@ def kql_funnel_sequence(spark, sf_dir):
         " datetime(2024-01-01), datetime(2024-01-30), 12h, 7d,"
         " event_type, dynamic(['signup', 'view']))",
     )
+
+
+@query(
+    "kql_rolling_percentile",
+    """
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bin,
+             value AS v, event_type
+      FROM events
+    ),
+    obs AS (SELECT DISTINCT bin, event_type FROM b),
+    win AS (
+      SELECT obs.bin AS t, obs.event_type, b.v
+      FROM obs JOIN b ON b.event_type = obs.event_type
+        AND b.bin > obs.bin - 3 * 86400 AND b.bin <= obs.bin
+    ),
+    c AS (
+      SELECT t, event_type, v,
+             cume_dist() OVER (PARTITION BY t, event_type ORDER BY v)
+               AS cdf
+      FROM win
+    )
+    SELECT to_timestamp(t) AT TIME ZONE 'UTC' AS ts, event_type,
+           MIN(CASE WHEN cdf >= 0.5 THEN v END)
+             AS rolling_3_percentile_value_50
+    FROM c GROUP BY t, event_type
+    """,
+)
+def kql_rolling_percentile(spark, sf_dir):
+    """``evaluate rolling_percentile(Value, 50, Index, 3, 1d, dim)``
+    (round 10) — trailing-window percentile per observed bin and dim.
+    Collapse to weighted (bin, value) tuples first, fan each tuple
+    onto its <= BinsPerWindow target bins (constant, over tuples not
+    events), then one weighted-CDF percentile pass — never a per-bin
+    re-sort of raw rows. The oracle's cume_dist over the range join is
+    the identical lower-CDF convention with unit weights."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | evaluate rolling_percentile(value, 50, ts, 3, 1d,"
+        " event_type)",
+    )

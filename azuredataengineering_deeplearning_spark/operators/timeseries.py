@@ -1034,6 +1034,82 @@ def funnel_sequence(
     )
 
 
+def rolling_percentile(
+    df: DataFrame,
+    value_col: str,
+    p: float,
+    ts_col: str,
+    bins_per_window: int,
+    bin_s: int,
+    dims: list[str] | None = None,
+) -> DataFrame:
+    """Kusto ``evaluate rolling_percentile(Value, Percentile, Index,
+    BinsPerWindow, BinSize [, dim...])``: per observed bin (and dim
+    combination), the percentile of values in the trailing
+    ``BinsPerWindow`` bins. Percentile semantics = the engine's
+    weighted-CDF convention (lower empirical-CDF inverse, ties one
+    step — Kusto's nearest-rank family).
+
+    Scale shape — no per-bin re-sort of raw rows: collapse to
+    weighted (bin, value) tuples FIRST (one aggregate, map-side
+    combine), fan each tuple onto the <= ``bins_per_window`` target
+    bins it covers (a bounded constant, and it multiplies DISTINCT
+    tuples, not events), then ONE weighted-percentile pass
+    (window CDF + conditional-min aggregate) keyed by target bin.
+    Rolling DISTINCT counts get the interval-merge sweep because
+    distinct-ness merges; percentiles need the multiset, and the
+    collapsed-tuple fan is the multiset at its smallest."""
+    dims = list(dims or [])
+    if not 0 < p < 100:
+        raise ValueError(f"rolling_percentile: percentile {p} not in (0, 100)")
+    if bins_per_window < 1:
+        raise ValueError("rolling_percentile: BinsPerWindow must be >= 1")
+    ts_e = F.col(ts_col).cast("timestamp").cast("long")
+    binned = df.select(
+        (F.floor(ts_e / F.lit(bin_s)) * F.lit(bin_s)).alias("__bin"),
+        F.col(value_col).alias("__v"),
+        *dims,
+    )
+    weighted = binned.groupBy("__bin", "__v", *dims).agg(
+        F.count(F.lit(1)).alias("__w")
+    )
+    obs = binned.select("__bin", *dims).distinct()
+    fanned = weighted.select(
+        "__bin",
+        "__v",
+        "__w",
+        *dims,
+        F.explode(
+            F.sequence(F.lit(0), F.lit(bins_per_window - 1))
+        ).alias("__k"),
+    ).select(
+        (F.col("__bin") + F.col("__k") * F.lit(bin_s)).alias("__tgt"),
+        "__v",
+        "__w",
+        *dims,
+    ).join(
+        obs.select(F.col("__bin").alias("__tgt"), *dims),
+        ["__tgt", *dims],
+        "left_semi",
+    )
+    from azuredataengineering_deeplearning_spark.operators.aggregates import (
+        weighted_percentile,
+    )
+
+    out_col = (
+        f"rolling_{bins_per_window}_percentile_{value_col}_{p:g}"
+    )
+    wp = weighted_percentile(
+        fanned, "__v", "__w", [p / 100], keys=["__tgt", *dims]
+    )
+    raw = [c for c in wp.columns if c not in ("__tgt", *dims)][0]
+    return wp.select(
+        F.timestamp_seconds(F.col("__tgt")).alias(ts_col),
+        *dims,
+        F.col(raw).alias(out_col),
+    ).orderBy(ts_col, *dims)
+
+
 def _to_epoch(spark: SparkSession, dt: str) -> int:
     """ISO datetime/date string -> unix seconds (session UTC; driver-side
     arithmetic on two literals, no job)."""

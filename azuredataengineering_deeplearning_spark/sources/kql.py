@@ -2577,6 +2577,27 @@ def _evaluate(
             df, a[0], a[1], a[6], _dt_lit(a[2]), _dt_lit(a[3]),
             _span_lit(a[4]), _span_lit(a[5]), states,
         )
+    bm = re.match(r"^rolling_percentile\s*\((.+)\)\s*$", rest.strip(), re.S)
+    if bm:
+        # rolling_percentile(Value, Percentile, Index, BinsPerWindow,
+        # BinSize [, dim...]) — trailing-window percentile per bin on
+        # the weighted-CDF kernel (collapsed-tuple fan; see
+        # operators/timeseries.py:rolling_percentile)
+        a = [x.strip() for x in _split_csv(bm.group(1))]
+        if len(a) < 5:
+            raise ValueError(
+                "rolling_percentile(Value, Percentile, Index, "
+                "BinsPerWindow, BinSize [, dims...]) takes >= 5 args, "
+                f"got {len(a)}"
+            )
+        from azuredataengineering_deeplearning_spark.operators.timeseries import (
+            rolling_percentile,
+        )
+
+        return rolling_percentile(
+            df, a[0], float(a[1]), a[2], int(a[3]), _span_lit(a[4]),
+            dims=a[5:],
+        )
     bm = re.match(r"^sequence_detect\s*\((.+)\)\s*$", rest.strip(), re.S)
     if bm:
         # sequence_detect(Timeline, StepWindow, Span, Flag1, Flag2,

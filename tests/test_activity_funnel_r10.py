@@ -499,3 +499,29 @@ def test_funnel_sequence_prev_next(spark):
     assert got[("prev", None)] == 1   # u2's chain starts the stream
     assert got[("next", "buy")] == 1
     assert got[("next", None)] == 1   # u2's chain ends the stream
+
+
+def test_rolling_percentile_trailing_window(spark):
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        rolling_percentile,
+    )
+
+    # day1: {1..4}; day2: {100}; window 2 bins at day2 sees
+    # {1,2,3,4,100} -> p50 = 3 (lower-CDF), day1 sees {1..4} -> 2
+    rows = [(float(v), _ts(1)) for v in (1, 2, 3, 4)] + [(100.0, _ts(2))]
+    df = spark.createDataFrame(rows, "v double, ts timestamp")
+    out = {
+        r["ts"].day: r["rolling_2_percentile_v_50"]
+        for r in rolling_percentile(df, "v", 50, "ts", 2, 86400).collect()
+    }
+    assert out == {1: 2.0, 2: 3.0}
+    # window 1 bin: each day stands alone
+    out1 = {
+        r["ts"].day: r["rolling_1_percentile_v_50"]
+        for r in rolling_percentile(df, "v", 50, "ts", 1, 86400).collect()
+    }
+    assert out1 == {1: 2.0, 2: 100.0}
+    with pytest.raises(ValueError, match="not in"):
+        rolling_percentile(df, "v", 0, "ts", 2, 86400)
+    with pytest.raises(ValueError, match="BinsPerWindow"):
+        rolling_percentile(df, "v", 50, "ts", 0, 86400)
