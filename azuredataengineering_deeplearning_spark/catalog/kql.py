@@ -2466,3 +2466,62 @@ def kql_rolling_percentile(spark, sf_dir):
         "events | evaluate rolling_percentile(value, 50, ts, 3, 1d,"
         " event_type)",
     )
+
+
+@query(
+    "kql_ipv4_lookup",
+    """
+    WITH src AS (
+      SELECT event_id,
+             concat('10.', CAST(user_id % 200 AS VARCHAR), '.',
+                    CAST(event_id % 256 AS VARCHAR), '.7') AS ip,
+             (167772160 + (user_id % 200) * 65536
+              + (event_id % 256) * 256 + 7) AS num
+      FROM events
+    ),
+    lut(cidr, net, st, sfx) AS (VALUES
+      ('10.0.0.0/8', 'corp', 167772160, 8),
+      ('10.5.0.0/16', 'sixteen', 168099840, 16),
+      ('10.5.7.0/24', 'deep', 168101632, 24)),
+    m AS (
+      SELECT s.event_id, l.cidr, l.net,
+             row_number() OVER (PARTITION BY s.event_id
+               ORDER BY l.sfx DESC, l.cidr) AS rn
+      FROM src s JOIN lut l
+        ON (s.num & (4294967295 - ((1::BIGINT << (32 - l.sfx)) - 1)))
+           = l.st
+    )
+    SELECT s.event_id, s.ip, m.cidr, m.net
+    FROM src s LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      USING (event_id)
+    """,
+)
+def kql_ipv4_lookup(spark, sf_dir):
+    """``evaluate ipv4_lookup(LookupTable, ip, cidr,
+    return_unmatched=true)`` (round 10) — longest-prefix-match CIDR
+    enrichment compiled to EQUI-joins: the source ip is masked once
+    per DISTINCT prefix length in the lookup (bounded <= 33, one
+    bounded collect) and hash-joined on (masked_ip, suffix); the
+    longest match wins via a per-source-row window over its <= 33
+    matches. No range join, no broadcast nested loop — the shape that
+    survives a 100-TB flow table against a broadcast CIDR dim."""
+    t = load_tables(spark, sf_dir, ["events"])
+    nets = spark.createDataFrame(
+        [
+            ("10.0.0.0/8", "corp"),
+            ("10.5.0.0/16", "sixteen"),
+            ("10.5.7.0/24", "deep"),
+        ],
+        "cidr string, net string",
+    )
+    ev = kql_to_df(
+        {"events": t["events"]},
+        "events"
+        " | extend ip = strcat('10.', tostring(user_id % 200), '.',"
+        " tostring(event_id % 256), '.7')"
+        " | project event_id, ip",
+    )
+    return kql_to_df(
+        {"t": ev, "nets": nets},
+        "t | evaluate ipv4_lookup(nets, ip, cidr, return_unmatched=true)",
+    )

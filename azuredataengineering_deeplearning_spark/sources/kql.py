@@ -1396,7 +1396,7 @@ def kql_to_df(
         elif op == "partition":
             df = _partition_by(df, rest, now)
         elif op == "evaluate":
-            df = _evaluate(df, rest, now, order_spec)
+            df = _evaluate(df, rest, now, order_spec, tables)
         elif op == "search":
             df = _search(df, rest)
         elif op == "make-series":
@@ -2438,6 +2438,74 @@ def _autocluster(df: DataFrame, arg: str) -> DataFrame:
     )
 
 
+def _ipv4_lookup(
+    df: DataFrame,
+    lut: DataFrame,
+    ip_col: str,
+    key_col: str,
+    return_unmatched: bool,
+) -> DataFrame:
+    """Longest-prefix-match join (see the dispatcher comment for the
+    equi-join compilation). Lookup keys may be plain IPs (suffix 32)
+    or CIDR 'a.b.c.d/n'."""
+    overlap = (set(df.columns) & set(lut.columns)) - set()
+    if overlap:
+        raise ValueError(
+            f"ipv4_lookup: column collision {sorted(overlap)} between "
+            "source and lookup (project one side first)"
+        )
+
+    def _num(col: str) -> str:
+        return (
+            "aggregate(transform(split(element_at(split(" + col
+            + ", '/'), 1), '\\\\.'), __s -> cast(__s as bigint)),"
+            " cast(0 as bigint), (__a, __v) -> __a * 256 + __v)"
+        )
+
+    sfx = (
+        f"case when size(split({key_col}, '/')) > 1 then"
+        f" cast(element_at(split({key_col}, '/'), 2) as int)"
+        " else 32 end"
+    )
+    mask = (
+        "shiftleft(cast(-1 as bigint), 32 - __sfx)"
+        " & cast(4294967295 as bigint)"
+    )
+    lut2 = (
+        lut.withColumn("__sfx", F.expr(sfx))
+        .withColumn("__lk", F.expr(f"({_num(key_col)}) & ({mask})"))
+    )
+    suffixes = sorted(
+        r[0] for r in lut2.select("__sfx").distinct().collect()
+    )  # bounded: <= 33 possible IPv4 prefix lengths
+    if not suffixes:
+        raise ValueError("ipv4_lookup: empty lookup table")
+    src = df.withColumn(
+        "__rid", F.monotonically_increasing_id()
+    ).withColumn("__num", F.expr(_num(ip_col)))
+    fan = src.withColumn(
+        "__sfx", F.explode(F.array(*[F.lit(s) for s in suffixes]))
+    ).withColumn("__mip", F.expr(f"__num & ({mask})"))
+    joined = fan.join(
+        F.broadcast(lut2.withColumnRenamed("__sfx", "__lsfx")),
+        (F.col("__mip") == F.col("__lk"))
+        & (F.col("__sfx") == F.col("__lsfx")),
+        "inner",
+    )
+    pick = Window.partitionBy("__rid").orderBy(
+        F.col("__sfx").desc(), F.col(key_col).asc()
+    )
+    best = (
+        joined.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select("__rid", *lut.columns)
+    )
+    out = src.join(
+        best, "__rid", "left" if return_unmatched else "inner"
+    )
+    return out.drop("__rid", "__num")
+
+
 def _funnel_completion(df: DataFrame, args_txt: str) -> DataFrame:
     """``evaluate funnel_sequence_completion(Id, Timeline, Start, End,
     Period, State, dynamic(['s1', ...]), dynamic([w1, ...]))`` —
@@ -2482,7 +2550,11 @@ def _funnel_completion(df: DataFrame, args_txt: str) -> DataFrame:
 
 
 def _evaluate(
-    df: DataFrame, rest: str, now: str | None, order_spec: str | None = None
+    df: DataFrame,
+    rest: str,
+    now: str | None,
+    order_spec: str | None = None,
+    tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """``evaluate pivot(PivotCol [, agg(Col) [, keep1, keep2, ...]])`` —
     Kusto's pivot plugin. Distinct PivotCol values become columns; the
@@ -2576,6 +2648,27 @@ def _evaluate(
         return funnel_sequence(
             df, a[0], a[1], a[6], _dt_lit(a[2]), _dt_lit(a[3]),
             _span_lit(a[4]), _span_lit(a[5]), states,
+        )
+    bm = re.match(
+        r"^ipv4_lookup\s*\((\w+)\s*,\s*(\w+)\s*,\s*(\w+)"
+        r"(?:\s*,\s*return_unmatched\s*=\s*(true|false))?\s*\)\s*$",
+        rest.strip(),
+    )
+    if bm:
+        # ipv4_lookup(LookupTable, SourceIPColumn, IPKeyColumn
+        # [, return_unmatched=true]) — LONGEST-PREFIX-MATCH enrichment
+        # against a CIDR table, compiled to EQUI-joins: the source ip
+        # is masked once per DISTINCT prefix length present in the
+        # lookup (a bounded <= 33-element list, one bounded collect)
+        # and equi-joined on (masked_ip, suffix); the longest match
+        # wins via a per-source-row max-suffix window (partition = one
+        # row's matches). No range join, no broadcast nested loop —
+        # the fan is x|suffixes|, constant at any corpus size.
+        if tables is None or bm.group(1) not in tables:
+            raise ValueError(f"ipv4_lookup: unknown table {bm.group(1)!r}")
+        return _ipv4_lookup(
+            df, tables[bm.group(1)], bm.group(2), bm.group(3),
+            bm.group(4) == "true",
         )
     bm = re.match(r"^rolling_percentile\s*\((.+)\)\s*$", rest.strip(), re.S)
     if bm:

@@ -525,3 +525,33 @@ def test_rolling_percentile_trailing_window(spark):
         rolling_percentile(df, "v", 0, "ts", 2, 86400)
     with pytest.raises(ValueError, match="BinsPerWindow"):
         rolling_percentile(df, "v", 50, "ts", 0, 86400)
+
+
+def test_ipv4_lookup_longest_prefix(spark):
+    ips = spark.createDataFrame(
+        [("a", "10.1.2.3"), ("b", "10.1.9.9"), ("d", "8.8.8.8")],
+        "name string, ip string",
+    )
+    lut = spark.createDataFrame(
+        [("10.0.0.0/8", "corp"), ("10.1.0.0/16", "branch"),
+         ("10.1.2.0/24", "lab"), ("10.1.2.3", "host")],
+        "cidr string, net string",
+    )
+    t = {"t": ips, "nets": lut}
+    out = {
+        r["name"]: r["net"]
+        for r in kql_to_df(
+            t, "t | evaluate ipv4_lookup(nets, ip, cidr,"
+            " return_unmatched=true)"
+        ).collect()
+    }
+    assert out == {"a": "host", "b": "branch", "d": None}
+    inner = kql_to_df(t, "t | evaluate ipv4_lookup(nets, ip, cidr)")
+    assert inner.count() == 2  # unmatched dropped by default
+    with pytest.raises(ValueError, match="unknown table"):
+        kql_to_df(t, "t | evaluate ipv4_lookup(missing, ip, cidr)")
+    with pytest.raises(ValueError, match="column collision"):
+        kql_to_df(
+            {"t": ips.withColumn("net", F.lit("x")), "nets": lut},
+            "t | evaluate ipv4_lookup(nets, ip, cidr)",
+        )
