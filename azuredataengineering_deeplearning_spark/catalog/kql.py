@@ -2525,3 +2525,80 @@ def kql_ipv4_lookup(spark, sf_dir):
         {"t": ev, "nets": nets},
         "t | evaluate ipv4_lookup(nets, ip, cidr, return_unmatched=true)",
     )
+
+
+@query(
+    "kql_scalar_extras5",
+    """
+    SELECT event_id,
+           (event_id & user_id) AS b_and,
+           (event_id | user_id) AS b_or,
+           xor(event_id, user_id) AS b_xor,
+           (~event_id) AS b_not,
+           (event_id << 2) AS shl,
+           (event_id >> 1) AS shr,
+           CAST(bit_count(event_id) AS INT) AS ones,
+           pow(2, CAST(user_id % 8 AS DOUBLE)) AS e2,
+           log2(CAST(event_id + 1 AS DOUBLE)) AS l2,
+           sha256(event_type) AS h256,
+           md5(event_type) AS hmd5,
+           list_sort([CAST(user_id AS BIGINT), event_id,
+                      CAST(user_id % 3 AS BIGINT)]) AS arr,
+           list_reverse_sort([CAST(user_id AS BIGINT), event_id]) AS da,
+           list_sort(list_distinct(list_concat(
+             [CAST(user_id % 5 AS BIGINT)],
+             [CAST(event_id % 5 AS BIGINT)]))) AS su,
+           list_sort(list_intersect(
+             [CAST(user_id % 5 AS BIGINT), 1],
+             [CAST(event_id % 5 AS BIGINT), 1])) AS si,
+           list_sort(list_filter([CAST(user_id % 5 AS BIGINT), 7],
+             x -> NOT list_contains([CAST(event_id % 5 AS BIGINT)], x)))
+             AS sd,
+           list_contains([CAST(user_id % 5 AS BIGINT), 7], 7) AS he
+    FROM events
+    """,
+)
+def kql_scalar_extras5(spark, sf_dir):
+    """Round-10 scalar batch 5: ``binary_and/or/xor/not`` +
+    ``binary_shift_left/right`` (-> JVM bit ops),
+    ``bitset_count_ones`` (-> bit_count), ``exp2``/``log2``,
+    ``hash_sha256``/``hash_md5`` (-> sha2/md5),
+    ``pack_array``/``array_sort_asc``/``array_sort_desc``/
+    ``array_reverse``, and the set family ``set_union``/
+    ``set_intersect``/``set_difference``/``set_has_element`` (SORTED
+    output — Kusto's sets are unordered; the pinned sort is the
+    deterministic cross-engine form). All textual rewrites, zero
+    UDFs, zero shuffles."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        """
+        events
+        | extend b_and = binary_and(event_id, user_id),
+                 b_or = binary_or(event_id, user_id),
+                 b_xor = binary_xor(event_id, user_id),
+                 b_not = binary_not(event_id),
+                 shl = binary_shift_left(event_id, 2),
+                 shr = binary_shift_right(event_id, 1),
+                 ones = bitset_count_ones(event_id),
+                 e2 = exp2(todouble(user_id % 8)),
+                 l2 = log2(todouble(event_id + 1)),
+                 h256 = hash_sha256(event_type),
+                 hmd5 = hash_md5(event_type),
+                 a1 = pack_array(user_id, event_id, user_id % 3),
+                 a2 = pack_array(user_id, event_id),
+                 u1 = pack_array(user_id % 5),
+                 u2 = pack_array(event_id % 5),
+                 w1 = pack_array(user_id % 5, tolong(1)),
+                 w2 = pack_array(event_id % 5, tolong(1)),
+                 d1 = pack_array(user_id % 5, tolong(7))
+        | extend arr = array_sort_asc(a1),
+                 da = array_sort_desc(a2),
+                 su = set_union(u1, u2),
+                 si = set_intersect(w1, w2),
+                 sd = set_difference(d1, u2),
+                 he = set_has_element(d1, 7)
+        | project event_id, b_and, b_or, b_xor, b_not, shl, shr, ones,
+                  e2, l2, h256, hmd5, arr, da, su, si, sd, he
+        """,
+    )

@@ -580,6 +580,45 @@ def _expr(kql: str, now: str | None = None) -> str:
         )
 
     s = _rewrite_call(s, "parse_url", _parse_url_bag)
+    # round-10 scalar batch 5: bitwise / crypto-hash / array-set
+    # functions — all textual rewrites to JVM built-ins, zero UDFs.
+    s = _rewrite_call(s, "binary_and", lambda a, b: f"({a} & {b})")
+    s = _rewrite_call(s, "binary_or", lambda a, b: f"({a} | {b})")
+    s = _rewrite_call(s, "binary_xor", lambda a, b: f"({a} ^ {b})")
+    s = _rewrite_call(s, "binary_not", lambda a: f"(~({a}))")
+    s = _rewrite_call(
+        s, "binary_shift_left", lambda a, n: f"shiftleft({a}, {n})"
+    )
+    s = _rewrite_call(
+        s, "binary_shift_right", lambda a, n: f"shiftright({a}, {n})"
+    )
+    s = re.sub(r"\bbitset_count_ones\(", "bit_count(", s)
+    s = _rewrite_call(s, "exp2", lambda a: f"pow(cast(2 as double), {a})")
+    s = _rewrite_call(s, "hash_sha256", lambda a: f"sha2({a}, 256)")
+    s = _rewrite_call(s, "hash_sha1", lambda a: f"sha1({a})")
+    s = _rewrite_call(s, "hash_md5", lambda a: f"md5({a})")
+    s = re.sub(r"\bpack_array\(", "array(", s)
+    s = _rewrite_call(s, "array_sort_asc", lambda a: f"sort_array({a})")
+    s = _rewrite_call(
+        s, "array_sort_desc", lambda a: f"sort_array({a}, false)"
+    )
+    s = re.sub(r"\barray_reverse\(", "reverse(", s)
+    # Kusto set_* return unordered sets; the engine pins SORTED output
+    # (documented deviation — deterministic and cross-engine checkable)
+    s = _rewrite_call(
+        s, "set_union", lambda a, b: f"sort_array(array_union({a}, {b}))"
+    )
+    s = _rewrite_call(
+        s, "set_intersect",
+        lambda a, b: f"sort_array(array_intersect({a}, {b}))",
+    )
+    s = _rewrite_call(
+        s, "set_difference",
+        lambda a, b: f"sort_array(array_except({a}, {b}))",
+    )
+    s = _rewrite_call(
+        s, "set_has_element", lambda a, x: f"array_contains({a}, {x})"
+    )
     # round-10 scalar batch: encodings + calendar + version ordering.
     # url_encode/url_decode keep their names (Kusto's form-encoding ==
     # Spark's java.net.URLEncoder semantics, space -> '+').
