@@ -2602,3 +2602,30 @@ def kql_scalar_extras5(spark, sf_dir):
                   e2, l2, h256, hmd5, arr, da, su, si, sd, he
         """,
     )
+
+
+@query(
+    "kql_toscalar",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo
+    FROM events
+    WHERE value > (SELECT quantile_cont(value, 0.95) FROM events)
+    GROUP BY 1
+    """,
+)
+def kql_toscalar(spark, sf_dir):
+    """``toscalar(<pipe>)`` (round 10) — constant-folding scalar
+    sub-queries: the sub-pipe runs once at translate time (one bounded
+    limit(1) collect) and its value splices in as a literal, in both
+    the ``let`` and inline forms — Kusto's evaluation model exactly.
+    The filter below reaches the scan as a plain literal comparison
+    (pushed predicate), not a join against a subquery."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "let hi = toscalar(events | summarize percentile(value, 95));"
+        " events | where value > hi"
+        " | summarize n = count(), lo = min(value) by event_type",
+    )

@@ -108,7 +108,11 @@ completed chains — Kusto's three result tables flattened to one
 (Period, kind, state, dcount) frame); ``evaluate
 dcount_intersect(...)`` (sketch inclusion–exclusion);
 ``parse_url(x)`` (Kusto's URL bag as JSON; 2-arg form passes
-through); ``evaluate rows_near(...)``;
+through); ``toscalar(<pipe>)`` (constant-folded scalar sub-queries,
+let + inline); ``evaluate ipv4_lookup(...)`` (longest-prefix CIDR
+match as equi-joins); ``evaluate rolling_percentile(...)``
+(trailing-window percentile on the weighted-CDF kernel);
+``evaluate rows_near(...)``;
 ``reduce by Col [with threshold=x]`` (deterministic pattern
 reduction — hex/digit runs → ``*``; documented deviation from Kusto's
 fuzzy reducer); and the HLL sketch family ``hll(col [, accuracy])`` /
@@ -1046,6 +1050,27 @@ def kql_to_df(
             q = re.sub(rf"\b{name}\b", f"({body})", q)
             continue
         q = q[m.end():]
+    # toscalar(<pipe>): evaluate the sub-pipe NOW and splice its first
+    # row/column in as a literal — Kusto's constant-fold model, so
+    # `let hi = toscalar(T | summarize percentile(v, 95));` and inline
+    # `where v > toscalar(...)` both work. One bounded limit(1)
+    # collect per call; use a deterministic sub-pipe (summarize /
+    # top 1) — Kusto's own toscalar is order-arbitrary otherwise.
+    if "toscalar" in q:
+        def _toscalar(*parts: str) -> str:
+            # the generic arg splitter breaks the sub-pipe on its own
+            # top-level commas (multi-key sort etc.) — rejoin: toscalar
+            # takes exactly one pipe argument
+            body = ", ".join(parts)
+            sub = kql_to_df(tables, body.strip(), now)
+            rows = sub.limit(1).collect()
+            if not rows:
+                raise ValueError(
+                    f"toscalar: sub-query returned no rows: {body[:80]!r}"
+                )
+            return _scalar_literal(rows[0][0])
+
+        q = _rewrite_call(q, "toscalar", _toscalar)
     stages = _split_pipe(q)
     if not stages:
         raise ValueError("empty KQL query")
@@ -1970,6 +1995,34 @@ def _parse_kv(df: DataFrame, rest: str, now: str | None) -> DataFrame:
             nm, F.element_at(mp, F.lit(nm)).cast(_KQL_TYPES[ty])
         )
     return df
+
+
+def _scalar_literal(val) -> str:
+    """Render a collected scalar back into KQL literal text (for
+    toscalar splicing)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if val is None:
+        return "null"
+    if isinstance(val, bool):
+        return "true" if val else "false"
+    if isinstance(val, (int, float, _decimal.Decimal)):
+        return f"({val!r})" if isinstance(val, float) else f"({val})"
+    if isinstance(val, _dt.datetime):
+        return f"datetime({val.isoformat()})"
+    if isinstance(val, _dt.date):
+        return f"datetime({val.isoformat()})"
+    if isinstance(val, str):
+        if "'" in val:
+            raise ValueError(
+                "toscalar: string result contains a single quote — "
+                f"cannot splice as a literal: {val[:60]!r}"
+            )
+        return f"'{val}'"
+    raise ValueError(
+        f"toscalar: unsupported scalar type {type(val).__name__}"
+    )
 
 
 def _datatable(spark: SparkSession, text: str) -> DataFrame:

@@ -555,3 +555,43 @@ def test_ipv4_lookup_longest_prefix(spark):
             {"t": ips.withColumn("net", F.lit("x")), "nets": lut},
             "t | evaluate ipv4_lookup(nets, ip, cidr)",
         )
+
+
+def test_toscalar_let_inline_and_errors(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    t = {"events": ev}
+    hi = ev.selectExpr("percentile(value, 0.95) as p").collect()[0]["p"]
+    n = kql_to_df(
+        t,
+        "let hi = toscalar(events | summarize percentile(value, 95));"
+        " events | where value > hi | count",
+    ).collect()[0]["Count"]
+    assert n == ev.where(F.col("value") > hi).count()
+    # inline string splice
+    top_type = (
+        ev.groupBy("event_type").count().orderBy(
+            F.desc("count"), "event_type"
+        ).first()["event_type"]
+    )
+    n2 = kql_to_df(
+        t,
+        "events | where event_type == toscalar(events"
+        " | summarize c = count() by event_type"
+        " | sort by c desc, event_type asc | take 1"
+        " | project event_type) | count",
+    ).collect()[0]["Count"]
+    assert n2 == ev.where(F.col("event_type") == top_type).count()
+    with pytest.raises(ValueError, match="no rows"):
+        kql_to_df(
+            t,
+            "events | where value > toscalar(events | where value > 1e9"
+            " | summarize max(value) | where max_value > 0 | project"
+            " max_value) | count",
+        )
+    quoted = spark.createDataFrame([("it's",)], "s string")
+    with pytest.raises(ValueError, match="single quote"):
+        kql_to_df(
+            {"events": ev, "q": quoted},
+            "events | where event_type == toscalar(q | project s | take 1)"
+            " | count",
+        )
