@@ -2629,3 +2629,55 @@ def kql_toscalar(spark, sf_dir):
         " events | where value > hi"
         " | summarize n = count(), lo = min(value) by event_type",
     )
+
+
+@query(
+    "kql_diffpatterns_text",
+    """
+    WITH src AS (
+      SELECT concat(event_type, ' id ', CAST(event_id AS VARCHAR))
+               AS msg,
+             CASE WHEN value < 50 THEN 'lo' ELSE 'hi' END AS cohort
+      FROM events
+    ),
+    c AS (
+      SELECT regexp_replace(regexp_replace(msg,
+               '\\b[0-9a-fA-F]{8,}\\b', '*', 'g'), '[0-9]+', '*', 'g')
+               AS Pattern,
+             SUM(CASE WHEN cohort = 'lo' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN cohort = 'hi' THEN 1 ELSE 0 END) AS cb
+      FROM src GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN cohort = 'lo' THEN 1 ELSE 0 END) AS ta,
+             SUM(CASE WHEN cohort = 'hi' THEN 1 ELSE 0 END) AS tb
+      FROM src
+    )
+    SELECT Pattern,
+           CAST(ca AS BIGINT) AS count_a, CAST(cb AS BIGINT) AS count_b,
+           ca * 100.0 / ta AS percent_a, cb * 100.0 / tb AS percent_b,
+           ca * 100.0 / ta - cb * 100.0 / tb AS percent_diff_ab
+    FROM c, tot
+    WHERE abs(ca * 100.0 / ta - cb * 100.0 / tb) >= 0.01
+    """,
+)
+def kql_diffpatterns_text(spark, sf_dir):
+    """``evaluate diffpatterns_text(Text, Split, 'A', 'B', min_diff)``
+    (round 10) — which text SHAPES differ between two cohorts:
+    deterministic dialect normalizing with the reduce-by rules (one
+    canonical pattern per row), per-pattern conditional split counts
+    in one map-side-combine aggregate, 1-row broadcast totals.
+    Completes the segment-differ trio (basket / diffpatterns /
+    diffpatterns_text) on shared kernels."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = kql_to_df(
+        {"events": t["events"]},
+        "events"
+        " | extend msg = strcat(event_type, ' id ', tostring(event_id)),"
+        " cohort = iff(value < 50.0, 'lo', 'hi')"
+        " | project msg, cohort",
+    )
+    return kql_to_df(
+        {"t": ev},
+        "t | evaluate diffpatterns_text(msg, cohort, 'lo', 'hi', 0.0001)",
+    )

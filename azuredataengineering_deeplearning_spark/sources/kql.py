@@ -1792,6 +1792,62 @@ def _diffpatterns(
     return out.orderBy(F.abs(F.col("percent_diff_ab")).desc(), *scols)
 
 
+def _diffpatterns_text(
+    df: DataFrame,
+    text_col: str,
+    split_col: str,
+    a_val: str,
+    b_val: str,
+    min_diff: float,
+) -> DataFrame:
+    """``evaluate diffpatterns_text(TextColumn, SplitColumn, 'A', 'B'
+    [, min_diff])`` — which TEXT SHAPES differ between two cohorts.
+    Kusto's plugin mines token subsequences heuristically; this engine
+    pins the deterministic dialect (cross-engine checkable): the text
+    normalizes with the SAME hex-then-digit rules as ``reduce by``
+    (one canonical pattern per row), per-pattern conditional split
+    counts come from one map-side-combine aggregate, split totals from
+    a 1-row broadcast, and patterns with ``|percent_a - percent_b| >=
+    min_diff*100`` (default 5 points) return sorted by absolute
+    difference. Output matches diffpatterns' contract:
+    ``(Pattern, count_a, count_b, percent_a, percent_b,
+    percent_diff_ab)``. One scan, one aggregate — zero joins beyond
+    the 1-row totals broadcast."""
+    is_a = F.col(split_col) == a_val
+    is_b = F.col(split_col) == b_val
+    pat = F.regexp_replace(
+        F.regexp_replace(
+            F.col(text_col), F.lit(r"\b[0-9a-fA-F]{8,}\b"), F.lit("*")
+        ),
+        F.lit("[0-9]+"),
+        F.lit("*"),
+    )
+    counts = df.select(pat.alias("Pattern"), is_a.alias("__a"),
+                       is_b.alias("__b")).groupBy("Pattern").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("count_a"),
+        F.sum(F.when(F.col("__b"), 1).otherwise(0)).alias("count_b"),
+    )
+    tot = df.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("__ta"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("__tb"),
+    )
+    pa = F.col("count_a") * 100.0 / F.col("__ta")
+    pb = F.col("count_b") * 100.0 / F.col("__tb")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "Pattern",
+            F.col("count_a").cast("long").alias("count_a"),
+            F.col("count_b").cast("long").alias("count_b"),
+            pa.alias("percent_a"),
+            pb.alias("percent_b"),
+            (pa - pb).alias("percent_diff_ab"),
+        )
+        .filter(F.abs(F.col("percent_diff_ab")) >= min_diff * 100.0)
+        .orderBy(F.abs(F.col("percent_diff_ab")).desc(), "Pattern")
+    )
+
+
 def _search(df: DataFrame, rest: str) -> DataFrame:
     """``search [kind=case_sensitive] 'term'`` — Kusto's cross-column
     term search: keep rows where ANY string column has the whole term
@@ -2853,6 +2909,16 @@ def _evaluate(
         return _diffpatterns(
             df, bm.group(1), bm.group(2), bm.group(3),
             float(bm.group(4)) if bm.group(4) else 0.05,
+        )
+    bm = re.match(
+        r"^diffpatterns_text\s*\(\s*(\w+)\s*,\s*(\w+)\s*,\s*'([^']*)'"
+        r"\s*,\s*'([^']*)'(?:\s*,\s*([\d.]+))?\s*\)\s*$",
+        rest.strip(),
+    )
+    if bm:
+        return _diffpatterns_text(
+            df, bm.group(1), bm.group(2), bm.group(3), bm.group(4),
+            float(bm.group(5)) if bm.group(5) else 0.05,
         )
     bm = re.match(
         r"^bag_unpack\s*\((\w+)(?:\s*,\s*'([^']*)')?\)\s*$", rest.strip()

@@ -595,3 +595,26 @@ def test_toscalar_let_inline_and_errors(spark):
             "events | where event_type == toscalar(q | project s | take 1)"
             " | count",
         )
+
+
+def test_diffpatterns_text_semantics(spark):
+    df = spark.createDataFrame(
+        [("err 404 on node3", "A")] * 6 + [("err 500 on node9", "B")] * 4
+        + [("ok ping 17", "A")] * 2 + [("ok ping 9", "B")] * 2,
+        "msg string, split string",
+    )
+    out = {
+        r["Pattern"]: r
+        for r in kql_to_df(
+            {"t": df},
+            "t | evaluate diffpatterns_text(msg, split, 'A', 'B', 0.01)",
+        ).collect()
+    }
+    # digit runs collapse: both error shapes share one pattern
+    e = out["err * on node*"]
+    assert e["count_a"] == 6 and e["count_b"] == 4
+    assert e["percent_a"] == 75.0  # 6 of 8 A-rows
+    # the ok pattern's shares differ: 25% vs ~33%
+    assert round(out["ok ping *"]["percent_diff_ab"], 2) == round(
+        25.0 - 100 * 2 / 6, 2
+    )
