@@ -1129,6 +1129,14 @@ def kql_to_df(
         if not tables:
             raise ValueError("datatable source needs at least one table for a session")
         df = _datatable(next(iter(tables.values())).sparkSession, stages[0])
+    elif re.match(r"^externaldata\s*\(", stages[0]):
+        if not tables:
+            raise ValueError(
+                "externaldata source needs at least one table for a session"
+            )
+        df = _externaldata(
+            next(iter(tables.values())).sparkSession, stages[0]
+        )
     elif re.match(r"^find(\s|$)", stages[0]):
         df = _find(tables, stages[0], now)
     elif stages[0] in tables:
@@ -2051,6 +2059,76 @@ def _parse_kv(df: DataFrame, rest: str, now: str | None) -> DataFrame:
             nm, F.element_at(mp, F.lit(nm)).cast(_KQL_TYPES[ty])
         )
     return df
+
+
+def _externaldata(spark: SparkSession, text: str) -> DataFrame:
+    """``externaldata (c1: type1, c2: type2, ...) ['path' ...]
+    [with (format='csv' [, ignoreFirstRecord=true])]`` — Kusto's
+    inline external source, as a LOCAL/lake-path dialect: the URIs are
+    handed to the Spark reader verbatim (file:/dbfs:/abfss:/s3a:
+    resolve through Hadoop's filesystems; SAS-tokened https blobs are
+    cloud-credential-bound and out of sandbox scope, documented).
+    Formats: csv (default), tsv, json (line-delimited), parquet. The
+    declared schema is enforced exactly (Kusto semantics: the schema
+    is part of the operator), so drifting files fail loudly instead of
+    re-inferring."""
+    m = re.match(
+        r"^externaldata\s*\(([^)]*)\)\s*\[([^\]]+)\]"
+        r"(?:\s*with\s*\((.*)\))?\s*$",
+        text.strip(),
+        re.S,
+    )
+    if not m:
+        raise ValueError(
+            "externaldata needs \"externaldata (col: type, ...) "
+            f"['uri' ...] [with (format='csv')]\": {text[:80]!r}"
+        )
+    fields = []
+    for part in _split_csv(m.group(1)):
+        fm = re.match(r"^(\w+)\s*:\s*(\w+)$", part.strip())
+        if not fm or fm.group(2).lower() not in _KQL_TYPES:
+            raise ValueError(
+                f"externaldata: bad schema entry {part.strip()!r} "
+                f"(types: {sorted(_KQL_TYPES)})"
+            )
+        fields.append((fm.group(1), _KQL_TYPES[fm.group(2).lower()]))
+    if not fields:
+        raise ValueError("externaldata: empty schema")
+    paths = []
+    for p in _split_csv(m.group(2)):
+        pm = re.fullmatch(r"'([^']+)'", p.strip())
+        if not pm:
+            raise ValueError(
+                f"externaldata: URIs must be quoted literals: {p.strip()!r}"
+            )
+        paths.append(pm.group(1))
+    opts = {}
+    for part in _split_csv(m.group(3) or ""):
+        om = re.match(r"^(\w+)\s*=\s*'?([\w.]+)'?$", part.strip())
+        if part.strip() and not om:
+            raise ValueError(f"externaldata: bad with-option {part!r}")
+        if om:
+            opts[om.group(1).lower()] = om.group(2)
+    fmt = opts.get("format", "csv").lower()
+    schema = ", ".join(f"{n} {t}" for n, t in fields)
+    if fmt in ("csv", "tsv", "txt"):
+        reader = spark.read.schema(schema).option(
+            "header", opts.get("ignorefirstrecord", "false")
+        )
+        if fmt == "tsv":
+            reader = reader.option("sep", "\t")
+        return reader.csv(paths)
+    if fmt in ("json", "multijson"):
+        r = spark.read.schema(schema)
+        if fmt == "multijson":
+            r = r.option("multiLine", "true")
+        return r.json(paths)
+    if fmt == "parquet":
+        return spark.read.schema(schema).parquet(*paths)
+    raise ValueError(
+        f"externaldata: unsupported format {fmt!r} "
+        "(csv, tsv, json, multijson, parquet)"
+    )
 
 
 def _scalar_literal(val) -> str:

@@ -618,3 +618,36 @@ def test_diffpatterns_text_semantics(spark):
     assert round(out["ok ping *"]["percent_diff_ab"], 2) == round(
         25.0 - 100 * 2 / 6, 2
     )
+
+
+def test_externaldata_source(spark, tmp_path):
+    p = tmp_path / "ext.csv"
+    p.write_text("id,name\n1,alpha\n2,beta\n3,gamma\n")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = kql_to_df(
+        {"events": ev},
+        f"externaldata (id: long, name: string) ['{p}']"
+        " with (format='csv', ignoreFirstRecord=true)"
+        " | where id > 1 | sort by id asc",
+    ).collect()
+    assert [(r["id"], r["name"]) for r in out] == [
+        (2, "beta"), (3, "gamma"),
+    ]
+    pj = tmp_path / "ext.json"
+    pj.write_text('{"id": 7, "name": "x"}\n{"id": 8, "name": "y"}\n')
+    out2 = kql_to_df(
+        {"events": ev},
+        f"externaldata (id: long, name: string) ['{pj}']"
+        " with (format='json') | summarize s = sum(id)",
+    ).collect()[0]["s"]
+    assert out2 == 15
+    with pytest.raises(ValueError, match="bad schema entry"):
+        kql_to_df(
+            {"events": ev},
+            f"externaldata (id: frob) ['{p}'] | count",
+        )
+    with pytest.raises(ValueError, match="unsupported format"):
+        kql_to_df(
+            {"events": ev},
+            f"externaldata (id: long) ['{p}'] with (format='avro') | count",
+        )
