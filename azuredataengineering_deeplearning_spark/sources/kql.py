@@ -2718,18 +2718,28 @@ def _ipv4_lookup(
         & (F.col("__sfx") == F.col("__lsfx")),
         "inner",
     )
-    pick = Window.partitionBy("__rid").orderBy(
-        F.col("__sfx").desc(), F.col(key_col).asc()
+    # longest prefix per source row as a DECOMPOSABLE max(struct) —
+    # map-side partial aggregation collapses each row's <= 33 matches
+    # inside the broadcast-join task, so the shuffle carries ~one row
+    # per source row (a row_number window here sorted the whole fan:
+    # measured 13.7 s -> see SCALING.md). Struct order = (suffix,
+    # lookup key, payload): longest suffix wins, key breaks dup-CIDR
+    # ties deterministically.
+    pick = F.max(
+        F.struct(
+            F.col("__lsfx"), F.col(key_col),
+            *[F.col(c) for c in lut.columns if c != key_col],
+        )
+    ).alias("__m")
+    if return_unmatched:
+        best = joined.groupBy("__rid").agg(pick).select(
+            "__rid", *[F.col(f"__m.{c}") for c in lut.columns]
+        )
+        return src.join(best, "__rid", "left").drop("__rid", "__num")
+    best = joined.groupBy("__rid", *df.columns).agg(pick)
+    return best.select(
+        *df.columns, *[F.col(f"__m.{c}") for c in lut.columns]
     )
-    best = (
-        joined.withColumn("__rn", F.row_number().over(pick))
-        .filter(F.col("__rn") == 1)
-        .select("__rid", *lut.columns)
-    )
-    out = src.join(
-        best, "__rid", "left" if return_unmatched else "inner"
-    )
-    return out.drop("__rid", "__num")
 
 
 def _funnel_completion(df: DataFrame, args_txt: str) -> DataFrame:
