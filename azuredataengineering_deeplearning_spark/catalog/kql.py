@@ -2542,18 +2542,20 @@ def kql_ipv4_lookup(spark, sf_dir):
            log2(CAST(event_id + 1 AS DOUBLE)) AS l2,
            sha256(event_type) AS h256,
            md5(event_type) AS hmd5,
-           list_sort([CAST(user_id AS BIGINT), event_id,
-                      CAST(user_id % 3 AS BIGINT)]) AS arr,
-           list_reverse_sort([CAST(user_id AS BIGINT), event_id]) AS da,
-           list_sort(list_distinct(list_concat(
+           array_to_string(list_sort([CAST(user_id AS BIGINT),
+             event_id, CAST(user_id % 3 AS BIGINT)]), ',') AS arr,
+           array_to_string(list_reverse_sort([CAST(user_id AS BIGINT),
+             event_id]), ',') AS da,
+           array_to_string(list_sort(list_distinct(list_concat(
              [CAST(user_id % 5 AS BIGINT)],
-             [CAST(event_id % 5 AS BIGINT)]))) AS su,
-           list_sort(list_intersect(
+             [CAST(event_id % 5 AS BIGINT)]))), ',') AS su,
+           array_to_string(list_sort(list_intersect(
              [CAST(user_id % 5 AS BIGINT), 1],
-             [CAST(event_id % 5 AS BIGINT), 1])) AS si,
-           list_sort(list_filter([CAST(user_id % 5 AS BIGINT), 7],
-             x -> NOT list_contains([CAST(event_id % 5 AS BIGINT)], x)))
-             AS sd,
+             [CAST(event_id % 5 AS BIGINT), 1])), ',') AS si,
+           array_to_string(list_sort(list_filter(
+             [CAST(user_id % 5 AS BIGINT), 7],
+             x -> NOT list_contains([CAST(event_id % 5 AS BIGINT)], x))),
+             ',') AS sd,
            list_contains([CAST(user_id % 5 AS BIGINT), 7], 7) AS he
     FROM events
     """,
@@ -2592,11 +2594,11 @@ def kql_scalar_extras5(spark, sf_dir):
                  w1 = pack_array(user_id % 5, tolong(1)),
                  w2 = pack_array(event_id % 5, tolong(1)),
                  d1 = pack_array(user_id % 5, tolong(7))
-        | extend arr = array_sort_asc(a1),
-                 da = array_sort_desc(a2),
-                 su = set_union(u1, u2),
-                 si = set_intersect(w1, w2),
-                 sd = set_difference(d1, u2),
+        | extend arr = strcat_array(array_sort_asc(a1), ','),
+                 da = strcat_array(array_sort_desc(a2), ','),
+                 su = strcat_array(set_union(u1, u2), ','),
+                 si = strcat_array(set_intersect(w1, w2), ','),
+                 sd = strcat_array(set_difference(d1, u2), ','),
                  he = set_has_element(d1, 7)
         | project event_id, b_and, b_or, b_xor, b_not, shl, shr, ones,
                   e2, l2, h256, hmd5, arr, da, su, si, sd, he

@@ -602,6 +602,7 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = _rewrite_call(s, "hash_sha1", lambda a: f"sha1({a})")
     s = _rewrite_call(s, "hash_md5", lambda a: f"md5({a})")
     s = re.sub(r"\bpack_array\(", "array(", s)
+    s = re.sub(r"\bstrcat_array\(", "array_join(", s)
     s = _rewrite_call(s, "array_sort_asc", lambda a: f"sort_array({a})")
     s = _rewrite_call(
         s, "array_sort_desc", lambda a: f"sort_array({a}, false)"
