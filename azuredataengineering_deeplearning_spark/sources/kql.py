@@ -1523,12 +1523,30 @@ def kql_to_df(
             sides = []
             for name in _split_csv(rest_names):
                 name = name.strip().strip("()").strip()
-                if name not in tables:
-                    raise ValueError(f"union: unknown table {name!r}")
-                side = tables[name]
-                if src_col:
-                    side = side.withColumn(src_col, F.lit(name))
-                sides.append(side)
+                if "*" in name:
+                    # Kusto table-name wildcards: `union E*` — expand
+                    # against the session table map, sorted for a
+                    # deterministic side order; a pattern matching
+                    # nothing is loud (a silent empty union hides
+                    # typos)
+                    pat = re.compile(
+                        "^" + re.escape(name).replace("\\*", ".*") + "$"
+                    )
+                    matched = sorted(t for t in tables if pat.match(t))
+                    if not matched:
+                        raise ValueError(
+                            f"union: wildcard {name!r} matches no table "
+                            f"(have {sorted(tables)})"
+                        )
+                else:
+                    if name not in tables:
+                        raise ValueError(f"union: unknown table {name!r}")
+                    matched = [name]
+                for nm in matched:
+                    side = tables[nm]
+                    if src_col:
+                        side = side.withColumn(src_col, F.lit(nm))
+                    sides.append(side)
             if src_col:
                 df = df.withColumn(src_col, F.lit(stages[0].strip()))
             if ukind == "inner":

@@ -651,3 +651,18 @@ def test_externaldata_source(spark, tmp_path):
             {"events": ev},
             f"externaldata (id: long) ['{p}'] with (format='avro') | count",
         )
+
+
+def test_union_table_wildcards(spark):
+    a = spark.createDataFrame([(1,)], "x int")
+    b = spark.createDataFrame([(2,)], "x int")
+    c = spark.createDataFrame([(3,)], "x int")
+    t = {"ev_a": a, "ev_b": b, "other": c}
+    out = kql_to_df(
+        t, "other | union withsource=src ev_* | sort by x asc"
+    ).collect()
+    assert [(r["x"], r["src"]) for r in out] == [
+        (1, "ev_a"), (2, "ev_b"), (3, "other"),
+    ]
+    with pytest.raises(ValueError, match="matches no table"):
+        kql_to_df(t, "other | union nope_*")

@@ -332,3 +332,23 @@ def test_threshold_sweep_no_global_score_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
     firsts = _window_first_args(plan)
     assert firsts and all(a == "__b" for a in firsts), firsts
+
+
+def test_ipv4_lookup_is_equi_join_no_window(spark, sf_dir):
+    # LPM as equi-joins + decomposable max(struct): the plan must show
+    # a broadcast HASH join against the CIDR dim and NO nested-loop /
+    # range join and NO per-row window sort
+    plan = _plan(E.queries()["kql_ipv4_lookup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # max(struct) aggregate, not row_number
+
+
+def test_graph_match_is_static_join_tree(spark, sf_dir):
+    # each hop = one equi-join; the small sides broadcast; no
+    # iteration artifacts, no cartesian
+    plan = _plan(E.queries()["kql_graph_match"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
