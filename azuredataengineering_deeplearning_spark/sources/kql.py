@@ -113,6 +113,10 @@ let + inline); ``evaluate ipv4_lookup(...)`` (longest-prefix CIDR
 match as equi-joins); ``evaluate rolling_percentile(...)``
 (trailing-window percentile on the weighted-CDF kernel);
 ``evaluate rows_near(...)``;
+``evaluate diffpatterns_text(...)`` (cohort text-shape differ on the
+reduce-by normalization); ``externaldata (schema) ['uri'] with
+(format=...)`` (inline external source, local/lake-path dialect,
+schema enforced); ``union E*`` table wildcards;
 ``reduce by Col [with threshold=x]`` (deterministic pattern
 reduction — hex/digit runs → ``*``; documented deviation from Kusto's
 fuzzy reducer); and the HLL sketch family ``hll(col [, accuracy])`` /
