@@ -1062,11 +1062,28 @@ def kql_to_df(
     # collect per call; use a deterministic sub-pipe (summarize /
     # top 1) — Kusto's own toscalar is order-arbitrary otherwise.
     if "toscalar" in q:
+        # mask string literals first — a literal CONTAINING the text
+        # "toscalar(" must stay verbatim (same discipline as _expr's
+        # phase-2 rewrites); the sub-pipe body restores its own
+        # literals before evaluating
+        _ts_lits: list[str] = []
+
+        def _ts_mask(m):
+            _ts_lits.append(m.group(0))
+            return f"{chr(0)}T{len(_ts_lits) - 1}{chr(0)}"
+
+        def _ts_restore(txt: str) -> str:
+            return re.sub(
+                f"{chr(0)}T(\\d+){chr(0)}",
+                lambda m: _ts_lits[int(m.group(1))],
+                txt,
+            )
+
         def _toscalar(*parts: str) -> str:
             # the generic arg splitter breaks the sub-pipe on its own
             # top-level commas (multi-key sort etc.) — rejoin: toscalar
             # takes exactly one pipe argument
-            body = ", ".join(parts)
+            body = _ts_restore(", ".join(parts))
             sub = kql_to_df(tables, body.strip(), now)
             rows = sub.limit(1).collect()
             if not rows:
@@ -1075,7 +1092,10 @@ def kql_to_df(
                 )
             return _scalar_literal(rows[0][0])
 
-        q = _rewrite_call(q, "toscalar", _toscalar)
+        q = _ts_restore(
+            _rewrite_call(re.sub(r"'[^']*'", _ts_mask, q), "toscalar",
+                          _toscalar)
+        )
     stages = _split_pipe(q)
     if not stages:
         raise ValueError("empty KQL query")

@@ -666,3 +666,23 @@ def test_union_table_wildcards(spark):
     ]
     with pytest.raises(ValueError, match="matches no table"):
         kql_to_df(t, "other | union nope_*")
+
+
+def test_toscalar_text_inside_literal_stays_verbatim(spark):
+    df = spark.createDataFrame(
+        [("call toscalar(x) here",), ("plain",)], "s string"
+    )
+    # the literal mentioning toscalar( must NOT trigger evaluation
+    out = kql_to_df(
+        {"t": df}, "t | where s contains 'toscalar(x)' | count"
+    ).collect()[0]["Count"]
+    assert out == 1
+    # and a real toscalar alongside such a literal still folds, with
+    # its own inner literal intact
+    n = kql_to_df(
+        {"t": df},
+        "t | where s != 'toscalar(' and strlen(s) >"
+        " toscalar(t | where s == 'plain' | project n = strlen(s)"
+        " | take 1) | count",
+    ).collect()[0]["Count"]
+    assert n == 1
