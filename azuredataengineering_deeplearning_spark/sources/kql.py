@@ -512,12 +512,17 @@ def _expr(kql: str, now: str | None = None) -> str:
     )
     s = _rewrite_call(
         s, "ipv4_compare",
-        lambda a, b: (
+        lambda a, b, p=None: (
             lambda m: (
                 f"cast(sign(({_ip_num(a)} & {m}) - ({_ip_num(b)} & {m}))"
                 " as int)"
             )
-        )(f"least({_ip_mask(a)}, {_ip_mask(b)})"),
+        )(
+            # optional third arg = prefix, exactly like ipv4_is_match
+            f"least({_ip_mask(a)}, {_ip_mask(b)})"
+            if p is None
+            else f"least({_ip_mask(a)}, {_ip_mask(b)}, {_pfx_mask(p)})"
+        ),
     )
     s = _rewrite_call(
         s, "ipv4_netmask_suffix",
@@ -565,26 +570,51 @@ def _expr(kql: str, now: str | None = None) -> str:
     # 2-arg call passes through untouched); dotted access rides the
     # existing todynamic() rewrite; the nested Query Parameters bag
     # needs a bracket JSON path (space in the Kusto key name).
+    def _qparam_bag(x):
+        # fold the raw pairs left-to-right, dropping any earlier entry
+        # with the same key before inserting — keep-last semantics with
+        # no duplicate-key map exception possible by construction
+        q = f"try_parse_url({x}, 'QUERY')"
+        # NOTE: 'substr', not 'substring' — this generated SQL text
+        # flows back through the KQL scalar rewrites, and 'substring'
+        # would be re-shifted by the KQL 0-based -> Spark 1-based rule
+        raw_v = (
+            "if(instr(__p, '=') = 0, '',"
+            " substr(__p, instr(__p, '=') + 1))"
+        )
+        val = f"coalesce(try_url_decode({raw_v}), {raw_v})"
+        return (
+            f"if(coalesce({q}, '') = '', map(), "
+            f"aggregate(split({q}, '&'),"
+            " cast(map() as map<string,string>),"
+            " (__acc, __p) -> map_concat("
+            "map_filter(__acc, (__k, __v) ->"
+            " __k != split_part(__p, '=', 1)),"
+            f" map(split_part(__p, '=', 1), {val}))))"
+        )
+
     def _parse_url_bag(*args):
         if len(args) != 1:
             return f"parse_url({', '.join(args)})"
         x = args[0]
-        ui = f"parse_url({x}, 'USERINFO')"
+        ui = f"try_parse_url({x}, 'USERINFO')"
         return (
             "to_json(named_struct("
-            f"'Scheme', coalesce(parse_url({x}, 'PROTOCOL'), ''), "
-            f"'Host', coalesce(parse_url({x}, 'HOST'), ''), "
-            f"'Port', coalesce(regexp_extract(parse_url({x}, "
+            f"'Scheme', coalesce(try_parse_url({x}, 'PROTOCOL'), ''), "
+            f"'Host', coalesce(try_parse_url({x}, 'HOST'), ''), "
+            f"'Port', coalesce(regexp_extract(try_parse_url({x}, "
             "'AUTHORITY'), ':([0-9]+)$', 1), ''), "
-            f"'Path', coalesce(parse_url({x}, 'PATH'), ''), "
+            f"'Path', coalesce(try_parse_url({x}, 'PATH'), ''), "
             f"'Username', coalesce(split_part({ui}, ':', 1), ''), "
             f"'Password', coalesce(split_part({ui}, ':', 2), ''), "
-            # str_to_map('') yields {'': null} — render absent/empty
-            # query strings as the empty bag Kusto emits
-            "'Query Parameters', if(coalesce(parse_url("
-            f"{x}, 'QUERY'), '') = '', map(), str_to_map(parse_url("
-            f"{x}, 'QUERY'), '&', '=')), "
-            f"'Fragment', coalesce(parse_url({x}, 'REF'), '')))"
+            # absent/empty query string -> the empty bag Kusto emits.
+            # Built by an aggregate fold (NOT str_to_map): duplicate
+            # keys (?a=1&a=2) keep-last instead of throwing under
+            # Spark's default mapKeyDedupPolicy=EXCEPTION, and values
+            # are URL-decoded like Kusto's (try_url_decode with a
+            # raw-value fallback for malformed %-escapes).
+            f"'Query Parameters', {_qparam_bag(x)}, "
+            f"'Fragment', coalesce(try_parse_url({x}, 'REF'), '')))"
         )
 
     s = _rewrite_call(s, "parse_url", _parse_url_bag)
@@ -1594,6 +1624,13 @@ def kql_to_df(
             df = df.select(*want, *[c for c in df.columns if c not in want])
         else:
             raise ValueError(f"unsupported KQL operator: {op!r}")
+    if graph_ctx is not None:
+        # Kusto errors here too: a graph is not a tabular result, and
+        # silently returning the raw edge frame would masquerade as one
+        raise ValueError(
+            "make-graph: pipe ends with a graph and no graph-match — "
+            "a graph is not a tabular result; add '| graph-match ...'"
+        )
     return df
 
 
@@ -2185,7 +2222,19 @@ def _scalar_literal(val) -> str:
     if isinstance(val, bool):
         return "true" if val else "false"
     if isinstance(val, (int, float, _decimal.Decimal)):
-        return f"({val!r})" if isinstance(val, float) else f"({val})"
+        if isinstance(val, float):
+            import math as _math
+
+            if not _math.isfinite(val):
+                # repr would splice '(nan)'/'(inf)' — invalid
+                # expression text that fails later as an opaque parse
+                # error; fail loudly at the toscalar boundary instead
+                raise ValueError(
+                    f"toscalar: non-finite float result ({val}) cannot "
+                    "be spliced as a literal"
+                )
+            return f"({val!r})"
+        return f"({val})"
     if isinstance(val, _dt.datetime):
         return f"datetime({val.isoformat()})"
     if isinstance(val, _dt.date):
@@ -2755,11 +2804,18 @@ def _ipv4_lookup(
     fan = src.withColumn(
         "__sfx", F.explode(F.array(*[F.lit(s) for s in suffixes]))
     ).withColumn("__mip", F.expr(f"__num & ({mask})"))
+    # return_unmatched keeps non-matching rows: done with a LEFT join at
+    # the fan level (every source row keeps its <= 33 fan rows; unmatched
+    # ones carry null lookup columns) so the plan stays LINEAR — src and
+    # its monotonically_increasing_id __rid are evaluated exactly once.
+    # The previous shape joined an aggregated branch back to src on
+    # __rid; two evaluations of a nondeterministic id across an
+    # un-reused exchange can disagree and silently mis-enrich rows.
     joined = fan.join(
         F.broadcast(lut2.withColumnRenamed("__sfx", "__lsfx")),
         (F.col("__mip") == F.col("__lk"))
         & (F.col("__sfx") == F.col("__lsfx")),
-        "inner",
+        "left" if return_unmatched else "inner",
     )
     # longest prefix per source row as a DECOMPOSABLE max(struct) —
     # map-side partial aggregation collapses each row's <= 33 matches
@@ -2767,18 +2823,17 @@ def _ipv4_lookup(
     # per source row (a row_number window here sorted the whole fan:
     # measured 13.7 s -> see SCALING.md). Struct order = (suffix,
     # lookup key, payload): longest suffix wins, key breaks dup-CIDR
-    # ties deterministically.
+    # ties deterministically. Wrapped in when(isNotNull) so left-join
+    # miss rows aggregate to a NULL struct (null payload columns).
     pick = F.max(
-        F.struct(
-            F.col("__lsfx"), F.col(key_col),
-            *[F.col(c) for c in lut.columns if c != key_col],
+        F.when(
+            F.col("__lsfx").isNotNull(),
+            F.struct(
+                F.col("__lsfx"), F.col(key_col),
+                *[F.col(c) for c in lut.columns if c != key_col],
+            ),
         )
     ).alias("__m")
-    if return_unmatched:
-        best = joined.groupBy("__rid").agg(pick).select(
-            "__rid", *[F.col(f"__m.{c}") for c in lut.columns]
-        )
-        return src.join(best, "__rid", "left").drop("__rid", "__num")
     best = joined.groupBy("__rid", *df.columns).agg(pick)
     return best.select(
         *df.columns, *[F.col(f"__m.{c}") for c in lut.columns]
