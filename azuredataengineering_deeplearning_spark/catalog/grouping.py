@@ -72,14 +72,21 @@ def g_pivot(spark, sf_dir):
     SELECT c_custkey FROM customer
     EXCEPT
     SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_totalprice > 300000
     """,
 )
 def g_except(spark, sf_dir):
-    """Set difference: customers with no orders."""
+    """Set difference: customers with no BIG orders (> 300k). The
+    right side is sliced so the result is NON-EMPTY at every test SF
+    (3 / 30 / 308 rows at sf0.001/0.01/0.1) — the unsliced variant
+    returned 0 rows at sf0.01, making the oracle row vacuous (a 0-row
+    hash match can't catch regressions on the EXCEPT path)."""
     t = load_tables(spark, sf_dir, ["customer", "orders"])
     return G.except_rows(
         t["customer"].select("c_custkey"),
-        t["orders"].select(F.col("o_custkey").alias("c_custkey")),
+        t["orders"]
+        .where(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey")),
     )
 
 

@@ -127,12 +127,16 @@ def kql_join_summarize(spark, sf_dir):
     """
     SELECT tok, COUNT(*) AS n
     FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-    GROUP BY tok HAVING COUNT(*) > 5000
+    GROUP BY tok HAVING COUNT(*) > 50
     """,
 )
 def kql_mv_expand_wordcount(spark, sf_dir):
     """KQL extend-split → mv-expand → summarize: the classic token
-    frequency pipe (dynamic-array expansion)."""
+    frequency pipe (dynamic-array expansion). Threshold 50 keeps the
+    result NON-EMPTY at every test SF (30 tokens even at sf0.001) —
+    the old ``> 5000`` excluded every token at sf0.01, so the oracle
+    row hash-matched on 0 vs 0 and could not catch mv-expand drift
+    (r10's empty-array bug would have sailed past it)."""
     t = load_tables(spark, sf_dir, ["documents"])
     return kql_to_df(
         t,
@@ -141,7 +145,7 @@ def kql_mv_expand_wordcount(spark, sf_dir):
         | extend tok = split(text, ' ')
         | mv-expand tok
         | summarize n=count() by tok
-        | where n > 5000
+        | where n > 50
         """,
     )
 
@@ -1184,9 +1188,9 @@ def kql_datetime_extras(spark, sf_dir):
     r"""
     SELECT doc_id, lang, source
     FROM documents
-    WHERE regexp_matches(text, '(?i)\bmodel\b')
-       OR regexp_matches(lang, '(?i)\bmodel\b')
-       OR regexp_matches(source, '(?i)\bmodel\b')
+    WHERE regexp_matches(text, '(?i)\bspark\b')
+       OR regexp_matches(lang, '(?i)\bspark\b')
+       OR regexp_matches(source, '(?i)\bspark\b')
     """,
 )
 def kql_search(spark, sf_dir):
@@ -1194,10 +1198,12 @@ def kql_search(spark, sf_dir):
     column has the whole term, case-insensitive (``kind=
     case_sensitive`` for exact case; leading/trailing ``*`` for
     hassuffix/hasprefix). One OR of per-column RLIKEs — single scan,
-    no UDFs."""
+    no UDFs. The term 'spark' actually OCCURS in the documents corpus
+    (387+ hits at sf0.001) — the old term 'model' never did, so the
+    oracle row hash-matched on 0 vs 0 and was vacuous."""
     t = load_tables(spark, sf_dir, ["documents"])
     return kql_to_df(
-        t, "documents | search 'model' | project doc_id, lang, source"
+        t, "documents | search 'spark' | project doc_id, lang, source"
     )
 
 
