@@ -30,10 +30,29 @@ Scale shape: predicates are compiled JVM-side into boolean columns
 (whole-stage codegen; arbitrary Spark SQL expressions). The sequential
 pass itself is inherently ordered, so it runs per key group via
 ``grouped_apply_packed`` (one hash shuffle on the keys, packed Arrow
-batches, AQE-coalescing-proof explicit fan-out); per-group cost is one
-numpy/python pass over that group's rows. A scan WITHOUT keys is a
-single sequential task by definition (same as Kusto's serialized
+batches, AQE-coalescing-proof explicit fan-out). A scan WITHOUT keys
+is a single sequential task by definition (same as Kusto's serialized
 engine) — supported, but the keyed form is the 100-TB path.
+
+HOT-KEY CEILING (probed, SCALING.md "scan hot key"): one key's entire
+history flows through ONE Python task — that is the semantic floor of
+a serialized state machine, no salting can split it. The per-group
+pass is therefore candidate-jump, not per-row: the machine state only
+ever advances on a row matching the CURRENT step, so the matcher
+walks per-step candidate index lists (``np.flatnonzero`` per step,
+vectorized) with monotonic pointers. Python-level cost is
+O(predicate hits), NOT O(group rows): matcher-only at 10M rows, 2%
+hits: 0.04 s vs 0.61 s for the per-row sweep (15x); dense
+every-row-matches worst case: 1.8 s vs 1.25 s (the one shape the
+jump pass loses, accepted for the 15x on the realistic shape).
+End-to-end probe (tools/probe_scan_hotkey.py, 20M events, 50% on one
+key): selective funnel 15.0 s = ~670k hot-rows/s through the single
+task — Arrow transfer + the group's pandas sort now dominate, not
+the matcher; dense 22.3 s (~450k rows/s). That is the hot-key
+ceiling. For groups beyond what one task should hold, pass
+``max_group_rows`` to fail loudly instead of silently running a
+multi-minute task (and consider pre-filtering the input to candidate
+events — the state machine never looks at rows matching no step).
 """
 
 from __future__ import annotations
@@ -51,6 +70,7 @@ def scan_steps(
     order_by: Sequence[tuple[str, bool]],
     steps: Sequence[Column],
     match_col: str = "match_id",
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """Emit rows participating in completed step sequences.
 
@@ -59,7 +79,12 @@ def scan_steps(
     therefore matching, nondeterministic — same caveat as KQL
     ``serialize``). ``steps``: one boolean Column per step (nulls are
     non-matches). Output = the input columns + ``match_col`` (long,
-    0-based per key group, in match-completion order)."""
+    0-based per key group, in match-completion order).
+
+    ``max_group_rows``: optional hot-key guard — a key group larger
+    than this raises loudly inside the task instead of silently
+    running one giant sequential pass (see the module docstring's
+    hot-key ceiling)."""
     from azuredataengineering_deeplearning_spark.operators.timeseries import (
         grouped_apply_packed,
     )
@@ -95,25 +120,56 @@ def scan_steps(
     keep_cols = [f.name for f in work.schema.fields if f.name not in pred_cols]
 
     def matcher(g):
+        n = len(g)
+        if max_group_rows is not None and n > max_group_rows:
+            key_desc = {kk: g[kk].iloc[0] for kk in keys}
+            raise ValueError(
+                f"scan_steps: key group {key_desc} has {n} rows, over "
+                f"max_group_rows={max_group_rows}. A scan group is one "
+                "sequential task by semantics — pre-filter to candidate "
+                "events, split the key, or raise the guard."
+            )
         g = g.sort_values(
             by=names, ascending=ascending, kind="mergesort"
         ).reset_index(drop=True)
-        preds = [
-            g[pc].to_numpy(dtype=bool, na_value=False) for pc in pred_cols
+        # Candidate-jump pass: the machine in state `nxt` only reacts
+        # to rows matching step `nxt`, so walk per-step candidate index
+        # lists with monotonic pointers (pos only grows, so skipped
+        # candidates are never needed again). Equivalent to the per-row
+        # sweep but costs O(predicate hits), not O(n), python work —
+        # a no-candidate group exits without touching its rows.
+        idx = [
+            np.flatnonzero(
+                g[pc].to_numpy(dtype=bool, na_value=False)
+            ).tolist()
+            for pc in pred_cols
         ]
-        n = len(g)
+        lens = [len(a) for a in idx]
+        ptr = [0] * k
+        matched: list[int] = []
+        mids: list[int] = []
+        pos, m, nxt, cur = -1, 0, 0, []
+        while True:
+            a, p, ln = idx[nxt], ptr[nxt], lens[nxt]
+            while p < ln and a[p] <= pos:
+                p += 1
+            if p >= ln:
+                ptr[nxt] = p
+                break
+            ptr[nxt] = p + 1
+            i = a[p]
+            cur.append(i)
+            pos = i
+            if nxt == k - 1:
+                matched.extend(cur)
+                mids.extend([m] * k)
+                m += 1
+                cur, nxt = [], 0
+            else:
+                nxt += 1
         mid = np.full(n, -1, dtype=np.int64)
-        nxt, m, cur = 0, 0, []
-        for i in range(n):
-            if preds[nxt][i]:
-                cur.append(i)
-                if nxt == k - 1:
-                    for r in cur:
-                        mid[r] = m
-                    m += 1
-                    cur, nxt = [], 0
-                else:
-                    nxt += 1
+        if matched:
+            mid[np.asarray(matched)] = np.asarray(mids)
         sel = mid >= 0
         out = g.loc[sel, keep_cols].copy()
         out[match_col] = mid[sel]

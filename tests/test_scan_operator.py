@@ -179,3 +179,34 @@ def test_kql_scan_streaming_gated(spark, tmp_path):
             {"T": stream},
             "T | scan by k with (step s1: ev == 'A')",
         )
+
+
+def test_scan_max_group_rows_guard(ab):
+    # r11 hot-key guard: groups within the bound run normally...
+    ok = scan_steps(
+        ab, ["k"], [("seq", True)],
+        [F.col("ev") == "A", F.col("ev") == "B"],
+        max_group_rows=10,
+    )
+    assert ok.count() == 6
+    # ...and an over-sized group fails LOUDLY inside the task, naming
+    # the guard (key 1 has 6 rows > 3)
+    with pytest.raises(Exception, match="max_group_rows"):
+        scan_steps(
+            ab, ["k"], [("seq", True)],
+            [F.col("ev") == "A", F.col("ev") == "B"],
+            max_group_rows=3,
+        ).count()
+
+
+def test_scan_no_candidates_fast_exit(spark):
+    # the candidate-jump matcher exits without visiting rows when a
+    # step has no hits — semantics: zero matches, zero output rows
+    df = spark.createDataFrame(
+        [(1, i, "X") for i in range(50)], "k int, seq int, ev string"
+    )
+    out = scan_steps(
+        df, ["k"], [("seq", True)],
+        [F.col("ev") == "A", F.col("ev") == "B"],
+    )
+    assert out.count() == 0
