@@ -2534,6 +2534,61 @@ def kql_ipv4_lookup(spark, sf_dir):
 
 
 @query(
+    "kql_ipv4_lookup_numeric",
+    """
+    WITH src AS (
+      SELECT event_id,
+             (167772160 + (user_id % 200) * 65536
+              + (event_id % 256) * 256 + 7) AS ipnum
+      FROM events
+    ),
+    lut(cidr, net, st, sfx) AS (VALUES
+      ('10.0.0.0/8', 'corp', 167772160, 8),
+      ('10.5.0.0/16', 'sixteen', 168099840, 16),
+      ('10.5.7.0/24', 'deep', 168101632, 24)),
+    m AS (
+      SELECT s.event_id, l.cidr, l.net,
+             row_number() OVER (PARTITION BY s.event_id
+               ORDER BY l.sfx DESC, l.cidr) AS rn
+      FROM src s JOIN lut l
+        ON (s.ipnum & (4294967295 - ((1::BIGINT << (32 - l.sfx)) - 1)))
+           = l.st
+    )
+    SELECT s.event_id, s.ipnum, m.cidr, m.net
+    FROM src s LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      USING (event_id)
+    """,
+)
+def kql_ipv4_lookup_numeric(spark, sf_dir):
+    """ipv4_lookup over a PRE-PARSED bigint ip column (round 11) — the
+    numeric fast path skips the dotted-quad string parse entirely (the
+    20M-flow probe was parse-bound, ~2 aggregate/transform passes per
+    row on strings; numeric input is join-bound). Same equi-join LPM
+    plan as kql_ipv4_lookup, minus the parse."""
+    t = load_tables(spark, sf_dir, ["events"])
+    nets = spark.createDataFrame(
+        [
+            ("10.0.0.0/8", "corp"),
+            ("10.5.0.0/16", "sixteen"),
+            ("10.5.7.0/24", "deep"),
+        ],
+        "cidr string, net string",
+    )
+    ev = kql_to_df(
+        {"events": t["events"]},
+        "events"
+        " | extend ipnum = 167772160 + (user_id % 200) * 65536"
+        " + (event_id % 256) * 256 + 7"
+        " | project event_id, ipnum",
+    )
+    return kql_to_df(
+        {"t": ev, "nets": nets},
+        "t | evaluate ipv4_lookup(nets, ipnum, cidr,"
+        " return_unmatched=true)",
+    )
+
+
+@query(
     "kql_scalar_extras5",
     """
     SELECT event_id,

@@ -168,6 +168,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from azuredataengineering_deeplearning_spark.operators.timeseries import (
     series_decompose_anomalies_sql,
@@ -2798,9 +2799,22 @@ def _ipv4_lookup(
     )  # bounded: <= 33 possible IPv4 prefix lengths
     if not suffixes:
         raise ValueError("ipv4_lookup: empty lookup table")
+    # numeric-IP fast path: a pre-parsed bigint/int ip column skips the
+    # dotted-quad parse entirely (the 20M-flow probe is PARSE-bound on
+    # strings — ~2 aggregate/transform passes per row; numeric input is
+    # join-bound, SCALING.md "ipv4_lookup numeric fast path")
+    ip_is_numeric = isinstance(
+        df.schema[ip_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    num_expr = (
+        F.col(ip_col).cast("bigint")
+        if ip_is_numeric
+        else F.expr(_num(ip_col))
+    )
     src = df.withColumn(
         "__rid", F.monotonically_increasing_id()
-    ).withColumn("__num", F.expr(_num(ip_col)))
+    ).withColumn("__num", num_expr)
     fan = src.withColumn(
         "__sfx", F.explode(F.array(*[F.lit(s) for s in suffixes]))
     ).withColumn("__mip", F.expr(f"__num & ({mask})"))
