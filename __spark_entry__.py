@@ -108,11 +108,21 @@ def _priority_order(names: list[str]) -> list[str]:
             with open(path) as f:
                 rows = json.load(f)
             for name, row in rows.items():
-                green = isinstance(row, dict) and (
-                    row.get("hash_match")
-                    or (row.get("err") == "no_oracle" and row.get("spark_rows", 0) >= 0)
-                )
-                if green:
+                if not isinstance(row, dict):
+                    continue
+                if row.get("hash_match"):
+                    verified.add(name)
+                elif (
+                    row.get("err") == "no_oracle"
+                    and row.get("spark_rows", 0) >= 0
+                    and name not in _catalog.ORACLES
+                ):
+                    # a rows-only check only counts as "verified" while
+                    # the query still HAS no oracle — a stale no_oracle
+                    # marker from before an oracle was added must not
+                    # keep the now-oracle-able row out of the sample
+                    # (a_hll_cardinality sat unsampled for 10 rounds
+                    # behind exactly this)
                     verified.add(name)
         except (OSError, ValueError):
             continue
