@@ -2136,8 +2136,11 @@ def _parse_kv(df: DataFrame, rest: str, now: str | None) -> DataFrame:
         nm, ty = nm.strip(), ty.strip().lower()
         if ty not in _KQL_TYPES:
             raise ValueError(f"parse-kv: unknown type {ty!r} for {nm!r}")
+        # try_cast, not cast: Kusto yields NULL for a value that does
+        # not convert to the declared type ('a=6.95' as long), while an
+        # ANSI cast kills the whole query (r11 fuzzer catch)
         df = df.withColumn(
-            nm, F.element_at(mp, F.lit(nm)).cast(_KQL_TYPES[ty])
+            nm, F.element_at(mp, F.lit(nm)).try_cast(_KQL_TYPES[ty])
         )
     return df
 

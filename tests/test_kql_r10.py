@@ -376,3 +376,17 @@ def test_invoke_errors(two_tables):
             two_tables,
             "let bad = (t:(*)) { t | invoke bad() }; A | invoke bad()",
         )
+
+
+def test_parse_kv_nonconvertible_value_yields_null(spark):
+    # r11 fuzzer catch: Kusto yields NULL when a value does not convert
+    # to the declared type; an ANSI cast killed the whole query
+    kv = spark.createDataFrame(
+        [("a=6.95 b=xyz c=12",), ("a=3 b=4 c=oops",)], "s string"
+    )
+    out = kql_to_df(
+        {"T": kv}, "T | parse-kv s as (a: long, c: long)"
+    )
+    assert [(r["a"], r["c"]) for r in out.collect()] == [
+        (None, 12), (3, None)
+    ]
