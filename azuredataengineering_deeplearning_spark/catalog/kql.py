@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from azuredataengineering_deeplearning_spark.catalog import query
-from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+from azuredataengineering_deeplearning_spark.sources.kql import kql_fork, kql_to_df
 from azuredataengineering_deeplearning_spark.sources.readers import load_tables
 
 
@@ -2530,6 +2530,38 @@ def kql_ipv4_lookup(spark, sf_dir):
     return kql_to_df(
         {"t": ev, "nets": nets},
         "t | evaluate ipv4_lookup(nets, ip, cidr, return_unmatched=true)",
+    )
+
+
+@query(
+    "kql_fork",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hot,
+           max(value) AS vmax,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_et
+    FROM events WHERE value > 50
+    """,
+)
+def kql_fork_branches(spark, sf_dir):
+    """Kusto ``fork`` (round 11) — one pipe split into parallel
+    consumer branches, each a separate result table (kql_fork returns
+    a dict; kql_to_df refuses fork loudly). The shared prefix frame is
+    persisted ONCE (share_source=True) so every branch reads the
+    cached pass instead of re-scanning — the whole point of fork, and
+    this Spark build does not reuse exchanges across actions. Oracle:
+    the three 1-row branches cross-joined into one row."""
+    t = load_tables(spark, sf_dir, ["events"])
+    out = kql_fork(
+        t,
+        "events | where value > 50 | fork"
+        " (summarize n_hot = count())"
+        " (summarize vmax = max(value))"
+        " (summarize n_et = dcount(event_type))",
+    )
+    return (
+        out["fork_0"]
+        .crossJoin(out["fork_1"])
+        .crossJoin(out["fork_2"])
     )
 
 
