@@ -79,32 +79,53 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             df = spark.sql(args.sql)
         else:
             from azuredataengineering_deeplearning_spark.sources.kql import (
+                _split_pipe,
+                kql_fork,
                 kql_to_df,
             )
 
             try:
+                stages = _split_pipe(args.pipe.strip())
+                if any(
+                    s.split(None, 1)[0] == "fork" for s in stages if s
+                ):
+                    # fork yields one table PER BRANCH — print each
+                    # with a name header (Kusto clients show multiple
+                    # result grids for the same reason)
+                    branches = kql_fork(load_tables(spark, args.sf), args.pipe)
+                    for name, bdf in branches.items():
+                        print(f"-- fork branch: {name} --")
+                        _emit(bdf, args)
+                    return 0
                 df = kql_to_df(load_tables(spark, args.sf), args.pipe)
             except (ValueError, KeyError) as e:
                 print(f"KQL error: {e}", file=sys.stderr)
                 return 2
-        if args.csv:
-            import csv
-
-            w = csv.writer(sys.stdout)
-            w.writerow(df.columns)
-            for row in df.toLocalIterator():
-                w.writerow(list(row))
-        elif args.json:
-            import json
-
-            for row in df.toLocalIterator():
-                print(json.dumps(row.asDict(), default=str))
-        else:
-            df.show(args.limit, truncate=False)
+        _emit(df, args)
         return 0
     finally:
         if owns_session:
             spark.stop()
+
+
+def _emit(df, args) -> None:
+    """Print one result frame in the selected output mode."""
+    import sys
+
+    if args.csv:
+        import csv
+
+        w = csv.writer(sys.stdout)
+        w.writerow(df.columns)
+        for row in df.toLocalIterator():
+            w.writerow(list(row))
+    elif args.json:
+        import json
+
+        for row in df.toLocalIterator():
+            print(json.dumps(row.asDict(), default=str))
+    else:
+        df.show(args.limit, truncate=False)
 
 
 if __name__ == "__main__":

@@ -95,3 +95,20 @@ def test_sf_env_fallback(spark, capsys, monkeypatch):
     rc = main(["nation | take 3"], spark=spark)
     assert rc == 0
     assert "n_nationkey" in capsys.readouterr().out
+
+
+def test_cli_fork_prints_each_branch(spark, capsys):
+    from azuredataengineering_deeplearning_spark.__main__ import main
+
+    rc = main(
+        [
+            "events | where value > 50 | fork a=(count)"
+            " (summarize m = max(value))",
+            "--sf", SF, "--json",
+        ],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "-- fork branch: a --" in out
+    assert "-- fork branch: fork_1 --" in out
