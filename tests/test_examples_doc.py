@@ -18,8 +18,8 @@ def _blocks():
     return re.findall(r"```python\n(.*?)```", text, re.S)
 
 
-def test_examples_md_has_five_blocks():
-    assert len(_blocks()) == 5
+def test_examples_md_has_six_blocks():
+    assert len(_blocks()) == 6
 
 
 def _ns_common(spark, sf_dir):
@@ -34,6 +34,12 @@ def test_example_2_kql_analyst(spark, sf_dir):
     exec(_blocks()[1], _ns_common(spark, sf_dir))
 
 
+def test_example_2b_kql_fork(spark, sf_dir):
+    ns = _ns_common(spark, sf_dir)
+    exec(_blocks()[2], ns)
+    assert sorted(ns["branches"]) == ["fork_1", "hot", "peak"]
+
+
 def test_example_3_lakehouse_engineer(spark, sf_dir, tmp_path):
     ns = _ns_common(spark, sf_dir)
     ns["table"] = str(tmp_path / "tx")
@@ -46,7 +52,7 @@ def test_example_3_lakehouse_engineer(spark, sf_dir, tmp_path):
         [(2, "2024-01-03 00:00:00", 5.0), (3, "2024-01-04 00:00:00", 3.0)],
         "event_id long, ts string, v double",
     ).withColumn("ts", F.to_timestamp("ts"))
-    exec(_blocks()[2], ns)
+    exec(_blocks()[3], ns)
     # the example's `changes` binding is real change-data-feed output
     assert ns["changes"].count() > 0
 
@@ -64,7 +70,7 @@ def test_example_4_ml_engineer(spark, sf_dir):
         [("q1", 0.9, 2.0, 1), ("q1", 0.5, 1.0, 2), ("q1", 0.1, 0.0, 3)],
         "query string, score double, rel double, item_id long",
     )
-    exec(_blocks()[3], ns)
+    exec(_blocks()[4], ns)
 
 
 def test_example_5_llm_data_engineer(spark, sf_dir):
@@ -87,5 +93,5 @@ def test_example_5_llm_data_engineer(spark, sf_dir):
         ],
         "day string, pred string, gold string",
     )
-    exec(_blocks()[4], ns)
+    exec(_blocks()[5], ns)
     assert ns["split"].count() == 30
