@@ -2207,6 +2207,48 @@ def kql_ipv4_geo(spark, sf_dir):
 
 
 @query(
+    "kql_graph_shortest_paths",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey % 40 AS s, o_orderkey % 40 AS d
+      FROM orders
+    ),
+    p1 AS (SELECT s, d, 1 AS hops FROM e),
+    p2 AS (SELECT a.s, b.d, 2 AS hops FROM e a JOIN e b ON a.d = b.s),
+    p3 AS (SELECT a.s, c.d, 3 AS hops
+           FROM e a JOIN e b ON a.d = b.s JOIN e c ON b.d = c.s),
+    allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+             UNION ALL SELECT * FROM p3)
+    SELECT d AS dst, CAST(min(hops) AS INT) AS hops
+    FROM allp WHERE s = 0 GROUP BY d
+    """,
+)
+def kql_graph_shortest_paths(spark, sf_dir):
+    """``graph-shortest-paths`` (round 11) — min-hop paths between
+    endpoint pairs: the graph-match bounded branch UNION (one static
+    join tree per length, never iteration) plus ONE window over the
+    endpoint pair for the min-hop pick. output=any emits one
+    DETERMINISTIC shortest path per pair (row_number over
+    (hops, projection) — Kusto's pick is arbitrary; pinned here so the
+    row is oracle-checkable). Oracle: bounded-hop UNION + GROUP BY
+    min in plain SQL."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    out = kql_to_df(
+        t,
+        """
+        orders
+        | extend s = o_custkey % 40, d = o_orderkey % 40
+        | distinct s, d
+        | make-graph s --> d
+        | graph-shortest-paths (x)-[e*1..3]->(y)
+          where x.id == 0
+          project dst = y.id, hops = array_length(e)
+        """,
+    )
+    return out.select("dst", F.col("hops").cast("int").alias("hops"))
+
+
+@query(
     "kql_graph_match",
     """
     WITH e1 AS (

@@ -135,7 +135,10 @@ as a no-op client directive. Graph operators: ``make-graph Src -->
 Dst [with Nodes on Id]`` + ``graph-match <pattern> [where ...]
 project ...`` — fixed-length patterns (chains / stars / cycles via
 shared variables, ``<-``/``-->``/``--`` directions) compiled to a
-static join tree; see sources/kql_graph.py.
+static join tree; and ``graph-shortest-paths [output=any|all]
+(a)-[e*lo..hi]->(b) [where ...] project ...`` — min-hop paths per
+endpoint pair (bounded branch union + one endpoint-pair window;
+``any`` picks deterministically). See sources/kql_graph.py.
 Scalars also include ``todynamic``/``parse_json`` dotted access (→
 ``get_json_object``), ``case()``, ``between (a .. b)``,
 ``todouble/tolong/toint/tobool/todatetime``,
@@ -1016,7 +1019,7 @@ _STREAM_UNSUPPORTED = frozenset(
      # graph compilation self-joins the edge frame — not expressible
      # as an incremental stream join ("reduce" stays allowed: it
      # compiles to a plain streaming-legal aggregate)
-     "make-graph", "graph-match"}
+     "make-graph", "graph-match", "graph-shortest-paths"}
 )
 
 
@@ -1207,9 +1210,12 @@ def kql_to_df(
     for stage in stages[1:]:
         op, _, rest = stage.partition(" ")
         rest = rest.strip()
-        if graph_ctx is not None and op != "graph-match":
+        if graph_ctx is not None and op not in (
+            "graph-match", "graph-shortest-paths"
+        ):
             raise ValueError(
-                f"after make-graph only graph-match may follow, got {op!r}"
+                "after make-graph only graph-match / "
+                f"graph-shortest-paths may follow, got {op!r}"
             )
         if df.isStreaming and (
             op in _STREAM_UNSUPPORTED or (op == "serialize" and rest)
@@ -1372,6 +1378,36 @@ def kql_to_df(
             gdf, gsrc, gdst, ndf, nid = graph_ctx
             df = graph_match(
                 gdf, gsrc, gdst, ndf, nid,
+                mm.group(1).strip(),
+                mm.group(2).strip() if mm.group(2) else None,
+                mm.group(3).strip(),
+                lambda t: _expr(t, now),
+            )
+            graph_ctx = None
+        elif op == "graph-shortest-paths":
+            if graph_ctx is None:
+                raise ValueError(
+                    "graph-shortest-paths needs a preceding make-graph"
+                )
+            om = re.match(r"^output\s*=\s*(\w+)\s+(.*)$", rest, re.S)
+            output = "any"
+            if om:
+                output, rest = om.group(1), om.group(2)
+            mm = re.match(
+                r"^(.*?)(?:\bwhere\b(.*?))?\bproject\b(.+)$", rest, re.S
+            )
+            if not mm:
+                raise ValueError(
+                    "graph-shortest-paths needs '[output=any|all] "
+                    f"<pattern> [where <pred>] project <cols>': {rest!r}"
+                )
+            from azuredataengineering_deeplearning_spark.sources.kql_graph import (
+                graph_shortest_paths,
+            )
+
+            gdf, gsrc, gdst, ndf, nid = graph_ctx
+            df = graph_shortest_paths(
+                gdf, gsrc, gdst, ndf, nid, output,
                 mm.group(1).strip(),
                 mm.group(2).strip() if mm.group(2) else None,
                 mm.group(3).strip(),

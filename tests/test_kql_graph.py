@@ -120,7 +120,7 @@ def test_graph_errors(spark, tri):
     t = {"t": tri}
     with pytest.raises(ValueError, match="needs a preceding make-graph"):
         kql_to_df(t, "t | graph-match (a)-[e]->(b) project a = a.id")
-    with pytest.raises(ValueError, match="only graph-match may follow"):
+    with pytest.raises(ValueError, match="only graph-match / graph-shortest-paths"):
         kql_to_df(t, "t | make-graph s --> d | where w > 1")
     with pytest.raises(ValueError, match="no edge column"):
         kql_to_df(t, "t | make-graph s --> nope")
@@ -193,3 +193,82 @@ def test_varlen_validation():
         parse_pattern("(a)-[p*3..2]->(b)")
     with pytest.raises(ValueError, match="max 8"):
         parse_pattern("(a)-[p*1..20]->(b)")
+
+
+# ---- graph-shortest-paths (round 11) ---------------------------------
+
+@pytest.fixture()
+def chaing(spark):
+    # a->b->c->d plus a shortcut a->c and a long spur d->e
+    return spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0),
+         ("a", "c", 5.0), ("d", "e", 1.0)],
+        "s string, d string, w double",
+    )
+
+
+def test_shortest_paths_min_hops_any(spark, chaing):
+    out = kql_to_df(
+        {"t": chaing},
+        "t | make-graph s --> d"
+        " | graph-shortest-paths (x)-[e*1..4]->(y)"
+        " where x.id == 'a'"
+        " project src = x.id, dst = y.id, hops = array_length(e)",
+    )
+    got = {(r["src"], r["dst"]): r["hops"] for r in out.collect()}
+    # a->b (1), a->c (1, the direct shortcut beats a->b->c), a->d (2
+    # via the shortcut), a->e (3)
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("a", "d"): 2,
+                   ("a", "e"): 3}
+    # output=any: exactly one row per pair
+    assert out.count() == 4
+
+
+def test_shortest_paths_output_all_keeps_ties(spark):
+    # two distinct 2-hop paths a->*->z, no shorter route
+    g = spark.createDataFrame(
+        [("a", "m1", 1.0), ("a", "m2", 1.0),
+         ("m1", "z", 1.0), ("m2", "z", 1.0)],
+        "s string, d string, w double",
+    )
+    base = (
+        "t | make-graph s --> d"
+        " | graph-shortest-paths {out}(x)-[e*1..3]->(z)"
+        " where x.id == 'a' and z.id == 'z'"
+        " project mid = map(e, d)"
+    )
+    allp = kql_to_df({"t": g}, base.format(out="output=all "))
+    anyp = kql_to_df({"t": g}, base.format(out=""))
+    mids = sorted(tuple(r["mid"]) for r in allp.collect())
+    assert mids == [("m1", "z"), ("m2", "z")]
+    # deterministic single pick: the least (hops, projected) tuple
+    assert [tuple(r["mid"]) for r in anyp.collect()] == [("m1", "z")]
+
+
+def test_shortest_paths_where_prunes_paths(spark, chaing):
+    # forbid the shortcut edge -> a..c now costs 2 hops
+    out = kql_to_df(
+        {"t": chaing},
+        "t | make-graph s --> d"
+        " | graph-shortest-paths (x)-[e*1..4]->(y)"
+        " where x.id == 'a' and y.id == 'c' and all(e, w < 2)"
+        " project hops = array_length(e)",
+    )
+    assert [r["hops"] for r in out.collect()] == [2]
+
+
+def test_shortest_paths_errors_loud(spark, chaing):
+    t = {"t": chaing}
+    with pytest.raises(ValueError, match="variable-length"):
+        kql_to_df(
+            t, "t | make-graph s --> d | graph-shortest-paths"
+            " (x)-[e]->(y) project a = x.id",
+        )
+    with pytest.raises(ValueError, match="output="):
+        kql_to_df(
+            t, "t | make-graph s --> d | graph-shortest-paths"
+            " output=some (x)-[e*1..2]->(y) project a = x.id",
+        )
+    with pytest.raises(ValueError, match="preceding make-graph"):
+        kql_to_df(t, "t | graph-shortest-paths (x)-[e*1..2]->(y)"
+                     " project a = x.id")
