@@ -196,6 +196,37 @@ def _graph_case(rng, ctx, i):
     _match(got, ctx["duck"], sql, f"graph#{i}: {q}")
 
 
+# ------------------------------------------------- graph-shortest-paths
+def _gsp_case(rng, ctx, i):
+    hi = rng.randrange(2, 5)
+    srcn = rng.choice(list("abcdefgh"))
+    q = (
+        "T | make-graph s --> d"
+        f" | graph-shortest-paths (x)-[e*1..{hi}]->(y)"
+        f" where x.id == '{srcn}'"
+        " project dst = y.id, hops = array_length(e)"
+    )
+    got = kql_to_df({"T": ctx["ed"]}, q).selectExpr(
+        "dst", "cast(hops as int) as hops"
+    )
+    # bounded-hop union + min per destination
+    layers = ["SELECT s, d, 1 AS hops FROM ED"]
+    for n in range(2, hi + 1):
+        # an n-hop chain as an explicit n-way self-join
+        frm = "ED t0 " + " ".join(
+            f"JOIN ED t{k} ON t{k - 1}.d = t{k}.s" for k in range(1, n)
+        )
+        layers.append(
+            f"SELECT t0.s, t{n - 1}.d, {n} AS hops FROM {frm}"
+        )
+    union = " UNION ALL ".join(layers)
+    sql = (
+        f"SELECT d AS dst, CAST(min(hops) AS INT) AS hops"
+        f" FROM ({union}) WHERE s = '{srcn}' GROUP BY d"
+    )
+    _match(got, ctx["duck"], sql, f"gsp#{i}: {q}")
+
+
 # -------------------------------------------------------- ipv4_lookup
 def _ip_int(o1, o2, o3, o4):
     return (o1 << 24) | (o2 << 16) | (o3 << 8) | o4
@@ -382,6 +413,9 @@ def test_fuzz_r11_scan_graph_ipv4_parse(fuzz_ctx):
         n_duck += 1
     for i in range(10):
         _graph_case(rng, fuzz_ctx, i)
+        n_duck += 1
+    for i in range(6):
+        _gsp_case(rng, fuzz_ctx, i)
         n_duck += 1
     for i in range(10):
         _ipv4_case(rng, fuzz_ctx, i)
