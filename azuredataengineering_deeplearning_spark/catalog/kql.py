@@ -2576,6 +2576,69 @@ def kql_ipv4_lookup(spark, sf_dir):
 
 
 @query(
+    "kql_scalar_extras6",
+    """
+    WITH b AS (
+      SELECT event_id, event_type,
+             [CAST(event_id % 5 AS BIGINT), CAST(event_id % 7 AS BIGINT),
+              CAST(event_id % 3 AS BIGINT), CAST(user_id % 4 AS BIGINT)]
+               AS a,
+             CAST(event_id % 3 AS INT) AS k
+      FROM events
+    )
+    SELECT event_id,
+      array_to_string(list_concat(list_slice(a, k + 1, 4),
+        list_slice(a, 1, k)), ',') AS rl,
+      array_to_string(list_concat(list_slice(a, 2, 4),
+        [CAST(-1 AS BIGINT)]), ',') AS sl,
+      CAST(CASE WHEN regexp_matches(event_type, '[aeiou]')
+           THEN length(regexp_split_to_array(event_type, '[aeiou]')[1])
+           ELSE -1 END AS INT) AS ir,
+      CAST(len(regexp_split_to_array(event_type, '[aeiou]')) - 1 AS INT)
+        AS cr,
+      regexp_replace(event_type, '[aeiou]', '_', 'g') AS rre,
+      CAST(list_sum(a) AS DOUBLE) AS ss,
+      CAST(list_product(a) AS DOUBLE) AS sp,
+      CAST(len(list_filter(a, x -> x > 2)) AS DOUBLE) AS sg
+    FROM b
+    """,
+)
+def kql_scalar_extras6(spark, sf_dir):
+    """Round-11 scalar batch 6: array rotate/shift (type-preserving
+    null/filled padding), the regex index/count/replace family
+    (regexp_instr/regexp_count, both 0-based Kusto conventions),
+    series folds (series_sum/product) and element-wise comparisons
+    (series_greater) composed with array_iff — all textual rewrites to
+    JVM built-ins and higher-order functions, zero UDFs. DuckDB twin
+    uses list_slice/list_sum/list_filter and split-based regex
+    counting (regexp_replace needs the 'g' flag there: DuckDB replaces
+    first match by default, Spark replaces all)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    out = kql_to_df(
+        t,
+        """
+        events
+        | extend a = pack_array(event_id % 5, event_id % 7, event_id % 3, user_id % 4), k = event_id % 3
+        | extend rl = strcat_array(array_rotate_left(a, k), ','),
+                 sl = strcat_array(array_shift_left(a, 1, -1), ','),
+                 ir = indexof_regex(event_type, '[aeiou]'),
+                 cr = countof_regex(event_type, '[aeiou]'),
+                 rre = replace_regex(event_type, '[aeiou]', '_'),
+                 ss = series_sum(a),
+                 sp = series_product(a),
+                 sg = series_sum(array_iff(series_greater(a, pack_array(2, 2, 2, 2)), pack_array(1, 1, 1, 1), pack_array(0, 0, 0, 0)))
+        | project event_id, rl, sl, ir, cr, rre, ss, sp, sg
+        """,
+    )
+    return out.select(
+        "event_id", "rl", "sl",
+        F.col("ir").cast("int").alias("ir"),
+        F.col("cr").cast("int").alias("cr"),
+        "rre", "ss", "sp", "sg",
+    )
+
+
+@query(
     "kql_fork",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_hot,

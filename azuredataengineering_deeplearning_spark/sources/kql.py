@@ -664,6 +664,146 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = _rewrite_call(
         s, "set_has_element", lambda a, x: f"array_contains({a}, {x})"
     )
+    # round-11 scalar batch 6: array shift/rotate/split/iff, the regex
+    # index/count/replace family, extract_json, element-wise series
+    # comparisons and folds. All textual rewrites to JVM built-ins /
+    # higher-order functions — zero UDFs. iif = iff alias.
+    s = re.sub(r"\biif\(", "if(", s)
+    s = _rewrite_call(
+        s, "endofyear",
+        lambda a: (
+            f"(date_trunc('YEAR', {a}) + interval 1 year"
+            " - interval 1 microsecond)"
+        ),
+    )
+
+    def _rot(a, n):
+        k = f"cast(pmod({n}, greatest(size({a}), 1)) as int)"
+        return (
+            f"(case when size({a}) <= 1 then {a} else"
+            f" concat(slice({a}, {k} + 1, size({a}) - {k}),"
+            f" slice({a}, 1, {k})) end)"
+        )
+
+    s = _rewrite_call(s, "array_rotate_left", _rot)
+    s = _rewrite_call(
+        s, "array_rotate_right", lambda a, n: _rot(a, f"-({n})")
+    )
+
+    def _shift(a, n, fill="null"):
+        # type-preserving pad: transform over a slice of the source so
+        # a null fill inherits the ELEMENT type (array_repeat(null, k)
+        # would mint array<void> and break the concat)
+        def pad(k):
+            return (
+                f"transform(slice({a}, 1, {k}),"
+                f" __x -> if(false, __x, {fill}))"
+            )
+
+        kl = f"least(greatest(cast({n} as int), 0), size({a}))"
+        kr = f"least(greatest(cast(-({n}) as int), 0), size({a}))"
+        return (
+            f"(case when cast({n} as int) >= 0 then"
+            f" concat(slice({a}, {kl} + 1, size({a}) - {kl}), {pad(kl)})"
+            f" else concat({pad(kr)}, slice({a}, 1, size({a}) - {kr}))"
+            " end)"
+        )
+
+    s = _rewrite_call(s, "array_shift_left", _shift)
+    s = _rewrite_call(
+        s, "array_shift_right",
+        lambda a, n, fill="null": _shift(a, f"-({n})", fill),
+    )
+    s = _rewrite_call(
+        s, "array_split",
+        lambda a, i: (
+            lambda k: (
+                f"array(slice({a}, 1, {k}),"
+                f" slice({a}, {k} + 1, size({a}) - {k}))"
+            )
+        )(f"least(greatest(cast({i} as int), 0), size({a}))"),
+    )
+    # array branches only (Kusto also allows scalar branches; a scalar
+    # cannot be distinguished textually — documented subset). Length
+    # mismatches yield null elements via try_element_at, like Kusto.
+    s = _rewrite_call(
+        s, "array_iff",
+        lambda c, t, f: (
+            f"transform({c}, (__c, __i) -> if(__c,"
+            f" try_element_at({t}, __i + 1),"
+            f" try_element_at({f}, __i + 1)))"
+        ),
+    )
+    s = _rewrite_call(
+        s, "indexof_regex",
+        lambda a, p: f"(regexp_instr({a}, {p}) - 1)",  # 0-based, -1 miss
+    )
+    s = _rewrite_call(
+        s, "countof_regex", lambda a, p: f"regexp_count({a}, {p})"
+    )
+    s = _rewrite_call(
+        s, "replace_regex",
+        lambda a, p, r: f"regexp_replace({a}, {p}, {r})",
+    )
+    s = _rewrite_call(
+        s, "replace_strings",
+        lambda a, f, r: (
+            f"(case when size({f}) = 0 then {a} else"
+            f" aggregate(sequence(1, size({f})), {a},"
+            f" (__acc, __i) -> replace(__acc,"
+            f" element_at({f}, __i), element_at({r}, __i))) end)"
+        ),
+    )
+
+    def _extract_json(path, src, ty=None):
+        base = f"get_json_object({src}, {path})"
+        if ty is None:
+            return base
+        tm = re.match(r"^typeof\s*\(\s*(\w+)\s*\)$", ty.strip())
+        if not tm or tm.group(1).lower() not in _KQL_TYPES:
+            raise ValueError(
+                f"extract_json: third arg must be typeof(<type>), got {ty!r}"
+            )
+        return f"try_cast({base} as {_KQL_TYPES[tm.group(1).lower()]})"
+
+    s = _rewrite_call(s, "extract_json", _extract_json)
+    s = _rewrite_call(
+        s, "series_sum",
+        lambda a: (
+            f"aggregate({a}, cast(0 as double),"
+            " (__a, __x) -> __a + coalesce(cast(__x as double),"
+            " cast(0 as double)))"
+        ),
+    )
+    s = _rewrite_call(
+        s, "series_product",
+        lambda a: (
+            f"aggregate({a}, cast(1 as double),"
+            " (__a, __x) -> __a * coalesce(cast(__x as double),"
+            " cast(1 as double)))"
+        ),
+    )
+    for _nm, _fn in (
+        ("series_floor", "floor"), ("series_ceiling", "ceil"),
+        ("series_round", "round"), ("series_sign", "sign"),
+    ):
+        s = _rewrite_call(
+            s, _nm,
+            lambda a, fn=_fn: (
+                f"transform({a}, __x -> cast({fn}(__x) as double))"
+            ),
+        )
+    for _nm, _op in (
+        ("series_equals", "="), ("series_not_equals", "!="),
+        ("series_greater", ">"), ("series_less", "<"),
+        ("series_greater_equals", ">="), ("series_less_equals", "<="),
+    ):
+        s = _rewrite_call(
+            s, _nm,
+            lambda a, b, op=_op: (
+                f"zip_with({a}, {b}, (__x, __y) -> __x {op} __y)"
+            ),
+        )
     # round-10 scalar batch: encodings + calendar + version ordering.
     # url_encode/url_decode keep their names (Kusto's form-encoding ==
     # Spark's java.net.URLEncoder semantics, space -> '+').

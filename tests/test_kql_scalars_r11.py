@@ -1,0 +1,114 @@
+"""Round-11 scalar batch 6 edge cases — the shapes the catalog row's
+uniform data cannot reach: negative/oversized shift and rotate counts,
+array_iff length mismatch, empty replace_strings, extract_json typed
+casts + loud errors, iif alias."""
+
+import pytest
+
+from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+
+def _one(spark, expr):
+    df = spark.createDataFrame([(1,)], "id int")
+    return kql_to_df(
+        {"T": df}, f"T | extend r = {expr} | project r"
+    ).collect()[0]["r"]
+
+
+def test_rotate_wraps_and_negatives(spark):
+    assert _one(spark, "array_rotate_left(pack_array(1,2,3), 4)") == [2, 3, 1]
+    assert _one(spark, "array_rotate_left(pack_array(1,2,3), -1)") == [3, 1, 2]
+    assert _one(spark, "array_rotate_right(pack_array(1,2,3), 2)") == [2, 3, 1]
+    assert _one(spark, "array_rotate_left(pack_array(7), 5)") == [7]
+
+
+def test_shift_negative_oversize_and_fill_typing(spark):
+    # negative count shifts the other way
+    assert _one(spark, "array_shift_left(pack_array(1,2,3), -1)") == [
+        None, 1, 2
+    ]
+    assert _one(spark, "array_shift_right(pack_array(1,2,3), 1, 0)") == [
+        0, 1, 2
+    ]
+    # count > size -> all fill, size preserved
+    assert _one(spark, "array_shift_left(pack_array(1,2), 5)") == [None, None]
+    # null fill inherits the ELEMENT type (no array<void> concat crash)
+    assert _one(spark, "array_shift_left(pack_array('a','b'), 1)") == [
+        "b", None
+    ]
+
+
+def test_array_split_bounds(spark):
+    assert _one(spark, "array_split(pack_array(1,2,3,4), 0)") == [
+        [], [1, 2, 3, 4]
+    ]
+    assert _one(spark, "array_split(pack_array(1,2,3,4), 9)") == [
+        [1, 2, 3, 4], []
+    ]
+
+
+def test_array_iff_length_mismatch_nulls(spark):
+    # t runs short at index 2 (cond true -> null), f runs short at
+    # index 1 (cond false -> null): per-position null like Kusto
+    got = _one(
+        spark,
+        "array_iff(pack_array(true, false, true),"
+        " pack_array(1, 2), pack_array(9))",
+    )
+    assert got == [1, None, None]
+    got2 = _one(
+        spark,
+        "array_iff(pack_array(false, true),"
+        " pack_array(1, 2), pack_array(8, 9))",
+    )
+    assert got2 == [8, 2]
+
+
+def test_replace_strings_empty_and_sequential(spark):
+    assert _one(
+        spark,
+        "replace_strings('abc', pack_array(), pack_array())",
+    ) == "abc"
+    # applied in order: 'a'->'b' happens before 'b'->'c' (Kusto order)
+    assert _one(
+        spark,
+        "replace_strings('ab', pack_array('a','b'), pack_array('b','c'))",
+    ) == "cc"
+
+
+def test_extract_json_typed_and_errors(spark):
+    df = spark.createDataFrame(
+        [('{"a": {"b": "12"}, "c": "x"}',)], "s string"
+    )
+    row = kql_to_df(
+        {"T": df},
+        "T | extend v = extract_json('$.a.b', s, typeof(long)),"
+        " w = extract_json('$.c', s),"
+        " bad = extract_json('$.c', s, typeof(long))"
+        " | project v, w, bad",
+    ).collect()[0]
+    assert row["v"] == 12 and row["w"] == "x" and row["bad"] is None
+    with pytest.raises(ValueError, match="typeof"):
+        kql_to_df(
+            {"T": df}, "T | extend v = extract_json('$.a', s, 7)"
+        )
+
+
+def test_iif_alias_and_regex_family(spark):
+    assert _one(spark, "iif(2 > 1, 'y', 'n')") == "y"
+    assert _one(spark, "indexof_regex('xyz', '[0-9]')") == -1
+    assert _one(spark, "countof_regex('a1b22', '[0-9]+')") == 2
+    assert _one(spark, "replace_regex('a1b2', '[0-9]', '#')") == "a#b#"
+
+
+def test_series_comparisons_and_folds(spark):
+    assert _one(
+        spark, "series_less_equals(pack_array(1,5), pack_array(2,2))"
+    ) == [True, False]
+    assert _one(spark, "series_round(pack_array(1.4, 2.6))") == [1.0, 3.0]
+    assert _one(spark, "series_sign(pack_array(-3.0, 0.0, 9.0))") == [
+        -1.0, 0.0, 1.0
+    ]
+    assert _one(spark, "series_sum(pack_array(1, 2, 3))") == 6.0
+    assert _one(spark, "endofyear(datetime(2023-02-01))").isoformat(
+    ).startswith("2023-12-31T23:59:59")
