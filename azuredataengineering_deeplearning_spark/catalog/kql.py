@@ -2576,6 +2576,45 @@ def kql_ipv4_lookup(spark, sf_dir):
 
 
 @query(
+    "kql_row_rank",
+    """
+    WITH c AS (
+      SELECT event_id, event_type,
+             row_number() OVER (ORDER BY event_id) AS rn,
+             lag(event_type) OVER (ORDER BY event_id) AS p
+      FROM events
+    ),
+    d AS (
+      SELECT *, SUM(CASE WHEN event_type IS DISTINCT FROM p
+                    THEN 1 ELSE 0 END) OVER (ORDER BY rn) AS dr
+      FROM c
+    )
+    SELECT event_id, event_type, CAST(dr AS BIGINT) AS d,
+           CAST(min(rn) OVER (PARTITION BY dr) AS BIGINT) AS m
+    FROM d
+    """,
+)
+def kql_row_rank(spark, sf_dir):
+    """``row_rank_dense`` / ``row_rank_min`` (round 11) — Kusto's
+    serialized consecutive-run ranks: dense advances whenever Term
+    differs from the PREVIOUS row; min repeats the run's first row
+    number. Distributed on the same kernels as row_number/row_cumsum
+    (bucketed global numbering + one shift join + a change-flag prefix
+    scan + one run-keyed aggregate) — never an unpartitioned window."""
+    t = load_tables(spark, sf_dir, ["events"])
+    # project FIRST: the serialize kernel checkpoints its input, so
+    # carrying the wide events row (properties JSON etc.) through the
+    # numbering costs ~2x — same advice as Kusto's own serialize docs
+    return kql_to_df(
+        t,
+        "events | project event_id, event_type"
+        " | sort by event_id asc"
+        " | extend d = row_rank_dense(event_type),"
+        " m = row_rank_min(event_type)",
+    )
+
+
+@query(
     "kql_scalar_extras6",
     """
     WITH b AS (

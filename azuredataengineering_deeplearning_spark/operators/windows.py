@@ -1097,3 +1097,109 @@ def frequent_sequences(
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(top_k)
     )
+
+
+def global_run_ranks(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    term_col: str,
+    dense_out: str = "run_rank",
+    min_out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Kusto ``row_rank_dense`` / ``row_rank_min`` over a TOTAL order
+    without an unpartitioned window: dense advances whenever the term
+    differs from the PREVIOUS row (consecutive runs — not a sort-based
+    dense_rank); min repeats the global row number of the run's first
+    row.
+
+    Same deterministic-bounds bucket design as :func:`global_cumsum`:
+    one bounds sketch + ONE per-bucket aggregate collect (row count,
+    internal change count, last internal change position, boundary
+    terms), then a Python walk turns bucket boundaries into literal
+    per-bucket offsets — dense = within-bucket change prefix sum +
+    offset; min = within-bucket running max of (change · global rn)
+    with a literal carry for runs that crossed in from earlier
+    buckets. The result is LAZY (parallel within-bucket windows);
+    nothing is checkpointed. DETERMINISM PRECONDITION matches
+    :func:`global_row_number`: pin nondeterministic inputs first."""
+    specs = _order_specs(order)
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    first, first_asc = specs[0]
+    bounds = _bucket_bounds(df, first, n)
+    bucketed = _with_bucket(df, first, bounds)
+    wb = Window.partitionBy("__rb").orderBy(*ocols)
+    wcum = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tc = F.col(term_col)
+    flagged = bucketed.withColumn(
+        "__lrn", F.row_number().over(wb)
+    ).withColumn(
+        "__chg_in",
+        F.when(
+            (F.col("__lrn") > 1) & ~tc.eqNullSafe(F.lag(tc).over(wb)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wrap = F.struct(F.col("__lrn").alias("r"), tc.alias("t"))
+    stats = {
+        int(r["__rb"]): r
+        for r in flagged.groupBy("__rb").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("__chg_in").alias("nchg"),
+            F.max(
+                F.when(F.col("__chg_in") == 1, F.col("__lrn"))
+            ).alias("lastchg"),
+            F.min(wrap).alias("first_t"),
+            F.max(wrap).alias("last_t"),
+        ).collect()
+    }
+    n_b = len(bounds) + 1
+    cnt_off = [0] * n_b
+    chg_off = [0] * n_b
+    bchg = [0] * n_b
+    carry = [0] * n_b
+    acc_cnt, acc_chg = 0, 0
+    have_prev, last_term, last_chg_rn = False, None, 0
+    walk = range(n_b) if first_asc else reversed(range(n_b))
+    for b in walk:
+        cnt_off[b], chg_off[b], carry[b] = acc_cnt, acc_chg, last_chg_rn
+        r = stats.get(b)
+        if r is None or r["cnt"] == 0:
+            continue
+        ft = r["first_t"]["t"]
+        same = (ft == last_term) or (ft is None and last_term is None)
+        boundary = 0 if (have_prev and same) else 1
+        bchg[b] = boundary
+        if r["lastchg"] is not None:
+            last_chg_rn = acc_cnt + r["lastchg"]
+        elif boundary:
+            last_chg_rn = acc_cnt + 1
+        acc_chg += (r["nchg"] or 0) + boundary
+        acc_cnt += r["cnt"]
+        last_term, have_prev = r["last_t"]["t"], True
+
+    def _lut(vals):
+        return F.element_at(
+            F.array(*[F.lit(int(v)) for v in vals]), F.col("__rb") + 1
+        )
+
+    c = F.when(F.col("__lrn") == 1, _lut(bchg)).otherwise(
+        F.col("__chg_in")
+    )
+    out = flagged.withColumn("__c", c).withColumn(
+        dense_out,
+        (F.sum("__c").over(wcum) + _lut(chg_off)).cast("long"),
+    )
+    if min_out is not None:
+        rn_g = F.col("__lrn") + _lut(cnt_off)
+        out = out.withColumn(
+            min_out,
+            F.coalesce(
+                F.max(
+                    F.when(F.col("__c") == 1, rn_g)
+                ).over(wcum),
+                _lut(carry),
+            ).cast("long"),
+        )
+    return out.drop("__rb", "__lrn", "__chg_in", "__c")

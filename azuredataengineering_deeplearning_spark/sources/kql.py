@@ -3652,6 +3652,68 @@ def _extend_one(
             ).drop("__kqlcs_v", "__kqlcs_r")
         out = df.withColumn(name, F.expr(_expr(body, now)))
         return out.drop(*[a for a, _ in calls])
+    if re.search(r"\brow_rank_(dense|min)\s*\(", body):
+        # row_rank_dense(Term): rank starts at 1 and advances whenever
+        # Term differs from the PREVIOUS row (consecutive runs, not a
+        # sort-based dense_rank); row_rank_min(Term): every row of a
+        # run gets the run's FIRST global row number. One dedicated
+        # kernel (windows.global_run_ranks — deterministic-bounds
+        # buckets, one per-bucket stats collect, literal offsets, lazy
+        # within-bucket windows) — never an unpartitioned window, no
+        # checkpoint, no self-join.
+        if order_spec is None:
+            raise ValueError(
+                f"row_rank in {body!r} needs a preceding 'sort by' "
+                "(KQL serialize semantics)"
+            )
+        rank_calls: list[tuple[str, str, str]] = []
+
+        def _take_rank(kind):
+            def _r(m):
+                alias = f"__kqlrr{len(rank_calls)}"
+                rank_calls.append((alias, kind, m.group(1).strip()))
+                return alias
+
+            return _r
+
+        body = re.sub(
+            r"\brow_rank_dense\(([^()]*)\)", _take_rank("dense"), body
+        )
+        body = re.sub(
+            r"\brow_rank_min\(([^()]*)\)", _take_rank("min"), body
+        )
+        order_cols = _order_cols(order_spec)
+        for _, kind, term in rank_calls:
+            if not term:
+                raise ValueError(
+                    f"row_rank_{kind} needs a Term column argument"
+                )
+        # calls sharing a Term share ONE kernel pass (the common
+        # `extend d = row_rank_dense(T), m = row_rank_min(T)` runs
+        # global_run_ranks once — dense and min come out of the same
+        # within-bucket windows)
+        by_term: dict[str, list[tuple[str, str]]] = {}
+        for alias, kind, term in rank_calls:
+            by_term.setdefault(term, []).append((alias, kind))
+        for term, wants in by_term.items():
+            from azuredataengineering_deeplearning_spark.operators.windows import (
+                global_run_ranks,
+            )
+
+            work = df.withColumn("__rrt", F.expr(_expr(term, now)))
+            want_min = any(kind == "min" for _, kind in wants)
+            ranked = global_run_ranks(
+                work, order_cols, "__rrt",
+                dense_out="__rrd",
+                min_out="__rrm" if want_min else None,
+            )
+            for alias, kind in wants:
+                ranked = ranked.withColumn(
+                    alias, F.col("__rrd" if kind == "dense" else "__rrm")
+                )
+            df = ranked.drop("__rrt", "__rrd", "__rrm")
+        out = df.withColumn(name, F.expr(_expr(body, now)))
+        return out.drop(*[a for a, _, _ in rank_calls])
     if re.search(r"\b(row_number|prev|next)\s*\(", body):
         if order_spec is None:
             raise ValueError(

@@ -112,3 +112,47 @@ def test_series_comparisons_and_folds(spark):
     assert _one(spark, "series_sum(pack_array(1, 2, 3))") == 6.0
     assert _one(spark, "endofyear(datetime(2023-02-01))").isoformat(
     ).startswith("2023-12-31T23:59:59")
+
+
+def test_row_rank_dense_and_min(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "a"),
+         (6, "c"), (7, "c"), (8, "c")],
+        "i int, t string",
+    )
+    out = kql_to_df(
+        {"T": df},
+        "T | sort by i asc"
+        " | extend d = row_rank_dense(t), m = row_rank_min(t)",
+    )
+    rows = sorted((r["i"], r["d"], r["m"]) for r in out.collect())
+    # dense advances at every CONSECUTIVE change (the second 'a' run is
+    # a NEW rank — not a sort-based dense_rank); min repeats the run's
+    # first row number
+    assert rows == [
+        (1, 1, 1), (2, 1, 1), (3, 2, 3), (4, 2, 3),
+        (5, 3, 5), (6, 4, 6), (7, 4, 6), (8, 4, 6),
+    ]
+
+
+def test_row_rank_requires_sort_and_term(spark):
+    df = spark.createDataFrame([(1, "a")], "i int, t string")
+    with pytest.raises(ValueError, match="sort by"):
+        kql_to_df({"T": df}, "T | extend d = row_rank_dense(t)")
+    with pytest.raises(ValueError, match="Term column"):
+        kql_to_df(
+            {"T": df}, "T | sort by i asc | extend d = row_rank_min()"
+        )
+
+
+def test_row_rank_null_runs_nullsafe(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "a")], "i int, t string"
+    )
+    out = kql_to_df(
+        {"T": df}, "T | sort by i asc | extend d = row_rank_dense(t)"
+    )
+    rows = sorted((r["i"], r["d"]) for r in out.collect())
+    # a null run is ONE run (null-safe comparison), and the value
+    # coming back after it is a new run
+    assert rows == [(1, 1), (2, 2), (3, 2), (4, 3)]
