@@ -2576,6 +2576,30 @@ def kql_ipv4_lookup(spark, sf_dir):
 
 
 @query(
+    "kql_join_rightanti",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def kql_join_rightanti(spark, sf_dir):
+    """``join kind=rightanti`` / ``kind=rightsemi`` (round 11) —
+    Kusto's mirrored semi/anti kinds: output is the RIGHT table's rows
+    with (semi) / without (anti) a left match, right columns only.
+    Compiled as the swapped Spark left_semi/left_anti; hints apply to
+    the probe side. Here: customers with no 300k+ order."""
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    return kql_to_df(
+        t,
+        "orders | where o_totalprice > 300000"
+        " | join kind=rightanti (customer)"
+        " on $left.o_custkey == $right.c_custkey"
+        " | project c_custkey, c_mktsegment",
+    )
+
+
+@query(
     "kql_row_rank",
     """
     WITH c AS (

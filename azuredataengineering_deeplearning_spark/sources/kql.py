@@ -1833,6 +1833,10 @@ _JOIN_KINDS = {
     "leftanti": "left_anti",
     "anti": "left_anti",
     "leftsemi": "left_semi",
+    # mirrored kinds: output = RIGHT rows with/without a left match
+    # (handled by a swapped semi/anti in _join, marker values unused)
+    "rightsemi": "right_semi_swapped",
+    "rightanti": "right_anti_swapped",
 }
 
 
@@ -1887,6 +1891,23 @@ def _join(df: DataFrame, tables: dict[str, DataFrame], rest: str) -> DataFrame:
             on_cols.append(part.strip())
     if left_keys and on_cols:
         raise ValueError("mixing bare keys and $left/$right terms is unsupported")
+    if kind in ("rightsemi", "rightanti"):
+        # output = RIGHT-side rows (columns untouched — no merge, so no
+        # rename) filtered by existence/absence of a left match: the
+        # mirrored Spark semi/anti with the sides swapped. Hints apply
+        # to the probe (left) side here — it is the build side.
+        how = "left_semi" if kind == "rightsemi" else "left_anti"
+        probe = df
+        if strategy == "broadcast":
+            probe = F.broadcast(probe)
+        elif strategy == "shuffle":
+            probe = probe.hint("shuffle_hash")
+        if on_cols:
+            return right.join(probe, on_cols, how)
+        cond = right[right_keys[0]] == probe[left_keys[0]]
+        for a, b in zip(left_keys[1:], right_keys[1:]):
+            cond = cond & (right[b] == probe[a])
+        return right.join(probe, cond, how)
     # Kusto renames RIGHT-side columns that collide with left ones to
     # name1 (name2, ... if taken); bare equi-join keys merge instead.
     # Rename BEFORE the join so a pipe self-joined against its own

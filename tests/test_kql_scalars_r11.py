@@ -156,3 +156,27 @@ def test_row_rank_null_runs_nullsafe(spark):
     # a null run is ONE run (null-safe comparison), and the value
     # coming back after it is a new run
     assert rows == [(1, 1), (2, 2), (3, 2), (4, 3)]
+
+
+def test_join_rightsemi_rightanti(spark):
+    left = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "z")], "k int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(2, "a"), (3, "b"), (4, "c")], "k int, rv string"
+    )
+    t = {"L": left, "R": right}
+    semi = kql_to_df(t, "L | join kind=rightsemi (R) on k")
+    # right-side rows with a left match, right columns only, no dup
+    # multiplication from the two k=2 left rows
+    assert sorted(semi.columns) == ["k", "rv"]
+    assert sorted(tuple(r) for r in semi.collect()) == [(2, "a")]
+    anti = kql_to_df(t, "L | join kind=rightanti (R) on k")
+    assert sorted(tuple(r) for r in anti.collect()) == [(3, "b"), (4, "c")]
+    # $left/$right key form + broadcast hint
+    semi2 = kql_to_df(
+        t,
+        "L | join kind=rightsemi hint.strategy=broadcast (R)"
+        " on $left.k == $right.k",
+    )
+    assert [tuple(r) for r in semi2.collect()] == [(2, "a")]
