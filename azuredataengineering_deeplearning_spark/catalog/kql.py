@@ -1410,6 +1410,79 @@ def kql_basket(spark, sf_dir):
 
 
 @query(
+    "kql_scan_declare",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type, value
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    b AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER w AS pts,
+             lag(event_id) OVER w AS pid
+      FROM e WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pr AS (
+      SELECT b.user_id, b.event_id AS b_id, b.ts AS b_ts,
+             (SELECT a.event_id FROM e a
+               WHERE a.user_id = b.user_id AND a.event_type = 'view'
+                 AND (b.pts IS NULL OR (a.ts, a.event_id) > (b.pts, b.pid))
+                 AND (a.ts, a.event_id) < (b.ts, b.event_id)
+               ORDER BY a.ts, a.event_id LIMIT 1) AS a_id
+      FROM b
+    ),
+    mt AS (
+      SELECT pr.user_id, a_id, b_id,
+             CAST(row_number() OVER (
+               PARTITION BY pr.user_id ORDER BY b_ts, b_id) - 1 AS BIGINT)
+               AS match_id,
+             av.value AS va, bv.value AS vb
+      FROM pr
+      JOIN e av ON av.user_id = pr.user_id AND av.event_id = pr.a_id
+      JOIN e bv ON bv.user_id = pr.user_id AND bv.event_id = pr.b_id
+      WHERE a_id IS NOT NULL
+    )
+    SELECT user_id, a_id AS event_id, 'view' AS event_type, match_id,
+           va AS fv, CAST(a_id AS BIGINT) AS t0 FROM mt
+    UNION ALL
+    SELECT user_id, b_id AS event_id, 'purchase' AS event_type, match_id,
+           va + vb AS fv, CAST(a_id AS BIGINT) AS t0 FROM mt
+    """,
+)
+def kql_scan_declare(spark, sf_dir):
+    """``scan declare (...)`` (round 11) — Kusto scan STATE VARIABLES,
+    dialect subset: per-step assignments that are additive
+    (``v = v + expr``) or set (``v = expr``) over row columns. The
+    sequential machine's state is compiled POST-HOC: windows keyed on
+    (key, match_id) over the matched rows — a running sum for additive
+    vars, last-assigned for set vars, reset per match (Kusto's
+    per-sequence-instance lifetime). Here: funnel value accumulated
+    across view->purchase and the view's event id latched at step 1.
+    Oracle: the K=2 closed form joined back to values."""
+    t = load_tables(spark, sf_dir, ["events"])
+    out = kql_to_df(
+        t,
+        "events | where event_type in ('view', 'purchase')"
+        " | sort by ts asc, event_id asc"
+        " | scan by user_id with_match_id=match_id"
+        " declare (fv: real = 0, t0: long) with"
+        " (step s1: event_type == 'view' => fv = fv + value,"
+        " t0 = event_id;"
+        "  step s2: event_type == 'purchase' => fv = fv + value)"
+        " | project user_id, event_id, event_type, match_id, fv, t0",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("match_id").cast("long").alias("match_id"),
+        "fv",
+        F.col("t0").cast("long").alias("t0"),
+    )
+
+
+@query(
     "kql_scan_funnel",
     """
     WITH e AS (

@@ -71,6 +71,7 @@ def scan_steps(
     steps: Sequence[Column],
     match_col: str = "match_id",
     max_group_rows: int | None = None,
+    step_col: str | None = None,
 ) -> DataFrame:
     """Emit rows participating in completed step sequences.
 
@@ -84,7 +85,13 @@ def scan_steps(
     ``max_group_rows``: optional hot-key guard — a key group larger
     than this raises loudly inside the task instead of silently
     running one giant sequential pass (see the module docstring's
-    hot-key ceiling)."""
+    hot-key ceiling).
+
+    ``step_col``: optionally also emit each row's 0-based STEP index
+    within its match (row j of a match satisfied step j by
+    construction — each step matches exactly one row). The KQL
+    ``scan declare`` compilation keys its post-hoc state-variable
+    windows on this column."""
     from azuredataengineering_deeplearning_spark.operators.timeseries import (
         grouped_apply_packed,
     )
@@ -116,6 +123,11 @@ def scan_steps(
     out_schema = T.StructType(
         [f for f in work.schema.fields if f.name not in pred_cols]
         + [T.StructField(match_col, T.LongType(), True)]
+        + (
+            [T.StructField(step_col, T.IntegerType(), True)]
+            if step_col
+            else []
+        )
     )
     keep_cols = [f.name for f in work.schema.fields if f.name not in pred_cols]
 
@@ -173,6 +185,15 @@ def scan_steps(
         sel = mid >= 0
         out = g.loc[sel, keep_cols].copy()
         out[match_col] = mid[sel]
+        if step_col:
+            sid = np.full(n, -1, dtype=np.int32)
+            if matched:
+                # cur is appended in step order, so each match's rows
+                # carry steps 0..k-1 in sequence
+                sid[np.asarray(matched)] = np.tile(
+                    np.arange(k, dtype=np.int32), len(matched) // k
+                )
+            out[step_col] = sid[sel]
         return out
 
     result = grouped_apply_packed(work, list(keys), matcher, out_schema)

@@ -3846,6 +3846,7 @@ def _scan_kql(
     m = re.match(
         r"^(?:by\s+(?P<keys>[\w\s,]+?)\s+)?"
         r"(?:with_match_id\s*=\s*(?P<mid>\w+)\s+)?"
+        r"(?:declare\s*\((?P<decl>[^)]*)\)\s*)?"
         r"with\s*\((?P<steps>.+)\)\s*$",
         rest,
         re.S,
@@ -3853,14 +3854,43 @@ def _scan_kql(
     if not m:
         raise ValueError(
             "scan needs '[by keys] [with_match_id=Name] "
-            f"with (step name: cond; ...)': {rest!r}"
+            "[declare (v: type [= default], ...)] "
+            f"with (step name: cond [=> v = ...]; ...)': {rest!r}"
         )
     keys = (
         [k.strip() for k in m.group("keys").split(",")]
         if m.group("keys")
         else []
     )
+    declares: dict[str, tuple[str, str]] = {}
+    if m.group("decl"):
+        for part in _split_csv(m.group("decl")):
+            dm = re.match(
+                r"^(\w+)\s*:\s*(\w+)\s*(?:=\s*(.+))?$", part.strip(), re.S
+            )
+            if not dm or dm.group(2).lower() not in _KQL_TYPES:
+                raise ValueError(
+                    f"scan declare needs 'name: type [= default]': {part!r}"
+                )
+            ty = _KQL_TYPES[dm.group(2).lower()]
+            dflt = (
+                f"cast(({_expr(dm.group(3).strip(), now)}) as {ty})"
+                if dm.group(3)
+                else f"cast(null as {ty})"
+            )
+            declares[dm.group(1)] = (ty, dflt)
+
+    def _split_arrow(body: str) -> tuple[str, str | None]:
+        quote = False
+        for i in range(len(body) - 1):
+            if body[i] == "'":
+                quote = not quote
+            if not quote and body[i] == "=" and body[i + 1] == ">":
+                return body[:i].strip(), body[i + 2:].strip()
+        return body.strip(), None
+
     steps = []
+    step_assigns: list[list[tuple[str, str]]] = []
     for part in _split_semi(m.group("steps")):
         part = part.strip()
         if not part:
@@ -3868,7 +3898,22 @@ def _scan_kql(
         sm = re.match(r"^step\s+\w+\s*:\s*(.+)$", part, re.S)
         if not sm:
             raise ValueError(f"scan step needs 'step name: cond': {part!r}")
-        steps.append(F.expr(_expr(sm.group(1).strip(), now)))
+        cond, alist = _split_arrow(sm.group(1).strip())
+        steps.append(F.expr(_expr(cond, now)))
+        cur: list[tuple[str, str]] = []
+        if alist:
+            if not declares:
+                raise ValueError(
+                    "scan step assignments need a declare (...) block"
+                )
+            for a in _split_csv(alist):
+                am = re.match(r"^(\w+)\s*=\s*(.+)$", a.strip(), re.S)
+                if not am or am.group(1) not in declares:
+                    raise ValueError(
+                        f"scan assignment needs 'declared_var = expr': {a!r}"
+                    )
+                cur.append((am.group(1), am.group(2).strip()))
+        step_assigns.append(cur)
     if not steps:
         raise ValueError("scan needs at least one step")
     order_by = []
@@ -3881,9 +3926,84 @@ def _scan_kql(
         scan_steps,
     )
 
-    return scan_steps(
-        df, keys, order_by, steps, match_col=m.group("mid") or "match_id"
+    mid_col = m.group("mid") or "match_id"
+    out = scan_steps(
+        df, keys, order_by, steps, match_col=mid_col,
+        step_col="__scanstep" if declares else None,
     )
+    if not declares:
+        return out
+    # declare-state subset (documented): every assignment of a var is
+    # either ADDITIVE (`v = v + expr`) or a SET (`v = expr`) where expr
+    # references only ROW columns — so the sequential state machine is
+    # expressible POST-HOC over the matched rows as windows keyed on
+    # (keys, match_id): additive = default + running sum of per-step
+    # contributions (NULL once any contribution was NULL, matching the
+    # sequential null-propagation); set = last assigned value at or
+    # before the row, else default. State resets per match, exactly
+    # Kusto's per-sequence-instance lifetime. General recurrences
+    # (v = v * 2 + x) and cross-variable reads raise loudly.
+    ocols = [
+        F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_by
+    ]
+    wrun = (
+        Window.partitionBy(*(list(keys) + [mid_col]))
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    names = set(declares)
+    for var, (ty, dflt) in declares.items():
+        adds: list[tuple[int, str]] = []
+        sets: list[tuple[int, str]] = []
+        for j, alist in enumerate(step_assigns):
+            for v, rhs in alist:
+                if v != var:
+                    continue
+                am = re.match(rf"^{var}\s*\+\s*(.+)$", rhs, re.S)
+                expr_txt = am.group(1).strip() if am else rhs
+                if any(
+                    re.search(rf"\b{re.escape(n)}\b", expr_txt)
+                    for n in names
+                ):
+                    raise ValueError(
+                        f"scan assignment {v} = {rhs!r}: only "
+                        "'v = v + expr' or 'v = expr' over ROW columns "
+                        "is supported (no cross-variable reads)"
+                    )
+                (adds if am else sets).append((j, expr_txt))
+        if adds and sets:
+            raise ValueError(
+                f"scan variable {var!r} mixes additive and set "
+                "assignments — unsupported"
+            )
+
+        def _case(pairs, else_col):
+            col = None
+            for j, e in pairs:
+                c = F.expr(_expr(e, now))
+                col = (
+                    F.when(F.col("__scanstep") == j, c)
+                    if col is None
+                    else col.when(F.col("__scanstep") == j, c)
+                )
+            return col.otherwise(else_col) if else_col is not None else col
+
+        if adds:
+            contrib = _case(adds, F.lit(0))
+            had_null = F.max(contrib.isNull().cast("int")).over(wrun)
+            val = F.when(had_null == 1, F.lit(None)).otherwise(
+                F.expr(dflt)
+                + F.coalesce(F.sum(contrib).over(wrun), F.lit(0))
+            )
+        elif sets:
+            marked = _case(sets, None)
+            val = F.coalesce(
+                F.last(marked, ignorenulls=True).over(wrun), F.expr(dflt)
+            )
+        else:
+            val = F.expr(dflt)
+        out = out.withColumn(var, val.cast(ty))
+    return out.drop("__scanstep")
 
 
 def _split_semi(s: str) -> list[str]:

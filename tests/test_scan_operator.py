@@ -210,3 +210,99 @@ def test_scan_no_candidates_fast_exit(spark):
         [F.col("ev") == "A", F.col("ev") == "B"],
     )
     assert out.count() == 0
+
+
+# ---- scan declare (round 11): state variables -------------------------
+
+def test_scan_declare_additive_set_counter(spark):
+    rows = [(1, 1, "A", 10.0), (1, 2, "X", 99.0), (1, 3, "B", 20.0),
+            (1, 4, "A", 5.0), (1, 5, "B", 7.0),
+            (2, 1, "A", 1.0), (2, 2, "B", 2.0)]
+    df = spark.createDataFrame(rows, "k int, seq int, ev string, v double")
+    out = kql_to_df(
+        {"T": df},
+        "T | sort by seq asc | scan by k with_match_id=m"
+        " declare (total: real = 0, start_seq: long, cnt: long = 0)"
+        " with ("
+        " step s1: ev == 'A' => total = total + v, start_seq = seq,"
+        " cnt = cnt + 1;"
+        " step s2: ev == 'B' => total = total + v, cnt = cnt + 1)",
+    )
+    got = sorted(
+        (r["k"], r["seq"], r["m"], r["total"], r["start_seq"], r["cnt"])
+        for r in out.collect()
+    )
+    # running state per match, RESET at each new match (Kusto's
+    # per-sequence-instance variable lifetime); state on a row reflects
+    # that row's own assignments
+    assert got == [
+        (1, 1, 0, 10.0, 1, 1), (1, 3, 0, 30.0, 1, 2),
+        (1, 4, 1, 5.0, 4, 1), (1, 5, 1, 12.0, 4, 2),
+        (2, 1, 0, 1.0, 1, 1), (2, 2, 0, 3.0, 1, 2),
+    ]
+
+
+def test_scan_declare_defaults_and_null_propagation(spark):
+    rows = [(1, "A", None), (2, "B", 3.0), (3, "A", 1.0), (4, "B", 2.0)]
+    df = spark.createDataFrame(rows, "seq int, ev string, v double")
+    out = kql_to_df(
+        {"T": df},
+        "T | sort by seq asc | scan with_match_id=m"
+        " declare (tot: real = 0, untouched: long = 42) with ("
+        " step s1: ev == 'A' => tot = tot + v;"
+        " step s2: ev == 'B' => tot = tot + v)",
+    )
+    got = {r["seq"]: (r["tot"], r["untouched"]) for r in out.collect()}
+    # null contribution poisons the rest of ITS match (sequential
+    # null + x semantics), the next match starts clean; a declared var
+    # with no assignments stays at its default
+    assert got == {
+        1: (None, 42), 2: (None, 42), 3: (1.0, 42), 4: (3.0, 42),
+    }
+
+
+def test_scan_declare_errors_loud(spark):
+    df = spark.createDataFrame([(1, "A", 1.0)], "seq int, ev string, v double")
+    t = {"T": df}
+    with pytest.raises(ValueError, match="mixes additive and set"):
+        kql_to_df(
+            t, "T | sort by seq asc | scan declare (x: real = 0) with ("
+            " step s1: ev == 'A' => x = x + v;"
+            " step s2: ev == 'B' => x = v)",
+        )
+    with pytest.raises(ValueError, match="cross-variable"):
+        kql_to_df(
+            t, "T | sort by seq asc | scan"
+            " declare (x: real = 0, y: real = 0) with ("
+            " step s1: ev == 'A' => x = y + v;"
+            " step s2: ev == 'B')",
+        )
+    with pytest.raises(ValueError, match="declare"):
+        kql_to_df(
+            t, "T | sort by seq asc | scan with ("
+            " step s1: ev == 'A' => x = v; step s2: ev == 'B')",
+        )
+    with pytest.raises(ValueError, match="declared_var"):
+        kql_to_df(
+            t, "T | sort by seq asc | scan declare (x: real) with ("
+            " step s1: ev == 'A' => nope = v; step s2: ev == 'B')",
+        )
+    with pytest.raises(ValueError, match="name: type"):
+        kql_to_df(
+            t, "T | sort by seq asc | scan declare (x real) with ("
+            " step s1: ev == 'A'; step s2: ev == 'B')",
+        )
+
+
+def test_scan_declare_arrow_inside_literal_not_split(spark):
+    df = spark.createDataFrame(
+        [(1, "=>", 1.0), (2, "B", 2.0)], "seq int, ev string, v double"
+    )
+    out = kql_to_df(
+        {"T": df},
+        "T | sort by seq asc | scan declare (n: long = 0) with ("
+        " step s1: ev == '=>' => n = n + 1; step s2: ev == 'B')",
+    )
+    assert sorted((r["seq"], r["n"]) for r in out.collect()) == [
+        (1, 1), (2, 1)
+    ]
