@@ -31,10 +31,13 @@ one distributed plan), ``evaluate pivot(...)`` / ``bag_unpack(...)``,
 pre-collapsed weighted tuples, wildcards as NULL),
 ``evaluate diffpatterns(split, 'A', 'B' [, min_diff])`` (deterministic
 cohort differ on the same kernel),
-``scan [by keys] [with_match_id=N] with (step s: cond; ...)``
+``scan [by keys] [with_match_id=N] [declare (v: type [= default])]
+with (step s: cond [=> v = v + expr, w = expr]; ...)``
 (greedy single-active sequence matching — operators/scan.py;
 ``by`` is a dialect extension compiling Kusto's ``partition by key
-(scan ...)`` composition to one keyed distributed pass),
+(scan ...)`` composition to one keyed distributed pass; ``declare``
+state variables support additive / set per-step assignments compiled
+post-hoc as (key, match) windows, reset per match),
 ``union [withsource=]``, ``fork`` (multi-table result — via
 :func:`kql_fork`, which persists the shared prefix once;
 ``kql_to_df`` refuses a fork pipe loudly), ``print``
@@ -51,7 +54,11 @@ the term-operator family ``has``/``!has``/``has_cs``/``contains``/
 case-sensitive variants; all negations are null-safe — a null column
 does not match, so ``!has``/``!contains`` KEEP null rows)/
 ``matches regex``, and TRUE ``innerunique`` joins (left keys deduped
-with a deterministic pick). Joins accept ``hint.strategy=broadcast``
+with a deterministic pick); ``rightsemi``/``rightanti`` kinds emit the
+RIGHT table's rows with/without a left match (swapped Spark
+semi/anti). Serialize also provides ``row_rank_dense``/``row_rank_min``
+(consecutive-run ranks on windows.global_run_ranks — bucketed, no
+unpartitioned window). Joins accept ``hint.strategy=broadcast``
 (→ ``F.broadcast`` on the parenthesized side) / ``hint.strategy=
 shuffle`` / ``hint.shufflekey=col`` (→ Spark ``shuffle_hash``).
 ``facet by c1, c2`` flattens Kusto's per-column result tables into one
