@@ -292,6 +292,56 @@ def _ipv4_case(rng, ctx, i):
     _match(got, ctx["duck"], sql, f"ipv4#{i}: {q}")
 
 
+# ------------------------------------------------------------ row_rank
+def _rowrank_case(rng, ctx, i):
+    term = rng.choice(["et", "n % 2", "n % 3", "k"])
+    asc = rng.random() < 0.7
+    q = (
+        f"T | sort by ts {'asc' if asc else 'desc'}"
+        " | extend d = row_rank_dense(" + term + "),"
+        " m = row_rank_min(" + term + ")"
+        " | project ts, d, m"
+    )
+    got = kql_to_df({"T": ctx["ev"]}, q)
+    od = "ts" if asc else "ts DESC"
+    sql = f"""
+    WITH c AS (SELECT ts, ({term}) AS t,
+                 row_number() OVER (ORDER BY {od}) AS rn,
+                 lag(({term})) OVER (ORDER BY {od}) AS p
+               FROM EV),
+    d AS (SELECT *, SUM(CASE WHEN t IS DISTINCT FROM p THEN 1 ELSE 0 END)
+            OVER (ORDER BY rn) AS dr FROM c)
+    SELECT ts, CAST(dr AS BIGINT) AS d,
+           CAST(min(rn) OVER (PARTITION BY dr) AS BIGINT) AS m
+    FROM d
+    """
+    _match(got, ctx["duck"], sql, f"rowrank#{i}: {q}")
+
+
+# ------------------------------------------------- rightsemi/rightanti
+def _rightjoin_case(rng, ctx, i):
+    kind = rng.choice(["rightsemi", "rightanti"])
+    thr = rng.randrange(2, 9)
+    # left = filtered events, right = a derived dim of (k, label)
+    spark = ctx["spark"]
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "silver"), ("u9", "ghost")],
+        "k string, label string",
+    )
+    ctx["duck"].register("DIM", dim.toPandas())
+    q = (
+        f"T | where v > {thr}"
+        f" | join kind={kind} (D) on k"
+    )
+    got = kql_to_df({"T": ctx["ev"], "D": dim}, q)
+    ex = "EXISTS" if kind == "rightsemi" else "NOT EXISTS"
+    sql = (
+        f"SELECT k, label FROM DIM d WHERE {ex}"
+        f" (SELECT 1 FROM EV e WHERE e.v > {thr} AND e.k = d.k)"
+    )
+    _match(got, ctx["duck"], sql, f"rjoin#{i}: {q}")
+
+
 # ----------------------------------------------------------- parse-kv
 _KV_WORDS = ["red", "blue", "zz9", "tok", "W7", "mid"]
 
@@ -416,6 +466,12 @@ def test_fuzz_r11_scan_graph_ipv4_parse(fuzz_ctx):
         n_duck += 1
     for i in range(6):
         _gsp_case(rng, fuzz_ctx, i)
+        n_duck += 1
+    for i in range(6):
+        _rowrank_case(rng, fuzz_ctx, i)
+        n_duck += 1
+    for i in range(6):
+        _rightjoin_case(rng, fuzz_ctx, i)
         n_duck += 1
     for i in range(10):
         _ipv4_case(rng, fuzz_ctx, i)
