@@ -2673,6 +2673,53 @@ def kql_join_rightanti(spark, sf_dir):
 
 
 @query(
+    "kql_series_outliers",
+    """
+    WITH b AS (
+      SELECT user_id % 10 AS g, list_sort(list(value)) AS vals
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT g, vals,
+             list_sort(list_filter(vals, x -> x IS NOT NULL)) AS srt
+      FROM b
+    ),
+    q AS (
+      SELECT g, vals,
+             srt[CAST(round(0.10 * (len(srt) - 1)) AS INT) + 1] AS qlo,
+             srt[CAST(round(0.90 * (len(srt) - 1)) AS INT) + 1] AS qhi
+      FROM s
+    )
+    SELECT g, CAST(unnest(range(len(vals))) AS INT) AS ix,
+           unnest(list_transform(vals, x -> CASE
+             WHEN x IS NULL THEN NULL
+             WHEN qhi = qlo THEN 0.0
+             WHEN x > qhi THEN (x - qhi) / (qhi - qlo)
+             WHEN x < qlo THEN (x - qlo) / (qhi - qlo)
+             ELSE 0.0 END)) AS sc
+    FROM q
+    """,
+)
+def kql_series_outliers(spark, sf_dir):
+    """``series_outliers`` (round 11) — Tukey-fence anomaly scores as
+    PURE array SQL (sort/filter/transform inside the row, zero
+    shuffles beyond the grouping): nearest-rank quantiles over the
+    sorted non-null elements, ctukey p10/p90 fences (kind='tukey' for
+    p25/p75), score = distance outside the fence in fence-IQR units.
+    Exploded to rows so the DuckDB oracle compares raw doubles (never
+    printf strings)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | extend g = user_id % 10"
+        " | summarize vals = make_list(value) by g"
+        " | extend sc = series_outliers(vals)"
+        " | mv-expand with_itemindex=ix sc to typeof(real)"
+        " | project g, ix, sc",
+    ).selectExpr("g", "cast(ix as int) as ix", "sc")
+
+
+@query(
     "kql_row_rank",
     """
     WITH c AS (

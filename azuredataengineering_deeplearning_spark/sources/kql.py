@@ -811,6 +811,72 @@ def _expr(kql: str, now: str | None = None) -> str:
                 f"zip_with({a}, {b}, (__x, __y) -> __x {op} __y)"
             ),
         )
+
+    def _series_outliers(a, kind=None, *rest):
+        # Tukey-fence anomaly scores, pure array SQL. Dialect
+        # definition (documented; Kusto's exact interpolation is not
+        # published): quantiles are NEAREST-RANK over the sorted
+        # non-null elements — ctukey (default) fences at p10/p90,
+        # tukey at p25/p75; score = distance outside the fence in
+        # fence-IQR units (0 inside, null element -> null, constant
+        # series -> 0). |score| > 1.5 mild / > 3 strong, matching
+        # Kusto's reading of its own scores. Deterministic and
+        # cross-engine checkable (the oracle runs the same formula).
+        k = (kind or "'ctukey'").strip()
+        mm = re.match(rf"^{chr(0)}L(\d+){chr(0)}$", k)
+        if mm:  # quoted literal arrives masked — look it up
+            k = lits[int(mm.group(1))]
+        k = k.strip().strip("'").lower()
+        if k == "ctukey":
+            lo_p, hi_p = 0.10, 0.90
+        elif k == "tukey":
+            lo_p, hi_p = 0.25, 0.75
+        else:
+            raise ValueError(
+                f"series_outliers: kind must be ctukey|tukey, got {kind!r}"
+            )
+        # bind-once discipline (same trick as series_fill_linear):
+        # the input array, its sorted copy, and the fence struct each
+        # bind ONE time — a naive textual expansion re-SORTED the
+        # array per element (O(n^2 log n) per row; a 10k-element
+        # series never finished)
+        def _b1(arg, var, body):
+            return (
+                f"element_at(transform(array(({arg})),"
+                f" {var} -> {body}), 1)"
+            )
+
+        srt = (
+            "array_sort(filter(transform(__sa,"
+            " __x -> cast(__x as double)), __x -> __x is not null))"
+        )
+
+        def q(p):
+            return (
+                f"element_at(__ss, cast(round({p} *"
+                " (size(__ss) - 1)) as int) + 1)"
+            )
+
+        fences = (
+            f"named_struct('lo', {q(lo_p)}, 'hi', {q(hi_p)},"
+            " 'n', size(__ss))"
+        )
+        per = (
+            "transform(__sa, __x -> case"
+            " when __x is null then cast(null as double)"
+            " when __qf.n = 0 or __qf.hi = __qf.lo"
+            " then cast(0 as double)"
+            " when cast(__x as double) > __qf.hi then"
+            " (cast(__x as double) - __qf.hi) / (__qf.hi - __qf.lo)"
+            " when cast(__x as double) < __qf.lo then"
+            " (cast(__x as double) - __qf.lo) / (__qf.hi - __qf.lo)"
+            " else cast(0 as double) end)"
+        )
+        body = _b1(fences, "__qf", per)
+        body = _b1(srt, "__ss", body)
+        return _b1(a, "__sa", body)
+
+    s = _rewrite_call(s, "series_outliers", _series_outliers)
     # round-10 scalar batch: encodings + calendar + version ordering.
     # url_encode/url_decode keep their names (Kusto's form-encoding ==
     # Spark's java.net.URLEncoder semantics, space -> '+').

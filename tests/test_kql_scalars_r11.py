@@ -180,3 +180,34 @@ def test_join_rightsemi_rightanti(spark):
         " on $left.k == $right.k",
     )
     assert [tuple(r) for r in semi2.collect()] == [(2, "a")]
+
+
+def test_series_outliers_fences_and_edges(spark):
+    got = _one(
+        spark,
+        "series_outliers(pack_array(1.0, 2.0, 2.0, 3.0, 2.0, 100.0,"
+        " 2.0, 1.0, 2.0, -50.0))",
+    )
+    assert [round(x, 3) if x is not None else None for x in got] == [
+        0.0, 0.0, 0.0, 0.0, 0.0, 48.5, 0.0, 0.0, 0.0, -25.5
+    ]
+    # tukey kind uses p25/p75
+    got_t = _one(
+        spark,
+        "series_outliers(pack_array(1.0, 2.0, 2.0, 3.0, 2.0, 100.0,"
+        " 2.0, 1.0, 2.0, -50.0), 'tukey')",
+    )
+    assert round(got_t[5], 3) == 98.0 and round(got_t[3], 3) == 1.0
+    # constant series -> all zero; nulls stay null; empty -> empty
+    assert _one(spark, "series_outliers(pack_array(5.0, 5.0, 5.0))") == [
+        0.0, 0.0, 0.0
+    ]
+    # null element (shift pads one in) stays null in the score array
+    withnull = _one(
+        spark,
+        "series_outliers(array_shift_right("
+        "pack_array(1.0, 1.0, 1.0), 1))",
+    )
+    assert withnull[0] is None
+    with pytest.raises(ValueError, match="ctukey"):
+        _one(spark, "series_outliers(pack_array(1.0), 'frob')")
