@@ -2673,6 +2673,44 @@ def kql_join_rightanti(spark, sf_dir):
 
 
 @query(
+    "kql_series_fir",
+    """
+    WITH b AS (
+      SELECT user_id % 10 AS g, list_sort(list(value)) AS vals
+      FROM events GROUP BY 1
+    ),
+    f AS (SELECT g, vals, [1.0, 2.0, 1.0] AS w FROM b)
+    SELECT g, CAST(unnest(range(len(vals))) AS INT) AS ix,
+           unnest(list_transform(range(len(vals)), i ->
+             list_sum(list_transform(range(3), j ->
+               CASE WHEN i - j >= 0 AND i - j <= len(vals) - 1
+                 THEN w[j + 1] * vals[i - j + 1] ELSE 0.0 END))
+             / list_sum(list_transform(range(3), j ->
+               CASE WHEN i - j >= 0 AND i - j <= len(vals) - 1
+                 THEN w[j + 1] ELSE 0.0 END)))) AS y
+    FROM f
+    """,
+)
+def kql_series_fir(spark, sf_dir):
+    """``series_fir`` (round 11) — finite impulse response filter as
+    bind-once array SQL (operators/timeseries.series_fir_sql): taps
+    apply causally (filter[0] on the current element), normalization
+    defaults to Kusto's all-non-negative rule and divides by the sum
+    of taps actually used, so edges are partial windows exactly like
+    series_moving_avg. Exploded to rows; DuckDB twin runs the same
+    arithmetic with list lambdas."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events | extend g = user_id % 10"
+        " | summarize vals = make_list(value) by g"
+        " | extend y = series_fir(vals, dynamic([1, 2, 1]))"
+        " | mv-expand with_itemindex=ix y to typeof(real)"
+        " | project g, ix, y",
+    ).selectExpr("g", "cast(ix as int) as ix", "y")
+
+
+@query(
     "kql_series_outliers",
     """
     WITH b AS (

@@ -1471,6 +1471,80 @@ def series_stats_dynamic_sql(y_sql: str) -> str:
     return _bind1(_as_double_array(y_sql), "__y", guarded)
 
 
+def series_fir_sql(
+    y_sql: str,
+    f_sql: str,
+    normalize_sql: str | None = None,
+    center_sql: str = "false",
+) -> str:
+    """KQL ``series_fir(series, filter [, normalize [, center]])`` —
+    finite impulse response filter as bind-once array SQL (zero
+    shuffles, zero UDFs).
+
+    ``filter`` is an array expression (its coefficients apply with
+    ``filter[0]`` on the CURRENT element and later taps reaching back
+    in time; ``center=true`` centers the taps). ``normalize`` defaults
+    to Kusto's rule — normalize exactly when ALL coefficients are
+    non-negative (decided in SQL, so the filter needn't be a literal).
+    Edges use PARTIAL windows truncated at the series bounds, the same
+    discipline as :func:`series_moving_avg_sql`; when normalized the
+    divisor is the sum of the taps actually used, so a k-point
+    all-ones normalized FIR equals ``series_moving_avg(series, k)``
+    EXACTLY (pinned in tests). Un-normalized edges sum available taps
+    only (Kusto's exact edge padding is unpublished; documented
+    dialect). A normalized filter summing to 0 yields nulls
+    (try_divide)."""
+    center = center_sql.strip().lower() == "true"
+    if center_sql.strip().lower() not in ("true", "false"):
+        raise ValueError(
+            f"series_fir: center must be true|false, got {center_sql!r}"
+        )
+    norm_txt = (normalize_sql or "").strip().lower()
+    if norm_txt not in ("", "true", "false"):
+        raise ValueError(
+            f"series_fir: normalize must be true|false, got "
+            f"{normalize_sql!r}"
+        )
+    # tap j reads source index __i - j + back (back = 0 causal,
+    # (k-1)//2 centered)
+    back = "CAST((size(__f) - 1) / 2 AS INT)" if center else "0"
+    src = f"(__i - __j + ({back}))"
+    valid = f"({src} >= 0 AND {src} <= size(__y) - 1)"
+    num = (
+        "aggregate(sequence(0, size(__f) - 1), CAST(0 AS DOUBLE),"
+        f" (a, __j) -> a + IF({valid},"
+        f" element_at(__f, __j + 1) * element_at(__y, {src} + 1),"
+        " CAST(0 AS DOUBLE)))"
+    )
+    den = (
+        "aggregate(sequence(0, size(__f) - 1), CAST(0 AS DOUBLE),"
+        f" (a, __j) -> a + IF({valid},"
+        " element_at(__f, __j + 1), CAST(0 AS DOUBLE)))"
+    )
+    if norm_txt == "true":
+        per = _bind1(num, "__nu", _bind1(den, "__de", "try_divide(__nu, __de)"))
+    elif norm_txt == "false":
+        per = num
+    else:  # Kusto default: normalize iff every coefficient >= 0
+        per = _bind1(
+            num,
+            "__nu",
+            _bind1(
+                den,
+                "__de",
+                "IF(forall(__f, __v -> __v >= 0),"
+                " try_divide(__nu, __de), __nu)",
+            ),
+        )
+    body = (
+        "CASE WHEN __y IS NULL OR size(__y) = 0 OR __f IS NULL"
+        " OR size(__f) = 0 THEN __y "
+        f"ELSE transform(sequence(0, size(__y) - 1), __i -> {per}) END"
+    )
+    bound = _bind1(_as_double_array(f_sql), "__f", body)
+    return _bind1(_as_double_array(y_sql), "__y", bound)
+
+
 def series_fill_const_sql(y_sql: str, const_sql: str = "0.0") -> str:
     """KQL ``series_fill_const(series, c)``: null elements → c."""
     return (

@@ -211,3 +211,37 @@ def test_series_outliers_fences_and_edges(spark):
     assert withnull[0] is None
     with pytest.raises(ValueError, match="ctukey"):
         _one(spark, "series_outliers(pack_array(1.0), 'frob')")
+
+
+def test_series_fir_shapes(spark):
+    base = "pack_array(10.0, 20.0, 30.0, 40.0)"
+    # all-ones normalized FIR == moving average, EXACTLY (pinned
+    # consistency between the two kernels' edge disciplines)
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql_to_df(
+        {"T": df},
+        f"T | extend ma = series_moving_avg({base}, 2),"
+        f" f1 = series_fir({base}, dynamic([1, 1]))"
+        " | project same = series_equals(ma, f1)",
+    ).collect()[0]
+    assert r["same"] == [True, True, True, True]
+    # normalize=false: raw partial-window sums
+    assert _one(
+        spark, f"series_fir({base}, dynamic([1, 1]), false)"
+    ) == [10.0, 30.0, 50.0, 70.0]
+    # a negative coefficient disables Kusto's default normalization
+    assert _one(
+        spark, f"series_fir({base}, dynamic([2, -1]))"
+    ) == [20.0, 30.0, 40.0, 50.0]
+    # centered + normalized
+    assert _one(
+        spark, f"series_fir({base}, dynamic([1, 1, 1]), true, true)"
+    ) == [15.0, 20.0, 30.0, 35.0]
+    # zero-sum normalized filter: interior divisors are 0 -> null
+    # (try_divide); element 0 uses only the in-bounds tap (divisor 1),
+    # the partial-window edge discipline shared with series_moving_avg
+    assert _one(
+        spark, f"series_fir({base}, dynamic([1, -1]), true)"
+    ) == [10.0, None, None, None]
+    with pytest.raises(ValueError, match="normalize"):
+        _one(spark, f"series_fir({base}, dynamic([1]), frob)")
