@@ -2673,6 +2673,56 @@ def kql_join_rightanti(spark, sf_dir):
 
 
 @query(
+    "kql_series_iir",
+    """
+    WITH f AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                        / 86400000000) AS BIGINT) AS idx
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    ),
+    a AS (SELECT event_type, idx, CAST(COUNT(*) AS DOUBLE) AS n
+          FROM f GROUP BY 1, 2),
+    k AS (SELECT DISTINCT event_type FROM f),
+    spine AS (SELECT k.event_type, r.idx
+              FROM k CROSS JOIN range(0, 31) r(idx)),
+    s AS (SELECT spine.event_type, spine.idx, COALESCE(a.n, 0.0) AS n
+          FROM spine LEFT JOIN a
+            ON spine.event_type = a.event_type AND spine.idx = a.idx),
+    arr AS (SELECT event_type, list(n ORDER BY idx) AS xs
+            FROM s GROUP BY event_type)
+    SELECT event_type, CAST(unnest(range(31)) AS INT) AS ix,
+           unnest(list_transform(range(31), i ->
+             list_sum(list_transform(range(i + 1), m ->
+               pow(0.5, i - m) * 0.001 * xs[m + 1])))) AS y
+    FROM arr
+    """,
+)
+def kql_series_iir(spark, sf_dir):
+    """``series_iir`` (round 11) — IIR filter with zero initial
+    conditions (y[n] = (sum b*x - sum a[1:]*y_prev)/a[0]), built by one
+    sequential bind-once aggregate fold per row
+    (operators/timeseries.series_iir_sql). Here: exponential smoothing
+    (b=[0.001], a=[1, -0.5]) of the daily event-count series from
+    make-series. The oracle uses the first-order CLOSED FORM
+    y[i] = sum 0.5^(i-m) * b * x[m] — scaling by powers of two is
+    exact in binary, inputs are scaled to <= 0.1, so both float orders
+    agree far below the checker's 6-decimal rounding."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        "events"
+        " | make-series n = count() on ts from datetime(2024-01-01)"
+        " to datetime(2024-02-01) step 1d by event_type"
+        " | extend y = series_iir(n, dynamic([0.001]),"
+        " dynamic([1, -0.5]))"
+        " | mv-expand with_itemindex=ix y to typeof(real)"
+        " | project event_type, ix, y",
+    ).selectExpr("event_type", "cast(ix as int) as ix", "y")
+
+
+@query(
     "kql_series_fir",
     """
     WITH b AS (

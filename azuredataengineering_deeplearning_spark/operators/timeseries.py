@@ -1545,6 +1545,49 @@ def series_fir_sql(
     return _bind1(_as_double_array(y_sql), "__y", bound)
 
 
+def series_iir_sql(y_sql: str, b_sql: str, a_sql: str) -> str:
+    """KQL ``series_iir(series, b, a)`` — infinite impulse response
+    filter with ZERO initial conditions (Kusto's documented edge
+    semantics: inputs and outputs before the series start are 0):
+
+        y[n] = (sum_k b[k]*x[n-k]  -  sum_{j>=1} a[j]*y[n-j]) / a[0]
+
+    Bind-once array SQL: the output array is built by ONE sequential
+    aggregate fold over the element indices (the recursion is
+    inherently ordered), with the feed-forward and feedback sums as
+    inner aggregates over the coefficient indices. O(n * (|b| + |a|))
+    arithmetic plus O(n^2) accumulator copies — sized for make-series
+    outputs (hundreds of bins), not raw-row arrays. a[0] = 0 yields
+    nulls via try_divide."""
+    fwd = (
+        "aggregate(sequence(0, size(__b) - 1), CAST(0 AS DOUBLE),"
+        " (s, __k) -> s + IF(__i - __k >= 0,"
+        " element_at(__b, __k + 1) * element_at(__y, __i - __k + 1),"
+        " CAST(0 AS DOUBLE)))"
+    )
+    fb = (
+        "IF(size(__a) <= 1, CAST(0 AS DOUBLE),"
+        " aggregate(sequence(1, size(__a) - 1), CAST(0 AS DOUBLE),"
+        " (s, __j) -> s + IF(__i - __j >= 0,"
+        " element_at(__a, __j + 1) * element_at(acc, __i - __j + 1),"
+        " CAST(0 AS DOUBLE))))"
+    )
+    step = f"try_divide(({fwd}) - ({fb}), element_at(__a, 1))"
+    fold = (
+        "aggregate(sequence(0, size(__y) - 1),"
+        " CAST(array() AS ARRAY<DOUBLE>),"
+        f" (acc, __i) -> concat(acc, array({step})))"
+    )
+    body = (
+        "CASE WHEN __y IS NULL OR size(__y) = 0 OR __b IS NULL"
+        " OR size(__b) = 0 OR __a IS NULL OR size(__a) = 0"
+        f" THEN __y ELSE {fold} END"
+    )
+    bound = _bind1(_as_double_array(a_sql), "__a", body)
+    bound = _bind1(_as_double_array(b_sql), "__b", bound)
+    return _bind1(_as_double_array(y_sql), "__y", bound)
+
+
 def series_fill_const_sql(y_sql: str, const_sql: str = "0.0") -> str:
     """KQL ``series_fill_const(series, c)``: null elements → c."""
     return (

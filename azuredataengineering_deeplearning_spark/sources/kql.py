@@ -188,6 +188,7 @@ from azuredataengineering_deeplearning_spark.operators.timeseries import (
     series_fill_linear_sql,
     series_fit_line_sql,
     series_fir_sql,
+    series_iir_sql,
     series_moving_avg_sql,
     series_pearson_correlation_sql,
     series_stats_dynamic_sql,
@@ -981,6 +982,7 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = _rewrite_call(s, "series_fill_const", series_fill_const_sql)
     s = _rewrite_call(s, "series_moving_avg", series_moving_avg_sql)
     s = _rewrite_call(s, "series_fir", series_fir_sql)
+    s = _rewrite_call(s, "series_iir", series_iir_sql)
     # elementwise series arithmetic: pure transform/zip_with — O(n) per
     # row, zero shuffles. Operands are arrays of equal length (Kusto);
     # divide uses try_divide so a zero element yields null, not an

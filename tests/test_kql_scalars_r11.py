@@ -245,3 +245,25 @@ def test_series_fir_shapes(spark):
     ) == [10.0, None, None, None]
     with pytest.raises(ValueError, match="normalize"):
         _one(spark, f"series_fir({base}, dynamic([1]), frob)")
+
+
+def test_series_iir_recursion_and_edges(spark):
+    # impulse through y[n] = x[n] + 0.5 y[n-1]: exponential decay,
+    # zero initial conditions (Kusto's documented edge semantics)
+    assert _one(
+        spark,
+        "series_iir(pack_array(1.0, 0.0, 0.0, 0.0, 4.0),"
+        " dynamic([1]), dynamic([1, -0.5]))",
+    ) == [1.0, 0.5, 0.25, 0.125, 4.0625]
+    # a = [1] degenerates to an un-normalized FIR
+    assert _one(
+        spark,
+        "series_iir(pack_array(1.0, 0.0, 0.0), dynamic([1, 1]),"
+        " dynamic([1]))",
+    ) == [1.0, 1.0, 0.0]
+    # a[0] = 0 -> nulls via try_divide; empty series passes through
+    assert _one(
+        spark,
+        "series_iir(pack_array(1.0, 2.0), dynamic([1]),"
+        " dynamic([0, 1]))",
+    ) == [None, None]
