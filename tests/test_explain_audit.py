@@ -352,3 +352,41 @@ def test_graph_match_is_static_join_tree(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_shortest_paths_union_plus_one_pair_window(spark, sf_dir):
+    # bounded branch UNION of static join trees + exactly the min-hop
+    # selection window, PARTITIONED on the endpoint pair (never an
+    # unpartitioned window), no cartesian/BNLJ
+    plan = _plan(E.queries()["kql_graph_shortest_paths"](spark, sf_dir))
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan and "__sp_s" in plan  # keyed on the pair
+
+
+def test_row_rank_no_unpartitioned_window_no_minted_id_join(spark, sf_dir):
+    # the run-rank kernel: within-bucket windows partitioned by __rb
+    # (unpartitioned-window absence is enforced by tools/plan_lint.py);
+    # here pin that there is NO join back on a minted row id — the
+    # failure shape the first implementation had
+    plan = _plan(E.queries()["kql_row_rank"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "monotonically_increasing_id" not in plan
+
+
+def test_scan_declare_single_python_pass(spark, sf_dir):
+    # ONE Arrow-packed python pass (the scan matcher) + JVM windows for
+    # the state variables — not a second python stage per variable
+    plan = _plan(E.queries()["kql_scan_declare"](spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_series_rows_single_group_exchange(spark, sf_dir):
+    # the series_* array kernels are row-local: one grouping aggregate
+    # exchange, then pure higher-order SQL — no joins, no windows
+    for q in ("kql_series_outliers", "kql_series_fir"):
+        plan = _plan(E.queries()[q](spark, sf_dir))
+        assert "Join" not in plan, q
+        assert "Window" not in plan, q
