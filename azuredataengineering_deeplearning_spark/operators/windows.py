@@ -1168,7 +1168,17 @@ def global_run_ranks(
         if r is None or r["cnt"] == 0:
             continue
         ft = r["first_t"]["t"]
-        same = (ft == last_term) or (ft is None and last_term is None)
+        # Boundary comparison must MATCH the within-bucket eqNullSafe
+        # semantics: Spark treats NaN as equal to NaN (and NULL-safe
+        # equal to NULL), while Python has nan != nan — without the
+        # explicit NaN clause a NaN run spanning a bucket boundary
+        # would get a spurious dense-rank increment and a wrong
+        # row_rank_min carry.
+        same = (
+            (ft == last_term)
+            or (ft is None and last_term is None)
+            or (ft != ft and last_term != last_term)
+        )
         boundary = 0 if (have_prev and same) else 1
         bchg[b] = boundary
         if r["lastchg"] is not None:

@@ -1464,11 +1464,21 @@ def kql_to_df(
         elif op in ("extend", "serialize"):
             if op == "serialize" and not rest:
                 continue  # bare serialize: order already pinned by sort
+            assigns: list[tuple[str, str]] = []
             for part in _split_csv(rest):
                 m = re.match(r"^(\w+)\s*=\s*(.+)$", part)
                 if not m:
                     raise ValueError(f"extend needs name=expr: {part!r}")
-                df = _extend_one(df, m.group(1), m.group(2).strip(), now, order_spec)
+                assigns.append((m.group(1), m.group(2).strip()))
+            # row_rank calls hoist to the STAGE level so sibling
+            # assignments sharing a Term share one kernel pass
+            df, assigns, rr_drops = _hoist_row_ranks(
+                df, assigns, now, order_spec
+            )
+            for name, body in assigns:
+                df = _extend_one(df, name, body, now, order_spec)
+            if rr_drops:
+                df = df.drop(*rr_drops)
         elif op in ("take", "limit"):
             df = df.limit(int(rest))
         elif op == "sample":
@@ -3694,6 +3704,88 @@ def _top_nested(df: DataFrame, rest: str) -> DataFrame:
     return out
 
 
+def _hoist_row_ranks(
+    df: DataFrame,
+    assigns: list[tuple[str, str]],
+    now,
+    order_spec,
+) -> tuple[DataFrame, list[tuple[str, str]], list[str]]:
+    """Extract every ``row_rank_dense(Term)`` / ``row_rank_min(Term)``
+    call across ALL of one extend stage's assignments, run ONE
+    :func:`windows.global_run_ranks` kernel pass per DISTINCT Term, and
+    rewrite the calls into hidden-column references — so the common
+    ``extend d = row_rank_dense(T), m = row_rank_min(T)`` pays one
+    bounds sketch + one per-bucket stats collect, not one per
+    assignment.
+
+    Kernel shape (unchanged from the per-assignment version):
+    deterministic-bounds buckets, one per-bucket stats collect, literal
+    offsets, lazy within-bucket windows — never an unpartitioned
+    window, no checkpoint, no self-join.
+
+    Extraction is paren-BALANCED (:func:`_rewrite_call`), so nested
+    calls like ``row_rank_dense(tolower(t))`` resolve instead of
+    falling through to an opaque Spark 'undefined function' error.
+    Returns ``(df, rewritten_assigns, hidden_cols_to_drop)``."""
+    if not any(
+        re.search(r"\brow_rank_\w+\s*\(", b) for _, b in assigns
+    ):
+        return df, assigns, []
+    if order_spec is None:
+        raise ValueError(
+            "row_rank needs a preceding 'sort by' "
+            "(KQL serialize semantics)"
+        )
+    rank_calls: list[tuple[str, str, str]] = []
+
+    def _take(kind):
+        def _r(*args):
+            if len(args) != 1 or not args[0]:
+                raise ValueError(
+                    f"row_rank_{kind} needs exactly one Term column "
+                    "argument"
+                )
+            alias = f"__kqlrr{len(rank_calls)}"
+            rank_calls.append((alias, kind, args[0]))
+            return alias
+
+        return _r
+
+    rewritten: list[tuple[str, str]] = []
+    for name, body in assigns:
+        body = _rewrite_call(body, "row_rank_dense", _take("dense"))
+        body = _rewrite_call(body, "row_rank_min", _take("min"))
+        if re.search(r"\brow_rank_\w+\s*\(", body):
+            raise ValueError(
+                f"unsupported row_rank function in {body!r}: only "
+                "row_rank_dense(Term) and row_rank_min(Term) are "
+                "supported"
+            )
+        rewritten.append((name, body))
+    order_cols = _order_cols(order_spec)
+    by_term: dict[str, list[tuple[str, str]]] = {}
+    for alias, kind, term in rank_calls:
+        by_term.setdefault(term, []).append((alias, kind))
+    from azuredataengineering_deeplearning_spark.operators.windows import (
+        global_run_ranks,
+    )
+
+    for term, wants in by_term.items():
+        work = df.withColumn("__rrt", F.expr(_expr(term, now)))
+        want_min = any(kind == "min" for _, kind in wants)
+        ranked = global_run_ranks(
+            work, order_cols, "__rrt",
+            dense_out="__rrd",
+            min_out="__rrm" if want_min else None,
+        )
+        for alias, kind in wants:
+            ranked = ranked.withColumn(
+                alias, F.col("__rrd" if kind == "dense" else "__rrm")
+            )
+        df = ranked.drop("__rrt", "__rrd", "__rrm")
+    return df, rewritten, [a for a, _, _ in rank_calls]
+
+
 def _extend_one(
     df: DataFrame, name: str, body: str, now: str | None, order_spec: str | None
 ) -> DataFrame:
@@ -3750,68 +3842,15 @@ def _extend_one(
             ).drop("__kqlcs_v", "__kqlcs_r")
         out = df.withColumn(name, F.expr(_expr(body, now)))
         return out.drop(*[a for a, _ in calls])
-    if re.search(r"\brow_rank_(dense|min)\s*\(", body):
-        # row_rank_dense(Term): rank starts at 1 and advances whenever
-        # Term differs from the PREVIOUS row (consecutive runs, not a
-        # sort-based dense_rank); row_rank_min(Term): every row of a
-        # run gets the run's FIRST global row number. One dedicated
-        # kernel (windows.global_run_ranks — deterministic-bounds
-        # buckets, one per-bucket stats collect, literal offsets, lazy
-        # within-bucket windows) — never an unpartitioned window, no
-        # checkpoint, no self-join.
-        if order_spec is None:
-            raise ValueError(
-                f"row_rank in {body!r} needs a preceding 'sort by' "
-                "(KQL serialize semantics)"
-            )
-        rank_calls: list[tuple[str, str, str]] = []
-
-        def _take_rank(kind):
-            def _r(m):
-                alias = f"__kqlrr{len(rank_calls)}"
-                rank_calls.append((alias, kind, m.group(1).strip()))
-                return alias
-
-            return _r
-
-        body = re.sub(
-            r"\brow_rank_dense\(([^()]*)\)", _take_rank("dense"), body
+    if re.search(r"\brow_rank_\w+\s*\(", body):
+        # row_rank is extracted at the extend-STAGE level
+        # (_hoist_row_ranks) so sibling assignments share one kernel
+        # pass; a call reaching here means a non-stage entry point.
+        raise ValueError(
+            f"row_rank in {body!r} must go through the extend stage "
+            "(_hoist_row_ranks) — direct _extend_one calls are not a "
+            "supported entry point for row_rank_dense/row_rank_min"
         )
-        body = re.sub(
-            r"\brow_rank_min\(([^()]*)\)", _take_rank("min"), body
-        )
-        order_cols = _order_cols(order_spec)
-        for _, kind, term in rank_calls:
-            if not term:
-                raise ValueError(
-                    f"row_rank_{kind} needs a Term column argument"
-                )
-        # calls sharing a Term share ONE kernel pass (the common
-        # `extend d = row_rank_dense(T), m = row_rank_min(T)` runs
-        # global_run_ranks once — dense and min come out of the same
-        # within-bucket windows)
-        by_term: dict[str, list[tuple[str, str]]] = {}
-        for alias, kind, term in rank_calls:
-            by_term.setdefault(term, []).append((alias, kind))
-        for term, wants in by_term.items():
-            from azuredataengineering_deeplearning_spark.operators.windows import (
-                global_run_ranks,
-            )
-
-            work = df.withColumn("__rrt", F.expr(_expr(term, now)))
-            want_min = any(kind == "min" for _, kind in wants)
-            ranked = global_run_ranks(
-                work, order_cols, "__rrt",
-                dense_out="__rrd",
-                min_out="__rrm" if want_min else None,
-            )
-            for alias, kind in wants:
-                ranked = ranked.withColumn(
-                    alias, F.col("__rrd" if kind == "dense" else "__rrm")
-                )
-            df = ranked.drop("__rrt", "__rrd", "__rrm")
-        out = df.withColumn(name, F.expr(_expr(body, now)))
-        return out.drop(*[a for a, _, _ in rank_calls])
     if re.search(r"\b(row_number|prev|next)\s*\(", body):
         if order_spec is None:
             raise ValueError(
@@ -4073,9 +4112,22 @@ def _scan_kql(
                 + F.coalesce(F.sum(contrib).over(wrun), F.lit(0))
             )
         elif sets:
+            # Wrap the assigned value in a struct so a NULL-VALUED
+            # assignment is still "assigned": Kusto's sequential machine
+            # sets the variable to null when the RHS evaluates null
+            # (e.g. `t0 = nullable_col`), whereas F.last(ignorenulls)
+            # over the bare value would skip that row and silently keep
+            # the previous value/default. The struct is non-null exactly
+            # on assignment rows; its .v carries the (possibly null)
+            # assigned value.
             marked = _case(sets, None)
-            val = F.coalesce(
-                F.last(marked, ignorenulls=True).over(wrun), F.expr(dflt)
+            wrapped = F.when(
+                F.col("__scanstep").isin([j for j, _ in sets]),
+                F.struct(marked.alias("v")),
+            )
+            last = F.last(wrapped, ignorenulls=True).over(wrun)
+            val = F.when(last.isNotNull(), last["v"]).otherwise(
+                F.expr(dflt)
             )
         else:
             val = F.expr(dflt)
@@ -4381,9 +4433,15 @@ def kql_fork(
     one mainstream tabular operator the dialect lacked (r10 verdict
     "What's missing" #4)."""
     stages = _split_pipe(query.strip())
+    for i, s in enumerate(stages):
+        if not s.strip():
+            raise ValueError(
+                f"kql_fork: empty pipe stage at position {i} "
+                "(doubled or trailing '|')"
+            )
     fork_at = [
         i for i, s in enumerate(stages)
-        if s.split(None, 1)[0] == "fork" or s.strip() == "fork"
+        if s.split(None, 1)[0] == "fork"
     ]
     if not fork_at:
         raise ValueError("kql_fork: no fork stage in the pipe")

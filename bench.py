@@ -90,6 +90,17 @@ HEADLINE = [
     # join trees
     "kql_activity_metrics",
     "kql_graph_match",
+    # round 12 refresh (r11 verdict ask #2): the expensive r11-new rows
+    # enter the headline set so round-over-round tracking covers the
+    # newest surface — sequential state variables (MapInPandas + JVM
+    # state windows), the bucketed run-rank kernel, the bind-once FIR
+    # array kernel, bounded-branch shortest paths, and the shared-prefix
+    # multi-branch fork (timed via its catalog row)
+    "kql_scan_declare",
+    "kql_row_rank",
+    "kql_series_fir",
+    "kql_graph_shortest_paths",
+    "kql_fork",
 ]
 
 

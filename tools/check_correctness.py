@@ -62,6 +62,50 @@ ROWS_ONLY_CONTRACTS: dict[str, dict[str, str]] = {
 }
 
 
+# Full-oracle queries EXPECTED to return 0 rows at sweep scale. Any
+# OTHER full-oracle query returning 0 rows on BOTH sides is a VACUOUS
+# pass — a 0-row Spark frame hash-matches a 0-row oracle no matter how
+# wrong the query logic is (r10 shipped three of those; r11 fixed them
+# by hand). The tripwire makes recurrence impossible: 0-row results
+# FAIL unless whitelisted here with a reason.
+EXPECTED_EMPTY: set[str] = set()
+
+
+def compare_entry(
+    name: str,
+    spark_hash: tuple[int, list[str], str],
+    oracle_hash: tuple[int, list[str], str],
+    expected_empty: set[str] = EXPECTED_EMPTY,
+) -> tuple[dict, str | None]:
+    """Compare (rows, cols, value-hash) triples for one full-oracle
+    query. Returns (report entry, failure reason or None). A 0-row
+    match is a FAILURE unless the query is on the expected-empty
+    whitelist (vacuous-oracle tripwire, r12)."""
+    sn, sc, sh = spark_hash
+    on_, oc, oh = oracle_hash
+    entry = {
+        "rows_match": sn == on_,
+        "schema_match": sc == oc,
+        "hash_match": sh == oh,
+        "spark_rows": sn,
+        "oracle_rows": on_,
+        "err": None,
+    }
+    if sn != on_:
+        return entry, f"rowcount spark={sn} oracle={on_}"
+    if sc != oc:
+        return entry, f"columns spark={sc} oracle={oc}"
+    if sh != oh:
+        return entry, f"value hash mismatch ({sn} rows)"
+    if sn == 0 and name not in expected_empty:
+        entry["vacuous"] = True
+        return entry, (
+            "vacuous oracle: spark AND oracle returned 0 rows "
+            "(whitelist in EXPECTED_EMPTY if genuinely empty)"
+        )
+    return entry, None
+
+
 def canon_cell(v) -> str:
     import datetime
     import math
@@ -162,29 +206,15 @@ def main() -> int:
             report[name] = {"err": f"duckdb error: {str(e)[:200]}"}
             print(f"FAIL {name}: duckdb error {str(e)[:200]}")
             continue
-        sn, sc, sh = frame_hash(sdf)
-        on_, oc, oh = frame_hash(odf)
-        report[name] = {
-            "rows_match": sn == on_,
-            "schema_match": sc == oc,
-            "hash_match": sh == oh,
-            "spark_rows": sn,
-            "oracle_rows": on_,
-            "err": None,
-        }
-        if sn != on_:
-            failed.append((name, f"rowcount {sn} != {on_}"))
-            print(f"FAIL {name}: rowcount spark={sn} oracle={on_}")
-        elif sc != oc:
-            failed.append((name, f"cols {sc} != {oc}"))
-            print(f"FAIL {name}: columns spark={sc} oracle={oc}")
-        elif sh != oh:
-            failed.append((name, "value hash mismatch"))
-            # show a small diff aid
-            print(f"FAIL {name}: value hash mismatch ({sn} rows)")
+        entry, why = compare_entry(name, frame_hash(sdf), frame_hash(odf))
+        report[name] = entry
+        if why is not None:
+            failed.append((name, why))
+            print(f"FAIL {name}: {why}")
         else:
             passed += 1
-            print(f"ok   {name}  ({sn} rows, {time.time()-t0:.1f}s)")
+            print(f"ok   {name}  ({entry['spark_rows']} rows, "
+                  f"{time.time()-t0:.1f}s)")
 
     print(
         f"\n{passed} ok, {rows_only} rows-only, {len(failed)} failed"
