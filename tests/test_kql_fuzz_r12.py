@@ -1,0 +1,439 @@
+"""Round-12 fuzzer extension (verdict r11 ask #1): the r11 kernels the
+r11 fuzzer did NOT cover — series_fir / series_iir / series_outliers
+and the `scan declare` state-variable compilation — get seeded-random
+generated cases asserted against INDEPENDENT DuckDB twins (34+ cases).
+
+Twin constructions:
+
+- series_fir: the twin is DuckDB list-lambda arithmetic — windowed dot
+  product with partial edge windows, the back-offset computed from the
+  generated center flag, and the normalize decision replayed by the
+  GENERATOR from the coefficients it drew (vs the engine's SQL
+  `forall` decision). Tap order matches, so sums are bit-identical.
+- series_iir order-1 feedback: closed form
+  y[i] = sum_m (fwd[m]/a0) * r^(i-m), r = -a1/a0 drawn from powers of
+  two so the power weights are exact; inputs scaled small so the
+  different summation orders agree far below the checker's 6-decimal
+  rounding (same discipline as the kql_series_iir catalog oracle).
+- series_iir order-2 feedback: convolution identity
+  y = u * h with u[m] = fwd[m]/a0 and h the AR impulse response,
+  h[t] = (A^t)[0,0] for the companion matrix A — computed by NUMPY
+  matrix powers (a foreign algorithm: matrix exponentiation vs the
+  engine's sequential fold), embedded as literals; DuckDB does the
+  convolution. AR roots are drawn strictly inside the unit circle.
+- series_outliers: nearest-rank quantiles + Tukey fence replayed in
+  DuckDB list lambdas (the documented dialect formula). Generated
+  NON-NULL counts avoid exact .5 rounding boundaries in p*(n-1) so
+  Spark HALF_UP vs DuckDB away-from-zero can never disagree; null
+  elements and constant series are generated too.
+- scan declare: the r11 scan K=2 disjoint-predicate closed form gives
+  (row, match) in SQL; state variables are then PER-MATCH WINDOWS over
+  the matched rows — additive vars as default + running SUM with the
+  null-poisoning prefix flag, set vars as a last-assigned-row lookup
+  (rn of the last assignment joined back to its value, so a NULL-valued
+  assignment stays an assignment — the r12 medium-advice semantics).
+"""
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+)
+from check_correctness import frame_hash  # noqa: E402
+
+
+def _match(got_df, duck, sql, label):
+    got, want = frame_hash(got_df.toPandas()), frame_hash(duck.sql(sql).df())
+    # 0-row == 0-row is a VACUOUS pass (same tripwire as the sweep);
+    # every generated case here produces rows by construction
+    assert got[0] > 0, f"VACUOUS CASE [{label}]\n sql: {sql}"
+    assert got == want, f"DUCKDB MISMATCH [{label}]\n sql: {sql}"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    return duckdb.connect()
+
+
+def _register_series(spark, duck, name, series):
+    """series: list of (rid, [float|None, ...]). Returns the Spark df
+    (rid int, y array<double>); registers the EXPLODED rows in DuckDB
+    as {name}(rid, idx, y)."""
+    import pandas as pd
+
+    sdf = spark.createDataFrame(series, "rid int, y array<double>")
+    rows = [
+        (rid, i, v)
+        for rid, ys in series
+        for i, v in enumerate(ys)
+    ]
+    duck.register(
+        name,
+        pd.DataFrame(rows, columns=["rid", "idx", "y"]).astype(
+            {"rid": "int64", "idx": "int64", "y": "float64"}
+        ),
+    )
+    return sdf
+
+
+def _gen_series(rng, n_rids, lens, null_p=0.0, scale=10.0):
+    out = []
+    for rid in range(n_rids):
+        n = rng.choice(lens)
+        ys = [
+            None
+            if rng.random() < null_p
+            else round(rng.uniform(-scale, scale), 3)
+            for _ in range(n)
+        ]
+        out.append((rid, ys))
+    return out
+
+
+def _lit_list(vals):
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+# ------------------------------------------------------------ series_fir
+def _fir_case(rng, spark, duck, i):
+    k = rng.randrange(1, 5)
+    center = rng.random() < 0.4
+    mode = rng.choice(["default", "true", "false"])
+    if mode == "true":
+        # explicit normalize: keep taps strictly positive so no edge
+        # window can sum to 0 (try_divide null — unit-tested, not fuzzed)
+        coeffs = [rng.randrange(1, 6) for _ in range(k)]
+    else:
+        coeffs = [rng.randrange(-3, 6) or 1 for _ in range(k)]
+    series = _gen_series(rng, 5, [1, 2, 8, 15])
+    sdf = _register_series(spark, duck, "SFIR", series)
+    args = "y, dynamic(" + _lit_list(coeffs) + ")"
+    if mode != "default":
+        args += f", {mode}"
+        if center:
+            args += ", true"
+    elif center:
+        args += ", , true"  # empty normalize slot keeps Kusto default
+    q = (
+        f"T | extend fy = series_fir({args})"
+        " | mv-expand with_itemindex=ix fy to typeof(real)"
+        " | project rid, ix, fy"
+    )
+    got = kql_to_df({"T": sdf}, q).selectExpr(
+        "rid", "cast(ix as int) as ix", "fy"
+    )
+    # the generator REPLAYS the normalize decision from the taps it drew
+    normalize = mode == "true" or (
+        mode == "default" and all(c >= 0 for c in coeffs)
+    )
+    back = (k - 1) // 2 if center else 0
+    w = _lit_list(coeffs)
+    src = f"(i - j + {back})"
+    valid = f"({src} >= 0 AND {src} <= len(xs) - 1)"
+    num = (
+        f"list_sum(list_transform(range({k}), j -> CASE WHEN {valid}"
+        f" THEN ({w})[j + 1] * xs[{src} + 1] ELSE 0.0 END))"
+    )
+    den = (
+        f"list_sum(list_transform(range({k}), j -> CASE WHEN {valid}"
+        f" THEN ({w})[j + 1] ELSE 0.0 END))"
+    )
+    per = f"({num}) / ({den})" if normalize else num
+    sql = f"""
+    WITH arr AS (SELECT rid, list(y ORDER BY idx) AS xs
+                 FROM SFIR GROUP BY rid)
+    SELECT rid, CAST(unnest(range(len(xs))) AS INT) AS ix,
+           unnest(list_transform(range(len(xs)), i -> {per})) AS fy
+    FROM arr
+    """
+    _match(got, duck, sql, f"fir#{i}: {q}")
+
+
+# ------------------------------------------------------------ series_iir
+def _iir1_case(rng, spark, duck, i):
+    a0 = rng.choice([1.0, 2.0])
+    r = rng.choice([0.5, -0.5, 0.25, 0.0])
+    a1 = -r * a0
+    nb = rng.randrange(1, 4)
+    # b scaled small: both engines' float orders agree << 1e-6
+    b = [round(rng.uniform(-1, 1), 3) * 0.001 for _ in range(nb)]
+    series = _gen_series(rng, 4, [6, 12, 25])
+    sdf = _register_series(spark, duck, "SIIR", series)
+    q = (
+        f"T | extend y2 = series_iir(y, dynamic({_lit_list(b)}),"
+        f" dynamic({_lit_list([a0, a1])}))"
+        " | mv-expand with_itemindex=ix y2 to typeof(real)"
+        " | project rid, ix, y2"
+    )
+    got = kql_to_df({"T": sdf}, q).selectExpr(
+        "rid", "cast(ix as int) as ix", "y2"
+    )
+    bl = _lit_list(b)
+    fwd = (
+        f"list_sum(list_transform(range({nb}), kk -> CASE"
+        f" WHEN m - kk >= 0 THEN ({bl})[kk + 1] * xs[m - kk + 1]"
+        " ELSE 0.0 END))"
+    )
+    sql = f"""
+    WITH arr AS (SELECT rid, list(y ORDER BY idx) AS xs
+                 FROM SIIR GROUP BY rid)
+    SELECT rid, CAST(unnest(range(len(xs))) AS INT) AS ix,
+           unnest(list_transform(range(len(xs)), i ->
+      list_sum(list_transform(range(i + 1), m ->
+        power({r!r}, i - m) * ({fwd}) / {a0!r})))) AS y2
+    FROM arr
+    """
+    _match(got, duck, sql, f"iir1#{i}: {q}")
+
+
+def _iir2_case(rng, spark, duck, i):
+    # AR(2) feedback with roots strictly inside the unit circle
+    p, qq = rng.choice([(0.9, -0.2), (0.5, 0.06), (0.0, -0.25)])
+    a0 = rng.choice([1.0, 2.0])
+    a1, a2 = -p * a0, -qq * a0
+    nb = rng.randrange(1, 3)
+    b = [round(rng.uniform(-1, 1), 3) * 0.001 for _ in range(nb)]
+    series = _gen_series(rng, 4, [8, 16])
+    max_n = max(len(ys) for _, ys in series)
+    sdf = _register_series(spark, duck, "SIIR2", series)
+    q = (
+        f"T | extend y2 = series_iir(y, dynamic({_lit_list(b)}),"
+        f" dynamic({_lit_list([a0, a1, a2])}))"
+        " | mv-expand with_itemindex=ix y2 to typeof(real)"
+        " | project rid, ix, y2"
+    )
+    got = kql_to_df({"T": sdf}, q).selectExpr(
+        "rid", "cast(ix as int) as ix", "y2"
+    )
+    # impulse response of the AR part via numpy companion-matrix powers
+    # (matrix exponentiation — a different algorithm than the engine's
+    # sequential fold)
+    A = np.array([[p, qq], [1.0, 0.0]])
+    h = [
+        float(np.linalg.matrix_power(A, t)[0, 0]) for t in range(max_n)
+    ]
+    bl, hl = _lit_list(b), _lit_list(h)
+    fwd = (
+        f"list_sum(list_transform(range({nb}), kk -> CASE"
+        f" WHEN m - kk >= 0 THEN ({bl})[kk + 1] * xs[m - kk + 1]"
+        " ELSE 0.0 END))"
+    )
+    sql = f"""
+    WITH arr AS (SELECT rid, list(y ORDER BY idx) AS xs
+                 FROM SIIR2 GROUP BY rid)
+    SELECT rid, CAST(unnest(range(len(xs))) AS INT) AS ix,
+           unnest(list_transform(range(len(xs)), i ->
+      list_sum(list_transform(range(i + 1), m ->
+        ({hl})[i - m + 1] * ({fwd}) / {a0!r})))) AS y2
+    FROM arr
+    """
+    _match(got, duck, sql, f"iir2#{i}: {q}")
+
+
+# -------------------------------------------------------- series_outliers
+# non-null counts where round(p*(nn-1)) sits away from a .5 boundary for
+# every fence percentile (.10/.90/.25/.75) — Spark HALF_UP and DuckDB
+# away-from-zero can only disagree on float products landing near .5
+_SAFE_NN = [9, 12, 20, 24]
+
+
+def _outliers_case(rng, spark, duck, i):
+    kind = rng.choice(["ctukey", "tukey", "default"])
+    lo_p, hi_p = (0.25, 0.75) if kind == "tukey" else (0.10, 0.90)
+    constant = rng.random() < 0.2
+    series = []
+    for rid in range(5):
+        nn = rng.choice(_SAFE_NN)
+        if constant:
+            vals = [7.5] * nn
+        else:
+            vals = [round(rng.uniform(-50, 50), 3) for _ in range(nn)]
+        # sprinkle nulls ON TOP so the non-null count stays safe
+        for _ in range(rng.randrange(0, 4)):
+            vals.insert(rng.randrange(len(vals) + 1), None)
+        series.append((rid, vals))
+    sdf = _register_series(spark, duck, "SOUT", series)
+    arg = "y" if kind == "default" else f"y, '{kind}'"
+    q = (
+        f"T | extend sc = series_outliers({arg})"
+        " | mv-expand with_itemindex=ix sc to typeof(real)"
+        " | project rid, ix, sc"
+    )
+    got = kql_to_df({"T": sdf}, q).selectExpr(
+        "rid", "cast(ix as int) as ix", "sc"
+    )
+    sql = f"""
+    WITH arr AS (SELECT rid, list(y ORDER BY idx) AS xs
+                 FROM SOUT GROUP BY rid),
+    s AS (SELECT rid, xs,
+            list_sort(list_filter(xs, x -> x IS NOT NULL)) AS srt
+          FROM arr),
+    qf AS (SELECT rid, xs,
+             srt[CAST(round({lo_p} * (len(srt) - 1)) AS INT) + 1] AS lo,
+             srt[CAST(round({hi_p} * (len(srt) - 1)) AS INT) + 1] AS hi,
+             len(srt) AS nn
+           FROM s)
+    SELECT rid, CAST(unnest(range(len(xs))) AS INT) AS ix,
+           unnest(list_transform(xs, x -> CASE
+      WHEN x IS NULL THEN NULL
+      WHEN nn = 0 OR hi = lo THEN 0.0
+      WHEN x > hi THEN (x - hi) / (hi - lo)
+      WHEN x < lo THEN (x - lo) / (hi - lo)
+      ELSE 0.0 END)) AS sc
+    FROM qf
+    """
+    _match(got, duck, sql, f"outliers#{i}: {q}")
+
+
+# --------------------------------------------------------- scan declare
+ETS = ["start", "mid", "done", "err", "ping"]
+
+
+@pytest.fixture(scope="module")
+def scan_ctx(spark, duck):
+    rng = random.Random(1207)
+    rows = []
+    for i in range(150):
+        rows.append(
+            (
+                ["u1", "u2", "u3"][i % 3],
+                i,
+                ETS[rng.randrange(len(ETS))],
+                round(rng.random() * 10, 3),
+                rng.randrange(7),
+            )
+        )
+    ev = spark.createDataFrame(
+        rows, "k string, ts int, et string, v double, n int"
+    ).cache()
+    ev.count()
+    duck.register("EV", ev.toPandas())
+    yield {"ev": ev}
+    ev.unpersist()
+
+
+def _scan_declare_case(rng, ctx, spark, duck, i):
+    e1, e2 = rng.sample(ETS, 2)  # distinct -> disjoint step predicates
+    keyed = rng.random() < 0.6
+    # additive var: tot = tot + <expr>, assigned on step 1, step 2, or
+    # both; <expr> is nullable via iff so null-poisoning is exercised
+    nullable = rng.random() < 0.5
+    expr_kql = "iff(n == 3, todouble(null), v)" if nullable else "v"
+    expr_sql = "CASE WHEN n = 3 THEN NULL ELSE v END" if nullable else "v"
+    add_steps = rng.choice([(0,), (1,), (0, 1)])
+    # set var: lastn = n, assigned on one random step (a NULL-valued
+    # set assignment is exercised through setv below)
+    set_nullable = rng.random() < 0.5
+    setv_kql = "iff(n == 5, tolong(null), n)" if set_nullable else "n"
+    setv_sql = "CASE WHEN n = 5 THEN NULL ELSE n END" if set_nullable else "n"
+    set_step = rng.randrange(2)
+
+    s1_assigns = []
+    s2_assigns = []
+    if 0 in add_steps:
+        s1_assigns.append(f"tot = tot + {expr_kql}")
+    if 1 in add_steps:
+        s2_assigns.append(f"tot = tot + {expr_kql}")
+    (s1_assigns if set_step == 0 else s2_assigns).append(
+        f"lastn = {setv_kql}"
+    )
+    s1 = f"step s1: et == '{e1}'" + (
+        " => " + ", ".join(s1_assigns) if s1_assigns else ""
+    )
+    s2 = f"step s2: et == '{e2}'" + (
+        " => " + ", ".join(s2_assigns) if s2_assigns else ""
+    )
+    q = (
+        "T | sort by ts asc | scan "
+        + ("by k " if keyed else "")
+        + "with_match_id=m declare (tot: real = 0, lastn: long = -1)"
+        f" with ({s1}; {s2})"
+        " | project ts, m, tot, lastn"
+    )
+    got = kql_to_df({"T": ctx["ev"]}, q)
+    pk = "PARTITION BY k " if keyed else ""
+    # per-row contribution by step (step 0 = rn1 hits, step 1 = rn2)
+    contrib = (
+        f"CASE WHEN step IN ({', '.join(str(s) for s in add_steps)})"
+        f" THEN ({expr_sql}) ELSE 0 END"
+    )
+    wrun = (
+        f"PARTITION BY {'k, ' if keyed else ''}m ORDER BY rn"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    sql = f"""
+    WITH c AS (SELECT *, row_number() OVER ({pk}ORDER BY ts) AS rn FROM EV),
+    c2 AS (SELECT *, max(CASE WHEN et = '{e2}' THEN rn END)
+             OVER ({pk}ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prevp2 FROM c),
+    pairs AS (
+      SELECT b.k AS bk, min(a.rn) AS rn1, b.rn AS rn2
+      FROM (SELECT k, rn, coalesce(prevp2, 0) AS pp
+            FROM c2 WHERE et = '{e2}') b
+      JOIN (SELECT k, rn FROM c WHERE et = '{e1}') a
+        ON {"a.k = b.k AND " if keyed else ""}a.rn > b.pp AND a.rn < b.rn
+      GROUP BY b.k, b.rn, b.pp
+    ),
+    mids AS (SELECT bk, rn1, rn2,
+               row_number() OVER ({"PARTITION BY bk " if keyed else ""}
+                 ORDER BY rn2) - 1 AS m FROM pairs),
+    hits AS (SELECT bk, rn1 AS rn, m, 0 AS step FROM mids
+             UNION ALL SELECT bk, rn2, m, 1 FROM mids),
+    mrows AS (SELECT c.*, h.m, h.step
+              FROM c JOIN hits h
+                ON {"c.k = h.bk AND " if keyed else ""}c.rn = h.rn),
+    st AS (
+      SELECT ts, m, rn, {'k,' if keyed else ''}
+        CASE WHEN max(CASE WHEN step IN
+               ({', '.join(str(s) for s in add_steps)})
+               AND ({expr_sql}) IS NULL THEN 1 ELSE 0 END)
+             OVER ({wrun}) = 1
+          THEN NULL
+          ELSE 0 + coalesce(SUM({contrib}) OVER ({wrun}), 0) END AS tot,
+        max(CASE WHEN step = {set_step} THEN rn END)
+          OVER ({wrun}) AS lastrn
+      FROM mrows
+    )
+    SELECT st.ts, CAST(st.m AS BIGINT) AS m, CAST(st.tot AS DOUBLE) AS tot,
+           CAST(CASE WHEN st.lastrn IS NULL THEN -1
+                ELSE (SELECT {setv_sql} FROM c WHERE c.rn = st.lastrn
+                      {'AND c.k = st.k' if keyed else ''})
+                END AS BIGINT) AS lastn
+    FROM st
+    """
+    _match(got, duck, sql, f"scandecl#{i}: {q}")
+
+
+# ----------------------------------------------------------- the sweep
+def test_fuzz_r12_series_and_scan_declare(spark, duck, scan_ctx):
+    rng = random.Random(20260817)
+    n = 0
+    for i in range(10):
+        _fir_case(rng, spark, duck, i)
+        n += 1
+    for i in range(5):
+        _iir1_case(rng, spark, duck, i)
+        n += 1
+    for i in range(3):
+        _iir2_case(rng, spark, duck, i)
+        n += 1
+    for i in range(6):
+        _outliers_case(rng, spark, duck, i)
+        n += 1
+    for i in range(10):
+        _scan_declare_case(rng, scan_ctx, spark, duck, i)
+        n += 1
+    assert n >= 34
