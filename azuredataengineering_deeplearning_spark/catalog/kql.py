@@ -3152,3 +3152,201 @@ def kql_diffpatterns_text(spark, sf_dir):
         {"t": ev},
         "t | evaluate diffpatterns_text(msg, cohort, 'lo', 'hi', 0.0001)",
     )
+
+
+@query(
+    "kql_series_decompose",
+    _SERIES_COUNT_CTE
+    + """,
+    fit AS (SELECT event_type, regr_slope(y, i) AS m,
+                   regr_intercept(y, i) AS b
+            FROM s GROUP BY 1),
+    tl AS (SELECT s.event_type, s.i, s.y, f.b + f.m * s.i AS t
+           FROM s JOIN fit f USING (event_type)),
+    cm AS (SELECT event_type, i % 7 AS r, AVG(y - t) AS sm
+           FROM tl GROUP BY 1, 2)
+    SELECT tl.event_type, CAST(tl.i AS INT) AS ix,
+           tl.t + cm.sm AS base, cm.sm AS seas, tl.t AS trend_v,
+           tl.y - (tl.t + cm.sm) AS resid
+    FROM tl JOIN cm ON tl.event_type = cm.event_type AND tl.i % 7 = cm.r
+    """,
+)
+def kql_series_decompose(spark, sf_dir):
+    """KQL ``series_decompose(series, period, trend)`` (round 12) —
+    one-pass trend-then-seasonal decomposition as bind-once array SQL
+    (operators/timeseries.series_decompose_sql): least-squares trend
+    (the shared fit-line kernel), seasonal = per-period-class means of
+    the detrended series, baseline = trend + seasonal, residual =
+    series − baseline. Weekly period over daily event counts; the
+    oracle rebuilds every component relationally (regr_* fit +
+    grouped AVG by i % 7)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend d = series_decompose(n, 7)
+        | project event_type, d
+        """,
+    )
+    return df.selectExpr(
+        "event_type",
+        "posexplode(arrays_zip(d.baseline, d.seasonal, d.trend,"
+        " d.residual)) AS (ix, z)",
+    ).selectExpr(
+        "event_type", "cast(ix as int) as ix",
+        "z.baseline as base", "z.seasonal as seas",
+        "z.trend as trend_v", "z.residual as resid",
+    )
+
+
+@query(
+    "kql_series_decompose_forecast",
+    _SERIES_COUNT_CTE
+    + """,
+    fit AS (SELECT event_type, regr_slope(y, i) AS m,
+                   regr_intercept(y, i) AS b
+            FROM s WHERE i < 24 GROUP BY 1),
+    tl AS (SELECT s.event_type, s.i, f.b + f.m * s.i AS t
+           FROM s JOIN fit f USING (event_type)),
+    d AS (SELECT s.event_type, s.i, s.y - (f.b + f.m * s.i) AS dv
+          FROM s JOIN fit f USING (event_type) WHERE s.i < 24),
+    cm AS (SELECT event_type, i % 7 AS r, AVG(dv) AS sm
+           FROM d GROUP BY 1, 2)
+    SELECT tl.event_type, CAST(tl.i AS INT) AS ix, tl.t + cm.sm AS f
+    FROM tl JOIN cm ON tl.event_type = cm.event_type AND tl.i % 7 = cm.r
+    """,
+)
+def kql_series_decompose_forecast(spark, sf_dir):
+    """KQL ``series_decompose_forecast(series, points, period)``
+    (round 12) — the decomposition model fitted on the series WITHOUT
+    its last 7 bins, its baseline emitted over the full month, so the
+    trailing week is a true out-of-sample forecast. The period
+    autodetection never peeks at the forecast region (trained on the
+    prefix only). Oracle: the same model relationally with the
+    training filter i < 24."""
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend f = series_decompose_forecast(n, 7, 7)
+        | mv-expand with_itemindex=ix f to typeof(real)
+        | project event_type, ix, f
+        """,
+    )
+    return df.selectExpr("event_type", "cast(ix as int) as ix", "f")
+
+
+@query(
+    "kql_series_periods_detect",
+    _SERIES_COUNT_CTE
+    + """,
+    st AS (SELECT event_type, AVG(y) AS mu FROM s GROUP BY 1),
+    ce AS (SELECT s.event_type, s.i, s.y - st.mu AS c
+           FROM s JOIN st USING (event_type)),
+    va AS (SELECT event_type, SUM(c * c) AS v FROM ce GROUP BY 1),
+    acf AS (
+      SELECT a.event_type, l.lag,
+             GREATEST(SUM(a.c * b.c) / ANY_VALUE(v.v), 0) AS score
+      FROM ce a
+      CROSS JOIN (SELECT unnest(range(2, 11)) AS lag) l
+      JOIN ce b ON b.event_type = a.event_type AND b.i = a.i + l.lag
+      JOIN va v ON v.event_type = a.event_type
+      GROUP BY a.event_type, l.lag
+    ),
+    rk AS (SELECT event_type, lag, score,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY score DESC, lag) AS rnk
+           FROM acf WHERE score > 0)
+    SELECT event_type, CAST(rnk - 1 AS INT) AS prank,
+           CAST(lag AS DOUBLE) AS period, score
+    FROM rk WHERE rnk <= 2
+    """,
+)
+def kql_series_periods_detect(spark, sf_dir):
+    """KQL ``series_periods_detect(series, min_period, max_period,
+    num_periods)`` (round 12) — top-k candidate periods by normalized
+    autocorrelation (clipped at 0, score desc / lag asc, zero-score
+    lags dropped), pure array SQL per row. Oracle: the ACF computed
+    relationally via a lagged self-join + window rank."""
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend p = series_periods_detect(n, 2, 10, 2)
+        | project event_type, p
+        """,
+    )
+    return df.selectExpr(
+        "event_type",
+        "posexplode(arrays_zip(p.periods, p.scores)) AS (prank, z)",
+    ).selectExpr(
+        "event_type", "cast(prank as int) as prank",
+        "z.periods as period", "z.scores as score",
+    )
+
+
+@query(
+    "kql_series_decompose_anomalies_seasonal",
+    _SERIES_COUNT_CTE
+    + """,
+    fit AS (SELECT event_type, regr_slope(y, i) AS m,
+                   regr_intercept(y, i) AS b
+            FROM s GROUP BY 1),
+    tl AS (SELECT s.event_type, s.i, s.y, f.b + f.m * s.i AS t
+           FROM s JOIN fit f USING (event_type)),
+    cm AS (SELECT event_type, i % 7 AS r, AVG(y - t) AS sm
+           FROM tl GROUP BY 1, 2),
+    r AS (SELECT tl.event_type, tl.i, tl.t + cm.sm AS base,
+                 tl.y - (tl.t + cm.sm) AS resid
+          FROM tl JOIN cm ON tl.event_type = cm.event_type
+                         AND tl.i % 7 = cm.r),
+    q AS (SELECT event_type,
+                 quantile_cont(resid, 0.25) AS q1,
+                 quantile_cont(resid, 0.75) AS q3
+          FROM r GROUP BY 1)
+    SELECT r.event_type, CAST(r.i AS INT) AS ix,
+           CAST(CASE WHEN resid > q3 + 1.5 * (q3 - q1) THEN 1
+                     WHEN resid < q1 - 1.5 * (q3 - q1) THEN -1
+                     ELSE 0 END AS INT) AS ad,
+           CASE WHEN q3 - q1 > 0 THEN resid / (q3 - q1)
+                ELSE 0.0 END AS score,
+           r.base
+    FROM r JOIN q USING (event_type)
+    """,
+)
+def kql_series_decompose_anomalies_seasonal(spark, sf_dir):
+    """KQL ``series_decompose_anomalies(series, threshold, period)``
+    (round 12) — the r8 trend-only anomaly row upgraded with the
+    SEASONAL baseline: residuals are scored against trend + weekly
+    seasonal component, Tukey fences at 1.5 interpolated-IQRs. The
+    trend-only default (period omitted) keeps the original
+    kql_series_anomalies row's semantics byte-for-byte."""
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend a = series_decompose_anomalies(n, 1.5, 7)
+        | project event_type, a
+        """,
+    )
+    return df.selectExpr(
+        "event_type",
+        "posexplode(arrays_zip(a.anomalies, a.score, a.baseline))"
+        " AS (ix, z)",
+    ).selectExpr(
+        "event_type", "cast(ix as int) as ix",
+        "cast(z.anomalies as int) as ad", "z.score as score",
+        "z.baseline as base",
+    )

@@ -70,8 +70,12 @@ Series functions over ``make-series`` arrays (incl.
 ``series_fit_line_dynamic`` ``series_stats_dynamic``
 ``series_fill_linear`` ``series_fill_const``
 ``series_pearson_correlation`` ``series_decompose_anomalies``
-``series_moving_avg`` — pure higher-order array
-SQL, zero extra shuffles (operators/timeseries.py builders).
+``series_moving_avg``, and (round 12) the full decompose family —
+``series_decompose`` (trend-then-seasonal one-pass STL-lite),
+``series_decompose_forecast`` (prefix-trained, true out-of-sample
+tail) and ``series_periods_detect`` (top-ACF lags) — pure
+higher-order array SQL, zero extra shuffles
+(operators/timeseries.py builders).
 Scalar family: ``isempty/isnotempty/isnull/isnotnull``, 0-based
 ``substring``/``indexof``, ``replace_string``,
 ``getyear/getmonth/hourofday/startofyear``, ``datetime_diff``
@@ -184,6 +188,8 @@ from pyspark.sql import types as T
 
 from azuredataengineering_deeplearning_spark.operators.timeseries import (
     series_decompose_anomalies_sql,
+    series_decompose_forecast_sql,
+    series_decompose_sql,
     series_fill_const_sql,
     series_fill_linear_sql,
     series_fit_line_sql,
@@ -191,6 +197,7 @@ from azuredataengineering_deeplearning_spark.operators.timeseries import (
     series_iir_sql,
     series_moving_avg_sql,
     series_pearson_correlation_sql,
+    series_periods_detect_sql,
     series_stats_dynamic_sql,
 )
 
@@ -970,9 +977,65 @@ def _expr(kql: str, now: str | None = None) -> str:
     # pass handles nested same-name calls, the pass SEQUENCE handles
     # cross-name nesting (an inner call spliced verbatim by an earlier
     # pass is rewritten by its own later pass)
+    def _unlit(tok: str) -> str:
+        """Unmask a quoted string literal argument (literals are masked
+        to \\0L<i>\\0 before function rewriting) and strip quotes."""
+        tok = tok.strip()
+        mm = re.match(rf"^{chr(0)}L(\d+){chr(0)}$", tok)
+        return (lits[int(mm.group(1))] if mm else tok).strip().strip("'")
+
+    # series_decompose family (round 12): trend-then-seasonal one-pass
+    # decomposition, forecast on a training prefix, top-ACF period
+    # detection — see operators/timeseries.py for the dialect notes.
+    # The trend argument is a quoted literal in Kusto → unmask here.
+    def _series_decompose(a, period=None, trend=None, *rest):
+        if rest:
+            raise ValueError(
+                "series_decompose: only (series [, period [, trend]]) "
+                "is supported (no test_points/seasonality_threshold)"
+            )
+        return series_decompose_sql(
+            a,
+            (period or "-1").strip() or "-1",
+            _unlit(trend) if trend and trend.strip() else "linefit",
+        )
+
+    def _series_decompose_forecast(a, points, period=None, trend=None,
+                                   *rest):
+        if rest:
+            raise ValueError(
+                "series_decompose_forecast: only (series, points "
+                "[, period [, trend]]) is supported"
+            )
+        return series_decompose_forecast_sql(
+            a,
+            points,
+            (period or "-1").strip() or "-1",
+            _unlit(trend) if trend and trend.strip() else "linefit",
+        )
+
+    def _series_decompose_anomalies(a, k=None, period=None, trend=None,
+                                    *rest):
+        if rest:
+            raise ValueError(
+                "series_decompose_anomalies: only (series [, threshold "
+                "[, period [, trend]]]) is supported"
+            )
+        return series_decompose_anomalies_sql(
+            a,
+            (k or "1.5").strip() or "1.5",
+            (period or "0").strip() or "0",
+            _unlit(trend) if trend and trend.strip() else "linefit",
+        )
+
     s = _rewrite_call(
-        s, "series_decompose_anomalies", series_decompose_anomalies_sql
+        s, "series_decompose_forecast", _series_decompose_forecast
     )
+    s = _rewrite_call(
+        s, "series_decompose_anomalies", _series_decompose_anomalies
+    )
+    s = _rewrite_call(s, "series_periods_detect", series_periods_detect_sql)
+    s = _rewrite_call(s, "series_decompose", _series_decompose)
     s = _rewrite_call(
         s, "series_pearson_correlation", series_pearson_correlation_sql
     )
