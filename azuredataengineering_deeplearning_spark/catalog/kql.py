@@ -3350,3 +3350,137 @@ def kql_series_decompose_anomalies_seasonal(spark, sf_dir):
         "cast(z.anomalies as int) as ad", "z.score as score",
         "z.baseline as base",
     )
+
+
+@query(
+    "kql_scan_output_last",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    b AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER w AS pts,
+             lag(event_id) OVER w AS pid
+      FROM e WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pr AS (
+      SELECT b.user_id, b.event_id AS b_id, b.ts AS b_ts,
+             (SELECT a.event_id FROM e a
+               WHERE a.user_id = b.user_id AND a.event_type = 'view'
+                 AND (b.pts IS NULL OR (a.ts, a.event_id) > (b.pts, b.pid))
+                 AND (a.ts, a.event_id) < (b.ts, b.event_id)
+               ORDER BY a.ts, a.event_id LIMIT 1) AS a_id
+      FROM b
+    ),
+    mt AS (
+      SELECT user_id, b_id,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY b_ts, b_id) - 1 AS BIGINT)
+               AS match_id
+      FROM pr WHERE a_id IS NOT NULL
+    )
+    SELECT user_id, b_id AS event_id, 'purchase' AS event_type, match_id
+    FROM mt
+    """,
+)
+def kql_scan_output_last(spark, sf_dir):
+    """``scan output=last`` (round 12) — only each match instance's
+    FINAL row is emitted (Kusto's output parameter; default all, and
+    output=none yields an empty frame with the same schema). One
+    row_number window partitioned on (keys, match_id) after the state
+    machine — single matches are tiny partitions, skew-free. The K=2
+    funnel's last row is always the step-2 (purchase) row, which is
+    exactly what the kql_scan_funnel closed-form oracle's match CTE
+    emits."""
+    t = load_tables(spark, sf_dir, ["events"])
+    out = kql_to_df(
+        t,
+        "events | where event_type in ('view', 'purchase')"
+        " | sort by ts asc, event_id asc"
+        " | scan output=last by user_id with_match_id=match_id with"
+        " (step s1: event_type == 'view';"
+        "  step s2: event_type == 'purchase')",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("match_id").cast("long").alias("match_id"),
+    )
+
+
+@query(
+    "kql_graph_to_table",
+    """
+    WITH ed AS (SELECT CAST(user_id % 20 AS VARCHAR) AS s, event_type AS d
+                FROM events),
+    ids AS (SELECT DISTINCT s AS id FROM ed
+            UNION SELECT DISTINCT d FROM ed),
+    n AS (SELECT DISTINCT event_type AS nid,
+                 't:' || event_type AS label
+          FROM events)
+    SELECT ids.id, n.label FROM ids LEFT JOIN n ON ids.id = n.nid
+    """,
+)
+def kql_graph_to_table(spark, sf_dir):
+    """``graph-to-table nodes`` (round 12) — materialize the graph's
+    node side as a tabular result: distinct union of edge endpoints
+    LEFT joined to the bound node-property table (endpoint-only nodes
+    keep null props; node rows never referenced by an edge are
+    absent — Kusto's behavior). ``graph-to-table edges`` returns the
+    edge frame; the combined two-table form is a documented dialect
+    exclusion (run the pipe per side, same discipline as fork
+    branches). Scale: one distinct aggregate over the endpoints + one
+    AQE-planned dimensional join."""
+    t = load_tables(spark, sf_dir, ["events"])
+    edges = kql_to_df(
+        {"events": t["events"]},
+        "events | project s = tostring(user_id % 20), d = event_type",
+    )
+    nodes = kql_to_df(
+        {"events": t["events"]},
+        "events | distinct event_type"
+        " | project nid = event_type, label = strcat('t:', event_type)",
+    )
+    return kql_to_df(
+        {"E": edges, "N": nodes},
+        "E | make-graph s --> d with N on nid | graph-to-table nodes",
+    )
+
+
+@query(
+    "kql_mv_expand_bag_array",
+    """
+    WITH src AS (SELECT event_id, event_type,
+                        CAST(user_id AS VARCHAR) AS uid
+                 FROM events),
+    pairs AS (
+      SELECT event_id, 0 AS i, 'type' AS k, event_type AS v FROM src
+      UNION ALL
+      SELECT event_id, 1 AS i, 'uid' AS k, uid AS v FROM src
+    )
+    SELECT event_id, CAST(i AS INT) AS i, k, v FROM pairs
+    """,
+)
+def kql_mv_expand_bag_array(spark, sf_dir):
+    """``mv-expand bagexpansion=array`` (round 12) — a property-bag
+    (map) column expands to one [key, value] pair per entry instead of
+    the default single-entry bag (this typed dialect stringifies the
+    value; Kusto's dynamic arrays are heterogeneous). One posexplode
+    over map_entries — a single generator, entry order is the bag's
+    construction order, empty bags drop their row like Kusto."""
+    t = load_tables(spark, sf_dir, ["events"])
+    src = t["events"].selectExpr(
+        "event_id",
+        "map('type', event_type, 'uid', cast(user_id as string)) as b",
+    )
+    out = kql_to_df(
+        {"T": src},
+        "T | mv-expand bagexpansion=array with_itemindex=i b",
+    )
+    return out.selectExpr(
+        "event_id", "cast(i as int) as i", "b[0] as k", "b[1] as v"
+    )

@@ -1491,11 +1491,12 @@ def kql_to_df(
         op, _, rest = stage.partition(" ")
         rest = rest.strip()
         if graph_ctx is not None and op not in (
-            "graph-match", "graph-shortest-paths"
+            "graph-match", "graph-shortest-paths", "graph-to-table"
         ):
             raise ValueError(
                 "after make-graph only graph-match / "
-                f"graph-shortest-paths may follow, got {op!r}"
+                "graph-shortest-paths / graph-to-table may follow, "
+                f"got {op!r}"
             )
         if df.isStreaming and (
             op in _STREAM_UNSUPPORTED or (op == "serialize" and rest)
@@ -1704,6 +1705,39 @@ def kql_to_df(
                 lambda t: _expr(t, now),
             )
             graph_ctx = None
+        elif op == "graph-to-table":
+            # `| graph-to-table nodes` or `| graph-to-table edges` —
+            # materialize ONE side of the graph as a tabular result.
+            # Dialect subset: Kusto's combined `nodes as N, edges as E`
+            # two-table form is not expressible as one frame — run the
+            # pipe twice (same discipline as fork branches). Nodes =
+            # distinct union of edge endpoints (column `id`), LEFT
+            # joined to node properties when `with Nodes on Id` bound
+            # them — endpoint-only nodes keep null props, matching
+            # Kusto's degree-0-exclusion of unreferenced node rows.
+            tgt = rest.strip().lower()
+            gdf, gsrc, gdst, ndf, nid = graph_ctx
+            if tgt == "edges":
+                df = gdf
+            elif tgt == "nodes":
+                ids = gdf.select(
+                    F.col(gsrc).alias("id")
+                ).union(gdf.select(F.col(gdst).alias("id"))).distinct()
+                if ndf is not None:
+                    # AQE picks broadcast vs shuffle, same economics as
+                    # the node-property joins in kql_graph.py
+                    df = ids.join(
+                        ndf.withColumnRenamed(nid, "id"), "id", "left"
+                    )
+                else:
+                    df = ids
+            else:
+                raise ValueError(
+                    "graph-to-table needs 'nodes' or 'edges' (the "
+                    "combined two-table form is not supported — run "
+                    f"the pipe once per side): {rest!r}"
+                )
+            graph_ctx = None
         elif op == "render":
             # `| render timechart [with (...)]` — a CLIENT-side
             # visualization directive with no tabular effect (Kusto
@@ -1769,6 +1803,24 @@ def kql_to_df(
             # try_element_at per column — still a single generator,
             # never a cross product.
             parts = [p.strip() for p in _split_csv(rest)]
+            # bagexpansion=bag|array (round 12): shapes how a MAP
+            # (property-bag) column expands — `bag` (default) one
+            # single-entry map per row, `array` a [key, value] string
+            # pair per row (this typed dialect stringifies the value;
+            # Kusto's dynamic arrays are heterogeneous). Ignored for
+            # array columns, exactly like Kusto.
+            bag_mode = "bag"
+            em_bag = re.match(
+                r"^bagexpansion\s*=\s*(\w+)\s+(.+)$", parts[0]
+            )
+            if em_bag:
+                bag_mode = em_bag.group(1).lower()
+                if bag_mode not in ("bag", "array"):
+                    raise ValueError(
+                        "mv-expand bagexpansion= must be bag|array, "
+                        f"got {em_bag.group(1)!r}"
+                    )
+                parts[0] = em_bag.group(2).strip()
             em0 = re.match(r"^with_itemindex\s*=\s*(\w+)\s+(.+)$", parts[0])
             idx = em0.group(1) if em0 else None
             if em0:
@@ -1786,7 +1838,38 @@ def kql_to_df(
                 cols.append(em.group(1))
                 if em.group(2):
                     types[em.group(1)] = em.group(2)
-            if len(cols) == 1 and not idx:
+            dts = dict(df.dtypes)
+            if len(cols) == 1 and dts.get(cols[0], "").startswith("map<"):
+                # property-bag expansion: one posexplode over the
+                # entry array (a single generator; explode of an
+                # empty/null bag drops the row, matching Kusto)
+                col = cols[0]
+                pos_name = idx or "__mvidx"
+                df = df.select(
+                    "*",
+                    F.posexplode(F.map_entries(F.col(col))).alias(
+                        pos_name, "__mve"
+                    ),
+                )
+                if bag_mode == "array":
+                    df = df.withColumn(
+                        col,
+                        F.array(
+                            F.col("__mve.key").cast("string"),
+                            F.col("__mve.value").cast("string"),
+                        ),
+                    )
+                else:
+                    df = df.withColumn(
+                        col,
+                        F.create_map(
+                            F.col("__mve.key"), F.col("__mve.value")
+                        ),
+                    )
+                df = df.drop("__mve")
+                if not idx:
+                    df = df.drop(pos_name)
+            elif len(cols) == 1 and not idx:
                 col = cols[0]
                 df = df.withColumn(col, F.explode(F.col(col)))
             else:
@@ -4023,7 +4106,8 @@ def _scan_kql(
             "scan needs a preceding 'sort by' (KQL serialize semantics)"
         )
     m = re.match(
-        r"^(?:by\s+(?P<keys>[\w\s,]+?)\s+)?"
+        r"^(?:output\s*=\s*(?P<out>\w+)\s+)?"
+        r"(?:by\s+(?P<keys>[\w\s,]+?)\s+)?"
         r"(?:with_match_id\s*=\s*(?P<mid>\w+)\s+)?"
         r"(?:declare\s*\((?P<decl>[^)]*)\)\s*)?"
         r"with\s*\((?P<steps>.+)\)\s*$",
@@ -4032,9 +4116,14 @@ def _scan_kql(
     )
     if not m:
         raise ValueError(
-            "scan needs '[by keys] [with_match_id=Name] "
-            "[declare (v: type [= default], ...)] "
+            "scan needs '[output=all|last|none] [by keys] "
+            "[with_match_id=Name] [declare (v: type [= default], ...)] "
             f"with (step name: cond [=> v = ...]; ...)': {rest!r}"
+        )
+    out_mode = (m.group("out") or "all").lower()
+    if out_mode not in ("all", "last", "none"):
+        raise ValueError(
+            f"scan output= must be all|last|none, got {m.group('out')!r}"
         )
     keys = (
         [k.strip() for k in m.group("keys").split(",")]
@@ -4106,12 +4195,38 @@ def _scan_kql(
     )
 
     mid_col = m.group("mid") or "match_id"
+
+    def _apply_output(res: DataFrame) -> DataFrame:
+        # Kusto scan output modes: all (default) = every matched row;
+        # last = the FINAL row of each match instance (state windows
+        # have already run, so declared vars carry their final values);
+        # none = no rows (schema preserved — pair with a downstream
+        # count/summarize over side effects is Kusto's use; kept for
+        # parity). `last` is one row_number window PARTITIONED on
+        # (keys, match_id) — single matches are tiny partitions,
+        # skew-free by construction, never an unpartitioned window.
+        if out_mode == "all":
+            return res
+        if out_mode == "none":
+            return res.filter(F.lit(False))
+        wlast = Window.partitionBy(*(list(keys) + [mid_col])).orderBy(
+            *[
+                F.col(c).desc() if asc else F.col(c).asc()
+                for c, asc in order_by
+            ]
+        )
+        return (
+            res.withColumn("__scanlast", F.row_number().over(wlast))
+            .filter(F.col("__scanlast") == 1)
+            .drop("__scanlast")
+        )
+
     out = scan_steps(
         df, keys, order_by, steps, match_col=mid_col,
         step_col="__scanstep" if declares else None,
     )
     if not declares:
-        return out
+        return _apply_output(out)
     # declare-state subset (documented): every assignment of a var is
     # either ADDITIVE (`v = v + expr`) or a SET (`v = expr`) where expr
     # references only ROW columns — so the sequential state machine is
@@ -4195,7 +4310,7 @@ def _scan_kql(
         else:
             val = F.expr(dflt)
         out = out.withColumn(var, val.cast(ty))
-    return out.drop("__scanstep")
+    return _apply_output(out.drop("__scanstep"))
 
 
 def _split_semi(s: str) -> list[str]:

@@ -417,6 +417,149 @@ def _scan_declare_case(rng, ctx, spark, duck, i):
     _match(got, duck, sql, f"scandecl#{i}: {q}")
 
 
+# ----------------------------------------------- series_decompose family
+def _decompose_case(rng, spark, duck, i):
+    p = rng.choice([2, 3, 4, 5])
+    trend = rng.choice(["linefit", "avg", "none"])
+    series = _gen_series(rng, 4, [10, 17, 24], scale=50.0)
+    sdf = _register_series(spark, duck, "SDC", series)
+    q = (
+        f"T | extend d = series_decompose(y, {p}, '{trend}')"
+        " | project rid, d"
+    )
+    got = kql_to_df({"T": sdf}, q).selectExpr(
+        "rid",
+        "posexplode(arrays_zip(d.baseline, d.seasonal, d.trend,"
+        " d.residual)) AS (ix, z)",
+    ).selectExpr(
+        "rid", "cast(ix as int) as ix", "z.baseline as base",
+        "z.seasonal as seas", "z.trend as trend_v", "z.residual as resid",
+    )
+    t_expr = {
+        "linefit": "f.b + f.m * s.idx",
+        "avg": "f.b",
+        "none": "0.0",
+    }[trend]
+    fit_sel = {
+        "linefit": "regr_slope(y, idx) AS m, regr_intercept(y, idx) AS b",
+        "avg": "0.0 AS m, AVG(y) AS b",
+        "none": "0.0 AS m, 0.0 AS b",
+    }[trend]
+    sql = f"""
+    WITH fit AS (SELECT rid, {fit_sel} FROM SDC GROUP BY rid),
+    tl AS (SELECT s.rid, s.idx, s.y, {t_expr} AS t
+           FROM SDC s JOIN fit f USING (rid)),
+    cm AS (SELECT rid, idx % {p} AS r, AVG(y - t) AS sm
+           FROM tl GROUP BY 1, 2)
+    SELECT tl.rid, CAST(tl.idx AS INT) AS ix,
+           tl.t + cm.sm AS base, cm.sm AS seas, tl.t AS trend_v,
+           tl.y - (tl.t + cm.sm) AS resid
+    FROM tl JOIN cm ON tl.rid = cm.rid AND tl.idx % {p} = cm.r
+    """
+    _match(got, duck, sql, f"decomp#{i}: {q}")
+
+
+def _forecast_case(rng, spark, duck, i):
+    p = rng.choice([2, 3, 4])
+    k = rng.choice([3, 5, 7])
+    series = _gen_series(rng, 4, [15, 22], scale=50.0)
+    sdf = _register_series(spark, duck, "SDF", series)
+    q = (
+        f"T | extend f = series_decompose_forecast(y, {k}, {p})"
+        " | mv-expand with_itemindex=ix f to typeof(real)"
+        " | project rid, ix, f"
+    )
+    got = kql_to_df({"T": sdf}, q).selectExpr(
+        "rid", "cast(ix as int) as ix", "f"
+    )
+    sql = f"""
+    WITH n AS (SELECT rid, COUNT(*) AS n FROM SDF GROUP BY rid),
+    fit AS (SELECT s.rid, regr_slope(s.y, s.idx) AS m,
+                   regr_intercept(s.y, s.idx) AS b
+            FROM SDF s JOIN n USING (rid) WHERE s.idx < n.n - {k}
+            GROUP BY s.rid),
+    tl AS (SELECT s.rid, s.idx, f.b + f.m * s.idx AS t
+           FROM SDF s JOIN fit f USING (rid)),
+    d AS (SELECT s.rid, s.idx, s.y - (f.b + f.m * s.idx) AS dv
+          FROM SDF s JOIN fit f USING (rid) JOIN n USING (rid)
+          WHERE s.idx < n.n - {k}),
+    cm AS (SELECT rid, idx % {p} AS r, AVG(dv) AS sm FROM d GROUP BY 1, 2)
+    SELECT tl.rid, CAST(tl.idx AS INT) AS ix, tl.t + cm.sm AS f
+    FROM tl JOIN cm ON tl.rid = cm.rid AND tl.idx % {p} = cm.r
+    """
+    _match(got, duck, sql, f"fcast#{i}: {q}")
+
+
+def _periods_case(rng, spark, duck, i):
+    lo = rng.choice([2, 3])
+    hi = rng.choice([6, 8, 10])
+    k = rng.choice([1, 2, 3])
+    # plant weak periodicity so scores aren't all ~0
+    period = rng.choice([3, 4, 5])
+    series = []
+    for rid in range(4):
+        n = rng.choice([18, 25])
+        base = [rng.uniform(-5, 5) for _ in range(period)]
+        series.append((
+            rid,
+            [round(base[j % period] + rng.uniform(-2, 2), 3)
+             for j in range(n)],
+        ))
+    sdf = _register_series(spark, duck, "SPD", series)
+    q = (
+        f"T | extend p = series_periods_detect(y, {lo}, {hi}, {k})"
+        " | project rid, p"
+    )
+    got = kql_to_df({"T": sdf}, q).selectExpr(
+        "rid",
+        "posexplode(arrays_zip(p.periods, p.scores)) AS (prank, z)",
+    ).selectExpr(
+        "rid", "cast(prank as int) as prank",
+        "z.periods as period", "z.scores as score",
+    )
+    sql = f"""
+    WITH st AS (SELECT rid, AVG(y) AS mu FROM SPD GROUP BY 1),
+    ce AS (SELECT s.rid, s.idx, s.y - st.mu AS c
+           FROM SPD s JOIN st USING (rid)),
+    va AS (SELECT rid, SUM(c * c) AS v FROM ce GROUP BY 1),
+    nn AS (SELECT rid, COUNT(*) AS n FROM SPD GROUP BY 1),
+    acf AS (
+      SELECT a.rid, l.lag,
+             GREATEST(SUM(a.c * b.c) / ANY_VALUE(v.v), 0) AS score
+      FROM ce a
+      CROSS JOIN (SELECT unnest(range({max(2, lo)}, {hi} + 1)) AS lag) l
+      JOIN ce b ON b.rid = a.rid AND b.idx = a.idx + l.lag
+      JOIN va v ON v.rid = a.rid
+      JOIN nn ON nn.rid = a.rid
+      WHERE l.lag <= nn.n - 1
+      GROUP BY a.rid, l.lag
+    ),
+    rk AS (SELECT rid, lag, score,
+             row_number() OVER (PARTITION BY rid
+               ORDER BY score DESC, lag) AS rnk
+           FROM acf WHERE score > 0)
+    SELECT rid, CAST(rnk - 1 AS INT) AS prank,
+           CAST(lag AS DOUBLE) AS period, score
+    FROM rk WHERE rnk <= {k}
+    """
+    _match(got, duck, sql, f"periods#{i}: {q}")
+
+
+def test_fuzz_r12_decompose_family(spark, duck):
+    rng = random.Random(20260818)
+    n = 0
+    for i in range(6):
+        _decompose_case(rng, spark, duck, i)
+        n += 1
+    for i in range(4):
+        _forecast_case(rng, spark, duck, i)
+        n += 1
+    for i in range(4):
+        _periods_case(rng, spark, duck, i)
+        n += 1
+    assert n == 14
+
+
 # ----------------------------------------------------------- the sweep
 def test_fuzz_r12_series_and_scan_declare(spark, duck, scan_ctx):
     rng = random.Random(20260817)
