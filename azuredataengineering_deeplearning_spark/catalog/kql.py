@@ -3484,3 +3484,52 @@ def kql_mv_expand_bag_array(spark, sf_dir):
     return out.selectExpr(
         "event_id", "cast(i as int) as i", "b[0] as k", "b[1] as v"
     )
+
+
+@query(
+    "kql_series_periods_validate",
+    _SERIES_COUNT_CTE
+    + """,
+    st AS (SELECT event_type, AVG(y) AS mu FROM s GROUP BY 1),
+    ce AS (SELECT s.event_type, s.i, s.y - st.mu AS c
+           FROM s JOIN st USING (event_type)),
+    va AS (SELECT event_type, SUM(c * c) AS v FROM ce GROUP BY 1),
+    acf AS (
+      SELECT a.event_type, l.lag,
+             GREATEST(SUM(a.c * b.c) / ANY_VALUE(v.v), 0) AS score
+      FROM ce a
+      CROSS JOIN (SELECT unnest([7, 14, 3]) AS lag) l
+      JOIN ce b ON b.event_type = a.event_type AND b.i = a.i + l.lag
+      JOIN va v ON v.event_type = a.event_type
+      GROUP BY a.event_type, l.lag
+    ),
+    ord AS (SELECT unnest([7, 14, 3]) AS lag,
+                   unnest([0, 1, 2]) AS prank)
+    SELECT acf.event_type, CAST(ord.prank AS INT) AS prank,
+           CAST(acf.lag AS DOUBLE) AS period, acf.score
+    FROM acf JOIN ord USING (lag)
+    """,
+)
+def kql_series_periods_validate(spark, sf_dir):
+    """``series_periods_validate(series, p1, p2, ...)`` (round 12) —
+    score PROPOSED periods with the same clipped normalized-ACF
+    measure series_periods_detect ranks by, in input order. Pure array
+    SQL; the oracle recomputes each lag's ACF relationally."""
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend p = series_periods_validate(n, 7, 14, 3)
+        | project event_type, p
+        """,
+    )
+    return df.selectExpr(
+        "event_type",
+        "posexplode(arrays_zip(p.periods, p.scores)) AS (prank, z)",
+    ).selectExpr(
+        "event_type", "cast(prank as int) as prank",
+        "z.periods as period", "z.scores as score",
+    )

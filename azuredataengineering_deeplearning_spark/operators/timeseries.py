@@ -2041,6 +2041,49 @@ def series_periods_detect_sql(
     return _bind1(_as_double_array(y_sql), "__y", guarded)
 
 
+def series_periods_validate_sql(y_sql: str, *period_sqls: str) -> str:
+    """KQL ``series_periods_validate(series, period1 [, period2 ...])``
+    — score the GIVEN candidate periods with the same clipped
+    normalized-ACF measure :func:`series_periods_detect_sql` ranks by,
+    in input order (Kusto's shape: you propose, it scores). A period
+    outside [1, n−1] scores 0; constant series score 0 everywhere.
+    Returns struct(periods array<double>, scores array<double>)."""
+    if not period_sqls:
+        raise ValueError(
+            "series_periods_validate needs at least one period argument"
+        )
+    lags = (
+        "array("
+        + ", ".join(f"CAST(({p}) AS INT)" for p in period_sqls)
+        + ")"
+    )
+    num = (
+        "aggregate(sequence(0, size(__y) - 1 - __L), CAST(0 AS DOUBLE),"
+        " (a, i) -> a + (element_at(__y, i + 1) - __mu)"
+        " * (element_at(__y, i + __L + 1) - __mu))"
+    )
+    score = (
+        f"IF(__L < 1 OR __L > size(__y) - 1, CAST(0 AS DOUBLE),"
+        f" greatest(try_divide({num}, __va), CAST(0 AS DOUBLE)))"
+    )
+    final = (
+        "named_struct("
+        f"'periods', transform({lags}, __L -> CAST(__L AS DOUBLE)), "
+        f"'scores', transform({lags}, __L -> {score}))"
+    )
+    mu = "aggregate(__y, CAST(0 AS DOUBLE), (a, v) -> a + v) / size(__y)"
+    va = (
+        "aggregate(__y, CAST(0 AS DOUBLE),"
+        " (a, v) -> a + (v - __mu) * (v - __mu))"
+    )
+    body = _bind1(mu, "__mu", _bind1(va, "__va", final))
+    guarded = (
+        "CASE WHEN __y IS NULL OR size(__y) = 0"
+        f" THEN CAST(NULL AS {_PERIODS_STRUCT_T}) ELSE {body} END"
+    )
+    return _bind1(_as_double_array(y_sql), "__y", guarded)
+
+
 def series_moving_avg_sql(
     y_sql: str, k_sql: str = "3", center_sql: str = "false"
 ) -> str:

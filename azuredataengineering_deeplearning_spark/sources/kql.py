@@ -198,6 +198,7 @@ from azuredataengineering_deeplearning_spark.operators.timeseries import (
     series_moving_avg_sql,
     series_pearson_correlation_sql,
     series_periods_detect_sql,
+    series_periods_validate_sql,
     series_stats_dynamic_sql,
 )
 
@@ -1035,6 +1036,9 @@ def _expr(kql: str, now: str | None = None) -> str:
         s, "series_decompose_anomalies", _series_decompose_anomalies
     )
     s = _rewrite_call(s, "series_periods_detect", series_periods_detect_sql)
+    s = _rewrite_call(
+        s, "series_periods_validate", series_periods_validate_sql
+    )
     s = _rewrite_call(s, "series_decompose", _series_decompose)
     s = _rewrite_call(
         s, "series_pearson_correlation", series_pearson_correlation_sql

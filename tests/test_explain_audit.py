@@ -390,3 +390,29 @@ def test_series_rows_single_group_exchange(spark, sf_dir):
         plan = _plan(E.queries()[q](spark, sf_dir))
         assert "Join" not in plan, q
         assert "Window" not in plan, q
+
+
+def test_series_decompose_rows_join_window_free(spark, sf_dir):
+    # round 12: the decompose-family kernels are row-local array SQL —
+    # after the make-series grouping aggregate there are NO joins and
+    # NO windows in the physical plan (trend fit, class means, ACF
+    # autodetection all fold inside the row)
+    for q in (
+        "kql_series_decompose",
+        "kql_series_decompose_forecast",
+        "kql_series_periods_detect",
+        "kql_series_decompose_anomalies_seasonal",
+    ):
+        plan = _plan(E.queries()[q](spark, sf_dir))
+        assert "Join" not in plan, q
+        assert "Window" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_scan_output_last_partitioned_window_only(spark, sf_dir):
+    # output=last adds ONE row_number window partitioned on
+    # (keys, match_id) — never an unpartitioned window, no join back
+    plan = _plan(E.queries()["kql_scan_output_last"](spark, sf_dir))
+    assert plan.count("MapInPandas") == 1  # still one python pass
+    assert "__scanlast" in plan
+    assert "SortMergeJoin" not in plan

@@ -186,3 +186,38 @@ def test_decompose_empty_and_forecast_overlong_null(spark):
     assert by[1]["d"] is None and by[1]["f"] is None
     # points >= length -> empty training prefix -> null forecast
     assert by[2]["f"] is None and by[2]["d"] is not None
+
+
+def test_periods_validate_scores_match_detect(spark):
+    y = [SEAS4[i % 4] for i in range(24)]
+    det = _one(
+        spark, y,
+        "T | extend p = series_periods_detect(y, 2, 8, 4)"
+        " | project pe = p.periods, sc = p.scores",
+    )
+    val = _one(
+        spark, y,
+        "T | extend p = series_periods_validate(y, 4, 8)"
+        " | project pe = p.periods, sc = p.scores",
+    )
+    # validate scores the proposed periods with the SAME measure detect
+    # ranks by — cross-checkable value for value
+    det_scores = dict(zip(det["pe"], det["sc"]))
+    assert val["pe"] == [4.0, 8.0]
+    assert val["sc"][0] == det_scores[4.0]
+    assert val["sc"][1] == det_scores[8.0]
+    # out-of-range period scores 0; at least one period arg required
+    edge = _one(
+        spark, y,
+        "T | extend p = series_periods_validate(y, 100)"
+        " | project sc = p.scores",
+    )
+    assert edge["sc"] == [0.0]
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, [1.0])], "rid int, y array<double>")
+    with _pt.raises(ValueError, match="at least one period"):
+        kql_to_df(
+            {"T": df},
+            "T | extend p = series_periods_validate(y) | project p",
+        )
