@@ -545,6 +545,132 @@ def _periods_case(rng, spark, duck, i):
     _match(got, duck, sql, f"periods#{i}: {q}")
 
 
+# ------------------------------------------- round-12 dialect surfaces
+def _scan_output_last_case(rng, ctx, spark, duck, i):
+    """scan output=last — the r11 scan closed form filtered to each
+    match's final row (K=2: always the step-2 row)."""
+    e1, e2 = rng.sample(ETS, 2)
+    keyed = rng.random() < 0.5
+    q = (
+        "T | sort by ts asc | scan output=last "
+        + ("by k " if keyed else "")
+        + f"with_match_id=m with (step s1: et == '{e1}';"
+        f" step s2: et == '{e2}')"
+        " | project ts, m"
+    )
+    got = kql_to_df({"T": ctx["ev"]}, q)
+    pk = "PARTITION BY k " if keyed else ""
+    sql = f"""
+    WITH c AS (SELECT *, row_number() OVER ({pk}ORDER BY ts) AS rn FROM EV),
+    c2 AS (SELECT *, max(CASE WHEN et = '{e2}' THEN rn END)
+             OVER ({pk}ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prevp2 FROM c),
+    pairs AS (
+      SELECT b.k AS bk, min(a.rn) AS rn1, b.rn AS rn2
+      FROM (SELECT k, rn, coalesce(prevp2, 0) AS pp
+            FROM c2 WHERE et = '{e2}') b
+      JOIN (SELECT k, rn FROM c WHERE et = '{e1}') a
+        ON {"a.k = b.k AND " if keyed else ""}a.rn > b.pp AND a.rn < b.rn
+      GROUP BY b.k, b.rn, b.pp
+    ),
+    mids AS (SELECT bk, rn2,
+               row_number() OVER ({"PARTITION BY bk " if keyed else ""}
+                 ORDER BY rn2) - 1 AS m FROM pairs)
+    SELECT c.ts, CAST(h.m AS BIGINT) AS m
+    FROM c JOIN mids h ON {"c.k = h.bk AND " if keyed else ""}c.rn = h.rn2
+    """
+    _match(got, duck, sql, f"scanlast#{i}: {q}")
+
+
+_BAG_KEYS = ["alpha", "bz", "c9", "dd", "ee"]
+
+
+def _bag_expand_case(rng, spark, duck, i):
+    """mv-expand bagexpansion over maps built by Spark str_to_map from
+    generated kv strings; the DuckDB twin re-parses the SAME strings
+    relationally (string_split + split_part — a foreign parser)."""
+    import pandas as pd
+
+    mode = rng.choice(["bag", "array"])
+    rows = []
+    for rid in range(30):
+        ks = rng.sample(_BAG_KEYS, rng.randrange(0, 4))
+        s = ";".join(f"{k}:{rng.randrange(100)}" for k in ks)
+        rows.append((rid, s))
+    src = spark.createDataFrame(rows, "rid int, s string")
+    duck.register("BAGS", pd.DataFrame(rows, columns=["rid", "s"]))
+    base = src.selectExpr("rid", "str_to_map(s, ';', ':') as b") \
+        .filter("s <> ''")
+    if mode == "array":
+        q = ("T | mv-expand bagexpansion=array with_itemindex=i b"
+             " | project rid, i")
+        got = kql_to_df({"T": base}, q).selectExpr(
+            "rid", "cast(i as int) as i"
+        )
+        # k/v checked via the concatenated pair to exercise both slots
+        got = kql_to_df({"T": base}, q.replace(
+            "project rid, i", "project rid, i, kv = strcat(b[0], '=', b[1])"
+        )).selectExpr("rid", "cast(i as int) as i", "kv")
+    else:
+        q = ("T | mv-expand bagexpansion=bag with_itemindex=i b"
+             " | project rid, i, b")
+        got = kql_to_df({"T": base}, q).selectExpr(
+            "rid", "cast(i as int) as i",
+            "concat(map_keys(b)[0], '=', map_values(b)[0]) as kv",
+        )
+    sql = """
+    WITH pairs AS (
+      SELECT rid, UNNEST(string_split(s, ';')) AS p,
+             UNNEST(range(len(string_split(s, ';')))) AS i
+      FROM BAGS WHERE s <> ''
+    )
+    SELECT rid, CAST(i AS INT) AS i,
+           split_part(p, ':', 1) || '=' || split_part(p, ':', 2) AS kv
+    FROM pairs
+    """
+    _match(got, duck, sql, f"bag#{i}[{mode}]: {q}")
+
+
+def _graph_to_table_case(rng, spark, duck, i):
+    import pandas as pd
+
+    nodes_chars = list("abcdefgh")
+    rows, seen = [], set()
+    while len(rows) < rng.randrange(8, 20):
+        s, d = rng.choice(nodes_chars), rng.choice(nodes_chars)
+        if (s, d) in seen:
+            continue
+        seen.add((s, d))
+        rows.append((s, d))
+    ed = spark.createDataFrame(rows, "s string, d string")
+    duck.register("GED", pd.DataFrame(rows, columns=["s", "d"]))
+    if rng.random() < 0.5:
+        q = "T | make-graph s --> d | graph-to-table nodes"
+        sql = ("SELECT DISTINCT s AS id FROM GED"
+               " UNION SELECT DISTINCT d FROM GED")
+    else:
+        q = "T | make-graph s --> d | graph-to-table edges"
+        sql = "SELECT s, d FROM GED"
+    got = kql_to_df({"T": ed}, q)
+    _match(got, duck, sql, f"g2t#{i}: {q}")
+
+
+def test_fuzz_r12_new_surfaces(spark, duck, scan_ctx):
+    rng = random.Random(20260819)
+    n = 0
+    for i in range(8):
+        _scan_output_last_case(rng, scan_ctx, spark, duck, i)
+        n += 1
+    for i in range(6):
+        _bag_expand_case(rng, spark, duck, i)
+        n += 1
+    for i in range(4):
+        _graph_to_table_case(rng, spark, duck, i)
+        n += 1
+    assert n == 18
+
+
 def test_fuzz_r12_decompose_family(spark, duck):
     rng = random.Random(20260818)
     n = 0
