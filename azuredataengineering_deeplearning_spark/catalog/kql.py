@@ -3533,3 +3533,73 @@ def kql_series_periods_validate(spark, sf_dir):
         "event_type", "cast(prank as int) as prank",
         "z.periods as period", "z.scores as score",
     )
+
+
+@query(
+    "kql_make_series_numeric",
+    """
+    WITH f AS (
+      SELECT user_id % 5 AS g,
+             CAST(FLOOR(value / 10) AS BIGINT) AS i, value
+      FROM events WHERE value >= 0 AND value < 100
+    ),
+    b AS (SELECT g, i, CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(value) AS sv
+          FROM f GROUP BY 1, 2),
+    spine AS (SELECT t.g, r.i
+              FROM (SELECT DISTINCT g FROM f) t
+              CROSS JOIN range(10) r(i))
+    SELECT spine.g, CAST(spine.i AS INT) AS ix,
+           spine.i * 10.0 AS x,
+           COALESCE(b.n, 0.0) AS n, COALESCE(b.sv, 0.0) AS sv
+    FROM spine LEFT JOIN b USING (g, i)
+    """,
+)
+def kql_make_series_numeric(spark, sf_dir):
+    """``make-series ... on <numeric> from a to b step s`` (round 12) —
+    Kusto's numeric on-axis form. Same single-pass plan as the time
+    form (shared _make_series_core: one (keys, bin) aggregate, per-key
+    bin->value map, transform densify — no spine join, no explode);
+    bins are start-aligned half-open doubles. Oracle: relational bin
+    arithmetic + zero-filled spine."""
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        "events | extend g = user_id % 5"
+        " | make-series n = count(), sv = sum(value)"
+        " on value from 0 to 100 step 10 by g",
+    )
+    return df.selectExpr(
+        "g", "posexplode(arrays_zip(value, n, sv)) AS (ix, z)"
+    ).selectExpr(
+        "g", "cast(ix as int) as ix", "z.value as x",
+        "z.n as n", "z.sv as sv",
+    )
+
+
+@query(
+    "kql_mv_expand_limit",
+    """
+    WITH l AS (
+      SELECT user_id % 7 AS g, event_id,
+             row_number() OVER (PARTITION BY user_id % 7
+               ORDER BY event_id) AS rn
+      FROM events
+    )
+    SELECT g, CAST(event_id AS BIGINT) AS e FROM l WHERE rn <= 3
+    """,
+)
+def kql_mv_expand_limit(spark, sf_dir):
+    """``mv-expand Col limit N`` (round 12) — caps expanded values per
+    source row by SLICING the array before the generator (the explode
+    shrinks; never a post-filter). Here: per-group sorted event-id
+    lists truncated to 3. Oracle: window rank <= 3."""
+    t = load_tables(spark, sf_dir, ["events"])
+    lists = kql_to_df(
+        {"events": t["events"]},
+        "events | extend g = user_id % 7"
+        " | summarize es = make_list(event_id) by g",
+    ).selectExpr("g", "array_sort(es) as es")
+    return kql_to_df(
+        {"T": lists}, "T | mv-expand es limit 3 | project g, e = es"
+    ).selectExpr("g", "cast(e as long) as e")

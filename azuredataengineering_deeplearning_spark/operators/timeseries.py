@@ -1199,13 +1199,78 @@ def make_series(
         raise ValueError("make_series specs need distinct out names")
 
     idx = F.floor((F.unix_micros(F.col(ts_col)) - F.lit(start_us)) / F.lit(step_us))
+    bins_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.timestamp_micros(F.lit(start_us) + i.cast("long") * F.lit(step_us)),
+    )
+    return _make_series_core(
+        df, keys, idx, n_bins, specs, _agg_col, bins_expr, out_bins
+    )
+
+
+def make_series_numeric(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    start: float,
+    stop: float,
+    step: float,
+    specs: list[dict],
+    out_bins: str = "bins",
+) -> DataFrame:
+    """``make-series ... on NumericColumn from a to b step s`` — the
+    numeric-axis form (Kusto supports any numeric on-axis, not just
+    datetime). Identical single-pass plan shape to the time form
+    (shared :func:`_make_series_core`): one (keys, bin) aggregate, one
+    per-key map build, a transform(sequence(...)) densify — no spine
+    join, no explode. Bins are start-aligned half-open
+    ``[start + i*step, start + (i+1)*step)`` doubles."""
+    if step <= 0 or stop <= start:
+        raise ValueError(
+            "make_series_numeric needs stop > start and step > 0"
+        )
+    n_bins = int(-(-(stop - start) // step))
+
+    def _agg_col(a: str, vc: str | None):
+        fns = {
+            "count": lambda: F.count(F.lit(1)).cast("double"),
+            "sum": lambda: F.sum(dec(vc)).cast("double"),
+            "avg": lambda: (F.sum(dec(vc)).cast("double") / F.count(vc)),
+            "min": lambda: F.min(vc).cast("double"),
+            "max": lambda: F.max(vc).cast("double"),
+        }
+        if a not in fns:
+            raise ValueError(f"unsupported make_series aggregate {a!r}")
+        if a != "count" and vc is None:
+            raise ValueError(f"make_series agg {a!r} needs value_col")
+        return fns[a]()
+
+    idx = F.floor(
+        (F.col(x_col).cast("double") - F.lit(float(start)))
+        / F.lit(float(step))
+    )
+    bins_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.lit(float(start)) + i.cast("double") * F.lit(float(step)),
+    )
+    return _make_series_core(
+        df, keys, idx, n_bins, specs, _agg_col, bins_expr, out_bins
+    )
+
+
+def _make_series_core(
+    df, keys, idx, n_bins, specs, agg_col_fn, bins_expr, out_bins
+):
+    """Shared make-series tail: (keys, bin) aggregate -> per-key
+    bin->value map -> transform(sequence) densify. One pass, no spine
+    join, no explode; per-key state is n_bins x len(specs) entries."""
     binned = (
         df.withColumn("__idx", idx)
         .filter((F.col("__idx") >= 0) & (F.col("__idx") < n_bins))
         .groupBy(*keys, "__idx")
         .agg(
             *[
-                _agg_col(sp["agg"], sp.get("value_col")).alias(f"__v{i}")
+                agg_col_fn(sp["agg"], sp.get("value_col")).alias(f"__v{i}")
                 for i, sp in enumerate(specs)
             ]
         )
@@ -1223,10 +1288,6 @@ def make_series(
 
         return _fill
 
-    bins_expr = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bins - 1)),
-        lambda i: F.timestamp_micros(F.lit(start_us) + i.cast("long") * F.lit(step_us)),
-    )
     return (
         binned.groupBy(*keys)
         .agg(

@@ -1829,6 +1829,15 @@ def kql_to_df(
             idx = em0.group(1) if em0 else None
             if em0:
                 parts[0] = em0.group(2).strip()
+            # trailing `limit N` (Kusto): cap the expanded values PER
+            # SOURCE ROW — a slice on the array/bag before the
+            # generator, so the explode itself shrinks (not a
+            # post-filter)
+            mv_limit = None
+            lm = re.match(r"^(.*?)\s+limit\s+(\d+)$", parts[-1], re.S)
+            if lm:
+                mv_limit = int(lm.group(2))
+                parts[-1] = lm.group(1).strip()
             cols, types = [], {}
             for p in parts:
                 em = re.match(
@@ -1843,15 +1852,25 @@ def kql_to_df(
                 if em.group(2):
                     types[em.group(1)] = em.group(2)
             dts = dict(df.dtypes)
+            if mv_limit is not None:
+                # slice BEFORE the generator so the explode shrinks
+                for c in cols:
+                    if not dts.get(c, "").startswith("map<"):
+                        df = df.withColumn(
+                            c, F.slice(F.col(c), 1, mv_limit)
+                        )
             if len(cols) == 1 and dts.get(cols[0], "").startswith("map<"):
                 # property-bag expansion: one posexplode over the
                 # entry array (a single generator; explode of an
                 # empty/null bag drops the row, matching Kusto)
                 col = cols[0]
                 pos_name = idx or "__mvidx"
+                entries = F.map_entries(F.col(col))
+                if mv_limit is not None:
+                    entries = F.slice(entries, 1, mv_limit)
                 df = df.select(
                     "*",
-                    F.posexplode(F.map_entries(F.col(col))).alias(
+                    F.posexplode(entries).alias(
                         pos_name, "__mve"
                     ),
                 )
@@ -3678,26 +3697,9 @@ def _parse(df: DataFrame, rest: str, where: bool = False) -> DataFrame:
     return df
 
 
-def _make_series(df: DataFrame, rest: str) -> DataFrame:
-    """``make-series [Name=]agg(col) [default=D][, more aggs] on ts
-    from datetime(a) to datetime(b) step Nu [by keys]`` → gap-filled
-    per-key arrays via :func:`operators.timeseries.make_series`. The
-    binned time axis comes back under the ``on`` column's name (KQL
-    behavior). Multiple aggregates compute in the SAME single pass
-    (one (keys, bin) aggregate with one column per series)."""
-    from azuredataengineering_deeplearning_spark.operators.timeseries import make_series
-
-    m = re.match(
-        r"^(.+?)\s+on\s+(\w+)"
-        r"\s+from\s+datetime\(([^)]+)\)\s+to\s+datetime\(([^)]+)\)"
-        r"\s+step\s+(\d+)([dhms])"
-        r"(?:\s+by\s+(.+))?$",
-        rest.strip(),
-        re.S,
-    )
-    if not m:
-        raise ValueError(f"unsupported make-series syntax: {rest!r}")
-    agg_part, ts_col, t0, t1, n, unit, by = m.groups()
+def _make_series_specs(agg_part: str) -> list[dict]:
+    """Parse the ``[Name=]agg(col) [default=D][, ...]`` aggregate list
+    shared by the time and numeric make-series forms."""
     specs = []
     for seg in _split_csv(agg_part):
         sm = re.match(
@@ -3724,6 +3726,60 @@ def _make_series(df: DataFrame, rest: str) -> DataFrame:
                 "out": alias or f"{fn}_{arg or 'all'}",
             }
         )
+    return specs
+
+
+def _make_series(df: DataFrame, rest: str) -> DataFrame:
+    """``make-series [Name=]agg(col) [default=D][, more aggs] on ts
+    from datetime(a) to datetime(b) step Nu [by keys]`` → gap-filled
+    per-key arrays via :func:`operators.timeseries.make_series`. The
+    binned time axis comes back under the ``on`` column's name (KQL
+    behavior). Multiple aggregates compute in the SAME single pass
+    (one (keys, bin) aggregate with one column per series)."""
+    from azuredataengineering_deeplearning_spark.operators.timeseries import make_series
+
+    m = re.match(
+        r"^(.+?)\s+on\s+(\w+)"
+        r"\s+from\s+datetime\(([^)]+)\)\s+to\s+datetime\(([^)]+)\)"
+        r"\s+step\s+(\d+)([dhms])"
+        r"(?:\s+by\s+(.+))?$",
+        rest.strip(),
+        re.S,
+    )
+    nm = None
+    if not m:
+        # numeric on-axis form (Kusto accepts any numeric axis):
+        # `on x from <num> to <num> step <num>` — same single-pass
+        # plan via operators.timeseries.make_series_numeric
+        nm = re.match(
+            r"^(.+?)\s+on\s+(\w+)"
+            r"\s+from\s+(-?[\d.]+)\s+to\s+(-?[\d.]+)"
+            r"\s+step\s+(-?[\d.]+)"
+            r"(?:\s+by\s+(.+))?$",
+            rest.strip(),
+            re.S,
+        )
+    if not m and not nm:
+        raise ValueError(f"unsupported make-series syntax: {rest!r}")
+    if nm:
+        agg_part, x_col, lo, hi, stp, by = nm.groups()
+        specs = _make_series_specs(agg_part)
+        from azuredataengineering_deeplearning_spark.operators.timeseries import (
+            make_series_numeric,
+        )
+
+        return make_series_numeric(
+            df,
+            keys=[c.strip() for c in _split_csv(by)] if by else [],
+            x_col=x_col,
+            start=float(lo),
+            stop=float(hi),
+            step=float(stp),
+            specs=specs,
+            out_bins=x_col,
+        )
+    agg_part, ts_col, t0, t1, n, unit, by = m.groups()
+    specs = _make_series_specs(agg_part)
     return make_series(
         df,
         keys=[c.strip() for c in _split_csv(by)] if by else [],

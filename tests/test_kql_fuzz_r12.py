@@ -656,6 +656,95 @@ def _graph_to_table_case(rng, spark, duck, i):
     _match(got, duck, sql, f"g2t#{i}: {q}")
 
 
+def _make_series_numeric_case(rng, spark, duck, i):
+    import pandas as pd
+
+    lo = rng.choice([0.0, -5.0, 2.5])
+    step = rng.choice([1.5, 2.0, 5.0])
+    nb = rng.randrange(3, 8)
+    hi = lo + step * nb
+    agg = rng.choice(["count", "sum", "avg", "min", "max"])
+    rows = []
+    for j in range(200):
+        rows.append((j % 4, round(rng.uniform(lo - 5, hi + 5), 3),
+                     round(rng.uniform(0, 20), 3)))
+    src = spark.createDataFrame(rows, "g int, x double, v double")
+    duck.register("MSN", pd.DataFrame(rows, columns=["g", "x", "v"]))
+    a = "count()" if agg == "count" else f"{agg}(v)"
+    q = (
+        f"T | make-series s = {a} default=null"
+        f" on x from {lo} to {hi} step {step} by g"
+        " | mv-expand with_itemindex=ix s to typeof(real)"
+        " | project g, ix, s"
+    )
+    got = kql_to_df({"T": src}, q).selectExpr(
+        "g", "cast(ix as int) as ix", "s"
+    )
+    dagg = {
+        "count": "CAST(COUNT(*) AS DOUBLE)", "sum": "SUM(v)",
+        "avg": "AVG(v)", "min": "MIN(v)", "max": "MAX(v)",
+    }[agg]
+    sql = f"""
+    WITH f AS (SELECT g, CAST(FLOOR((x - {lo!r}) / {step!r}) AS BIGINT)
+                 AS i, v
+               FROM MSN WHERE x >= {lo!r} AND x < {hi!r}),
+    b AS (SELECT g, i, {dagg} AS s FROM f GROUP BY 1, 2),
+    spine AS (SELECT t.g, r.i FROM (SELECT DISTINCT g FROM f) t
+              CROSS JOIN range({nb}) r(i))
+    SELECT spine.g, CAST(spine.i AS INT) AS ix, b.s
+    FROM spine LEFT JOIN b USING (g, i)
+    """
+    _match(got, duck, sql, f"msn#{i}: {q}")
+
+
+def _mv_limit_case(rng, spark, duck, i):
+    import pandas as pd
+
+    n_rows = 25
+    lim = rng.randrange(1, 5)
+    with_idx = rng.random() < 0.5
+    rows = []
+    for rid in range(n_rows):
+        arr = [rng.randrange(100) for _ in range(rng.randrange(0, 7))]
+        rows.append((rid, arr))
+    src = spark.createDataFrame(rows, "rid int, a array<int>")
+    duck.register(
+        "MVL",
+        pd.DataFrame(
+            [(rid, j, v) for rid, arr in rows for j, v in enumerate(arr)],
+            columns=["rid", "j", "v"],
+        ).astype({"rid": "int64", "j": "int64", "v": "int64"}),
+    )
+    if with_idx:
+        q = (f"T | mv-expand with_itemindex=i a limit {lim}"
+             " | project rid, i, a")
+        got = kql_to_df({"T": src}, q).selectExpr(
+            "rid", "cast(i as int) as i", "cast(a as int) as a"
+        )
+        sql = (f"SELECT rid, CAST(j AS INT) AS i, CAST(v AS INT) AS a"
+               f" FROM MVL WHERE j < {lim}")
+    else:
+        q = f"T | mv-expand a limit {lim} | project rid, a"
+        got = kql_to_df({"T": src}, q).selectExpr(
+            "rid", "cast(a as int) as a"
+        )
+        sql = (f"SELECT rid, CAST(v AS INT) AS a FROM MVL"
+               f" WHERE j < {lim}")
+    _match(got, duck, sql, f"mvl#{i}: {q}")
+
+
+def test_fuzz_r12_make_series_numeric_and_limit(spark, duck):
+    rng = random.Random(20260820)
+    n = 0
+    for i in range(6):
+        _make_series_numeric_case(rng, spark, duck, i)
+        n += 1
+    for i in range(5):
+        _mv_limit_case(rng, spark, duck, i)
+        n += 1
+    assert n == 11
+
+
 def test_fuzz_r12_new_surfaces(spark, duck, scan_ctx):
     rng = random.Random(20260819)
     n = 0

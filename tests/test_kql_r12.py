@@ -156,3 +156,48 @@ def test_mv_expand_bagexpansion_ignored_for_arrays(spark):
 def test_mv_expand_bagexpansion_invalid_raises(spark, bag_df):
     with pytest.raises(ValueError, match="bag\\|array"):
         kql_to_df({"T": bag_df}, "T | mv-expand bagexpansion=list b")
+
+
+# ------------------------------------- mv-expand limit / numeric axis
+def test_mv_expand_limit_arrays_and_bags(spark):
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30]), (2, [5])], "rid int, a array<int>"
+    )
+    out = kql_to_df({"T": df}, "T | mv-expand a limit 2 | project rid, a")
+    assert sorted((r["rid"], r["a"]) for r in out.collect()) == [
+        (1, 10), (1, 20), (2, 5),  # limit > len keeps everything
+    ]
+    bag = spark.createDataFrame(
+        [(1, {"x": "1", "y": "2", "z": "3"})], "rid int, b map<string,string>"
+    )
+    out2 = kql_to_df(
+        {"T": bag},
+        "T | mv-expand bagexpansion=array b limit 2 | project rid, b",
+    )
+    assert sorted(tuple(r["b"]) for r in out2.collect()) == [
+        ("x", "1"), ("y", "2"),
+    ]
+
+
+def test_make_series_numeric_axis(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.5, 7.0), (9.0, 1.0), (11.0, 99.0), (-1.0, 50.0)],
+        "x double, v double",
+    )
+    r = kql_to_df(
+        {"T": df}, "T | make-series s = sum(v) on x from 0 to 10 step 2"
+    ).collect()[0]
+    # out-of-range rows (11.0, -1.0) dropped; empty bins default 0
+    assert r["s"] == [5.0, 7.0, 0.0, 0.0, 1.0]
+    assert r["x"] == [0.0, 2.0, 4.0, 6.0, 8.0]
+    # default=null marks gaps for series_fill_*
+    r2 = kql_to_df(
+        {"T": df},
+        "T | make-series s = sum(v) default=null on x from 0 to 10 step 2",
+    ).collect()[0]
+    assert r2["s"] == [5.0, 7.0, None, None, 1.0]
+    # bad ranges raise loudly
+    with pytest.raises(ValueError, match="stop > start"):
+        kql_to_df(
+            {"T": df}, "T | make-series s = sum(v) on x from 10 to 0 step 2"
+        )
