@@ -324,7 +324,7 @@ def scan_ctx(spark, duck):
     ev.unpersist()
 
 
-def _scan_declare_case(rng, ctx, spark, duck, i):
+def _scan_declare_case(rng, ctx, spark, duck, i, last=False):
     e1, e2 = rng.sample(ETS, 2)  # distinct -> disjoint step predicates
     keyed = rng.random() < 0.6
     # additive var: tot = tot + <expr>, assigned on step 1, step 2, or
@@ -357,6 +357,7 @@ def _scan_declare_case(rng, ctx, spark, duck, i):
     )
     q = (
         "T | sort by ts asc | scan "
+        + ("output=last " if last else "")
         + ("by k " if keyed else "")
         + "with_match_id=m declare (tot: real = 0, lastn: long = -1)"
         f" with ({s1}; {s2})"
@@ -396,7 +397,7 @@ def _scan_declare_case(rng, ctx, spark, duck, i):
               FROM c JOIN hits h
                 ON {"c.k = h.bk AND " if keyed else ""}c.rn = h.rn),
     st AS (
-      SELECT ts, m, rn, {'k,' if keyed else ''}
+      SELECT ts, m, rn, step, {'k,' if keyed else ''}
         CASE WHEN max(CASE WHEN step IN
                ({', '.join(str(s) for s in add_steps)})
                AND ({expr_sql}) IS NULL THEN 1 ELSE 0 END)
@@ -413,8 +414,9 @@ def _scan_declare_case(rng, ctx, spark, duck, i):
                       {'AND c.k = st.k' if keyed else ''})
                 END AS BIGINT) AS lastn
     FROM st
+    {'WHERE st.step = 1' if last else ''}
     """
-    _match(got, duck, sql, f"scandecl#{i}: {q}")
+    _match(got, duck, sql, f"scandecl#{i}[last={last}]: {q}")
 
 
 # ----------------------------------------------- series_decompose family
@@ -794,4 +796,9 @@ def test_fuzz_r12_series_and_scan_declare(spark, duck, scan_ctx):
     for i in range(10):
         _scan_declare_case(rng, scan_ctx, spark, duck, i)
         n += 1
-    assert n >= 34
+    for i in range(5):
+        # declare state + output=last combined: the final row carries
+        # the FINAL variable values
+        _scan_declare_case(rng, scan_ctx, spark, duck, 100 + i, last=True)
+        n += 1
+    assert n >= 39
