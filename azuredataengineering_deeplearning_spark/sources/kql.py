@@ -1539,14 +1539,40 @@ def kql_to_df(
                     raise ValueError(f"extend needs name=expr: {part!r}")
                 assigns.append((m.group(1), m.group(2).strip()))
             # row_rank calls hoist to the STAGE level so sibling
-            # assignments sharing a Term share one kernel pass
-            df, assigns, rr_drops = _hoist_row_ranks(
-                df, assigns, now, order_spec
+            # assignments sharing a Term share one kernel pass — but
+            # ONLY when no rank-bearing body references a column
+            # assigned in this same stage (extends apply left-to-right;
+            # a term like `extend a = tolower(t), d = row_rank_dense(a)`
+            # must rank the NEW column, which a stage-wide pre-hoist
+            # would miss). The unsafe fallback processes assignments
+            # sequentially, hoisting per assignment (within-assignment
+            # term sharing kept, old left-to-right semantics exact).
+            assigned_names = {name for name, _ in assigns}
+            unsafe = any(
+                re.search(r"\brow_rank_\w+\s*\(", body)
+                and any(
+                    re.search(rf"\b{re.escape(n)}\b", body)
+                    for n in assigned_names
+                )
+                for _, body in assigns
             )
-            for name, body in assigns:
-                df = _extend_one(df, name, body, now, order_spec)
-            if rr_drops:
-                df = df.drop(*rr_drops)
+            if unsafe:
+                for name, body in assigns:
+                    df, one, rr_drops = _hoist_row_ranks(
+                        df, [(name, body)], now, order_spec
+                    )
+                    df = _extend_one(df, one[0][0], one[0][1], now,
+                                     order_spec)
+                    if rr_drops:
+                        df = df.drop(*rr_drops)
+            else:
+                df, assigns, rr_drops = _hoist_row_ranks(
+                    df, assigns, now, order_spec
+                )
+                for name, body in assigns:
+                    df = _extend_one(df, name, body, now, order_spec)
+                if rr_drops:
+                    df = df.drop(*rr_drops)
         elif op in ("take", "limit"):
             df = df.limit(int(rest))
         elif op == "sample":

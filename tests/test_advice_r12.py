@@ -176,3 +176,34 @@ def test_run_ranks_nan_vs_value_boundary_still_changes(spark):
     assert got == [
         (1, 1, 1), (2, 1, 1), (3, 2, 3), (4, 2, 3), (5, 3, 5), (6, 3, 5),
     ]
+
+
+def test_row_rank_term_sees_earlier_stage_assignment(spark):
+    # left-to-right extend semantics: a rank term referencing a column
+    # CREATED earlier in the same stage ranks the new column (the
+    # stage-wide kernel hoist must fall back to sequential here)
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "a"), (3, "B"), (4, "b")], "i int, t string"
+    )
+    out = kql_to_df(
+        {"T": df},
+        "T | sort by i asc"
+        " | extend low = tolower(t), d = row_rank_dense(low)",
+    )
+    rows = sorted((r["i"], r["d"]) for r in out.collect())
+    assert rows == [(1, 1), (2, 1), (3, 2), (4, 2)]
+
+
+def test_row_rank_term_sees_same_stage_reassignment(spark):
+    # a term whose column is REASSIGNED earlier in the stage ranks the
+    # reassigned values, exactly like sequential Kusto extends
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "a"), (3, "B"), (4, "b")], "i int, t string"
+    )
+    out = kql_to_df(
+        {"T": df},
+        "T | sort by i asc"
+        " | extend t = tolower(t), d = row_rank_dense(t)",
+    )
+    rows = sorted((r["i"], r["d"]) for r in out.collect())
+    assert rows == [(1, 1), (2, 1), (3, 2), (4, 2)]
