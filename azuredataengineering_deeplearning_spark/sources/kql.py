@@ -4245,14 +4245,30 @@ def _scan_kql(
 
     steps = []
     step_assigns: list[list[tuple[str, str]]] = []
+    step_outputs: list[str] = []
     for part in _split_semi(m.group("steps")):
         part = part.strip()
         if not part:
             continue
-        sm = re.match(r"^step\s+\w+\s*:\s*(.+)$", part, re.S)
+        sm = re.match(
+            r"^step\s+\w+\s*(?:output\s*=\s*(\w+)\s*)?:\s*(.+)$",
+            part, re.S,
+        )
         if not sm:
             raise ValueError(f"scan step needs 'step name: cond': {part!r}")
-        cond, alist = _split_arrow(sm.group(1).strip())
+        so = (sm.group(1) or "all").lower()
+        if so not in ("all", "last", "none"):
+            raise ValueError(
+                f"scan step output= must be all|last|none, got "
+                f"{sm.group(1)!r}"
+            )
+        # per-step output (Kusto syntax): this dialect's machine
+        # matches exactly ONE row per step, so `last` == `all` for a
+        # step (documented); `none` drops the step's matched rows from
+        # the RESULT while they still advance the state machine and
+        # feed declare-state windows
+        step_outputs.append(so)
+        cond, alist = _split_arrow(sm.group(2).strip())
         steps.append(F.expr(_expr(cond, now)))
         cur: list[tuple[str, str]] = []
         if alist:
@@ -4307,12 +4323,25 @@ def _scan_kql(
             .drop("__scanlast")
         )
 
+    none_steps = [j for j, so in enumerate(step_outputs) if so == "none"]
+    need_step = bool(declares) or bool(none_steps)
+
+    def _finish(res: DataFrame) -> DataFrame:
+        # per-step output=none filter runs AFTER the declare windows
+        # (none rows are matched — they advance state — just not
+        # emitted), then the operator-level output mode
+        if none_steps:
+            res = res.filter(~F.col("__scanstep").isin(none_steps))
+        if need_step:
+            res = res.drop("__scanstep")
+        return _apply_output(res)
+
     out = scan_steps(
         df, keys, order_by, steps, match_col=mid_col,
-        step_col="__scanstep" if declares else None,
+        step_col="__scanstep" if need_step else None,
     )
     if not declares:
-        return _apply_output(out)
+        return _finish(out)
     # declare-state subset (documented): every assignment of a var is
     # either ADDITIVE (`v = v + expr`) or a SET (`v = expr`) where expr
     # references only ROW columns — so the sequential state machine is
@@ -4396,7 +4425,7 @@ def _scan_kql(
         else:
             val = F.expr(dflt)
         out = out.withColumn(var, val.cast(ty))
-    return _apply_output(out.drop("__scanstep"))
+    return _finish(out)
 
 
 def _split_semi(s: str) -> list[str]:

@@ -349,15 +349,21 @@ def _scan_declare_case(rng, ctx, spark, duck, i, last=False):
     (s1_assigns if set_step == 0 else s2_assigns).append(
         f"lastn = {setv_kql}"
     )
-    s1 = f"step s1: et == '{e1}'" + (
-        " => " + ", ".join(s1_assigns) if s1_assigns else ""
+    # for K=2, operator-level `output=last` and per-step
+    # `step s1 output=none` emit the same rows (the step-2 row per
+    # match, with final state) — alternate between the two front-end
+    # syntaxes against the same twin
+    per_step = last and rng.random() < 0.5
+    s1 = (
+        f"step s1{' output=none' if per_step else ''}: et == '{e1}'"
+        + (" => " + ", ".join(s1_assigns) if s1_assigns else "")
     )
     s2 = f"step s2: et == '{e2}'" + (
         " => " + ", ".join(s2_assigns) if s2_assigns else ""
     )
     q = (
         "T | sort by ts asc | scan "
-        + ("output=last " if last else "")
+        + ("output=last " if last and not per_step else "")
         + ("by k " if keyed else "")
         + "with_match_id=m declare (tot: real = 0, lastn: long = -1)"
         f" with ({s1}; {s2})"

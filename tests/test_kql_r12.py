@@ -201,3 +201,40 @@ def test_make_series_numeric_axis(spark):
         kql_to_df(
             {"T": df}, "T | make-series s = sum(v) on x from 10 to 0 step 2"
         )
+
+
+# --------------------------------------------------- per-step output
+def test_scan_per_step_output_none(spark, scan_df):
+    out = kql_to_df(
+        {"T": scan_df},
+        "T | sort by seq asc | scan by k with_match_id=m with ("
+        " step s1 output=none: ev == 'A'; step s2: ev == 'B')"
+        " | project k, seq, m",
+    )
+    got = sorted((r["k"], r["seq"], r["m"]) for r in out.collect())
+    # only the step-2 rows are emitted; the none-step rows still
+    # advanced the machine (matches exist)
+    assert got == [(1, 3, 0), (1, 5, 1), (2, 2, 0)]
+
+
+def test_scan_per_step_output_none_keeps_state(spark, scan_df):
+    out = kql_to_df(
+        {"T": scan_df},
+        "T | sort by seq asc | scan by k with_match_id=m"
+        " declare (tot: real = 0) with ("
+        " step s1 output=none: ev == 'A' => tot = tot + v;"
+        " step s2: ev == 'B' => tot = tot + v)"
+        " | project k, seq, m, tot",
+    )
+    got = sorted((r["k"], r["seq"], r["m"], r["tot"]) for r in out.collect())
+    # the suppressed step-1 row's contribution is IN the emitted state
+    assert got == [(1, 3, 0, 30.0), (1, 5, 1, 12.0), (2, 2, 0, 3.0)]
+
+
+def test_scan_per_step_output_invalid_raises(spark, scan_df):
+    with pytest.raises(ValueError, match="all\\|last\\|none"):
+        kql_to_df(
+            {"T": scan_df},
+            "T | sort by seq asc | scan with ("
+            " step s1 output=first: ev == 'A'; step s2: ev == 'B')",
+        )
