@@ -3603,3 +3603,84 @@ def kql_mv_expand_limit(spark, sf_dir):
     return kql_to_df(
         {"T": lists}, "T | mv-expand es limit 3 | project g, e = es"
     ).selectExpr("g", "cast(e as long) as e")
+
+
+@query(
+    "kql_series_decompose_auto",
+    _SERIES_COUNT_CTE
+    + """,
+    st AS (SELECT event_type, AVG(y) AS mu FROM s GROUP BY 1),
+    ce AS (SELECT s.event_type, s.i, s.y, s.y - st.mu AS c
+           FROM s JOIN st USING (event_type)),
+    va AS (SELECT event_type, SUM(c * c) AS v FROM ce GROUP BY 1),
+    acf AS (
+      SELECT a.event_type, l.lag,
+             SUM(a.c * b.c) / ANY_VALUE(v.v) AS score
+      FROM ce a
+      CROSS JOIN (SELECT unnest(range(2, 16)) AS lag) l
+      JOIN ce b ON b.event_type = a.event_type AND b.i = a.i + l.lag
+      JOIN va v ON v.event_type = a.event_type
+      GROUP BY a.event_type, l.lag
+    ),
+    det AS (
+      SELECT event_type, lag, score,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY score DESC, lag) AS rnk
+      FROM acf
+    ),
+    p AS (SELECT event_type,
+                 CASE WHEN score >= 0.6 THEN lag ELSE 0 END AS p
+          FROM det WHERE rnk = 1),
+    fit AS (SELECT event_type, regr_slope(y, i) AS m,
+                   regr_intercept(y, i) AS b
+            FROM s GROUP BY 1),
+    tl AS (SELECT s.event_type, s.i, s.y, f.b + f.m * s.i AS t
+           FROM s JOIN fit f USING (event_type)),
+    cm AS (SELECT tl.event_type, tl.i % p.p AS r, AVG(tl.y - tl.t) AS sm
+           FROM tl JOIN p USING (event_type) WHERE p.p > 0
+           GROUP BY 1, 2)
+    SELECT tl.event_type, CAST(tl.i AS INT) AS ix,
+           tl.y - (tl.t + COALESCE(cm.sm, 0.0)) AS resid,
+           CAST(p.p AS INT) AS used_p
+    FROM tl
+    JOIN p USING (event_type)
+    LEFT JOIN cm ON tl.event_type = cm.event_type
+                AND p.p > 0 AND tl.i % p.p = cm.r
+    """,
+)
+def kql_series_decompose_auto(spark, sf_dir):
+    """``series_decompose(series)`` with period = -1 AUTODETECTION
+    (round 12): top-ACF lag in [2, n/2] gated at score >= 0.6, else
+    trend-only. The oracle replicates the WHOLE gate relationally —
+    per-group lagged self-join ACF, argmax (score desc, lag asc),
+    threshold, then per-detected-period class means — so the
+    autodetection itself is cross-engine checked, not just the
+    explicit-period kernel. The engine's detected period is exposed
+    as used_p via the seasonal component's repeat length (period 0 ->
+    zero seasonal -> resid == y - trend)."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend d = series_decompose(n)
+        | extend pd = series_periods_detect(n, 2, 15, 1)
+        | project event_type, d, pd
+        """,
+    )
+    # used_p: the engine's own gate decision, reconstructed from the
+    # periods_detect struct (same ACF measure the decompose gate uses)
+    used = (
+        "cast(if(size(pd.scores) > 0 and pd.scores[0] >= 0.6d,"
+        " pd.periods[0], 0) as int)"
+    )
+    return df.selectExpr(
+        "event_type", f"{used} as used_p",
+        "posexplode(d.residual) AS (ix, resid)",
+    ).selectExpr(
+        "event_type", "cast(ix as int) as ix", "resid", "used_p"
+    )
