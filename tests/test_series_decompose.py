@@ -221,3 +221,57 @@ def test_periods_validate_scores_match_detect(spark):
             {"T": df},
             "T | extend p = series_periods_validate(y) | project p",
         )
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ys=st.lists(
+        st.one_of(
+            st.floats(-1e6, 1e6, allow_nan=False),
+            st.just(float("nan")),
+            st.just(float("inf")),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    p=st.integers(-1, 25),
+    trend=st.sampled_from(["linefit", "avg", "none"]),
+)
+def test_decompose_structural_invariants_arbitrary_input(
+    spark, ys, p, trend
+):
+    """Arbitrary input (incl. NaN/Inf elements, period > length,
+    autodetect on junk): no exception, all four components keep the
+    input length, and baseline = trend + seasonal HOLDS ELEMENTWISE
+    under IEEE semantics (it is literally the same zip) wherever both
+    operands are finite."""
+    import math
+
+    r = _one(
+        spark, ys,
+        f"T | extend d = series_decompose(y, {p}, '{trend}')"
+        " | project b = d.baseline, s = d.seasonal, t = d.trend,"
+        " re = d.residual",
+    )
+    n = len(ys)
+    assert len(r["b"]) == len(r["s"]) == len(r["t"]) == len(r["re"]) == n
+    for i in range(n):
+        ti, si, bi = r["t"][i], r["s"][i], r["b"][i]
+        if (
+            ti is not None and si is not None
+            and math.isfinite(ti) and math.isfinite(si)
+        ):
+            assert bi == ti + si
+        if (
+            bi is not None and math.isfinite(bi)
+            and math.isfinite(ys[i])
+        ):
+            assert r["re"][i] == ys[i] - bi
