@@ -403,6 +403,18 @@ def _expr(kql: str, now: str | None = None) -> str:
         )
 
     s = re.sub(r"\bcountof\((\w+)\s*,\s*'([^']*)'\)", _countof, s)
+
+    # countof with a NON-LITERAL term (column/expression): same
+    # length-difference identity; an empty/null term yields null via
+    # nullif (the literal form above stays loud — a constant empty
+    # term is a query bug, a data-driven one is a data condition)
+    def _countof_dyn(a, b):
+        return (
+            f"CAST((length({a}) - length(replace({a}, {b}, ''))) "
+            f"/ nullif(length({b}), 0) AS BIGINT)"
+        )
+
+    s = _rewrite_call(s, "countof", _countof_dyn)
     # contains/startswith/endswith: LIKE wildcards in the TERM must be
     # literal — escape %/_/backslash and pin ESCAPE. Layering: in the
     # final LIKE pattern (post SQL-literal unescape) the term needs
@@ -479,6 +491,9 @@ def _expr(kql: str, now: str | None = None) -> str:
 
     s = re.sub(r"'[^']*'", _mask, s)
     # ---- phase 2: literal-agnostic rewrites (placeholders inert) ----
+    # dynamic indexing first: out-of-range/missing-key must be NULL
+    # (Kusto) while Spark's [] throws under ANSI
+    s = _rewrite_index_postfix(s)
     s = re.sub(r"\biff\(", "if(", s)
     s = re.sub(r"\bstrcat\(", "concat(", s)
     s = re.sub(r"\btolower\(", "lower(", s)
@@ -1234,6 +1249,79 @@ def _expr(kql: str, now: str | None = None) -> str:
     # ---- restore literals --------------------------------------------
     s = re.sub(rf"{chr(0)}L(\d+){chr(0)}", lambda m: lits[int(m.group(1))], s)
     return s
+
+
+def _rewrite_index_postfix(s: str) -> str:
+    """Kusto dynamic indexing is NULL on out-of-range / missing-key;
+    Spark's ``[]`` (and ``element_at``) THROW under ANSI. Rewrite
+    postfix ``<primary>[<literal>]`` into ``try_element_at``:
+
+    - masked string literal (``\\0L<i>\\0``) → bag/map key lookup
+      (missing key → null);
+    - integer literal → 0-based array index (+1 shift; negative →
+      a typed null via a null index, matching Kusto);
+    - any OTHER index expression passes through unchanged (the type of
+      the primary is unknown at translate time, so the 0-based shift
+      cannot be applied safely — documented dialect subset; Spark's
+      ANSI error surfaces instead of a silent wrong answer).
+
+    Runs in phase 2 (post-masking). The scanner only fires on ``[``
+    in POSTFIX position (preceded by an identifier, ``)`` or ``]``) so
+    array literals like ``dynamic([1, 2])`` are untouched; primaries
+    are extracted with balanced-paren backward scans so call results
+    (``split(s, d)[0]``), dotted paths (``p.periods[0]``) and chains
+    (``x[0][1]``, processed left-to-right by re-scanning) all work."""
+    guard = chr(0)
+    while True:
+        hit = None
+        for k in range(len(s)):
+            if s[k] != "[":
+                continue
+            p = k - 1
+            while p >= 0 and s[p] == " ":
+                p -= 1
+            if p >= 0 and (s[p].isalnum() or s[p] in ")]_"):
+                # find the index text and classify it
+                d, e = 1, k + 1
+                while e < len(s) and d:
+                    d += (s[e] == "[") - (s[e] == "]")
+                    e += 1
+                idx = s[k + 1:e - 1].strip()
+                if re.fullmatch(rf"{guard}L\d+{guard}", idx) or \
+                        re.fullmatch(r"-?\d+", idx):
+                    hit = (k, e, p, idx)
+                    break
+        if hit is None:
+            return s
+        k, e, p, idx = hit
+        # extract the primary backwards: balanced () / [] groups, then
+        # the identifier/dot chain (function name or column path)
+        end = p + 1
+        while p >= 0:
+            if s[p] in ")]":
+                close = s[p]
+                open_ = "(" if close == ")" else "["
+                d2 = 1
+                p -= 1
+                while p >= 0 and d2:
+                    d2 += (s[p] == close) - (s[p] == open_)
+                    p -= 1
+            elif s[p].isalnum() or s[p] in "._" or s[p] == guard:
+                p -= 1
+            else:
+                break
+        start = p + 1
+        prim = s[start:end]
+        if re.fullmatch(rf"{guard}L\d+{guard}", idx):
+            rep = f"try_element_at({prim}, {idx})"
+        else:
+            iv = int(idx)
+            rep = (
+                f"try_element_at({prim}, {iv + 1})"
+                if iv >= 0
+                else f"try_element_at({prim}, cast(null as int))"
+            )
+        s = s[:start] + rep + s[e:]
 
 
 def _rewrite_call(s: str, name: str, build) -> str:

@@ -238,3 +238,41 @@ def test_scan_per_step_output_invalid_raises(spark, scan_df):
             "T | sort by seq asc | scan with ("
             " step s1 output=first: ev == 'A'; step s2: ev == 'B')",
         )
+
+
+# --------------------------- dynamic indexing null-safety (ANSI mode)
+def test_dynamic_indexing_out_of_range_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, "a-b", [10, 20], {"k": "v"})],
+        "rid int, s string, a array<int>, m map<string,string>",
+    )
+    out = kql_to_df(
+        {"T": df},
+        "T | extend s2 = split(s, '-')[5], a0 = a[1], a9 = a[9],"
+        " neg = a[-1], mk = m['k'], miss = m['nope']"
+        " | project s2, a0, a9, neg, mk, miss",
+    ).collect()[0]
+    # Kusto dynamic indexing: out-of-range / missing-key / negative
+    # index are NULL — Spark ANSI [] would throw INVALID_ARRAY_INDEX
+    assert out["s2"] is None
+    assert out["a0"] == 20      # 0-based in-range still works
+    assert out["a9"] is None
+    assert out["neg"] is None
+    assert out["mk"] == "v"
+    assert out["miss"] is None
+
+
+def test_countof_with_column_term(spark):
+    df = spark.createDataFrame(
+        [(1, "abcabc", "a"), (2, "xyx", "x"), (3, "zz", ""), (4, "m", None)],
+        "rid int, s string, sub string",
+    )
+    out = kql_to_df(
+        {"T": df}, "T | extend c = countof(s, sub) | project rid, c"
+    ).collect()
+    got = {r["rid"]: r["c"] for r in out}
+    # empty/null term yields null (data condition), literal form stays
+    # loud (query bug) — both pinned
+    assert got == {1: 2, 2: 2, 3: None, 4: None}
+    with pytest.raises(ValueError, match="non-empty"):
+        kql_to_df({"T": df}, "T | extend c = countof(s, '')")
