@@ -82,7 +82,10 @@ Scalar family: ``isempty/isnotempty/isnull/isnotnull``, 0-based
 (period-boundary counting), ``bin_at`` (anchored binning), plus
 ``stdev``/``variance`` (sample) in summarize.
 Round-9 scalar widening: ``split(col,'d')[i]`` (plain-string delimiter
-escaped into Spark's regex split; 0-based indexing passes through),
+escaped into Spark's regex split; 0-based LITERAL indexing compiles to
+``try_element_at`` since r12 — out-of-range / missing-key / negative
+index yield NULL like Kusto instead of Spark's ANSI error; non-literal
+index expressions pass through, documented),
 ``array_length`` ``strcat_delim`` ``countof`` (length-difference
 identity) ``trim``/``trim_start``/``trim_end`` (REGEX trim, Kusto
 semantics) ``extract_all`` (group-1 array) ``string_size`` (bytes)
