@@ -3417,20 +3417,22 @@ def kql_scan_output_last(spark, sf_dir):
     """
     WITH ed AS (SELECT CAST(user_id % 20 AS VARCHAR) AS s, event_type AS d
                 FROM events),
-    ids AS (SELECT DISTINCT s AS id FROM ed
-            UNION SELECT DISTINCT d FROM ed),
     n AS (SELECT DISTINCT event_type AS nid,
                  't:' || event_type AS label
-          FROM events)
+          FROM events),
+    ids AS (SELECT DISTINCT s AS id FROM ed
+            UNION SELECT DISTINCT d FROM ed
+            UNION SELECT DISTINCT nid FROM n)
     SELECT ids.id, n.label FROM ids LEFT JOIN n ON ids.id = n.nid
     """,
 )
 def kql_graph_to_table(spark, sf_dir):
     """``graph-to-table nodes`` (round 12) — materialize the graph's
     node side as a tabular result: distinct union of edge endpoints
-    LEFT joined to the bound node-property table (endpoint-only nodes
-    keep null props; node rows never referenced by an edge are
-    absent — Kusto's behavior). ``graph-to-table edges`` returns the
+    plus the bound node table's ids (Kusto's make-graph retains
+    isolated node rows — r13 ADVICE fix), LEFT joined to the node
+    properties (endpoint-only nodes keep null
+    props). ``graph-to-table edges`` returns the
     edge frame; the combined two-table form is a documented dialect
     exclusion (run the pipe per side, same discipline as fork
     branches). Scale: one distinct aggregate over the endpoints + one

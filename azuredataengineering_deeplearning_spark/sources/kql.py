@@ -388,36 +388,12 @@ def _expr(kql: str, now: str | None = None) -> str:
         s,
     )
     s = re.sub(r"\btrim\(\s*'([^']*)'\s*,\s*(\w+)\s*\)", _trim, s)
-    # countof(col, 'term'): non-overlapping occurrence count via the
-    # length-difference identity (pure string ops, no regex). An empty
-    # term would divide by zero under ANSI — reject it loudly.
-    def _countof(m):
-        if not m.group(2):
-            raise ValueError("countof needs a non-empty search term")
-        # Double backslashes for the SQL string-literal layer (same
-        # discipline as the has/split/trim rewrites): a term like '\\'
-        # or '\n' must reach replace()/length() verbatim, not be
-        # re-interpreted by Spark's escaped string-literal parsing.
-        term = m.group(2).replace(chr(92), chr(92) * 2)
-        return (
-            f"CAST((length({m.group(1)}) - "
-            f"length(replace({m.group(1)}, '{term}', ''))) "
-            f"/ length('{term}') AS BIGINT)"
-        )
-
-    s = re.sub(r"\bcountof\((\w+)\s*,\s*'([^']*)'\)", _countof, s)
-
-    # countof with a NON-LITERAL term (column/expression): same
-    # length-difference identity; an empty/null term yields null via
-    # nullif (the literal form above stays loud — a constant empty
-    # term is a query bug, a data-driven one is a data condition)
-    def _countof_dyn(a, b):
-        return (
-            f"CAST((length({a}) - length(replace({a}, {b}, ''))) "
-            f"/ nullif(length({b}), 0) AS BIGINT)"
-        )
-
-    s = _rewrite_call(s, "countof", _countof_dyn)
+    # countof moved to phase 2 (post-masking): _rewrite_call's
+    # balanced-paren scan is not quote-aware, so a quoted term
+    # containing '(' / ')' (e.g. countof(tostring(x), ':)')) would
+    # mis-split args if run here — masked literals are inert (r13
+    # ADVICE fix; the phase-2 path also unifies the literal / dynamic
+    # escape discipline).
     # contains/startswith/endswith: LIKE wildcards in the TERM must be
     # literal — escape %/_/backslash and pin ESCAPE. Layering: in the
     # final LIKE pattern (post SQL-literal unescape) the term needs
@@ -497,6 +473,33 @@ def _expr(kql: str, now: str | None = None) -> str:
     # dynamic indexing first: out-of-range/missing-key must be NULL
     # (Kusto) while Spark's [] throws under ANSI
     s = _rewrite_index_postfix(s)
+
+    # countof via the length-difference identity (pure string ops, no
+    # regex). ONE post-masking path for both literal and dynamic terms
+    # so they share the escape discipline: a masked-literal term is
+    # unmasked, backslash-doubled for the SQL string-literal layer
+    # (same as the has/split/trim rewrites — '\n' must reach
+    # replace()/length() verbatim), and rejected loudly if empty (a
+    # constant empty term is a query bug). A column/expression term is
+    # spliced as-is with nullif so an empty/null VALUE yields null (a
+    # data condition, not a query bug).
+    def _countof_dyn(a, b):
+        mm = re.fullmatch(rf"{chr(0)}L(\d+){chr(0)}", b.strip())
+        if mm:
+            raw = lits[int(mm.group(1))][1:-1]
+            if not raw:
+                raise ValueError("countof needs a non-empty search term")
+            t = "'" + raw.replace(chr(92), chr(92) * 2) + "'"
+            return (
+                f"CAST((length({a}) - length(replace({a}, {t}, ''))) "
+                f"/ length({t}) AS BIGINT)"
+            )
+        return (
+            f"CAST((length({a}) - length(replace({a}, {b}, ''))) "
+            f"/ nullif(length({b}), 0) AS BIGINT)"
+        )
+
+    s = _rewrite_call(s, "countof", _countof_dyn)
     s = re.sub(r"\biff\(", "if(", s)
     s = re.sub(r"\bstrcat\(", "concat(", s)
     s = re.sub(r"\btolower\(", "lower(", s)
@@ -1262,7 +1265,14 @@ def _rewrite_index_postfix(s: str) -> str:
     - masked string literal (``\\0L<i>\\0``) → bag/map key lookup
       (missing key → null);
     - integer literal → 0-based array index (+1 shift; negative →
-      a typed null via a null index, matching Kusto);
+      a typed null via a null index, matching Kusto). Documented
+      deviation (r13 ADVICE, PARITY.md): if the primary is a MAP
+      (property bag), Spark 4's analyzer rejects the int key on a
+      string-keyed map with a loud DATATYPE_MISMATCH error where
+      Kusto returns null — a loud failure, never a silent wrong
+      answer; the type is unknowable at string-rewrite time, arrays
+      (the common indexed type) are exact, and string-key bag
+      indexing is exact; pinned in tests/test_advice_r13.py;
     - any OTHER index expression passes through unchanged (the type of
       the primary is unknown at translate time, so the 0-based shift
       cannot be applied safely — documented dialect subset; Spark's
@@ -1832,10 +1842,13 @@ def kql_to_df(
             # Dialect subset: Kusto's combined `nodes as N, edges as E`
             # two-table form is not expressible as one frame — run the
             # pipe twice (same discipline as fork branches). Nodes =
-            # distinct union of edge endpoints (column `id`), LEFT
-            # joined to node properties when `with Nodes on Id` bound
-            # them — endpoint-only nodes keep null props, matching
-            # Kusto's degree-0-exclusion of unreferenced node rows.
+            # distinct union of edge endpoints (column `id`) PLUS the
+            # bound node table's ids when `with Nodes on Id` bound
+            # them (Kusto's make-graph retains isolated node rows —
+            # degree-0 nodes appear; r13 ADVICE fix), LEFT joined to
+            # the node properties — endpoint-only nodes keep null
+            # props. Without a node table the graph's node set IS the
+            # endpoint set.
             tgt = rest.strip().lower()
             gdf, gsrc, gdst, ndf, nid = graph_ctx
             if tgt == "edges":
@@ -1843,7 +1856,12 @@ def kql_to_df(
             elif tgt == "nodes":
                 ids = gdf.select(
                     F.col(gsrc).alias("id")
-                ).union(gdf.select(F.col(gdst).alias("id"))).distinct()
+                ).union(gdf.select(F.col(gdst).alias("id")))
+                if ndf is not None:
+                    ids = ids.union(
+                        ndf.select(F.col(nid).alias("id"))
+                    )
+                ids = ids.distinct()
                 if ndf is not None:
                     # AQE picks broadcast vs shuffle, same economics as
                     # the node-property joins in kql_graph.py

@@ -99,8 +99,11 @@ def test_graph_to_table_nodes_plain_and_props(spark, edges_df):
         "T | make-graph s --> d with N on nid | graph-to-table nodes",
     )
     got = sorted((r["id"], r["label"]) for r in out2.collect())
-    # endpoint-only node keeps null props; unreferenced node z is absent
-    assert got == [("a", "alpha"), ("b", "beta"), ("c", None)]
+    # endpoint-only node keeps null props; the bound node table's
+    # degree-0 row z IS retained (Kusto's make-graph keeps isolated
+    # nodes — r13 ADVICE fix)
+    assert got == [("a", "alpha"), ("b", "beta"), ("c", None),
+                   ("z", "zeta")]
 
 
 def test_graph_to_table_bad_target_raises(spark, edges_df):
