@@ -635,13 +635,58 @@ def semantic_dedup(
     probe 2 lists for recall). No cross-engine oracle exists (k-means
     init is engine-side): invariants are pytest-asserted against the
     unblocked exact pair set."""
-    from azuredataengineering_deeplearning_spark.operators.dedup import resolve_clusters
-
     cents = fit_ivf_centroids(vectors, n_lists=n_lists, vec_col=vec_col, seed=seed)
     assigned = assign_ivf_lists(vectors, cents, vec_col=vec_col, nprobe=1)
     blocked = assigned.select(
         F.col(id_col), F.col(vec_col), F.col("ivf_lists")[0].alias("__list")
     )
+    return _dedup_from_blocks(vectors, blocked, id_col, vec_col, threshold)
+
+
+def semantic_dedup_lsh(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """:func:`semantic_dedup` with DETERMINISTIC sign-LSH blocking
+    instead of fitted k-means (r12 verdict ask #6): block id = packed
+    sign bits of the decimal-exact dot products against the frozen
+    xorshift hyperplanes (:func:`_hyperplanes`) — the whole pipeline is
+    then a pure function of the input, so a DuckDB oracle replays it
+    bit-for-bit (catalog ``sim_semantic_dedup``). The decimal
+    accumulation makes the sign independent of summation order, the one
+    place engines could disagree. Identical pair/CC/survivor semantics
+    and the same Σ O(|block|²) blocking economics; k-means blocks
+    adapt to the data's density while the hyperplanes are oblivious —
+    SemDeDup accepts either (both miss boundary-straddling pairs)."""
+    planes = _hyperplanes(n_bits, dim)
+    block = F.lit(0)
+    for i, plane in enumerate(planes):
+        dot_dec = _exact_dot(
+            F.col(vec_col), F.array(*[F.lit(x) for x in plane])
+        )
+        block = block + F.when(dot_dec > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    blocked = vectors.select(
+        F.col(id_col), F.col(vec_col), block.alias("__list")
+    )
+    return _dedup_from_blocks(vectors, blocked, id_col, vec_col, threshold)
+
+
+def _dedup_from_blocks(
+    vectors: DataFrame,
+    blocked: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared SemDeDup tail: within-block cosine pairs → connected
+    components → canonical (min-id) survivor. ``blocked`` carries
+    (id, vec, __list)."""
+    from azuredataengineering_deeplearning_spark.operators.dedup import resolve_clusters
+
     norm = F.sqrt(_exact_dot(F.col(vec_col), F.col(vec_col)).cast("double"))
     a = blocked.select(
         "__list", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), norm.alias("__na")

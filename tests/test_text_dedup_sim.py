@@ -301,6 +301,23 @@ def test_semantic_dedup_identical_vectors_collapse(spark):
     assert out[3].is_semantic_dup == 0
 
 
+def test_semantic_dedup_lsh_identical_vectors_collapse(spark):
+    # the deterministic sign-LSH blocking variant (r13, full-oracle
+    # catalog row): identical vectors share every plane sign, so they
+    # always co-block and collapse regardless of the blocking draw
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in SIM.semantic_dedup_lsh(
+            df, threshold=0.99, n_bits=2, dim=3
+        ).collect()
+    }
+    assert out[1].is_semantic_dup == 0 and out[1].cluster_rep == 1
+    assert out[2].is_semantic_dup == 1 and out[2].cluster_rep == 1
+    assert out[3].is_semantic_dup == 0
+
+
 def test_unigram_cross_entropy_ranks_divergent_docs(spark):
     # doc 3 uses tokens nothing else uses -> rare unigrams -> high xent;
     # doc 1 repeats the corpus-dominant token -> low xent

@@ -51,9 +51,9 @@ ROWS_ONLY_CONTRACTS: dict[str, dict[str, str]] = {
     "sim_pq_adc_topk": {
         "query_id": "bigint", "neighbor_id": "bigint", "adc_score": "double",
     },
-    "sim_semantic_dedup": {
-        "vec_id": "bigint", "cluster_rep": "bigint", "is_semantic_dup": "int",
-    },
+    # sim_semantic_dedup graduated to FULL ORACLE in r13 (deterministic
+    # sign-LSH blocking variant; the fitted-k-means variant stays
+    # pytest-covered) — r12 verdict ask #6
     "u4_sample_fraction": {"o_orderkey": "bigint"},
     "u5_mixture_sample": {"o_orderkey": "bigint", "o_orderstatus": "string"},
     "u7_rand_fold": {"o_orderkey": "bigint", "fold": "int"},
