@@ -3686,3 +3686,308 @@ def kql_series_decompose_auto(spark, sf_dir):
     ).selectExpr(
         "event_type", "cast(ix as int) as ix", "resid", "used_p"
     )
+
+
+# ---------------------------------------------------------------- r13
+# series-library completion: trig/pow, vector ops, directional fills,
+# seasonal (median), fit_2lines, fit_poly — closing the documented
+# Kusto series function set (PARITY.md r13 table)
+
+
+@query(
+    "kql_series_trig_pow",
+    _SERIES_COUNT_CTE
+    + """
+    SELECT event_type, i AS ix,
+           sin(y) AS sn, cos(y) AS cs2, atan(y) AS at2,
+           CASE WHEN y = 0 THEN NULL ELSE pow(y, y / (y + y)) END AS pw
+    FROM s
+    """,
+)
+def kql_series_trig_pow(spark, sf_dir):
+    """KQL elementwise trig + power over make-series output:
+    ``series_sin/cos/atan`` and ``series_pow`` with a DERIVED exponent
+    series (n/(n+n) = 0.5 on active bins, null on empty ones via
+    try_divide — pinning the null-propagation path). One transform /
+    zip_with per row, no shuffle beyond make-series."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend sn = series_sin(n), cs2 = series_cos(n),
+                 at2 = series_atan(n),
+                 pw = series_pow(n, series_divide(n, series_add(n, n)))
+        | project event_type, sn, cs2, at2, pw
+        """,
+    )
+    return df.selectExpr(
+        "event_type",
+        "posexplode(arrays_zip(sn, cs2, at2, pw)) AS (ix, z)",
+    ).selectExpr(
+        "event_type", "cast(ix as bigint) as ix",
+        "z.sn as sn", "z.cs2 as cs2", "z.at2 as at2", "z.pw as pw",
+    )
+
+
+@query(
+    "kql_series_vector_ops",
+    _SERIES_COUNT_CTE
+    + """,
+    b2 AS (SELECT event_type,
+                  CAST(FLOOR((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400)
+                       AS BIGINT) AS i,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+           GROUP BY 1, 2),
+    s2 AS (SELECT s.event_type, s.i, s.y AS y1, COALESCE(b2.v, 0) AS y2
+           FROM s LEFT JOIN b2 USING (event_type, i)),
+    agg AS (
+      SELECT event_type,
+        CAST(SUM(CAST(y1 * y2 AS DECIMAL(30,15))) AS DOUBLE) AS dp,
+        sqrt(CAST(SUM(CAST(y1 * y1 AS DECIMAL(30,15))) AS DOUBLE)) AS m1,
+        sqrt(CAST(SUM(CAST(y2 * y2 AS DECIMAL(30,15))) AS DOUBLE)) AS m2
+      FROM s2 GROUP BY event_type)
+    SELECT event_type, dp, m1, m2, dp / (m1 * m2) AS csim FROM agg
+    """,
+)
+def kql_series_vector_ops(spark, sf_dir):
+    """KQL ``series_dot_product`` / ``series_magnitude`` /
+    ``series_cosine_similarity`` across two joined make-series outputs
+    (daily count vs daily revenue). Decimal-accumulated folds — the
+    order-independent _exact_dot discipline — so the DuckDB decimal
+    SUM twin agrees bit-for-bit."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return kql_to_df(
+        t,
+        """
+        let A = events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type;
+        let B = events
+        | make-series v=sum(value) on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type;
+        A
+        | join kind=inner (B) on event_type
+        | extend dp = series_dot_product(n, v),
+                 m1 = series_magnitude(n), m2 = series_magnitude(v),
+                 csim = series_cosine_similarity(n, v)
+        | project event_type, dp, m1, m2, csim
+        """,
+    )
+
+
+@query(
+    "kql_series_fill_fwd_bwd",
+    """
+    WITH w AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400)
+                  AS BIGINT) AS i,
+             value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        AND value >= 300
+    ),
+    b AS (SELECT event_type, i,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+          FROM w GROUP BY 1, 2),
+    spine AS (SELECT event_type, r.i
+              FROM (SELECT DISTINCT event_type FROM b) t CROSS JOIN range(31) r(i)),
+    s AS (SELECT spine.event_type, spine.i, b.v AS y
+          FROM spine LEFT JOIN b USING (event_type, i))
+    SELECT event_type, i AS ix,
+      last_value(y IGNORE NULLS)
+        OVER (PARTITION BY event_type ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+      first_value(y IGNORE NULLS)
+        OVER (PARTITION BY event_type ORDER BY i
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fb
+    FROM s
+    """,
+)
+def kql_series_fill_fwd_bwd(spark, sf_dir):
+    """KQL ``series_fill_forward`` / ``series_fill_backward`` over the
+    sparse high-value series (real interior AND edge gaps at every sf):
+    nulls copy the nearest non-null looking back / ahead, edge nulls
+    with nothing to copy stay null. The oracle is the IGNORE-NULLS
+    window pair; doubles are emitted directly (not printf strings —
+    the round-9 formatter lesson)."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | where value >= 300
+        | make-series v=sum(value) default=null on ts
+            from datetime(2024-01-01) to datetime(2024-02-01) step 1d
+            by event_type
+        | extend ff = series_fill_forward(v), fb = series_fill_backward(v)
+        | project event_type, ff, fb
+        """,
+    )
+    return df.selectExpr(
+        "event_type", "posexplode(arrays_zip(ff, fb)) AS (ix, z)"
+    ).selectExpr(
+        "event_type", "cast(ix as bigint) as ix", "z.ff as ff", "z.fb as fb"
+    )
+
+
+@query(
+    "kql_series_seasonal",
+    _SERIES_COUNT_CTE
+    + """,
+    med AS (SELECT event_type, i % 7 AS ph, median(y) AS m
+            FROM s GROUP BY 1, 2)
+    SELECT s.event_type, s.i AS ix, med.m AS sv
+    FROM s JOIN med ON s.event_type = med.event_type AND s.i % 7 = med.ph
+    """,
+)
+def kql_series_seasonal(spark, sf_dir):
+    """KQL ``series_seasonal(series, 7)`` — the repeating weekly
+    pattern: element i = MEDIAN of all values at phase i mod 7
+    (Kusto's documented statistic; even-sized classes interpolate the
+    two middles, matching DuckDB ``median``/quantile_cont). The 31-day
+    month gives classes of 5 AND 4 members, so both median branches
+    execute."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend sv = series_seasonal(n, 7)
+        | project event_type, sv
+        """,
+    )
+    return df.selectExpr(
+        "event_type", "posexplode(sv) AS (ix, sv)"
+    ).selectExpr("event_type", "cast(ix as bigint) as ix", "sv")
+
+
+@query(
+    "kql_series_fit_2lines",
+    _SERIES_COUNT_CTE
+    + """,
+    n_ AS (SELECT event_type, COUNT(*) AS n, var_pop(y) AS va FROM s GROUP BY 1),
+    ks AS (SELECT event_type, n, va, k
+           FROM n_ CROSS JOIN generate_series(2, 100) g(k) WHERE k <= n - 2),
+    lf AS (SELECT ks.event_type, ks.k, ks.n, ks.va,
+                  regr_slope(s.y, s.i) AS sl,
+                  regr_intercept(s.y, s.i) AS b,
+                  regr_syy(s.y, s.i) - regr_slope(s.y, s.i) * regr_sxy(s.y, s.i) AS rss
+           FROM ks JOIN s ON s.event_type = ks.event_type AND s.i < ks.k
+           GROUP BY 1, 2, 3, 4),
+    rf AS (SELECT ks.event_type, ks.k,
+                  regr_slope(s.y, s.i - ks.k) AS sl,
+                  regr_intercept(s.y, s.i - ks.k) AS b,
+                  regr_syy(s.y, s.i) - regr_slope(s.y, s.i) * regr_sxy(s.y, s.i) AS rss
+           FROM ks JOIN s ON s.event_type = ks.event_type AND s.i >= ks.k
+           GROUP BY 1, 2),
+    tot AS (SELECT lf.event_type, lf.k, lf.n, lf.va,
+                   lf.sl AS lsl, lf.b AS lb, rf.sl AS rsl, rf.b AS rb,
+                   lf.rss + rf.rss AS rss,
+                   ROW_NUMBER() OVER (PARTITION BY lf.event_type
+                                      ORDER BY lf.rss + rf.rss, lf.k) AS rn
+            FROM lf JOIN rf ON lf.event_type = rf.event_type AND lf.k = rf.k)
+    SELECT event_type, CAST(k AS INT) AS split_idx,
+           CASE WHEN va > 0
+                THEN GREATEST(0.0e0, 1 - (rss / n) / va) ELSE 1.0e0 END AS rsquare,
+           GREATEST(rss / n, 0.0e0) AS rvariance, va AS variance,
+           lsl AS left_slope, lb AS left_interception,
+           rsl AS right_slope, rb AS right_interception
+    FROM tot WHERE rn = 1
+    """,
+)
+def kql_series_fit_2lines(spark, sf_dir):
+    """KQL ``series_fit_2lines_dynamic`` — best two-segment line fit
+    (split minimizing summed RSS, each side fitted on its own 0-based
+    axis, ties → smallest split). Engine: bind-once prefix-moment
+    arrays + an O(n) split fold per row; oracle: regr_* aggregates
+    over every candidate split with the RSS = Syy − slope·Sxy
+    identity, argmin via a window."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend f = series_fit_2lines_dynamic(n)
+        | project event_type, f
+        """,
+    )
+    return df.selectExpr(
+        "event_type", "f.split_idx as split_idx", "f.rsquare as rsquare",
+        "f.rvariance as rvariance", "f.variance as variance",
+        "f.left_slope as left_slope",
+        "f.left_interception as left_interception",
+        "f.right_slope as right_slope",
+        "f.right_interception as right_interception",
+    )
+
+
+@query(
+    "kql_series_fit_poly",
+    _SERIES_COUNT_CTE
+    + """,
+    m AS (SELECT event_type,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(i) AS DOUBLE) AS s1,
+                 CAST(SUM(i * i) AS DOUBLE) AS s2,
+                 CAST(SUM(i * i * i) AS DOUBLE) AS s3,
+                 CAST(SUM(i * i * i * i) AS DOUBLE) AS s4,
+                 SUM(y) AS t0, SUM(i * y) AS t1, SUM(i * i * y) AS t2,
+                 SUM(y * y) AS syy
+          FROM s GROUP BY 1),
+    d AS (SELECT *,
+          (n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+             + s2 * (s1 * s3 - s2 * s2)) AS dm,
+          (t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2)
+             + s2 * (t1 * s3 - s2 * t2)) AS d0,
+          (n * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2)
+             + s2 * (s1 * t2 - t1 * s2)) AS d1,
+          (n * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2)
+             + t0 * (s1 * s3 - s2 * s2)) AS d2
+          FROM m)
+    SELECT event_type, d2 / dm AS c2, d1 / dm AS c1, d0 / dm AS c0
+    FROM d
+    """,
+)
+def kql_series_fit_poly(spark, sf_dir):
+    """KQL ``series_fit_poly(series, 2)`` — quadratic least squares via
+    Cramer's rule on the 3×3 normal system (Faulhaber closed-form
+    power sums in the engine, exact integer sums in the oracle — both
+    exact doubles below 2^53, so the determinant arithmetic agrees).
+    Degrees > 2 raise at translate time (documented dialect subset:
+    closed forms only; the reference never calls fit_poly)."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend f = series_fit_poly(n, 2)
+        | project event_type, f
+        """,
+    )
+    return df.selectExpr(
+        "event_type",
+        "f.coefficients[0] as c2", "f.coefficients[1] as c1",
+        "f.coefficients[2] as c0",
+    )

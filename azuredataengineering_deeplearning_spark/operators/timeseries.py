@@ -1732,6 +1732,417 @@ def series_pearson_correlation_sql(y1_sql: str, y2_sql: str) -> str:
     )
 
 
+def _dot_dec(a: str, b: str, n: str) -> str:
+    """Decimal-accumulated Σ a[i]·b[i] over the first ``n`` elements —
+    order-independent, so both engines agree bit-for-bit (the
+    similarity._exact_dot discipline, in SQL-text form)."""
+    return (
+        f"CAST(aggregate(sequence(1, {n}),"
+        " CAST(0 AS DECIMAL(30,15)), (__ac, __i) -> CAST(__ac +"
+        f" CAST(element_at({a}, __i) * element_at({b}, __i)"
+        " AS DECIMAL(30,15)) AS DECIMAL(30,15))) AS DOUBLE)"
+    )
+
+
+def series_dot_product_sql(a_sql: str, b_sql: str) -> str:
+    """KQL ``series_dot_product(s1, s2)`` → double. Decimal-exact fold
+    over the shorter length (the :func:`series_pearson_correlation_sql`
+    length convention); empty/null → null."""
+    body = (
+        "CASE WHEN __a IS NULL OR __b IS NULL"
+        " OR least(size(__a), size(__b)) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE {_dot_dec('__a', '__b', 'least(size(__a), size(__b))')} END"
+    )
+    return _bind1(
+        _as_double_array(a_sql), "__a",
+        _bind1(_as_double_array(b_sql), "__b", body),
+    )
+
+
+def series_magnitude_sql(a_sql: str) -> str:
+    """KQL ``series_magnitude(series)`` → double L2 norm; empty/null →
+    null."""
+    body = (
+        "CASE WHEN __a IS NULL OR size(__a) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE sqrt({_dot_dec('__a', '__a', 'size(__a)')}) END"
+    )
+    return _bind1(_as_double_array(a_sql), "__a", body)
+
+
+def series_cosine_similarity_sql(a_sql: str, b_sql: str) -> str:
+    """KQL ``series_cosine_similarity(s1, s2)`` → double. dot /
+    (‖a‖·‖b‖) over the shorter length; a zero-magnitude side → null
+    via try_divide (dialect note: Kusto's edge value for all-zero
+    input is unspecified — null is loud-ish and order-safe);
+    empty/null → null."""
+    n = "least(size(__a), size(__b))"
+    body = (
+        f"CASE WHEN __a IS NULL OR __b IS NULL OR {n} = 0"
+        " THEN CAST(NULL AS DOUBLE) "
+        f"ELSE try_divide({_dot_dec('__a', '__b', n)},"
+        f" sqrt({_dot_dec('__a', '__a', n)})"
+        f" * sqrt({_dot_dec('__b', '__b', n)})) END"
+    )
+    return _bind1(
+        _as_double_array(a_sql), "__a",
+        _bind1(_as_double_array(b_sql), "__b", body),
+    )
+
+
+def _series_fill_directional_sql(y_sql: str, forward: bool) -> str:
+    """Shared kernel for fill_forward / fill_backward: null elements
+    take the nearest non-null value looking back (forward fill) or
+    ahead (backward fill); edge nulls with nothing to copy from stay
+    null (Kusto's documented behavior). O(n · null_count) neighbor
+    scans like series_fill_linear — sized for make-series bins."""
+    if forward:
+        pick = (
+            "aggregate(sequence(0, __i), CAST(NULL AS INT), "
+            "(a, j) -> IF(element_at(__y, j + 1) IS NOT NULL,"
+            " CAST(j AS INT), a))"
+        )
+    else:
+        pick = (
+            "aggregate(sequence(__i, size(__y) - 1), CAST(NULL AS INT), "
+            "(a, j) -> IF(a IS NULL AND element_at(__y, j + 1)"
+            " IS NOT NULL, CAST(j AS INT), a))"
+        )
+    per_elem = (
+        "CASE WHEN element_at(__y, __i + 1) IS NOT NULL "
+        "THEN element_at(__y, __i + 1) "
+        f"ELSE {_bind1(pick, '__p', 'IF(__p IS NULL, CAST(NULL AS DOUBLE), element_at(__y, __p + 1))')} END"
+    )
+    body = (
+        "CASE WHEN __y IS NULL OR size(__y) = 0 THEN __y "
+        f"ELSE transform(sequence(0, size(__y) - 1), __i -> {per_elem}) END"
+    )
+    return _bind1(_as_double_array(y_sql), "__y", body)
+
+
+def series_fill_forward_sql(y_sql: str) -> str:
+    """KQL ``series_fill_forward(series)``: nulls take the last
+    preceding non-null value; leading nulls stay null."""
+    return _series_fill_directional_sql(y_sql, forward=True)
+
+
+def series_fill_backward_sql(y_sql: str) -> str:
+    """KQL ``series_fill_backward(series)``: nulls take the next
+    following non-null value; trailing nulls stay null."""
+    return _series_fill_directional_sql(y_sql, forward=False)
+
+
+def series_seasonal_sql(y_sql: str, period_sql: str = "-1") -> str:
+    """KQL ``series_seasonal(series [, period])`` — the repeating
+    seasonal pattern: element i = the MEDIAN of all values at phase
+    i mod p (Kusto's documented statistic — median, not mean, unlike
+    the decompose seasonal component). period = -1 autodetects with
+    the same gated top-ACF detector as :func:`series_decompose_sql`
+    (dialect: Kusto runs series_periods_detect here; one detector for
+    the whole family keeps results self-consistent); no seasonality
+    (p ≤ 0) → all zeros. Median of an even-sized class = mean of the
+    two middles (quantile_cont at 0.5 — relationally reproducible).
+    Expects a FILLED series; empty/null → null."""
+    cls = "array_sort(filter(transform(sequence(0, size(__y) - 1)," \
+          " __j -> IF(__j % __p = __r, element_at(__y, __j + 1)," \
+          " CAST(NULL AS DOUBLE))), __v -> __v IS NOT NULL))"
+    med = _bind1(
+        cls, "__c",
+        "IF(size(__c) % 2 = 1,"
+        " element_at(__c, CAST(size(__c) DIV 2 AS INT) + 1),"
+        " (element_at(__c, CAST(size(__c) DIV 2 AS INT))"
+        " + element_at(__c, CAST(size(__c) DIV 2 AS INT) + 1)) / 2)",
+    )
+    meds = f"transform(sequence(0, __p - 1), __r -> {med})"
+    body = _bind1(
+        _period_expr(period_sql, "__y"), "__p",
+        "IF(__p > 0, "
+        + _bind1(
+            meds, "__m",
+            "transform(sequence(0, size(__y) - 1), __i ->"
+            " element_at(__m, (__i % __p) + 1))",
+        )
+        + ", transform(__y, __v -> CAST(0 AS DOUBLE)))",
+    )
+    guarded = (
+        "CASE WHEN __y IS NULL OR size(__y) = 0 THEN __y "
+        f"ELSE {body} END"
+    )
+    return _bind1(_as_double_array(y_sql), "__y", guarded)
+
+
+_FIT2_STRUCT_T = (
+    "STRUCT<rsquare: DOUBLE, split_idx: INT, variance: DOUBLE,"
+    " rvariance: DOUBLE, line_fit: ARRAY<DOUBLE>,"
+    " left_slope: DOUBLE, left_interception: DOUBLE,"
+    " right_slope: DOUBLE, right_interception: DOUBLE>"
+)
+
+
+def series_fit_2lines_dynamic_sql(y_sql: str) -> str:
+    """KQL ``series_fit_2lines_dynamic(series)`` — split the series at
+    the index minimizing the summed residual variance of two
+    independent line fits (each side fitted on its OWN 0-based axis,
+    the :func:`series_fit_line_sql` convention; ``split_idx`` = first
+    index of the right segment, each segment ≥ 2 points, ties keep the
+    smallest split). Closed-form moments per candidate split from
+    bind-once PREFIX arrays (Σy, Σjy up to each index), so the split
+    scan is O(n) arithmetic on top of the O(n²)-copy prefix fold (the
+    series_iir sizing note). Returns struct(rsquare, split_idx,
+    variance, rvariance, line_fit, left_slope, left_interception,
+    right_slope, right_interception); n < 4 → null struct.
+
+    RSS identity per segment (m points, local x = 0..m-1):
+    RSS = Σy² + m·b² + s²·Σx² + 2bs·Σx − 2b·Σy − 2s·Σxy with
+    Σx, Σx² closed forms — exact doubles both engines."""
+    # prefix arrays: ps[i] = Σ_{j<=i} y[j], pj[i] = Σ_{j<=i} j*y[j],
+    # pq[i] = Σ_{j<=i} y[j]^2   (global j axis)
+    mk_pre = (
+        "aggregate(sequence(0, size(__y) - 1),"
+        " named_struct('s', CAST(array() AS ARRAY<DOUBLE>),"
+        " 'j', CAST(array() AS ARRAY<DOUBLE>),"
+        " 'q', CAST(array() AS ARRAY<DOUBLE>)),"
+        " (acc, __i) -> named_struct("
+        "'s', concat(acc.s, array(IF(__i = 0, 0D,"
+        " element_at(acc.s, __i)) + element_at(__y, __i + 1))),"
+        "'j', concat(acc.j, array(IF(__i = 0, 0D,"
+        " element_at(acc.j, __i))"
+        " + CAST(__i AS DOUBLE) * element_at(__y, __i + 1))),"
+        "'q', concat(acc.q, array(IF(__i = 0, 0D,"
+        " element_at(acc.q, __i))"
+        " + element_at(__y, __i + 1) * element_at(__y, __i + 1)))))"
+    )
+
+    # segment fit from moments (m, sy, sxy_local, syy):
+    # slope s, intercept b via the fit_line closed forms; rss via the
+    # expanded residual identity
+    def seg(m, sy, sxy, syy):
+        sx = f"({m} * ({m} - 1) / 2)"
+        sxx = f"({m} * ({m} - 1) * (2 * {m} - 1) / 6)"
+        den = f"({m} * {sxx} - {sx} * {sx})"
+        sl = (
+            f"CASE WHEN {den} > 0 THEN ({m} * {sxy} - {sx} * {sy})"
+            f" / {den} ELSE CAST(0 AS DOUBLE) END"
+        )
+        return sl, sx, sxx
+
+    # left segment at split k: m = k, global axis == local axis
+    l_sy = "element_at(__pre.s, __k)"
+    l_sxy = "element_at(__pre.j, __k)"
+    l_syy = "element_at(__pre.q, __k)"
+    l_m = "CAST(__k AS DOUBLE)"
+    l_sl, l_sx, l_sxx = seg(l_m, l_sy, l_sxy, l_syy)
+    # right segment: m = n-k, local x = j-k ->
+    # sxy_local = (Jtot - pre.j[k]) - k * (Stot - pre.s[k])
+    r_m = "CAST(size(__y) - __k AS DOUBLE)"
+    r_sy = "(element_at(__pre.s, size(__y)) - element_at(__pre.s, __k))"
+    r_sxy = (
+        "((element_at(__pre.j, size(__y)) - element_at(__pre.j, __k))"
+        " - CAST(__k AS DOUBLE) * (element_at(__pre.s, size(__y))"
+        " - element_at(__pre.s, __k)))"
+    )
+    r_syy = "(element_at(__pre.q, size(__y)) - element_at(__pre.q, __k))"
+    r_sl, r_sx, r_sxx = seg(r_m, r_sy, r_sxy, r_syy)
+
+    def rss(m, sy, sxy, syy, sl, sx, sxx, b):
+        return (
+            f"({syy} + {m} * {b} * {b} + ({sl}) * ({sl}) * {sxx}"
+            f" + 2 * {b} * ({sl}) * {sx} - 2 * {b} * {sy}"
+            f" - 2 * ({sl}) * {sxy})"
+        )
+
+    l_b = f"(({l_sy} - ({l_sl}) * {l_sx}) / {l_m})"
+    r_b = f"(({r_sy} - ({r_sl}) * {r_sx}) / {r_m})"
+    tot_rss = (
+        rss(l_m, l_sy, l_sxy, l_syy, l_sl, l_sx, l_sxx, l_b)
+        + " + "
+        + rss(r_m, r_sy, r_sxy, r_syy, r_sl, r_sx, r_sxx, r_b)
+    )
+    best = (
+        "aggregate(sequence(2, size(__y) - 2),"
+        " named_struct('r', CAST('Infinity' AS DOUBLE), 'k', 0),"
+        f" (acc, __k) -> IF(({tot_rss}) < acc.r,"
+        f" named_struct('r', CAST(({tot_rss}) AS DOUBLE),"
+        " 'k', CAST(__k AS INT)), acc))"
+    )
+    # final assembly at the winning split __bk (re-derive the two fits)
+    fin_l_sl, fin_l_sx, _ = seg(
+        "CAST(__bk.k AS DOUBLE)",
+        "element_at(__pre.s, __bk.k)",
+        "element_at(__pre.j, __bk.k)",
+        "element_at(__pre.q, __bk.k)",
+    )
+    fin_r_m = "CAST(size(__y) - __bk.k AS DOUBLE)"
+    fin_r_sy = (
+        "(element_at(__pre.s, size(__y)) - element_at(__pre.s, __bk.k))"
+    )
+    fin_r_sxy = (
+        "((element_at(__pre.j, size(__y)) - element_at(__pre.j, __bk.k))"
+        " - CAST(__bk.k AS DOUBLE) * (element_at(__pre.s, size(__y))"
+        " - element_at(__pre.s, __bk.k)))"
+    )
+    fin_r_sl, fin_r_sx, _ = seg(fin_r_m, fin_r_sy, fin_r_sxy, "0D")
+    fin_l_b = (
+        f"((element_at(__pre.s, __bk.k) - ({fin_l_sl}) * {fin_l_sx})"
+        " / CAST(__bk.k AS DOUBLE))"
+    )
+    fin_r_b = f"(({fin_r_sy} - ({fin_r_sl}) * {fin_r_sx}) / {fin_r_m})"
+    variance = (
+        "greatest(element_at(__pre.q, size(__y)) / size(__y)"
+        " - (element_at(__pre.s, size(__y)) / size(__y))"
+        " * (element_at(__pre.s, size(__y)) / size(__y)),"
+        " CAST(0 AS DOUBLE))"
+    )
+    final = (
+        "named_struct("
+        "'rsquare', CASE WHEN __va > 0 THEN greatest(CAST(0 AS DOUBLE),"
+        " 1 - (__bk.r / size(__y)) / __va) ELSE CAST(1 AS DOUBLE) END, "
+        "'split_idx', __bk.k, "
+        "'variance', __va, "
+        "'rvariance', greatest(__bk.r / size(__y), CAST(0 AS DOUBLE)), "
+        "'line_fit', transform(sequence(0, size(__y) - 1), __i ->"
+        f" IF(__i < __bk.k, ({fin_l_b}) + ({fin_l_sl})"
+        " * CAST(__i AS DOUBLE),"
+        f" ({fin_r_b}) + ({fin_r_sl}) * CAST(__i - __bk.k AS DOUBLE))), "
+        f"'left_slope', {fin_l_sl}, "
+        f"'left_interception', {fin_l_b}, "
+        f"'right_slope', {fin_r_sl}, "
+        f"'right_interception', {fin_r_b})"
+    )
+    body = _bind1(
+        mk_pre, "__pre",
+        _bind1(best, "__bk", _bind1(variance, "__va", final)),
+    )
+    guarded = (
+        "CASE WHEN __y IS NULL OR size(__y) < 4"
+        f" THEN CAST(NULL AS {_FIT2_STRUCT_T}) ELSE {body} END"
+    )
+    return _bind1(_as_double_array(y_sql), "__y", guarded)
+
+
+_POLY_STRUCT_T = (
+    "STRUCT<rsquare: DOUBLE, coefficients: ARRAY<DOUBLE>,"
+    " variance: DOUBLE, rvariance: DOUBLE, poly_fit: ARRAY<DOUBLE>>"
+)
+
+
+def series_fit_poly_sql(y_sql: str, degree_sql: str = "1") -> str:
+    """KQL ``series_fit_poly(series [, degree])`` — least-squares
+    polynomial over x = 0..n−1. Dialect subset (documented): degree 1
+    (= fit_line) and degree 2 (quadratic via Cramer on the 3×3 normal
+    system with Faulhaber power sums — exact closed forms both
+    engines); any other degree raises at translate time (the reference
+    never calls fit_poly; degrees ≥ 3 need a linear solver, which is a
+    numeric-library job, not an array-SQL job). Returns
+    struct(rsquare, coefficients [highest power first], variance,
+    rvariance, poly_fit); n ≤ degree → null struct."""
+    deg = degree_sql.strip()
+    if deg not in ("1", "2"):
+        raise ValueError(
+            "series_fit_poly: only degree 1 or 2 is supported (closed"
+            f" forms; documented dialect subset), got {degree_sql!r}"
+        )
+    if deg == "1":
+        inner = series_fit_line_sql("__y0")
+        body = _bind1(
+            inner, "__f",
+            "named_struct("
+            "'rsquare', __f.rsquare, "
+            "'coefficients', array(__f.slope, __f.interception), "
+            "'variance', __f.variance, "
+            "'rvariance', __f.rvariance, "
+            "'poly_fit', __f.line_fit)",
+        )
+        guarded = (
+            "CASE WHEN __y0 IS NULL OR size(__y0) < 2"
+            f" THEN CAST(NULL AS {_POLY_STRUCT_T}) ELSE {body} END"
+        )
+        return _bind1(_as_double_array(y_sql), "__y0", guarded)
+    # degree 2: normal equations  [S0 S1 S2; S1 S2 S3; S2 S3 S4] *
+    # [c0 c1 c2]' = [T0 T1 T2]  with Sk = Σ x^k (Faulhaber closed
+    # forms), Tk = Σ x^k y — solved by Cramer's rule
+    n = "CAST(size(__y0) AS DOUBLE)"
+    s1 = f"(({n} - 1) * {n} / 2)"
+    s2 = f"(({n} - 1) * {n} * (2 * {n} - 1) / 6)"
+    s3 = f"({s1} * {s1})"
+    s4 = (
+        f"(({n} - 1) * {n} * (2 * {n} - 1)"
+        f" * (3 * (({n} - 1) * ({n} - 1)) + 3 * ({n} - 1) - 1) / 30)"
+    )
+    t0 = "aggregate(__y0, CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    t1 = (
+        "aggregate(sequence(0, size(__y0) - 1), CAST(0 AS DOUBLE),"
+        " (a, i) -> a + CAST(i AS DOUBLE) * element_at(__y0, i + 1))"
+    )
+    t2 = (
+        "aggregate(sequence(0, size(__y0) - 1), CAST(0 AS DOUBLE),"
+        " (a, i) -> a + CAST(i AS DOUBLE) * CAST(i AS DOUBLE)"
+        " * element_at(__y0, i + 1))"
+    )
+    mom = (
+        f"named_struct('n', {n}, 's1', {s1}, 's2', {s2}, 's3', {s3},"
+        f" 's4', {s4}, 't0', {t0}, 't1', {t1}, 't2', {t2})"
+    )
+
+    def det3(a, b, c, d, e, f_, g, h, i):
+        return (
+            f"(({a}) * (({e}) * ({i}) - ({f_}) * ({h}))"
+            f" - ({b}) * (({d}) * ({i}) - ({f_}) * ({g}))"
+            f" + ({c}) * (({d}) * ({h}) - ({e}) * ({g})))"
+        )
+
+    m = ["__m.n", "__m.s1", "__m.s2", "__m.s1", "__m.s2", "__m.s3",
+         "__m.s2", "__m.s3", "__m.s4"]
+    dmain = det3(*m)
+    d0 = det3("__m.t0", m[1], m[2], "__m.t1", m[4], m[5], "__m.t2", m[7], m[8])
+    d1 = det3(m[0], "__m.t0", m[2], m[3], "__m.t1", m[5], m[6], "__m.t2", m[8])
+    d2 = det3(m[0], m[1], "__m.t0", m[3], m[4], "__m.t1", m[6], m[7], "__m.t2")
+    coefs = (
+        f"named_struct('c0', try_divide({d0}, {dmain}),"
+        f" 'c1', try_divide({d1}, {dmain}),"
+        f" 'c2', try_divide({d2}, {dmain}))"
+    )
+    fit = (
+        "transform(sequence(0, size(__y0) - 1), __i -> __c.c0"
+        " + __c.c1 * CAST(__i AS DOUBLE)"
+        " + __c.c2 * CAST(__i AS DOUBLE) * CAST(__i AS DOUBLE))"
+    )
+    variance = (
+        "greatest(aggregate(__y0, CAST(0 AS DOUBLE), (a, v) -> a + v * v)"
+        " / size(__y0) - (__m.t0 / __m.n) * (__m.t0 / __m.n),"
+        " CAST(0 AS DOUBLE))"
+    )
+    rvar = (
+        "greatest(aggregate(sequence(0, size(__y0) - 1),"
+        " CAST(0 AS DOUBLE), (a, i) -> a + pow(element_at(__y0, i + 1)"
+        " - element_at(__ft, i + 1), 2)) / size(__y0),"
+        " CAST(0 AS DOUBLE))"
+    )
+    final = (
+        "named_struct("
+        "'rsquare', CASE WHEN __va > 0 THEN greatest(CAST(0 AS DOUBLE),"
+        " 1 - __rv / __va) ELSE CAST(1 AS DOUBLE) END, "
+        "'coefficients', array(__c.c2, __c.c1, __c.c0), "
+        "'variance', __va, "
+        "'rvariance', __rv, "
+        "'poly_fit', __ft)"
+    )
+    body = _bind1(
+        mom, "__m",
+        _bind1(
+            coefs, "__c",
+            _bind1(
+                fit, "__ft",
+                _bind1(variance, "__va", _bind1(rvar, "__rv", final)),
+            ),
+        ),
+    )
+    guarded = (
+        "CASE WHEN __y0 IS NULL OR size(__y0) < 3"
+        f" THEN CAST(NULL AS {_POLY_STRUCT_T}) ELSE {body} END"
+    )
+    return _bind1(_as_double_array(y_sql), "__y0", guarded)
+
+
 _DECOMP_STRUCT_T = (
     "STRUCT<anomalies: ARRAY<INT>, score: ARRAY<DOUBLE>,"
     " baseline: ARRAY<DOUBLE>>"

@@ -75,7 +75,14 @@ Series functions over ``make-series`` arrays (incl.
 ``series_decompose_forecast`` (prefix-trained, true out-of-sample
 tail) and ``series_periods_detect`` (top-ACF lags) — pure
 higher-order array SQL, zero extra shuffles
-(operators/timeseries.py builders).
+(operators/timeseries.py builders). Round 13 closes the documented
+Kusto series set: elementwise ``series_sin/cos/tan/acos/asin/atan``
+and ``series_pow``; ``series_dot_product``/``series_magnitude``/
+``series_cosine_similarity`` (decimal-exact folds);
+``series_fill_forward``/``series_fill_backward``;
+``series_seasonal`` (per-phase MEDIAN, Kusto's statistic);
+``series_fit_2lines_dynamic`` (prefix-moment split scan) and
+``series_fit_poly`` (degree ≤ 2 closed forms, loud otherwise).
 Scalar family: ``isempty/isnotempty/isnull/isnotnull``, 0-based
 ``substring``/``indexof``, ``replace_string``,
 ``getyear/getmonth/hourofday/startofyear``, ``datetime_diff``
@@ -1065,6 +1072,30 @@ def _expr(kql: str, now: str | None = None) -> str:
         s, "series_pearson_correlation", series_pearson_correlation_sql
     )
     s = _rewrite_call(s, "series_fit_line_dynamic", series_fit_line_sql)
+    # round-13 series additions (see operators/timeseries.py builders)
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        series_cosine_similarity_sql,
+        series_dot_product_sql,
+        series_fill_backward_sql,
+        series_fill_forward_sql,
+        series_fit_2lines_dynamic_sql,
+        series_fit_poly_sql,
+        series_magnitude_sql,
+        series_seasonal_sql,
+    )
+
+    s = _rewrite_call(
+        s, "series_fit_2lines_dynamic", series_fit_2lines_dynamic_sql
+    )
+    s = _rewrite_call(s, "series_fit_poly", series_fit_poly_sql)
+    s = _rewrite_call(s, "series_dot_product", series_dot_product_sql)
+    s = _rewrite_call(s, "series_magnitude", series_magnitude_sql)
+    s = _rewrite_call(
+        s, "series_cosine_similarity", series_cosine_similarity_sql
+    )
+    s = _rewrite_call(s, "series_seasonal", series_seasonal_sql)
+    s = _rewrite_call(s, "series_fill_forward", series_fill_forward_sql)
+    s = _rewrite_call(s, "series_fill_backward", series_fill_backward_sql)
     s = _rewrite_call(s, "series_stats_dynamic", series_stats_dynamic_sql)
     s = _rewrite_call(s, "series_fill_linear", series_fill_linear_sql)
     s = _rewrite_call(s, "series_fill_const", series_fill_const_sql)
@@ -1081,6 +1112,13 @@ def _expr(kql: str, now: str | None = None) -> str:
         ("series_log", "ln(__x)"),
         ("series_sign", "sign(cast(__x as double))"),
         ("series_not", "cast(NOT cast(__x as boolean) as double)"),
+        # round-13 elementwise trig (closes the documented Kusto set)
+        ("series_cos", "cos(cast(__x as double))"),
+        ("series_sin", "sin(cast(__x as double))"),
+        ("series_tan", "tan(cast(__x as double))"),
+        ("series_acos", "acos(cast(__x as double))"),
+        ("series_asin", "asin(cast(__x as double))"),
+        ("series_atan", "atan(cast(__x as double))"),
     ):
         s = _rewrite_call(
             s,
@@ -1094,6 +1132,9 @@ def _expr(kql: str, now: str | None = None) -> str:
         ("series_subtract", "cast(__x as double) - cast(__y as double)"),
         ("series_multiply", "cast(__x as double) * cast(__y as double)"),
         ("series_divide", "try_divide(cast(__x as double), cast(__y as double))"),
+        # round 13: elementwise power (null on 0^negative etc. follows
+        # Spark's pow semantics — NaN, matching IEEE, not an error)
+        ("series_pow", "pow(cast(__x as double), cast(__y as double))"),
     ):
         s = _rewrite_call(
             s,

@@ -610,3 +610,300 @@ def test_forecast_one_point_training_prefix_twinned(spark, duck):
             ),
         )
         _match(out, duck, f"exp_fc1_{ci}", f"forecast-1pt trend={trend}")
+
+
+# ---------------------------------------------------------------------
+# round-13 series-library additions: seasonal (median), fit_2lines,
+# fit_poly, directional fills, vector ops — same twin discipline
+# ---------------------------------------------------------------------
+
+
+def _seasonal_twin(y, period):
+    n = len(y)
+    p = _period_of(y, period)
+    if p <= 0:
+        return [0.0] * n
+    meds = []
+    for r in range(p):
+        c = sorted(y[j] for j in range(n) if j % p == r)
+        if len(c) % 2 == 1:
+            meds.append(c[len(c) // 2])
+        else:
+            meds.append((c[len(c) // 2 - 1] + c[len(c) // 2]) / 2)
+    return [meds[i % p] for i in range(n)]
+
+
+def _fit2_twin(y):
+    """Bit-exact replay of series_fit_2lines_dynamic_sql: the same
+    prefix arrays, segment closed forms and RSS identity in the same
+    arithmetic order, so the argmin (the discrete output) agrees."""
+    n = len(y)
+    if n < 4:
+        return None
+    ps, pj, pq = [], [], []
+    for i, v in enumerate(y):
+        ps.append((0.0 if i == 0 else ps[i - 1]) + v)
+        pj.append((0.0 if i == 0 else pj[i - 1]) + float(i) * v)
+        pq.append((0.0 if i == 0 else pq[i - 1]) + v * v)
+
+    def seg(m, sy, sxy):
+        sx = m * (m - 1) / 2
+        sxx = m * (m - 1) * (2 * m - 1) / 6
+        den = m * sxx - sx * sx
+        sl = (m * sxy - sx * sy) / den if den > 0 else 0.0
+        return sl, sx, sxx
+
+    def rss(m, sy, sxy, syy, sl, sx, sxx, b):
+        return (syy + m * b * b + sl * sl * sxx + 2 * b * sl * sx
+                - 2 * b * sy - 2 * sl * sxy)
+
+    best_r, best_k = float("inf"), 0
+    for k in range(2, n - 1):
+        lm = float(k)
+        lsy, lsxy, lsyy = ps[k - 1], pj[k - 1], pq[k - 1]
+        lsl, lsx, lsxx = seg(lm, lsy, lsxy)
+        lb = (lsy - lsl * lsx) / lm
+        rm = float(n - k)
+        rsy = ps[n - 1] - ps[k - 1]
+        rsxy = (pj[n - 1] - pj[k - 1]) - float(k) * (ps[n - 1] - ps[k - 1])
+        rsyy = pq[n - 1] - pq[k - 1]
+        rsl, rsx, rsxx = seg(rm, rsy, rsxy)
+        rb = (rsy - rsl * rsx) / rm
+        tot = (rss(lm, lsy, lsxy, lsyy, lsl, lsx, lsxx, lb)
+               + rss(rm, rsy, rsxy, rsyy, rsl, rsx, rsxx, rb))
+        if tot < best_r:
+            best_r, best_k = tot, k
+    k = best_k
+    lsl, lsx, _ = seg(float(k), ps[k - 1], pj[k - 1])
+    lb = (ps[k - 1] - lsl * lsx) / float(k)
+    rm = float(n - k)
+    rsy = ps[n - 1] - ps[k - 1]
+    rsxy = (pj[n - 1] - pj[k - 1]) - float(k) * (ps[n - 1] - ps[k - 1])
+    rsl, rsx, _ = seg(rm, rsy, rsxy)
+    rb = (rsy - rsl * rsx) / rm
+    va = max(pq[n - 1] / n - (ps[n - 1] / n) * (ps[n - 1] / n), 0.0)
+    rsq = max(0.0, 1 - (best_r / n) / va) if va > 0 else 1.0
+    fit = [lb + lsl * float(i) if i < k else rb + rsl * float(i - k)
+           for i in range(n)]
+    return {"split_idx": k, "rsquare": rsq, "variance": va,
+            "rvariance": max(best_r / n, 0.0), "line_fit": fit,
+            "left_slope": lsl, "left_interception": lb,
+            "right_slope": rsl, "right_interception": rb}
+
+
+def _poly2_twin(y):
+    n = float(len(y))
+    if len(y) < 3:
+        return None
+    s1 = (n - 1) * n / 2
+    s2 = (n - 1) * n * (2 * n - 1) / 6
+    s3 = s1 * s1
+    s4 = (n - 1) * n * (2 * n - 1) * (3 * ((n - 1) * (n - 1))
+                                      + 3 * (n - 1) - 1) / 30
+    t0 = _fsum(y)
+    t1 = 0.0
+    for i, v in enumerate(y):
+        t1 = t1 + float(i) * v
+    t2 = 0.0
+    for i, v in enumerate(y):
+        t2 = t2 + float(i) * float(i) * v
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (a * (e * i - f * h) - b * (d * i - f * g)
+                + c * (d * h - e * g))
+
+    dm = det3(n, s1, s2, s1, s2, s3, s2, s3, s4)
+    d0 = det3(t0, s1, s2, t1, s2, s3, t2, s3, s4)
+    d1 = det3(n, t0, s2, s1, t1, s3, s2, t2, s4)
+    d2 = det3(n, s1, t0, s1, s2, t1, s2, s3, t2)
+    c0, c1, c2 = d0 / dm, d1 / dm, d2 / dm
+    return [c2, c1, c0]
+
+
+def _fill_twin(y, forward):
+    out = []
+    for i, v in enumerate(y):
+        if v is not None:
+            out.append(v)
+            continue
+        src = None
+        rng_ = range(0, i + 1) if forward else range(i, len(y))
+        for j in (rng_ if forward else rng_):
+            if y[j] is not None:
+                src = y[j]
+                if not forward:
+                    break
+        out.append(src)
+    return out
+
+
+def test_fuzz_series_seasonal(spark, duck):
+    rng = random.Random(1308)
+    for ci in range(6):
+        n = rng.choice([6, 10, 14, 21, 30])
+        series = [
+            (rid, _mk_series(rng, n, rng.choice(["sine", "trend_sine",
+                                                 "random", "const"])))
+            for rid in range(3)
+        ]
+        period = rng.choice([-1, 2, 3, rng.randint(2, max(2, n // 2))])
+        sdf = spark.createDataFrame(series, "rid int, y array<double>")
+        out = kql_to_df(
+            {"T": sdf},
+            f"T | extend s = series_seasonal(y, {period})"
+            " | project rid, s",
+        ).selectExpr("rid", "posexplode(s) AS (ix, v)").selectExpr(
+            "rid", "cast(ix as int) as ix", "v"
+        )
+        rows = []
+        for rid, ys in series:
+            sv = _seasonal_twin(ys, period)
+            rows.extend((rid, i, sv[i]) for i in range(len(ys)))
+        _register(duck, f"exp_sea_{ci}",
+                  pd.DataFrame(rows, columns=["rid", "ix", "v"]))
+        _match(out, duck, f"exp_sea_{ci}",
+               f"seasonal ci={ci} n={n} period={period}")
+
+
+def test_fuzz_series_fit_2lines(spark, duck):
+    rng = random.Random(1309)
+    for ci in range(6):
+        n = rng.choice([4, 5, 8, 12, 20, 31])
+        # knee shapes AND pure noise (near-tie stress for the argmin)
+        series = []
+        for rid in range(3):
+            kind = rng.choice(["knee", "random", "trend_sine"])
+            if kind == "knee":
+                k = rng.randint(2, n - 2)
+                s1, s2 = rng.uniform(-2, 2), rng.uniform(-2, 2)
+                series.append((rid, [
+                    round(s1 * i + rng.uniform(-0.2, 0.2), 3) if i < k
+                    else round(s1 * k + s2 * (i - k)
+                               + rng.uniform(-0.2, 0.2), 3)
+                    for i in range(n)
+                ]))
+            else:
+                series.append((rid, _mk_series(rng, n, kind)))
+        sdf = spark.createDataFrame(series, "rid int, y array<double>")
+        out = kql_to_df(
+            {"T": sdf},
+            "T | extend f = series_fit_2lines_dynamic(y)"
+            " | project rid, f",
+        ).selectExpr(
+            "rid", "f.split_idx as k", "f.rsquare as rsq",
+            "f.rvariance as rv", "f.variance as va",
+            "f.left_slope as ls", "f.left_interception as lb",
+            "f.right_slope as rs", "f.right_interception as rb",
+        )
+        rows = []
+        for rid, ys in series:
+            f = _fit2_twin(ys)
+            rows.append((rid, f["split_idx"], f["rsquare"],
+                         f["rvariance"], f["variance"], f["left_slope"],
+                         f["left_interception"], f["right_slope"],
+                         f["right_interception"]))
+        pdf = pd.DataFrame(rows, columns=["rid", "k", "rsq", "rv", "va",
+                                          "ls", "lb", "rs", "rb"])
+        pdf["k"] = pdf["k"].astype("int32")
+        _register(duck, f"exp_f2_{ci}", pdf)
+        _match(out, duck, f"exp_f2_{ci}", f"fit_2lines ci={ci} n={n}")
+
+
+def test_fuzz_series_fit_poly2(spark, duck):
+    rng = random.Random(1310)
+    for ci in range(4):
+        n = rng.choice([3, 5, 9, 16, 31])
+        series = [
+            (rid, _mk_series(rng, n, rng.choice(["random", "trend_sine",
+                                                 "sine"])))
+            for rid in range(3)
+        ]
+        sdf = spark.createDataFrame(series, "rid int, y array<double>")
+        out = kql_to_df(
+            {"T": sdf},
+            "T | extend f = series_fit_poly(y, 2) | project rid, f",
+        ).selectExpr(
+            "rid", "f.coefficients[0] as c2", "f.coefficients[1] as c1",
+            "f.coefficients[2] as c0",
+        )
+        rows = []
+        for rid, ys in series:
+            c2, c1, c0 = _poly2_twin(ys)
+            rows.append((rid, c2, c1, c0))
+        _register(duck, f"exp_p2_{ci}",
+                  pd.DataFrame(rows, columns=["rid", "c2", "c1", "c0"]))
+        _match(out, duck, f"exp_p2_{ci}", f"fit_poly2 ci={ci} n={n}")
+
+
+def test_fuzz_series_fills(spark, duck):
+    rng = random.Random(1311)
+    for ci in range(4):
+        n = rng.choice([4, 8, 15, 24])
+        series = []
+        for rid in range(3):
+            ys = [None if rng.random() < 0.4
+                  else round(rng.uniform(-9, 9), 3) for _ in range(n)]
+            series.append((rid, ys))
+        sdf = spark.createDataFrame(series, "rid int, y array<double>")
+        out = kql_to_df(
+            {"T": sdf},
+            "T | extend f = series_fill_forward(y),"
+            " b = series_fill_backward(y) | project rid, f, b",
+        ).selectExpr(
+            "rid", "posexplode(arrays_zip(f, b)) AS (ix, z)"
+        ).selectExpr("rid", "cast(ix as int) as ix", "z.f as f", "z.b as b")
+        rows = []
+        for rid, ys in series:
+            ff = _fill_twin(ys, True)
+            fb = _fill_twin(ys, False)
+            rows.extend((rid, i, ff[i], fb[i]) for i in range(len(ys)))
+        _register(duck, f"exp_fl_{ci}",
+                  pd.DataFrame(rows, columns=["rid", "ix", "f", "b"]))
+        _match(out, duck, f"exp_fl_{ci}", f"fills ci={ci} n={n}")
+
+
+def test_fuzz_series_vector_ops(spark, duck):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q15 = Decimal(1).scaleb(-15)
+
+    def dot_dec(a, b):
+        acc = Decimal(0)
+        for i in range(min(len(a), len(b))):
+            acc = (acc + Decimal(a[i] * b[i]).quantize(
+                q15, ROUND_HALF_UP)).quantize(q15, ROUND_HALF_UP)
+        return float(acc)
+
+    rng = random.Random(1312)
+    for ci in range(4):
+        na, nb = rng.choice([(5, 5), (8, 6), (12, 12), (3, 9)])
+        series = [
+            (rid,
+             [round(rng.uniform(-9, 9), 3) for _ in range(na)],
+             [round(rng.uniform(-9, 9), 3) for _ in range(nb)])
+            for rid in range(3)
+        ]
+        sdf = spark.createDataFrame(
+            series, "rid int, a array<double>, b array<double>"
+        )
+        out = kql_to_df(
+            {"T": sdf},
+            "T | extend d = series_dot_product(a, b),"
+            " m = series_magnitude(a),"
+            " c = series_cosine_similarity(a, b)"
+            " | project rid, d, m, c",
+        )
+        rows = []
+        for rid, a, b in series:
+            d = dot_dec(a, b)
+            m = math.sqrt(dot_dec(a, a))
+            # cosine's norms run over the SHORTER prefix (the engine's
+            # least-length convention inside the kernel)
+            k = min(len(a), len(b))
+            c = d / (math.sqrt(dot_dec(a[:k], a[:k]))
+                     * math.sqrt(dot_dec(b[:k], b[:k])))
+            rows.append((rid, d, m, c))
+        _register(duck, f"exp_vo_{ci}",
+                  pd.DataFrame(rows, columns=["rid", "d", "m", "c"]))
+        _match(out, duck, f"exp_vo_{ci}",
+               f"vector_ops ci={ci} na={na} nb={nb}")
