@@ -64,6 +64,7 @@ def load_all() -> None:
         "extras2",
         "incremental",
         "pysource",
+        "geo",
     ):
         try:
             __import__(f"azuredataengineering_deeplearning_spark.catalog.{mod}")

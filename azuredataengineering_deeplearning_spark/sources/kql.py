@@ -614,6 +614,31 @@ def _expr(kql: str, now: str | None = None) -> str:
             f" * pow(sin((radians({lo2}) - radians({lo1})) / 2), 2))))"
         ),
     )
+    # round-13 geo family (operators/spatial.py builders): closed-form
+    # geohash encode/decode (fixed-point quantize + compile-time bit
+    # interleave — zero UDFs, equi-joinable cell ids) and the
+    # point-in-circle predicate on the shared haversine
+    from azuredataengineering_deeplearning_spark.operators.spatial import (
+        geohash_center_sql,
+        geohash_sql,
+        haversine_sql,
+    )
+
+    s = _rewrite_call(
+        s, "geo_point_to_geohash",
+        lambda lon, lat, p="5": geohash_sql(lon, lat, p),
+    )
+    s = _rewrite_call(
+        s, "geo_geohash_to_central_point",
+        lambda gh: geohash_center_sql(gh),
+    )
+    s = _rewrite_call(
+        s, "geo_point_in_circle",
+        lambda plon, plat, clon, clat, r: (
+            f"({haversine_sql(plon, plat, clon, clat)}"
+            f" <= CAST(({r}) AS DOUBLE))"
+        ),
+    )
     # parse_url(x) -> Kusto's URL bag as a JSON string (keys Scheme /
     # Host / Port / Path / Username / Password / Query Parameters /
     # Fragment, exactly Kusto's, absent parts ''). Built on Spark's
