@@ -3991,3 +3991,42 @@ def kql_series_fit_poly(spark, sf_dir):
         "f.coefficients[0] as c2", "f.coefficients[1] as c1",
         "f.coefficients[2] as c0",
     )
+
+
+@query(
+    "kql_series_fft",
+    _SERIES_COUNT_CTE
+    + """,
+    ks AS (SELECT DISTINCT event_type, r.k
+           FROM s CROSS JOIN range(31) r(k))
+    SELECT ks.event_type, ks.k AS ix,
+           SUM(s.y * cos(2 * pi() * ((s.i * ks.k) % 31) / 31)) AS re,
+           SUM(s.y * -sin(2 * pi() * ((s.i * ks.k) % 31) / 31)) AS im
+    FROM ks JOIN s ON s.event_type = ks.event_type
+    GROUP BY 1, 2
+    """,
+)
+def kql_series_fft(spark, sf_dir):
+    """KQL ``series_fft`` over the daily count series (forward DFT,
+    numpy convention) — bind-once O(n²) array SQL with the EXACT
+    integer angle reduction ((j·k) mod n), so libm stays
+    well-conditioned and the relational DuckDB DFT agrees. The
+    round-trip (``series_ifft``) identity is pinned in
+    tests/test_kql_r13.py. Zero UDFs — the documented dial: arrays
+    beyond make-series sizes belong in a numeric library offline."""
+    t = load_tables(spark, sf_dir, ["events"])
+    df = kql_to_df(
+        t,
+        """
+        events
+        | make-series n=count() on ts from datetime(2024-01-01)
+            to datetime(2024-02-01) step 1d by event_type
+        | extend f = series_fft(n)
+        | project event_type, f
+        """,
+    )
+    return df.selectExpr(
+        "event_type", "posexplode(arrays_zip(f.re, f.im)) AS (ix, z)"
+    ).selectExpr(
+        "event_type", "cast(ix as bigint) as ix", "z.re as re", "z.im as im"
+    )

@@ -2143,6 +2143,82 @@ def series_fit_poly_sql(y_sql: str, degree_sql: str = "1") -> str:
     return _bind1(_as_double_array(y_sql), "__y0", guarded)
 
 
+_FFT_STRUCT_T = "STRUCT<re: ARRAY<DOUBLE>, im: ARRAY<DOUBLE>>"
+
+
+def _dft_sql(re_in: str, im_in: str, sign: str, scale: bool) -> str:
+    """Shared DFT kernel over bound arrays ``re_in``/``im_in``:
+    X_k = Σ_j (r_j + i·m_j) · e^{sign·2πi·jk/n}, optionally scaled by
+    1/n (the inverse). The angle is reduced with the EXACT integer
+    identity e^{2πi·jk/n} = e^{2πi·((j·k) mod n)/n}, so libm never
+    sees a large argument and both engines compute the same
+    well-conditioned cos/sin inputs. O(n²) trig per row — the
+    autodetect cost class, sized for make-series bins (the documented
+    dial: truly long arrays belong in a numeric library offline)."""
+    theta = f"(2 * pi() * CAST((__j * __k) % size({re_in}) AS DOUBLE) / size({re_in}))"
+    s = "+" if sign == "+" else "-"
+    re_term = (
+        f"element_at({re_in}, __j + 1) * cos({theta})"
+        f" {'-' if s == '+' else '+'} element_at({im_in}, __j + 1) * sin({theta})"
+    )
+    im_term = (
+        f"element_at({im_in}, __j + 1) * cos({theta})"
+        f" {'+' if s == '+' else '-'} element_at({re_in}, __j + 1) * sin({theta})"
+    )
+    div = f" / size({re_in})" if scale else ""
+    mk = (
+        f"transform(sequence(0, size({re_in}) - 1), __k -> "
+        f"named_struct("
+        f"'r', aggregate(sequence(0, size({re_in}) - 1), CAST(0 AS DOUBLE),"
+        f" (a, __j) -> a + ({re_term})){div}, "
+        f"'m', aggregate(sequence(0, size({re_in}) - 1), CAST(0 AS DOUBLE),"
+        f" (a, __j) -> a + ({im_term})){div}))"
+    )
+    return (
+        "named_struct("
+        f"'re', transform({mk}, __e -> __e.r), "
+        f"'im', transform({mk}, __e -> __e.m))"
+    )
+
+
+def series_fft_sql(re_sql: str, im_sql: str | None = None) -> str:
+    """KQL ``series_fft(x_real [, x_imaginary])`` → struct(re, im)
+    (dialect note: Kusto deconstructs into two columns with
+    ``(r, i) = series_fft(x)``; this typed dialect returns the struct
+    — read ``.re`` / ``.im``). Forward transform, numpy convention
+    (X_k = Σ x_j e^{−2πi·jk/n}, no scaling). Implemented as the O(n²)
+    DFT in bind-once array SQL rather than a Python FFT: zero UDFs,
+    exact cross-engine oracle, same cost class as ACF autodetection
+    at make-series sizes. Empty/null → null struct."""
+    body = _dft_sql("__fr", "__fi", "-", scale=False)
+    imq = (
+        _as_double_array(im_sql)
+        if im_sql is not None and im_sql.strip()
+        else "transform(__fr, __v -> CAST(0 AS DOUBLE))"
+    )
+    guarded = (
+        "CASE WHEN __fr IS NULL OR size(__fr) = 0"
+        f" THEN CAST(NULL AS {_FFT_STRUCT_T}) ELSE "
+        + _bind1(imq, "__fi", body)
+        + " END"
+    )
+    return _bind1(_as_double_array(re_sql), "__fr", guarded)
+
+
+def series_ifft_sql(re_sql: str, im_sql: str) -> str:
+    """KQL ``series_ifft(x_real, x_imaginary)`` → struct(re, im):
+    inverse transform, x_j = (1/n) Σ X_k e^{+2πi·jk/n} — the exact
+    round-trip partner of :func:`series_fft_sql`."""
+    body = _dft_sql("__fr", "__fi", "+", scale=True)
+    guarded = (
+        "CASE WHEN __fr IS NULL OR size(__fr) = 0"
+        f" THEN CAST(NULL AS {_FFT_STRUCT_T}) ELSE "
+        + _bind1(_as_double_array(im_sql), "__fi", body)
+        + " END"
+    )
+    return _bind1(_as_double_array(re_sql), "__fr", guarded)
+
+
 _DECOMP_STRUCT_T = (
     "STRUCT<anomalies: ARRAY<INT>, score: ARRAY<DOUBLE>,"
     " baseline: ARRAY<DOUBLE>>"

@@ -1109,6 +1109,13 @@ def _expr(kql: str, now: str | None = None) -> str:
         series_seasonal_sql,
     )
 
+    from azuredataengineering_deeplearning_spark.operators.timeseries import (
+        series_fft_sql,
+        series_ifft_sql,
+    )
+
+    s = _rewrite_call(s, "series_fft", series_fft_sql)
+    s = _rewrite_call(s, "series_ifft", series_ifft_sql)
     s = _rewrite_call(
         s, "series_fit_2lines_dynamic", series_fit_2lines_dynamic_sql
     )

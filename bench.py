@@ -101,6 +101,14 @@ HEADLINE = [
     "kql_series_fir",
     "kql_graph_shortest_paths",
     "kql_fork",
+    # round 13: the newest kernels enter the headline set — the
+    # prefix-moment two-segment fit (the most expression-heavy r13
+    # series kernel), the decimal-exact vector ops, the full-oracle
+    # sign-LSH semantic dedup, and the geohash-blocked radius join
+    "kql_series_fit_2lines",
+    "kql_series_vector_ops",
+    "sim_semantic_dedup",
+    "geo_radius_join",
 ]
 
 

@@ -156,3 +156,39 @@ def test_trig_and_pow_elementwise(spark):
     assert out["c"] == [pytest.approx(1.0), pytest.approx(math.cos(1.0))]
     assert out["ac"][0] == pytest.approx(math.pi / 2)
     assert out["p"] == [pytest.approx(1.0), pytest.approx(0.5)]
+
+
+def test_fft_matches_numpy_and_roundtrips(spark):
+    import numpy as np
+
+    y = [1.0, 2.0, -1.5, 0.5, 3.0, -2.0, 4.25]
+    im0 = [0.5, -1.0, 0.0, 2.0, -0.25, 1.5, 0.75]
+    df = spark.createDataFrame(
+        [(1, y, im0)], "rid int, y array<double>, z array<double>"
+    )
+    out = kql_to_df(
+        {"T": df},
+        "T | extend f = series_fft(y), g = series_fft(y, z)"
+        " | extend rt = series_ifft(f.re, f.im)"
+        " | project f, g, rt",
+    ).collect()[0]
+    npf = np.fft.fft(np.array(y))
+    npg = np.fft.fft(np.array(y) + 1j * np.array(im0))
+    assert out["f"]["re"] == pytest.approx(list(npf.real), abs=1e-9)
+    assert out["f"]["im"] == pytest.approx(list(npf.imag), abs=1e-9)
+    # complex (2-arg) input
+    assert out["g"]["re"] == pytest.approx(list(npg.real), abs=1e-9)
+    assert out["g"]["im"] == pytest.approx(list(npg.imag), abs=1e-9)
+    # ifft(fft(y)) == y, imaginary residue at float noise
+    assert out["rt"]["re"] == pytest.approx(y, abs=1e-9)
+    assert max(abs(v) for v in out["rt"]["im"]) < 1e-12
+
+
+def test_fft_empty_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, []), (2, None)], "rid int, y array<double>"
+    )
+    out = kql_to_df(
+        {"T": df}, "T | extend f = series_fft(y) | project rid, f"
+    ).collect()
+    assert all(r["f"] is None for r in out)
