@@ -152,3 +152,67 @@ def test_radius_join_plan_is_blocked(spark, clustered):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _textbook_geohash(lon, lat, p):
+    """The FOREIGN twin: classic interval-halving geohash (the
+    wikipedia algorithm), structurally unlike the engine's closed-form
+    quantize-and-interleave — agreement is an algorithmic cross-check,
+    not a replay."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
+    out, bits, ch, even = [], 0, 0, True
+    while len(out) < p:
+        if even:
+            mid = (lo_x + hi_x) / 2
+            if lon >= mid:
+                ch = ch * 2 + 1
+                lo_x = mid
+            else:
+                ch = ch * 2
+                hi_x = mid
+        else:
+            mid = (lo_y + hi_y) / 2
+            if lat >= mid:
+                ch = ch * 2 + 1
+                lo_y = mid
+            else:
+                ch = ch * 2
+                hi_y = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(alphabet[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_fuzz_vs_textbook_algorithm(spark):
+    import random
+
+    rng = random.Random(1313)
+    pts = [
+        (i,
+         round(rng.uniform(-180, 180), 6),
+         round(rng.uniform(-90, 90), 6),
+         rng.randint(1, 12))
+        for i in range(48)
+    ] + [
+        # quantization-boundary stress: exact cell-edge coordinates
+        (100, 0.0, 0.0, 7), (101, -180.0, -90.0, 9), (102, 180.0, 90.0, 9),
+        (103, 11.25, 45.0, 4), (104, -0.703125, 42.626953125, 6),
+    ]
+    df = spark.createDataFrame(pts, "rid int, lon double, lat double, p int")
+    for p in sorted({r[3] for r in pts}):
+        sub = [r for r in pts if r[3] == p]
+        sdf = df.filter(F.col("p") == p)
+        got = {
+            r["rid"]: r["g"]
+            for r in sdf.selectExpr(
+                "rid", f"{geohash_sql('lon', 'lat', p)} as g"
+            ).collect()
+        }
+        for rid, lon, lat, _ in sub:
+            assert got[rid] == _textbook_geohash(lon, lat, p), (
+                rid, lon, lat, p, got[rid]
+            )
