@@ -2174,10 +2174,13 @@ def _dft_sql(re_in: str, im_in: str, sign: str, scale: bool) -> str:
         f"'m', aggregate(sequence(0, size({re_in}) - 1), CAST(0 AS DOUBLE),"
         f" (a, __j) -> a + ({im_term})){div}))"
     )
-    return (
+    # bind the spectrum ONCE — a bare transform({mk}, .r) per struct
+    # field would evaluate the whole O(n²) DFT twice
+    return _bind1(
+        mk, "__dft",
         "named_struct("
-        f"'re', transform({mk}, __e -> __e.r), "
-        f"'im', transform({mk}, __e -> __e.m))"
+        "'re', transform(__dft, __e -> __e.r), "
+        "'im', transform(__dft, __e -> __e.m))",
     )
 
 
