@@ -1957,12 +1957,19 @@ def series_fit_2lines_dynamic_sql(y_sql: str) -> str:
         + " + "
         + rss(r_m, r_sy, r_sxy, r_syy, r_sl, r_sx, r_sxx, r_b)
     )
+    # bind the split's total RSS once per candidate (r13 double-splice
+    # audit: codegen CSE deduplicates lambda-internal splices today —
+    # see the _acf_best_expr note — but binding makes that a property
+    # of the SQL rather than of the optimizer)
+    best_step = _bind1(
+        f"CAST(({tot_rss}) AS DOUBLE)", "__tr",
+        "IF(__tr < acc.r,"
+        " named_struct('r', __tr, 'k', CAST(__k AS INT)), acc)",
+    )
     best = (
         "aggregate(sequence(2, size(__y) - 2),"
         " named_struct('r', CAST('Infinity' AS DOUBLE), 'k', 0),"
-        f" (acc, __k) -> IF(({tot_rss}) < acc.r,"
-        f" named_struct('r', CAST(({tot_rss}) AS DOUBLE),"
-        " 'k', CAST(__k AS INT)), acc))"
+        f" (acc, __k) -> {best_step})"
     )
     # final assembly at the winning split __bk (re-derive the two fits)
     fin_l_sl, fin_l_sx, _ = seg(
@@ -2325,11 +2332,23 @@ def _acf_best_expr(y: str = "__y") -> str:
         f" * (element_at({y}, i + __L + 1) - __mu))"
     )
     score = f"coalesce(try_divide({num}, __va), CAST(-2 AS DOUBLE))"
+    # bind the per-lag score once. NOTE (r13 double-splice audit):
+    # an interleaved A/B showed Spark's codegen subexpression
+    # elimination ALREADY deduplicated the spliced {score} inside this
+    # lambda (old vs bound: equal within noise at 20k x 512), unlike
+    # the cross-struct-field case in _dft_sql where binding measurably
+    # halved the work — the explicit bind stays because it makes
+    # single evaluation a property of the SQL, not of an optimizer
+    # behavior the next Spark version may change
+    step = _bind1(
+        score, "__sc",
+        "IF(__sc > acc.s,"
+        " named_struct('s', __sc, 'l', CAST(__L AS INT)), acc)",
+    )
     fold = (
         f"aggregate(sequence(2, CAST(size({y}) DIV 2 AS INT)),"
         " named_struct('s', CAST(-2 AS DOUBLE), 'l', 0),"
-        f" (acc, __L) -> IF({score} > acc.s,"
-        f" named_struct('s', {score}, 'l', CAST(__L AS INT)), acc))"
+        f" (acc, __L) -> {step})"
     )
     guarded = (
         f"IF(size({y}) >= 4, {fold},"
