@@ -1845,12 +1845,16 @@ def series_seasonal_sql(y_sql: str, period_sql: str = "-1") -> str:
     cls = "array_sort(filter(transform(sequence(0, size(__y) - 1)," \
           " __j -> IF(__j % __p = __r, element_at(__y, __j + 1)," \
           " CAST(NULL AS DOUBLE))), __v -> __v IS NOT NULL))"
+    # empty class (period > length, or every member null) → null
+    # median, NOT an index-0 error — found by the r13 Hypothesis
+    # property (tests/test_series_r13_properties.py)
     med = _bind1(
         cls, "__c",
-        "IF(size(__c) % 2 = 1,"
-        " element_at(__c, CAST(size(__c) DIV 2 AS INT) + 1),"
-        " (element_at(__c, CAST(size(__c) DIV 2 AS INT))"
-        " + element_at(__c, CAST(size(__c) DIV 2 AS INT) + 1)) / 2)",
+        "CASE WHEN size(__c) = 0 THEN CAST(NULL AS DOUBLE) "
+        "WHEN size(__c) % 2 = 1"
+        " THEN element_at(__c, CAST(size(__c) DIV 2 AS INT) + 1) "
+        "ELSE (element_at(__c, CAST(size(__c) DIV 2 AS INT))"
+        " + element_at(__c, CAST(size(__c) DIV 2 AS INT) + 1)) / 2 END",
     )
     meds = f"transform(sequence(0, __p - 1), __r -> {med})"
     body = _bind1(
@@ -1966,9 +1970,13 @@ def series_fit_2lines_dynamic_sql(y_sql: str) -> str:
         "IF(__tr < acc.r,"
         " named_struct('r', __tr, 'k', CAST(__k AS INT)), acc)",
     )
+    # init split = 2 (the first candidate), not 0: with NaN in the
+    # input every RSS comparison is false and the init leaks through —
+    # the output must stay a VALID split (garbage-in-NaN-out, never an
+    # out-of-range index; r13 Hypothesis property)
     best = (
         "aggregate(sequence(2, size(__y) - 2),"
-        " named_struct('r', CAST('Infinity' AS DOUBLE), 'k', 0),"
+        " named_struct('r', CAST('Infinity' AS DOUBLE), 'k', 2),"
         f" (acc, __k) -> {best_step})"
     )
     # final assembly at the winning split __bk (re-derive the two fits)
