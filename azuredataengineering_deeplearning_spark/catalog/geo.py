@@ -173,3 +173,80 @@ def geo_radius_join(spark, sf_dir):
     return geohash_radius_join(
         points, centers, radius_m=30000, precision=3
     )
+
+
+def _duck_geohash_from_ints(xi: str, yi: str, p: int) -> str:
+    """Bit-interleave encode from the quantized axis integers (DuckDB
+    dialect) — the re-encode half of the neighbors oracle."""
+    nx, ny = _nx_ny(p)
+    chars = []
+    for ci in range(p):
+        terms = []
+        for j in range(5):
+            k = 5 * ci + j
+            w = 1 << (4 - j)
+            if k % 2 == 0:
+                terms.append(f"((({xi}) >> {nx - 1 - k // 2}) & 1) * {w}")
+            else:
+                terms.append(f"((({yi}) >> {ny - 1 - k // 2}) & 1) * {w}")
+        chars.append(
+            f"substr('{GEOHASH_ALPHABET}', CAST(({' + '.join(terms)})"
+            " AS INT) + 1, 1)"
+        )
+    return " || ".join(chars)
+
+
+_P5 = 5
+_NX5, _NY5 = _nx_ny(_P5)
+_XI5 = (
+    f"CAST(least(greatest(floor((({_LON}) + 180) / 360 * {1 << _NX5}),"
+    f" 0), {(1 << _NX5) - 1}) AS BIGINT)"
+)
+_YI5 = (
+    f"CAST(least(greatest(floor((({_LAT}) + 90) / 180 * {1 << _NY5}),"
+    f" 0), {(1 << _NY5) - 1}) AS BIGINT)"
+)
+
+
+@query(
+    "kql_geo_neighbors",
+    f"""
+    WITH pts AS (
+      SELECT event_id, {_XI5} AS xi, {_YI5} AS yi FROM events
+    ),
+    offs AS (
+      SELECT * FROM (VALUES (-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0),
+                            (-1, 1), (0, 1), (1, 1)) o(dx, dy)
+    ),
+    nb AS (
+      SELECT p.event_id,
+             ((p.xi + o.dx) % {1 << _NX5} + {1 << _NX5}) % {1 << _NX5} AS nxi,
+             p.yi + o.dy AS nyi
+      FROM pts p CROSS JOIN offs o
+      WHERE p.yi + o.dy >= 0 AND p.yi + o.dy < {1 << _NY5}
+    )
+    SELECT event_id, {_duck_geohash_from_ints('nxi', 'nyi', _P5)} AS nb
+    FROM nb
+    """,
+)
+def kql_geo_neighbors(spark, sf_dir):
+    """KQL ``geo_geohash_neighbors`` over the synthesized event points
+    (precision 5): decode → ±1 in each axis with longitude wrap and
+    latitude clamp → re-encode, exploded to one row per neighbor. The
+    oracle derives the quantized axis integers from the coordinates
+    directly and re-interleaves — so both the decode and the
+    neighbor-encode halves are independently checked."""
+    t = read_parquet(spark, f"{sf_dir}/events.parquet")
+    from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
+
+    out = kql_to_df(
+        {"events": t},
+        """
+        events
+        | extend lon = todouble(event_id % 3600) / 10.0 - 180 + 0.05,
+                 lat = todouble(user_id % 1600) / 10.0 - 80 + 0.05
+        | extend nbs = geo_geohash_neighbors(geo_point_to_geohash(lon, lat, 5))
+        | project event_id, nbs
+        """,
+    )
+    return out.selectExpr("event_id", "explode(nbs) as nb")

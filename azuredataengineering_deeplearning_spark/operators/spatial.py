@@ -287,3 +287,91 @@ def geohash_radius_join(
             F.col("__dist").alias("distance_m"),
         )
     )
+
+
+def geohash_neighbors_sql(gh_sql: str) -> str:
+    """``geo_geohash_neighbors(gh)`` — the up-to-8 adjacent cells of a
+    geohash of ANY length, as an array of geohash strings in the fixed
+    row-major order [SW, S, SE, W, E, NW, N, NE] (Kusto's exact order
+    is unspecified; a pinned deterministic order keeps results
+    reproducible). Longitude wraps across the antimeridian (xint ± 1
+    mod 2^nx); latitude CLAMPS — cells touching a pole drop their
+    out-of-range neighbors, so polar cells return fewer than 8.
+    Invalid input → null (the decode contract)."""
+    cvs = (
+        f"transform(sequence(0, CAST(length(__gh) AS INT) - 1), __i ->"
+        f" instr('{GEOHASH_ALPHABET}', substr(__gh, __i + 1, 1)) - 1)"
+    )
+    bit = (
+        "(shiftright(element_at(__cv, CAST(__k DIV 5 AS INT) + 1),"
+        " CAST(4 - __k % 5 AS INT)) & 1)"
+    )
+    xint = (
+        "aggregate(sequence(0, 5 * CAST(length(__gh) AS INT) - 1),"
+        " CAST(0 AS BIGINT), (a, __k) -> IF(__k % 2 = 0,"
+        f" a * 2 + {bit}, a))"
+    )
+    yint = (
+        "aggregate(sequence(0, 5 * CAST(length(__gh) AS INT) - 1),"
+        " CAST(0 AS BIGINT), (a, __k) -> IF(__k % 2 = 1,"
+        f" a * 2 + {bit}, a))"
+    )
+    nx = "CAST((5 * length(__gh) + 1) DIV 2 AS INT)"
+    ny = "CAST((5 * length(__gh)) DIV 2 AS INT)"
+    # re-encode (dynamic-length twin of the compile-time interleave in
+    # geohash_sql): char ci = fold of the 5 interleaved bits
+    char = (
+        "aggregate(sequence(0, 4), CAST(0 AS BIGINT), (a, __j) ->"
+        " a * 2 + IF((5 * __ci + __j) % 2 = 0,"
+        " shiftright(__nxi, __hx - 1 - CAST((5 * __ci + __j) DIV 2 AS INT)) & 1,"
+        " shiftright(__nyi, __hy - 1 - CAST((5 * __ci + __j) DIV 2 AS INT)) & 1))"
+    )
+    enc = (
+        "array_join(transform(sequence(0, CAST(length(__gh) AS INT) - 1),"
+        f" __ci -> substr('{GEOHASH_ALPHABET}', CAST(({char}) AS INT) + 1, 1)),"
+        " '')"
+    )
+    # candidate offsets (dx, dy) in row-major order, excluding (0, 0):
+    # dy=-1 row (SW, S, SE), dy=0 (W, E), dy=+1 (NW, N, NE)
+    offs = (
+        "array(named_struct('dx', -1, 'dy', -1), named_struct('dx', 0, 'dy', -1),"
+        " named_struct('dx', 1, 'dy', -1), named_struct('dx', -1, 'dy', 0),"
+        " named_struct('dx', 1, 'dy', 0), named_struct('dx', -1, 'dy', 1),"
+        " named_struct('dx', 0, 'dy', 1), named_struct('dx', 1, 'dy', 1))"
+    )
+    per_off = (
+        "IF(__yi + __o.dy < 0 OR __yi + __o.dy >= shiftleft(CAST(1 AS BIGINT), __hy),"
+        " CAST(NULL AS STRING), "
+        + _b(
+            "pmod(__xi + __o.dx, shiftleft(CAST(1 AS BIGINT), __hx))",
+            "__nxi",
+            _b("__yi + CAST(__o.dy AS BIGINT)", "__nyi", enc),
+        )
+        + ")"
+    )
+    body = _b(
+        cvs, "__cv",
+        "CASE WHEN size(filter(__cv, __v -> __v < 0)) > 0"
+        " THEN CAST(NULL AS ARRAY<STRING>) ELSE "
+        + _b(
+            xint, "__xi",
+            _b(
+                yint, "__yi",
+                _b(
+                    nx, "__hx",
+                    _b(
+                        ny, "__hy",
+                        f"filter(transform({offs}, __o -> {per_off}),"
+                        " __s -> __s IS NOT NULL)",
+                    ),
+                ),
+            ),
+        )
+        + " END",
+    )
+    return (
+        f"CASE WHEN ({gh_sql}) IS NULL OR length(({gh_sql})) = 0"
+        " THEN CAST(NULL AS ARRAY<STRING>) ELSE "
+        + _b(f"({gh_sql})", "__gh", body)
+        + " END"
+    )

@@ -620,6 +620,7 @@ def _expr(kql: str, now: str | None = None) -> str:
     # point-in-circle predicate on the shared haversine
     from azuredataengineering_deeplearning_spark.operators.spatial import (
         geohash_center_sql,
+        geohash_neighbors_sql,
         geohash_sql,
         haversine_sql,
     )
@@ -627,6 +628,9 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = _rewrite_call(
         s, "geo_point_to_geohash",
         lambda lon, lat, p="5": geohash_sql(lon, lat, p),
+    )
+    s = _rewrite_call(
+        s, "geo_geohash_neighbors", geohash_neighbors_sql
     )
     s = _rewrite_call(
         s, "geo_geohash_to_central_point",

@@ -216,3 +216,62 @@ def test_geohash_fuzz_vs_textbook_algorithm(spark):
             assert got[rid] == _textbook_geohash(lon, lat, p), (
                 rid, lon, lat, p, got[rid]
             )
+
+
+def test_geohash_neighbors_vs_geometric_construction(spark):
+    """Independent check: a cell's neighbors are the textbook-encodes
+    of its center shifted by one cell width/height in each direction —
+    geometry, not a replay of the bit arithmetic."""
+    import random
+
+    rng = random.Random(1314)
+    ghs = [
+        _textbook_geohash(
+            round(rng.uniform(-179, 179), 5),
+            round(rng.uniform(-89, 89), 5),
+            rng.randint(1, 8),
+        )
+        for i in range(24)
+    ] + ["u4pru", "z", "0", "8", "gcpvj"]
+    df = spark.createDataFrame([(i, g) for i, g in enumerate(ghs)],
+                               "rid int, g string")
+    out = {
+        r["rid"]: r["n"]
+        for r in kql_to_df(
+            {"T": df}, "T | extend n = geo_geohash_neighbors(g)"
+            " | project rid, n"
+        ).collect()
+    }
+    for i, gh in enumerate(ghs):
+        p = len(gh)
+        nbits = 5 * p
+        nx, ny = (nbits + 1) // 2, nbits // 2
+        w, h = 360.0 / (1 << nx), 180.0 / (1 << ny)
+        # decode center from the textbook bit layout via the engine's
+        # tested decode path equivalence: re-derive with python ints
+        alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+        xi = yi = 0
+        for k in range(nbits):
+            cv = alphabet.index(gh[k // 5])
+            b = (cv >> (4 - k % 5)) & 1
+            if k % 2 == 0:
+                xi = xi * 2 + b
+            else:
+                yi = yi * 2 + b
+        clon = -180 + w * (xi + 0.5)
+        clat = -90 + h * (yi + 0.5)
+        want = set()
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                nlat = clat + dy * h
+                if not -90 <= nlat <= 90:
+                    continue
+                nlon = clon + dx * w
+                if nlon > 180:
+                    nlon -= 360
+                if nlon < -180:
+                    nlon += 360
+                want.add(_textbook_geohash(nlon, nlat, p))
+        assert set(out[i]) == want, (gh, sorted(out[i]), sorted(want))
