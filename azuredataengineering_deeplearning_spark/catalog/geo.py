@@ -249,4 +249,10 @@ def kql_geo_neighbors(spark, sf_dir):
         | project event_id, nbs
         """,
     )
+    # MATERIALIZE the array before the explode (scoped persist):
+    # CollapseProject would otherwise inline the heavy interpreted
+    # HOF expression into Generate, which re-pays the generator per
+    # OUTPUT row — 100k inputs × 8-way fan measured 38 s fused vs
+    # 0.6 s materialized (SCALING.md round-13 note)
+    out = out.persist()
     return out.selectExpr("event_id", "explode(nbs) as nb")
