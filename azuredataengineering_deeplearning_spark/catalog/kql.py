@@ -3749,9 +3749,12 @@ def kql_series_trig_pow(spark, sf_dir):
            FROM s LEFT JOIN b2 USING (event_type, i)),
     agg AS (
       SELECT event_type,
-        CAST(SUM(CAST(y1 * y2 AS DECIMAL(30,15))) AS DOUBLE) AS dp,
-        sqrt(CAST(SUM(CAST(y1 * y1 AS DECIMAL(30,15))) AS DOUBLE)) AS m1,
-        sqrt(CAST(SUM(CAST(y2 * y2 AS DECIMAL(30,15))) AS DOUBLE)) AS m2
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(y1 * y2 ORDER BY i)), (a, b) -> a + b) AS dp,
+        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(y1 * y1 ORDER BY i)), (a, b) -> a + b)) AS m1,
+        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(y2 * y2 ORDER BY i)), (a, b) -> a + b)) AS m2
       FROM s2 GROUP BY event_type)
     SELECT event_type, dp, m1, m2, dp / (m1 * m2) AS csim FROM agg
     """,

@@ -1733,14 +1733,20 @@ def series_pearson_correlation_sql(y1_sql: str, y2_sql: str) -> str:
 
 
 def _dot_dec(a: str, b: str, n: str) -> str:
-    """Decimal-accumulated Σ a[i]·b[i] over the first ``n`` elements —
-    order-independent, so both engines agree bit-for-bit (the
-    similarity._exact_dot discipline, in SQL-text form)."""
+    """Σ a[i]·b[i] over the first ``n`` elements as a SEQUENTIAL
+    IEEE-754 double left fold (index order). Deterministic and
+    cross-engine bit-exact because binary64 mul/add are fully
+    specified and the DuckDB twin folds the identical product list in
+    the identical order (list_reduce over list(... ORDER BY i)).
+    Round-13 fix: the earlier DECIMAL(30,15)-quantized fold was
+    order-independent but had an ABSOLUTE 1e-15 quantum, which
+    destroyed relative precision for small-magnitude inputs —
+    cosine([1.0], [1.19e-7]) came out 1.0075 (Hypothesis find,
+    tests/test_series_r13_properties.py::test_vector_ops_cauchy_schwarz)."""
     return (
-        f"CAST(aggregate(sequence(1, {n}),"
-        " CAST(0 AS DECIMAL(30,15)), (__ac, __i) -> CAST(__ac +"
-        f" CAST(element_at({a}, __i) * element_at({b}, __i)"
-        " AS DECIMAL(30,15)) AS DECIMAL(30,15))) AS DOUBLE)"
+        f"aggregate(sequence(1, {n}),"
+        " CAST(0 AS DOUBLE), (__ac, __i) -> __ac +"
+        f" element_at({a}, __i) * element_at({b}, __i))"
     )
 
 

@@ -863,16 +863,13 @@ def test_fuzz_series_fills(spark, duck):
 
 
 def test_fuzz_series_vector_ops(spark, duck):
-    from decimal import ROUND_HALF_UP, Decimal
-
-    q15 = Decimal(1).scaleb(-15)
-
+    # round-13: the kernel is a sequential IEEE-754 double left fold
+    # (index order) — replicate the exact op sequence: acc + a[i]*b[i]
     def dot_dec(a, b):
-        acc = Decimal(0)
+        acc = 0.0
         for i in range(min(len(a), len(b))):
-            acc = (acc + Decimal(a[i] * b[i]).quantize(
-                q15, ROUND_HALF_UP)).quantize(q15, ROUND_HALF_UP)
-        return float(acc)
+            acc = acc + a[i] * b[i]
+        return acc
 
     rng = random.Random(1312)
     for ci in range(4):
