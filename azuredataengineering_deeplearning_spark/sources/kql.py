@@ -150,9 +150,20 @@ design → pytest-toleranced, not DuckDB-hashed);
 finder: basket-kernel candidates, closed-pattern prune, integer-exact
 top-K); the IPv4 family ``parse_ipv4`` / ``ipv4_is_in_range`` /
 ``ipv4_is_match`` / ``ipv4_compare`` / ``ipv4_netmask_suffix`` /
-``format_ipv4`` (pure bigint arithmetic) and ``geo_distance_2points``
-(haversine, IUGG radius); and ``render <chart> [with (...)]`` accepted
-as a no-op client directive. Graph operators: ``make-graph Src -->
+``format_ipv4`` / ``ipv4_is_private`` / ``ipv4_is_in_any_range``
+(pure bigint arithmetic); the round-13 IPv6 family ``parse_ipv6`` /
+``parse_ipv6_mask`` / ``ipv6_compare`` / ``ipv6_is_match`` /
+``ipv6_is_in_range`` / ``ipv6_is_in_any_range`` (pure array/string
+SQL over the 8 16-bit groups, ipaddress-module fuzz-verified) and
+``geo_distance_2points`` (haversine, IUGG radius); and ``render
+<chart> [with (...)]`` accepted as a no-op client directive.
+Round-13 scalar batch 7: property-bag surgery ``bag_keys`` /
+``bag_merge`` / ``bag_set_key`` / ``bag_remove_keys`` (JSON-string
+bag form, typed re-embed via the to_json round-trip),
+``jaccard_index``, ``hash_combine``/``hash_many`` (→ one xxhash64),
+``strcmp``/``strrep``/``isascii``/``isutf8``, and ``gamma`` /
+``loggamma`` (Lanczos g=7, DuckDB/libm fuzz-verified; loggamma stays
+in log space so 1e6-scale arguments do not overflow). Graph operators: ``make-graph Src -->
 Dst [with Nodes on Id]`` + ``graph-match <pattern> [where ...]
 project ...`` — fixed-length patterns (chains / stars / cycles via
 shared variables, ``<-``/``-->``/``--`` directions) compiled to a
@@ -601,6 +612,200 @@ def _expr(kql: str, now: str | None = None) -> str:
     s = _rewrite_call(
         s, "parse_ipv4", lambda a: f"({_ip_num(a)} & {_ip_mask(a)})"
     )
+
+    # ipv4_is_private: RFC 1918 blocks (10/8, 172.16/12, 192.168/16),
+    # pure bigint arithmetic. Kusto semantics: with a '/suffix' the
+    # WHOLE range must be private — check the network AND broadcast
+    # addresses of the masked range.
+    def _ipv4_priv(a):
+        n = f"({_ip_num(a)} & {_ip_mask(a)})"
+        b = (
+            f"({n} | (cast(4294967295 as bigint) & ~{_ip_mask(a)}))"
+        )
+
+        def _inblk(x, base, bits):
+            m = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF
+            return f"(({x} & cast({m} as bigint)) = cast({base} as bigint))"
+
+        def _priv(x):
+            return (
+                "(" + _inblk(x, 10 << 24, 8) + " or "
+                + _inblk(x, (172 << 24) | (16 << 16), 12) + " or "
+                + _inblk(x, (192 << 24) | (168 << 16), 16) + ")"
+            )
+
+        return f"({_priv(n)} and {_priv(b)})"
+
+    s = _rewrite_call(s, "ipv4_is_private", _ipv4_priv)
+
+    def _ipv4_in_rng(ip, rng):
+        return (
+            f"(({_ip_num(ip)} & {_ip_mask(rng)}) ="
+            f" ({_ip_num(rng)} & {_ip_mask(rng)}))"
+        )
+
+    s = _rewrite_call(
+        s, "ipv4_is_in_any_range",
+        lambda ip, *rngs: (
+            "(" + " or ".join(_ipv4_in_rng(ip, r) for r in rngs) + ")"
+        ),
+    )
+
+    # IPv6 family (round 13): pure array/string SQL over the 8 16-bit
+    # groups — zero UDFs, every parse bound ONCE via _bind1. Accepts
+    # compressed ('::') IPv6, an embedded trailing IPv4 (x::a.b.c.d),
+    # pure IPv4 (auto-mapped to ::ffff:a.b.c.d; a '/p' suffix maps to
+    # /(96+p) in v6 space, Kusto semantics), and an optional '/NN'
+    # prefix. Structurally invalid input (wrong group count, bad group
+    # text, prefix out of [0,128]) -> null. compare/is_match use the
+    # MINIMAL of the operands' prefixes (+ the optional extra prefix
+    # arg), like the ipv4 family above; masked addresses compare as
+    # fixed-width lowercase-hex strings (order-equivalent to the
+    # 128-bit integer compare). Parity pinned by the round-13
+    # ipaddress-module differential fuzzer (tests/test_kql_ipv6.py).
+    def _v6_struct(a):
+        # -> named_struct('g', array<bigint> of 8 | null, 'p', int)
+        # __u: address part + optional numeric suffix
+        # __q: trailing dotted quad ('' when absent)
+        # __w: pure-hex form + effective prefix
+        # __h: 8 hex group strings   __g9: their numeric values
+        groups = (
+            "transform(__h6, __gx -> if(__gx rlike"
+            " '^[0-9a-fA-F]{1,4}$',"
+            " cast(conv(__gx, 16, 10) as bigint),"
+            " cast(null as bigint)))"
+        )
+        valid = (
+            "(__w6.a6 is not null and size(__g9) = 8 and not"
+            " exists(__g9, __gx -> __gx is null)"
+            " and __w6.p between 0 and 128)"
+        )
+        out = _bind1(
+            groups, "__g9",
+            f"named_struct('g', if({valid}, __g9,"
+            " cast(null as array<bigint>)), 'p', __w6.p)",
+        )
+        harr = (
+            "if(instr(__w6.a6, '::') = 0, split(__w6.a6, ':', -1),"
+            " concat("
+            " if(element_at(split(__w6.a6, '::', -1), 1) = '', array(),"
+            " split(element_at(split(__w6.a6, '::', -1), 1), ':', -1)),"
+            " array_repeat('0', 8"
+            " - size(if(element_at(split(__w6.a6, '::', -1), 1) = '',"
+            " array(), split(element_at(split(__w6.a6, '::', -1), 1),"
+            " ':', -1)))"
+            " - size(if(size(split(__w6.a6, '::', -1)) < 2 or"
+            " element_at(split(__w6.a6, '::', -1), 2) = '', array(),"
+            " split(element_at(split(__w6.a6, '::', -1), 2), ':', -1)))),"
+            " if(size(split(__w6.a6, '::', -1)) < 2 or"
+            " element_at(split(__w6.a6, '::', -1), 2) = '', array(),"
+            " split(element_at(split(__w6.a6, '::', -1), 2), ':', -1))))"
+        )
+        out = _bind1(harr, "__h6", out)
+        # embedded-v4 -> two hex groups; '' quad passes through
+        v4ok = (
+            "(size(__o4) = 4 and not exists(__o4, __ox ->"
+            " __ox is null or __ox < 0 or __ox > 255))"
+        )
+        g7 = "element_at(__o4, 1) * 256 + element_at(__o4, 2)"
+        g8 = "element_at(__o4, 3) * 256 + element_at(__o4, 4)"
+        v4hex = f"concat(lower(hex({g7})), ':', lower(hex({g8})))"
+        addr6 = _bind1(
+            "transform(split(__q4, '\\\\.', -1),"
+            " __ox -> try_cast(__ox as bigint))", "__o4",
+            "case when instr(__u6.ad, '.') = 0 then __u6.ad"
+            f" when not {v4ok} then cast(null as string)"
+            " when instr(__u6.ad, ':') = 0 then"
+            f" concat('::ffff:', {v4hex})"
+            " else concat(substr(__u6.ad, 1,"
+            f" length(__u6.ad) - length(__q4)), {v4hex}) end",
+        )
+        w = _bind1(
+            "regexp_extract(__u6.ad,"
+            " '([0-9]+\\\\.[0-9]+\\\\.[0-9]+\\\\.[0-9]+)$', 1)", "__q4",
+            f"named_struct('a6', {addr6}, 'p',"
+            " case when __u6.sx is null then 128"
+            " when instr(__u6.ad, ':') = 0 then 96 + __u6.sx"
+            " else __u6.sx end)",
+        )
+        out = _bind1(w, "__w6", out)
+        u = (
+            f"named_struct('ad', element_at(split(cast({a} as string),"
+            " '/', -1), 1), 'sx',"
+            f" if(size(split(cast({a} as string), '/', -1)) > 1,"
+            f" try_cast(element_at(split(cast({a} as string), '/', -1),"
+            " 2) as int), cast(null as int)))"
+        )
+        return _bind1(u, "__u6", out)
+
+    def _v6_key(st, P):
+        # fixed-width hex of the 8 groups masked to prefix P
+        bits = f"greatest(least(({P}) - (__i6 - 1) * 16, 16), 0)"
+        masked = (
+            f"shiftleft(shiftright(element_at({st}.g, __i6),"
+            f" 16 - {bits}), 16 - {bits})"
+        )
+        return (
+            f"if({st}.g is null, cast(null as string),"
+            " array_join(transform(sequence(1, 8), __i6 ->"
+            f" lpad(lower(hex({masked})), 4, '0')), ':'))"
+        )
+
+    def _parse_ipv6(a, p=None):
+        P = "__t6.p" if p is None else f"least(__t6.p, cast({p} as int))"
+        return _bind1(_v6_struct(a), "__t6", _v6_key("__t6", P))
+
+    s = _rewrite_call(s, "parse_ipv6_mask", lambda a, p: _parse_ipv6(a, p))
+    s = _rewrite_call(s, "parse_ipv6", _parse_ipv6)
+
+    def _v6_pair(a, b, p, body):
+        extra = "" if p is None else f", cast({p} as int)"
+        P = f"least(__ta.p, __tb.p{extra})"
+        ka, kb = _v6_key("__ta", P), _v6_key("__tb", P)
+        inner = f"named_struct('ka', {ka}, 'kb', {kb})"
+        return _bind1(
+            _v6_struct(a), "__ta",
+            _bind1(_v6_struct(b), "__tb", _bind1(inner, "__kk", body)),
+        )
+
+    s = _rewrite_call(
+        s, "ipv6_compare",
+        lambda a, b, p=None: _v6_pair(
+            a, b, p,
+            "case when __kk.ka is null or __kk.kb is null then"
+            " cast(null as int) when __kk.ka < __kk.kb then -1"
+            " when __kk.ka > __kk.kb then 1 else 0 end",
+        ),
+    )
+    s = _rewrite_call(
+        s, "ipv6_is_match",
+        lambda a, b, p=None: _v6_pair(
+            a, b, p,
+            "case when __kk.ka is null or __kk.kb is null then"
+            " cast(null as boolean) else __kk.ka = __kk.kb end",
+        ),
+    )
+
+    def _ipv6_in_rng(ip, rng):
+        # containment at the RANGE's own prefix
+        return _bind1(
+            _v6_struct(ip), "__ta",
+            _bind1(
+                _v6_struct(rng), "__tb",
+                "case when __ta.g is null or __tb.g is null then"
+                " cast(null as boolean) else "
+                + _v6_key("__ta", "__tb.p") + " = "
+                + _v6_key("__tb", "__tb.p") + " end",
+            ),
+        )
+
+    s = _rewrite_call(s, "ipv6_is_in_range", _ipv6_in_rng)
+    s = _rewrite_call(
+        s, "ipv6_is_in_any_range",
+        lambda ip, *rngs: (
+            "(" + " or ".join(_ipv6_in_rng(ip, r) for r in rngs) + ")"
+        ),
+    )
     # geo_distance_2points(lon1, lat1, lon2, lat2) -> meters. Spherical
     # haversine on the IUGG mean radius (Kusto computes WGS84 geodesic
     # — sub-0.5% deviation, documented; cross-engine exact because both
@@ -944,6 +1149,244 @@ def _expr(kql: str, now: str | None = None) -> str:
         return _b1(a, "__sa", body)
 
     s = _rewrite_call(s, "series_outliers", _series_outliers)
+
+    # round-13 scalar batch 7: property-bag surgery over the engine's
+    # JSON-string bag form (pack()/parse_url/bag_unpack share it), set
+    # similarity, hash combinators, string utilities, and the gamma
+    # family. All textual rewrites to JVM built-ins — zero UDFs.
+    def _jq(x):
+        # quoted+escaped JSON text of an SQL string expression: reuse
+        # to_json's escaper ({"v":<raw>} -> strip the 5-char head and
+        # the trailing brace)
+        return _bind1(
+            f"to_json(named_struct('v', {x}))", "__jq",
+            "substr(__jq, 6, length(__jq) - 6)",
+        )
+
+    def _bag_val(j, k, sfx=""):
+        # raw JSON text of top-level key `k` of bag `j`. Objects and
+        # arrays come back verbatim from get_json_object; scalars come
+        # back UNQUOTED, so re-classify. Documented subset: the bag
+        # form is untyped JSON text, so a STRING value that itself
+        # spells a number/bool/null/object re-embeds as that type
+        # (pinned by tests); keys containing a single quote are out of
+        # the subset (they would break the JSONPath bracket form).
+        v = f"__bv{sfx}"
+        return _bind1(
+            f"get_json_object({j}, concat('$[''', {k}, ''']'))", v,
+            f"case when {v} is null then 'null'"
+            f" when {v} in ('true', 'false') then {v}"
+            f" when {v} rlike"
+            " '^-?[0-9]+(\\\\.[0-9]+)?([eE][+-]?[0-9]+)?$'"
+            f" then {v}"
+            f" when substr({v}, 1, 1) in ('<', '[') then {v}"
+            f" else {_jq(v)} end".replace("'<'", "'{'"),
+        )
+
+    def _bag_entry(j, k, sfx=""):
+        return f"concat({_jq(k)}, ':', {_bag_val(j, k, sfx)})"
+
+    s = _rewrite_call(s, "bag_keys", lambda b: f"json_object_keys({b})")
+
+    _bm_n = [0]  # fresh lambda-var suffixes for nested merges
+
+    def _bag_merge2(x, y):
+        _bm_n[0] += 1
+        i = _bm_n[0]
+        jx, jy, mx, my = f"__jx{i}", f"__jy{i}", f"__mx{i}", f"__my{i}"
+        ent = (
+            f"concat({_jq('__bk')}, ':', if(array_contains({mx},"
+            f" __bk), {_bag_val(jx, '__bk', f'x{i}')},"
+            f" {_bag_val(jy, '__bk', f'y{i}')}))"
+        )
+        keys = (
+            f"concat({mx}, filter({my}, __bk ->"
+            f" not array_contains({mx}, __bk)))"
+        )
+        body = (
+            f"case when {mx} is null or {my} is null then"
+            " cast(null as string) else"
+            " concat('<', array_join(transform("
+            + keys + ", __bk -> " + ent + "), ','), '>') end"
+        ).replace("'<'", "'{'").replace("'>'", "'}'")
+        body = _bind1(f"json_object_keys({jy})", my, body)
+        body = _bind1(f"json_object_keys({jx})", mx, body)
+        body = _bind1(f"({y})", jy, body)
+        return _bind1(f"({x})", jx, body)
+
+    def _bag_merge(*bags):
+        # Kusto bag_merge: shallow, LEFTMOST bag wins per top-level
+        # key; key order pinned to first-appearance (document order)
+        if len(bags) < 2:
+            raise ValueError("bag_merge needs at least 2 bags")
+        out = bags[0]
+        for b in bags[1:]:
+            out = _bag_merge2(out, b)
+        return out
+
+    s = _rewrite_call(s, "bag_merge", _bag_merge)
+
+    def _bag_remove_keys(b, arr):
+        # top-level keys only (Kusto's JSONPath nested-removal form is
+        # out of the dialect subset, documented)
+        keep = (
+            f"filter(__mk, __bk -> not array_contains(({arr}), __bk))"
+        )
+        body = (
+            f"case when __mk is null or ({arr}) is null then"
+            " cast(null as string) else"
+            " concat('<', array_join(transform("
+            + keep + ", __bk -> " + _bag_entry("__jb", "__bk")
+            + "), ','), '>') end"
+        ).replace("'<'", "'{'").replace("'>'", "'}'")
+        body = _bind1("json_object_keys(__jb)", "__mk", body)
+        return _bind1(f"({b})", "__jb", body)
+
+    s = _rewrite_call(s, "bag_remove_keys", _bag_remove_keys)
+
+    def _bag_set_key(b, k, v):
+        # typed embed of ANY SQL value via to_json round-trip (a null
+        # value serializes the key out -> '<>' sentinel -> JSON null).
+        # An existing key updates IN PLACE; a new key appends.
+        newv = _bind1(
+            f"to_json(named_struct('v', {v}))", "__nv",
+            "if(__nv = '<>', 'null',"
+            " substr(__nv, 6, length(__nv) - 6))",
+        ).replace("'<>'", "'{}'")
+        ent = (
+            f"concat({_jq('__bk')}, ':', if(__bk = __nk, {newv},"
+            f" {_bag_val('__jb', '__bk')}))"
+        )
+        keys = (
+            "if(array_contains(__mk, __nk), __mk,"
+            " concat(__mk, array(__nk)))"
+        )
+        body = (
+            "case when __mk is null then cast(null as string) else"
+            " concat('<', array_join(transform("
+            + keys + ", __bk -> " + ent + "), ','), '>') end"
+        ).replace("'<'", "'{'").replace("'>'", "'}'")
+        body = _bind1("json_object_keys(__jb)", "__mk", body)
+        body = _bind1(f"cast(({k}) as string)", "__nk", body)
+        return _bind1(f"({b})", "__jb", body)
+
+    s = _rewrite_call(s, "bag_set_key", _bag_set_key)
+
+    # jaccard_index over dynamic arrays (set semantics; the empty/empty
+    # pair is 1.0 by the standard convention). size() may report null
+    # or -1 for a null array depending on the legacy flag — both map
+    # to null out.
+    s = _rewrite_call(
+        s, "jaccard_index",
+        lambda a, b: _bind1(
+            f"named_struct('i', size(array_intersect({a}, {b})),"
+            f" 'u', size(array_union({a}, {b})))", "__ji",
+            "case when __ji.i is null or __ji.u is null"
+            " or __ji.i < 0 or __ji.u < 0 then cast(null as double)"
+            " when __ji.u = 0 then cast(1.0 as double)"
+            " else cast(__ji.i as double) / __ji.u end",
+        ),
+    )
+    # hash_combine/hash_many -> one xxhash64 over all the arguments
+    # (same documented deviation as hash(): deterministic within the
+    # engine, different values than the Kusto service)
+    s = re.sub(r"\bhash_combine\(", "xxhash64(", s)
+    s = re.sub(r"\bhash_many\(", "xxhash64(", s)
+    s = _rewrite_call(
+        s, "strcmp",
+        lambda a, b: _bind1(
+            f"named_struct('a', cast({a} as string),"
+            f" 'b', cast({b} as string))", "__sc",
+            "case when __sc.a is null or __sc.b is null then"
+            " cast(null as int) when __sc.a < __sc.b then -1"
+            " when __sc.a > __sc.b then 1 else 0 end",
+        ),
+    )
+    # strrep: multiplier < 1 -> '' (Kusto errors; pinned lenient —
+    # parse-time rejection is reserved for structural query bugs)
+    s = _rewrite_call(
+        s, "strrep",
+        lambda v, n, d=None: (
+            f"if(cast({n} as int) < 1, '', array_join(transform("
+            f"sequence(1, greatest(cast({n} as int), 1)),"
+            f" __i -> cast({v} as string)), {d if d is not None else chr(39) * 2}))"
+        ),
+    )
+    s = _rewrite_call(
+        s, "isascii",
+        lambda a: (
+            f"coalesce(cast({a} as string) rlike"
+            " '^[\\\\x00-\\\\x7f]*$', false)"
+        ),
+    )
+    # every Spark string IS valid UTF-8; null -> false like Kusto
+    s = _rewrite_call(
+        s, "isutf8", lambda a: f"(cast({a} as string) is not null)"
+    )
+
+    # gamma/loggamma: Lanczos approximation (g=7, the classic 9-term
+    # public-domain coefficient set), reflection for x < 0.5, ~1e-15
+    # relative error away from the poles. loggamma stays in log space
+    # so large arguments do not overflow. Differentially checked
+    # against DuckDB's native gamma/lgamma by the round-13 fuzzer
+    # (tests/test_kql_gamma_fuzz.py).
+    _LANCZOS = [
+        "0.99999999999980993", "676.5203681218851",
+        "-1259.1392167224028", "771.32342877765313",
+        "-176.61502916214059", "12.507343278686905",
+        "-0.13857109526572012", "9.9843695780195716e-6",
+        "1.5056327351493116e-7",
+    ]
+
+    def _lz_a(z):
+        terms = " + ".join(
+            f"{c} / ({z} + {i - 1})"
+            for i, c in enumerate(_LANCZOS) if i > 0
+        )
+        return f"({_LANCZOS[0]} + {terms})"
+
+    def _gamma_pos(z):  # z >= 0.5; sqrt(2*pi) = 2.5066282746310002
+        # direct product below the double-overflow knee (most
+        # accurate); exp(loggamma) above it so gamma(1000) is a clean
+        # +Infinity instead of the inf * 0 = NaN the product form
+        # produces when pow overflows while exp underflows
+        prod = (
+            f"(2.5066282746310002 * pow({z} + 6.5, {z} - 0.5)"
+            f" * exp(-({z} + 6.5)) * {_lz_a(z)})"
+        )
+        return (
+            f"(case when {z} > 170.0 then exp({_loggamma_pos(z)})"
+            f" else {prod} end)"
+        )
+
+    def _loggamma_pos(z):  # ln(sqrt(2*pi)) = 0.9189385332046727
+        return (
+            f"(0.9189385332046727 + ({z} - 0.5) * ln({z} + 6.5)"
+            f" - ({z} + 6.5) + ln({_lz_a(z)}))"
+        )
+
+    s = _rewrite_call(
+        s, "loggamma",
+        lambda a: _bind1(
+            f"cast({a} as double)", "__gz",
+            "case when __gz >= 0.5 then " + _loggamma_pos("__gz")
+            # reflection: ln|Gamma(x)| = ln(pi) - ln|sin(pi x)|
+            #             - ln(Gamma(1-x));  ln(pi) = 1.1447298858494
+            + " else 1.1447298858494002 - ln(abs(sin(pi() * __gz))) - "
+            + _bind1("1e0 - __gz", "__gr", _loggamma_pos("__gr"))
+            + " end",
+        ),
+    )
+    s = _rewrite_call(
+        s, "gamma",
+        lambda a: _bind1(
+            f"cast({a} as double)", "__gz",
+            "case when __gz >= 0.5 then " + _gamma_pos("__gz")
+            + " else pi() / (sin(pi() * __gz) * "
+            + _bind1("1e0 - __gz", "__gr", _gamma_pos("__gr"))
+            + ") end",
+        ),
+    )
     # round-10 scalar batch: encodings + calendar + version ordering.
     # url_encode/url_decode keep their names (Kusto's form-encoding ==
     # Spark's java.net.URLEncoder semantics, space -> '+').
@@ -1412,6 +1855,17 @@ def _rewrite_index_postfix(s: str) -> str:
                 else f"try_element_at({prim}, cast(null as int))"
             )
         s = s[:start] + rep + s[e:]
+
+
+def _bind1(arg: str, var: str, body: str) -> str:
+    """Bind-once: evaluate the SQL expression ``arg`` exactly one time
+    as lambda variable ``var`` inside ``body`` (transform over a
+    singleton array — the same trick series_outliers uses to keep a
+    textual expansion from re-evaluating a subexpression per
+    reference). Nested calls may reuse a variable name (inner scope
+    shadows), but callers that splice user text should pick fresh
+    names."""
+    return f"element_at(transform(array(({arg})), {var} -> {body}), 1)"
 
 
 def _rewrite_call(s: str, name: str, build) -> str:
