@@ -4033,3 +4033,136 @@ def kql_series_fft(spark, sf_dir):
     ).selectExpr(
         "event_type", "cast(ix as bigint) as ix", "z.re as re", "z.im as im"
     )
+
+
+@query(
+    "kql_ipv6_ops",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             doc_id % 4096 AS g3,
+             doc_id % 89 + 1 AS g8,
+             doc_id % 64 AS o2
+      FROM documents
+    )
+    SELECT doc_id,
+      '2001:0db8:' || printf('%04x', g3)
+        || ':0000:0000:0000:0000:' || printf('%04x', g8) AS pe,
+      '2001:0db8:' || printf('%04x', g3)
+        || ':0000:0000:0000:0000:0000' AS pm,
+      CASE WHEN g3 < 2048 THEN -1 ELSE 0 END AS c,
+      TRUE AS mt,
+      g3 >= 4032 AS inr,
+      '0000:0000:0000:0000:0000:ffff:'
+        || printf('%04x', 172 * 256 + o2) || ':0509' AS p4,
+      o2 BETWEEN 16 AND 31 AS pv
+    FROM src
+    """,
+)
+def kql_ipv6_ops(spark, sf_dir):
+    """Round-13 IPv6 family over synthesized addresses: ``parse_ipv6``
+    (exploded canonical form), ``parse_ipv6_mask`` (own-vs-arg minimal
+    prefix), ``ipv6_compare`` against a /37 range (sub-group masking:
+    group 3 keeps its top 5 bits), ``ipv6_is_match`` at /32,
+    ``ipv6_is_in_range`` against a /42, IPv4-mapped parsing
+    (``172.x.5.9`` -> ::ffff:...), and ``ipv4_is_private`` (172.16/12
+    membership). All pure array/string SQL — zero UDFs, zero shuffles;
+    the DuckDB oracle computes the group arithmetic directly from the
+    numeric source. Parser parity vs the Python ipaddress module is
+    fuzz-pinned in tests/test_kql_ipv6.py."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t,
+        "documents"
+        " | extend ip = strcat('2001:db8:', tohex(doc_id % 4096), '::',"
+        " tohex(doc_id % 89 + 1)),"
+        " ip4 = strcat('172.', tostring(doc_id % 64), '.5.9')"
+        " | extend pe = parse_ipv6(ip),"
+        " pm = parse_ipv6_mask(ip, 48),"
+        " c = ipv6_compare(ip, '2001:db8:800::/37'),"
+        " mt = ipv6_is_match(ip, '2001:db8::', 32),"
+        " inr = ipv6_is_in_range(ip, '2001:db8:fc0::/42'),"
+        " p4 = parse_ipv6(ip4),"
+        " pv = ipv4_is_private(ip4)"
+        " | project doc_id, pe, pm, c, mt, inr, p4, pv",
+    )
+
+
+@query(
+    "kql_bag_ops",
+    """
+    SELECT c_custkey,
+      '{"seg":"' || c_mktsegment || '","nat":' || c_nationkey
+        || ',"key":' || c_custkey || '}' AS m,
+      ['seg', 'nat', 'key'] AS ks,
+      '{"seg":"X","nat":' || c_nationkey || '}' AS s,
+      '{"seg":"' || c_mktsegment || '","key":' || c_custkey || '}' AS r
+    FROM customer
+    """,
+)
+def kql_bag_ops(spark, sf_dir):
+    """Round-13 property-bag surgery over the JSON-string bag form:
+    ``bag_merge`` (leftmost bag wins per key, first-appearance key
+    order), ``bag_keys``, ``bag_set_key`` (in-place update),
+    ``bag_remove_keys``. Values stay ints/strings here so the DuckDB
+    oracle can build the expected JSON textually; the typed-embed
+    corners (doubles, arrays, nested bags, escaping) are pinned in
+    tests/test_kql_scalars_r13.py. Pure string SQL — zero UDFs."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    return kql_to_df(
+        t,
+        "customer"
+        " | extend b1 = pack('seg', c_mktsegment, 'nat', c_nationkey),"
+        " b2 = pack('nat', -1, 'key', c_custkey)"
+        " | extend m = bag_merge(b1, b2)"
+        " | extend ks = bag_keys(m),"
+        " s = bag_set_key(b1, 'seg', 'X'),"
+        " r = bag_remove_keys(m, pack_array('nat'))"
+        " | project c_custkey, m, ks, s, r",
+    )
+
+
+@query(
+    "kql_gamma_scalar_ops",
+    """
+    WITH g AS (
+      SELECT l_linenumber,
+             MAX(l_quantity) AS q
+      FROM lineitem GROUP BY l_linenumber
+    )
+    SELECT l_linenumber,
+      round(gamma(1.0 + q / 10.0), 6) AS gm,
+      round(lgamma(q * 3.0 + 1.0), 6) AS lg,
+      CASE WHEN CAST(l_linenumber AS VARCHAR) < '4' THEN -1
+           WHEN CAST(l_linenumber AS VARCHAR) > '4' THEN 1
+           ELSE 0 END AS sc,
+      CAST(l_linenumber AS VARCHAR) || '-'
+        || CAST(l_linenumber AS VARCHAR) || '-'
+        || CAST(l_linenumber AS VARCHAR) AS rep,
+      CASE WHEN l_linenumber = 3 THEN round(2.0 / 3, 6)
+           WHEN l_linenumber IN (1, 2) THEN round(1.0 / 3, 6)
+           ELSE 0.25 END AS ji
+    FROM g
+    """,
+)
+def kql_gamma_scalar_ops(spark, sf_dir):
+    """Round-13 scalar batch 7 exhibit on a small exact domain
+    (max(l_quantity) per line number — max is order-free, so both
+    engines feed IDENTICAL doubles into gamma): ``gamma``/``loggamma``
+    (engine Lanczos vs DuckDB's native gamma/lgamma — a genuinely
+    foreign implementation pair, agreeing through round(...,6)),
+    ``strcmp``, ``strrep``, ``jaccard_index``. The full-precision
+    differential fuzz is tests/test_kql_gamma_fuzz.py."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return kql_to_df(
+        t,
+        "lineitem"
+        " | summarize q = max(l_quantity) by l_linenumber"
+        " | extend gm = round(gamma(1.0 + q / 10.0), 6),"
+        " lg = round(loggamma(q * 3.0 + 1.0), 6),"
+        " sc = strcmp(tostring(l_linenumber), '4'),"
+        " rep = strrep(tostring(l_linenumber), 3, '-'),"
+        " ji = jaccard_index(pack_array(l_linenumber, 1, 2),"
+        " pack_array(2, 3))"
+        " | project l_linenumber, gm, lg, sc, rep, ji",
+    )

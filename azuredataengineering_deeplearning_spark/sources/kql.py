@@ -1857,6 +1857,34 @@ def _rewrite_index_postfix(s: str) -> str:
         s = s[:start] + rep + s[e:]
 
 
+def _strip_comments(q: str) -> str:
+    """Kusto ``//`` line comments → stripped (round 13). Quote-aware:
+    a ``//`` inside a '...'/"..." literal — e.g. a URL — survives, and
+    backslash escapes inside literals are skipped so an escaped quote
+    does not end the literal early. KQL string literals do not span
+    lines, so quote state resets per line."""
+    out_lines = []
+    for line in q.split("\n"):
+        quote = None
+        i = 0
+        while i < len(line):
+            c = line[i]
+            if quote:
+                if c == "\\":
+                    i += 2
+                    continue
+                if c == quote:
+                    quote = None
+            elif c in ("'", '"'):
+                quote = c
+            elif c == "/" and line[i : i + 2] == "//":
+                line = line[:i].rstrip()
+                break
+            i += 1
+        out_lines.append(line)
+    return "\n".join(out_lines)
+
+
 def _bind1(arg: str, var: str, body: str) -> str:
     """Bind-once: evaluate the SQL expression ``arg`` exactly one time
     as lambda variable ``var`` inside ``body`` (transform over a
@@ -1951,7 +1979,7 @@ def kql_to_df(
     ``let x = <expr>;`` substitutes textually into later stages —
     exactly Kusto's evaluation model for constant lets."""
     tables = dict(tables)
-    q = query.strip()
+    q = _strip_comments(query).strip()
     # leading `set option[=value];` statements (daily_eval.py:147-149
     # pins Kusto engine memory options this way) — engine-side knobs
     # with no Spark analog; accepted and ignored so reference queries
@@ -2151,7 +2179,7 @@ def kql_to_df(
         elif op == "project":
             cols = []
             for part in _split_csv(rest):
-                m = re.match(r"^(\w+)\s*=\s*(.+)$", part)
+                m = re.match(r"^(\w+)\s*=\s*(.+)$", part.strip(), re.S)
                 if m:
                     cols.append(F.expr(_expr(m.group(2), now)).alias(m.group(1)))
                 else:
@@ -2166,7 +2194,7 @@ def kql_to_df(
                 continue  # bare serialize: order already pinned by sort
             assigns: list[tuple[str, str]] = []
             for part in _split_csv(rest):
-                m = re.match(r"^(\w+)\s*=\s*(.+)$", part)
+                m = re.match(r"^(\w+)\s*=\s*(.+)$", part.strip(), re.S)
                 if not m:
                     raise ValueError(f"extend needs name=expr: {part!r}")
                 assigns.append((m.group(1), m.group(2).strip()))
@@ -4302,7 +4330,7 @@ def _row_local_stage(df: DataFrame, op: str, rest: str, now: str | None):
         return df.filter(F.expr(_expr(rest, now)))
     if op == "extend":
         for part in _split_csv(rest):
-            em = re.match(r"^(\w+)\s*=\s*(.+)$", part)
+            em = re.match(r"^(\w+)\s*=\s*(.+)$", part.strip(), re.S)
             if not em:
                 raise ValueError(f"extend needs name=expr: {part!r}")
             df = df.withColumn(em.group(1), F.expr(_expr(em.group(2).strip(), now)))
@@ -5115,7 +5143,7 @@ def _summarize(df: DataFrame, rest: str, now: str | None = None) -> DataFrame:
     if by_part:
         for part in _split_csv(by_part):
             part = part.strip()
-            m = re.match(r"^(\w+)\s*=\s*(.+)$", part)
+            m = re.match(r"^(\w+)\s*=\s*(.+)$", part.strip(), re.S)
             if m:  # named key expression, e.g. hour = bin(ts, 1h)
                 keys.append(F.expr(_expr(m.group(2), now)).alias(m.group(1)))
             elif re.match(r"^\w+$", part):
@@ -5183,7 +5211,7 @@ def _summarize(df: DataFrame, rest: str, now: str | None = None) -> DataFrame:
     aggs = []
     for part in _split_csv(agg_part):
         part = part.strip()
-        named = re.match(r"^(\w+)\s*=\s*(.+)$", part)
+        named = re.match(r"^(\w+)\s*=\s*(.+)$", part.strip(), re.S)
         alias, body = (named.group(1), named.group(2)) if named else (None, part)
         # conditional / parameterized aggregates first
         m = re.match(r"^countif\((.+)\)$", body)
