@@ -4166,3 +4166,36 @@ def kql_gamma_scalar_ops(spark, sf_dir):
         " pack_array(2, 3))"
         " | project l_linenumber, gm, lg, sc, rep, ji",
     )
+
+
+@query(
+    "kql_evaluate_python",
+    """
+    SELECT doc_id,
+           n_chars * 0.5 + 3.0 AS score,
+           length(text) AS tl
+    FROM documents
+    """,
+)
+def kql_evaluate_python(spark, sf_dir):
+    """Kusto's ``evaluate python(...)`` plugin (round 13) as ONE
+    Arrow-batched mapInPandas pass — the plugin contract verbatim
+    (``df``/``kargs`` in, ``result`` out, typeof output schema, a
+    triple-backtick script with real python ``//`` and ``|`` syntax
+    protected from the KQL layer). Row-wise script, so the DuckDB
+    oracle expresses the same arithmetic relationally and the result
+    is chunking-invariant (the documented parity dial for
+    aggregating scripts: repartition deliberately)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t,
+        """
+        documents
+        | project doc_id, n_chars, text
+        | evaluate python(typeof(doc_id:long, score:real, tl:long), ```
+        result = df[['doc_id']].copy()
+        result['score'] = df['n_chars'] * kargs['m'] + kargs['b']
+        result['tl'] = df['text'].str.len()
+        ```, dynamic({"m": 0.5, "b": 3.0}))
+        """,
+    )

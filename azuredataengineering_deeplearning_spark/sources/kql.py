@@ -117,6 +117,11 @@ to a multiple of size), ``array_concat``/``array_slice``
 ``dynamic({...})`` bag literals, and PARALLEL multi-column
 ``mv-expand a, b`` (positional zip, shorter arrays pad null — one
 generator, never a cross product).
+Round-13: ``evaluate python(typeof(...), <script> [, dynamic({...})])``
+— Kusto's python plugin as ONE Arrow-batched ``mapInPandas`` pass
+(the plugin contract verbatim: ``df``/``kargs`` in, ``result`` out;
+triple-backtick scripts masked so python ``//`` and ``|`` survive the
+KQL layer; chunk = Spark partition, documented vs Kusto's per-node).
 Round-10 analytics plugins: ``evaluate sliding_window_counts`` /
 ``activity_counts_metrics`` / ``activity_engagement`` /
 ``activity_metrics`` (period-over-period retention/churn) /
@@ -201,6 +206,7 @@ Spark SQL equivalents textually.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1857,6 +1863,29 @@ def _rewrite_index_postfix(s: str) -> str:
         s = s[:start] + rep + s[e:]
 
 
+#: triple-backtick block store for ``evaluate python(...)`` — blocks
+#: are masked to ``\x00B<n>\x00`` sentinels BEFORE comment stripping
+#: and pipe splitting (python code legitimately contains ``//`` floor
+#: division and ``|`` operators), then looked up by the plugin parser.
+#: Ids are monotonic so nested/let sub-pipe re-entry cannot collide.
+_PYBLOCKS: dict[str, str] = {}
+_PYBLOCK_N = [0]
+
+
+def _mask_triple_blocks(q: str) -> str:
+    """Replace every \\`\\`\\`...\\`\\`\\` block with an inert sentinel
+    and remember the raw body (Kusto multi-line string literals, used
+    by ``evaluate python``)."""
+
+    def _save(m):
+        _PYBLOCK_N[0] += 1
+        key = f"{chr(0)}B{_PYBLOCK_N[0]}{chr(0)}"
+        _PYBLOCKS[key] = m.group(1)
+        return key
+
+    return re.sub(r"```(.*?)```", _save, q, flags=re.S)
+
+
 def _strip_comments(q: str) -> str:
     """Kusto ``//`` line comments → stripped (round 13). Quote-aware:
     a ``//`` inside a '...'/"..." literal — e.g. a URL — survives, and
@@ -1979,7 +2008,7 @@ def kql_to_df(
     ``let x = <expr>;`` substitutes textually into later stages —
     exactly Kusto's evaluation model for constant lets."""
     tables = dict(tables)
-    q = _strip_comments(query).strip()
+    q = _strip_comments(_mask_triple_blocks(query)).strip()
     # leading `set option[=value];` statements (daily_eval.py:147-149
     # pins Kusto engine memory options this way) — engine-side knobs
     # with no Spark analog; accepted and ignored so reference queries
@@ -4056,6 +4085,124 @@ def _funnel_completion(df: DataFrame, args_txt: str) -> DataFrame:
     )
 
 
+def _evaluate_python(df: DataFrame, args: str) -> DataFrame:
+    """``evaluate python(typeof(<spec>), <script> [, kargs-bag])`` —
+    Kusto's python plugin, expressed as its exact Spark-native
+    counterpart: ONE Arrow-batched ``mapInPandas`` pass (never a
+    row-at-a-time UDF).
+
+    Contract (Kusto's): the script sees the incoming chunk as a pandas
+    DataFrame named ``df``, the parameters bag as dict ``kargs``, and
+    must assign the output DataFrame to ``result``. The output schema
+    is ``typeof(*)`` (input schema), ``typeof(*, name:type, ...)``
+    (input + appended columns) or a full ``typeof(name:type, ...)``
+    replacement. The script is a Kusto multi-line \\`\\`\\`...\\`\\`\\`
+    block (masked before comment stripping / pipe splitting, so ``//``
+    floor division and ``|`` operators inside code survive) or a
+    single-quoted literal. Optional third arg: a ``dynamic({...})``
+    JSON bag -> ``kargs``.
+
+    Chunking semantics (documented): Kusto hands the script one chunk
+    per node; this engine hands it one chunk per Spark PARTITION
+    (Arrow batches concatenated). Row-wise scripts are
+    chunking-invariant and exactly reproducible; scripts that
+    aggregate across rows see partition-local data — in BOTH engines
+    such scripts are chunking-dependent, repartition deliberately
+    first. Like Kusto's sandbox the script runs with plain exec —
+    this engine is not a multi-tenant service; no sandboxing."""
+    parts = _split_csv(args)
+    if len(parts) < 2:
+        raise ValueError(
+            "evaluate python needs (typeof(...), <script> [, dynamic({...})])"
+        )
+    tm = re.match(r"^typeof\s*\((.*)\)\s*$", parts[0].strip(), re.S)
+    if not tm:
+        raise ValueError(
+            f"python plugin: first arg must be typeof(...), got {parts[0]!r}"
+        )
+    in_fields = [
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    ]
+    out_fields: list[tuple[str, str]] = []
+    for item in _split_csv(tm.group(1)):
+        item = item.strip()
+        if item == "*":
+            out_fields.extend(in_fields)
+            continue
+        im = re.match(r"^(\w+)\s*:\s*(\w+)$", item)
+        if not im or im.group(2).lower() not in _KQL_TYPES:
+            raise ValueError(
+                f"python plugin: bad typeof item {item!r} (want name:type,"
+                f" type in {sorted(_KQL_TYPES)})"
+            )
+        out_fields.append((im.group(1), _KQL_TYPES[im.group(2).lower()]))
+    names = [n for n, _ in out_fields]
+    if len(set(names)) != len(names):
+        raise ValueError(f"python plugin: duplicate output column in {names}")
+    schema_ddl = ", ".join(f"`{n}` {t}" for n, t in out_fields)
+
+    code_tok = parts[1].strip()
+    if code_tok in _PYBLOCKS:
+        code = _PYBLOCKS[code_tok]
+    elif len(code_tok) >= 2 and code_tok[0] == "'" and code_tok[-1] == "'":
+        code = re.sub(
+            r"\\(.)",
+            lambda m: {"n": "\n", "t": "\t", "'": "'", "\\": "\\"}.get(
+                m.group(1), "\\" + m.group(1)
+            ),
+            code_tok[1:-1],
+        )
+    else:
+        raise ValueError(
+            "python plugin: script must be a ```...``` block or a "
+            f"quoted literal, got {code_tok!r}"
+        )
+    import textwrap
+
+    code = textwrap.dedent(code)
+
+    kargs: dict = {}
+    if len(parts) >= 3:
+        km = re.match(
+            r"^dynamic\s*\((\{.*\})\s*\)\s*$", parts[2].strip(), re.S
+        )
+        if not km:
+            raise ValueError(
+                f"python plugin: third arg must be dynamic({{...}}), got"
+                f" {parts[2]!r}"
+            )
+        kargs = json.loads(km.group(1))
+
+    def _run(batches):
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks).reset_index(drop=True)
+            if len(chunks) > 1
+            else chunks[0].reset_index(drop=True)
+        )
+        ns = {"df": pdf, "kargs": kargs, "pd": pd}
+        exec(code, ns)  # noqa: S102 — the plugin IS arbitrary code
+        res = ns.get("result")
+        if res is None:
+            raise ValueError(
+                "python plugin: script must assign the output DataFrame"
+                " to `result`"
+            )
+        missing = [c for c in names if c not in res.columns]
+        if missing:
+            raise ValueError(
+                f"python plugin: result is missing output columns"
+                f" {missing} (schema: {names})"
+            )
+        yield res[names]
+
+    return df.mapInPandas(_run, schema=schema_ddl)
+
+
 def _evaluate(
     df: DataFrame,
     rest: str,
@@ -4087,6 +4234,9 @@ def _evaluate(
     distributed global_row_number kernel (never an unpartitioned
     window); the transpose itself is one ``stack`` projection — zero
     extra shuffles, output is ncols x nrows."""
+    pym = re.match(r"^python\s*\((.+)\)\s*$", rest.strip(), re.S)
+    if pym:
+        return _evaluate_python(df, pym.group(1))
     if re.match(r"^narrow\s*\(\s*\)\s*$", rest.strip()):
         if order_spec is None:
             raise ValueError(
