@@ -2681,6 +2681,12 @@ def kql_to_df(
         elif op == "partition":
             df = _partition_by(df, rest, now)
         elif op == "evaluate":
+            # `evaluate hint.distribution = per_node <plugin>(...)` —
+            # distribution hints accepted and dropped (Spark decides
+            # placement; mapInPandas IS per-partition already)
+            rest = re.sub(
+                r"^(?:hint\.\w+\s*=\s*\w+\s+)+", "", rest.strip()
+            )
             df = _evaluate(df, rest, now, order_spec, tables)
         elif op == "search":
             df = _search(df, rest)

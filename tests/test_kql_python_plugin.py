@@ -129,3 +129,13 @@ def test_comment_stripping_still_on_outside_code(spark, tdf):
         """,
     ).collect()
     assert out[0]["s"] == 38
+
+
+def test_distribution_hint_accepted_and_dropped(spark, tdf):
+    out = kql_to_df(
+        {"T": tdf},
+        "T | evaluate hint.distribution = per_node python(typeof(*, y:long),"
+        " 'result = df\\nresult[\\'y\\'] = result[\\'k\\'] * 3')"
+        " | summarize s = max(y)",
+    ).collect()
+    assert out[0]["s"] == 57
