@@ -145,7 +145,77 @@ def d1_json_array_flatten(spark, sf_dir):
     )
 
 
-@query("d2_embed_pandas_udf")  # model output is engine-side only → rows-only
+@query(
+    "d2_embed_pandas_udf",
+    # round-13 graduation (the sim_semantic_dedup discipline): the
+    # stand-in embedder is a PURE function of the text — FNV-1a per
+    # whitespace token, bucket-folded, L2-normalized, float32 at the
+    # Arrow boundary — so DuckDB can replay it exactly: list_reduce
+    # FNV over per-char codepoints (the corpus is ASCII, asserted in
+    # tests/test_connectors_embedding.py, so codepoint == UTF-8 byte),
+    # dense 16-bucket spine, REAL cast at the same point, witness
+    # folds in the same index order. Per-bucket SUM order may differ
+    # from python's token-order adds by an ulp; the float32 cast
+    # absorbs it (f32 grain is 2^29 coarser than double).
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    ),
+    h AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(2166136261::UBIGINT,
+            list_transform(range(1, strlen(tok) + 1),
+                           i -> ord(substr(tok, i, 1))::UBIGINT)),
+          (a, c) -> (xor(a, c) * 16777619) % 4294967296
+        ) AS hv
+      FROM toks
+    ),
+    vec AS (
+      SELECT doc_id, (hv % 16)::INT AS b,
+             SUM((((hv // 256) % 1000)::DOUBLE) / 1000.0) AS v
+      FROM h GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT d.doc_id, r.b::INT AS b
+      FROM (SELECT DISTINCT doc_id FROM documents) d, range(16) r(b)
+    ),
+    dense AS (
+      SELECT spine.doc_id, spine.b, COALESCE(vec.v, 0.0) AS v
+      FROM spine LEFT JOIN vec ON spine.doc_id = vec.doc_id
+                              AND spine.b = vec.b
+    ),
+    nrm AS (
+      SELECT doc_id,
+             CASE WHEN sqrt(SUM(v * v)) = 0 THEN 1.0
+                  ELSE sqrt(SUM(v * v)) END AS n
+      FROM dense GROUP BY 1
+    ),
+    f32 AS (
+      SELECT dense.doc_id, dense.b,
+             CAST(dense.v / nrm.n AS REAL) AS c
+      FROM dense JOIN nrm USING (doc_id)
+    ),
+    agg AS (
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(c::DOUBLE ORDER BY b)), (a, x) -> a + x) AS comp_sum,
+        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(c::DOUBLE * c::DOUBLE ORDER BY b)),
+          (a, x) -> a + x)) AS l2,
+        MAX(c::DOUBLE) AS comp_max
+      FROM f32 GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(16 AS INT) AS dim,
+           round(l2, 4) AS l2_norm,
+           round(comp_sum, 4) AS comp_sum,
+           round(comp_max, 4) AS comp_max
+    FROM agg
+    """,
+)
 def d2_embed_pandas_udf(spark, sf_dir):
     """D2: broadcast-model pandas_udf embedding column (deterministic
     hash-projection stand-in model; plumbing identical to a real
@@ -155,7 +225,10 @@ def d2_embed_pandas_udf(spark, sf_dir):
     the raw ``array<float>`` is projected to scalar witnesses instead:
     vector dimensionality, unit-rounded L2 norm, and the rounded first
     component — enough to catch a broken/empty/NaN embedding while
-    staying hashable driver-side.
+    staying hashable driver-side. Round 13: the witnesses gained a
+    FULL DuckDB oracle — the stand-in model is a pure function of the
+    text, replayed relationally (FNV fold + bucket spine + the same
+    float32 cast point); rows-only 12 → 11.
     """
     d = read_parquet(spark, f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     e = EMB.embed_column(d, "text")

@@ -103,12 +103,18 @@ HEADLINE = [
     "kql_fork",
     # round 13: the newest kernels enter the headline set — the
     # prefix-moment two-segment fit (the most expression-heavy r13
-    # series kernel), the decimal-exact vector ops, the full-oracle
+    # series kernel), the IEEE-fold vector ops, the full-oracle
     # sign-LSH semantic dedup, and the geohash-blocked radius join
     "kql_series_fit_2lines",
     "kql_series_vector_ops",
     "sim_semantic_dedup",
     "geo_radius_join",
+    # round 13 second half: the python plugin (one mapInPandas pass),
+    # the interpreted-HOF IPv6 parse (the costliest r13 scalar shape),
+    # and the JSON-string bag surgery
+    "kql_evaluate_python",
+    "kql_ipv6_ops",
+    "kql_bag_ops",
 ]
 
 

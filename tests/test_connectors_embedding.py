@@ -231,3 +231,21 @@ def test_density_cluster_distributed_equals_local(spark):
     )
     noise = CL.predict_clusters(far, model, "embedding").collect()[0]
     assert noise.cluster == model.noise_label and noise.strength == 0.0
+
+
+def test_documents_corpus_is_ascii(spark, sf_dir):
+    """The d2_embed_pandas_udf DuckDB oracle replays the FNV fold over
+    per-char codepoints, which equals the python model's UTF-8 byte
+    fold ONLY for ASCII text. Pin the corpus precondition so a
+    testdata refresh that introduces multibyte text fails loudly here
+    instead of as a silent oracle divergence."""
+    from azuredataengineering_deeplearning_spark.sources.readers import read_parquet
+
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet", columns=["text"])
+    from pyspark.sql import functions as F
+
+    bad = d.filter(
+        F.col("text").isNull()
+        | (F.octet_length("text") != F.length("text"))
+    ).count()
+    assert bad == 0
