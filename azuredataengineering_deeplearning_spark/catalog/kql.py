@@ -4094,7 +4094,7 @@ def kql_ipv6_ops(spark, sf_dir):
     SELECT c_custkey,
       '{"seg":"' || c_mktsegment || '","nat":' || c_nationkey
         || ',"key":' || c_custkey || '}' AS m,
-      ['seg', 'nat', 'key'] AS ks,
+      'seg,nat,key' AS ks,
       '{"seg":"X","nat":' || c_nationkey || '}' AS s,
       '{"seg":"' || c_mktsegment || '","key":' || c_custkey || '}' AS r
     FROM customer
@@ -4115,7 +4115,7 @@ def kql_bag_ops(spark, sf_dir):
         " | extend b1 = pack('seg', c_mktsegment, 'nat', c_nationkey),"
         " b2 = pack('nat', -1, 'key', c_custkey)"
         " | extend m = bag_merge(b1, b2)"
-        " | extend ks = bag_keys(m),"
+        " | extend ks = strcat_array(bag_keys(m), ','),"
         " s = bag_set_key(b1, 'seg', 'X'),"
         " r = bag_remove_keys(m, pack_array('nat'))"
         " | project c_custkey, m, ks, s, r",
