@@ -492,7 +492,10 @@ def _expr(kql: str, now: str | None = None) -> str:
         lits.append(m.group(0))
         return f"{chr(0)}L{len(lits) - 1}{chr(0)}"
 
-    s = re.sub(r"'[^']*'", _mask, s)
+    # escape-aware (r13): a \' inside a literal does not end it, so
+    # pack('k', 'x\'y') masks as ONE literal (the bag fuzzer's find —
+    # the old [^']* form split it and swallowed trailing stage text)
+    s = re.sub(r"'(?:[^'\\]|\\.)*'", _mask, s)
     # ---- phase 2: literal-agnostic rewrites (placeholders inert) ----
     # dynamic indexing first: out-of-range/missing-key must be NULL
     # (Kusto) while Spark's [] throws under ANSI
@@ -1185,7 +1188,12 @@ def _expr(kql: str, now: str | None = None) -> str:
             f" when {v} rlike"
             " '^-?[0-9]+(\\\\.[0-9]+)?([eE][+-]?[0-9]+)?$'"
             f" then {v}"
-            f" when substr({v}, 1, 1) in ('<', '[') then {v}"
+            # object/array pass-through ONLY for text that actually
+            # parses — a STRING value that merely starts with '{'/'['
+            # (e.g. '{not a bag') must re-quote, or the rebuilt bag is
+            # invalid JSON (round-13 bag-fuzzer find)
+            f" when substr({v}, 1, 1) in ('<', '[')"
+            f" and try_parse_json({v}) is not null then {v}"
             f" else {_jq(v)} end".replace("'<'", "'{'"),
         )
 
@@ -4963,9 +4971,16 @@ def _extend_one(
 def _split_pipe(s: str) -> list[str]:
     """Split a KQL pipe on ``|`` at paren depth 0 and outside quotes —
     sub-pipes inside ``mv-apply ... on ( ... | ... )`` and
-    ``materialize( ... | ... )`` stay intact."""
+    ``materialize( ... | ... )`` stay intact. Escape-aware (r13): a
+    ``\\'`` inside a literal does not end it."""
     out, depth, cur, quote = [], 0, "", False
-    for ch in s:
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if quote and ch == "\\" and i + 1 < len(s):
+            cur += s[i : i + 2]
+            i += 2
+            continue
         if ch == "'":
             quote = not quote
         if not quote:
@@ -4975,14 +4990,22 @@ def _split_pipe(s: str) -> list[str]:
             cur = ""
         else:
             cur += ch
+        i += 1
     out.append(cur.strip())
     return out
 
 
 def _split_csv(s: str) -> list[str]:
-    """Split on commas not inside parentheses/quotes."""
+    """Split on commas not inside parentheses/quotes. Escape-aware
+    (r13): a ``\\'`` inside a literal does not end it."""
     out, depth, cur, quote = [], 0, "", False
-    for ch in s:
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if quote and ch == "\\" and i + 1 < len(s):
+            cur += s[i : i + 2]
+            i += 2
+            continue
         if ch == "'":
             quote = not quote
         depth += (ch == "(") - (ch == ")") if not quote else 0
@@ -4991,6 +5014,7 @@ def _split_csv(s: str) -> list[str]:
             cur = ""
         else:
             cur += ch
+        i += 1
     if cur.strip():
         out.append(cur.strip())
     return out
