@@ -4199,3 +4199,54 @@ def kql_evaluate_python(spark, sf_dir):
         ```, dynamic({"m": 0.5, "b": 3.0}))
         """,
     )
+
+
+@query(
+    "kql_parse_path_bytes",
+    """
+    WITH src AS (
+      SELECT doc_id, n_chars, text, source,
+             CASE WHEN n_chars >= 1073741824 THEN 1073741824.0
+                  WHEN n_chars >= 1048576 THEN 1048576.0
+                  WHEN n_chars >= 1024 THEN 1024.0 ELSE 1.0 END AS dv,
+             CASE WHEN n_chars >= 1073741824 THEN 'GB'
+                  WHEN n_chars >= 1048576 THEN 'MB'
+                  WHEN n_chars >= 1024 THEN 'KB' ELSE 'Bytes' END AS un
+      FROM documents
+    )
+    SELECT doc_id,
+      '/data/' || source AS dirp,
+      doc_id || '.txt' AS fn,
+      'txt' AS ext,
+      regexp_replace(CAST(round(n_chars / dv, 1) AS VARCHAR),
+                     '\\.0+$', '') || ' ' || un AS fb,
+      (doc_id % 3) * 86400 + 3723.0 AS ts,
+      CASE WHEN instr(text, 'the') > 0 THEN 0
+           WHEN instr(text, 'and') > 0 THEN 1
+           WHEN instr(text, 'zz9qq') > 0 THEN 2
+           ELSE -1 END AS hai
+    FROM src
+    """,
+)
+def kql_parse_path_bytes(spark, sf_dir):
+    """Round-13 scalar batch 8 exhibit: ``parse_path`` (the 7-key bag,
+    fields read back via extract_json), ``format_bytes`` (1024-ladder
+    humanize, all-zero fraction stripped), ``totimespan``
+    ('d.hh:mm:ss' string form -> engine seconds) and
+    ``has_any_index`` (first containing term's array index). All pure
+    string/arithmetic SQL; the DuckDB oracle rebuilds each value
+    from the numeric/text source directly."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return kql_to_df(
+        t,
+        "documents"
+        " | extend pp = parse_path(strcat('/data/', source, '/',"
+        " tostring(doc_id), '.txt'))"
+        " | extend dirp = extract_json('$.DirectoryPath', pp),"
+        " fn = extract_json('$.Filename', pp),"
+        " ext = extract_json('$.Extension', pp),"
+        " fb = format_bytes(n_chars, 1),"
+        " ts = totimespan(strcat(tostring(doc_id % 3), '.01:02:03')),"
+        " hai = has_any_index(text, pack_array('the', 'and', 'zz9qq'))"
+        " | project doc_id, dirp, fn, ext, fb, ts, hai",
+    )

@@ -1401,6 +1401,156 @@ def _expr(kql: str, now: str | None = None) -> str:
             + ") end",
         ),
     )
+    # round-13 scalar batch 8: path/CSV/duration parsing, byte
+    # formatting, base64-to-bytes, guid/rand. All textual rewrites to
+    # JVM built-ins — zero UDFs. (After batch 7 so _jq is in scope.)
+    def _parse_path(p):
+        # Kusto parse_path -> the 7-key bag (JSON-string form).
+        # Subset (documented): posix + windows paths with an optional
+        # scheme://; RootPath = a windows drive letter; ADS = the
+        # trailing :stream on the filename. Keys always present.
+        scheme = (
+            "regexp_extract(__pp, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)"
+        )
+        body = (
+            f"if({scheme} = '', __pp,"
+            f" substr(__pp, length({scheme}) + 4))"
+        )
+        # last separator position ('/' or '\') via the reverse trick
+        def _last_sep(v):
+            return (
+                "greatest("
+                f" if(instr(reverse({v}), '/') > 0,"
+                f"    length({v}) - instr(reverse({v}), '/') + 1, 0),"
+                f" if(instr(reverse({v}), '\\\\') > 0,"
+                f"    length({v}) - instr(reverse({v}), '\\\\') + 1,"
+                " 0))"
+            )
+
+        fname = "substr(__pb, __ls + 1)"
+        dpath = "if(__ls > 1, substr(__pb, 1, __ls - 1), '')"
+        dname = "substr(__dp, " + _last_sep("__dp") + " + 1)"
+        file_noads = "split_part(__fn, ':', 1)"
+        ads = (
+            "if(instr(__fn, ':') > 0,"
+            " substr(__fn, instr(__fn, ':') + 1), '')"
+        )
+        ext = "regexp_extract(" + file_noads + ", '\\\\.([^.]+)$', 1)"
+        root = "regexp_extract(__pb, '^([A-Za-z]:)', 1)"
+        bag = (
+            "concat('<',"
+            f" '\"Scheme\":', {_jq(scheme)}, ',',"
+            f" '\"RootPath\":', {_jq(root)}, ',',"
+            f" '\"DirectoryPath\":', {_jq('__dp')}, ',',"
+            f" '\"DirectoryName\":', {_jq(dname)}, ',',"
+            f" '\"Filename\":', {_jq(file_noads)}, ',',"
+            f" '\"Extension\":', {_jq(ext)}, ',',"
+            f" '\"AlternateDataStream\":', {_jq(ads)},"
+            " '>')"
+        ).replace("'<'", "'{'").replace("'>'", "'}'")
+        out = _bind1(dpath, "__dp", bag)
+        out = _bind1(fname, "__fn", out)
+        out = _bind1(_last_sep("__pb"), "__ls", out)
+        out = _bind1(body, "__pb", out)
+        return _bind1(f"cast({p} as string)", "__pp", out)
+
+    s = _rewrite_call(s, "parse_path", _parse_path)
+    # parse_csv: one RFC-4180 record -> array of fields (quoted fields
+    # may contain commas; "" unescapes). Single-line subset.
+    s = _rewrite_call(
+        s, "parse_csv",
+        lambda a: (
+            "transform(regexp_extract_all(concat(',', cast(" + a
+            + " as string)), ',(\"(?:[^\"]|\"\")*\"|[^,]*)', 1),"
+            " __f -> if(substr(__f, 1, 1) = '\"',"
+            " replace(substr(__f, 2, length(__f) - 2), '\"\"', '\"'),"
+            " __f))"
+        ),
+    )
+
+    # format_bytes(size [, precision [, units]]): 1024-based humanize
+    def _format_bytes(sz, prec="0", units=None):
+        u = (
+            "case when __fb >= 1125899906842624 then 'PB'"
+            " when __fb >= 1099511627776 then 'TB'"
+            " when __fb >= 1073741824 then 'GB'"
+            " when __fb >= 1048576 then 'MB'"
+            " when __fb >= 1024 then 'KB' else 'Bytes' end"
+            if units is None
+            else f"upper(cast({units} as string))"
+        )
+        div = (
+            "case " + u + " when 'PB' then 1125899906842624"
+            " when 'TB' then 1099511627776 when 'GB' then 1073741824"
+            " when 'MB' then 1048576 when 'KB' then 1024"
+            " else 1 end"
+        )
+        return _bind1(
+            f"cast({sz} as double)", "__fb",
+            "concat(regexp_replace(cast(round(__fb / " + div
+            + f", cast({prec} as int)) as string),"
+            " '\\\\.0+$', ''), ' ', " + u + ")",
+        )
+
+    s = _rewrite_call(s, "format_bytes", _format_bytes)
+    # totimespan: timespan literals (1d/2h/3m/4s) were rewritten in
+    # phase 1; what reaches here is the string form
+    # '[d.]hh:mm:ss[.fff]' -> SECONDS (the engine's timespan unit,
+    # fractional kept); invalid -> null
+    s = _rewrite_call(
+        s, "totimespan",
+        lambda a: _bind1(
+            f"cast({a} as string)", "__tt",
+            "if(regexp_extract(__tt,"
+            " '^(?:\\\\d+\\\\.)?\\\\d{1,2}:\\\\d{1,2}:\\\\d{1,2}"
+            "(?:\\\\.\\\\d+)?$', 0) = '', cast(null as double),"
+            " coalesce(try_cast(regexp_extract(__tt,"
+            " '^(\\\\d+)\\\\.', 1) as double), 0e0) * 86400"
+            " + cast(regexp_extract(__tt,"
+            " '(\\\\d{1,2}):\\\\d{1,2}:\\\\d{1,2}', 1) as double)"
+            " * 3600"
+            " + cast(regexp_extract(__tt, ':(\\\\d{1,2}):', 1)"
+            " as double) * 60"
+            " + cast(regexp_extract(__tt, ':(\\\\d{1,2})(?:\\\\.|$)',"
+            " 1) as double)"
+            " + coalesce(try_cast(concat('0.', regexp_extract(__tt,"
+            " ':\\\\d{1,2}\\\\.(\\\\d+)$', 1)) as double), 0e0))",
+        ),
+    )
+    # has_any_index(text, terms): 0-based index of the FIRST term the
+    # text contains, -1 if none (Kusto)
+    s = _rewrite_call(
+        s, "has_any_index",
+        lambda t, arr: _bind1(
+            f"cast({t} as string)", "__hx",
+            "coalesce(try_element_at(filter(transform(" + arr + ","
+            " (__e, __i) -> if(instr(__hx, cast(__e as string)) > 0,"
+            " __i, cast(null as int))), __i -> __i is not null), 1),"
+            " -1)",
+        ),
+    )
+    # base64 -> byte array (ints 0-255), via the hex round trip
+    s = _rewrite_call(
+        s, "base64_decode_toarray",
+        lambda a: _bind1(
+            f"hex(unbase64({a}))", "__hb",
+            # empty guard: sequence(1, 0) DESCENDS in Spark
+            "if(length(__hb) = 0, array(),"
+            " transform(sequence(1, length(__hb) div 2), __i ->"
+            " cast(conv(substr(__hb, __i * 2 - 1, 2), 16, 10)"
+            " as bigint)))",
+        ),
+    )
+    s = re.sub(r"\bnew_guid\(\s*\)", "uuid()", s)
+    # rand()/rand(n): nondeterministic by definition (like Kusto);
+    # deterministic sampling paths use the hash twins instead
+    s = _rewrite_call(
+        s, "rand",
+        lambda n=None: (
+            "rand()" if n is None
+            else f"cast(floor(rand() * ({n})) as bigint)"
+        ),
+    )
     # round-10 scalar batch: encodings + calendar + version ordering.
     # url_encode/url_decode keep their names (Kusto's form-encoding ==
     # Spark's java.net.URLEncoder semantics, space -> '+').
