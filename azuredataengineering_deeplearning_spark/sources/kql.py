@@ -168,7 +168,11 @@ bag form, typed re-embed via the to_json round-trip),
 ``jaccard_index``, ``hash_combine``/``hash_many`` (→ one xxhash64),
 ``strcmp``/``strrep``/``isascii``/``isutf8``, and ``gamma`` /
 ``loggamma`` (Lanczos g=7, DuckDB/libm fuzz-verified; loggamma stays
-in log space so 1e6-scale arguments do not overflow). Graph operators: ``make-graph Src -->
+in log space so 1e6-scale arguments do not overflow). Batch 8:
+``parse_path`` (7-key bag) / ``parse_csv`` (RFC-4180 single record) /
+``format_bytes`` / ``totimespan`` ('[d.]hh:mm:ss[.fff]' → seconds) /
+``has_any_index`` / ``base64_decode_toarray`` / ``new_guid`` /
+``rand``. Graph operators: ``make-graph Src -->
 Dst [with Nodes on Id]`` + ``graph-match <pattern> [where ...]
 project ...`` — fixed-length patterns (chains / stars / cycles via
 shared variables, ``<-``/``-->``/``--`` directions) compiled to a
