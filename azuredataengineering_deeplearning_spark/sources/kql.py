@@ -496,10 +496,16 @@ def _expr(kql: str, now: str | None = None) -> str:
         lits.append(m.group(0))
         return f"{chr(0)}L{len(lits) - 1}{chr(0)}"
 
-    # escape-aware (r13): a \' inside a literal does not end it, so
-    # pack('k', 'x\'y') masks as ONE literal (the bag fuzzer's find —
-    # the old [^']* form split it and swallowed trailing stage text)
-    s = re.sub(r"'(?:[^'\\]|\\.)*'", _mask, s)
+    # r13: BOTH Kusto literal forms mask. Single-quoted stays RAW
+    # (the r10 dialect decision — '\n' is backslash+n; \ does NOT
+    # escape ' — so the extent rule is the plain [^']*). Content
+    # containing a single quote uses Kusto's OTHER literal form,
+    # double quotes ("x'y") — the bag fuzzer's find: there was no way
+    # to spell such a value at all. Spark SQL accepts double-quoted
+    # string literals (doubleQuotedIdentifiers off), so the token
+    # splices verbatim. One alternation so a quote of one kind inside
+    # a literal of the other kind stays inert.
+    s = re.sub("'[^']*'|\"[^\"]*\"", _mask, s)
     # ---- phase 2: literal-agnostic rewrites (placeholders inert) ----
     # dynamic indexing first: out-of-range/missing-key must be NULL
     # (Kusto) while Spark's [] throws under ANSI
@@ -5125,18 +5131,16 @@ def _extend_one(
 def _split_pipe(s: str) -> list[str]:
     """Split a KQL pipe on ``|`` at paren depth 0 and outside quotes —
     sub-pipes inside ``mv-apply ... on ( ... | ... )`` and
-    ``materialize( ... | ... )`` stay intact. Escape-aware (r13): a
-    ``\\'`` inside a literal does not end it."""
-    out, depth, cur, quote = [], 0, "", False
-    i = 0
-    while i < len(s):
-        ch = s[i]
-        if quote and ch == "\\" and i + 1 < len(s):
-            cur += s[i : i + 2]
-            i += 2
-            continue
-        if ch == "'":
-            quote = not quote
+    ``materialize( ... | ... )`` stay intact. Both literal forms
+    tracked (r13): raw single-quoted AND double-quoted ("x'y"), each
+    inert inside the other."""
+    out, depth, cur, quote = [], 0, "", None
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
         if not quote:
             depth += (ch == "(") - (ch == ")")
         if ch == "|" and depth == 0 and not quote:
@@ -5144,31 +5148,26 @@ def _split_pipe(s: str) -> list[str]:
             cur = ""
         else:
             cur += ch
-        i += 1
     out.append(cur.strip())
     return out
 
 
 def _split_csv(s: str) -> list[str]:
-    """Split on commas not inside parentheses/quotes. Escape-aware
-    (r13): a ``\\'`` inside a literal does not end it."""
-    out, depth, cur, quote = [], 0, "", False
-    i = 0
-    while i < len(s):
-        ch = s[i]
-        if quote and ch == "\\" and i + 1 < len(s):
-            cur += s[i : i + 2]
-            i += 2
-            continue
-        if ch == "'":
-            quote = not quote
-        depth += (ch == "(") - (ch == ")") if not quote else 0
+    """Split on commas not inside parentheses/quotes (both literal
+    forms, like :func:`_split_pipe`)."""
+    out, depth, cur, quote = [], 0, "", None
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        depth += ((ch == "(") - (ch == ")")) if not quote else 0
         if ch == "," and depth == 0 and not quote:
             out.append(cur.strip())
             cur = ""
         else:
             cur += ch
-        i += 1
     if cur.strip():
         out.append(cur.strip())
     return out

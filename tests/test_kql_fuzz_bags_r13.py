@@ -33,7 +33,11 @@ def _kql_lit(v):
         return "true" if v else "false"
     if isinstance(v, int):
         return str(v)
-    esc = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    esc = str(v).replace("\\", "\\\\")
+    if "'" in esc:
+        # Kusto's other literal form: double quotes carry a single
+        # quote without escaping games (r13 dialect addition)
+        return f'"{esc}"'
     return f"'{esc}'"
 
 

@@ -134,3 +134,12 @@ def test_isascii_isutf8(spark):
     assert _one(spark, "isascii('')") is True
     assert _one(spark, "isutf8('any spark string')") is True
     assert _one(spark, "isutf8('')") is True
+
+
+def test_double_quoted_literal_form(spark):
+    # Kusto's second literal form: double quotes carry single quotes
+    # (the raw single-quote dialect has no escape for ')
+    assert _one(spark, 'strcat("O\'Brien", \'-\', "x")') == "O'Brien-x"
+    assert _one(spark, 'strlen("a|b,c")') == 5  # inert in splitters
+    got = _one(spark, """bag_merge(pack('k', "it's"), pack('j', 1))""")
+    assert got == '{"k":"it\'s","j":1}'
