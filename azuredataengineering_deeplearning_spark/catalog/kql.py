@@ -3762,9 +3762,10 @@ def kql_series_trig_pow(spark, sf_dir):
 def kql_series_vector_ops(spark, sf_dir):
     """KQL ``series_dot_product`` / ``series_magnitude`` /
     ``series_cosine_similarity`` across two joined make-series outputs
-    (daily count vs daily revenue). Decimal-accumulated folds — the
-    order-independent _exact_dot discipline — so the DuckDB decimal
-    SUM twin agrees bit-for-bit."""
+    (daily count vs daily revenue). Sequential IEEE-754 double folds
+    in index order (r13 precision fix) — the DuckDB twin replays the
+    identical op sequence via list_reduce over list(... ORDER BY i),
+    so both engines agree bit-for-bit."""
     t = load_tables(spark, sf_dir, ["events"])
     return kql_to_df(
         t,
