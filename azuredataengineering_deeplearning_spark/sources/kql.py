@@ -1438,7 +1438,16 @@ def _expr(kql: str, now: str | None = None) -> str:
             )
 
         fname = "substr(__pb, __ls + 1)"
-        dpath = "if(__ls > 1, substr(__pb, 1, __ls - 1), '')"
+        # root-anchored paths keep the root separator ('/f' -> '/',
+        # 'C:\\f' -> 'C:\\') like posixpath/ntpath dirname — the
+        # round-13 stdlib fuzzer's find
+        dpath = (
+            "case when __ls = 0 then ''"
+            " when __ls = 1 then substr(__pb, 1, 1)"
+            " when regexp_extract(substr(__pb, 1, __ls - 1),"
+            " '^[A-Za-z]:$', 0) != '' then substr(__pb, 1, __ls)"
+            " else substr(__pb, 1, __ls - 1) end"
+        )
         dname = "substr(__dp, " + _last_sep("__dp") + " + 1)"
         file_noads = "split_part(__fn, ':', 1)"
         ads = (
