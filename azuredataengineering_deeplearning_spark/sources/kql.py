@@ -171,6 +171,7 @@ bag form, typed re-embed via the to_json round-trip),
 in log space so 1e6-scale arguments do not overflow). Batch 8:
 ``parse_path`` (7-key bag) / ``parse_csv`` (RFC-4180 single record) /
 ``format_bytes`` / ``totimespan`` ('[d.]hh:mm:ss[.fff]' → seconds) /
+``format_timespan`` (constant pattern compiled to one concat) /
 ``has_any_index`` / ``base64_decode_toarray`` / ``new_guid`` /
 ``rand``. Graph operators: ``make-graph Src -->
 Dst [with Nodes on Id]`` + ``graph-match <pattern> [where ...]
@@ -1536,6 +1537,62 @@ def _expr(kql: str, now: str | None = None) -> str:
             " ':\\\\d{1,2}\\\\.(\\\\d+)$', 1)) as double), 0e0))",
         ),
     )
+    # format_timespan(timespan, pattern): the pattern is a constant
+    # (masked literal) compiled at translate time into one concat of
+    # lpad'd integer pieces — d+/h+/m+/s+/f+ runs, everything else a
+    # literal separator. Timespans are the engine's SECONDS unit;
+    # negative values emit a '-' prefix over the absolute value.
+    def _format_timespan(x, pat):
+        mm = re.fullmatch(rf"{chr(0)}L(\d+){chr(0)}", pat.strip())
+        if not mm:
+            raise ValueError(
+                "format_timespan needs a constant pattern literal, got "
+                f"{pat!r}"
+            )
+        p = lits[int(mm.group(1))][1:-1]
+        parts: list[str] = []
+        i = 0
+        while i < len(p):
+            c = p[i]
+            j = i
+            while j < len(p) and p[j] == c:
+                j += 1
+            n = j - i
+            if c == "d":
+                parts.append(
+                    f"lpad(cast(cast(floor(__ft / 86400) as bigint)"
+                    f" as string), {n}, '0')"
+                )
+            elif c == "h":
+                parts.append(
+                    f"lpad(cast(cast(floor(__ft / 3600) % 24 as bigint)"
+                    f" as string), {n}, '0')"
+                )
+            elif c == "m":
+                parts.append(
+                    f"lpad(cast(cast(floor(__ft / 60) % 60 as bigint)"
+                    f" as string), {n}, '0')"
+                )
+            elif c == "s":
+                parts.append(
+                    f"lpad(cast(cast(floor(__ft) % 60 as bigint)"
+                    f" as string), {n}, '0')"
+                )
+            elif c == "f":
+                scale = 10 ** n
+                parts.append(
+                    f"lpad(cast(cast(floor(__ft * {scale}) % {scale}"
+                    f" as bigint) as string), {n}, '0')"
+                )
+            else:
+                lit = c * n
+                parts.append("'" + lit.replace("'", "''") + "'")
+            i = j
+        body = f"concat(if(__fs < 0, '-', ''), {', '.join(parts)})"
+        body = _bind1("abs(__fs)", "__ft", body)
+        return _bind1(f"cast(({x}) as double)", "__fs", body)
+
+    s = _rewrite_call(s, "format_timespan", _format_timespan)
     # has_any_index(text, terms): 0-based index of the FIRST term the
     # text contains, -1 if none (Kusto)
     s = _rewrite_call(

@@ -96,3 +96,23 @@ def test_new_guid_and_rand(spark):
     assert len(set(gs)) == 50 and all(len(g) == 36 for g in gs)
     assert all(0.0 <= r["r1"] < 1.0 for r in out)
     assert all(0 <= r["rn"] < 1000 for r in out)
+
+
+def test_format_timespan(spark):
+    assert _one(spark, "format_timespan(3723, 'hh:mm:ss')") == "01:02:03"
+    assert _one(
+        spark, "format_timespan(176400, 'd.hh:mm:ss')"
+    ) == "2.01:00:00"
+    assert _one(spark, "format_timespan(1.25, 's.ff')") == "1.25"
+    assert _one(spark, "format_timespan(-3723, 'h:m:s')") == "-1:2:3"
+    # round trip with totimespan
+    assert _one(
+        spark,
+        "totimespan(format_timespan(totimespan('3.04:05:06'),"
+        " 'd.hh:mm:ss'))",
+    ) == 3 * 86400 + 4 * 3600 + 5 * 60 + 6.0
+    with pytest.raises(ValueError, match="constant pattern"):
+        kql_to_df(
+            {"T": spark.createDataFrame([(1,)], "id int")},
+            "T | extend r = format_timespan(5, id)",
+        )
