@@ -101,3 +101,48 @@ def test_observed_write_single_pass_metrics(spark, tmp_path):
     assert got["n"] == 100 and got["null_v"] == 10
     assert got["sum_k"] == sum(range(100))
     assert spark.read.parquet(out).count() == 100
+
+
+def test_chunk_documents_overlap_reconstruction(spark):
+    """Dropping each chunk's first `overlap` tokens (except chunk 0)
+    and concatenating reproduces the document exactly — the window
+    arithmetic loses nothing and duplicates only the overlap."""
+    from azuredataengineering_deeplearning_spark.operators import text as TX
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(100))),   # multi-chunk
+        (2, " ".join(f"t{i}" for i in range(33))),    # one partial
+        (3, " ".join(f"t{i}" for i in range(32))),    # exactly one
+        (4, " ".join(f"t{i}" for i in range(5))),     # shorter than win
+        (5, "solo"),                                  # single token
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = TX.chunk_documents_overlap(
+        df, "doc_id", "text", chunk_size=32, overlap=8
+    ).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_ix"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in docs:
+        rows = by_doc[doc_id]
+        assert rows[0]["chunk_ix"] == 0
+        toks = []
+        for r in rows:
+            ct = r["chunk_text"].split(" ")
+            assert r["chunk_n_tokens"] == len(ct)
+            assert len(ct) <= 32
+            toks.extend(ct if r["chunk_ix"] == 0 else ct[8:])
+            # consecutive chunks share the 8-token overlap verbatim
+            if r["chunk_ix"] > 0:
+                prev = rows[r["chunk_ix"] - 1]["chunk_text"].split(" ")
+                assert prev[-8:] == ct[:8] or len(prev) < 32
+        assert " ".join(toks) == text, doc_id
+
+
+def test_chunk_documents_overlap_validation(spark):
+    from azuredataengineering_deeplearning_spark.operators import text as TX
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        TX.chunk_documents_overlap(df, "doc_id", "text",
+                                   chunk_size=8, overlap=8)
