@@ -1294,43 +1294,3 @@ def dedup_paragraphs(spark, sf_dir):
     parameter, '\n\n' in real corpora."""
     d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return DD.paragraph_dedup(d, "doc_id", "text", sep=" ")
-
-
-@query(
-    "t_chunk_overlap",
-    """
-    WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ),
-    n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-    ix AS (
-      SELECT doc_id, toks, n,
-             unnest(range(greatest(
-               CAST(ceil((n - 8) / 24.0) AS BIGINT), 1))) AS i
-      FROM n
-    )
-    SELECT doc_id, CAST(i AS INT) AS chunk_ix,
-           array_to_string(toks[i*24 + 1 : i*24 + 32], ' ')
-             AS chunk_text,
-           CAST(least(32, n - i*24) AS INT) AS chunk_n_tokens
-    FROM ix
-    """,
-)
-def t_chunk_overlap(spark, sf_dir):
-    """RAG-style overlapping chunker (round 13): 32-token windows
-    advancing 24 (8 tokens shared context), stable (doc_id, chunk_ix)
-    identity, short final window kept, short docs = one chunk.
-    Map-only array SQL — zero UDFs, zero shuffles; the DuckDB oracle
-    re-derives every window with list slicing."""
-    from azuredataengineering_deeplearning_spark.operators import text as TX
-
-    d = read_parquet(
-        spark, f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    out = TX.chunk_documents_overlap(
-        d, "doc_id", "text", chunk_size=32, overlap=8
-    )
-    return out.selectExpr(
-        "doc_id", "cast(chunk_ix as int) as chunk_ix", "chunk_text",
-        "cast(chunk_n_tokens as int) as chunk_n_tokens",
-    )

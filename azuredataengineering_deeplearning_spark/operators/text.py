@@ -360,57 +360,6 @@ def chunk_tokens(col: Column | str, k: int = 10, sep: str = TOKEN_SPLIT) -> Colu
     return bind_once(F.split(_c(col), sep), build)
 
 
-def chunk_documents_overlap(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    chunk_size: int = 64,
-    overlap: int = 16,
-    sep: str = TOKEN_SPLIT,
-    out: str = "chunk",
-) -> DataFrame:
-    """RAG-style overlapping chunker: ``chunk_size``-token windows
-    advancing by ``chunk_size - overlap`` tokens, so consecutive
-    chunks share ``overlap`` tokens of context. Output: one row per
-    chunk with a stable (id, ``{out}_ix``) identity, the chunk text,
-    and its token count; the last window may be short; a document
-    shorter than one window is a single chunk.
-
-    Plan shape: one split + one sequence/transform + one posexplode —
-    map-only, zero UDFs, zero shuffles (the downstream embed/index
-    steps own the shuffles). 100-TB note: the explode fans out an
-    interpreted array expression — for corpora with very long
-    documents (thousands of chunks/doc) persist the (id, chunks)
-    frame before exploding (SCALING.md round-13, "explode of heavy
-    interpreted arrays")."""
-    if overlap >= chunk_size:
-        raise ValueError(
-            f"chunk_documents_overlap: overlap ({overlap}) must be <"
-            f" chunk_size ({chunk_size})"
-        )
-    step = chunk_size - overlap
-
-    def build(toks: Column) -> Column:
-        n = F.size(toks)
-        last = F.greatest(
-            F.lit(0),
-            (F.ceil((n - F.lit(overlap)) / F.lit(step)) - 1).cast("int"),
-        )
-        return F.transform(
-            F.sequence(F.lit(0), last),
-            lambda i: F.array_join(
-                F.slice(toks, i * step + 1, chunk_size), sep
-            ),
-        )
-
-    chunks = bind_once(F.split(_c(text_col), sep), build)
-    ix, txt, ntok = f"{out}_ix", f"{out}_text", f"{out}_n_tokens"
-    return (
-        df.select(id_col, F.posexplode(chunks).alias(ix, txt))
-        .withColumn(ntok, F.size(F.split(F.col(txt), sep)))
-    )
-
-
 def remove_common_spans(
     df: DataFrame,
     id_col: str,

@@ -103,7 +103,7 @@ def test_observed_write_single_pass_metrics(spark, tmp_path):
     assert spark.read.parquet(out).count() == 100
 
 
-def test_chunk_documents_overlap_reconstruction(spark):
+def test_chunk_text_overlap_reconstruction(spark):
     """Dropping each chunk's first `overlap` tokens (except chunk 0)
     and concatenating reproduces the document exactly — the window
     arithmetic loses nothing and duplicates only the overlap."""
@@ -117,32 +117,30 @@ def test_chunk_documents_overlap_reconstruction(spark):
         (5, "solo"),                                  # single token
     ]
     df = spark.createDataFrame(docs, "doc_id int, text string")
-    out = TX.chunk_documents_overlap(
-        df, "doc_id", "text", chunk_size=32, overlap=8
+    out = TX.chunk_text_overlap(
+        df, "doc_id", "text", size=32, overlap=8
     ).collect()
     by_doc = {}
-    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_ix"])):
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
         by_doc.setdefault(r["doc_id"], []).append(r)
     for doc_id, text in docs:
         rows = by_doc[doc_id]
-        assert rows[0]["chunk_ix"] == 0
+        assert rows[0]["chunk_idx"] == 0
         toks = []
         for r in rows:
-            ct = r["chunk_text"].split(" ")
-            assert r["chunk_n_tokens"] == len(ct)
+            ct = r["chunk"].split(" ")
             assert len(ct) <= 32
-            toks.extend(ct if r["chunk_ix"] == 0 else ct[8:])
-            # consecutive chunks share the 8-token overlap verbatim
-            if r["chunk_ix"] > 0:
-                prev = rows[r["chunk_ix"] - 1]["chunk_text"].split(" ")
+            toks.extend(ct if r["chunk_idx"] == 0 else ct[8:])
+            # consecutive full chunks share the 8-token overlap verbatim
+            if r["chunk_idx"] > 0:
+                prev = rows[r["chunk_idx"] - 1]["chunk"].split(" ")
                 assert prev[-8:] == ct[:8] or len(prev) < 32
         assert " ".join(toks) == text, doc_id
 
 
-def test_chunk_documents_overlap_validation(spark):
+def test_chunk_text_overlap_validation(spark):
     from azuredataengineering_deeplearning_spark.operators import text as TX
 
     df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
     with pytest.raises(ValueError, match="overlap"):
-        TX.chunk_documents_overlap(df, "doc_id", "text",
-                                   chunk_size=8, overlap=8)
+        TX.chunk_text_overlap(df, "doc_id", "text", size=8, overlap=8)
