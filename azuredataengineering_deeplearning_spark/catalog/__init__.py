@@ -23,9 +23,24 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a catalog query and its optional DuckDB oracle."""
+    """Register a catalog query and its optional DuckDB oracle.
+
+    Duplicate names are an ERROR (round 13): a second registration
+    from a different function would silently shadow the first — a
+    near-miss this round, where a redundant chunker row replaced the
+    existing ``t_chunk_overlap`` and its oracle without any signal.
+    Same-function re-registration (module re-import) stays allowed."""
 
     def deco(fn):
+        prev = QUERIES.get(name)
+        if prev is not None and (
+            prev.__module__,
+            prev.__qualname__,
+        ) != (fn.__module__, fn.__qualname__):
+            raise ValueError(
+                f"duplicate catalog query name {name!r}: already"
+                f" registered by {prev.__module__}.{prev.__qualname__}"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -29,3 +29,28 @@ def test_every_query_builds_and_emits_scalars_only(spark):
     # caches); drop them so later tests see pristine plans
     spark.catalog.clearCache()
     assert not bad, bad
+
+
+def test_duplicate_query_name_raises():
+    """The registry guard (round 13): a second registration of an
+    existing name from a DIFFERENT function is a loud error, not a
+    silent shadow."""
+    import pytest
+
+    from azuredataengineering_deeplearning_spark.catalog import query
+
+    @query("_dup_guard_probe")
+    def probe_a(spark, sf_dir):  # pragma: no cover - never run
+        return None
+
+    # same function re-registering (module re-import) is fine
+    query("_dup_guard_probe")(probe_a)
+
+    with pytest.raises(ValueError, match="duplicate catalog query"):
+        @query("_dup_guard_probe")
+        def probe_b(spark, sf_dir):  # pragma: no cover - never run
+            return None
+
+    from azuredataengineering_deeplearning_spark.catalog import QUERIES
+
+    del QUERIES["_dup_guard_probe"]
