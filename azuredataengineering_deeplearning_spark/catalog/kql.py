@@ -4251,3 +4251,45 @@ def kql_parse_path_bytes(spark, sf_dir):
         " hai = has_any_index(text, pack_array('the', 'and', 'zz9qq'))"
         " | project doc_id, dirp, fn, ext, fb, ts, hai",
     )
+
+
+@query(
+    "kql_convert_units",
+    """
+    WITH g AS (
+      SELECT l_returnflag,
+             MAX(l_quantity) AS q, MAX(l_extendedprice) AS p
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+      round(q * 1.0 / 0.3048, 6) AS ft,
+      round(p * 0.45359237 / 1.0, 6) AS kg,
+      round(q * 0.2777777777777778 / 0.44704, 6) AS mph,
+      round(q * 0.017453292519943295 / 1.0, 6) AS rad,
+      round(((q + 459.67) * 5 / 9) - 273.15, 6) AS cels
+    FROM g
+    """,
+)
+def kql_convert_units(spark, sf_dir):
+    """Round-13 ``convert_*`` unit family (UnitsNet names, constant
+    units resolved to exact SI factors at TRANSLATE time — one
+    multiply per conversion, temperature one affine chain). The
+    DuckDB oracle repeats the identical x * from / to op sequence
+    with the same double factors, so values agree bit-for-bit
+    through round(...,6). max() keeps the input domain order-free
+    exact."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return kql_to_df(
+        t,
+        "lineitem"
+        " | summarize q = max(l_quantity), p = max(l_extendedprice)"
+        " by l_returnflag"
+        " | extend ft = round(convert_length(q, 'Meter', 'Foot'), 6),"
+        " kg = round(convert_mass(p, 'Pound', 'Kilogram'), 6),"
+        " mph = round(convert_speed(q, 'KilometerPerHour',"
+        " 'MilePerHour'), 6),"
+        " rad = round(convert_angle(q, 'Degree', 'Radian'), 6),"
+        " cels = round(convert_temperature(q, 'DegreeFahrenheit',"
+        " 'DegreeCelsius'), 6)"
+        " | project l_returnflag, ft, kg, mph, rad, cels",
+    )

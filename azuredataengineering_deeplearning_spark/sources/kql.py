@@ -172,6 +172,9 @@ in log space so 1e6-scale arguments do not overflow). Batch 8:
 ``parse_path`` (7-key bag) / ``parse_csv`` (RFC-4180 single record) /
 ``format_bytes`` / ``totimespan`` ('[d.]hh:mm:ss[.fff]' → seconds) /
 ``format_timespan`` (constant pattern compiled to one concat) /
+the ``convert_*`` unit family (length/mass/speed/angle/energy/
+force/volume/temperature — UnitsNet names, translate-time SI
+factors, one multiply each) /
 ``has_any_index`` / ``base64_decode_toarray`` / ``new_guid`` /
 ``rand``. Graph operators: ``make-graph Src -->
 Dst [with Nodes on Id]`` + ``graph-match <pattern> [where ...]
@@ -1617,6 +1620,112 @@ def _expr(kql: str, now: str | None = None) -> str:
             " as bigint)))",
         ),
     )
+    # convert_* unit family: both units must be constants (masked
+    # literals) — resolved to exact SI factors at TRANSLATE time, so
+    # the emitted SQL is one multiply (temperature: one affine chain).
+    # Unit names follow Kusto's (UnitsNet) spelling, matched
+    # case-insensitively; an unknown unit raises loudly with the
+    # family's unit list. Documented subset of the common units.
+    _UNIT_FAMILIES: dict[str, dict[str, float]] = {
+        "length": {
+            "meter": 1.0, "kilometer": 1000.0, "centimeter": 0.01,
+            "millimeter": 0.001, "micrometer": 1e-6, "nanometer": 1e-9,
+            "mile": 1609.344, "yard": 0.9144, "foot": 0.3048,
+            "inch": 0.0254, "nauticalmile": 1852.0,
+        },
+        "mass": {
+            "kilogram": 1.0, "gram": 0.001, "milligram": 1e-6,
+            "tonne": 1000.0, "pound": 0.45359237,
+            "ounce": 0.028349523125, "stone": 6.35029318,
+        },
+        "speed": {
+            "meterpersecond": 1.0, "kilometerperhour": 1.0 / 3.6,
+            "mileperhour": 0.44704, "knot": 1852.0 / 3600.0,
+            "footpersecond": 0.3048,
+        },
+        "angle": {
+            "radian": 1.0, "degree": 3.141592653589793 / 180.0,
+            "gradian": 3.141592653589793 / 200.0,
+            "revolution": 2.0 * 3.141592653589793,
+        },
+        "energy": {
+            "joule": 1.0, "kilojoule": 1000.0, "calorie": 4.184,
+            "kilocalorie": 4184.0, "watthour": 3600.0,
+            "kilowatthour": 3.6e6,
+            "britishthermalunit": 1055.05585262,
+        },
+        "force": {
+            "newton": 1.0, "kilonewton": 1000.0,
+            "poundforce": 4.4482216152605, "dyn": 1e-5,
+            "kilogramforce": 9.80665,
+        },
+        "volume": {
+            "cubicmeter": 1.0, "liter": 0.001, "milliliter": 1e-6,
+            "cubicfoot": 0.028316846592,
+            "cubicinch": 1.6387064e-5, "usgallon": 0.003785411784,
+            "imperialgallon": 0.00454609,
+        },
+    }
+
+    def _unit_lit(tok, family):
+        mm = re.fullmatch(rf"{chr(0)}L(\d+){chr(0)}", tok.strip())
+        if not mm:
+            raise ValueError(
+                f"convert_{family} needs constant unit literals, got"
+                f" {tok!r}"
+            )
+        u = lits[int(mm.group(1))][1:-1].strip().lower()
+        fam = _UNIT_FAMILIES[family]
+        if u not in fam:
+            raise ValueError(
+                f"convert_{family}: unknown unit {u!r}"
+                f" (supported: {sorted(fam)})"
+            )
+        return fam[u]
+
+    def _mk_convert(family):
+        def conv(x, ufrom, uto):
+            f, t = _unit_lit(ufrom, family), _unit_lit(uto, family)
+            return f"(cast({x} as double) * {f!r} / {t!r})"
+
+        return conv
+
+    for _fam in _UNIT_FAMILIES:
+        s = _rewrite_call(s, f"convert_{_fam}", _mk_convert(_fam))
+
+    def _convert_temperature(x, ufrom, uto):
+        # affine: go through Kelvin; names per UnitsNet
+        forms = {
+            "kelvin": ("(cast({x} as double))", "({k})"),
+            "degreecelsius": (
+                "(cast({x} as double) + 273.15)", "(({k}) - 273.15)"
+            ),
+            "degreefahrenheit": (
+                "((cast({x} as double) + 459.67) * 5 / 9)",
+                "(({k}) * 9 / 5 - 459.67)",
+            ),
+        }
+
+        def unit(tok):
+            mm = re.fullmatch(rf"{chr(0)}L(\d+){chr(0)}", tok.strip())
+            if not mm:
+                raise ValueError(
+                    "convert_temperature needs constant unit literals,"
+                    f" got {tok!r}"
+                )
+            u = lits[int(mm.group(1))][1:-1].strip().lower()
+            if u not in forms:
+                raise ValueError(
+                    f"convert_temperature: unknown unit {u!r}"
+                    f" (supported: {sorted(forms)})"
+                )
+            return u
+
+        uf, ut = unit(ufrom), unit(uto)
+        to_k = forms[uf][0].format(x=x)
+        return forms[ut][1].format(k=to_k)
+
+    s = _rewrite_call(s, "convert_temperature", _convert_temperature)
     s = re.sub(r"\bnew_guid\(\s*\)", "uuid()", s)
     # rand()/rand(n): nondeterministic by definition (like Kusto);
     # deterministic sampling paths use the hash twins instead

@@ -116,3 +116,54 @@ def test_format_timespan(spark):
             {"T": spark.createDataFrame([(1,)], "id int")},
             "T | extend r = format_timespan(5, id)",
         )
+
+
+def test_convert_units(spark):
+    assert _one(spark, "convert_length(1.0, 'Mile', 'Foot')") == (
+        pytest.approx(5280.0)
+    )
+    assert _one(spark, "convert_length(2.54, 'Centimeter', 'Inch')") == (
+        pytest.approx(1.0)
+    )
+    assert _one(spark, "convert_mass(1.0, 'Pound', 'Ounce')") == (
+        pytest.approx(16.0)
+    )
+    assert _one(spark, "convert_speed(36.0, 'KilometerPerHour',"
+                " 'MeterPerSecond')") == pytest.approx(10.0)
+    assert _one(spark, "convert_angle(180.0, 'Degree', 'Radian')") == (
+        pytest.approx(3.141592653589793)
+    )
+    assert _one(spark, "convert_energy(1.0, 'KilowattHour', 'Joule')") == (
+        pytest.approx(3.6e6)
+    )
+    assert _one(spark, "convert_volume(1.0, 'UsGallon', 'Liter')") == (
+        pytest.approx(3.785411784)
+    )
+    # round trip identity across every family factor
+    assert _one(
+        spark,
+        "convert_force(convert_force(7.25, 'PoundForce', 'Newton'),"
+        " 'Newton', 'PoundForce')",
+    ) == pytest.approx(7.25)
+
+
+def test_convert_temperature_affine(spark):
+    assert _one(spark, "convert_temperature(0.0, 'DegreeCelsius',"
+                " 'Kelvin')") == pytest.approx(273.15)
+    assert _one(spark, "convert_temperature(212.0, 'DegreeFahrenheit',"
+                " 'DegreeCelsius')") == pytest.approx(100.0)
+    assert _one(spark, "convert_temperature(-40.0, 'DegreeCelsius',"
+                " 'DegreeFahrenheit')") == pytest.approx(-40.0)
+
+
+def test_convert_units_loud_failures(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown unit"):
+        _one(spark, "convert_length(1.0, 'Parsec', 'Meter')")
+    with _pt.raises(ValueError, match="constant unit"):
+        kql_to_df(
+            {"T": __import__("pyspark").sql.SparkSession.getActiveSession()
+             .createDataFrame([(1, "Meter")], "id int, u string")},
+            "T | extend r = convert_length(1.0, u, 'Meter')",
+        )
