@@ -505,19 +505,32 @@ def tfidf_topk(
     (``tf * ln((1+N)/(1+df))``, token-lexicographic tiebreak). The doc
     count and doc-frequency table are corpus-level aggregates that
     broadcast back onto the per-doc term counts; ranking is one window
-    over (doc, token) — partitioned by doc, never global."""
+    over (doc, token) — partitioned by doc, never global.
+
+    Doc frequency is a vocab-bounded ``groupBy(token)`` aggregate
+    broadcast-joined back onto the (doc, token) frame — NOT a
+    ``count() over (partition by token)`` window: the window form
+    exchanges AND sorts the full (doc, token) frame by token, while the
+    aggregate form shuffles only per-partition partial counts
+    (vocab-sized) and leaves the tf frame unshuffled (one Exchange+Sort
+    removed from the plan; same integers, since tf has exactly one row
+    per (doc, token)). For vocabularies too large to broadcast, drop
+    the hint and AQE falls back to a shuffled join — still never worse
+    than the window, which also had to move the whole frame by token."""
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col), sep)).alias("token"))
-    # one explode + one (doc, token) aggregate; doc frequency is a count
-    # window over that already-reduced frame (one row per (doc, token)),
-    # so the corpus is exploded and shuffled exactly once
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    # one explode + one (doc, token) aggregate; the corpus is exploded
+    # and shuffled exactly once. Pinned: the doc-frequency aggregate AND
+    # the scoring join both consume it — without the pin the broadcast
+    # build re-scans the corpus (this build's AQE does not reuse
+    # exchanges under broadcast branches).
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf")).persist()
     n = F.broadcast(df.agg(F.countDistinct(id_col).alias("__n")))
-    from pyspark.sql import Window as _W
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
 
     scored = (
-        tf.withColumn("df", F.count("*").over(_W.partitionBy("token")))
+        tf.join(F.broadcast(dfreq), "token")
         .crossJoin(n)
         .withColumn(
             "tfidf",
@@ -573,14 +586,14 @@ def unigram_cross_entropy(
     ``-(1/n) Σ ln p(token)`` with p from corpus-wide term frequencies.
     The cheap stand-in for KenLM-perplexity quality filtering — docs
     whose token mix diverges from the corpus (gibberish, wrong-language,
-    boilerplate) score high. Two aggregates: the vocab-bounded unigram
-    table broadcasts back onto (doc, token) counts; no model, no UDF.
-    The vocab table is persisted (vocab-bounded, consumed by both the
-    total and the scoring join) and the total derives from it — one
-    corpus scan for the LM side instead of two."""
+    boilerplate) score high. ONE corpus explode: the per-(doc, token)
+    count frame is pinned and the vocab-bounded unigram table, the
+    total, and the scoring join all derive from it (previously the LM
+    branch re-exploded the corpus — two Generate passes per run); no
+    model, no UDF."""
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col), sep)).alias("token"))
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    vocab = toks.groupBy("token").agg(F.count("*").alias("ctf")).persist()
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf")).persist()
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("ctf"))
     total = F.broadcast(vocab.agg(F.sum("ctf").alias("__total")))
     return (
         tf.join(F.broadcast(vocab), "token")
@@ -713,19 +726,24 @@ def dsir_scores(
         is_target.alias("__t"),
         F.explode(tokens(F.col(text_col), sep)).alias("token"),
     ).withColumn("bucket", bucket_of)
-    # persisted: O(buckets) rows by construction, consumed by the totals
-    # aggregate AND the scoring join — without the pin each consumer
-    # re-scans the corpus (this build's AQE does not reuse exchanges
-    # under broadcast branches). Bounded by the parameter, never the data.
-    counts = toks.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("cr"),
+    # ONE corpus explode: the per-(doc, bucket) count frame is the shared
+    # base — the O(buckets) distribution tables and the raw-side scoring
+    # frame both derive from it (previously each branch re-exploded the
+    # corpus: two Generate+Exchange passes per run). Pinned because it
+    # has two consumers and this build's AQE does not reuse exchanges
+    # under broadcast branches. Size: ≤ docs × min(doc_len, buckets)
+    # rows — the bucketized frame the query shuffles anyway.
+    base = toks.groupBy(id_col, "__t", "bucket").agg(
+        F.count("*").alias("tf")
     ).persist()
-    doc_b = (
-        toks.filter(~F.col("__t"))
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("tf"))
-    )
+    # persisted: O(buckets) rows by construction, consumed by the totals
+    # aggregate AND the scoring join. Bounded by the parameter, never
+    # the data.
+    counts = base.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__t"), F.col("tf")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("__t"), F.col("tf")).otherwise(0)).alias("cr"),
+    ).persist()
+    doc_b = base.filter(~F.col("__t")).select(id_col, "bucket", "tf")
     tot = counts.agg(
         F.sum("ct").alias("__tt"), F.sum("cr").alias("__tr")
     )
@@ -821,31 +839,58 @@ def unigram_drift(
         F.col(group_col).alias("g"),
         F.explode(tokens(F.col(text_col), sep)).alias("token"),
     ).withColumn("bucket", token_hash60("token") % buckets)
-    # persisted: O(groups × buckets) rows, consumed four times (totals,
-    # bucket universe, both join sides) — without the pin each consumer
+    # One (g, bucket) count aggregate, then each group's whole
+    # distribution is assembled into a bucket→count MAP (O(groups) rows,
+    # each ≤ ``buckets`` entries). The KL grid is a cross join of that
+    # map frame with itself plus one ``aggregate`` higher-order function
+    # over the observed-bucket universe — replacing the previous
+    # grid-expansion shape (totals aggregate + bucket-universe distinct
+    # + two per-bucket left joins back onto counts: 4 Exchanges and 3
+    # BroadcastExchanges per run) with 2 Exchanges and 1 tiny broadcast.
+    # Same doubles: pa/pb use the identical smoothing expressions and
+    # the sum runs over the identical bucket set (sorted, so summation
+    # order is deterministic run-to-run — stricter than the previous
+    # shuffle-order sum).
+    counts = toks.groupBy("g", "bucket").agg(F.count("*").alias("c"))
+    # persisted: O(groups) rows, consumed three times (both cross-join
+    # sides + the bucket universe) — without the pin each consumer
     # re-scans the corpus. Bounded by parameters, never the data.
-    counts = toks.groupBy("g", "bucket").agg(F.count("*").alias("c")).persist()
-    totals = counts.groupBy("g").agg(F.sum("c").alias("t"))
-    grid = (
-        totals.select(F.col("g").alias("ga"), F.col("t").alias("ta"))
-        .crossJoin(totals.select(F.col("g").alias("gb"), F.col("t").alias("tb")))
-        .filter(F.col("ga") != F.col("gb"))
-        .crossJoin(counts.select("bucket").distinct())
+    dist = counts.groupBy("g").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("c")))
+        ).alias("m"),
+        F.sum("c").alias("t"),
+    ).persist()
+    # global universe of observed buckets (the oracle smooths over every
+    # bucket any group observed, not the per-pair union)
+    uni = dist.agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.map_keys("m"))))
+        ).alias("u")
     )
     sm, b = F.lit(float(smoothing)), F.lit(float(buckets))
-    ca = counts.select(
-        F.col("g").alias("ga"), F.col("bucket"), F.col("c").alias("c_a")
+    pairs = (
+        dist.select(F.col("g").alias("ga"), F.col("m").alias("ma"), F.col("t").alias("ta"))
+        .crossJoin(
+            dist.select(F.col("g").alias("gb"), F.col("m").alias("mb"), F.col("t").alias("tb"))
+        )
+        .filter(F.col("ga") != F.col("gb"))
+        .crossJoin(F.broadcast(uni))
     )
-    cb = counts.select(
-        F.col("g").alias("gb"), F.col("bucket"), F.col("c").alias("c_b")
-    )
-    pa = (F.coalesce(F.col("c_a"), F.lit(0)) + sm) / (F.col("ta") + sm * b)
-    pb = (F.coalesce(F.col("c_b"), F.lit(0)) + sm) / (F.col("tb") + sm * b)
-    return (
-        grid.join(ca, ["ga", "bucket"], "left")
-        .join(cb, ["gb", "bucket"], "left")
-        .groupBy(F.col("ga").alias("source_a"), F.col("gb").alias("source_b"))
-        .agg(F.sum(pa * F.log(pa / pb)).alias("kl"))
+
+    def _term(acc, bkt):
+        pa = (F.coalesce(F.element_at(F.col("ma"), bkt), F.lit(0)) + sm) / (
+            F.col("ta") + sm * b
+        )
+        pb = (F.coalesce(F.element_at(F.col("mb"), bkt), F.lit(0)) + sm) / (
+            F.col("tb") + sm * b
+        )
+        return acc + pa * F.log(pa / pb)
+
+    return pairs.select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        F.aggregate("u", F.lit(0.0), _term).alias("kl"),
     )
 
 
@@ -892,13 +937,23 @@ def bigram_cross_entropy(
     p = lam_c * (F.col("c12") / F.col("c1")) + (F.lit(1.0) - lam_c) * (
         F.col("c2") / F.col("__n")
     )
-    return (
-        tf.join(cnt, ["w1", "w2"])
-        .join(c1, "w1")
+    # ln p is a pure function of the BIGRAM, so score the vocab-bounded
+    # cnt frame first and join the big (doc, bigram) frame ONCE — the
+    # previous shape routed tf through three joins (cnt, c1, c2), which
+    # at scale shuffles the corpus-sized frame three times and evaluates
+    # ln() per (doc, bigram) row instead of per distinct bigram. Same
+    # doubles: identical expression on identical inputs, joined back by
+    # exact key.
+    scored = (
+        cnt.join(c1, "w1")
         .join(c2, "w2")
         .crossJoin(n_tot)
+        .select("w1", "w2", F.log(p).alias("__lnp"))
+    )
+    return (
+        tf.join(scored, ["w1", "w2"])
         .groupBy(id_col)
-        .agg((-F.sum(F.col("tf") * F.log(p)) / F.sum("tf")).alias(out))
+        .agg((-F.sum(F.col("tf") * F.col("__lnp")) / F.sum("tf")).alias(out))
     )
 
 
