@@ -294,18 +294,28 @@ def pipeline_curate_corpus(spark, sf_dir):
             .filter(F.col("node") != F.col("cluster_id"))
             .select(F.col("node").alias("doc_id"))
         )
-    # plain left_anti, NOT a forced broadcast: the loser/contaminated id
-    # sets grow with the corpus duplication rate — at 100 TB they are
-    # billions of ids and a forced broadcast OOMs. AQE turns these into
-    # broadcast joins at runtime whenever the sets are actually small.
-    sub2 = sub.join(losers, "doc_id", "left_anti")
-
-    contaminated = DD.contamination_flags(sub2, bench, "doc_id", "text", n=5)
-    sub3 = sub2.join(contaminated.select("doc_id"), "doc_id", "left_anti")
-
-    rep = T.repetition_metrics(sub3, "doc_id", "text", n=2)
+    # Three INDEPENDENT branches off the pinned survivor set, meeting in
+    # one final plan — the previous chain (losers → anti-join → contamination
+    # over the joined frame → anti-join → repetition over THAT frame →
+    # join) serialized six stages that have no data dependency:
+    # - contamination membership is per-document (doc text × benchmark
+    #   grams), so flagging the pre-loser set marks a superset whose
+    #   extras are all losers — the exclusion below removes them anyway;
+    # - repetition metrics are per-document map-only values, so scoring
+    #   the pre-exclusion set computes identical numbers and the final
+    #   inner join restricts to survivors.
+    # AQE materializes independent stages concurrently, and two of the
+    # three sequential anti-join barriers collapse into one exclusion.
+    # Exclusion joins stay plain left_anti, NOT a forced broadcast: the
+    # loser/contaminated id sets grow with the corpus duplication rate —
+    # at 100 TB they are billions of ids and a forced broadcast OOMs.
+    # AQE turns them into broadcast joins at runtime when actually small.
+    contaminated = DD.contamination_flags(sub, bench, "doc_id", "text", n=5)
+    bad = losers.unionByName(contaminated.select("doc_id"))
+    rep = T.repetition_metrics(sub, "doc_id", "text", n=2)
     return (
-        sub3.join(rep, "doc_id")
+        sub.join(bad, "doc_id", "left_anti")
+        .join(rep, "doc_id")
         .filter(F.col("dup_ngram_frac") < 0.12)
         .select("doc_id", "lang", "quality")
     )
