@@ -2522,10 +2522,18 @@ def kql_to_df(
         raise ValueError(f"unknown table {stages[0]!r}; have {sorted(tables)}")
 
     order_spec: str | None = None  # set by sort/order; used by serialize ops
+    # the frame as it was BEFORE the most recent sort/order stage, valid
+    # only while `df` is still exactly that sort's output. `scan`
+    # re-sorts by order_spec inside its per-key tasks, so when it
+    # IMMEDIATELY follows the sort it consumes the pre-sort frame and
+    # the global range-partition+sort (two exchanges of the full stream)
+    # drops out of the plan. Any other stage invalidates the shortcut.
+    pre_sort_df = None
     graph_ctx: tuple | None = None
     for stage in stages[1:]:
         op, _, rest = stage.partition(" ")
         rest = rest.strip()
+        prev_pre_sort, pre_sort_df = pre_sort_df, None
         if graph_ctx is not None and op not in (
             "graph-match", "graph-shortest-paths", "graph-to-table"
         ):
@@ -2665,6 +2673,7 @@ def kql_to_df(
         elif op == "sort" or op == "order":
             rest = re.sub(r"^by\s+", "", rest)
             order_spec = rest
+            pre_sort_df = df
             df = df.orderBy(*_order_cols(rest))
         elif op == "top":
             m = re.match(r"^(\d+)\s+by\s+(.+)$", rest)
@@ -3018,7 +3027,14 @@ def kql_to_df(
                 *[F.col(c).alias(c) for c in df.columns]
             )
         elif op == "scan":
-            df = _scan_kql(df, rest, now, order_spec)
+            # scan re-establishes order_spec per key group inside its
+            # tasks (operators/scan.py sorts each group), so the global
+            # sort directly below it is redundant physical work — feed
+            # the pre-sort frame when scan is the sort's only consumer
+            df = _scan_kql(
+                prev_pre_sort if prev_pre_sort is not None else df,
+                rest, now, order_spec,
+            )
         elif op == "mv-apply":
             df = _mv_apply(df, rest, now)
         elif op == "partition":
