@@ -542,14 +542,19 @@ def histogram_quantiles(
         need <= F.col("cum_before") + F.col("n")
     )
     est = F.col("bin_lo") + ((need - F.col("cum_before")) / F.col("n")) * F.lit(w)
-    picked = cum.filter(inside).select(*keys, "q", est.alias("estimate"))
-    # q=0 (or empty buckets before the first) has no bucket with
-    # cum_before < need; clamp to the domain floor
-    group_qs = cum.select(*keys, "q").distinct()
-    missing = group_qs.join(picked.select(*keys, "q"), [*keys, "q"], "left_anti").select(
-        *keys, "q", F.lit(float(lo)).alias("estimate")
+    # The per-bin (cum_before, cum_before + n] intervals partition
+    # (0, total], so AT MOST one bin is `inside` per (keys, q) — one
+    # aggregate picks it, and groups with none (q = 0, or empty buckets
+    # before the first) clamp to the domain floor. This replaces the
+    # former filter + distinct + anti-join + union backfill (four extra
+    # jobs per run over the cached histogram) with a single aggregate;
+    # identical rows: same estimate expression on the unique inside bin,
+    # same `lo` fallback for the same missing (keys, q) universe.
+    return cum.groupBy(*keys, "q").agg(
+        F.coalesce(
+            F.min(F.when(inside, est)), F.lit(float(lo))
+        ).alias("estimate")
     )
-    return picked.unionByName(missing)
 
 
 def ab_welch(
