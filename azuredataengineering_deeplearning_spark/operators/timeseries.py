@@ -392,6 +392,7 @@ def sliding_window_counts(
     end: str,
     lookback_s: int,
     bin_s: int,
+    include_count: bool = True,
 ) -> DataFrame:
     """Kusto ``evaluate sliding_window_counts(Id, Timeline, Start, End,
     LookbackWindow, Bin)``: for every bin timestamp ``t`` in
@@ -413,7 +414,14 @@ def sliding_window_counts(
 
     Rows earlier than ``Start - LookbackWindow`` can't reach any spine
     bin and are filtered at the scan (pushed predicate); rows after
-    the last bin are dropped likewise."""
+    the last bin are dropped likewise.
+
+    ``include_count=False`` skips the Count sweep entirely and returns
+    ``(Timeline, Dcount)`` — consumers that only need the sliding
+    distinct count (``session_count``) otherwise pay a full dead
+    aggregate + delta union + prefix scan + join that projection
+    pruning cannot remove (the join with the Count frame preserves no
+    column but still executes)."""
     from azuredataengineering_deeplearning_spark.operators.windows import (
         global_cumsum,
     )
@@ -437,6 +445,14 @@ def sliding_window_counts(
         F.col(id_col).alias("__u"),
         F.floor((ts_e - F.lit(start_e)) / F.lit(bin_s)).alias("__idx"),
     )
+    dcounts = _interval_sweep(
+        binned.distinct(), wb, out="Dcount", spine=spine
+    )
+    timeline = F.timestamp_seconds(
+        F.lit(start_e) + F.col("__idx") * F.lit(bin_s)
+    ).alias("Timeline")
+    if not include_count:
+        return dcounts.select(timeline, "Dcount")
     # Count sweep: per-bin counts -> +c / -c deltas -> prefix scan
     cnt = binned.groupBy("__idx").agg(F.count(F.lit(1)).alias("__c"))
     cdeltas = (
@@ -455,19 +471,7 @@ def sliding_window_counts(
         .join(spine, "__idx", "left_semi")
         .select("__idx", F.col("Count").cast("long").alias("Count"))
     )
-    dcounts = _interval_sweep(
-        binned.distinct(), wb, out="Dcount", spine=spine
-    )
-    return (
-        counts.join(dcounts, "__idx")
-        .select(
-            F.timestamp_seconds(
-                F.lit(start_e) + F.col("__idx") * F.lit(bin_s)
-            ).alias("Timeline"),
-            "Count",
-            "Dcount",
-        )
-    )
+    return counts.join(dcounts, "__idx").select(timeline, "Count", "Dcount")
 
 
 def activity_counts_metrics(
@@ -727,7 +731,8 @@ def session_count(
     LookBackWindow must be a whole multiple of Bin (inherited
     constraint, loud error)."""
     return sliding_window_counts(
-        df, id_col, ts_col, start, end, lookback_s, bin_s
+        df, id_col, ts_col, start, end, lookback_s, bin_s,
+        include_count=False,
     ).select("Timeline", F.col("Dcount").alias("count_"))
 
 
