@@ -55,7 +55,14 @@ def main() -> None:
     import __spark_entry__ as E
     from azuredataengineering_deeplearning_spark import get_spark
 
-    spark = get_spark(app_name="plan-snapshot")
+    # MUST match tests/conftest.py's fixture config (master local[8],
+    # shuffle_partitions=8): plans that embed eagerly-checkpointed
+    # frames (curate-corpus' near-dup pair list) inherit the partition
+    # count AQE coalesced them to under the session's parallelism, and
+    # that toggles downstream SinglePartition exchanges — snapshots are
+    # only comparable under the exact session config the test uses.
+    os.environ["SPARK_GRAFT_CPUS"] = "8"
+    spark = get_spark(app_name="plan-snapshot", shuffle_partitions=8)
     qs = E.queries()
     sigs: dict[str, dict[str, int]] = {}
     for name in bench.HEADLINE:
