@@ -507,30 +507,27 @@ def tfidf_topk(
     broadcast back onto the per-doc term counts; ranking is one window
     over (doc, token) — partitioned by doc, never global.
 
-    Doc frequency is a vocab-bounded ``groupBy(token)`` aggregate
-    broadcast-joined back onto the (doc, token) frame — NOT a
-    ``count() over (partition by token)`` window: the window form
-    exchanges AND sorts the full (doc, token) frame by token, while the
-    aggregate form shuffles only per-partition partial counts
-    (vocab-sized) and leaves the tf frame unshuffled (one Exchange+Sort
-    removed from the plan; same integers, since tf has exactly one row
-    per (doc, token)). For vocabularies too large to broadcast, drop
-    the hint and AQE falls back to a shuffled join — still never worse
-    than the window, which also had to move the whole frame by token."""
+    Doc frequency is a ``count() over (partition by token)`` window on
+    the reduced (doc, token) frame — kept DELIBERATELY after an r13-opt
+    A/B against the vocab-bounded aggregate + broadcast-join-back form:
+    at bench scale the join form's extra aggregate job + broadcast
+    build round-trip costs more than the window's exchange+sort of the
+    reduced frame (interleaved 10-rep medians 0.82 s window vs 1.08 s
+    join at sf0.1). The join-back form becomes the right dial when the
+    (doc, token) frame is huge relative to the vocabulary — at that
+    point swap ``F.count("*").over(Window.partitionBy("token"))`` for
+    ``tf.join(broadcast(tf.groupBy("token").count()), "token")``."""
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col), sep)).alias("token"))
-    # one explode + one (doc, token) aggregate; the corpus is exploded
-    # and shuffled exactly once. Pinned: the doc-frequency aggregate AND
-    # the scoring join both consume it — without the pin the broadcast
-    # build re-scans the corpus (this build's AQE does not reuse
-    # exchanges under broadcast branches).
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf")).persist()
+    # one explode + one (doc, token) aggregate; doc frequency is a count
+    # window over that already-reduced frame (one row per (doc, token)),
+    # so the corpus is exploded and shuffled exactly once
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     n = F.broadcast(df.agg(F.countDistinct(id_col).alias("__n")))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
 
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
         .crossJoin(n)
         .withColumn(
             "tfidf",
@@ -586,14 +583,19 @@ def unigram_cross_entropy(
     ``-(1/n) Σ ln p(token)`` with p from corpus-wide term frequencies.
     The cheap stand-in for KenLM-perplexity quality filtering — docs
     whose token mix diverges from the corpus (gibberish, wrong-language,
-    boilerplate) score high. ONE corpus explode: the per-(doc, token)
-    count frame is pinned and the vocab-bounded unigram table, the
-    total, and the scoring join all derive from it (previously the LM
-    branch re-exploded the corpus — two Generate passes per run); no
-    model, no UDF."""
+    boilerplate) score high. Two aggregates: the vocab-bounded unigram
+    table broadcasts back onto (doc, token) counts; no model, no UDF.
+    The vocab table is persisted (vocab-bounded, consumed by both the
+    total and the scoring join) and the total derives from it — one
+    corpus scan for the LM side instead of two. (r13-opt A/B: pinning
+    the per-(doc, token) frame instead, to reach one corpus explode,
+    measured SLOWER at sf0.1 — 1.49 s vs 0.97 s interleaved medians —
+    because the cache materialization + two cache scans cost more than
+    the second explode; the tiny vocab pin is the better trade until
+    the corpus dwarfs the cache.)"""
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col), sep)).alias("token"))
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf")).persist()
-    vocab = tf.groupBy("token").agg(F.sum("tf").alias("ctf"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("ctf")).persist()
     total = F.broadcast(vocab.agg(F.sum("ctf").alias("__total")))
     return (
         tf.join(F.broadcast(vocab), "token")
