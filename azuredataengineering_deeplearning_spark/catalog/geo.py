@@ -152,26 +152,31 @@ def geo_radius_join(spark, sf_dir):
         spark, f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "event_type"],
     )
-    _clon = (
-        "(ascii(substr(event_type, 1, 1)) * 7 +"
-        " ascii(substr(event_type, 2, 1)) * 3) % 280 - 140 + 0.25"
+    centers = (
+        e.select("event_type").distinct().selectExpr(
+            "event_type as center_id",
+            "(ascii(substr(event_type, 1, 1)) * 7 +"
+            " ascii(substr(event_type, 2, 1)) * 3) % 280 - 140 + 0.25"
+            " as lon",
+            "(ascii(substr(event_type, 1, 1)) * 11 +"
+            " length(event_type) * 17) % 100 - 50 + 0.25 as lat",
+        )
     )
-    _clat = (
-        "(ascii(substr(event_type, 1, 1)) * 11 +"
-        " length(event_type) * 17) % 100 - 50 + 0.25"
-    )
-    centers = e.select("event_type").distinct().selectExpr(
-        "event_type as center_id", f"{_clon} as lon", f"{_clat} as lat"
-    )
-    # the center coordinates are a pure function of event_type, so the
-    # points side inlines them instead of joining the centers dim back —
-    # one broadcast build + join removed per run, and at scale the big
-    # side needs no join at all before the cell equi-join (same doubles:
-    # identical expressions over identical values)
-    points = e.selectExpr(
+    # points JOIN the centers dim rather than inlining the (pure
+    # function of event_type) center formula — measured deliberately in
+    # r13-opt: the inline form is ~15% SLOWER (interleaved medians
+    # 1.56 s join vs 1.79 s inline at sf0.1) because CollapseProject
+    # substitutes the ascii/substr formula into every one of the ~70
+    # references the geohash bit-math makes to lon/lat, while the join
+    # output is an attribute the codegen evaluates once per row. The
+    # broadcast build of a |event_type|-row dim is noise by comparison.
+    points = e.join(
+        centers.withColumnRenamed("center_id", "event_type"),
+        "event_type",
+    ).selectExpr(
         "event_id as point_id",
-        f"({_clon}) + (event_id % 200) / 100.0 - 1.0 as lon",
-        f"({_clat}) + (user_id % 200) / 100.0 - 1.0 as lat",
+        "lon + (event_id % 200) / 100.0 - 1.0 as lon",
+        "lat + (user_id % 200) / 100.0 - 1.0 as lat",
     )
     return geohash_radius_join(
         points, centers, radius_m=30000, precision=3
