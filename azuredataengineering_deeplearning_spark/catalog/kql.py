@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from azuredataengineering_deeplearning_spark.catalog import query
 from azuredataengineering_deeplearning_spark.sources.kql import kql_fork, kql_to_df
-from azuredataengineering_deeplearning_spark.sources.readers import load_tables
+from azuredataengineering_deeplearning_spark.sources.readers import load_tables, local_rows_df
 
 
 @query(
@@ -2627,7 +2627,8 @@ def kql_ipv4_lookup(spark, sf_dir):
     matches. No range join, no broadcast nested loop — the shape that
     survives a 100-TB flow table against a broadcast CIDR dim."""
     t = load_tables(spark, sf_dir, ["events"])
-    nets = spark.createDataFrame(
+    nets = local_rows_df(
+        spark,
         [
             ("10.0.0.0/8", "corp"),
             ("10.5.0.0/16", "sixteen"),
@@ -2974,7 +2975,8 @@ def kql_ipv4_lookup_numeric(spark, sf_dir):
     row on strings; numeric input is join-bound). Same equi-join LPM
     plan as kql_ipv4_lookup, minus the parse."""
     t = load_tables(spark, sf_dir, ["events"])
-    nets = spark.createDataFrame(
+    nets = local_rows_df(
+        spark,
         [
             ("10.0.0.0/8", "corp"),
             ("10.5.0.0/16", "sixteen"),

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from azuredataengineering_deeplearning_spark.functions.exact import dec
+from azuredataengineering_deeplearning_spark.sources.readers import local_rows_df
 
 
 def grouped_agg(
@@ -528,7 +529,7 @@ def histogram_quantiles(
         else Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
     )
     qdf = F.broadcast(
-        hist.sparkSession.createDataFrame([(float(q),) for q in quantiles], "q double")
+        local_rows_df(hist.sparkSession, [(float(q),) for q in quantiles], "q double")
     )
     totals = (
         hist.groupBy(*keys).agg(F.sum("n").alias("total"))

@@ -15,6 +15,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from azuredataengineering_deeplearning_spark.sources.readers import local_rows_df
+
 _INT_BOUNDS = [
     ("tinyint", -128, 127),
     ("smallint", -32768, 32767),
@@ -83,8 +85,8 @@ def classify_columns(
         else:
             cls = "continuous"
         data.append((c, d, n, cls))
-    return spark.createDataFrame(
-        data, "column string, n_distinct bigint, n_rows bigint, class string"
+    return local_rows_df(
+        spark, data, "column string, n_distinct bigint, n_rows bigint, class string"
     )
 
 

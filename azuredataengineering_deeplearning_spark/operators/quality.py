@@ -21,6 +21,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from azuredataengineering_deeplearning_spark.sources.readers import local_rows_df
+
 
 @dataclass(frozen=True)
 class Check:
@@ -134,7 +136,8 @@ def check_referential_integrity(
     )
     spark = fact.sparkSession
     metric = (total - orphans) / total if total else 1.0
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(0, name, float(metric), orphans == 0)],
         "rank int, name string, metric double, passed boolean",
     )
@@ -163,7 +166,8 @@ def benford_profile(
         F.count("*").alias("n")
     )
     spark = df.sparkSession
-    exp = spark.createDataFrame(
+    exp = local_rows_df(
+        spark,
         [(d, math.log10(1 + 1 / d)) for d in range(1, 10)],
         "digit int, expected_frac double",
     )

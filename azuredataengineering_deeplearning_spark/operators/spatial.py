@@ -107,6 +107,40 @@ def _b(arg: str, var: str, body: str) -> str:
     return f"element_at(transform(array(({arg})), {var} -> {body}), 1)"
 
 
+def cell_id_sql(lon_sql: str, lat_sql: str, precision=5) -> str:
+    """The precision-``p`` geohash CELL as one BIGINT — the same
+    partition of space as ``geohash_sql`` (bijective with the string:
+    cell = xi * 2^ny + yi where xi/yi are the quantized axis integers
+    whose bits the string interleaves), but pure whole-stage-codegen
+    arithmetic: no lambda binding, no bit interleave, no substr/concat.
+    Null lon/lat yields a null cell (explicit guard — Spark's
+    least/greatest SKIP nulls, so the clamp alone would swallow them),
+    which can never equi-join — identical matching semantics to the
+    null-guarded string form.
+
+    Use this whenever the cell is only a blocking/equi-join KEY (the
+    radius join); use ``geohash_sql`` when the textual geohash itself
+    is the result. Measured in round 14: the string form's interpreted
+    ``transform(...)`` HOF was the dominant per-row cost of
+    geo_radius_join, and the inferred ``isnotnull(cell)`` pushed a
+    second full evaluation into the upstream join condition."""
+    p = _check_precision(precision)
+    nx, ny = _nx_ny(p)
+    xint = (
+        f"CAST(least(greatest(floor((CAST(({lon_sql}) AS DOUBLE) + 180)"
+        f" / 360 * {1 << nx}), 0), {(1 << nx) - 1}) AS BIGINT)"
+    )
+    yint = (
+        f"CAST(least(greatest(floor((CAST(({lat_sql}) AS DOUBLE) + 90)"
+        f" / 180 * {1 << ny}), 0), {(1 << ny) - 1}) AS BIGINT)"
+    )
+    return (
+        f"(CASE WHEN ({lon_sql}) IS NULL OR ({lat_sql}) IS NULL"
+        f" THEN CAST(NULL AS BIGINT)"
+        f" ELSE {xint} * {1 << ny} + {yint} END)"
+    )
+
+
 _POINT_STRUCT_T = "STRUCT<type: STRING, coordinates: ARRAY<DOUBLE>>"
 
 
@@ -264,7 +298,11 @@ def geohash_radius_join(
         )
         .select(
             "__cid", "__clon", "__clat",
-            F.expr(geohash_sql("__olon", "__olat", p)).alias("__cell"),
+            # integer cell id, not the geohash STRING: same cells
+            # (bijective), but codegen arithmetic instead of an
+            # interpreted HOF, and a BIGINT join key instead of a
+            # string one (see cell_id_sql)
+            F.expr(cell_id_sql("__olon", "__olat", p)).alias("__cell"),
         )
         .distinct()
     )
@@ -273,7 +311,7 @@ def geohash_radius_join(
         F.col(p_lon).alias("__plon").cast("double"),
         F.col(p_lat).alias("__plat").cast("double"),
     ).withColumn(
-        "__cell", F.expr(geohash_sql("__plon", "__plat", p))
+        "__cell", F.expr(cell_id_sql("__plon", "__plat", p))
     )
     joined = pts.join(F.broadcast(c9), "__cell").withColumn(
         "__dist",

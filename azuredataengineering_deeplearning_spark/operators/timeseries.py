@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from azuredataengineering_deeplearning_spark.functions.exact import dec
+from azuredataengineering_deeplearning_spark.sources.readers import local_rows_df
 
 
 def daily_spine(
@@ -192,7 +193,8 @@ def dim_date(
     import datetime as dt
 
     y0, y1 = int(start[:4]), int(end[:4])
-    hol = spark.createDataFrame(
+    hol = local_rows_df(
+        spark,
         [(dt.date.fromisoformat(d), n) for d, n in us_holidays(range(y0, y1 + 1))],
         "date date, holiday_name string",
     )

@@ -221,6 +221,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from azuredataengineering_deeplearning_spark.sources.readers import local_rows_df
 from azuredataengineering_deeplearning_spark.operators.timeseries import (
     series_decompose_anomalies_sql,
     series_decompose_forecast_sql,
@@ -3055,7 +3056,8 @@ def kql_to_df(
             df = _top_nested(df, rest)
         elif op == "getschema":
             spark = df.sparkSession
-            df = spark.createDataFrame(
+            df = local_rows_df(
+                spark,
                 [(c, t) for c, t in df.dtypes],
                 "ColumnName string, ColumnType string",
             )
@@ -3847,7 +3849,7 @@ def _datatable(spark: SparkSession, text: str) -> DataFrame:
         for i in range(0, len(raw), n)
     ]
     schema = ", ".join(f"{nm} {ty}" for nm, ty in cols)
-    return spark.createDataFrame(rows, schema)
+    return local_rows_df(spark, rows, schema)
 
 
 def _mv_apply(df: DataFrame, rest: str, now: str | None) -> DataFrame:

@@ -40,6 +40,33 @@ def _base_scan(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small driver-local rows as a DataFrame WITHOUT the pickled-RDD
+    dispatch tax. ``spark.createDataFrame(list, schema)`` parallelizes
+    the rows into ``defaultParallelism`` pickled partitions, and every
+    downstream action then pays one Python-worker round-trip PER
+    PARTITION just to deserialize a handful of rows — ~32 dispatches
+    per evaluation on local[32], re-paid on every broadcast rebuild
+    (measured in r14: sim_semantic_dedup's timed action anti-scaled
+    0.40× going 8→32 cores on exactly this fixed cost). The pandas →
+    Arrow path instead lands the batch JVM-side in ONE partition with
+    zero Python workers at evaluation time. Rows pandas/Arrow cannot
+    express fall back to a 1-partition pickled RDD — same semantics as
+    before, 1 dispatch instead of 32."""
+    rows = list(rows)
+    if rows:
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame.from_records([tuple(r) for r in rows])
+            return spark.createDataFrame(pdf, schema=schema)
+        except Exception:
+            pass  # nested/exotic types: exact-semantics fallback below
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )
+
+
 def read_parquet(
     spark: SparkSession,
     path: str,

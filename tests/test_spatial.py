@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from azuredataengineering_deeplearning_spark.operators.spatial import (
+    cell_id_sql,
     geohash_radius_join,
     geohash_sql,
 )
@@ -138,6 +139,38 @@ def test_radius_join_antimeridian_wrap(spark):
     }
     # 1 and 2 are within ~10 km across the antimeridian; 3 is ~117 km away
     assert got == {1, 2}
+
+
+def test_cell_id_bijective_with_geohash(spark):
+    """The r14 blocking key (integer cell id) partitions space exactly
+    like the geohash string: on a random + edge-case sample, the
+    geohash↔cell_id mapping must be a bijection at every precision the
+    join might use, and null coordinates must yield a null cell."""
+    import random
+
+    rng = random.Random(1414)
+    pts = [
+        (i, round(rng.uniform(-180, 180), 6), round(rng.uniform(-90, 90), 6))
+        for i in range(200)
+    ] + [
+        (900, 0.0, 0.0), (901, -180.0, -90.0), (902, 180.0, 90.0),
+        (903, 179.999999, -0.000001), (904, -0.703125, 42.626953125),
+    ]
+    df = spark.createDataFrame(pts, "rid int, lon double, lat double")
+    for p in (1, 2, 3, 5):
+        rows = df.selectExpr(
+            f"{geohash_sql('lon', 'lat', p)} as g",
+            f"{cell_id_sql('lon', 'lat', p)} as c",
+        ).collect()
+        g2c, c2g = {}, {}
+        for r in rows:
+            assert g2c.setdefault(r["g"], r["c"]) == r["c"]
+            assert c2g.setdefault(r["c"], r["g"]) == r["g"]
+    nulls = spark.range(1).selectExpr(
+        f"{cell_id_sql('CAST(NULL AS DOUBLE)', '1.0', 3)} as a",
+        f"{cell_id_sql('1.0', 'CAST(NULL AS DOUBLE)', 3)} as b",
+    ).collect()[0]
+    assert nulls["a"] is None and nulls["b"] is None
 
 
 def test_radius_join_precision_too_fine_raises(spark, clustered):
