@@ -2339,6 +2339,40 @@ _STREAM_UNSUPPORTED = frozenset(
      "make-graph", "graph-match", "graph-shortest-paths"}
 )
 
+# Stages whose OUTPUT VALUES do not depend on the physical row order of
+# their input — the allowlist behind the serialized-window sort
+# elision. Everything here either works per row (where/project/extend/
+# parse/mv-expand), re-establishes its own order (sort, scan,
+# serialized kernels via order_spec), or is set-valued (distinct/join/
+# union/count). Ops NOT listed (take/limit/sample/top/partition/
+# invoke/...) select rows by physical position or break value ties by
+# encounter order, so a pipe containing one after the elision point
+# keeps the global sort. `summarize` is safe only when no aggregate
+# breaks ties by encounter order (arg_max/arg_min/any/take_any);
+# make_list/make_set are sort_array'd (see _AGGS), plain aggregates are
+# value-deterministic (doubles accumulate in decimal). Allowlist, not
+# blocklist: an unknown op disables the optimization, never corrupts.
+_ORDER_INSENSITIVE_OPS = frozenset(
+    {"where", "project", "project-away", "project-rename",
+     "project-keep", "project-reorder", "extend", "serialize",
+     "sort", "order", "distinct", "count", "join",
+     "lookup", "union", "scan", "getschema", "parse", "parse-where",
+     "mv-expand"}
+)
+
+_ORDER_TIEBREAK_AGGS = re.compile(r"\b(?:arg_max|arg_min|any|take_any)\s*\(")
+
+
+def _stages_order_insensitive(rest_stages) -> bool:
+    for stage in rest_stages:
+        op, _, rest = stage.partition(" ")
+        if op == "summarize":
+            if _ORDER_TIEBREAK_AGGS.search(rest):
+                return False
+        elif op not in _ORDER_INSENSITIVE_OPS:
+            return False
+    return True
+
 
 def kql_to_df(
     tables: dict[str, DataFrame], query: str, now: str | None = None
@@ -2531,7 +2565,7 @@ def kql_to_df(
     # drops out of the plan. Any other stage invalidates the shortcut.
     pre_sort_df = None
     graph_ctx: tuple | None = None
-    for stage in stages[1:]:
+    for si, stage in enumerate(stages[1:], start=1):
         op, _, rest = stage.partition(" ")
         rest = rest.strip()
         prev_pre_sort, pre_sort_df = pre_sort_df, None
@@ -2572,7 +2606,29 @@ def kql_to_df(
                 df = df.withColumnRenamed(old, new)
         elif op in ("extend", "serialize"):
             if op == "serialize" and not rest:
-                continue  # bare serialize: order already pinned by sort
+                # bare serialize: order already pinned by sort. It is a
+                # no-op on the frame, so a pre-sort shortcut from the
+                # stage before stays valid for the NEXT stage.
+                pre_sort_df = prev_pre_sort
+                continue
+            # Serialized window kernels (row_number/prev/next/
+            # row_cumsum/row_rank_*) recompute the FULL order from
+            # order_spec (deterministic-bounds buckets + per-bucket
+            # windows) — they are value-correct on ANY input order. When
+            # this extend immediately follows the sort and every later
+            # stage is order-insensitive, feed it the pre-sort frame:
+            # the global range-partition + sort (two full-stream
+            # exchanges) drops out, same elision as `scan` (r13).
+            if (
+                prev_pre_sort is not None
+                and re.search(
+                    r"\b(?:row_number|prev|next|row_cumsum|row_rank_\w+)"
+                    r"\s*\(",
+                    rest,
+                )
+                and _stages_order_insensitive(stages[si + 1:])
+            ):
+                df = prev_pre_sort
             assigns: list[tuple[str, str]] = []
             for part in _split_csv(rest):
                 m = re.match(r"^(\w+)\s*=\s*(.+)$", part.strip(), re.S)

@@ -28,6 +28,7 @@ def _events(spark, rows):
     return spark.createDataFrame(rows, "u string, ts timestamp")
 
 
+@pytest.mark.slow
 def test_activity_metrics_gap_bin_zero_rates(spark):
     # users active day 1 and day 3, nobody day 2: day-2 churn = 1.0
     # (vs day 1), day-3 rates = 0.0 (empty previous bin renders 0.0)

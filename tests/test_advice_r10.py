@@ -105,6 +105,7 @@ def test_countof_plain_term_unchanged(paths):
     assert _counts(paths, "b") == {1: 1, 2: 0, 3: 0, 4: 0, 5: 0}
 
 
+@pytest.mark.slow
 def test_engagement_ratio_single_distinct_scan(spark):
     df = spark.createDataFrame(
         [("2024-01-0%d" % (i % 9 + 1), "u%d" % (i % 3)) for i in range(30)],

@@ -57,6 +57,7 @@ BAIL_LOLLIPOP = [
 ]
 
 
+@pytest.mark.slow
 def test_resolve_clusters_bail_flushes_overlay(spark):
     pairs = spark.createDataFrame(BAIL_LOLLIPOP, "id_a long, id_b long")
     got = {

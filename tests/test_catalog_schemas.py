@@ -7,6 +7,11 @@ from pyspark.sql.types import ArrayType, MapType, StructType
 
 import __spark_entry__ as E
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy differential/fuzz suite: deselected by default (pytest.ini), run with -m ""
+
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

@@ -1,3 +1,4 @@
+import pytest
 import pyspark.sql.functions as F
 
 from azuredataengineering_deeplearning_spark.operators import embedding as EMB
@@ -123,6 +124,7 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert spark.read.parquet(out).count() == 10_000
 
 
+@pytest.mark.slow
 def test_bucketed_join_has_no_exchange(spark):
     from azuredataengineering_deeplearning_spark.sources.writers import write_bucketed
 
@@ -145,6 +147,7 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
 
 
+@pytest.mark.slow
 def test_expire_partitions(spark, tmp_path):
     from azuredataengineering_deeplearning_spark.sources.writers import (
         expire_partitions,
@@ -164,6 +167,7 @@ def test_expire_partitions(spark, tmp_path):
     assert left == {"2024-01-03", "2024-01-04"}
 
 
+@pytest.mark.slow
 def test_write_zordered_locality_both_dims(spark, tmp_path):
     """Z-order layout: per-file min/max spans on BOTH dimensions are far
     tighter than the full range, so predicates on either column skip

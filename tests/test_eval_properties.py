@@ -7,6 +7,11 @@ from hypothesis import strategies as st
 from azuredataengineering_deeplearning_spark.operators import ml as ML
 from azuredataengineering_deeplearning_spark.operators import sft as SFT
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy differential/fuzz suite: deselected by default (pytest.ini), run with -m ""
+
+
 _slow = settings(
     max_examples=8,
     deadline=None,

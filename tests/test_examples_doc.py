@@ -30,6 +30,7 @@ def test_example_1_sql_analyst(spark, sf_dir):
     exec(_blocks()[0], _ns_common(spark, sf_dir))
 
 
+@pytest.mark.slow
 def test_example_2_kql_analyst(spark, sf_dir):
     exec(_blocks()[1], _ns_common(spark, sf_dir))
 

@@ -128,6 +128,7 @@ def test_hll_state_merge_and_stream(spark, tmp_path):
     assert got["n"] == 50
 
 
+@pytest.mark.slow
 def test_hist_quantiles_properties(spark):
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st

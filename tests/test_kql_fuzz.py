@@ -49,6 +49,9 @@ LITS = [
 TERMS = ["alpha", "BETA", "a.b", "100%", "x1"]  # for has (term search)
 
 
+pytestmark = pytest.mark.slow  # heavy differential/fuzz suite: deselected by default (pytest.ini), run with -m ""
+
+
 def _sq(s: str) -> str:
     """SQL string literal (standard quoting; DuckDB does not process
     backslash escapes in plain '...' literals, so regex patterns with

@@ -20,6 +20,9 @@ import pytest
 
 from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
 
+pytestmark = pytest.mark.slow  # heavy differential/fuzz suite: deselected by default (pytest.ini), run with -m ""
+
+
 _KEYS = ["alpha", "k2", "zz", "name", "v_1", "B"]
 _STRINGS = [
     "plain", "with space", 'say "hi"', "back\\slash", "x'y",

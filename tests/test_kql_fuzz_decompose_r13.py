@@ -56,6 +56,9 @@ sys.path.insert(
 from check_correctness import frame_hash  # noqa: E402
 
 
+pytestmark = pytest.mark.slow  # heavy differential/fuzz suite: deselected by default (pytest.ini), run with -m ""
+
+
 @pytest.fixture(scope="module")
 def duck():
     import duckdb

@@ -49,6 +49,9 @@ from check_correctness import frame_hash  # noqa: E402
 ETS = ["start", "mid", "done", "err", "ping"]
 
 
+pytestmark = pytest.mark.slow  # heavy differential/fuzz suite: deselected by default (pytest.ini), run with -m ""
+
+
 def _mk_events(spark):
     rows = []
     rng = random.Random(1107)

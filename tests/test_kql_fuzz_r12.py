@@ -52,6 +52,9 @@ sys.path.insert(
 from check_correctness import frame_hash  # noqa: E402
 
 
+pytestmark = pytest.mark.slow  # heavy differential/fuzz suite: deselected by default (pytest.ini), run with -m ""
+
+
 def _match(got_df, duck, sql, label):
     got, want = frame_hash(got_df.toPandas()), frame_hash(duck.sql(sql).df())
     # 0-row == 0-row is a VACUOUS pass (same tripwire as the sweep);

@@ -41,6 +41,9 @@ sys.path.insert(
 )
 from check_correctness import frame_hash  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy differential/fuzz suite: deselected by default (pytest.ini), run with -m ""
+
+
 _WORDS = ["abcabc", "xyx", "hello world", "a-b-c-d", "zz", "m",
           "abc abc abc", "x,y,,z", "  pad  ", "aaa"]
 

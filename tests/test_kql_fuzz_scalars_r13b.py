@@ -13,6 +13,11 @@ import random
 
 from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy differential/fuzz suite: deselected by default (pytest.ini), run with -m ""
+
+
 _FIELD_POOL = [
     "plain", "with space", "a,b", 'say "hi"', "", "x,y,z", '",",',
     "trail ", " lead", "1234", 'quote"inside', ",", '""',

@@ -12,6 +12,9 @@ import pytest
 from azuredataengineering_deeplearning_spark.sources.kql import kql_to_df
 
 
+pytestmark = pytest.mark.slow  # heavy differential/fuzz suite: deselected by default (pytest.ini), run with -m ""
+
+
 def _gen_xs():
     rng = random.Random(1307)
     xs = [0.5, 1.0, 2.0, 10.25, 0.1, 171.5, -0.5, -2.5, -19.99]

@@ -131,6 +131,7 @@ def _one(spark, expr):
     ).collect()[0]["r"]
 
 
+@pytest.mark.slow
 def test_ipv6_invalid_inputs_are_null(spark):
     for bad in ["'garbage'", "'1:2:3:4:5:6:7:8:9'", "'1:2:3'",
                 "'fe80::1%eth0'", "'2001:db8::1/129'", "'12345::1'",

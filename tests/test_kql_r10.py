@@ -208,6 +208,7 @@ def test_activity_engagement_subday_window_raises(activity):
         )
 
 
+@pytest.mark.slow
 def test_rows_near_window_and_boundaries(spark):
     rows = [(i, "hit" if i in (3, 9) else "x") for i in range(1, 11)]
     df = spark.createDataFrame(rows, "i int, tag string")
@@ -224,6 +225,7 @@ def test_rows_near_window_and_boundaries(spark):
     assert sorted(r["i"] for r in out2.collect()) == [3, 4, 5, 9, 10]
 
 
+@pytest.mark.slow
 def test_rows_near_overlapping_matches_dedupe(spark):
     df = spark.createDataFrame(
         [(i, "hit" if i in (4, 5) else "x") for i in range(1, 9)],

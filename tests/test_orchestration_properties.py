@@ -21,6 +21,9 @@ from azuredataengineering_deeplearning_spark.orchestration import (
 # ---------------------------------------------------------------------------
 
 
+pytestmark = pytest.mark.slow  # heavy differential/fuzz suite: deselected by default (pytest.ini), run with -m ""
+
+
 def test_retry_recovers():
     calls = {"n": 0}
 

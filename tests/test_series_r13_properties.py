@@ -98,6 +98,7 @@ def test_seasonal_length_and_periodicity(spark, ys, p):
         max_size=16,
     )
 )
+@pytest.mark.slow
 def test_fit_2lines_guard_and_shape(spark, ys):
     r = _one(
         spark, ys,

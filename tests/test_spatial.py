@@ -102,6 +102,7 @@ def clustered(spark):
     return pdf, cdf
 
 
+@pytest.mark.slow
 def test_radius_join_matches_brute_force(spark, clustered):
     pdf, cdf = clustered
     got = {

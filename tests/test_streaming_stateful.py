@@ -464,6 +464,7 @@ def test_stream_temporal_enrich_picks_version_in_force(spark, dirs, tmp_path):
     assert got == {20240105: "old_seg", 20240115: "new_seg"}
 
 
+@pytest.mark.slow
 def test_stream_rescore_cdf_matches_batch_rescore(spark, tmp_path):
     """daily_eval-style incremental re-score: tail the documents table's
     CDF, score only changed docs, merge into a scores table — after a

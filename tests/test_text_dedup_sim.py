@@ -275,6 +275,7 @@ def test_vocab_and_tfidf(spark):
     assert top[1] == "cat" and top[2] == "bird" and top[3] == "fish"
 
 
+@pytest.mark.slow
 def test_semantic_dedup_vs_exact_pairs(spark, embs):
     out = SIM.semantic_dedup(embs, threshold=0.45, n_lists=8).cache()
     # every id appears exactly once, reps are members of their own group
@@ -292,6 +293,7 @@ def test_semantic_dedup_vs_exact_pairs(spark, embs):
         assert len(got_ids) >= 1
 
 
+@pytest.mark.slow
 def test_semantic_dedup_identical_vectors_collapse(spark):
     rows = [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])]
     df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
@@ -301,6 +303,7 @@ def test_semantic_dedup_identical_vectors_collapse(spark):
     assert out[3].is_semantic_dup == 0
 
 
+@pytest.mark.slow
 def test_semantic_dedup_lsh_identical_vectors_collapse(spark):
     # the deterministic sign-LSH blocking variant (r13, full-oracle
     # catalog row): identical vectors share every plane sign, so they
@@ -318,6 +321,7 @@ def test_semantic_dedup_lsh_identical_vectors_collapse(spark):
     assert out[3].is_semantic_dup == 0
 
 
+@pytest.mark.slow
 def test_unigram_cross_entropy_ranks_divergent_docs(spark):
     # doc 3 uses tokens nothing else uses -> rare unigrams -> high xent;
     # doc 1 repeats the corpus-dominant token -> low xent
@@ -409,6 +413,7 @@ def test_chunk_text_overlap_windows(spark):
         chunk_text_overlap(df, "id", "text", size=4, overlap=4)
 
 
+@pytest.mark.slow
 def test_incremental_dedup_contract(spark):
     from azuredataengineering_deeplearning_spark.operators.dedup import (
         incremental_dedup,
@@ -606,6 +611,7 @@ def test_bm25_ranking_properties(spark):
     assert two[4] > two[3]  # 'gem' df=1 beats 'engine' df=3 at tf=1
 
 
+@pytest.mark.slow
 def test_leakage_safe_split_keeps_clusters_together(spark):
     from pyspark.sql import functions as F
 
@@ -679,6 +685,7 @@ def test_contamination_hash_grams_matches_string_grams(spark):
     assert s == h and {d for d, _ in s} == {1, 3}
 
 
+@pytest.mark.slow
 def test_resolve_clusters_tiny_frontier_threshold_bails_and_converges(spark):
     """A frontier threshold smaller than any changed set forces the
     driver-tail gear to bail (or never engage) — convergence must then

@@ -1,3 +1,4 @@
+import pytest
 import datetime as dt
 
 import pyspark.sql.functions as F
@@ -430,6 +431,7 @@ def test_grouped_apply_packed_contract(spark):
     assert n == spark.sparkContext.defaultParallelism
 
 
+@pytest.mark.slow
 def test_rolling_active_users_and_engagement(spark):
     import datetime as dt
 

@@ -327,6 +327,7 @@ def test_append_meta_records_batch_id(spark, tmp_path):
     assert c["batch_id"] == 0
 
 
+@pytest.mark.slow
 def test_checkpoint_bounds_replay_and_preserves_snapshots(spark, tmp_path):
     """Snapshot resolution from checkpoint + tail must equal a full
     replay; time travel works across the checkpoint boundary."""

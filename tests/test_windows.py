@@ -390,6 +390,7 @@ def test_frequent_sequences_counts_motifs(spark):
     assert out == {"a>b>c": 3, "b>c>a": 3}  # two motifs per user, no cross-user
 
 
+@pytest.mark.slow
 def test_asof_salted_equals_native(spark):
     """Salted (time-bucketed + carry) as-of must return exactly the
     native join's rows — uniform keys, a hot key owning most rows,
