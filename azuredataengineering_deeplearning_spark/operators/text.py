@@ -939,23 +939,25 @@ def bigram_cross_entropy(
     p = lam_c * (F.col("c12") / F.col("c1")) + (F.lit(1.0) - lam_c) * (
         F.col("c2") / F.col("__n")
     )
-    # ln p is a pure function of the BIGRAM, so score the vocab-bounded
-    # cnt frame first and join the big (doc, bigram) frame ONCE — the
-    # previous shape routed tf through three joins (cnt, c1, c2), which
-    # at scale shuffles the corpus-sized frame three times and evaluates
-    # ln() per (doc, bigram) row instead of per distinct bigram. Same
-    # doubles: identical expression on identical inputs, joined back by
-    # exact key.
-    scored = (
-        cnt.join(c1, "w1")
+    # Route tf through the three count joins directly (the r12 form).
+    # The r13 alternative — score the vocab²-bounded cnt frame first
+    # (ln per distinct bigram) and join the (doc, bigram) frame once —
+    # was kept on a tied local A/B but measured 0.67× by the r13
+    # driver, and the r14 interleaved 10-rep A/B at sf0.1 agreed
+    # (old median 2.07 s / min 1.06 vs new 2.13 / min 1.50): with a
+    # broadcastable vocab every join is map-side in BOTH forms, so the
+    # corpus frame is never shuffled either way, and the extra
+    # build-chain depth of the pre-scored frame (cnt⋈c1⋈c2 must
+    # materialize before the broadcast build) costs more than ln() per
+    # row saves. The join-once shape only wins when the vocab outgrows
+    # the broadcast threshold; revisit if the corpus vocabulary does.
+    return (
+        tf.join(cnt, ["w1", "w2"])
+        .join(c1, "w1")
         .join(c2, "w2")
         .crossJoin(n_tot)
-        .select("w1", "w2", F.log(p).alias("__lnp"))
-    )
-    return (
-        tf.join(scored, ["w1", "w2"])
         .groupBy(id_col)
-        .agg((-F.sum(F.col("tf") * F.col("__lnp")) / F.sum("tf")).alias(out))
+        .agg((-F.sum(F.col("tf") * F.log(p)) / F.sum("tf")).alias(out))
     )
 
 

@@ -2785,6 +2785,7 @@ def fit_per_group(
     keys: list[str],
     fit_fn,
     output_schema: str,
+    num_partitions: int | None = None,
 ):
     """Arbitrary per-series model fitting — the escape hatch when the
     model isn't closed-form (StatsForecast/darts style,
@@ -2794,7 +2795,9 @@ def fit_per_group(
     :func:`grouped_apply_packed` (per-group overhead amortized per
     partition, fan-out pinned against AQE byte-coalescing). Prefer
     :func:`linear_trend` where the math reduces to aggregates."""
-    return grouped_apply_packed(df, list(keys), fit_fn, output_schema)
+    return grouped_apply_packed(
+        df, list(keys), fit_fn, output_schema, num_partitions=num_partitions
+    )
 
 
 def grouped_apply_packed(
@@ -2802,6 +2805,7 @@ def grouped_apply_packed(
     keys: list[str],
     fn,
     output_schema: str,
+    num_partitions: int | None = None,
 ):
     """Per-group pandas apply for MANY SMALL GROUPS. Same contract as
     ``groupBy(keys).applyInPandas(fn, schema)`` — ``fn`` sees one
@@ -2825,7 +2829,17 @@ def grouped_apply_packed(
     post-AQE partition → 1500 series through one python worker).
     Byte-sized coalescing is the right call for JVM relational stages
     and the wrong one for CPU-bound Arrow stages; REPARTITION_BY_NUM is
-    exempt from AQE coalescing, so the fan-out holds."""
+    exempt from AQE coalescing, so the fan-out holds.
+
+    ``num_partitions`` is the width dial for panels with FEWER groups
+    than cores: pinning ``defaultParallelism`` then leaves (cores −
+    groups) empty partitions, each still paying a Python round-trip
+    (mapInPandas must run the function on empty input — it may emit
+    rows). Callers that know their group count should pass
+    ``min(defaultParallelism, n_groups)``. Deriving it here by probing
+    (``select(keys).distinct().limit(P+1).count()``) was measured at
+    0.25–0.9 s per call at sf0.1 — more than the empty-dispatch waste
+    it saves — so the default stays the zero-extra-jobs pin."""
     import pandas as pd
 
     kk = list(keys)
@@ -2840,7 +2854,7 @@ def grouped_apply_packed(
             if out is not None and len(out):
                 yield out
 
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n_parts, *[F.col(k) for k in kk]).mapInPandas(
         run, schema=output_schema
     )

@@ -429,6 +429,11 @@ def test_grouped_apply_packed_contract(spark):
     # pinned fan-out: partitions = defaultParallelism, not AQE-coalesced
     n = grouped_apply_packed(df, ["k"], fn, schema).rdd.getNumPartitions()
     assert n == spark.sparkContext.defaultParallelism
+    # r14 width dial: a caller that knows its group count can shrink
+    # the exchange (3 groups -> 3 partitions) with identical results
+    sized = grouped_apply_packed(df, ["k"], fn, schema, num_partitions=3)
+    assert sized.rdd.getNumPartitions() == 3
+    assert {(r.k, r.o, r.cum) for r in sized.collect()} == native
 
 
 @pytest.mark.slow
