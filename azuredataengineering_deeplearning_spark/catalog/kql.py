@@ -1464,6 +1464,9 @@ def kql_scan_declare(spark, sf_dir):
     out = kql_to_df(
         t,
         "events | where event_type in ('view', 'purchase')"
+        # project FIRST (r14): scan is opaque to column pruning; ship
+        # only the key/order/predicate/declare inputs through Arrow
+        " | project event_id, ts, user_id, event_type, value"
         " | sort by ts asc, event_id asc"
         " | scan by user_id with_match_id=match_id"
         " declare (fv: real = 0, t0: long) with"
@@ -1532,6 +1535,12 @@ def kql_scan_funnel(spark, sf_dir):
     out = kql_to_df(
         t,
         "events | where event_type in ('view', 'purchase')"
+        # project FIRST: scan's MapInPandas is opaque to column
+        # pruning, so without this the full events row (props JSON
+        # included) rides the Arrow boundary both ways — 9 columns
+        # shipped where 4 are consumed (r14; same discipline as
+        # kql_row_rank)
+        " | project event_id, ts, user_id, event_type"
         " | sort by ts asc, event_id asc"
         " | scan by user_id with_match_id=match_id with"
         " (step s1: event_type == 'view';"
@@ -3401,6 +3410,8 @@ def kql_scan_output_last(spark, sf_dir):
     out = kql_to_df(
         t,
         "events | where event_type in ('view', 'purchase')"
+        # project FIRST (r14): see kql_scan_funnel
+        " | project event_id, ts, user_id, event_type"
         " | sort by ts asc, event_id asc"
         " | scan output=last by user_id with_match_id=match_id with"
         " (step s1: event_type == 'view';"
