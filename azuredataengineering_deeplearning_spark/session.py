@@ -48,10 +48,12 @@ LOCAL_PROFILE: dict[str, str] = {
     # (measured: TPC-H Q5 0.5s → 16s at sf0.001). Enable via
     # extra_conf on clusters with selective star joins.
     # (runtimeFilter.semiJoinReduction must stay off: on this Spark
-    # build it loops the optimizer on trivial plans.) Note the rule
-    # also gates on applicationSideScanSizeThreshold (default 10 GB),
-    # so at bench scale it is inert unless that floor is lowered —
-    # tested in test_runtime_bloom_filter_knob_injects_pruning.
+    # build it loops the optimizer on trivial plans.) The rule gates
+    # file scans on applicationSideScanSizeThreshold (default 10 GB),
+    # but it DOES fire on cached-relation application sides at any
+    # size (r14: pipeline_curate_corpus's anti-join carries two
+    # default-on bloom filters even at sf0.001) — tested in
+    # test_runtime_bloom_filter_knob_injects_pruning.
 }
 
 

@@ -235,7 +235,6 @@ def test_runtime_bloom_filter_knob_injects_pruning(spark):
 
     conf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
     thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-    old = spark.conf.get(conf, "false")
     spark.conf.set(conf, "true")
     # default 10GB application-side floor makes the rule a no-op on test
     # data; zero it so the injection itself is what we assert
@@ -254,7 +253,14 @@ def test_runtime_bloom_filter_knob_injects_pruning(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "bloom" in plan.lower() or "BloomFilter" in plan, plan[:2000]
     finally:
-        spark.conf.set(conf, old)
+        # UNSET, not set-to-captured: `spark.conf.get(conf, "false")`
+        # returns the FALLBACK for an unset key, hiding the build's
+        # real default (true on Spark 4.1) — restoring that pinned the
+        # session to bloom-filters-off and silently changed every later
+        # plan in the session (r14: test_plan_snapshots drifted on
+        # pipeline_curate_corpus, whose anti-join carries two
+        # default-on runtime bloom filters at sf0.001).
+        spark.conf.unset(conf)
         spark.conf.unset(thr)
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
